@@ -1,0 +1,169 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, codegen-native generator ("faker") library.
+  *
+  * The reference delegates value synthesis to fzaninotto/faker
+  * (reference: composer.json:14, src/Anonymizer.php:53–55) whose formatters
+  * are nondeterministic per call. Spark re-executes tasks on retry/speculation,
+  * so nondeterministic generation would yield inconsistent rows across a
+  * 1000-executor run. Every formatter here is instead a **pure Catalyst
+  * Column expression** seeded from a hash of the primary key:
+  *
+  *  - reproducible (same input row → same masked value, across retries/runs)
+  *  - whole-stage-codegen friendly (no UDF boxing at 100 TB)
+  *  - embarrassingly parallel (no state, no shuffle)
+  *
+  * Formatter vocabulary covers the reference's documented usage (`email`,
+  * `unique()->email`, `unique()->uuid` — reference example.php:28,34,47) plus
+  * the standard masking set (SURVEY.md §2.4).
+  */
+object Gen {
+
+  /** Derive a non-negative 64-bit seed column from key columns. */
+  def seed(cols: Column*): Column = abs(xxhash64(cols: _*))
+
+  /** Decorrelate a seed per formatter so e.g. firstName/lastName of the same
+    * row don't co-vary.
+    */
+  private def salt(s: Column, tag: String): Column = abs(xxhash64(s, lit(tag)))
+
+  /** Pick a pool element by seed (1-based element_at). */
+  private def pick(pool: Seq[String], s: Column): Column =
+    element_at(lit(pool.toArray), (pmod(s, lit(pool.size)) + 1).cast("int"))
+
+  // ---- pools (public-domain sample data, small on purpose: they are lit()
+  // arrays inlined into the generated code) ----
+  private val firstNames = Seq(
+    "James", "Mary", "Robert", "Patricia", "John", "Jennifer", "Michael",
+    "Linda", "David", "Elizabeth", "William", "Barbara", "Richard", "Susan",
+    "Joseph", "Jessica", "Thomas", "Sarah", "Charles", "Karen", "Wei", "Ana",
+    "Yuki", "Omar", "Ivan", "Lucia", "Noah", "Emma", "Liam", "Olivia")
+  private val lastNames = Seq(
+    "Smith", "Johnson", "Williams", "Brown", "Jones", "Garcia", "Miller",
+    "Davis", "Rodriguez", "Martinez", "Hernandez", "Lopez", "Gonzalez",
+    "Wilson", "Anderson", "Thomas", "Taylor", "Moore", "Jackson", "Martin",
+    "Lee", "Perez", "Thompson", "White", "Harris", "Sanchez", "Clark",
+    "Ramirez", "Lewis", "Robinson")
+  private val domains = Seq(
+    "example.com", "example.org", "example.net", "mail.test", "post.test")
+  private val cities = Seq(
+    "Springfield", "Riverton", "Fairview", "Kingsport", "Maplewood",
+    "Cedarville", "Lakeside", "Brookfield", "Ashford", "Milltown")
+  private val countries = Seq(
+    "USA", "Canada", "Brazil", "Germany", "France", "Japan", "India",
+    "Australia", "Kenya", "Mexico")
+  private val streets = Seq(
+    "Main St", "Oak Ave", "Maple Dr", "Cedar Ln", "Park Rd", "Lake View",
+    "Hill St", "River Rd", "Elm St", "Sunset Blvd")
+  private val companySuffix = Seq("Inc", "LLC", "Group", "Labs", "Corp")
+  private val words = Seq(
+    "lorem", "ipsum", "dolor", "amet", "consectetur", "adipiscing", "elit",
+    "tempor", "incididunt", "labore", "magna", "aliqua", "veniam", "nostrud",
+    "ullamco", "laboris")
+
+  // ---- formatters (all: Column seed → Column value) ----
+  def firstName(s: Column): Column = pick(firstNames, salt(s, "fn"))
+  def lastName(s: Column): Column = pick(lastNames, salt(s, "ln"))
+  def name(s: Column): Column =
+    concat_ws(" ", firstName(s), lastName(s))
+  def userName(s: Column): Column = concat(
+    lower(firstName(s)), lit("."), lower(lastName(s)),
+    pmod(salt(s, "un"), lit(100)).cast("string"))
+  def email(s: Column): Column =
+    concat(userName(s), lit("@"), pick(domains, salt(s, "dom")))
+  def safeEmail(s: Column): Column =
+    concat(userName(s), lit("@example.com"))
+  def company(s: Column): Column = concat_ws(" ",
+    lastName(salt(s, "co")), pick(companySuffix, salt(s, "cos")))
+  def city(s: Column): Column = pick(cities, salt(s, "city"))
+  def country(s: Column): Column = pick(countries, salt(s, "ctr"))
+  def streetAddress(s: Column): Column = concat_ws(" ",
+    (pmod(salt(s, "num"), lit(9899)) + 100).cast("string"),
+    pick(streets, salt(s, "st")))
+  def address(s: Column): Column =
+    concat_ws(", ", streetAddress(s), city(s), country(s))
+  def phoneNumber(s: Column): Column = concat(
+    lit("+1-"), lpad(pmod(salt(s, "p1"), lit(800)).plus(200).cast("string"), 3, "0"),
+    lit("-"), lpad(pmod(salt(s, "p2"), lit(1000)).cast("string"), 3, "0"),
+    lit("-"), lpad(pmod(salt(s, "p3"), lit(10000)).cast("string"), 4, "0"))
+  def ipv4(s: Column): Column = concat_ws(".",
+    (pmod(salt(s, "i1"), lit(254)) + 1).cast("string"),
+    pmod(salt(s, "i2"), lit(256)).cast("string"),
+    pmod(salt(s, "i3"), lit(256)).cast("string"),
+    (pmod(salt(s, "i4"), lit(254)) + 1).cast("string"))
+
+  /** RFC-4122-shaped deterministic UUID (version nibble forced to 4) derived
+    * from the md5 of the seed — the deterministic analog of the reference's
+    * `unique()->uuid` (example.php:47).
+    */
+  def uuid(s: Column): Column = {
+    val h = md5(s.cast("string"))
+    concat_ws("-",
+      substring(h, 1, 8), substring(h, 9, 4),
+      concat(lit("4"), substring(h, 14, 3)),
+      substring(h, 17, 4), substring(h, 21, 12))
+  }
+
+  def numberBetween(s: Column, lo: Long, hi: Long): Column =
+    (pmod(salt(s, "nb"), lit(hi - lo + 1)) + lo).cast("long")
+  def randomFloat(s: Column, lo: Double, hi: Double, decimals: Int = 2): Column =
+    round(pmod(salt(s, "rf"), lit(1000000L)).cast("double")
+      .divide(lit(1000000.0)).multiply(lit(hi - lo)).plus(lit(lo)), decimals)
+  def randomElement(pool: Seq[String], s: Column): Column =
+    pick(pool, salt(s, "re"))
+  def dateBetween(s: Column, startIso: String, endIso: String): Column = {
+    val span = datediff(lit(endIso).cast("date"), lit(startIso).cast("date"))
+    date_add(lit(startIso).cast("date"),
+      pmod(salt(s, "dt"), span + 1).cast("int"))
+  }
+  def sentence(s: Column, nWords: Int = 6): Column = {
+    val parts = (0 until nWords).map(i => pick(words, salt(s, s"w$i")))
+    concat(concat_ws(" ", parts: _*), lit("."))
+  }
+  def creditCardNumber(s: Column): Column = concat(
+    lit("4"), lpad(pmod(salt(s, "cc1"), lit(1000000000L)).cast("string"), 9, "0"),
+    lpad(pmod(salt(s, "cc2"), lit(1000000L)).cast("string"), 6, "0"))
+  def md5Hex(c: Column): Column = md5(c.cast("string"))
+  def sha256Hex(c: Column): Column = sha2(c.cast("string"), 256)
+
+  /** Construct-unique email: the primary-key rendering is embedded in the
+    * local part, so uniqueness holds by construction across any cluster size
+    * (replaces Faker's retry-until-unseen `unique()` — see
+    * [[graft.blueprint.Rule.Generator]]).
+    */
+  def uniqueEmail(s: Column, pk: Column): Column =
+    concat(lower(firstName(s)), lit("."), pk.cast("string"),
+      lit("@example.com"))
+
+  /** Named-formatter registry for `replaceWithGenerator(name)`
+    * (reference: src/Blueprint.php:163–176 `$generator->{$type}`). Providers
+    * register extra formatters via [[register]] — the analog of Faker
+    * provider drop-ins (reference: src/Anonymizer.php:111–121).
+    */
+  @volatile private var registry: Map[String, Column => Column] = Map(
+    "firstName" -> firstName _, "lastName" -> lastName _, "name" -> name _,
+    "userName" -> userName _, "email" -> email _, "safeEmail" -> safeEmail _,
+    "company" -> company _, "city" -> city _, "country" -> country _,
+    "address" -> address _, "streetAddress" -> streetAddress _,
+    "phoneNumber" -> phoneNumber _, "ipv4" -> ipv4 _, "uuid" -> uuid _,
+    "sentence" -> ((s: Column) => sentence(s)),
+    "creditCardNumber" -> creditCardNumber _,
+    "md5" -> md5Hex _, "sha256" -> sha256Hex _)
+
+  def register(formatterName: String, f: Column => Column): Unit =
+    synchronized { registry += formatterName -> f }
+  def formatter(formatterName: String): Column => Column =
+    registry.getOrElse(formatterName, throw new IllegalArgumentException(
+      s"unknown generator formatter '$formatterName'; known: ${registry.keys.toSeq.sorted.mkString(", ")}"))
+  /** Unique variant: embed the pk rendering into the value. */
+  def uniqueFormatter(formatterName: String): (Column, Column) => Column =
+    formatterName match {
+      case "email" | "safeEmail" => (s, pk) => uniqueEmail(s, pk)
+      case "uuid" => (s, pk) => uuid(xxhash64(s, pk))
+      case other =>
+        (s, pk) => concat(formatter(other)(s), lit("-"), pk.cast("string"))
+    }
+}
