@@ -137,6 +137,189 @@ object SparkEntry {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Broadcast-hash join: per-nation revenue. The dimension side (customer ⋈
+    * nation, small) is explicitly broadcast so the 100 TB fact scan never
+    * shuffles (SURVEY §2.7 joins).
+    */
+  private def qJoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    o.join(broadcast(c.join(broadcast(n),
+        c("c_nationkey") === n("n_nationkey"))),
+        o("o_custkey") === c("c_custkey"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+  }
+
+  /** TPC-H Q5-shaped 6-way join (region→nation→customer→orders→lineitem→
+    * supplier with the local-supplier condition), dims broadcast.
+    */
+  private def q5MultiJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey") &&
+        c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Window top-k per group: 3 highest-value orders per customer. */
+  private def qWindowTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** Window running/offset functions: running revenue, lag, rank per
+    * customer over a total order (exact decimal running sum).
+    */
+  private def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("running_spend",
+        sum(dec(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("prev_order", lag(col("o_orderkey"), 1).over(w))
+      .withColumn("rk", rank().over(w).cast("bigint"))
+      .select("o_custkey", "o_orderkey", "running_spend", "prev_order", "rk")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Global sort + limit (top-k). */
+  private def qSortLimit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+      .limit(100)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+  /** Set operations: UNION DISTINCT ∪, then EXCEPT. */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val building = c.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val rich = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+    val nation0 = c.filter(col("c_nationkey") === 0).select("c_custkey")
+    building.union(rich).distinct().except(nation0).orderBy("c_custkey")
+  }
+
+  /** ROLLUP hierarchy aggregate over region→nation. */
+  private def qRollup(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    val c = t(s, dir, "customer")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      // rename before rollup: referencing the grouping columns post-agg would
+      // otherwise trip Spark's ambiguous-self-join lineage check
+      .select(col("r_name").as("rname"), col("n_name").as("nname"),
+        col("c_acctbal"))
+      .rollup("rname", "nname")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+      .select(coalesce(col("rname"), lit("ALL")).as("r_name"),
+        coalesce(col("nname"), lit("ALL")).as("n_name"),
+        col("n_cust"), col("sum_bal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Exact + grouped distinct aggregation. */
+  private def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** Left-semi join (EXISTS): customers having at least one high-value order. */
+  private def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 100000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no order above 150k. */
+  private def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  /** GROUP BY + HAVING. */
+  private def qHaving(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("spend"))
+      .filter(col("n_orders") >= 15)
+      .orderBy("o_custkey")
+
+  /** Scalar subquery: customers above the global mean balance (exact
+    * decimal mean → deterministic threshold).
+    */
+  private def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val thr = c.agg((sum(dec(col("c_acctbal"))).cast("double") /
+      count(lit(1))).as("thr"))
+    c.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("thr"))
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** Semi-structured JSON: extract props.k from events, aggregate. */
+  private def qJson(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy("k_mod")
+
+  /** Batch analog of the streaming tumbling window: hourly event counts
+    * (the streaming variant runs in StreamingMaskSpec; SURVEY §2.10).
+    */
+  private def qTimeBucket(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects; the session reads it as raw nanos (legacy flag set in
+    * Verify/Bench) and we truncate to micros — exactly DuckDB's own
+    * nanos→micros truncation.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
   // ---------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mask_static" -> (maskStatic _),
@@ -150,6 +333,20 @@ object SparkEntry {
     "mask_generators" -> (maskGenerators _),
     "fk_sync" -> (fkSync _),
     "q1_agg" -> (q1Agg _),
+    "q_join_broadcast" -> (qJoinBroadcast _),
+    "q5_multijoin" -> (q5MultiJoin _),
+    "q_window_topk" -> (qWindowTopk _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_sort_limit" -> (qSortLimit _),
+    "q_setops" -> (qSetOps _),
+    "q_rollup" -> (qRollup _),
+    "q_distinct_agg" -> (qDistinctAgg _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_having" -> (qHaving _),
+    "q_scalar_subquery" -> (qScalarSubquery _),
+    "q_json" -> (qJson _),
+    "q_time_bucket" -> (qTimeBucket _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -208,5 +405,89 @@ object SparkEntry {
          |COUNT(*) AS count_order
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_broadcast" ->
+      s"""SELECT n_name,
+         |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+         |COUNT(*) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q5_multijoin" ->
+      s"""SELECT n_name,
+         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+         |  (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_window_topk" ->
+      s"""SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+         |SELECT o_custkey, o_orderkey, o_totalprice,
+         |row_number() OVER (PARTITION BY o_custkey
+         |  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+         |FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q_window_running" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+         |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+         |lag(o_orderkey, 1) OVER (
+         |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+         |rank() OVER (
+         |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rk
+         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_sort_limit" ->
+      s"""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+         |LIMIT 100""".stripMargin,
+    "q_setops" ->
+      s"""SELECT * FROM (
+         |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         |UNION SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         |EXCEPT SELECT c_custkey FROM customer WHERE c_nationkey = 0
+         |) ORDER BY c_custkey""".stripMargin,
+    "q_rollup" ->
+      s"""SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
+         |COUNT(*) AS n_cust,
+         |CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name) ORDER BY r_name, n_name""".stripMargin,
+    "q_distinct_agg" ->
+      s"""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+         |COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_semi_join" ->
+      s"""SELECT c_custkey, c_name FROM customer
+         |WHERE EXISTS (SELECT 1 FROM orders
+         |  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+         |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      s"""SELECT c_custkey, c_name FROM customer
+         |WHERE NOT EXISTS (SELECT 1 FROM orders
+         |  WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+         |ORDER BY c_custkey""".stripMargin,
+    "q_having" ->
+      s"""SELECT o_custkey, COUNT(*) AS n_orders,
+         |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+         |ORDER BY o_custkey""".stripMargin,
+    "q_scalar_subquery" ->
+      s"""SELECT c_custkey, c_name, c_acctbal FROM customer
+         |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+         |  FROM customer)
+         |ORDER BY c_custkey""".stripMargin,
+    "q_json" ->
+      s"""SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER) % 10 AS k_mod,
+         |COUNT(*) AS n,
+         |CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_time_bucket" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+         |CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }
