@@ -10,18 +10,39 @@ import graft.blueprint.{Blueprint, BlueprintBuilder, MaskCompiler}
 /** Table source/sink abstraction. The reference is MySQL-only
   * (reference: composer.json:13, amphp/mysql); this engine reads/writes any
   * Spark source — parquet fixtures for tests, JDBC for MySQL parity.
+  *
+  * Table names may be qualified `database.table` (reference F5 sync-target
+  * databases, src/Anonymizer.php:381–392); how a database maps onto storage
+  * is IO-specific.
   */
 trait TableIO {
   def read(table: String): DataFrame
   def write(table: String, df: DataFrame): Unit
 }
 
-/** Parquet-directory-backed IO: `dir/<table>.parquet`. */
+/** Parquet-directory-backed IO: `dir/<table>.parquet`; a qualified
+  * `db.table` maps to `dir/<db>/<table>.parquet`.
+  *
+  * `write` never truncates the path it is still lazily reading from
+  * (Spark refuses to overwrite a path that feeds the plan): the new data is
+  * materialised under a staging suffix first, then swapped in with two
+  * filesystem renames.
+  */
 final class ParquetIO(spark: SparkSession, dir: String) extends TableIO {
-  def read(table: String): DataFrame =
-    spark.read.parquet(s"$dir/$table.parquet")
-  def write(table: String, df: DataFrame): Unit =
-    df.write.mode("overwrite").parquet(s"$dir/$table.parquet")
+  private def path(table: String): String =
+    s"$dir/${table.replace('.', '/')}.parquet"
+  def read(table: String): DataFrame = spark.read.parquet(path(table))
+  def write(table: String, df: DataFrame): Unit = {
+    val dst = path(table)
+    val staging = dst + ".__graft_staging"
+    df.write.mode("overwrite").parquet(staging)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(conf)
+    val dstP = new org.apache.hadoop.fs.Path(dst)
+    val stagingP = new org.apache.hadoop.fs.Path(staging)
+    if (fs.exists(dstP)) fs.delete(dstP, true)
+    fs.rename(stagingP, dstP)
+  }
 }
 
 /** JDBC-backed IO — the direct analog of the reference's MySQL target
@@ -31,16 +52,43 @@ final class ParquetIO(spark: SparkSession, dir: String) extends TableIO {
   * NB_MAX_MYSQL_CLIENT connection pool, src/Anonymizer.php:51) and a bulk
   * rewrite (`batchsize` ≈ NB_MAX_PROMISE_IN_LOOP batching,
   * src/Anonymizer.php:177–186).
+  *
+  * `write` goes through a staging table + `RENAME TABLE` swap: a straight
+  * truncate+overwrite of a table the plan still lazily reads would execute
+  * the masking against the emptied table (data loss). The rename swap is
+  * atomic on MySQL. FK checks are disabled for the session via
+  * `sessionInitStatement` — the analog of the reference's
+  * `SET FOREIGN_KEY_CHECKS=0` (src/Anonymizer.php:440–444).
   */
 final class JdbcIO(spark: SparkSession, url: String,
     options: Map[String, String] = Map.empty) extends TableIO {
   def read(table: String): DataFrame =
     spark.read.format("jdbc").options(options)
-      .option("url", url).option("dbtable", table).load()
-  def write(table: String, df: DataFrame): Unit =
-    df.write.format("jdbc").options(options)
       .option("url", url).option("dbtable", table)
-      .option("truncate", "true").mode("overwrite").save()
+      .option("sessionInitStatement", "SET FOREIGN_KEY_CHECKS=0")
+      .load()
+  def write(table: String, df: DataFrame): Unit = {
+    val staging = s"${table}__graft_staging"
+    df.write.format("jdbc").options(options)
+      .option("url", url).option("dbtable", staging)
+      .option("sessionInitStatement", "SET FOREIGN_KEY_CHECKS=0")
+      .mode("overwrite").save()
+    withConnection { st =>
+      val old = s"${table}__graft_old"
+      st.execute(s"DROP TABLE IF EXISTS $old")
+      st.execute(s"RENAME TABLE $table TO $old, $staging TO $table")
+      st.execute(s"DROP TABLE $old")
+    }
+  }
+  private def withConnection(f: java.sql.Statement => Unit): Unit = {
+    val props = new java.util.Properties()
+    options.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try { st.execute("SET FOREIGN_KEY_CHECKS=0"); f(st) } finally st.close()
+    } finally conn.close()
+  }
 }
 
 /** The engine's session — analog of the reference's `Anonymizer` class
@@ -57,8 +105,13 @@ final class JdbcIO(spark: SparkSession, url: String,
   *   val masked: Map[String, DataFrame] = anon.plan()   // lazy DataFrames
   *   anon.run()                                         // ... or write via io
   * }}}
+  *
+  * @param defaultDatabase fills unset sync-target databases, mirroring the
+  *   reference's config-DB defaulting (src/Anonymizer.php:381–392); `None`
+  *   leaves table names unqualified.
   */
-final class Anonymizer(val spark: SparkSession, io: TableIO) {
+final class Anonymizer(val spark: SparkSession, io: TableIO,
+    defaultDatabase: Option[String] = None) {
 
   // insertion-ordered, keyed by table (reference: src/Anonymizer.php:39,209)
   private val blueprints = mutable.LinkedHashMap.empty[String, Blueprint]
@@ -70,7 +123,10 @@ final class Anonymizer(val spark: SparkSession, io: TableIO) {
 
   /** Build the masked DataFrame for every declared table plus every
     * FK-propagation target, without writing. Tables are processed in
-    * declaration order (reference: src/Anonymizer.php:158).
+    * declaration order (reference: src/Anonymizer.php:158); a table that was
+    * already produced by an earlier table's FK propagation is masked *on top
+    * of* the propagated values — matching the reference, where the cascade
+    * triggers fire before the target's own masking runs.
     *
     * FK propagation replaces the reference's MySQL `AFTER UPDATE` triggers
     * (src/Anonymizer.php:403–424): for each synchronized column we materialise
@@ -83,7 +139,7 @@ final class Anonymizer(val spark: SparkSession, io: TableIO) {
   def plan(): Map[String, DataFrame] = {
     val out = mutable.LinkedHashMap.empty[String, DataFrame]
     blueprints.foreach { case (name, bp) =>
-      val src = io.read(name)
+      val src = out.getOrElse(name, io.read(name))
       // pre-mask values of synchronized columns are stashed alongside the
       // masked values, so the old→new pairing is per-row by construction —
       // correct even when the masked column IS the primary key
@@ -97,8 +153,10 @@ final class Anonymizer(val spark: SparkSession, io: TableIO) {
             col(c).as("__graft_newv"))
           .groupBy("__graft_oldv").agg(min("__graft_newv").as("__graft_newv"))
         targets.foreach { t =>
-          val base = out.getOrElse(t.table, io.read(t.table))
-          out += t.table -> applyMapping(base, mapping, t.field)
+          val key = t.database.orElse(defaultDatabase)
+            .map(db => s"$db.${t.table}").getOrElse(t.table)
+          val base = out.getOrElse(key, io.read(key))
+          out += key -> applyMapping(base, mapping, t.field)
         }
       }
     }
@@ -106,16 +164,19 @@ final class Anonymizer(val spark: SparkSession, io: TableIO) {
   }
 
   /** Execute and write every planned table (reference run loop,
-    * src/Anonymizer.php:152–195).
+    * src/Anonymizer.php:152–195). The IO implementations stage+swap so the
+    * lazy plan never reads a path/table that is being truncated underneath
+    * it.
     */
   def run(): Unit = plan().foreach { case (t, df) => io.write(t, df) }
 
   private def applyMapping(target: DataFrame, mapping: DataFrame,
       field: String): DataFrame = {
-    // mapping is 2 columns × source-table cardinality — broadcast when small;
-    // Catalyst auto-broadcasts under the threshold, and AQE converts at
-    // runtime otherwise. The left join is the only shuffle masking ever adds.
-    target.join(broadcast(mapping),
+    // The mapping's cardinality is the whole source table — never force a
+    // broadcast here. Catalyst broadcasts under the size threshold and AQE
+    // upgrades shuffle→broadcast at runtime from observed sizes; at 100 TB
+    // this correctly degrades to a shuffle join instead of an OOM.
+    target.join(mapping,
         target(field) === mapping("__graft_oldv"), "left")
       .withColumn(field, coalesce(col("__graft_newv"), col(field)))
       .drop("__graft_oldv", "__graft_newv")

@@ -225,24 +225,45 @@ object SparkEntry {
     building.union(rich).distinct().except(nation0).orderBy("c_custkey")
   }
 
-  /** ROLLUP hierarchy aggregate over region→nation. */
+  /** ROLLUP hierarchy aggregate over region→nation. Declared through
+    * `spark.sql` over temp views: a projection rename does not break the
+    * join lineage for Spark's ambiguity check, a view boundary does.
+    */
   private def qRollup(s: SparkSession, dir: String): DataFrame = {
-    val n = t(s, dir, "nation")
-    val r = t(s, dir, "region")
+    t(s, dir, "nation").createOrReplaceTempView("g_nation")
+    t(s, dir, "region").createOrReplaceTempView("g_region")
+    t(s, dir, "customer").createOrReplaceTempView("g_customer")
+    s.sql(
+      """SELECT COALESCE(r_name, 'ALL') AS r_name,
+        |       COALESCE(n_name, 'ALL') AS n_name,
+        |       COUNT(*) AS n_cust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+        |FROM g_customer
+        |JOIN g_nation ON c_nationkey = n_nationkey
+        |JOIN g_region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name, n_name""".stripMargin)
+  }
+
+  /** CUBE aggregate (all grouping sets) over returnflag × linestatus. */
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** INTERSECT set op: customers that are both BUILDING-segment and
+    * positive-balance.
+    */
+  private def qIntersect(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
-    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-      // rename before rollup: referencing the grouping columns post-agg would
-      // otherwise trip Spark's ambiguous-self-join lineage check
-      .select(col("r_name").as("rname"), col("n_name").as("nname"),
-        col("c_acctbal"))
-      .rollup("rname", "nname")
-      .agg(count(lit(1)).as("n_cust"),
-        sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
-      .select(coalesce(col("rname"), lit("ALL")).as("r_name"),
-        coalesce(col("nname"), lit("ALL")).as("n_name"),
-        col("n_cust"), col("sum_bal"))
-      .orderBy("r_name", "n_name")
+    c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      .intersect(c.filter(col("c_acctbal") > 0).select("c_custkey"))
+      .orderBy("c_custkey")
   }
 
   /** Exact + grouped distinct aggregation. */
@@ -302,7 +323,8 @@ object SparkEntry {
       .orderBy("k_mod")
 
   /** Batch analog of the streaming tumbling window: hourly event counts
-    * (the streaming variant runs in StreamingMaskSpec; SURVEY §2.10).
+    * (the streaming variant lives in graft.streaming.StreamMask, checked for
+    * batch-equivalence by StreamingMaskSpec; SURVEY §2.10).
     */
   private def qTimeBucket(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
@@ -315,10 +337,14 @@ object SparkEntry {
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
     * rejects; the session reads it as raw nanos (legacy flag set in
     * Verify/Bench) and we truncate to micros — exactly DuckDB's own
-    * nanos→micros truncation.
+    * nanos→micros truncation. The result is kept timezone-naive
+    * (TIMESTAMP_NTZ) to match DuckDB's naive TIMESTAMP: a zoned Spark
+    * timestamp would write isAdjustedToUTC=true parquet and fail the strict
+    * schema compare.
     */
-  private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  private[graft] def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts",
+      timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
 
   // ---------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -339,7 +365,9 @@ object SparkEntry {
     "q_window_running" -> (qWindowRunning _),
     "q_sort_limit" -> (qSortLimit _),
     "q_setops" -> (qSetOps _),
+    "q_intersect" -> (qIntersect _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_semi_join" -> (qSemiJoin _),
     "q_anti_join" -> (qAntiJoin _),
@@ -449,6 +477,17 @@ object SparkEntry {
          |UNION SELECT c_custkey FROM customer WHERE c_acctbal > 5000
          |EXCEPT SELECT c_custkey FROM customer WHERE c_nationkey = 0
          |) ORDER BY c_custkey""".stripMargin,
+    "q_intersect" ->
+      s"""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         |INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 0
+         |ORDER BY c_custkey""".stripMargin,
+    "q_cube" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+         |COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+         |COUNT(*) AS n_rows,
+         |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_rollup" ->
       s"""SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
          |COUNT(*) AS n_cust,

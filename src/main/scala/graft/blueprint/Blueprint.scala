@@ -12,12 +12,11 @@ import org.apache.spark.sql.types.DataType
   * the engine exposes three modes and lets the caller pick the contract they
   * actually need:
   *
+  *  - [[RowNumberMode.Scalable]] (the default) — deterministic AND
+  *    distributed: range repartition by pk, per-partition counts, offset
+  *    fix-up. No global sort on one node; identical output to Ordered.
   *  - [[RowNumberMode.Ordered]]   — `row_number().over(Window.orderBy(pk))`:
-  *    exact, deterministic, single-partition sort. Use for tests/oracles and
-  *    small tables.
-  *  - [[RowNumberMode.Scalable]]  — deterministic AND distributed: range
-  *    repartition by pk, per-partition counts, offset fix-up (two narrow
-  *    passes, no global sort on one node).
+  *    exact but a single-partition sort; explicit opt-in for small tables.
   *  - [[RowNumberMode.Unique]]    — `monotonically_increasing_id()`: unique,
   *    non-contiguous, fully parallel. Matches the reference's *actual*
   *    guarantee (order there is nondeterministic anyway).
@@ -97,7 +96,7 @@ final case class Blueprint(
     globalWhere: Option[String] = None,
     columns: Seq[ColumnRule] = Seq.empty,
     sync: Map[String, Seq[SyncTarget]] = Map.empty,
-    rowNumberMode: RowNumberMode = RowNumberMode.Ordered)
+    rowNumberMode: RowNumberMode = RowNumberMode.Scalable)
 
 /** Fluent builder mirroring the reference DSL's shape
   * (src/Blueprint.php:99–248): `column()` opens a column, a `replace*` call
@@ -109,7 +108,7 @@ final class BlueprintBuilder(table: String) {
   private var global: Option[String] = None
   private var cols = Vector.empty[ColumnRule]
   private var sync = Map.empty[String, Seq[SyncTarget]]
-  private var rowMode: RowNumberMode = RowNumberMode.Ordered
+  private var rowMode: RowNumberMode = RowNumberMode.Scalable
   private var current: Option[String] = None
   private var currentWhere: Option[String] = None
 
@@ -147,11 +146,17 @@ final class BlueprintBuilder(table: String) {
     * `table.field` cells holding the old value (value-matching cascade,
     * src/Anonymizer.php:403–424).
     */
-  def synchronizeColumn(targets: (String, String)*): this.type = {
+  def synchronizeColumn(targets: (String, String)*): this.type =
+    synchronizeTargets(targets.map { case (t, f) => SyncTarget(t, f) }: _*)
+
+  /** F1/F5: sync targets with an explicit database — unset databases are
+    * defaulted to the session's database at plan time
+    * (reference: src/Anonymizer.php:381–392).
+    */
+  def synchronizeTargets(targets: SyncTarget*): this.type = {
     val c = current.getOrElse(
       throw new IllegalStateException("synchronizeColumn before column()"))
-    sync += c -> (sync.getOrElse(c, Seq.empty) ++
-      targets.map { case (t, f) => SyncTarget(t, f) })
+    sync += c -> (sync.getOrElse(c, Seq.empty) ++ targets)
     this
   }
 

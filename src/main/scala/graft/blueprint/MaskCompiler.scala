@@ -3,6 +3,7 @@ package graft.blueprint
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.types.LongType
 
 import graft.functions.Gen
@@ -11,26 +12,36 @@ import graft.functions.Gen
   *
   * Semantics reproduced from the reference's SET-builder
   * (reference: src/Anonymizer.php:345–371):
-  *  - columns are processed in declaration order; each rule sees the values
-  *    produced by earlier rules (row-map mutation at src/Anonymizer.php:352,356)
-  *    → enforced here by a sequential `withColumn` chain;
-  *  - the per-column `where` compiles to `CASE WHEN pred THEN new ELSE old END`
-  *    (src/Anonymizer.php:359–367) → `when(pred, new).otherwise(old)`;
-  *  - the table-level `globalWhere` limits which rows are *masked* — rows
-  *    failing it flow through byte-identical, they are NOT dropped
-  *    (src/Anonymizer.php:312–314 with the full-rewrite sink of S3)
-  *    → folded into the same `when()` guard;
+  *  - columns are processed in declaration order; each *replacement* sees the
+  *    values produced by earlier rules (row-map mutation at
+  *    src/Anonymizer.php:352,356) → enforced here by a sequential
+  *    `withColumn` chain;
+  *  - the per-column `where` compiles to `CASE WHEN pred THEN new ELSE old
+  *    END` (src/Anonymizer.php:359–367), and the table-level `globalWhere`
+  *    limits which rows are *masked* — rows failing it flow through
+  *    byte-identical, they are NOT dropped (src/Anonymizer.php:312–314 with
+  *    the full-rewrite sink of S3);
+  *  - **predicates are evaluated against pre-mask values**: the reference
+  *    pushes `globalWhere` into the scan (evaluated before any update) and
+  *    its per-column CASE runs inside the row's single UPDATE against the
+  *    stored row. All guards here are therefore materialised as boolean
+  *    columns BEFORE the masking chain starts, so a rule masking a column
+  *    referenced by a later rule's predicate cannot change which rows that
+  *    later rule touches;
   *  - undeclared columns are never modified (README.md:75–76).
   *
   * The whole compiled plan is narrow (no shuffle; masking is embarrassingly
-  * parallel) except when `#row#` numbering in [[RowNumberMode.Ordered]] mode
-  * forces a global window — see [[RowNumbers]] for the scale paths.
+  * parallel) except for `#row#` numbering — see [[RowNumbers]]: the default
+  * [[RowNumberMode.Scalable]] mode is a distributed range-partitioned
+  * numbering, not a single-partition global window.
   */
 object MaskCompiler {
 
   private val RowToken = "#row#"
   val RowNumCol = "__graft_rownum"
   def oldValueCol(c: String): String = s"__graft_old_$c"
+  private def guardCol(i: Int): String = s"__graft_guard_$i"
+  private val GlobalGuardCol = "__graft_guard_g"
 
   def apply(df: DataFrame, bp: Blueprint): DataFrame =
     apply(df, bp, Set.empty)
@@ -40,43 +51,60 @@ object MaskCompiler {
     * per row even when the masked column is the primary key itself).
     */
   def apply(df: DataFrame, bp: Blueprint, stashOld: Set[String]): DataFrame = {
+    // the user-visible schema: internal columns attached below must never be
+    // observable from a RowClosure (its Row is built from exactly this list)
+    val originalCols = df.columns.toIndexedSeq
+
     val needsRowNum = bp.columns.exists {
       case ColumnRule(_, _, Rule.Template(v)) => v.contains(RowToken)
       case _ => false
     }
     // The reference pushes globalWhere into the scan (src/Anonymizer.php:312–
-    // 314), so its row counter only sees rows matching the predicate. In
-    // Ordered mode we reproduce that by partitioning the numbering window on
-    // the predicate flag (matching rows number 0..n-1 contiguously).
+    // 314), so its row counter only sees rows matching the predicate: the
+    // numbering is grouped on the predicate flag (matching rows number
+    // 0..n-1 contiguously). Evaluated on the raw df → pre-mask values.
     val rnPartition = bp.globalWhere.map(g =>
       when(coalesce(expr(g), lit(false)), lit(1)).otherwise(lit(0)))
     val withRn =
       if (needsRowNum)
         RowNumbers.attach(df, bp.primary, bp.rowNumberMode, RowNumCol, rnPartition)
       else df
-    val stashed = stashOld.foldLeft(withRn)(
+
+    // guards materialised pre-mask (reference scan-time / stored-row values)
+    val withGlobal = bp.globalWhere.foldLeft(withRn)((acc, g) =>
+      acc.withColumn(GlobalGuardCol, coalesce(expr(g), lit(false))))
+    val withGuards = bp.columns.zipWithIndex.foldLeft(withGlobal) {
+      case (acc, (ColumnRule(_, Some(w), _), i)) =>
+        acc.withColumn(guardCol(i), coalesce(expr(w), lit(false)))
+      case (acc, _) => acc
+    }
+    val stashed = stashOld.foldLeft(withGuards)(
       (acc, c) => acc.withColumn(oldValueCol(c), col(c)))
 
-    val masked = bp.columns.foldLeft(stashed) { (acc, cr) =>
-      val colRef: String => Column = acc.col _
-      val newValue = compileRule(cr.rule, bp, colRef)
-      val guard = (bp.globalWhere.map(expr), cr.where.map(expr)) match {
-        case (Some(g), Some(w)) => Some(g && w)
-        case (Some(g), None) => Some(g)
-        case (None, Some(w)) => Some(w)
-        case (None, None) => None
-      }
-      val v = guard match {
-        case Some(cond) => when(cond, newValue).otherwise(col(cr.name))
-        case None => newValue
-      }
-      acc.withColumn(cr.name, v)
+    val masked = bp.columns.zipWithIndex.foldLeft(stashed) {
+      case (acc, (cr, i)) =>
+        val colRef: String => Column = acc.col _
+        val newValue = compileRule(cr.rule, bp, colRef, originalCols, acc)
+        val guard = (bp.globalWhere.isDefined, cr.where.isDefined) match {
+          case (true, true) => Some(col(GlobalGuardCol) && col(guardCol(i)))
+          case (true, false) => Some(col(GlobalGuardCol))
+          case (false, true) => Some(col(guardCol(i)))
+          case (false, false) => None
+        }
+        val v = guard match {
+          case Some(cond) => when(cond, newValue).otherwise(col(cr.name))
+          case None => newValue
+        }
+        acc.withColumn(cr.name, v)
     }
-    if (needsRowNum) masked.drop(RowNumCol) else masked
+    // drop every internal column in one projection
+    val internal = masked.columns.filter(c =>
+      c.startsWith("__graft_guard_") || c == RowNumCol)
+    internal.foldLeft(masked)((acc, c) => acc.drop(c))
   }
 
-  private def compileRule(rule: Rule, bp: Blueprint,
-      colRef: String => Column): Column = rule match {
+  private def compileRule(rule: Rule, bp: Blueprint, colRef: String => Column,
+      originalCols: Seq[String], acc: DataFrame): Column = rule match {
     case Rule.Template(v) if v.contains(RowToken) =>
       // split on the token and interleave the row-number column — a tiny
       // template compiler down to native concat (R2, src/Anonymizer.php:236–243)
@@ -95,10 +123,13 @@ object MaskCompiler {
         Gen.uniqueFormatter(fmt)(s, pk)
       } else Gen.formatter(fmt)(s)
     case Rule.RowClosure(fn, dt) =>
-      // R5: whole-row UDF over struct("*") — blocks column pruning exactly
-      // like the reference's SELECT * fallback (src/Anonymizer.php:300–305)
+      // R5: whole-row UDF. The struct carries exactly the user-visible
+      // columns (in original order, current masked values) — internal
+      // __graft_* columns are invisible so positional Row access stays
+      // stable. Blocks column pruning exactly like the reference's SELECT *
+      // fallback (src/Anonymizer.php:300–305).
       val f = udf((r: Row) => fn(r), dt)
-      f(struct(col("*")))
+      f(struct(originalCols.map(c => acc.col(c).as(c)): _*))
   }
 }
 
@@ -109,8 +140,8 @@ object RowNumbers {
       outCol: String, partitionFlag: Option[Column] = None): DataFrame =
     mode match {
     case RowNumberMode.Ordered =>
-      // exact 0-based counter; global window = single-partition sort — fine
-      // for oracle-scale, documented bottleneck at 100 TB
+      // exact 0-based counter; global window = single-partition sort — kept
+      // only as an explicit opt-in for small tables / plan comparisons
       val base = Window.orderBy(orderCols.map(col): _*)
       val w = partitionFlag.fold(base)(f => Window.partitionBy(f)
         .orderBy(orderCols.map(col): _*))
@@ -120,30 +151,56 @@ object RowNumbers {
       // src/Anonymizer.php:310): unique, non-contiguous, fully parallel
       df.withColumn(outCol, monotonically_increasing_id())
     case RowNumberMode.Scalable =>
-      scalable(df, orderCols, outCol)
+      scalable(df, orderCols, outCol, partitionFlag)
   }
 
-  /** Deterministic AND distributed 0-based numbering: range-partition by the
-    * order key, sort within partitions, then fix up per-partition offsets
-    * computed from partition row counts. Two narrow passes; no global
-    * single-partition sort — this is the 100 TB path.
+  private val FlagCol = "__graft_rnflag"
+
+  /** Deterministic AND distributed 0-based numbering — the 100 TB default.
+    *
+    * Range-partition by the order key, sort within partitions (one wide
+    * shuffle, all partitions in parallel), then fix up per-partition offsets
+    * from a cheap count aggregate. The ranged frame is persisted
+    * (memory-and-disk) so the count pass and the numbering pass execute the
+    * range shuffle exactly once.
+    *
+    * `partitionFlag` groups the numbering (each flag value numbered 0..n-1
+    * contiguously in key order) — identical semantics to the Ordered mode's
+    * flag-partitioned window, so oracle results are mode-independent.
     */
-  def scalable(df: DataFrame, orderCols: Seq[String], outCol: String): DataFrame = {
-    val cols = orderCols.map(col)
-    val ranged = df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
+  def scalable(df: DataFrame, orderCols: Seq[String], outCol: String,
+      partitionFlag: Option[Column] = None): DataFrame = {
     val spark = df.sparkSession
-    val schema = ranged.schema.add(outCol, LongType, nullable = false)
-    val counts = ranged.rdd
-      .mapPartitionsWithIndex { case (pid, it) => Iterator((pid, it.size.toLong)) }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
+    val cols = orderCols.map(col)
+    val withFlag = df.withColumn(FlagCol, partitionFlag.getOrElse(lit(1)))
+    val ranged = withFlag.repartitionByRange(cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // pass 1 (materialises the cache): per-partition per-flag counts — the
+    // aggregate is partial map-side, the shuffle carries ≤ 2 rows/partition
+    val counts = ranged
+      .groupBy(spark_partition_id().as("__pid"), col(FlagCol))
+      .count()
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    // offset(pid, flag) = rows of the same flag in earlier partitions
+    val offsets: Map[(Int, Int), Long] = counts.keys.map { case (pid, f) =>
+      (pid, f) -> (0 until pid).map(p => counts.getOrElse((p, f), 0L)).sum
+    }.toMap
     val bc = spark.sparkContext.broadcast(offsets)
+    val flagIdx = ranged.schema.fieldIndex(FlagCol)
+    val schema = ranged.schema.add(outCol, LongType, nullable = false)
+    // pass 2: narrow numbering over the cached partitions
     val rdd = ranged.rdd.mapPartitionsWithIndex { case (pid, it) =>
-      val base = bc.value(pid)
-      it.zipWithIndex.map { case (r, i) =>
-        Row.fromSeq(r.toSeq :+ (base + i))
+      val local = scala.collection.mutable.Map.empty[Int, Long]
+      it.map { r =>
+        val f = r.getInt(flagIdx)
+        val i = local.getOrElse(f, 0L)
+        local(f) = i + 1
+        Row.fromSeq(r.toSeq :+ (bc.value.getOrElse((pid, f), 0L) + i))
       }
     }
-    spark.createDataFrame(rdd, schema)
+    spark.createDataFrame(rdd, schema).drop(FlagCol)
   }
 }
