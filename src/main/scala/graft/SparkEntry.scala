@@ -2,7 +2,10 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, StringType}
+
+import graft.functions.Gen
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -346,6 +349,140 @@ object SparkEntry {
     t(s, dir, "events").withColumn("ts",
       timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
 
+  /** R5 whole-row closure (reference src/Blueprint.php:211–216): the second
+    * rule's closure sees the first rule's masked c_name — position
+    * sensitivity through the UDF path.
+    */
+  private def maskFieldsClosure(s: SparkSession, dir: String): DataFrame =
+    anon(s, dir).table("customer") { b =>
+      b.primary("c_custkey")
+      b.column("c_name").replaceWithExpr(r =>
+        concat(lit("N"), r("c_custkey").cast("string")))
+      b.column("c_mktsegment").replaceByFields(StringType)(r =>
+        r.getAs[String]("c_name") + "|" + r.getAs[String]("c_mktsegment"))
+    }.plan()("customer").orderBy("c_custkey")
+
+  /** Composite primary key (reference src/Blueprint.php:229–248,
+    * example.php:12): `#row#` numbering ordered by the two-part key.
+    */
+  private def maskCompositePk(s: SparkSession, dir: String): DataFrame =
+    anon(s, dir).table("lineitem") { b =>
+      b.primary("l_orderkey", "l_linenumber")
+      b.column("l_returnflag").replaceWith("F#row#")
+    }.plan()("lineitem").orderBy("l_orderkey", "l_linenumber")
+
+  /** Generator registry with the portable (md5-seeded) path, so the oracle
+    * can re-derive every generated value — closes the `no_oracle` gap on the
+    * generator family.
+    */
+  private def maskGeneratorOracle(s: SparkSession, dir: String): DataFrame =
+    anon(s, dir).table("customer") { b =>
+      b.primary("c_custkey")
+      b.seedWith(cols => Gen.seedPortable(cols: _*))
+      b.column("c_name").replaceWithGenerator("portableFirstName")
+    }.plan()("customer").orderBy("c_custkey")
+
+  // ------------------------------------------------- LLM-pipeline extensions
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+
+  /** Exact dedup: content-hash groupBy over the corpus with a deterministic
+    * duplicate injection (every 50th doc repeated) so the grouping is
+    * actually exercised. One hash-partitioned aggregate — the 100 TB shape.
+    */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val withDups = d.unionAll(d.filter(col("doc_id") % 50 === 0))
+    Dedup.exactGroups(withDups, "doc_id", "text").orderBy("content_hash")
+  }
+
+  /** Near dedup: shingle → MinHash(8) → banded LSH(4×2) → exact-Jaccard
+    * verify ≥ 0.8. No cartesian stage (see [[graft.pipeline.Dedup]]).
+    */
+  private def qDedupNear(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDuplicatePairs(docs(s, dir), "doc_id", "text", 0.8)
+      .orderBy("id_a", "id_b")
+
+  /** Per-language corpus statistics (token counting over the scan). */
+  private def qTextStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(TextOps.tokenCount(col("text"))).as("sum_tokens"),
+        max(TextOps.tokenCount(col("text"))).as("max_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
+  /** Stop-word-profile language ID (n-gram heuristic). */
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        TextOps.langHits(col("text"), TextOps.langProfiles("de")).as("de_hits"),
+        TextOps.langHits(col("text"), TextOps.langProfiles("en")).as("en_hits"),
+        TextOps.langHits(col("text"), TextOps.langProfiles("es")).as("es_hits"),
+        TextOps.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Document quality features + composite score. */
+  private def qQuality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.stopwordHits(col("text")).as("stop_hits"),
+        TextOps.punctCount(col("text")).as("n_punct"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Bottom-k sketch fingerprint per document. */
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprint(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  /** 16-bit SimHash per document (md5-nibble, oracle-portable variant;
+    * production path is the xxhash64 64-bit [[TextOps.simHash64]]).
+    */
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    TextOps.simHash16(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  private def queryVec(s: SparkSession, dir: String): Seq[Float] =
+    t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+
+  /** Brute-force cosine top-10 against the vec_id=0 query vector — narrow
+    * scan + TakeOrdered, the ANN correctness baseline.
+    */
+  private def qSimTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    Similarity.cosineTopK(e, "vec_id", "embedding", queryVec(s, dir), 10)
+      .select("vec_id", "label", "cosine")
+  }
+
+  /** Sign-band LSH-filtered cosine top-10: only rows sharing ≥1 of 16
+    * 4-coordinate sign bands with the query are scored.
+    */
+  private def qSimLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    Similarity.signBandTopK(e, "vec_id", "embedding", queryVec(s, dir), 10)
+      .select("vec_id", "label", "cosine")
+  }
+
+  /** Embedding near-duplicate pairs: banded sign-LSH candidates + exact
+    * cosine ≥ 0.45 — the bucketed (never n²) self-join shape.
+    */
+  private def qEmbedDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDuplicateVectors(t(s, dir, "embeddings"), "vec_id",
+        "embedding", 0.45)
+      .orderBy("id_a", "id_b")
+
+  /** Multimodal metadata over an opaque binary payload (typed meta struct;
+    * decode stubbed — see [[graft.pipeline.Multimodal]]).
+    */
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val payload = Multimodal.payloadOf(col("text"))
+    docs(s, dir).select(
+        col("doc_id") +: Multimodal.metaColumns(payload)
+          :+ md5(payload).as("payload_md5"): _*)
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mask_static" -> (maskStatic _),
@@ -355,8 +492,11 @@ object SparkEntry {
     "mask_global_where" -> (maskGlobalWhere _),
     "mask_unique" -> (maskUnique _),
     "mask_fields" -> (maskFields _),
+    "mask_fields_closure" -> (maskFieldsClosure _),
+    "mask_composite_pk" -> (maskCompositePk _),
     "mask_blueprint_full" -> (maskBlueprintFull _),
     "mask_generators" -> (maskGenerators _),
+    "mask_generator_oracle" -> (maskGeneratorOracle _),
     "fk_sync" -> (fkSync _),
     "q1_agg" -> (q1Agg _),
     "q_join_broadcast" -> (qJoinBroadcast _),
@@ -375,7 +515,50 @@ object SparkEntry {
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_json" -> (qJson _),
     "q_time_bucket" -> (qTimeBucket _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_near" -> (qDedupNear _),
+    "q_text_stats" -> (qTextStats _),
+    "q_lang_id" -> (qLangId _),
+    "q_quality" -> (qQuality _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_simhash" -> (qSimhash _),
+    "q_sim_topk" -> (qSimTopk _),
+    "q_sim_lsh" -> (qSimLsh _),
+    "q_embed_dedup" -> (qEmbedDedup _),
+    "q_multimodal_meta" -> (qMultimodalMeta _),
   )
+
+  // ---------------------------------------------------- oracle SQL fragments
+  /** DuckDB rendering of [[TextOps.normalize]]. */
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private val toksSql = s"string_split($normSql, ' ')"
+
+  /** Shared CTE: distinct word-3-shingles per doc (DuckDB mirror of
+    * [[Dedup.shingles]]).
+    */
+  private val shingleCte =
+    s"""norm AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+       |        FROM norm WHERE len(w) >= 3),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM pos)""".stripMargin
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB nibble value of hex char `i` (1-based) of `expr` — the
+    * `strpos`-arithmetic mirror of Spark's `conv(hexchar, 16, 10)`.
+    */
+  private def nibSql(expr: String, i: Int): String =
+    s"(strpos('0123456789abcdef', substr($expr, $i, 1)) - 1)"
+
+  /** DuckDB sign-band signature `b` over `bitsPerBand` coordinates of a
+    * list column (mirror of [[Similarity.signBands]]).
+    */
+  private def bandSql(vec: String, b: Int, bits: Int): String =
+    (1 to bits).map(i =>
+      s"(CASE WHEN $vec[${b * bits + i}] > 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
 
   def oracleSql: Map[String, String] = Map(
     "mask_static" ->
@@ -528,5 +711,173 @@ object SparkEntry {
       s"""SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
          |CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "mask_fields_closure" ->
+      s"""SELECT c_custkey,
+         |concat('N', CAST(c_custkey AS VARCHAR)) AS c_name, c_nationkey, c_acctbal,
+         |concat('N', CAST(c_custkey AS VARCHAR), '|', c_mktsegment) AS c_mktsegment
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "mask_composite_pk" ->
+      s"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+         |l_extendedprice, l_discount, l_tax,
+         |concat('F', CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS VARCHAR)) AS l_returnflag,
+         |l_linestatus, l_shipdate
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "mask_generator_oracle" -> {
+      val pool = inList(Gen.firstNamePool)
+      val seed = "md5(CAST(c_custkey AS VARCHAR))"
+      val idx = s"CAST((${nibSql(seed, 1)} * 16 + ${nibSql(seed, 2)}) " +
+        s"% ${Gen.firstNamePool.size} AS INT) + 1"
+      s"""SELECT c_custkey, list_extract([$pool], $idx) AS c_name,
+         |c_nationkey, c_acctbal, c_mktsegment
+         |FROM customer ORDER BY c_custkey""".stripMargin
+    },
+    "q_dedup_exact" ->
+      s"""SELECT md5($normSql) AS content_hash, COUNT(*) AS n_copies,
+         |MIN(doc_id) AS keep_id
+         |FROM (SELECT * FROM documents
+         |      UNION ALL SELECT * FROM documents WHERE doc_id % 50 = 0)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_near" -> {
+      val mins = (0 until 8)
+        .map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")
+      val bands = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS sig FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |bands AS ($bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+         |          FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+         |          JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+         |          GROUP BY c.id_a, c.id_b)
+         |SELECT i.id_a, i.id_b, i.n_inter,
+         |  CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) AS jaccard
+         |FROM inter i JOIN sz za ON za.doc_id = i.id_a
+         |JOIN sz zb ON zb.doc_id = i.id_b
+         |WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    "q_text_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+         |SUM(len($toksSql)) AS sum_tokens,
+         |MAX(len($toksSql)) AS max_tokens,
+         |COUNT(DISTINCT source) AS n_sources
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_lang_id" -> {
+      def hits(words: Seq[String]) =
+        s"len(list_filter($toksSql, x -> x IN (${inList(words)})))"
+      s"""SELECT doc_id,
+         |${hits(TextOps.langProfiles("de"))} AS de_hits,
+         |${hits(TextOps.langProfiles("en"))} AS en_hits,
+         |${hits(TextOps.langProfiles("es"))} AS es_hits,
+         |CASE WHEN ${hits(TextOps.langProfiles("de"))} >= ${hits(TextOps.langProfiles("en"))}
+         |       AND ${hits(TextOps.langProfiles("de"))} >= ${hits(TextOps.langProfiles("es"))}
+         |       AND ${hits(TextOps.langProfiles("de"))} > 0 THEN 'de'
+         |     WHEN ${hits(TextOps.langProfiles("en"))} >= ${hits(TextOps.langProfiles("es"))}
+         |       AND ${hits(TextOps.langProfiles("en"))} > 0 THEN 'en'
+         |     WHEN ${hits(TextOps.langProfiles("es"))} > 0 THEN 'es'
+         |     ELSE 'und' END AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q_quality" -> {
+      val stop = s"len(list_filter($toksSql, x -> x IN (${inList(TextOps.langProfiles("en"))})))"
+      s"""WITH f AS (SELECT doc_id,
+         |  CAST(len($toksSql) AS DOUBLE) AS n,
+         |  len($toksSql) AS n_tokens,
+         |  $stop AS stop_hits,
+         |  length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+         |  length(text) AS len_raw
+         |FROM documents)
+         |SELECT doc_id, n_tokens, stop_hits, n_punct,
+         |  least(greatest(
+         |    least(n / 64.0, 1.0) * 0.5
+         |    + least(CAST(stop_hits AS DOUBLE) / greatest(n, 1.0) * 5.0, 1.0) * 0.3
+         |    + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(CAST(len_raw AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2,
+         |    0.0), 1.0) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+    "q_fingerprint" ->
+      s"""WITH $shingleCte,
+         |h AS (SELECT DISTINCT doc_id, md5(shingle) AS h FROM sh),
+         |top AS (SELECT doc_id, h FROM h
+         |        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h) <= 4)
+         |SELECT doc_id, string_agg(h, ',' ORDER BY h) AS fingerprint
+         |FROM top GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |bits AS (SELECT doc_id, tok, unnest(generate_series(0, 15)) AS b FROM toks),
+         |s AS (SELECT doc_id, b,
+         |  SUM(CASE WHEN CAST(floor(
+         |      (strpos('0123456789abcdef', substr(md5(tok), CAST(floor(b/4) AS INT) + 1, 1)) - 1)
+         |      / pow(2, b % 4)) AS BIGINT) % 2 = 1
+         |      THEN 1 ELSE -1 END) AS sb
+         |  FROM bits GROUP BY doc_id, b)
+         |SELECT doc_id,
+         |  CAST(SUM(CASE WHEN sb >= 0 THEN pow(2, b) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_sim_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |ex AS (SELECT e.vec_id, e.label, unnest(e.embedding) AS v,
+         |         unnest(generate_series(1, len(e.embedding))) AS i, q.qe AS qe
+         |       FROM embeddings e, q WHERE e.vec_id <> 0),
+         |dots AS (SELECT vec_id, label,
+         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+         |  FROM ex GROUP BY vec_id, label)
+         |SELECT vec_id, label, dp / (sqrt(nv) * sqrt(nq)) AS cosine
+         |FROM dots ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q_sim_lsh" -> {
+      val orChain = (0 until 16)
+        .map(b => s"(${bandSql("e.embedding", b, 4)}) = (${bandSql("q.qe", b, 4)})")
+        .mkString(" OR ")
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |ex AS (SELECT e.vec_id, e.label, unnest(e.embedding) AS v,
+         |         unnest(generate_series(1, len(e.embedding))) AS i, q.qe AS qe
+         |       FROM embeddings e, q
+         |       WHERE e.vec_id <> 0 AND ($orChain)),
+         |dots AS (SELECT vec_id, label,
+         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+         |  FROM ex GROUP BY vec_id, label)
+         |SELECT vec_id, label, dp / (sqrt(nv) * sqrt(nq)) AS cosine
+         |FROM dots ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+    },
+    "q_embed_dedup" -> {
+      val bandSel = (0 until 16)
+        .map(b => s"SELECT vec_id, $b AS band, ${bandSql("embedding", b, 4)} AS sig FROM embeddings")
+        .mkString(" UNION ALL ")
+      s"""WITH bands AS ($bandSel),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+         |px AS (SELECT c.id_a, c.id_b,
+         |         unnest(ea.embedding) AS va, unnest(eb.embedding) AS vb,
+         |         unnest(generate_series(1, len(ea.embedding))) AS i
+         |       FROM cand c JOIN embeddings ea ON ea.vec_id = c.id_a
+         |       JOIN embeddings eb ON eb.vec_id = c.id_b),
+         |dots AS (SELECT id_a, id_b,
+         |    SUM(CAST(va AS DOUBLE) * CAST(vb AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(va AS DOUBLE) * CAST(va AS DOUBLE) ORDER BY i) AS na,
+         |    SUM(CAST(vb AS DOUBLE) * CAST(vb AS DOUBLE) ORDER BY i) AS nb
+         |  FROM px GROUP BY id_a, id_b)
+         |SELECT id_a, id_b, dp / (sqrt(na) * sqrt(nb)) AS cosine FROM dots
+         |WHERE dp / (sqrt(na) * sqrt(nb)) >= 0.45 ORDER BY id_a, id_b""".stripMargin
+    },
+    "q_multimodal_meta" -> {
+      val h = "md5(text)"
+      s"""SELECT doc_id,
+         |octet_length(CAST(text AS BLOB)) AS n_bytes,
+         |${nibSql(h, 1)} * 16 + ${nibSql(h, 2)} + 64 AS width,
+         |${nibSql(h, 3)} * 16 + ${nibSql(h, 4)} + 64 AS height,
+         |${nibSql(h, 5)} + 1 AS n_frames,
+         |md5(text) AS payload_md5
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -96,7 +96,12 @@ final case class Blueprint(
     globalWhere: Option[String] = None,
     columns: Seq[ColumnRule] = Seq.empty,
     sync: Map[String, Seq[SyncTarget]] = Map.empty,
-    rowNumberMode: RowNumberMode = RowNumberMode.Scalable)
+    rowNumberMode: RowNumberMode = RowNumberMode.Scalable,
+    /** Generator seed derivation from the primary-key columns. Default:
+      * `xxhash64` ([[graft.functions.Gen.seed]], fastest). Swap in e.g. an
+      * md5-based seed for cross-engine reproducibility of generated values.
+      */
+    seedExpr: Option[Seq[Column] => Column] = None)
 
 /** Fluent builder mirroring the reference DSL's shape
   * (src/Blueprint.php:99–248): `column()` opens a column, a `replace*` call
@@ -109,12 +114,15 @@ final class BlueprintBuilder(table: String) {
   private var cols = Vector.empty[ColumnRule]
   private var sync = Map.empty[String, Seq[SyncTarget]]
   private var rowMode: RowNumberMode = RowNumberMode.Scalable
+  private var seedF: Option[Seq[Column] => Column] = None
   private var current: Option[String] = None
   private var currentWhere: Option[String] = None
 
   def primary(columns: String*): this.type = { primaryCols = columns; this }
   def globalWhere(predicate: String): this.type = { global = Some(predicate); this }
   def rowNumberMode(m: RowNumberMode): this.type = { rowMode = m; this }
+  /** Override the generator seed derivation (see [[Blueprint.seedExpr]]). */
+  def seedWith(f: Seq[Column] => Column): this.type = { seedF = Some(f); this }
 
   def column(name: String): this.type = {
     current = Some(name); currentWhere = None; this
@@ -161,7 +169,7 @@ final class BlueprintBuilder(table: String) {
   }
 
   def build(): Blueprint =
-    Blueprint(table, primaryCols, global, cols, sync, rowMode)
+    Blueprint(table, primaryCols, global, cols, sync, rowMode, seedF)
 }
 
 object Blueprint {

@@ -117,7 +117,8 @@ object MaskCompiler {
     case Rule.Template(v) => lit(v)
     case Rule.Expr(build) => build(colRef)
     case Rule.Generator(fmt, unique) =>
-      val s = Gen.seed(bp.primary.map(colRef): _*)
+      val s = bp.seedExpr.map(f => f(bp.primary.map(colRef)))
+        .getOrElse(Gen.seed(bp.primary.map(colRef): _*))
       if (unique) {
         val pk = concat_ws("-", bp.primary.map(c => colRef(c).cast("string")): _*)
         Gen.uniqueFormatter(fmt)(s, pk)
@@ -127,8 +128,12 @@ object MaskCompiler {
       // columns (in original order, current masked values) — internal
       // __graft_* columns are invisible so positional Row access stays
       // stable. Blocks column pruning exactly like the reference's SELECT *
-      // fallback (src/Anonymizer.php:300–305).
-      val f = udf((r: Row) => fn(r), dt)
+      // fallback (src/Anonymizer.php:300–305). Declared through the Java
+      // UDF1 interface: Spark 4 rejects untyped Scala UDFs, and a Row input
+      // has no type tag.
+      val f = udf(new org.apache.spark.sql.api.java.UDF1[Row, Any] {
+        override def call(r: Row): Any = fn(r)
+      }, dt)
       f(struct(originalCols.map(c => acc.col(c).as(c)): _*))
   }
 }

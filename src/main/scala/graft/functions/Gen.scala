@@ -25,6 +25,14 @@ object Gen {
   /** Derive a non-negative 64-bit seed column from key columns. */
   def seed(cols: Column*): Column = abs(xxhash64(cols: _*))
 
+  /** Portable seed: md5 hex of the pipe-joined key columns. Slower than
+    * [[seed]] but re-derivable by any engine with an md5 function — use
+    * with the `portable*` formatters when masked values must be verifiable
+    * by an external SQL oracle.
+    */
+  def seedPortable(cols: Column*): Column =
+    md5(concat_ws("|", cols.map(_.cast("string")): _*))
+
   /** Decorrelate a seed per formatter so e.g. firstName/lastName of the same
     * row don't co-vary.
     */
@@ -129,6 +137,19 @@ object Gen {
   def md5Hex(c: Column): Column = md5(c.cast("string"))
   def sha256Hex(c: Column): Column = sha2(c.cast("string"), 256)
 
+  /** Portable pool pick: index from the first two hex nibbles of an
+    * md5-string seed ([[seedPortable]]) — `conv` here, `(strpos(hex,c)-1)`
+    * arithmetic in an external oracle, same value.
+    */
+  private def pickPortable(pool: Seq[String], s: Column): Column =
+    element_at(lit(pool.toArray),
+      pmod(conv(substring(s, 1, 2), 16, 10).cast("int"), lit(pool.size)) + 1)
+
+  def portableFirstName(s: Column): Column = pickPortable(firstNames, s)
+
+  /** Public pool views (for external oracles / tests). */
+  def firstNamePool: Seq[String] = firstNames
+
   /** Construct-unique email: the primary-key rendering is embedded in the
     * local part, so uniqueness holds by construction across any cluster size
     * (replaces Faker's retry-until-unseen `unique()` — see
@@ -151,7 +172,8 @@ object Gen {
     "phoneNumber" -> phoneNumber _, "ipv4" -> ipv4 _, "uuid" -> uuid _,
     "sentence" -> ((s: Column) => sentence(s)),
     "creditCardNumber" -> creditCardNumber _,
-    "md5" -> md5Hex _, "sha256" -> sha256Hex _)
+    "md5" -> md5Hex _, "sha256" -> sha256Hex _,
+    "portableFirstName" -> portableFirstName _)
 
   def register(formatterName: String, f: Column => Column): Unit =
     synchronized { registry += formatterName -> f }

