@@ -172,13 +172,21 @@ final class Anonymizer(val spark: SparkSession, io: TableIO,
 
   private def applyMapping(target: DataFrame, mapping: DataFrame,
       field: String): DataFrame = {
+    // Type-changing cascades (e.g. int key → uuid) fall back to the
+    // reference's stringly-typed value model, like MaskCompiler's
+    // conditional branch unification.
+    val newType = mapping.schema("__graft_newv").dataType
+    val tgtType = target.schema(field).dataType
+    val (newV, keepV) =
+      if (newType == tgtType) (col("__graft_newv"), col(field))
+      else (col("__graft_newv").cast("string"), col(field).cast("string"))
     // The mapping's cardinality is the whole source table — never force a
     // broadcast here. Catalyst broadcasts under the size threshold and AQE
     // upgrades shuffle→broadcast at runtime from observed sizes; at 100 TB
     // this correctly degrades to a shuffle join instead of an OOM.
     target.join(mapping,
         target(field) === mapping("__graft_oldv"), "left")
-      .withColumn(field, coalesce(col("__graft_newv"), col(field)))
+      .withColumn(field, coalesce(newV, keepV))
       .drop("__graft_oldv", "__graft_newv")
   }
 }

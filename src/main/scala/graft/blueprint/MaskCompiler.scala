@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 import graft.functions.Gen
 
@@ -92,7 +92,18 @@ object MaskCompiler {
           case (false, false) => None
         }
         val v = guard match {
-          case Some(cond) => when(cond, newValue).otherwise(col(cr.name))
+          case Some(cond) =>
+            // conditional masks must unify the new-value and keep branches:
+            // when a rule changes the column's type (e.g. uuid over an int
+            // key, reference example.php:46–48), fall back to the
+            // reference's stringly-typed value model
+            // (src/Anonymizer.php:225) instead of letting ANSI coercion
+            // attempt a lossy numeric cast of the generated value
+            val newType = acc.select(newValue.as("__t")).schema.head.dataType
+            val origType = acc.schema(cr.name).dataType
+            if (newType == origType) when(cond, newValue).otherwise(col(cr.name))
+            else when(cond, newValue.cast(StringType))
+              .otherwise(col(cr.name).cast(StringType))
           case None => newValue
         }
         acc.withColumn(cr.name, v)

@@ -37,12 +37,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
   /** The deduplicated corpus: keeps exactly the survivor row of every
-    * exact-duplicate group (no global window — groupBy + semi join).
+    * exact-duplicate group (no global window — groupBy + semi join; the
+    * final distinct collapses literal row copies that share the survivor
+    * id, and only runs over the already-thinned survivors).
     */
   def dropExactDuplicates(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val keep = exactGroups(df, idCol, textCol).select(col("keep_id"))
-    df.join(keep, df(idCol) === keep("keep_id"), "left_semi")
+    val keep = exactGroups(df, idCol, textCol)
+      .select(col("content_hash"), col("keep_id"))
+    df.withColumn("__graft_h", contentHash(col(textCol)))
+      .join(keep, col("__graft_h") === keep("content_hash") &&
+        df(idCol) === keep("keep_id"), "left_semi")
+      .drop("__graft_h")
+      .distinct()
   }
 
   /** Distinct (id, shingle) pairs. */

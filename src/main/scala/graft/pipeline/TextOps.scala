@@ -129,7 +129,8 @@ object TextOps {
     */
   def simHash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol),
-      xxhash64(explode(tokens(col(textCol)))).as("__h"))
+        explode(tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), xxhash64(col("__tok")).as("__h"))
     val bits = toks.select(col(idCol), col("__h"),
       explode(sequence(lit(0), lit(63))).as("__b"))
     bits.select(col(idCol), col("__b"),

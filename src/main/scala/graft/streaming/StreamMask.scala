@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.blueprint.{Blueprint, ColumnRule, MaskCompiler, Rule}
+
+/** Structured-Streaming surface (SURVEY.md §2.10; the reference is strictly
+  * batch — src/Anonymizer.php:152–195 — so this is north-star extension
+  * territory: masking event streams on the way into a lake).
+  *
+  * A masking projection is stateless and narrow, so the same compiled
+  * [[MaskCompiler]] pipeline applies verbatim to a streaming DataFrame —
+  * with one carve-out: `#row#` templates need a global row counter, which
+  * has no meaning on an unbounded stream. [[maskStream]] rejects those up
+  * front instead of failing deep inside an executor.
+  *
+  * The windowed operators wear watermarks so state is bounded: at 100 TB/day
+  * the window store only ever holds `watermark + window` worth of keys.
+  */
+object StreamMask {
+
+  private def usesRowTemplate(bp: Blueprint): Boolean =
+    bp.columns.exists {
+      case ColumnRule(_, _, Rule.Template(v)) => v.contains("#row#")
+      case _ => false
+    }
+
+  /** Apply a masking blueprint to a streaming DataFrame. Identical
+    * semantics to the batch path (same compiler); stateless, so any output
+    * mode/trigger works.
+    */
+  def maskStream(stream: DataFrame, bp: Blueprint): DataFrame = {
+    require(!usesRowTemplate(bp),
+      "#row# templates are undefined on unbounded streams; use a " +
+        "generator/expression rule keyed on the primary key instead")
+    MaskCompiler(stream, bp)
+  }
+
+  /** Watermarked tumbling-window aggregate: event counts + value sum per
+    * (window, event type). Late rows beyond `watermark` are dropped and
+    * window state is evicted — bounded state at any scale.
+    */
+  def windowedStats(events: DataFrame, tsCol: String, watermark: String,
+      windowLength: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Watermark-bounded stream dedup on an id column — the streaming analog
+    * of [[graft.pipeline.Dedup.dropExactDuplicates]].
+    */
+  def dedupedStream(events: DataFrame, idCol: String, tsCol: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq(idCol))
+}

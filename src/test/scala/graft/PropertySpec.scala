@@ -1,0 +1,65 @@
+package graft
+
+import org.scalacheck.{Gen => SGen, Prop, Test => SCTest}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.StructType
+
+import graft.blueprint.{Blueprint, MaskCompiler}
+
+/** ScalaCheck properties over the rule compiler (SURVEY §5.3):
+  * untouched-column invariance and template-compiler correctness for
+  * arbitrary template shapes.
+  */
+class PropertySpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private lazy val base = spark.createDataFrame(
+    (1 to 5).map(i => Row(i, s"a$i", s"b$i")).asJava,
+    StructType.fromDDL("id INT, a STRING, b STRING"))
+
+  test("property: masking one column never changes the others") {
+    val safeStr = SGen.alphaNumStr.map(_.take(12))
+    check(Prop.forAll(safeStr) { v =>
+      val bp = Blueprint("t") { t =>
+        t.primary("id"); t.column("a").replaceWith(v)
+      }
+      val out = MaskCompiler(base, bp).select("id", "b")
+        .collect().map(_.toSeq).toSet
+      out == base.select("id", "b").collect().map(_.toSeq).toSet
+    })
+  }
+
+  test("property: template compiler == naive per-row string replace") {
+    val part = SGen.oneOf(SGen.alphaNumStr.map(_.take(6)), SGen.const(""))
+    val parts = SGen.listOfN(3, part)
+    check(Prop.forAll(parts) { ps =>
+      val tpl = ps.mkString("#row#")
+      val bp = Blueprint("t") { t =>
+        t.primary("id"); t.column("a").replaceWith(tpl)
+      }
+      val out = MaskCompiler(base, bp).collect()
+        .sortBy(_.getInt(0)).map(_.getString(1)).toList
+      val expect = (0 until 5).map(i =>
+        tpl.replace("#row#", i.toString)).toList
+      out == expect
+    })
+  }
+
+  test("property: masked output schema field names always equal input") {
+    val safeStr = SGen.alphaNumStr.map(_.take(8))
+    check(Prop.forAll(safeStr, SGen.oneOf("a", "b")) { (v, c) =>
+      val bp = Blueprint("t") { t =>
+        t.primary("id"); t.globalWhere("id > 1")
+        t.column(c).replaceWith(v + "#row#")
+      }
+      MaskCompiler(base, bp).columns.toSeq == base.columns.toSeq
+    })
+  }
+}

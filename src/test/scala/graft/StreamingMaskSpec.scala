@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.blueprint.Blueprint
+import graft.streaming.StreamMask
+
+/** Structured-Streaming masking over the events fixture, checked for
+  * batch-equivalence: the same blueprint/aggregation computed through
+  * `readStream` + AvailableNow must equal the batch result on identical
+  * input (SURVEY §2.10).
+  */
+class StreamingMaskSpec extends SparkSpec {
+
+  // events.parquet carries TIMESTAMP(NANOS) read as raw long nanos (legacy
+  // flag in the shared session); convert once for both paths. Watermarks
+  // require a zoned TIMESTAMP event-time column (session tz is UTC).
+  private def toTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  // the file stream source wants a directory of files, not a single file
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    spark.read.parquet(s"$fixtures/events.parquet")
+      .write.mode("overwrite").parquet(s"$dir/events")
+    s"$dir/events"
+  }
+  private lazy val eventsSchema = spark.read.parquet(eventsDir).schema
+
+  private def streamingEvents: DataFrame =
+    toTs(spark.readStream.schema(eventsSchema).parquet(eventsDir))
+
+  private def batchEvents: DataFrame = toTs(spark.read.parquet(eventsDir))
+
+  private def runToMemory(df: DataFrame, name: String,
+      mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  test("stateless streaming mask equals the batch mask") {
+    val bp = Blueprint("events") { b =>
+      b.primary("event_id")
+      b.globalWhere("value > 0")
+      b.column("user_id").replaceWithExpr(r => r("user_id") + lit(777000L))
+      b.column("props").where("event_type = 'click'").replaceWith("{}")
+    }
+    val streamed = runToMemory(
+      StreamMask.maskStream(streamingEvents, bp), "mask_stream", "append")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = StreamMask.maskStream(batchEvents, bp)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("#row# templates are rejected on streams") {
+    val bp = Blueprint("events") { b =>
+      b.primary("event_id")
+      b.column("props").replaceWith("p#row#")
+    }
+    val e = intercept[IllegalArgumentException](
+      StreamMask.maskStream(streamingEvents, bp))
+    assert(e.getMessage.contains("#row#"))
+  }
+
+  test("watermarked tumbling-window stats equal the batch aggregation") {
+    val streamed = runToMemory(
+      StreamMask.windowedStats(streamingEvents, "ts", "1 hour", "1 hour"),
+      "win_stream", "append")
+    // append mode emits only windows closed by the watermark; every emitted
+    // window must match the batch result exactly
+    val batch = batchEvents
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    val b = batch.collect()
+      .map(r => (r.get(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val s = streamed.collect()
+    assert(s.nonEmpty, "no windows closed — watermark too long for fixture")
+    s.foreach { r =>
+      val k = (r.get(0).toString, r.getString(1))
+      assert(b.contains(k), s"window $k missing from batch")
+      assert(b(k) == ((r.getLong(2), r.getDouble(3))), s"window $k differs")
+    }
+  }
+
+  test("watermark-bounded stream dedup emits each id once") {
+    val dup = streamingEvents // fixture ids are unique; dedup must be a no-op
+    val streamed = runToMemory(
+      StreamMask.dedupedStream(dup, "event_id", "ts", "10 minutes"),
+      "dedup_stream", "append")
+    assert(streamed.count() == batchEvents.count())
+    assert(streamed.select("event_id").distinct().count() == streamed.count())
+  }
+}
