@@ -112,25 +112,24 @@ object TextOps {
     * hashing, same shape.
     */
   def simHash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // hash once per token BEFORE the 16-way bit explode — not per bit row
+    // hash once per token; then ONE aggregate with 16 literal-bit sum
+    // columns — no 16-way row explode, no second shuffle
     val toks = df.select(col(idCol),
         explode(tokens(col(textCol))).as("__tok"))
       .select(col(idCol), md5(col("__tok")).as("__md5"))
-    val bits = toks.select(col(idCol), col("__md5"),
-      explode(sequence(lit(0), lit(15))).as("__b"))
-    val contrib = bits.selectExpr(idCol, "__b",
-      // nibble __b DIV 4 of the token md5, bit (__b % 4) of that nibble
-      """CASE WHEN
-        |  CAST(floor(
-        |    CAST(conv(substring(__md5, CAST(__b DIV 4 AS INT) + 1, 1), 16, 10) AS DOUBLE)
-        |    / pow(2, __b % 4)) AS BIGINT) % 2 = 1
-        |THEN 1 ELSE -1 END AS __c""".stripMargin)
-    contrib.groupBy(idCol, "__b")
-      .agg(sum("__c").as("__s"))
-      .groupBy(idCol)
-      .agg(sum(when(col("__s") >= 0,
-        pow(lit(2.0), col("__b")).cast("long")).otherwise(lit(0L)))
-        .as("simhash"))
+    def contrib(b: Int): Column = {
+      val nib = conv(substring(col("__md5"), b / 4 + 1, 1), 16, 10)
+        .cast("double")
+      when(floor(nib / math.pow(2, b % 4)).cast("long") % 2 === 1, lit(1))
+        .otherwise(lit(-1))
+    }
+    val sums = toks.groupBy(col(idCol))
+      .agg(sum(contrib(0)).as("__s0"),
+        (1 until 16).map(b => sum(contrib(b)).as(s"__s$b")): _*)
+    sums.select(col(idCol),
+      (0 until 16).map(b =>
+          when(col(s"__s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
   }
 
   /** 64-bit SimHash, xxhash64 variant — the scale path (integer hashing,
