@@ -61,12 +61,21 @@ final class ParquetIO(spark: SparkSession, dir: String) extends TableIO {
   * `SET FOREIGN_KEY_CHECKS=0` (src/Anonymizer.php:440–444).
   */
 final class JdbcIO(spark: SparkSession, url: String,
-    options: Map[String, String] = Map.empty) extends TableIO {
-  def read(table: String): DataFrame =
-    spark.read.format("jdbc").options(options)
+    options: Map[String, String] = Map.empty,
+    partition: Option[JdbcPartitioning] = None) extends TableIO {
+  def read(table: String): DataFrame = {
+    val base = spark.read.format("jdbc").options(options)
       .option("url", url).option("dbtable", table)
       .option("sessionInitStatement", "SET FOREIGN_KEY_CHECKS=0")
-      .load()
+    // partition-parallel scan: numPartitions concurrent range queries — the
+    // Spark-side analog of the reference's NB_MAX_MYSQL_CLIENT pool
+    partition.fold(base) { p =>
+      base.option("partitionColumn", p.column)
+        .option("lowerBound", p.lowerBound.toString)
+        .option("upperBound", p.upperBound.toString)
+        .option("numPartitions", p.numPartitions.toString)
+    }.load()
+  }
   def write(table: String, df: DataFrame): Unit = {
     val staging = s"${table}__graft_staging"
     df.write.format("jdbc").options(options)
@@ -89,6 +98,44 @@ final class JdbcIO(spark: SparkSession, url: String,
       try { st.execute("SET FOREIGN_KEY_CHECKS=0"); f(st) } finally st.close()
     } finally conn.close()
   }
+}
+
+/** Range partitioning for parallel JDBC scans (`partitionColumn` must be a
+  * numeric/date/timestamp column, typically the primary key).
+  */
+final case class JdbcPartitioning(column: String, lowerBound: Long,
+    upperBound: Long, numPartitions: Int)
+
+/** Typed connection/runtime configuration with build-time validation — the
+  * analog of the reference's config loader + checks
+  * (src/Anonymizer.php:63–100: defaults 127.0.0.1 / pool 20 / batch 20 /
+  * en_US, non-empty + int + address validation, hard exit on failure; here
+  * an IllegalArgumentException at construction).
+  */
+final case class GraftConfig(
+    host: String = "127.0.0.1",
+    port: Int = 3306,
+    user: String = "",
+    password: String = "",
+    database: String = "",
+    numPartitions: Int = 20,
+    batchSize: Int = 20,
+    generatorLocale: String = "en_US") {
+  require(host.nonEmpty, "DB_HOST must not be empty")
+  require(port > 0 && port <= 65535, s"DB_PORT out of range: $port")
+  require(user.nonEmpty, "DB_USER must not be empty")
+  require(database.nonEmpty, "DB_NAME must not be empty")
+  require(numPartitions > 0, "NB_MAX_MYSQL_CLIENT analog must be positive")
+  require(batchSize > 0, "NB_MAX_PROMISE_IN_LOOP analog must be positive")
+  require(graft.functions.Gen.locales.contains(generatorLocale),
+    s"unknown DEFAULT_GENERATOR_LOCALE '$generatorLocale'; known: " +
+      graft.functions.Gen.locales.mkString(", "))
+
+  def jdbcUrl: String = s"jdbc:mysql://$host:$port/$database"
+  def jdbcOptions: Map[String, String] = Map(
+    "user" -> user, "password" -> password,
+    "numPartitions" -> numPartitions.toString,
+    "batchsize" -> batchSize.toString)
 }
 
 /** The engine's session — analog of the reference's `Anonymizer` class

@@ -43,30 +43,84 @@ object Gen {
     element_at(lit(pool.toArray), (pmod(s, lit(pool.size)) + 1).cast("int"))
 
   // ---- pools (public-domain sample data, small on purpose: they are lit()
-  // arrays inlined into the generated code) ----
-  private val firstNames = Seq(
-    "James", "Mary", "Robert", "Patricia", "John", "Jennifer", "Michael",
-    "Linda", "David", "Elizabeth", "William", "Barbara", "Richard", "Susan",
-    "Joseph", "Jessica", "Thomas", "Sarah", "Charles", "Karen", "Wei", "Ana",
-    "Yuki", "Omar", "Ivan", "Lucia", "Noah", "Emma", "Liam", "Olivia")
-  private val lastNames = Seq(
-    "Smith", "Johnson", "Williams", "Brown", "Jones", "Garcia", "Miller",
-    "Davis", "Rodriguez", "Martinez", "Hernandez", "Lopez", "Gonzalez",
-    "Wilson", "Anderson", "Thomas", "Taylor", "Moore", "Jackson", "Martin",
-    "Lee", "Perez", "Thompson", "White", "Harris", "Sanchez", "Clark",
-    "Ramirez", "Lewis", "Robinson")
+  // arrays inlined into the generated code). Locale-keyed, mirroring the
+  // reference's DEFAULT_GENERATOR_LOCALE Faker construction
+  // (src/Anonymizer.php:53–55, config-sample.php:8).
+  private case class Pools(
+      firstNames: Seq[String], lastNames: Seq[String], cities: Seq[String],
+      countries: Seq[String], streets: Seq[String],
+      companySuffix: Seq[String])
+
+  private val poolsByLocale: Map[String, Pools] = Map(
+    "en_US" -> Pools(
+      firstNames = Seq(
+        "James", "Mary", "Robert", "Patricia", "John", "Jennifer", "Michael",
+        "Linda", "David", "Elizabeth", "William", "Barbara", "Richard",
+        "Susan", "Joseph", "Jessica", "Thomas", "Sarah", "Charles", "Karen",
+        "Wei", "Ana", "Yuki", "Omar", "Ivan", "Lucia", "Noah", "Emma",
+        "Liam", "Olivia"),
+      lastNames = Seq(
+        "Smith", "Johnson", "Williams", "Brown", "Jones", "Garcia", "Miller",
+        "Davis", "Rodriguez", "Martinez", "Hernandez", "Lopez", "Gonzalez",
+        "Wilson", "Anderson", "Thomas", "Taylor", "Moore", "Jackson",
+        "Martin", "Lee", "Perez", "Thompson", "White", "Harris", "Sanchez",
+        "Clark", "Ramirez", "Lewis", "Robinson"),
+      cities = Seq(
+        "Springfield", "Riverton", "Fairview", "Kingsport", "Maplewood",
+        "Cedarville", "Lakeside", "Brookfield", "Ashford", "Milltown"),
+      countries = Seq(
+        "USA", "Canada", "Brazil", "Germany", "France", "Japan", "India",
+        "Australia", "Kenya", "Mexico"),
+      streets = Seq(
+        "Main St", "Oak Ave", "Maple Dr", "Cedar Ln", "Park Rd", "Lake View",
+        "Hill St", "River Rd", "Elm St", "Sunset Blvd"),
+      companySuffix = Seq("Inc", "LLC", "Group", "Labs", "Corp")),
+    "fr_FR" -> Pools(
+      firstNames = Seq(
+        "Jean", "Marie", "Pierre", "Sophie", "Luc", "Camille", "Louis",
+        "Claire", "Paul", "Julie", "Hugo", "Emma", "Theo", "Lea", "Nicolas",
+        "Manon", "Antoine", "Chloe", "Julien", "Alice"),
+      lastNames = Seq(
+        "Martin", "Bernard", "Dubois", "Thomas", "Robert", "Richard",
+        "Petit", "Durand", "Leroy", "Moreau", "Simon", "Laurent", "Lefevre",
+        "Michel", "Garcia", "David", "Bertrand", "Roux", "Vincent", "Fournier"),
+      cities = Seq(
+        "Villeneuve", "Beaumont", "Montclair", "Rivesaltes", "Clairvaux",
+        "Fontenay", "Valmont", "Belleville", "Rochefort", "Saint-Loup"),
+      countries = Seq(
+        "France", "Belgique", "Suisse", "Canada", "Maroc", "Senegal",
+        "Espagne", "Italie", "Allemagne", "Portugal"),
+      streets = Seq(
+        "Rue de la Paix", "Avenue Victor Hugo", "Boulevard Voltaire",
+        "Rue des Lilas", "Place du Marche", "Chemin Vert", "Rue Pasteur",
+        "Allee des Tilleuls", "Quai des Brumes", "Impasse du Moulin"),
+      companySuffix = Seq("SARL", "SA", "SAS", "Groupe", "et Fils")))
+
+  /** Known generator locales (reference DEFAULT_GENERATOR_LOCALE). */
+  def locales: Seq[String] = poolsByLocale.keys.toSeq.sorted
+
+  @volatile private var currentLocale: String = "en_US"
+
+  /** Set the session-wide generator locale (default en_US). Affects which
+    * name/address pools the formatters draw from; seeding and therefore
+    * determinism are locale-independent.
+    */
+  def setLocale(locale: String): Unit = {
+    require(poolsByLocale.contains(locale),
+      s"unknown locale '$locale'; known: ${locales.mkString(", ")}")
+    currentLocale = locale
+  }
+  def locale: String = currentLocale
+
+  private def pools: Pools = poolsByLocale(currentLocale)
+  private def firstNames = pools.firstNames
+  private def lastNames = pools.lastNames
+  private def cities = pools.cities
+  private def countries = pools.countries
+  private def streets = pools.streets
+  private def companySuffix = pools.companySuffix
   private val domains = Seq(
     "example.com", "example.org", "example.net", "mail.test", "post.test")
-  private val cities = Seq(
-    "Springfield", "Riverton", "Fairview", "Kingsport", "Maplewood",
-    "Cedarville", "Lakeside", "Brookfield", "Ashford", "Milltown")
-  private val countries = Seq(
-    "USA", "Canada", "Brazil", "Germany", "France", "Japan", "India",
-    "Australia", "Kenya", "Mexico")
-  private val streets = Seq(
-    "Main St", "Oak Ave", "Maple Dr", "Cedar Ln", "Park Rd", "Lake View",
-    "Hill St", "River Rd", "Elm St", "Sunset Blvd")
-  private val companySuffix = Seq("Inc", "LLC", "Group", "Labs", "Corp")
   private val words = Seq(
     "lorem", "ipsum", "dolor", "amet", "consectetur", "adipiscing", "elit",
     "tempor", "incididunt", "labore", "magna", "aliqua", "veniam", "nostrud",

@@ -70,4 +70,31 @@ class GenSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Gen.formatter("nope"))
     assert(e.getMessage.contains("unknown generator formatter"))
   }
+
+  test("locale switches pools, stays deterministic, rejects unknowns (C4)") {
+    val en = gen("firstName").collect().map(_.getString(1)).toSet
+    Gen.setLocale("fr_FR")
+    try {
+      val fr = gen("firstName").collect().map(_.getString(1)).toSet
+      assert(fr.nonEmpty && fr.intersect(Set("Jean", "Marie", "Pierre",
+        "Sophie", "Luc", "Camille")).nonEmpty)
+      assert(fr.subsetOf(Gen.firstNamePool.toSet), "values outside fr pool")
+      assert(fr != en, "locale switch did not change the draw")
+      val fr2 = gen("firstName").collect().map(_.getString(1)).toSet
+      assert(fr == fr2)
+    } finally Gen.setLocale("en_US")
+    intercept[IllegalArgumentException](Gen.setLocale("xx_XX"))
+  }
+
+  test("typed config validates like the reference loader (C3)") {
+    val ok = GraftConfig(user = "u", database = "d")
+    assert(ok.jdbcUrl == "jdbc:mysql://127.0.0.1:3306/d")
+    assert(ok.jdbcOptions("numPartitions") == "20")
+    intercept[IllegalArgumentException](GraftConfig(user = "", database = "d"))
+    intercept[IllegalArgumentException](GraftConfig(user = "u", database = ""))
+    intercept[IllegalArgumentException](
+      GraftConfig(user = "u", database = "d", numPartitions = 0))
+    intercept[IllegalArgumentException](
+      GraftConfig(user = "u", database = "d", generatorLocale = "xx"))
+  }
 }
