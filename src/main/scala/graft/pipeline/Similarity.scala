@@ -35,8 +35,11 @@ object Similarity {
     * (dot, ‖a‖², ‖b‖²) in a struct — higher-order functions evaluate
     * interpreted, so fusing the three folds cuts the per-pair cost 3×
     * while producing bit-identical sums (same element order, same ops).
+    * Portable baseline; [[cosine]] auto-upgrades to the codegen'd
+    * [[graft.plans.CosineSimilarity]] when the session registered
+    * [[graft.plans.GraftExtensions]].
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosineFold(a: Column, b: Column): Column = {
     val zipped = zip_with(a, b, (x, y) =>
       struct(x.cast("double").as("x"), y.cast("double").as("y")))
     val acc = aggregate(zipped,
@@ -46,6 +49,15 @@ object Similarity {
         (s("na") + p("x") * p("x")).as("na"),
         (s("nb") + p("y") * p("y")).as("nb")))
     acc("dp") / (sqrt(acc("na")) * sqrt(acc("nb")))
+  }
+
+  /** Cosine similarity; native codegen'd expression when available
+    * (bit-identical to [[cosineFold]] — same accumulation order).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val native = org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists("cosine_sim"))
+    if (native) call_function("cosine_sim", a, b) else cosineFold(a, b)
   }
 
   /** Literal column for a query vector (broadcast as part of the plan). */
@@ -123,6 +135,45 @@ object Similarity {
     a.join(b, Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** IVF-style ANN: a deterministic coarse quantizer (the `nCentroids`
+    * lowest-id vectors act as centroids) assigns every vector to its
+    * highest-cosine cell in one narrow pass; a query then probes only its
+    * `nProbe` nearest cells before exact scoring. The inverted-file analog
+    * of [[signBandTopK]]: recall is governed by nProbe instead of band
+    * width, and the assignment column can be precomputed/partitioned-by so
+    * repeated queries touch only matching cells' files at scale.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nCentroids: Int = 16,
+      nProbe: Int = 2): DataFrame = {
+    val centroids: Array[Seq[Float]] = df.orderBy(col(idCol))
+      .limit(nCentroids).select(vecCol).collect()
+      .map(_.getSeq[Float](0))
+    def cosScalar(a: Seq[Float], b: Seq[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => i -> cosScalar(query, c) }
+      .sortBy(-_._2).take(nProbe).map(_._1).toSeq
+    // assignment = argmax over centroid cosines; struct max is
+    // lexicographic (cosine first), so ties break toward the higher index —
+    // deterministic either way
+    val cells = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(col(vecCol), vecLit(c)).as("cos"), lit(i).as("cell"))
+    }: _*)
+    df.withColumn("__cell", array_max(cells)("cell"))
+      .filter(col("__cell").isin(probes: _*))
+      .withColumn("cosine", cosine(col(vecCol), vecLit(query)))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+      .drop("__cell")
   }
 
   /** Embedding near-duplicate pairs: banded candidates + exact cosine ≥

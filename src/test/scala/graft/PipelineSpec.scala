@@ -65,6 +65,21 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k returns a subset of brute force with identical scores") {
+    val q = embeddings.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+    val e = embeddings.filter(col("vec_id") =!= 0)
+    val brute = Similarity.cosineTopK(e, "vec_id", "embedding", q, 500)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine"))
+      .toMap
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", q, 10).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(brute.contains(id) && brute(id) == r.getAs[Double]("cosine"))
+    }
+  }
+
   test("banded embedding near-dup plan has no cartesian product") {
     val nd = Similarity.nearDuplicateVectors(embeddings, "vec_id",
       "embedding", 0.45)
@@ -95,6 +110,20 @@ class PipelineSpec extends SparkSpec {
     }.sortBy(_._1).toSeq
     val b = Multimodal.decodePartitioned(withBin, "payload").collect()
     assert(key(rows.toArray) == key(b))
+  }
+
+  test("native cosine expression is bit-identical to the portable fold") {
+    assert(spark.catalog.functionExists("cosine_sim"),
+      "GraftExtensions not registered in the test session")
+    val both = embeddings.limit(200).select(
+      Similarity.cosineFold(col("embedding"),
+        Similarity.vecLit(Seq.fill(64)(0.1f))).as("fold"),
+      call_function("cosine_sim", col("embedding"),
+        Similarity.vecLit(Seq.fill(64)(0.1f))).as("native"))
+    both.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
   }
 
   test("text ops: token counts and language profiles behave") {
