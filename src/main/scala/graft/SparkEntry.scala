@@ -337,6 +337,29 @@ object SparkEntry {
         sum(dec(col("value"))).cast("double").as("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** Sessionization (gaps-and-islands): per-user sessions split at >30 min
+    * silence, with event counts and duration — the batch analog of
+    * streaming `session_window` (graft.streaming.StreamMask.sessionStats).
+    * Computed on the raw nanosecond longs so the oracle arithmetic is
+    * integer-exact.
+    */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapNs = 30L * 60 * 1000000000L
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs,
+          lit(1)).otherwise(lit(0)))
+      .withColumn("session_id", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        expr("(max(ts) - min(ts)) DIV 1000000").as("dur_ms"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
     * rejects; the session reads it as raw nanos (legacy flag set in
     * Verify/Bench) and we truncate to micros — exactly DuckDB's own
@@ -515,6 +538,7 @@ object SparkEntry {
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_json" -> (qJson _),
     "q_time_bucket" -> (qTimeBucket _),
+    "q_sessionize" -> (qSessionize _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_near" -> (qDedupNear _),
     "q_text_stats" -> (qTextStats _),
@@ -711,6 +735,18 @@ object SparkEntry {
       s"""SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
          |CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
+         |m AS (SELECT user_id, event_id, tsn,
+         |  CASE WHEN lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) IS NULL
+         |         OR tsn - lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) > 1800000000000
+         |       THEN 1 ELSE 0 END AS new_s FROM e),
+         |s AS (SELECT user_id, event_id, tsn,
+         |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM m)
+         |SELECT user_id, session_id, COUNT(*) AS n_events,
+         |  (MAX(tsn) - MIN(tsn)) // 1000000 AS dur_ms
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "mask_fields_closure" ->
       s"""SELECT c_custkey,
          |concat('N', CAST(c_custkey AS VARCHAR)) AS c_name, c_nationkey, c_acctbal,

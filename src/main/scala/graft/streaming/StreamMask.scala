@@ -58,4 +58,17 @@ object StreamMask {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq(idCol))
+
+  /** Session windows per user: a session closes after `gap` of silence
+    * (batch analog: the gaps-and-islands `q_sessionize` query). State per
+    * key is bounded by the watermark.
+    */
+  def sessionStats(events: DataFrame, tsCol: String, watermark: String,
+      gap: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"), col("sum_value"))
 }

@@ -93,6 +93,27 @@ class StreamingMaskSpec extends SparkSpec {
     }
   }
 
+  test("streaming session windows equal the batch session_window result") {
+    val streamed = runToMemory(
+      StreamMask.sessionStats(streamingEvents, "ts", "1 hour", "30 minutes"),
+      "sess_stream", "append")
+    val batch = batchEvents
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"), col("sum_value"))
+    val b = batch.collect()
+      .map(r => (r.get(0).toString, r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val s = streamed.collect()
+    assert(s.nonEmpty, "no sessions closed by the watermark")
+    s.foreach { r =>
+      val k = (r.get(0).toString, r.getLong(1))
+      assert(b.contains(k), s"session $k missing from batch")
+      assert(b(k)._1 == r.getLong(2), s"session $k count differs")
+    }
+  }
+
   test("watermark-bounded stream dedup emits each id once") {
     val dup = streamingEvents // fixture ids are unique; dedup must be a no-op
     val streamed = runToMemory(
