@@ -126,6 +126,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("salted join equals the plain join and spreads hot keys") {
+    import graft.pipeline.Skew
+    val orders = spark.read.parquet(s"$fixtures/orders.parquet")
+    val customer = spark.read.parquet(s"$fixtures/customer.parquet")
+    val plain = orders.join(customer,
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedJoin(orders, customer, "o_custkey",
+        "c_custkey", salts = 8)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    val counts = Skew.saltedCount(orders, "o_custkey", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = orders.groupBy("o_custkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == expect)
+  }
+
   test("text ops: token counts and language profiles behave") {
     val row = docs.select(TextOps.tokenCount(col("text")).as("n"),
       TextOps.langId(col("text")).as("lang")).collect()
