@@ -18,6 +18,18 @@ import graft.blueprint.{Blueprint, BlueprintBuilder, MaskCompiler}
 trait TableIO {
   def read(table: String): DataFrame
   def write(table: String, df: DataFrame): Unit
+
+  /** Two-phase write for multi-table runs: [[stage]] materialises the data
+    * without making it visible, [[commit]] atomically publishes it. A
+    * sequential write+publish per table would corrupt cross-table plans —
+    * table B's lazy plan may re-read table A, and must see A's ORIGINAL
+    * data, not the freshly published masked data (the reference has no
+    * such hazard: its per-row UPDATEs stream against live data once).
+    * Default: direct write at stage time, no-op commit (for IOs without a
+    * staging concept).
+    */
+  def stage(table: String, df: DataFrame): Unit = write(table, df)
+  def commit(table: String): Unit = ()
 }
 
 /** Parquet-directory-backed IO: `dir/<table>.parquet`; a qualified
@@ -32,16 +44,20 @@ final class ParquetIO(spark: SparkSession, dir: String) extends TableIO {
   private def path(table: String): String =
     s"$dir/${table.replace('.', '/')}.parquet"
   def read(table: String): DataFrame = spark.read.parquet(path(table))
-  def write(table: String, df: DataFrame): Unit = {
+  override def stage(table: String, df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(path(table) + ".__graft_staging")
+  override def commit(table: String): Unit = {
     val dst = path(table)
     val staging = dst + ".__graft_staging"
-    df.write.mode("overwrite").parquet(staging)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(conf)
     val dstP = new org.apache.hadoop.fs.Path(dst)
     val stagingP = new org.apache.hadoop.fs.Path(staging)
     if (fs.exists(dstP)) fs.delete(dstP, true)
     fs.rename(stagingP, dstP)
+  }
+  def write(table: String, df: DataFrame): Unit = {
+    stage(table, df); commit(table)
   }
 }
 
@@ -76,18 +92,19 @@ final class JdbcIO(spark: SparkSession, url: String,
         .option("numPartitions", p.numPartitions.toString)
     }.load()
   }
-  def write(table: String, df: DataFrame): Unit = {
-    val staging = s"${table}__graft_staging"
+  override def stage(table: String, df: DataFrame): Unit =
     df.write.format("jdbc").options(options)
-      .option("url", url).option("dbtable", staging)
+      .option("url", url).option("dbtable", s"${table}__graft_staging")
       .option("sessionInitStatement", "SET FOREIGN_KEY_CHECKS=0")
       .mode("overwrite").save()
-    withConnection { st =>
-      val old = s"${table}__graft_old"
-      st.execute(s"DROP TABLE IF EXISTS $old")
-      st.execute(s"RENAME TABLE $table TO $old, $staging TO $table")
-      st.execute(s"DROP TABLE $old")
-    }
+  override def commit(table: String): Unit = withConnection { st =>
+    val old = s"${table}__graft_old"
+    st.execute(s"DROP TABLE IF EXISTS $old")
+    st.execute(s"RENAME TABLE $table TO $old, ${table}__graft_staging TO $table")
+    st.execute(s"DROP TABLE $old")
+  }
+  def write(table: String, df: DataFrame): Unit = {
+    stage(table, df); commit(table)
   }
   private def withConnection(f: java.sql.Statement => Unit): Unit = {
     val props = new java.util.Properties()
@@ -207,15 +224,23 @@ final class Anonymizer(val spark: SparkSession, io: TableIO,
         }
       }
     }
-    out.toMap
+    // insertion-ordered so run() stages in declaration order (reference
+    // processes tables in declaration order, src/Anonymizer.php:158)
+    scala.collection.immutable.ListMap(out.toSeq: _*)
   }
 
   /** Execute and write every planned table (reference run loop,
-    * src/Anonymizer.php:152–195). The IO implementations stage+swap so the
-    * lazy plan never reads a path/table that is being truncated underneath
-    * it.
+    * src/Anonymizer.php:152–195) in two phases: ALL plans are materialised
+    * to staging first, then ALL are atomically published. A per-table
+    * write+publish loop would corrupt cross-table dependencies — a later
+    * table's lazy plan re-reads earlier tables (e.g. the FK old→new
+    * mapping re-reads the source table) and must see pre-mask data.
     */
-  def run(): Unit = plan().foreach { case (t, df) => io.write(t, df) }
+  def run(): Unit = {
+    val planned = plan()
+    planned.foreach { case (t, df) => io.stage(t, df) }
+    planned.keys.foreach(io.commit)
+  }
 
   private def applyMapping(target: DataFrame, mapping: DataFrame,
       field: String): DataFrame = {

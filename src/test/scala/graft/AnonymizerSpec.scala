@@ -55,6 +55,34 @@ class AnonymizerSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("MASKED"))
   }
 
+  test("run() stages all tables before publishing any (cross-table safety)") {
+    // customer's masked keys cascade into orders; if run() published the
+    // masked customer BEFORE executing the orders plan, the FK mapping
+    // would be re-derived from already-masked keys and orders would get
+    // double-shifted / unmatched values
+    val tmp = Files.createTempDirectory("graft_run2").toString
+    spark.read.parquet(s"$fixtures/customer.parquet")
+      .write.parquet(s"$tmp/customer.parquet")
+    spark.read.parquet(s"$fixtures/orders.parquet")
+      .write.parquet(s"$tmp/orders.parquet")
+    val anon = new Anonymizer(spark, new ParquetIO(spark, tmp))
+    anon.table("customer") { b =>
+      b.primary("c_custkey")
+      b.column("c_custkey")
+        .replaceWithExpr(r => r("c_custkey") + lit(1000000L))
+        .synchronizeColumn("orders" -> "o_custkey")
+    }
+    anon.run()
+    val custkeys = spark.read.parquet(s"$tmp/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val okeys = spark.read.parquet(s"$tmp/orders.parquet")
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    assert(custkeys.forall(_ >= 1000000L), "customer keys not masked")
+    assert(okeys.forall(k => k >= 1000000L && k < 2000000L),
+      s"orders keys double-shifted or unshifted: ${okeys.take(5)}")
+    assert(okeys.subsetOf(custkeys), "referential closure broken")
+  }
+
   test("sync-target database defaults to the session database (F5)") {
     val seen = scala.collection.mutable.ArrayBuffer.empty[String]
     val io = new TableIO {
