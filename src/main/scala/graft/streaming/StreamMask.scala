@@ -59,6 +59,16 @@ object StreamMask {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq(idCol))
 
+  /** Stream-static enrichment: join each incoming event against a static
+    * dimension table (re-read per micro-batch; stateless, so any output
+    * mode works). The static side should be broadcastable — at 100 TB/day
+    * stream volume the dimension is the small side by construction, and
+    * AQE/threshold broadcasting keeps the join shuffle-free per batch.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      joinKeys: Seq[String]): DataFrame =
+    stream.join(dim, joinKeys, "left")
+
   /** Session windows per user: a session closes after `gap` of silence
     * (batch analog: the gaps-and-islands `q_sessionize` query). State per
     * key is bounded by the watermark.

@@ -114,6 +114,20 @@ class StreamingMaskSpec extends SparkSpec {
     }
   }
 
+  test("stream-static enrichment equals the batch join") {
+    val dim = batchEvents.groupBy("user_id")
+      .agg(count(lit(1)).as("user_total"))
+    val streamed = runToMemory(
+      StreamMask.enrichStream(streamingEvents, dim, Seq("user_id"))
+        .select("event_id", "user_id", "user_total"),
+      "enrich_stream", "append")
+    val batch = batchEvents.join(dim, Seq("user_id"), "left")
+      .select("event_id", "user_id", "user_total")
+    assert(streamed.collect().map(_.toSeq).toSet ==
+      batch.collect().map(_.toSeq).toSet)
+    assert(streamed.count() == batchEvents.count())
+  }
+
   test("watermark-bounded stream dedup emits each id once") {
     val dup = streamingEvents // fixture ids are unique; dedup must be a no-op
     val streamed = runToMemory(
