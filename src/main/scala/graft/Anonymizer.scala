@@ -20,13 +20,17 @@ trait TableIO {
   def write(table: String, df: DataFrame): Unit
 
   /** Two-phase write for multi-table runs: [[stage]] materialises the data
-    * without making it visible, [[commit]] atomically publishes it. A
-    * sequential write+publish per table would corrupt cross-table plans —
-    * table B's lazy plan may re-read table A, and must see A's ORIGINAL
-    * data, not the freshly published masked data (the reference has no
-    * such hazard: its per-row UPDATEs stream against live data once).
-    * Default: direct write at stage time, no-op commit (for IOs without a
-    * staging concept).
+    * without making it visible, [[commit]] publishes it. A sequential
+    * write+publish per table would corrupt cross-table plans — table B's
+    * lazy plan may re-read table A, and must see A's ORIGINAL data, not
+    * the freshly published masked data (the reference has no such hazard:
+    * its per-row UPDATEs stream against live data once).
+    *
+    * The default (direct write at stage time, no-op commit) is ONLY safe
+    * for IOs where `write` does not change what `read` returns (in-memory
+    * maps, versioned/append-only stores). An IO whose write replaces the
+    * data `read` serves MUST override both methods with real staging, or
+    * `run()` silently reintroduces the corruption described above.
     */
   def stage(table: String, df: DataFrame): Unit = write(table, df)
   def commit(table: String): Unit = ()
@@ -53,8 +57,15 @@ final class ParquetIO(spark: SparkSession, dir: String) extends TableIO {
     val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(conf)
     val dstP = new org.apache.hadoop.fs.Path(dst)
     val stagingP = new org.apache.hadoop.fs.Path(staging)
+    // fail BEFORE touching the destination if the staging data is absent,
+    // and surface a failed rename instead of silently losing the table
+    if (!fs.exists(stagingP))
+      throw new java.io.IOException(
+        s"commit($table): staging path $staging missing — stage() not run?")
     if (fs.exists(dstP)) fs.delete(dstP, true)
-    fs.rename(stagingP, dstP)
+    if (!fs.rename(stagingP, dstP))
+      throw new java.io.IOException(
+        s"commit($table): rename $staging -> $dst failed")
   }
   def write(table: String, df: DataFrame): Unit = {
     stage(table, df); commit(table)
@@ -98,10 +109,18 @@ final class JdbcIO(spark: SparkSession, url: String,
       .option("sessionInitStatement", "SET FOREIGN_KEY_CHECKS=0")
       .mode("overwrite").save()
   override def commit(table: String): Unit = withConnection { st =>
-    val old = s"${table}__graft_old"
-    st.execute(s"DROP TABLE IF EXISTS $old")
-    st.execute(s"RENAME TABLE $table TO $old, ${table}__graft_staging TO $table")
-    st.execute(s"DROP TABLE $old")
+    val staging = s"${table}__graft_staging"
+    // TRUNCATE + INSERT..SELECT instead of a RENAME swap: the target keeps
+    // its DDL (primary key, indexes, AUTO_INCREMENT, FK definitions and
+    // any child-table FKs pointing at it), which a rename to a
+    // Spark-inferred staging table would destroy. Emptying the target is
+    // safe here because the plan was already fully materialised into the
+    // staging table during stage(). Not atomic — a crash between the two
+    // statements leaves the target empty with the data still in staging;
+    // re-running commit() completes the publish.
+    st.execute(s"TRUNCATE TABLE $table")
+    st.execute(s"INSERT INTO $table SELECT * FROM $staging")
+    st.execute(s"DROP TABLE $staging")
   }
   def write(table: String, df: DataFrame): Unit = {
     stage(table, df); commit(table)
@@ -174,6 +193,20 @@ final case class GraftConfig(
   *   reference's config-DB defaulting (src/Anonymizer.php:381–392); `None`
   *   leaves table names unqualified.
   */
+object Anonymizer {
+  /** Fully wired MySQL session from a validated [[GraftConfig]]: JDBC IO
+    * with the configured pool/batch options, generator locale applied
+    * (reference DEFAULT_GENERATOR_LOCALE, src/Anonymizer.php:53–55), and
+    * the config database as the sync-target default (F5).
+    */
+  def forConfig(spark: SparkSession, config: GraftConfig): Anonymizer = {
+    graft.functions.Gen.setLocale(config.generatorLocale)
+    new Anonymizer(spark,
+      new JdbcIO(spark, config.jdbcUrl, config.jdbcOptions),
+      defaultDatabase = Some(config.database))
+  }
+}
+
 final class Anonymizer(val spark: SparkSession, io: TableIO,
     defaultDatabase: Option[String] = None) {
 
@@ -200,27 +233,38 @@ final class Anonymizer(val spark: SparkSession, io: TableIO,
     * reproduces that, deduplicating the mapping on the old value (min new)
     * so target row counts are preserved.
     */
+  /** Qualify a table name with the default database — applied uniformly to
+    * blueprint tables AND sync targets, so a sync target that also has its
+    * own blueprint resolves to the SAME plan key (masking then runs on top
+    * of the propagated frame instead of forking into two entries that race
+    * at commit time).
+    */
+  private def qualify(name: String): String =
+    if (name.contains(".")) name
+    else defaultDatabase.fold(name)(db => s"$db.$name")
+
   def plan(): Map[String, DataFrame] = {
     val out = mutable.LinkedHashMap.empty[String, DataFrame]
     blueprints.foreach { case (name, bp) =>
-      val src = out.getOrElse(name, io.read(name))
+      val key = qualify(name)
+      val src = out.getOrElse(key, io.read(key))
       // pre-mask values of synchronized columns are stashed alongside the
       // masked values, so the old→new pairing is per-row by construction —
       // correct even when the masked column IS the primary key
       val maskedWithOld = MaskCompiler(src, bp, bp.sync.keySet)
       val masked = bp.sync.keySet.foldLeft(maskedWithOld)(
         (acc, c) => acc.drop(MaskCompiler.oldValueCol(c)))
-      out += name -> masked
+      out += key -> masked
       bp.sync.foreach { case (c, targets) =>
         val mapping = maskedWithOld
           .select(col(MaskCompiler.oldValueCol(c)).as("__graft_oldv"),
             col(c).as("__graft_newv"))
           .groupBy("__graft_oldv").agg(min("__graft_newv").as("__graft_newv"))
         targets.foreach { t =>
-          val key = t.database.orElse(defaultDatabase)
-            .map(db => s"$db.${t.table}").getOrElse(t.table)
-          val base = out.getOrElse(key, io.read(key))
-          out += key -> applyMapping(base, mapping, t.field)
+          val tkey = qualify(
+            t.database.map(db => s"$db.${t.table}").getOrElse(t.table))
+          val base = out.getOrElse(tkey, io.read(tkey))
+          out += tkey -> applyMapping(base, mapping, t.field)
         }
       }
     }

@@ -52,26 +52,13 @@ object Dedup {
       .distinct()
   }
 
-  /** Distinct (id, shingle) pairs. Tokens are materialised in a projection
-    * below the generator so the normalize+split runs once per document, not
-    * once per shingle reference.
+  /** Distinct (id, shingle) pairs — delegates to the shared builder
+    * ([[TextOps.explodedShingles]]) so the fingerprint sketch and the
+    * dedup pipeline can never drift apart on shingle semantics.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int): DataFrame = {
-    // explode the POSITIONS and build each shingle in a codegen'd
-    // projection — a transform() lambda would evaluate interpreted
-    val withToks = df.select(col(idCol),
-      TextOps.tokens(col(textCol)).as("__toks"))
-    withToks
-      .select(col(idCol), col("__toks"),
-        explode(when(size(col("__toks")) >= shingleK,
-            sequence(lit(1), size(col("__toks")) - lit(shingleK - 1)))
-          .otherwise(array().cast("array<int>"))).as("__i"))
-      .select(col(idCol), concat_ws(" ",
-        (0 until shingleK).map(j =>
-          element_at(col("__toks"), col("__i") + lit(j))): _*).as("shingle"))
-      .distinct()
-  }
+      shingleK: Int): DataFrame =
+    TextOps.explodedShingles(df, idCol, textCol, shingleK)
 
   /** Per-document MinHash signature: `numHashes` columns `h0..h{n-1}`,
     * h_i = min over shingles of md5("<i>|" + shingle). One shuffle

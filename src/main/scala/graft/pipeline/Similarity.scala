@@ -86,6 +86,17 @@ object Similarity {
           .otherwise(lit("0"))): _*)
     }
 
+  /** Fail fast when the embedding dimension can't fill the requested
+    * bands: out-of-range `element_at` would throw mid-job under ANSI mode
+    * (or, with ANSI off, silently give every vector identical padding
+    * bands — collapsing the LSH into an all-pairs join).
+    */
+  private def requireDim(df: DataFrame, vecCol: String, needed: Int): Unit =
+    df.select(size(col(vecCol)).as("d")).head(1).foreach { r =>
+      require(r.getInt(0) >= needed,
+        s"embedding dim ${r.getInt(0)} < nBands*bitsPerBand = $needed")
+    }
+
   /** LSH-filtered cosine top-k: only rows sharing ≥1 sign-band with the
     * query are scored. The band filter is a narrow predicate against
     * literal signatures — zero shuffle added over the scan.
@@ -93,6 +104,8 @@ object Similarity {
   def signBandTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, nBands: Int = 16,
       bitsPerBand: Int = 4): DataFrame = {
+    require(query.length >= nBands * bitsPerBand,
+      s"query dim ${query.length} < nBands*bitsPerBand = ${nBands * bitsPerBand}")
     val qBands = signBands(vecLit(query), nBands, bitsPerBand)
     val rowBands = signBands(col(vecCol), nBands, bitsPerBand)
     val anyShared = rowBands.zip(qBands)
@@ -118,8 +131,12 @@ object Similarity {
   def signBandCandidates(df: DataFrame, idCol: String, vecCol: String,
       nBands: Int = 8, bitsPerBand: Int = 8,
       maxBucket: Option[Int] = None): DataFrame = {
+    requireDim(df, vecCol, nBands * bitsPerBand)
     // both sides of the self-join read the banded frame — persisting it
-    // lets the self-join reuse one materialisation of the signatures
+    // lets the self-join reuse one materialisation of the signatures.
+    // Lifecycle note: the cache lives until the session evicts it; callers
+    // looping over many corpora should spark.catalog.clearCache() between
+    // runs (the returned frame stays recomputable either way)
     val bands = df.select(col(idCol), posexplode(
         array(signBands(col(vecCol), nBands, bitsPerBand): _*))
       .as(Seq("band", "sig")))

@@ -23,9 +23,12 @@ object Skew {
     * reducers instead of one. Join type must be inner or left_outer (right
     * rows are replicated, so right-preserving joins would duplicate).
     *
-    * The salt is derived by hashing the whole left row (deterministic
-    * under retries); its only job is to spread rows of the SAME key, which
-    * any row-varying column mix achieves.
+    * The salt is assigned round-robin within each partition
+    * (`monotonically_increasing_id % salts`): it spreads even byte-identical
+    * duplicate rows of a hot key (a whole-row hash would collapse those
+    * onto one reducer again). Salt placement never affects the join
+    * RESULT — only which reducer a row lands on — so task retries
+    * re-assigning salts are harmless.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, salts: Int, joinType: String = "inner"): DataFrame = {
@@ -33,8 +36,7 @@ object Skew {
       joinType == "left", s"right-preserving join '$joinType' would " +
       "duplicate replicated right rows")
     val saltedLeft = left.withColumn(SaltCol,
-      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salts))
-        .cast("int"))
+      pmod(monotonically_increasing_id(), lit(salts)).cast("int"))
     val replicatedRight = right.withColumn(SaltCol,
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLeft
@@ -52,8 +54,7 @@ object Skew {
     */
   def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame =
     df.withColumn(SaltCol,
-        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts))
-          .cast("int"))
+        pmod(monotonically_increasing_id(), lit(salts)).cast("int"))
       .groupBy(col(key), col(SaltCol))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))

@@ -151,6 +151,25 @@ object TextOps {
         .otherwise(lit(0L))).as("simhash"))
   }
 
+  /** Distinct (id, shingle) rows for a document frame — the single shared
+    * shingle builder behind [[fingerprint]] and the dedup pipeline
+    * ([[Dedup.shingles]] delegates here). Explodes shingle POSITIONS and
+    * assembles each k-gram in a codegen'd projection (a `transform` lambda
+    * would evaluate interpreted), with tokens materialised once per row
+    * below the generator.
+    */
+  def explodedShingles(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(when(size(col("__toks")) >= shingleK,
+            sequence(lit(1), size(col("__toks")) - lit(shingleK - 1)))
+          .otherwise(array().cast("array<int>"))).as("__i"))
+      .select(col(idCol), concat_ws(" ",
+        (0 until shingleK).map(j =>
+          element_at(col("__toks"), col("__i") + lit(j))): _*).as("shingle"))
+      .distinct()
+
   /** Winnowing-style document fingerprint: the k lexicographically smallest
     * md5 hashes of the document's word shingles, joined — a bottom-k sketch.
     * Two documents sharing most shingles share most of the sketch; equal
@@ -159,16 +178,8 @@ object TextOps {
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, shingleK: Int = 3): DataFrame =
-    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), col("__toks"),
-        explode(when(size(col("__toks")) >= shingleK,
-            sequence(lit(1), size(col("__toks")) - lit(shingleK - 1)))
-          .otherwise(array().cast("array<int>"))).as("__i"))
-      .select(col(idCol), concat_ws(" ",
-        (0 until shingleK).map(j =>
-          element_at(col("__toks"), col("__i") + lit(j))): _*).as("__sh"))
-      .distinct()
-      .select(col(idCol), md5(col("__sh")).as("__h"))
+    explodedShingles(df, idCol, textCol, shingleK)
+      .select(col(idCol), md5(col("shingle")).as("__h"))
       .groupBy(idCol)
       .agg(array_join(slice(array_sort(collect_set(col("__h"))), 1, k), ",")
         .as("fingerprint"))

@@ -100,8 +100,46 @@ class AnonymizerSpec extends SparkSpec {
         .synchronizeColumn("orders" -> "o_custkey")
     }
     val out = anon.plan()
-    assert(out.keySet == Set("customer", "shadow.orders"))
-    assert(seen.contains("shadow.orders"))
+    // blueprint tables are qualified with the SAME default database as
+    // sync targets, so a target with its own blueprint shares one plan key
+    assert(out.keySet == Set("shadow.customer", "shadow.orders"))
+    assert(seen.contains("shadow.orders") && seen.contains("shadow.customer"))
+  }
+
+  test("a qualified sync target with its own blueprint shares one plan key") {
+    val io = new TableIO {
+      def read(table: String) =
+        spark.read.parquet(s"$fixtures/${table.split('.').last}.parquet")
+      def write(table: String, df: org.apache.spark.sql.DataFrame): Unit = ()
+    }
+    val anon = new Anonymizer(spark, io, defaultDatabase = Some("db1"))
+    anon.table("customer") { b =>
+      b.primary("c_custkey")
+      b.column("c_custkey")
+        .replaceWithExpr(r => r("c_custkey") + lit(1000000L))
+        .synchronizeColumn("orders" -> "o_custkey")
+    }
+    anon.table("orders") { b =>
+      b.primary("o_orderkey")
+      b.column("o_orderstatus").replaceWith("Z")
+    }
+    val out = anon.plan()
+    assert(out.keySet == Set("db1.customer", "db1.orders"))
+    val rows = out("db1.orders").select("o_custkey", "o_orderstatus").collect()
+    assert(rows.forall(_.getString(1) == "Z"))
+    assert(rows.exists(_.getLong(0) >= 1000000L),
+      "propagation and masking did not land in the same frame")
+  }
+
+  test("forConfig wires the generator locale (reference C3+C4)") {
+    import graft.functions.Gen
+    assert(Gen.locale == "en_US")
+    try {
+      val anon = Anonymizer.forConfig(spark,
+        GraftConfig(user = "u", database = "d", generatorLocale = "fr_FR"))
+      assert(anon != null)
+      assert(Gen.locale == "fr_FR", "configured locale was not applied")
+    } finally Gen.setLocale("en_US")
   }
 
   test("value-matching cascade over-propagates on colliding old values (F2 quirk)") {
