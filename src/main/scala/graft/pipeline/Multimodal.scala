@@ -66,6 +66,24 @@ object Multimodal {
       (nib(5) + 1).as("n_frames"))
   }
 
+  /** Deterministic frame-sample stub: `n` byte offsets spread evenly
+    * through the payload (a video codec would decode the frames at these
+    * offsets). Pure Column arithmetic — the sampling plan is real, only
+    * the frame decode behind it is stubbed.
+    */
+  def frameSampleOffsets(payload: Column, n: Int): Column = {
+    val len = octet_length(payload)
+    array((0 until n).map(i =>
+      floor(len * lit(i) / lit(n)).cast("int")): _*)
+  }
+
+  /** "Resize" stub: re-derives the stub features at a different resolution
+    * (bucket count). Mirrors how a real pipeline recomputes features after
+    * a resize — same batched executor loop, different codec parameters.
+    */
+  def resizeFeatures(df: DataFrame, payloadCol: String,
+      newDim: Int): DataFrame = decodePartitioned(df, payloadCol, newDim)
+
   /** Partition-batched decode: the executor-side loop that amortises codec
     * init across a whole partition (the `mapPartitions` analog of a
     * batch-iterating Pandas UDF). Narrow — no shuffle; output schema is

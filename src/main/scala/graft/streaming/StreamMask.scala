@@ -2,8 +2,12 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
 
 import graft.blueprint.{Blueprint, ColumnRule, MaskCompiler, Rule}
+
+/** Custom per-key streaming state for [[StreamMask.runningUserTotals]]. */
+final case class UserTotals(n: Long, sum: Double)
 
 /** Structured-Streaming surface (SURVEY.md §2.10; the reference is strictly
   * batch — src/Anonymizer.php:152–195 — so this is north-star extension
@@ -58,6 +62,29 @@ object StreamMask {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq(idCol))
+
+  /** Custom keyed state via `mapGroupsWithState`: cumulative per-user
+    * event count and value total, re-emitted on every micro-batch that
+    * touches the user (output mode `update`). The hand-rolled analog of a
+    * streaming aggregate for when the state transition isn't expressible
+    * as a SQL aggregate — the extension point for bespoke sessionization,
+    * anomaly scoring, rate limiting, etc. State lives per key only; at
+    * 10⁹ users it shards across the cluster like any keyed state store.
+    */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserTotals, (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) { case (uid, rows, state) =>
+        var s = state.getOption.getOrElse(UserTotals(0L, 0.0))
+        rows.foreach { case (_, v) => s = UserTotals(s.n + 1, s.sum + v) }
+        state.update(s)
+        (uid, s.n, s.sum)
+      }
+      .toDF("user_id", "n_events", "sum_value")
+  }
 
   /** Stream-static enrichment: join each incoming event against a static
     * dimension table (re-read per micro-batch; stateless, so any output

@@ -88,6 +88,35 @@ class PipelineSpec extends SparkSpec {
     nd.collect().foreach(r => assert(r.getAs[Double]("cosine") >= 0.45))
   }
 
+  test("approx_count_distinct tracks exact distinct within 5% (HLL)") {
+    val li = spark.read.parquet(s"$fixtures/lineitem.parquet")
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).head
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"HLL estimate $approx vs exact $exact")
+  }
+
+  test("multimodal frame sampling and resize stubs") {
+    import graft.pipeline.Multimodal
+    val withBin = docs.limit(10)
+      .withColumn("payload", Multimodal.payloadOf(col("text")))
+    val offsets = withBin.select(col("doc_id"),
+      octet_length(col("payload")).as("len"),
+      Multimodal.frameSampleOffsets(col("payload"), 4).as("offs")).collect()
+    offsets.foreach { r =>
+      val len = r.getInt(1)
+      val offs = r.getSeq[Int](2)
+      assert(offs.length == 4 && offs.head == 0)
+      assert(offs.forall(o => o >= 0 && o < len))
+      assert(offs == offs.sorted)
+    }
+    val resized = Multimodal.resizeFeatures(withBin, "payload", 8).collect()
+    resized.foreach(r =>
+      assert(r.getSeq[Float](r.fieldIndex("features")).length == 8))
+  }
+
   test("multimodal decode: deterministic stub, typed meta, normalized features") {
     val withBin = docs.limit(20)
       .withColumn("payload", Multimodal.payloadOf(col("text")))

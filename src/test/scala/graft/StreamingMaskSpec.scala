@@ -114,6 +114,21 @@ class StreamingMaskSpec extends SparkSpec {
     }
   }
 
+  test("mapGroupsWithState running totals equal the batch aggregation") {
+    val streamed = runToMemory(
+      StreamMask.runningUserTotals(streamingEvents), "state_stream", "update")
+    val batch = batchEvents.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // update mode re-emits per batch; the LAST emission per user carries
+    // the cumulative total (single AvailableNow batch ⇒ one emission)
+    val s = streamed.collect()
+    assert(s.nonEmpty)
+    val finalPerUser = s.groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.map(_.getLong(1)).max }
+    assert(finalPerUser == batch)
+  }
+
   test("stream-static enrichment equals the batch join") {
     val dim = batchEvents.groupBy("user_id")
       .agg(count(lit(1)).as("user_total"))
