@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Gen
+import graft.pipeline.{Dedup, Similarity, TextOps}
+
+/** Exercises the API surface not covered by the oracle queries or the
+  * behavior suites: remaining generator formatters, array/text helpers,
+  * and the standalone vector primitives.
+  */
+class MiscOpsSpec extends SparkSpec {
+
+  private def customer = spark.read.parquet(s"$fixtures/customer.parquet")
+  private def docs = spark.read.parquet(s"$fixtures/documents.parquet")
+
+  test("remaining generator formatters: ranges, pools, dates, sentences") {
+    val s = Gen.seed(col("c_custkey"))
+    val rows = customer.select(
+      Gen.numberBetween(s, 10, 20).as("nb"),
+      Gen.randomFloat(s, 0.0, 1.0).as("rf"),
+      Gen.randomElement(Seq("a", "b", "c"), s).as("re"),
+      Gen.dateBetween(s, "2020-01-01", "2020-12-31").as("dt"),
+      Gen.sentence(s, 4).as("sent"),
+      Gen.company(s).as("co"),
+      Gen.userName(s).as("un")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 10 && r.getLong(0) <= 20)
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+      assert(Seq("a", "b", "c").contains(r.getString(2)))
+      val d = r.getDate(3).toLocalDate
+      assert(!d.isBefore(java.time.LocalDate.parse("2020-01-01")) &&
+        !d.isAfter(java.time.LocalDate.parse("2020-12-31")))
+      assert(r.getString(4).endsWith(".") &&
+        r.getString(4).split(" ").length == 4)
+      assert(r.getString(5).nonEmpty && r.getString(6).contains("."))
+    }
+  }
+
+  test("word shingles column form matches the exploded builder") {
+    val viaColumn = docs.limit(50)
+      .select(col("doc_id"),
+        explode(TextOps.wordShingles(col("text"), 3)).as("shingle"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaBuilder = TextOps.explodedShingles(docs.limit(50), "doc_id",
+        "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaColumn == viaBuilder)
+  }
+
+  test("subword counting splits on punctuation boundaries") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    val df = spark.createDataFrame(
+      Seq(Row(1L, "hello, world! it's 42km"), Row(2L, "   "),
+        Row(3L, "one")).asJava,
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, text STRING"))
+    val got = df.select(col("id"), TextOps.subwordCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) == 5) // hello world it s 42km
+    assert(got(2L) == 0)
+    assert(got(3L) == 1)
+  }
+
+  test("simHashGroups flags injected duplicate documents") {
+    val dup = docs.limit(3).withColumn("doc_id", col("doc_id") + 100000L)
+    val groups = Dedup.simHashGroups(docs.limit(50).unionAll(dup),
+      "doc_id", "text")
+    val flagged = groups.collect()
+    assert(flagged.length >= 3, s"expected >=3 collision groups, " +
+      s"got ${flagged.length}")
+    flagged.foreach(r => assert(r.getAs[Long]("n_docs") >= 2))
+  }
+
+  test("standalone dot/norm primitives agree with the fused cosine") {
+    val e = spark.read.parquet(s"$fixtures/embeddings.parquet").limit(50)
+    val q = Seq.fill(64)(0.25f)
+    val rows = e.select(
+      (Similarity.dot(col("embedding"), Similarity.vecLit(q)) /
+        (Similarity.norm(col("embedding")) *
+          Similarity.norm(Similarity.vecLit(q)))).as("composed"),
+      Similarity.cosineFold(col("embedding"), Similarity.vecLit(q))
+        .as("fused")).collect()
+    rows.foreach(r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("salted left_outer join preserves unmatched left rows") {
+    import graft.pipeline.Skew
+    val orders = spark.read.parquet(s"$fixtures/orders.parquet")
+    val richCust = spark.read.parquet(s"$fixtures/customer.parquet")
+      .filter(col("c_acctbal") > 5000)
+    val salted = Skew.saltedJoin(orders, richCust, "o_custkey", "c_custkey",
+      salts = 4, joinType = "left_outer")
+    assert(salted.count() == orders.count())
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(orders, richCust, "o_custkey", "c_custkey", 4, "right"))
+  }
+}
