@@ -32,6 +32,20 @@ class RowNumbersSpec extends SparkSpec {
     assert(o.except(s).isEmpty && s.except(o).isEmpty)
   }
 
+  test("scalable numbering is dense and unique at sf0.01 under AQE") {
+    // regression: AQE coalescing must not skew the partition-offset join
+    // (non-unique sort keys make per-row equality vs Ordered ambiguous
+    // here, so assert the numbering invariants instead)
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val s = RowNumbers.attach(li, Seq("l_orderkey", "l_linenumber"),
+      RowNumberMode.Scalable, "rn").select("rn")
+    val n = li.count()
+    assert(s.distinct().count() == n, "duplicate row numbers")
+    val mm = s.agg(org.apache.spark.sql.functions.min("rn"),
+      org.apache.spark.sql.functions.max("rn")).head
+    assert(mm.getLong(0) == 0L && mm.getLong(1) == n - 1, "not dense 0..n-1")
+  }
+
   test("scalable == ordered with a partition flag") {
     val flag = Some(when(col("o_totalprice") > 100000, lit(1)).otherwise(lit(0)))
     val o = RowNumbers.attach(orders, Seq("o_orderkey"),
