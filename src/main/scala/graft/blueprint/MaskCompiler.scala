@@ -51,6 +51,18 @@ object MaskCompiler {
     * per row even when the masked column is the primary key itself).
     */
   def apply(df: DataFrame, bp: Blueprint, stashOld: Set[String]): DataFrame = {
+    // fail with a masking-level message instead of a deep analysis error
+    // when the blueprint references columns the table doesn't have
+    // (mirrors the reference's behavior of failing the generated SQL, but
+    // at plan-build time with the offending names)
+    val have = df.columns.map(_.toLowerCase).toSet
+    val declared = bp.columns.map(_.name) ++ bp.primary ++ bp.sync.keys
+    val missing = declared.filterNot(c => have.contains(c.toLowerCase))
+    require(missing.isEmpty,
+      s"blueprint for table '${bp.table}' references missing column(s) " +
+        s"${missing.distinct.mkString(", ")}; table has: " +
+        df.columns.mkString(", "))
+
     // the user-visible schema: internal columns attached below must never be
     // observable from a RowClosure (its Row is built from exactly this list)
     val originalCols = df.columns.toIndexedSeq

@@ -99,6 +99,14 @@ class MaskCompilerSpec extends SparkSpec {
     assert(out.map(_.getString(1)).toSeq == Seq("0-x-0", "1-x-1", "2-x-2"))
   }
 
+  test("unknown blueprint columns fail fast with the offending names") {
+    val bp = Blueprint("t") { t =>
+      t.primary("id"); t.column("nope").replaceWith("X")
+    }
+    val e = intercept[IllegalArgumentException](MaskCompiler(df, bp))
+    assert(e.getMessage.contains("nope") && e.getMessage.contains("'t'"))
+  }
+
   test("all three RowNumberModes agree on deterministic numbering") {
     for (mode <- Seq(RowNumberMode.Ordered, RowNumberMode.Scalable)) {
       val bp = Blueprint("t") { t =>
