@@ -345,18 +345,23 @@ object SparkEntry {
     */
   private def qSessionize(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val gapNs = 30L * 60 * 1000000000L
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = 30L * 60 * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    // truncate raw nanos to micros first: the oracle engine reads the
+    // nanosecond parquet column at microsecond precision, so arithmetic on
+    // full nanos would disagree by 1 whenever a duration straddles a
+    // boundary (same truncation as events())
     t(s, dir, "events")
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("tsu", expr("ts DIV 1000"))
+      .withColumn("prev_ts", lag(col("tsu"), 1).over(w))
       .withColumn("new_s",
-        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs,
+        when(col("prev_ts").isNull || col("tsu") - col("prev_ts") > gapUs,
           lit(1)).otherwise(lit(0)))
       .withColumn("session_id", sum(col("new_s"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
-        expr("(max(ts) - min(ts)) DIV 1000000").as("dur_ms"))
+        expr("(max(tsu) - min(tsu)) DIV 1000").as("dur_ms"))
       .orderBy("user_id", "session_id")
   }
 
@@ -736,16 +741,16 @@ object SparkEntry {
          |CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_sessionize" ->
-      s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
-         |m AS (SELECT user_id, event_id, tsn,
-         |  CASE WHEN lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) IS NULL
-         |         OR tsn - lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) > 1800000000000
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+         |m AS (SELECT user_id, event_id, tsu,
+         |  CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) IS NULL
+         |         OR tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) > 1800000000
          |       THEN 1 ELSE 0 END AS new_s FROM e),
-         |s AS (SELECT user_id, event_id, tsn,
-         |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+         |s AS (SELECT user_id, event_id, tsu,
+         |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu, event_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM m)
          |SELECT user_id, session_id, COUNT(*) AS n_events,
-         |  (MAX(tsn) - MIN(tsn)) // 1000000 AS dur_ms
+         |  (MAX(tsu) - MIN(tsu)) // 1000 AS dur_ms
          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "mask_fields_closure" ->
       s"""SELECT c_custkey,
