@@ -365,6 +365,30 @@ object SparkEntry {
       .orderBy("user_id", "session_id")
   }
 
+  /** Backward as-of join (see [[graft.pipeline.AsOf]]): each event aligned
+    * to the user's most recent order at-or-before the event time — the
+    * union+window composition, |L|+|R| work instead of a range-join
+    * explosion.
+    */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("ts_us"))
+    val o = t(s, dir, "orders")
+      // o_orderdate arrives as TIMESTAMP_NTZ; the session is UTC, so the
+      // zoned cast reads the same instant DuckDB's epoch_us sees
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ot"),
+        col("o_orderkey"), col("o_totalprice"))
+    graft.pipeline.AsOf.asofJoin(e, o,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts_us", rightTime = "ot",
+        rightTiebreak = "o_orderkey",
+        payloadCols = Seq("o_orderkey", "o_totalprice"))
+      .select("event_id", "user_id", "ts_us", "o_orderkey", "o_totalprice")
+      .orderBy("event_id")
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
     * rejects; the session reads it as raw nanos (legacy flag set in
     * Verify/Bench) and we truncate to micros — exactly DuckDB's own
@@ -544,6 +568,7 @@ object SparkEntry {
     "q_json" -> (qJson _),
     "q_time_bucket" -> (qTimeBucket _),
     "q_sessionize" -> (qSessionize _),
+    "q_asof_join" -> (qAsofJoin _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_near" -> (qDedupNear _),
     "q_text_stats" -> (qTextStats _),
@@ -752,6 +777,20 @@ object SparkEntry {
          |SELECT user_id, session_id, COUNT(*) AS n_events,
          |  (MAX(tsu) - MIN(tsu)) // 1000 AS dur_ms
          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_asof_join" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+         |o AS (SELECT o_custkey, epoch_us(o_orderdate) AS ot, o_orderkey, o_totalprice FROM orders),
+         |m AS (SELECT e.event_id, e.user_id, e.ts_us, o.o_orderkey, o.o_totalprice,
+         |  row_number() OVER (PARTITION BY e.event_id
+         |    ORDER BY o.ot DESC, o.o_orderkey DESC) AS rk
+         |  FROM e JOIN o ON o.o_custkey = e.user_id AND o.ot <= e.ts_us)
+         |SELECT event_id, user_id, ts_us, o_orderkey, o_totalprice
+         |FROM m WHERE rk = 1
+         |UNION ALL
+         |SELECT e.event_id, e.user_id, e.ts_us, NULL, NULL FROM e
+         |WHERE NOT EXISTS (SELECT 1 FROM o
+         |  WHERE o.o_custkey = e.user_id AND o.ot <= e.ts_us)
+         |ORDER BY event_id""".stripMargin,
     "mask_fields_closure" ->
       s"""SELECT c_custkey,
          |concat('N', CAST(c_custkey AS VARCHAR)) AS c_name, c_nationkey, c_acctbal,

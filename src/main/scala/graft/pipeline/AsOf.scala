@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for each left row, the single right row with the
+  * greatest time ≤ the left time within the same key (the standard
+  * event↔dimension-history / trade↔quote alignment operator; Spark has no
+  * native ASOF JOIN).
+  *
+  * Implementation is the union+window composition rather than a range
+  * join: tag both sides, sort per key by (time, side, tiebreak) and carry
+  * the latest right payload forward with an ignore-nulls `last`. One hash
+  * shuffle on the key + a per-key sort — processed volume is |L|+|R|,
+  * never the |L|×|R| of an inequality join, so the plan survives a 100×
+  * scale-up. Skewed keys can be pre-split with [[Skew]].
+  *
+  * Tie rules (explicit, so results are deterministic and an external
+  * oracle can reproduce them): a right row at exactly the left time DOES
+  * match (≤), and among right rows sharing a timestamp the one with the
+  * greatest `rightTiebreak` wins. Left rows with no earlier right row get
+  * null payload columns (left-join semantics).
+  */
+object AsOf {
+
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTiebreak: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val tbType = right.schema(rightTiebreak).dataType
+    val payload = struct(payloadCols.map(right(_)): _*)
+    val payloadType = right.select(payload.as("__p")).schema.head.dataType
+
+    // identical column layout on both sides; right rows carry the payload,
+    // left rows carry typed nulls (explicit casts — no union coercion)
+    val rightSide = right.select(
+      Seq(col(rightKey).as("__key"), col(rightTime).as("__t"),
+        lit(0).as("__side"), col(rightTiebreak).as("__tb"),
+        payload.as("__payload")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val leftSide = left.select(
+      Seq(col(leftKey).as("__key"), col(leftTime).as("__t"),
+        lit(1).as("__side"), lit(null).cast(tbType).as("__tb"),
+        lit(null).cast(payloadType).as("__payload")) ++
+        leftCols.map(col): _*)
+
+    val w = Window.partitionBy("__key")
+      .orderBy(col("__t"), col("__side"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    leftSide.union(rightSide)
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payloadCols.map(p => col(s"__match.$p").as(p)): _*)
+  }
+}

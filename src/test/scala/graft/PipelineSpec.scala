@@ -155,6 +155,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("as-of join: tie rules, missing matches, and no range explosion") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    import graft.pipeline.AsOf
+    val left = spark.createDataFrame(Seq(
+      Row(1L, 10L, 100L),  // exact-time match expected (<=)
+      Row(2L, 10L, 150L),  // between rights -> t=100 row, max tiebreak
+      Row(3L, 10L, 50L),   // before all rights -> null
+      Row(4L, 99L, 100L)   // key with no rights -> null
+    ).asJava, StructType.fromDDL("id BIGINT, k BIGINT, t BIGINT"))
+    val right = spark.createDataFrame(Seq(
+      Row(10L, 100L, 7L, "a"),
+      Row(10L, 100L, 9L, "b"),  // same time, higher tiebreak wins
+      Row(10L, 200L, 1L, "c")
+    ).asJava, StructType.fromDDL("k BIGINT, t BIGINT, tb BIGINT, v STRING"))
+    val got = AsOf.asofJoin(left, right, "k", "k", "t", "t", "tb",
+        Seq("tb", "v"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.toString), Option(r.get(4)))).toMap
+    assert(got(1L) == (Some("9"), Some("b")), "exact-time <= + tiebreak")
+    assert(got(2L) == (Some("9"), Some("b")))
+    assert(got(3L) == (None, None))
+    assert(got(4L) == (None, None))
+    // plan shape: one window over the union — no range/cartesian join
+    val plan = AsOf.asofJoin(left, right, "k", "k", "t", "t", "tb",
+      Seq("v")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      s"range-join explosion in plan:\n$plan")
+  }
+
   test("salted join equals the plain join and spreads hot keys") {
     import graft.pipeline.Skew
     val orders = spark.read.parquet(s"$fixtures/orders.parquet")
