@@ -389,6 +389,24 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Range-window aggregate without a range join (see
+    * [[graft.pipeline.AsOf.rangeCount]]): orders per user in the 7 days
+    * before each event.
+    */
+  private def qRangeCount(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("ts_us"))
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ot"))
+    graft.pipeline.AsOf.rangeCount(e, o,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts_us", rightTime = "ot",
+        lookback = 7L * 24 * 3600 * 1000000L, outCol = "n_orders_7d")
+      .orderBy("event_id")
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
     * rejects; the session reads it as raw nanos (legacy flag set in
     * Verify/Bench) and we truncate to micros — exactly DuckDB's own
@@ -569,6 +587,7 @@ object SparkEntry {
     "q_time_bucket" -> (qTimeBucket _),
     "q_sessionize" -> (qSessionize _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_range_count" -> (qRangeCount _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_near" -> (qDedupNear _),
     "q_text_stats" -> (qTextStats _),
@@ -791,6 +810,13 @@ object SparkEntry {
          |WHERE NOT EXISTS (SELECT 1 FROM o
          |  WHERE o.o_custkey = e.user_id AND o.ot <= e.ts_us)
          |ORDER BY event_id""".stripMargin,
+    "q_range_count" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+         |o AS (SELECT o_custkey, epoch_us(o_orderdate) AS ot FROM orders)
+         |SELECT e.event_id, e.user_id, e.ts_us, COUNT(o.ot) AS n_orders_7d
+         |FROM e LEFT JOIN o ON o.o_custkey = e.user_id
+         |  AND o.ot > e.ts_us - 604800000000 AND o.ot <= e.ts_us
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "mask_fields_closure" ->
       s"""SELECT c_custkey,
          |concat('N', CAST(c_custkey AS VARCHAR)) AS c_name, c_nationkey, c_acctbal,

@@ -186,6 +186,25 @@ class PipelineSpec extends SparkSpec {
       s"range-join explosion in plan:\n$plan")
   }
 
+  test("range count: boundary semantics (t-Δ, t] and zero-match rows") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    import graft.pipeline.AsOf
+    val left = spark.createDataFrame(Seq(
+      Row(1L, 10L, 100L), Row(2L, 10L, 200L), Row(3L, 99L, 100L)
+    ).asJava, StructType.fromDDL("id BIGINT, k BIGINT, t BIGINT"))
+    val right = spark.createDataFrame(Seq(
+      Row(10L, 50L),   // = t-Δ for left 1 (Δ=50): EXCLUDED (open lower)
+      Row(10L, 60L),   // in (50,100] for left 1
+      Row(10L, 100L),  // exactly t for left 1: INCLUDED (closed upper)
+      Row(10L, 160L)   // in (150,200] for left 2
+    ).asJava, StructType.fromDDL("k BIGINT, t BIGINT"))
+    val got = AsOf.rangeCount(left, right, "k", "k", "t", "t", 50L, "n")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 0L))
+  }
+
   test("salted join equals the plain join and spreads hot keys") {
     import graft.pipeline.Skew
     val orders = spark.read.parquet(s"$fixtures/orders.parquet")
