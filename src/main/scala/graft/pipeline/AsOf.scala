@@ -40,6 +40,7 @@ object AsOf {
       leftTime: String, rightTime: String,
       lookback: Long, outCol: String = "n_in_range"): DataFrame = {
     val leftCols = left.columns.toSeq
+    checkNames(leftCols, Seq(outCol))
     def probe(sign: Int, at: Column) = left.select(
       Seq(col(leftKey).as("__key"), at.as("__t"), lit(1).as("__side"),
         lit(0L).as("__isr"), lit(sign).as("__sign")) ++
@@ -60,12 +61,30 @@ object AsOf {
       .agg(sum(col("__sign") * col("__cum")).as(outCol))
   }
 
+  private val internalCols =
+    Seq("__key", "__t", "__side", "__tb", "__payload", "__match", "__isr",
+      "__sign", "__cum")
+
+  private def checkNames(leftCols: Seq[String], payloadCols: Seq[String]): Unit = {
+    val clash = leftCols.intersect(internalCols)
+    require(clash.isEmpty, s"left columns collide with internal names: " +
+      clash.mkString(", "))
+    val dup = payloadCols.intersect(leftCols)
+    require(dup.isEmpty, "payload columns would shadow left columns " +
+      s"in the output: ${dup.mkString(", ")} — alias them on the right first")
+  }
+
+  /** `rightTiebreak` should be unique per (key, time) — equal (time,
+    * tiebreak) right rows make the matched payload an arbitrary pick among
+    * them.
+    */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightTiebreak: String,
       payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    checkNames(leftCols, payloadCols)
     val tbType = right.schema(rightTiebreak).dataType
     val payload = struct(payloadCols.map(right(_)): _*)
     val payloadType = right.select(payload.as("__p")).schema.head.dataType
