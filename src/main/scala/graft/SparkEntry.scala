@@ -502,6 +502,12 @@ object SparkEntry {
         TextOps.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** Corpus vocabulary table: occurrences + document frequency per token. */
+  private def qVocab(s: SparkSession, dir: String): DataFrame =
+    TextOps.termFrequencies(docs(s, dir), "doc_id", "text")
+      .orderBy(col("n_docs").desc, col("token"))
+      .limit(20)
+
   /** Bottom-k sketch fingerprint per document. */
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     TextOps.fingerprint(docs(s, dir), "doc_id", "text").orderBy("doc_id")
@@ -593,6 +599,7 @@ object SparkEntry {
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
+    "q_vocab" -> (qVocab _),
     "q_fingerprint" -> (qFingerprint _),
     "q_simhash" -> (qSimhash _),
     "q_sim_topk" -> (qSimTopk _),
@@ -906,6 +913,10 @@ object SparkEntry {
          |    0.0), 1.0) AS quality
          |FROM f ORDER BY doc_id""".stripMargin
     },
+    "q_vocab" ->
+      s"""SELECT token, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+         |FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+         |GROUP BY token ORDER BY n_docs DESC, token LIMIT 20""".stripMargin,
     "q_fingerprint" ->
       s"""WITH $shingleCte,
          |h AS (SELECT DISTINCT doc_id, md5(shingle) AS h FROM sh),

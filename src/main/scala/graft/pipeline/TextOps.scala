@@ -170,6 +170,18 @@ object TextOps {
           element_at(col("__toks"), col("__i") + lit(j))): _*).as("shingle"))
       .distinct()
 
+  /** Corpus vocabulary statistics: per token, total occurrences and
+    * document frequency — one explode + one hash aggregate, the standard
+    * first pass of corpus curation (stop-list mining, vocab pruning,
+    * tf-idf denominators).
+    */
+  def termFrequencies(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct(col(idCol)).as("n_docs"))
+
   /** Winnowing-style document fingerprint: the k lexicographically smallest
     * md5 hashes of the document's word shingles, joined — a bottom-k sketch.
     * Two documents sharing most shingles share most of the sketch; equal
