@@ -54,21 +54,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
     dp / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // every local gets a fresh name: two instances of this expression can
+    // land in ONE generated function scope, where fixed names like `i`
+    // collide and silently drop the whole projection to interpreted mode
+    val dp = ctx.freshName("dp"); val na = ctx.freshName("na")
+    val nb = ctx.freshName("nb"); val n = ctx.freshName("n")
+    val i = ctx.freshName("i"); val x = ctx.freshName("x")
+    val y = ctx.freshName("y")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |double ${ev.value}_dp = 0.0, ${ev.value}_na = 0.0, ${ev.value}_nb = 0.0;
-         |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int i = 0; i < ${ev.value}_n; i++) {
-         |  double x = (double) $a.getFloat(i);
-         |  double y = (double) $b.getFloat(i);
-         |  ${ev.value}_dp += x * y;
-         |  ${ev.value}_na += x * x;
-         |  ${ev.value}_nb += y * y;
+         |double $dp = 0.0, $na = 0.0, $nb = 0.0;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dp += $x * $y;
+         |  $na += $x * $x;
+         |  $nb += $y * $y;
          |}
-         |${ev.value} = ${ev.value}_dp /
-         |  (java.lang.Math.sqrt(${ev.value}_na) * java.lang.Math.sqrt(${ev.value}_nb));
+         |${ev.value} = $dp / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): CosineSimilarity =
