@@ -365,21 +365,29 @@ object SparkEntry {
       .orderBy("user_id", "session_id")
   }
 
+  /** Events with microsecond epoch timestamps (nanos truncated — see
+    * [[events]]) and orders with their date as epoch micros: the shared
+    * inputs of the as-of/range queries. o_orderdate arrives as
+    * TIMESTAMP_NTZ; the session is UTC, so the zoned cast reads the same
+    * instant DuckDB's epoch_us sees.
+    */
+  private def eventsUs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+  private def ordersUs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ot"),
+        col("o_orderkey"), col("o_totalprice"))
+
   /** Backward as-of join (see [[graft.pipeline.AsOf]]): each event aligned
     * to the user's most recent order at-or-before the event time — the
     * union+window composition, |L|+|R| work instead of a range-join
     * explosion.
     */
   private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
-      .select(col("event_id"), col("user_id"),
-        expr("ts DIV 1000").as("ts_us"))
-    val o = t(s, dir, "orders")
-      // o_orderdate arrives as TIMESTAMP_NTZ; the session is UTC, so the
-      // zoned cast reads the same instant DuckDB's epoch_us sees
-      .select(col("o_custkey"),
-        unix_micros(col("o_orderdate").cast("timestamp")).as("ot"),
-        col("o_orderkey"), col("o_totalprice"))
+    val e = eventsUs(s, dir)
+    val o = ordersUs(s, dir)
     graft.pipeline.AsOf.asofJoin(e, o,
         leftKey = "user_id", rightKey = "o_custkey",
         leftTime = "ts_us", rightTime = "ot",
@@ -390,20 +398,20 @@ object SparkEntry {
   }
 
   /** Range-window aggregate without a range join (see
-    * [[graft.pipeline.AsOf.rangeCount]]): orders per user in the 7 days
-    * before each event.
+    * [[graft.pipeline.AsOf.rangeCount]]): orders per user in the 10,000
+    * days before each event. The lookback deliberately lands INSIDE the
+    * fixtures' order-date range (orders 1995–2001, events 2024): a 7-day
+    * window would match zero orders everywhere and verify nothing — this
+    * one produces per-event counts whose lower boundary moves through the
+    * order history, exercising both interval edges.
     */
   private def qRangeCount(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
-      .select(col("event_id"), col("user_id"),
-        expr("ts DIV 1000").as("ts_us"))
-    val o = t(s, dir, "orders")
-      .select(col("o_custkey"),
-        unix_micros(col("o_orderdate").cast("timestamp")).as("ot"))
+    val e = eventsUs(s, dir)
+    val o = ordersUs(s, dir).select("o_custkey", "ot")
     graft.pipeline.AsOf.rangeCount(e, o,
         leftKey = "user_id", rightKey = "o_custkey",
         leftTime = "ts_us", rightTime = "ot",
-        lookback = 7L * 24 * 3600 * 1000000L, outCol = "n_orders_7d")
+        lookback = 10000L * 24 * 3600 * 1000000L, outCol = "n_orders_win")
       .orderBy("event_id")
   }
 
@@ -820,9 +828,9 @@ object SparkEntry {
     "q_range_count" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
          |o AS (SELECT o_custkey, epoch_us(o_orderdate) AS ot FROM orders)
-         |SELECT e.event_id, e.user_id, e.ts_us, COUNT(o.ot) AS n_orders_7d
+         |SELECT e.event_id, e.user_id, e.ts_us, COUNT(o.ot) AS n_orders_win
          |FROM e LEFT JOIN o ON o.o_custkey = e.user_id
-         |  AND o.ot > e.ts_us - 604800000000 AND o.ot <= e.ts_us
+         |  AND o.ot > e.ts_us - ${10000L * 24 * 3600 * 1000000L} AND o.ot <= e.ts_us
          |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "mask_fields_closure" ->
       s"""SELECT c_custkey,

@@ -54,9 +54,19 @@ object MaskCompiler {
     // fail with a masking-level message instead of a deep analysis error
     // when the blueprint references columns the table doesn't have
     // (mirrors the reference's behavior of failing the generated SQL, but
-    // at plan-build time with the offending names)
+    // at plan-build time with the offending names). The primary key is
+    // only demanded when something actually consumes it — #row#
+    // numbering, generator seeding, FK sync — so the defaulted Seq("id")
+    // doesn't reject tables without an id column.
+    val pkUsed = bp.sync.nonEmpty ||
+      bp.columns.exists {
+        case ColumnRule(_, _, Rule.Generator(_, _)) => true
+        case ColumnRule(_, _, Rule.Template(v)) => v.contains(RowToken)
+        case _ => false
+      }
     val have = df.columns.map(_.toLowerCase).toSet
-    val declared = bp.columns.map(_.name) ++ bp.primary ++ bp.sync.keys
+    val declared = bp.columns.map(_.name) ++ bp.sync.keys ++
+      (if (pkUsed) bp.primary else Seq.empty)
     val missing = declared.filterNot(c => have.contains(c.toLowerCase))
     require(missing.isEmpty,
       s"blueprint for table '${bp.table}' references missing column(s) " +

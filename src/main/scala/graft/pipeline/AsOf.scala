@@ -32,8 +32,8 @@ object AsOf {
     * same union+window as [[asofJoin]]; a cumulative count of right rows
     * evaluated at both probes subtracts to the interval count. Work is
     * 2·|L|+|R| behind one key shuffle — a 100 TB-safe substitute for the
-    * `BETWEEN` theta-join that would explode row pairs. Left rows must be
-    * distinct (they are the group identity for the probe pair).
+    * `BETWEEN` theta-join that would explode row pairs. Duplicate left
+    * rows are preserved (a per-row tag is the probe-pair identity).
     */
   def rangeCount(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
@@ -41,14 +41,22 @@ object AsOf {
       lookback: Long, outCol: String = "n_in_range"): DataFrame = {
     val leftCols = left.columns.toSeq
     checkNames(leftCols, Seq(outCol))
-    def probe(sign: Int, at: Column) = left.select(
+    // a per-row tag keeps duplicate left rows distinct through the final
+    // group-by: without it, identical rows would collapse into one output
+    // row carrying the summed (wrong) count
+    val tagged = left.withColumn("__uid", monotonically_increasing_id())
+    def probe(sign: Int, at: Column) = tagged.select(
       Seq(col(leftKey).as("__key"), at.as("__t"), lit(1).as("__side"),
         lit(0L).as("__isr"), lit(sign).as("__sign")) ++
-        leftCols.map(col): _*)
-    val rightSide = right.select(
+        (leftCols :+ "__uid").map(col): _*)
+    // SQL equality semantics: a NULL right key matches nothing — filtered
+    // here so null-key left rows (grouped into the null window partition)
+    // see no right rows and count zero
+    val rightSide = right.filter(col(rightKey).isNotNull).select(
       Seq(col(rightKey).as("__key"), col(rightTime).as("__t"),
         lit(0).as("__side"), lit(1L).as("__isr"), lit(0).as("__sign")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        lit(null).cast("bigint").as("__uid"): _*)
     val w = Window.partitionBy("__key")
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -57,13 +65,14 @@ object AsOf {
       .union(rightSide)
       .withColumn("__cum", sum(col("__isr")).over(w))
       .filter(col("__side") === 1)
-      .groupBy(leftCols.map(col): _*)
+      .groupBy((leftCols :+ "__uid").map(col): _*)
       .agg(sum(col("__sign") * col("__cum")).as(outCol))
+      .drop("__uid")
   }
 
   private val internalCols =
     Seq("__key", "__t", "__side", "__tb", "__payload", "__match", "__isr",
-      "__sign", "__cum")
+      "__sign", "__cum", "__uid")
 
   private def checkNames(leftCols: Seq[String], payloadCols: Seq[String]): Unit = {
     val clash = leftCols.intersect(internalCols)
@@ -90,8 +99,10 @@ object AsOf {
     val payloadType = right.select(payload.as("__p")).schema.head.dataType
 
     // identical column layout on both sides; right rows carry the payload,
-    // left rows carry typed nulls (explicit casts — no union coercion)
-    val rightSide = right.select(
+    // left rows carry typed nulls (explicit casts — no union coercion).
+    // NULL right keys are filtered: SQL equality semantics — a null-key
+    // left row must get a null payload, not match the null partition
+    val rightSide = right.filter(col(rightKey).isNotNull).select(
       Seq(col(rightKey).as("__key"), col(rightTime).as("__t"),
         lit(0).as("__side"), col(rightTiebreak).as("__tb"),
         payload.as("__payload")) ++

@@ -72,9 +72,11 @@ object Multimodal {
     * the frame decode behind it is stubbed.
     */
   def frameSampleOffsets(payload: Column, n: Int): Column = {
-    val len = octet_length(payload)
+    // 64-bit arithmetic: octet_length is 32-bit and len*i overflows ANSI
+    // int math for multi-GB payloads (the actual video use case)
+    val len = octet_length(payload).cast("bigint")
     array((0 until n).map(i =>
-      floor(len * lit(i) / lit(n)).cast("int")): _*)
+      floor(len * lit(i.toLong) / lit(n.toLong)).cast("bigint")): _*)
   }
 
   /** "Resize" stub: re-derives the stub features at a different resolution

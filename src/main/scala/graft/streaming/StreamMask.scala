@@ -74,7 +74,11 @@ object StreamMask {
   def runningUserTotals(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.selectExpr("user_id", "value").as[(Long, Double)]
+    events.selectExpr("user_id", "value")
+      // a null user_id/value would poison the primitive tuple encoder and
+      // kill the whole query; malformed events are dropped instead
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .as[(Long, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[UserTotals, (Long, Long, Double)](
         GroupStateTimeout.NoTimeout) { case (uid, rows, state) =>

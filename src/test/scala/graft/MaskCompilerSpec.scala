@@ -99,6 +99,17 @@ class MaskCompilerSpec extends SparkSpec {
     assert(out.map(_.getString(1)).toSeq == Seq("0-x-0", "1-x-1", "2-x-2"))
   }
 
+  test("defaulted primary key is not demanded unless something uses it") {
+    // df has no 'id' column; a static rule needs no pk → must compile
+    val noId = df.select(col("a"), col("b"))
+    val bp = Blueprint("t") { t => t.column("a").replaceWith("X") }
+    assert(MaskCompiler(noId, bp).collect().forall(_.getString(0) == "X"))
+    // but a #row# template DOES need the pk → clear failure
+    val bp2 = Blueprint("t") { t => t.column("a").replaceWith("X#row#") }
+    val e = intercept[IllegalArgumentException](MaskCompiler(noId, bp2))
+    assert(e.getMessage.contains("id"))
+  }
+
   test("unknown blueprint columns fail fast with the offending names") {
     val bp = Blueprint("t") { t =>
       t.primary("id"); t.column("nope").replaceWith("X")

@@ -107,8 +107,8 @@ class PipelineSpec extends SparkSpec {
       Multimodal.frameSampleOffsets(col("payload"), 4).as("offs")).collect()
     offsets.foreach { r =>
       val len = r.getInt(1)
-      val offs = r.getSeq[Int](2)
-      assert(offs.length == 4 && offs.head == 0)
+      val offs = r.getSeq[Long](2)
+      assert(offs.length == 4 && offs.head == 0L)
       assert(offs.forall(o => o >= 0 && o < len))
       assert(offs == offs.sorted)
     }
@@ -184,6 +184,43 @@ class PipelineSpec extends SparkSpec {
       Seq("v")).queryExecution.executedPlan.toString
     assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
       s"range-join explosion in plan:\n$plan")
+  }
+
+  test("as-of and range count: NULL keys never match (SQL semantics)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    import graft.pipeline.AsOf
+    val left = spark.createDataFrame(Seq(
+      Row(1L, null, 100L), Row(2L, java.lang.Long.valueOf(10L), 100L)
+    ).asJava, StructType.fromDDL("id BIGINT, k BIGINT, t BIGINT"))
+    val right = spark.createDataFrame(Seq(
+      Row(null, 50L, 1L, "nullkey"), Row(java.lang.Long.valueOf(10L), 50L, 2L, "real")
+    ).asJava, StructType.fromDDL("k BIGINT, t BIGINT, tb BIGINT, v STRING"))
+    val joined = AsOf.asofJoin(left, right, "k", "k", "t", "t", "tb", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(joined(1L).isEmpty, "null-key left row matched a null-key right row")
+    assert(joined(2L).contains("real"))
+    val counts = AsOf.rangeCount(left, right.select("k", "t"), "k", "k",
+        "t", "t", 100L, "n")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(counts == Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("range count preserves duplicate left rows with correct counts") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    import graft.pipeline.AsOf
+    val left = spark.createDataFrame(Seq(
+      Row(10L, 100L), Row(10L, 100L)  // byte-identical duplicates
+    ).asJava, StructType.fromDDL("k BIGINT, t BIGINT"))
+    val right = spark.createDataFrame(Seq(Row(10L, 60L)).asJava,
+      StructType.fromDDL("k BIGINT, t BIGINT"))
+    val got = AsOf.rangeCount(left, right, "k", "k", "t", "t", 50L, "n")
+      .collect().map(_.getLong(2))
+    assert(got.toSeq == Seq(1L, 1L),
+      s"expected both duplicate rows with count 1, got ${got.toSeq}")
   }
 
   test("range count: boundary semantics (t-Δ, t] and zero-match rows") {

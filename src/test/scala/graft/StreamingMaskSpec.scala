@@ -118,15 +118,25 @@ class StreamingMaskSpec extends SparkSpec {
     val streamed = runToMemory(
       StreamMask.runningUserTotals(streamingEvents), "state_stream", "update")
     val batch = batchEvents.groupBy("user_id")
-      .agg(count(lit(1)).as("n_events"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
     // update mode re-emits per batch; the LAST emission per user carries
-    // the cumulative total (single AvailableNow batch ⇒ one emission)
+    // the cumulative totals (single AvailableNow batch ⇒ one emission)
     val s = streamed.collect()
     assert(s.nonEmpty)
     val finalPerUser = s.groupBy(_.getLong(0))
-      .map { case (u, rs) => u -> rs.map(_.getLong(1)).max }
-    assert(finalPerUser == batch)
+      .map { case (u, rs) =>
+        val top = rs.maxBy(_.getLong(1))
+        u -> (top.getLong(1), top.getDouble(2))
+      }
+    finalPerUser.foreach { case (u, (n, sv)) =>
+      val (bn, bs) = batch(u)
+      assert(n == bn, s"user $u count")
+      assert(math.abs(sv - bs) <= math.abs(bs) * 1e-9 + 1e-9,
+        s"user $u sum: $sv vs $bs")
+    }
+    assert(finalPerUser.keySet == batch.keySet)
   }
 
   test("stream-static enrichment equals the batch join") {
