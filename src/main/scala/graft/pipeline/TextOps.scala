@@ -189,10 +189,14 @@ object TextOps {
     * partial top-k per partition via groupBy aggregate (no global window).
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 4, shingleK: Int = 3): DataFrame =
+      k: Int = 4, shingleK: Int = 3): DataFrame = {
+    // typed bottom-k Aggregator: per-group state and shuffle volume stay
+    // O(k) — a collect_set would buffer every distinct hash of the group
+    val bottomK = udaf(new graft.functions.BottomK(k),
+      org.apache.spark.sql.Encoders.STRING)
     explodedShingles(df, idCol, textCol, shingleK)
       .select(col(idCol), md5(col("shingle")).as("__h"))
       .groupBy(idCol)
-      .agg(array_join(slice(array_sort(collect_set(col("__h"))), 1, k), ",")
-        .as("fingerprint"))
+      .agg(array_join(bottomK(col("__h")), ",").as("fingerprint"))
+  }
 }

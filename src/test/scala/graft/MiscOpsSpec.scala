@@ -73,6 +73,31 @@ class MiscOpsSpec extends SparkSpec {
     flagged.foreach(r => assert(r.getAs[Long]("n_docs") >= 2))
   }
 
+  test("BottomK aggregator == collect_set+sort+slice on real shingles") {
+    val sh = TextOps.explodedShingles(docs.limit(100), "doc_id", "text", 3)
+      .select(col("doc_id"), md5(col("shingle")).as("h"))
+    val bottomK = udaf(new graft.functions.BottomK(4),
+      org.apache.spark.sql.Encoders.STRING)
+    val viaAgg = sh.groupBy("doc_id")
+      .agg(array_join(bottomK(col("h")), ",").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaSet = sh.groupBy("doc_id")
+      .agg(array_join(slice(array_sort(collect_set(col("h"))), 1, 4), ",")
+        .as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaAgg == viaSet)
+    // duplicates and small groups behave
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    val tiny = spark.createDataFrame(Seq(
+      Row(1L, "b"), Row(1L, "a"), Row(1L, "b"), Row(2L, "z")
+    ).asJava, org.apache.spark.sql.types.StructType
+      .fromDDL("id BIGINT, h STRING"))
+    val got = tiny.groupBy("id").agg(array_join(bottomK(col("h")), ",").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a,b", 2L -> "z"))
+  }
+
   test("standalone dot/norm primitives agree with the fused cosine") {
     val e = spark.read.parquet(s"$fixtures/embeddings.parquet").limit(50)
     val q = Seq.fill(64)(0.25f)
