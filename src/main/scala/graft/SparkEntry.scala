@@ -516,6 +516,10 @@ object SparkEntry {
       .orderBy(col("n_docs").desc, col("token"))
       .limit(20)
 
+  /** Per-document top tf·idf keyword (linear idf — engine-exact doubles). */
+  private def qTfidf(s: SparkSession, dir: String): DataFrame =
+    TextOps.topKeywords(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
   /** Bottom-k sketch fingerprint per document. */
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     TextOps.fingerprint(docs(s, dir), "doc_id", "text").orderBy("doc_id")
@@ -608,6 +612,7 @@ object SparkEntry {
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
     "q_vocab" -> (qVocab _),
+    "q_tfidf" -> (qTfidf _),
     "q_fingerprint" -> (qFingerprint _),
     "q_simhash" -> (qSimhash _),
     "q_sim_topk" -> (qSimTopk _),
@@ -925,6 +930,17 @@ object SparkEntry {
       s"""SELECT token, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
          |FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
          |GROUP BY token ORDER BY n_docs DESC, token LIMIT 20""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |w AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.dfreq,
+         |        tf.tf * (CAST(n.n AS DOUBLE) / dfq.dfreq) AS weight
+         |      FROM tf JOIN dfq USING (token) CROSS JOIN n)
+         |SELECT doc_id, token, tf, dfreq, weight FROM w
+         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, token) = 1
+         |ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       s"""WITH $shingleCte,
          |h AS (SELECT DISTINCT doc_id, md5(shingle) AS h FROM sh),

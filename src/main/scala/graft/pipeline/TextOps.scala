@@ -182,6 +182,30 @@ object TextOps {
       .agg(count(lit(1)).as("n_total"),
         countDistinct(col(idCol)).as("n_docs"))
 
+  /** Per-document top keyword by tf·idf. The idf is the LINEAR ratio
+    * N/df (not log-scaled): every weight is then a product/quotient of
+    * exact integers, bit-reproducible on any engine — `log` differs in the
+    * last ulp across libm implementations and can flip near-tie rankings.
+    * Ties break on the token string. Shapes: two hash aggregates + a
+    * per-doc window; the corpus size rides in as a broadcast scalar.
+    */
+  def topKeywords(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("dfreq"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val w = tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .withColumn("weight",
+        col("tf") * (col("__n").cast("double") / col("dfreq")))
+    w.withColumn("__rk", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("weight").desc, col("token"))))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("token"), col("tf"), col("dfreq"), col("weight"))
+  }
+
   /** Winnowing-style document fingerprint: the k lexicographically smallest
     * md5 hashes of the document's word shingles, joined — a bottom-k sketch.
     * Two documents sharing most shingles share most of the sketch; equal
