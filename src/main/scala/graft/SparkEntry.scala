@@ -269,6 +269,23 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
+  /** Exact percentiles (sort-based interpolated quantiles) per group. */
+  private def qPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
+        .as("price_quartiles"))
+      .orderBy("l_returnflag")
+
+  /** Histogram: fixed-width price buckets (integer-exact binning). */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(floor(col("l_extendedprice") / 10000).cast("bigint")
+        .as("price_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy("price_bucket")
+
   /** Exact + grouped distinct aggregation. */
   private def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -597,6 +614,8 @@ object SparkEntry {
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_distinct_agg" -> (qDistinctAgg _),
+    "q_percentile" -> (qPercentile _),
+    "q_histogram" -> (qHistogram _),
     "q_semi_join" -> (qSemiJoin _),
     "q_anti_join" -> (qAntiJoin _),
     "q_having" -> (qHaving _),
@@ -771,6 +790,15 @@ object SparkEntry {
          |FROM customer JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY ROLLUP (r_name, n_name) ORDER BY r_name, n_name""".stripMargin,
+    "q_percentile" ->
+      s"""SELECT l_returnflag,
+         |quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS price_quartiles
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_histogram" ->
+      s"""SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS price_bucket,
+         |COUNT(*) AS n,
+         |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_distinct_agg" ->
       s"""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
          |COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
