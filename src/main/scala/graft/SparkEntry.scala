@@ -286,6 +286,15 @@ object SparkEntry {
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
       .orderBy("price_bucket")
 
+  /** Pivot: revenue matrix returnflag × linestatus (wide aggregation). */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double"))
+      .withColumnRenamed("F", "rev_f").withColumnRenamed("O", "rev_o")
+      .orderBy("l_returnflag")
+
   /** Exact + grouped distinct aggregation. */
   private def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -616,6 +625,7 @@ object SparkEntry {
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_percentile" -> (qPercentile _),
     "q_histogram" -> (qHistogram _),
+    "q_pivot" -> (qPivot _),
     "q_semi_join" -> (qSemiJoin _),
     "q_anti_join" -> (qAntiJoin _),
     "q_having" -> (qHaving _),
@@ -790,6 +800,11 @@ object SparkEntry {
          |FROM customer JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY ROLLUP (r_name, n_name) ORDER BY r_name, n_name""".stripMargin,
+    "q_pivot" ->
+      s"""SELECT l_returnflag,
+         |CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS rev_f,
+         |CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS rev_o
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_percentile" ->
       s"""SELECT l_returnflag,
          |quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS price_quartiles
