@@ -116,14 +116,18 @@ object SparkEntry {
       b.column("c_mktsegment").where("c_acctbal > 0").replaceWith("MASKED")
     }.plan()("customer").orderBy("c_custkey")
 
-  /** R3/R4 true generator registry (xxhash64-seeded — not SQL-expressible,
-    * rows-only check): name/email/uuid/phone/city formatters.
+  /** R3/R4 generator registry on the portable (md5) seed, full value oracle:
+    * a two-formatter name column plus a construct-unique email — every
+    * generated value is re-derived by the DuckDB oracle. The xxhash64
+    * production seed path is covered by GenSpec determinism/injectivity
+    * tests (its values are not SQL-derivable by design).
     */
   private def maskGenerators(s: SparkSession, dir: String): DataFrame =
     anon(s, dir).table("customer") { b =>
       b.primary("c_custkey")
-      b.column("c_name").replaceWithGenerator("name")
-      b.column("c_mktsegment").replaceWithGenerator("email", unique = true)
+      b.seedWith(cols => Gen.seedPortable(cols: _*))
+      b.column("c_name").replaceWithGenerator("portableName")
+      b.column("c_mktsegment").replaceWithGenerator("portableEmail", unique = true)
     }.plan()("customer").orderBy("c_custkey")
 
   // ------------------------------------------------------------- relational
@@ -269,12 +273,17 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
-  /** Exact percentiles (sort-based interpolated quantiles) per group. */
+  /** Exact percentiles (sort-based interpolated quantiles) per group, as
+    * three scalar columns (the driver's hash compare can't digest an array
+    * column). The approximate production path for 100 TB group sizes is
+    * [[graft.pipeline.Percentiles.approxQuantiles]] — see SCALING.md.
+    */
   private def qPercentile(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
-        .as("price_quartiles"))
+      .agg(expr("percentile(l_extendedprice, 0.25D)").as("p25"),
+        expr("percentile(l_extendedprice, 0.5D)").as("p50"),
+        expr("percentile(l_extendedprice, 0.75D)").as("p75"))
       .orderBy("l_returnflag")
 
   /** Histogram: fixed-width price buckets (integer-exact binning). */
@@ -357,7 +366,9 @@ object SparkEntry {
     */
   private def qTimeBucket(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
-      .groupBy(date_trunc("hour", col("ts")).as("hour"),
+      // date_trunc re-zones its NTZ input; cast back so the written parquet
+      // stays timestamp[us] with no tz (matches DuckDB's naive TIMESTAMP)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(dec(col("value"))).cast("double").as("sum_value"))
@@ -514,7 +525,7 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
         sum(TextOps.tokenCount(col("text"))).as("sum_tokens"),
-        max(TextOps.tokenCount(col("text"))).as("max_tokens"),
+        max(TextOps.tokenCount(col("text"))).cast("bigint").as("max_tokens"),
         countDistinct(col("source")).as("n_sources"))
       .orderBy("lang")
 
@@ -807,7 +818,9 @@ object SparkEntry {
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_percentile" ->
       s"""SELECT l_returnflag,
-         |quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS price_quartiles
+         |quantile_cont(l_extendedprice, 0.25) AS p25,
+         |quantile_cont(l_extendedprice, 0.5) AS p50,
+         |quantile_cont(l_extendedprice, 0.75) AS p75
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_histogram" ->
       s"""SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS price_bucket,
@@ -891,6 +904,21 @@ object SparkEntry {
          |concat('F', CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS VARCHAR)) AS l_returnflag,
          |l_linestatus, l_shipdate
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "mask_generators" -> {
+      val fpool = inList(Gen.firstNamePool)
+      val lpool = inList(Gen.lastNamePool)
+      val seed = "md5(CAST(c_custkey AS VARCHAR))"
+      val fIdx = s"CAST((${nibSql(seed, 1)} * 16 + ${nibSql(seed, 2)}) " +
+        s"% ${Gen.firstNamePool.size} AS INT) + 1"
+      val lIdx = s"CAST((${nibSql(seed, 3)} * 16 + ${nibSql(seed, 4)}) " +
+        s"% ${Gen.lastNamePool.size} AS INT) + 1"
+      val first = s"list_extract([$fpool], $fIdx)"
+      val last = s"list_extract([$lpool], $lIdx)"
+      s"""SELECT c_custkey, $first || ' ' || $last AS c_name,
+         |c_nationkey, c_acctbal,
+         |lower($first) || '.' || CAST(c_custkey AS VARCHAR) || '@example.com' AS c_mktsegment
+         |FROM customer ORDER BY c_custkey""".stripMargin
+    },
     "mask_generator_oracle" -> {
       val pool = inList(Gen.firstNamePool)
       val seed = "md5(CAST(c_custkey AS VARCHAR))"
@@ -931,9 +959,12 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin
     },
     "q_text_stats" ->
-      s"""SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
-         |SUM(len($toksSql)) AS sum_tokens,
-         |MAX(len($toksSql)) AS max_tokens,
+      // CAST SUM/MAX to BIGINT: DuckDB SUM(integer) yields HUGEINT (float64
+      // in pandas) and MAX(len) INT vs Spark's int64 — dtype-exact both sides
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |CAST(SUM(len($toksSql)) AS BIGINT) AS sum_tokens,
+         |CAST(MAX(len($toksSql)) AS BIGINT) AS max_tokens,
          |COUNT(DISTINCT source) AS n_sources
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_lang_id" -> {

@@ -94,7 +94,28 @@ object Gen {
         "Rue de la Paix", "Avenue Victor Hugo", "Boulevard Voltaire",
         "Rue des Lilas", "Place du Marche", "Chemin Vert", "Rue Pasteur",
         "Allee des Tilleuls", "Quai des Brumes", "Impasse du Moulin"),
-      companySuffix = Seq("SARL", "SA", "SAS", "Groupe", "et Fils")))
+      companySuffix = Seq("SARL", "SA", "SAS", "Groupe", "et Fils")),
+    "de_DE" -> Pools(
+      firstNames = Seq(
+        "Hans", "Anna", "Peter", "Maria", "Klaus", "Ursula", "Wolfgang",
+        "Monika", "Jurgen", "Petra", "Stefan", "Sabine", "Thomas", "Karin",
+        "Michael", "Brigitte", "Andreas", "Heike", "Markus", "Claudia"),
+      lastNames = Seq(
+        "Muller", "Schmidt", "Schneider", "Fischer", "Weber", "Meyer",
+        "Wagner", "Becker", "Schulz", "Hoffmann", "Koch", "Bauer",
+        "Richter", "Klein", "Wolf", "Schroder", "Neumann", "Schwarz",
+        "Zimmermann", "Braun"),
+      cities = Seq(
+        "Neustadt", "Altdorf", "Grunberg", "Lindenfeld", "Steinbach",
+        "Rosenheim", "Waldburg", "Birkenau", "Falkensee", "Eichwalde"),
+      countries = Seq(
+        "Deutschland", "Osterreich", "Schweiz", "Frankreich", "Polen",
+        "Niederlande", "Belgien", "Danemark", "Tschechien", "Italien"),
+      streets = Seq(
+        "Hauptstrasse", "Bahnhofstrasse", "Gartenweg", "Lindenallee",
+        "Schulstrasse", "Bergweg", "Am Markt", "Kirchplatz", "Waldweg",
+        "Muhlenweg"),
+      companySuffix = Seq("GmbH", "AG", "KG", "OHG", "und Sohne")))
 
   /** Known generator locales (reference DEFAULT_GENERATOR_LOCALE). */
   def locales: Seq[String] = poolsByLocale.keys.toSeq.sorted
@@ -181,9 +202,38 @@ object Gen {
     date_add(lit(startIso).cast("date"),
       pmod(salt(s, "dt"), span + 1).cast("int"))
   }
+
+  /** Faker `dateTimeBetween` analog: a timestamp uniform (by seed) in
+    * [startIso, endIso) at second granularity.
+    */
+  def dateTimeBetween(s: Column, startIso: String, endIso: String): Column = {
+    val lo = unix_timestamp(lit(startIso).cast("timestamp"))
+    val hi = unix_timestamp(lit(endIso).cast("timestamp"))
+    timestamp_seconds(lo + pmod(salt(s, "dts"), hi - lo))
+  }
+
+  def word(s: Column): Column = pick(words, salt(s, "wd"))
   def sentence(s: Column, nWords: Int = 6): Column = {
     val parts = (0 until nWords).map(i => pick(words, salt(s, s"w$i")))
     concat(concat_ws(" ", parts: _*), lit("."))
+  }
+  /** Faker `text` analog: `nSentences` seeded sentences. */
+  def text(s: Column, nSentences: Int = 3): Column =
+    concat_ws(" ", (0 until nSentences)
+      .map(i => sentence(salt(s, s"sent$i"))): _*)
+
+  /** Faker numeric family: `randomDigit` 0–9, `randomDigitNotNull` 1–9,
+    * `randomNumber(d)` a d-digit number.
+    */
+  def randomDigit(s: Column): Column =
+    pmod(salt(s, "rd"), lit(10)).cast("int")
+  def randomDigitNotNull(s: Column): Column =
+    (pmod(salt(s, "rdn"), lit(9)) + 1).cast("int")
+  def randomNumber(s: Column, digits: Int = 5): Column = {
+    require(digits >= 1 && digits <= 18, s"digits out of range: $digits")
+    val lo = math.pow(10, digits - 1).toLong
+    val hi = math.pow(10, digits).toLong - 1
+    numberBetween(s, lo, hi)
   }
   def creditCardNumber(s: Column): Column = concat(
     lit("4"), lpad(pmod(salt(s, "cc1"), lit(1000000000L)).cast("string"), 9, "0"),
@@ -191,18 +241,27 @@ object Gen {
   def md5Hex(c: Column): Column = md5(c.cast("string"))
   def sha256Hex(c: Column): Column = sha2(c.cast("string"), 256)
 
-  /** Portable pool pick: index from the first two hex nibbles of an
-    * md5-string seed ([[seedPortable]]) — `conv` here, `(strpos(hex,c)-1)`
-    * arithmetic in an external oracle, same value.
+  /** Portable pool pick: index from two hex nibbles (1-based position
+    * `at`) of an md5-string seed ([[seedPortable]]) — `conv` here,
+    * `(strpos(hex,c)-1)` arithmetic in an external oracle, same value.
+    * Distinct nibble positions decorrelate formatters the way [[salt]]
+    * does for the xxhash64 family.
     */
-  private def pickPortable(pool: Seq[String], s: Column): Column =
+  private def pickPortable(pool: Seq[String], s: Column, at: Int = 1): Column =
     element_at(lit(pool.toArray),
-      pmod(conv(substring(s, 1, 2), 16, 10).cast("int"), lit(pool.size)) + 1)
+      pmod(conv(substring(s, at, 2), 16, 10).cast("int"), lit(pool.size)) + 1)
 
   def portableFirstName(s: Column): Column = pickPortable(firstNames, s)
+  def portableLastName(s: Column): Column = pickPortable(lastNames, s, 3)
+  def portableName(s: Column): Column =
+    concat_ws(" ", portableFirstName(s), portableLastName(s))
+  def portableEmail(s: Column): Column =
+    concat(lower(portableFirstName(s)), lit("."),
+      lower(portableLastName(s)), lit("@example.com"))
 
   /** Public pool views (for external oracles / tests). */
   def firstNamePool: Seq[String] = firstNames
+  def lastNamePool: Seq[String] = lastNames
 
   /** Construct-unique email: the primary-key rendering is embedded in the
     * local part, so uniqueness holds by construction across any cluster size
@@ -224,10 +283,27 @@ object Gen {
     "company" -> company _, "city" -> city _, "country" -> country _,
     "address" -> address _, "streetAddress" -> streetAddress _,
     "phoneNumber" -> phoneNumber _, "ipv4" -> ipv4 _, "uuid" -> uuid _,
+    "word" -> word _,
     "sentence" -> ((s: Column) => sentence(s)),
+    "text" -> ((s: Column) => text(s)),
+    // no-argument registry forms of the parameterized formatters; the
+    // parameterized Scala functions remain the precise API
+    "date" -> ((s: Column) => dateBetween(s, "1970-01-01", "2038-01-19")),
+    "dateTime" -> ((s: Column) =>
+      dateTimeBetween(s, "1970-01-01 00:00:00", "2038-01-19 00:00:00")),
+    "dateTimeBetween" -> ((s: Column) =>
+      dateTimeBetween(s, "1970-01-01 00:00:00", "2038-01-19 00:00:00")),
+    "randomDigit" -> randomDigit _,
+    "randomDigitNotNull" -> randomDigitNotNull _,
+    "randomNumber" -> ((s: Column) => randomNumber(s)),
+    "numberBetween" -> ((s: Column) => numberBetween(s, 0L, 2147483647L)),
+    "randomFloat" -> ((s: Column) => randomFloat(s, 0.0, 1.0, 6)),
     "creditCardNumber" -> creditCardNumber _,
     "md5" -> md5Hex _, "sha256" -> sha256Hex _,
-    "portableFirstName" -> portableFirstName _)
+    "portableFirstName" -> portableFirstName _,
+    "portableLastName" -> portableLastName _,
+    "portableName" -> portableName _,
+    "portableEmail" -> portableEmail _)
 
   def register(formatterName: String, f: Column => Column): Unit =
     synchronized { registry += formatterName -> f }
@@ -239,6 +315,11 @@ object Gen {
     formatterName match {
       case "email" | "safeEmail" => (s, pk) => uniqueEmail(s, pk)
       case "uuid" => (s, pk) => uuid(xxhash64(s, pk))
+      // portable construct-unique email: every piece (nibble pick + pk) is
+      // re-derivable by an external SQL oracle
+      case "portableEmail" => (s, pk) =>
+        concat(lower(portableFirstName(s)), lit("."), pk.cast("string"),
+          lit("@example.com"))
       case other =>
         (s, pk) => concat(formatter(other)(s), lit("-"), pk.cast("string"))
     }

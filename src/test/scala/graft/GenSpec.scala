@@ -60,6 +60,66 @@ class GenSpec extends SparkSpec {
     assert(p.subsetOf(Gen.firstNamePool.toSet))
   }
 
+  test("widened vocabulary: shape + determinism per formatter (SURVEY §2.4)") {
+    // string-valued formatters with a shape
+    val shapes = Map(
+      "word" -> "[a-z]+",
+      "sentence" -> "([a-z]+ ){5}[a-z]+\\.",
+      "text" -> "([a-z]+ )*[a-z]+\\.( ([a-z]+ )*[a-z]+\\.)*",
+      "portableName" -> "[A-Za-z]+ [A-Za-z]+",
+      "portableEmail" -> "[a-z]+\\.[a-z]+@example\\.com")
+    for ((f, re) <- shapes) {
+      val vals = gen(f).collect().map(r => r.getLong(0) -> r.getString(1))
+      vals.foreach { case (_, v) => assert(v.matches(re), s"$f: '$v'") }
+      val again = gen(f).collect().map(r => r.getLong(0) -> r.getString(1))
+      assert(vals.toMap == again.toMap, s"$f not deterministic")
+    }
+    // numeric / temporal formatters: range checks
+    val digits = customer.select(Gen.randomDigit(Gen.seed(col("c_custkey"))))
+      .collect().map(_.getInt(0))
+    assert(digits.forall(d => d >= 0 && d <= 9))
+    assert(digits.toSet.size > 3, "randomDigit degenerate")
+    val nn = customer.select(Gen.randomDigitNotNull(Gen.seed(col("c_custkey"))))
+      .collect().map(_.getInt(0))
+    assert(nn.forall(d => d >= 1 && d <= 9))
+    val rn = customer.select(Gen.randomNumber(Gen.seed(col("c_custkey")), 5))
+      .collect().map(_.getLong(0))
+    assert(rn.forall(v => v >= 10000L && v <= 99999L))
+    val dates = customer.select(Gen.dateBetween(Gen.seed(col("c_custkey")),
+        "2000-01-01", "2000-12-31").cast("string"))
+      .collect().map(_.getString(0))
+    assert(dates.forall(_.startsWith("2000-")))
+    val ts = customer.select(Gen.dateTimeBetween(Gen.seed(col("c_custkey")),
+        "2000-01-01 00:00:00", "2001-01-01 00:00:00").cast("string"))
+      .collect().map(_.getString(0))
+    assert(ts.forall(_.startsWith("2000-")))
+    // registry exposes the documented committed list
+    for (f <- Seq("word", "text", "date", "dateTimeBetween", "randomDigit",
+        "randomDigitNotNull", "randomNumber", "numberBetween", "randomFloat",
+        "portableName", "portableEmail", "portableLastName"))
+      Gen.formatter(f) // throws if missing
+  }
+
+  test("de_DE locale draws from the German pools") {
+    Gen.setLocale("de_DE")
+    try {
+      val de = gen("firstName").collect().map(_.getString(1)).toSet
+      assert(de.subsetOf(Gen.firstNamePool.toSet))
+      assert(de.intersect(Set("Hans", "Anna", "Klaus", "Ursula")).nonEmpty)
+    } finally Gen.setLocale("en_US")
+  }
+
+  test("portable unique email embeds the pk (oracle-derivable)") {
+    val n = customer.count()
+    val u = customer.select(
+      Gen.uniqueFormatter("portableEmail")(
+        Gen.seedPortable(col("c_custkey")),
+        col("c_custkey").cast("string")).as("v"))
+    assert(u.distinct().count() == n)
+    u.collect().map(_.getString(0)).foreach(v =>
+      assert(v.matches("[a-z]+\\.\\d+@example\\.com"), v))
+  }
+
   test("provider registration extends the registry (reference C4)") {
     Gen.register("testUpperCity", s => upper(Gen.city(s)))
     val v = gen("testUpperCity").collect().map(_.getString(1))
