@@ -479,12 +479,27 @@ object SparkEntry {
 
   /** Composite primary key (reference src/Blueprint.php:229–248,
     * example.php:12): `#row#` numbering ordered by the two-part key.
+    * The fixture's (l_orderkey, l_linenumber) is NOT unique, so the
+    * numbering order is extended over every remaining column — a total
+    * order (up to fully-identical rows, which are interchangeable), making
+    * tie assignment engine-independent instead of sort-luck.
     */
+  private val lineitemOrder = Seq("l_orderkey", "l_linenumber", "l_partkey",
+    "l_suppkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+  // output ordering: the unmasked columns, then the masked flag (unique per
+  // row) last — a total order over the OUTPUT, so tied source rows can't
+  // surface in engine-dependent order either
+  private val lineitemOutOrder =
+    lineitemOrder.filterNot(_ == "l_returnflag") :+ "l_returnflag"
+
   private def maskCompositePk(s: SparkSession, dir: String): DataFrame =
     anon(s, dir).table("lineitem") { b =>
       b.primary("l_orderkey", "l_linenumber")
+      b.rowNumberOrderBy(lineitemOrder: _*)
       b.column("l_returnflag").replaceWith("F#row#")
-    }.plan()("lineitem").orderBy("l_orderkey", "l_linenumber")
+    }.plan()("lineitem")
+      .orderBy(lineitemOutOrder.map(col): _*)
 
   /** Generator registry with the portable (md5-seeded) path, so the oracle
     * can re-derive every generated value — closes the `no_oracle` gap on the
@@ -901,9 +916,9 @@ object SparkEntry {
     "mask_composite_pk" ->
       s"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
          |l_extendedprice, l_discount, l_tax,
-         |concat('F', CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS VARCHAR)) AS l_returnflag,
+         |concat('F', CAST(row_number() OVER (ORDER BY ${lineitemOrder.mkString(", ")}) - 1 AS VARCHAR)) AS l_returnflag,
          |l_linestatus, l_shipdate
-         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+         |FROM lineitem ORDER BY ${lineitemOutOrder.mkString(", ")}""".stripMargin,
     "mask_generators" -> {
       val fpool = inList(Gen.firstNamePool)
       val lpool = inList(Gen.lastNamePool)

@@ -101,7 +101,14 @@ final case class Blueprint(
       * `xxhash64` ([[graft.functions.Gen.seed]], fastest). Swap in e.g. an
       * md5-based seed for cross-engine reproducibility of generated values.
       */
-    seedExpr: Option[Seq[Column] => Column] = None)
+    seedExpr: Option[Seq[Column] => Column] = None,
+    /** `#row#` numbering order; defaults to the primary key. Override when
+      * the primary key is not actually unique in the data (the reference
+      * never guarantees it — its `#row#` order is nondeterministic anyway,
+      * src/Anonymizer.php:310): tie rows would otherwise get numbers in
+      * engine-arbitrary order. Add enough columns for a total order.
+      */
+    rowNumberOrder: Option[Seq[String]] = None)
 
 /** Fluent builder mirroring the reference DSL's shape
   * (src/Blueprint.php:99–248): `column()` opens a column, a `replace*` call
@@ -114,6 +121,7 @@ final class BlueprintBuilder(table: String) {
   private var cols = Vector.empty[ColumnRule]
   private var sync = Map.empty[String, Seq[SyncTarget]]
   private var rowMode: RowNumberMode = RowNumberMode.Scalable
+  private var rowOrder: Option[Seq[String]] = None
   private var seedF: Option[Seq[Column] => Column] = None
   private var current: Option[String] = None
   private var currentWhere: Option[String] = None
@@ -121,6 +129,10 @@ final class BlueprintBuilder(table: String) {
   def primary(columns: String*): this.type = { primaryCols = columns; this }
   def globalWhere(predicate: String): this.type = { global = Some(predicate); this }
   def rowNumberMode(m: RowNumberMode): this.type = { rowMode = m; this }
+  /** Override the `#row#` numbering order (see [[Blueprint.rowNumberOrder]]). */
+  def rowNumberOrderBy(columns: String*): this.type = {
+    rowOrder = Some(columns); this
+  }
   /** Override the generator seed derivation (see [[Blueprint.seedExpr]]). */
   def seedWith(f: Seq[Column] => Column): this.type = { seedF = Some(f); this }
 
@@ -169,7 +181,7 @@ final class BlueprintBuilder(table: String) {
   }
 
   def build(): Blueprint =
-    Blueprint(table, primaryCols, global, cols, sync, rowMode, seedF)
+    Blueprint(table, primaryCols, global, cols, sync, rowMode, seedF, rowOrder)
 }
 
 object Blueprint {

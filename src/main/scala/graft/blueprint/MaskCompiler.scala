@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.StringType
 
 import graft.functions.Gen
 
@@ -66,7 +66,8 @@ object MaskCompiler {
       }
     val have = df.columns.map(_.toLowerCase).toSet
     val declared = bp.columns.map(_.name) ++ bp.sync.keys ++
-      (if (pkUsed) bp.primary else Seq.empty)
+      (if (pkUsed) bp.primary ++ bp.rowNumberOrder.getOrElse(Seq.empty)
+       else Seq.empty)
     val missing = declared.filterNot(c => have.contains(c.toLowerCase))
     require(missing.isEmpty,
       s"blueprint for table '${bp.table}' references missing column(s) " +
@@ -89,7 +90,8 @@ object MaskCompiler {
       when(coalesce(expr(g), lit(false)), lit(1)).otherwise(lit(0)))
     val withRn =
       if (needsRowNum)
-        RowNumbers.attach(df, bp.primary, bp.rowNumberMode, RowNumCol, rnPartition)
+        RowNumbers.attach(df, bp.rowNumberOrder.getOrElse(bp.primary),
+          bp.rowNumberMode, RowNumCol, rnPartition)
       else df
 
     // guards materialised pre-mask (reference scan-time / stored-row values)
@@ -193,52 +195,70 @@ object RowNumbers {
   }
 
   private val FlagCol = "__graft_rnflag"
+  private val MidCol = "__graft_rnmid"
+  private val PidCol = "__graft_rnpid"
+  private val AdjCol = "__graft_rnadj"
 
   /** Deterministic AND distributed 0-based numbering — the 100 TB default.
     *
-    * Range-partition by the order key, sort within partitions (one wide
+    * Range-partition by (flag, order key), sort within partitions (one wide
     * shuffle, all partitions in parallel), then fix up per-partition offsets
     * from a cheap count aggregate. The ranged frame is persisted
     * (memory-and-disk) so the count pass and the numbering pass execute the
-    * range shuffle exactly once.
+    * range shuffle exactly once AND see the identical partition layout
+    * (separate jobs over an uncached range shuffle can sample different
+    * boundaries — regression-tested).
+    *
+    * The numbering pass itself never leaves Tungsten: the per-partition
+    * index is decoded from `monotonically_increasing_id()`
+    * (pid << 33 | local index over exactly the pinned cache layout) and the
+    * per-(partition, flag) adjustment rides in through a broadcast hash
+    * join of a ≤2-rows-per-partition table — whole-stage codegen end to
+    * end, vs the previous `Row.fromSeq` RDD pass that boxed every row.
     *
     * `partitionFlag` groups the numbering (each flag value numbered 0..n-1
     * contiguously in key order) — identical semantics to the Ordered mode's
-    * flag-partitioned window, so oracle results are mode-independent.
+    * flag-partitioned window, so oracle results are mode-independent. The
+    * flag LEADS the range key, making each flag's rows contiguous in the
+    * global order, so the per-flag local index is `overall local index −
+    * (rows of smaller flags in this partition)` — plain arithmetic from the
+    * same counts, no per-flag scan state.
     */
   def scalable(df: DataFrame, orderCols: Seq[String], outCol: String,
       partitionFlag: Option[Column] = None): DataFrame = {
     val spark = df.sparkSession
-    val cols = orderCols.map(col)
     val withFlag = df.withColumn(FlagCol, partitionFlag.getOrElse(lit(1)))
-    val ranged = withFlag.repartitionByRange(cols: _*)
-      .sortWithinPartitions(cols: _*)
+    val sortCols = col(FlagCol) +: orderCols.map(col)
+    val ranged = withFlag.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // pass 1 (materialises the cache): per-partition per-flag counts — the
     // aggregate is partial map-side, the shuffle carries ≤ 2 rows/partition
     val counts = ranged
-      .groupBy(spark_partition_id().as("__pid"), col(FlagCol))
+      .groupBy(spark_partition_id().as(PidCol), col(FlagCol))
       .count()
       .collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
       .toMap
-    // offset(pid, flag) = rows of the same flag in earlier partitions
-    val offsets: Map[(Int, Int), Long] = counts.keys.map { case (pid, f) =>
-      (pid, f) -> (0 until pid).map(p => counts.getOrElse((p, f), 0L)).sum
-    }.toMap
-    val bc = spark.sparkContext.broadcast(offsets)
-    val flagIdx = ranged.schema.fieldIndex(FlagCol)
-    val schema = ranged.schema.add(outCol, LongType, nullable = false)
-    // pass 2: narrow numbering over the cached partitions
-    val rdd = ranged.rdd.mapPartitionsWithIndex { case (pid, it) =>
-      val local = scala.collection.mutable.Map.empty[Int, Long]
-      it.map { r =>
-        val f = r.getInt(flagIdx)
-        val i = local.getOrElse(f, 0L)
-        local(f) = i + 1
-        Row.fromSeq(r.toSeq :+ (bc.value.getOrElse((pid, f), 0L) + i))
-      }
+    // adjustment(pid, flag) = same-flag rows in earlier partitions (global
+    // offset) − smaller-flag rows in this partition (local start of the
+    // flag's contiguous run)
+    val adjRows = counts.keys.toSeq.sorted.map { case (pid, f) =>
+      val globalOffset = counts.collect {
+        case ((p, pf), c) if pf == f && p < pid => c }.sum
+      val localStart = counts.collect {
+        case ((p, pf), c) if p == pid && pf < f => c }.sum
+      (pid, f, globalOffset - localStart)
     }
-    spark.createDataFrame(rdd, schema).drop(FlagCol)
+    import spark.implicits._
+    val adj = adjRows.toDF(PidCol, FlagCol, AdjCol)
+    // pass 2: narrow, codegen numbering over the cached partitions
+    ranged
+      .withColumn(MidCol, monotonically_increasing_id())
+      .withColumn(PidCol, shiftright(col(MidCol), 33).cast("int"))
+      .join(broadcast(adj), Seq(PidCol, FlagCol))
+      .withColumn(outCol,
+        col(MidCol).bitwiseAND(lit((1L << 33) - 1)) + col(AdjCol))
+      .drop(FlagCol, MidCol, PidCol, AdjCol)
   }
 }
