@@ -273,17 +273,17 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
-  /** Exact percentiles (sort-based interpolated quantiles) per group, as
-    * three scalar columns (the driver's hash compare can't digest an array
-    * column). The approximate production path for 100 TB group sizes is
-    * [[graft.pipeline.Percentiles.approxQuantiles]] — see SCALING.md.
+  /** Exact percentiles per group as three scalar columns (the driver's
+    * hash compare can't digest an array column): ONE
+    * `percentile(col, array(…))` buffer for all three probabilities —
+    * see [[graft.pipeline.Percentiles.exactQuantiles]]. The approximate
+    * production path for 100 TB group sizes is
+    * [[graft.pipeline.Percentiles.approxQuantiles]] — see SCALING.md
+    * §Percentiles.
     */
   private def qPercentile(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, 0.25D)").as("p25"),
-        expr("percentile(l_extendedprice, 0.5D)").as("p50"),
-        expr("percentile(l_extendedprice, 0.75D)").as("p75"))
+    graft.pipeline.Percentiles.exactQuantiles(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_extendedprice", Seq(0.25, 0.5, 0.75))
       .orderBy("l_returnflag")
 
   /** Histogram: fixed-width price buckets (integer-exact binning). */
@@ -582,6 +582,17 @@ object SparkEntry {
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
     TextOps.simHash16(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  /** Hamming-≤1 SimHash near-dup pairs via pigeonhole banding (2 chunks of
+    * 8 bits; see [[graft.pipeline.Dedup.simHashNearPairs]]) on the
+    * oracle-portable 16-bit hash. Production: same operator at
+    * bits=64/k=3 over [[TextOps.simHash64]].
+    */
+  private def qSimhashNear(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearPairs(
+        TextOps.simHash16(docs(s, dir), "doc_id", "text"),
+        "doc_id", "simhash", k = 1, bits = 16)
+      .orderBy("id_a", "id_b")
+
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select("embedding").head.getSeq[Float](0)
@@ -601,6 +612,16 @@ object SparkEntry {
   private def qSimLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
     Similarity.signBandTopK(e, "vec_id", "embedding", queryVec(s, dir), 10)
+      .select("vec_id", "label", "cosine")
+  }
+
+  /** IVF-style ANN top-10: deterministic coarse quantizer (16 lowest-id
+    * vectors as centroids), nProbe=2 cells probed, exact cosine inside the
+    * probed cells — see [[graft.pipeline.Similarity.ivfTopK]].
+    */
+  private def qSimIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    Similarity.ivfTopK(e, "vec_id", "embedding", queryVec(s, dir), 10)
       .select("vec_id", "label", "cosine")
   }
 
@@ -670,8 +691,10 @@ object SparkEntry {
     "q_tfidf" -> (qTfidf _),
     "q_fingerprint" -> (qFingerprint _),
     "q_simhash" -> (qSimhash _),
+    "q_simhash_near" -> (qSimhashNear _),
     "q_sim_topk" -> (qSimTopk _),
     "q_sim_lsh" -> (qSimLsh _),
+    "q_sim_ivf" -> (qSimIvf _),
     "q_embed_dedup" -> (qEmbedDedup _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
   )
@@ -699,6 +722,22 @@ object SparkEntry {
     */
   private def nibSql(expr: String, i: Int): String =
     s"(strpos('0123456789abcdef', substr($expr, $i, 1)) - 1)"
+
+  /** Shared CTE chain ending in `sh16(doc_id, simhash)` — the DuckDB mirror
+    * of [[TextOps.simHash16]], used by both q_simhash and q_simhash_near.
+    */
+  private val simhash16Cte =
+    s"""toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |sbits AS (SELECT doc_id, tok, unnest(generate_series(0, 15)) AS b FROM toks),
+       |ssum AS (SELECT doc_id, b,
+       |  SUM(CASE WHEN CAST(floor(
+       |      (strpos('0123456789abcdef', substr(md5(tok), CAST(floor(b/4) AS INT) + 1, 1)) - 1)
+       |      / pow(2, b % 4)) AS BIGINT) % 2 = 1
+       |      THEN 1 ELSE -1 END) AS sb
+       |  FROM sbits GROUP BY doc_id, b),
+       |sh16 AS (SELECT doc_id,
+       |  CAST(SUM(CASE WHEN sb >= 0 THEN pow(2, b) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM ssum GROUP BY doc_id)""".stripMargin
 
   /** DuckDB sign-band signature `b` over `bitsPerBand` coordinates of a
     * list column (mirror of [[Similarity.signBands]]).
@@ -1038,17 +1077,18 @@ object SparkEntry {
          |SELECT doc_id, string_agg(h, ',' ORDER BY h) AS fingerprint
          |FROM top GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_simhash" ->
-      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-         |bits AS (SELECT doc_id, tok, unnest(generate_series(0, 15)) AS b FROM toks),
-         |s AS (SELECT doc_id, b,
-         |  SUM(CASE WHEN CAST(floor(
-         |      (strpos('0123456789abcdef', substr(md5(tok), CAST(floor(b/4) AS INT) + 1, 1)) - 1)
-         |      / pow(2, b % 4)) AS BIGINT) % 2 = 1
-         |      THEN 1 ELSE -1 END) AS sb
-         |  FROM bits GROUP BY doc_id, b)
-         |SELECT doc_id,
-         |  CAST(SUM(CASE WHEN sb >= 0 THEN pow(2, b) ELSE 0 END) AS BIGINT) AS simhash
-         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhash16Cte
+         |SELECT doc_id, simhash FROM sh16 ORDER BY doc_id""".stripMargin,
+    "q_simhash_near" ->
+      // the oracle is the SEMANTIC spec — all pairs at Hamming distance ≤1
+      // (an n² filter DuckDB happily runs at oracle scale); the Spark side
+      // must produce the identical set through the banded bucket join
+      s"""WITH $simhash16Cte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh16 a JOIN sh16 b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_sim_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |ex AS (SELECT e.vec_id, e.label, unnest(e.embedding) AS v,
@@ -1078,6 +1118,51 @@ object SparkEntry {
          |SELECT vec_id, label, dp / (sqrt(nv) * sqrt(nq)) AS cosine
          |FROM dots ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
     },
+    "q_sim_ivf" ->
+      // mirrors Similarity.ivfTopK exactly: centroids = 16 lowest-id
+      // corpus vectors (cell = rank-1); assignment = argmax cell cosine
+      // with ties toward the HIGHER cell (Spark's lexicographic struct
+      // max); probes = 2 centroids nearest the query with ties toward the
+      // LOWER cell (stable driver sort); all cosines are element-order
+      // folds (SUM ... ORDER BY i is bit-identical)
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |         embedding AS ce FROM corpus ORDER BY vec_id LIMIT 16),
+         |ax AS (SELECT e.vec_id, c.cell, unnest(e.embedding) AS v,
+         |         unnest(generate_series(1, len(e.embedding))) AS i, c.ce AS ce
+         |       FROM corpus e CROSS JOIN cent c),
+         |ad AS (SELECT vec_id, cell,
+         |    SUM(CAST(v AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+         |    SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS nc
+         |  FROM ax GROUP BY vec_id, cell),
+         |assign AS (SELECT vec_id, cell FROM ad
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cell DESC) = 1),
+         |qx AS (SELECT c.cell, unnest(c.ce) AS v,
+         |         unnest(generate_series(1, len(c.ce))) AS i, q.qe AS qe
+         |       FROM cent c, q),
+         |qd AS (SELECT cell,
+         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nc,
+         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+         |  FROM qx GROUP BY cell),
+         |probes AS (SELECT cell FROM qd
+         |  QUALIFY row_number() OVER (
+         |    ORDER BY dp / (sqrt(nc) * sqrt(nq)) DESC, cell ASC) <= 2),
+         |fx AS (SELECT e.vec_id, e.label, unnest(e.embedding) AS v,
+         |         unnest(generate_series(1, len(e.embedding))) AS i, q.qe AS qe
+         |       FROM corpus e
+         |       JOIN assign a ON a.vec_id = e.vec_id
+         |       JOIN probes p ON p.cell = a.cell, q),
+         |fd AS (SELECT vec_id, label,
+         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+         |  FROM fx GROUP BY vec_id, label)
+         |SELECT vec_id, label, dp / (sqrt(nv) * sqrt(nq)) AS cosine
+         |FROM fd ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "q_embed_dedup" -> {
       val bandSel = (0 until 8)
         .map(b => s"SELECT vec_id, $b AS band, ${bandSql("embedding", b, 8)} AS sig FROM embeddings")

@@ -76,9 +76,19 @@ object Dedup {
     * consecutive hashes into a band signature, explode to (band, sig), and
     * self-join on equality — the bucket join that replaces the n² scan.
     * Returns distinct (id_a, id_b) with id_a < id_b.
+    *
+    * @param maxBucket optional skew guard (mirrors
+    *   [[Similarity.signBandCandidates]]): band buckets larger than this
+    *   are dropped before the self-join. A boilerplate-heavy corpus (empty
+    *   docs, licence headers) concentrates one band signature, and that
+    *   bucket's pair count is quadratic in its size — the one way this
+    *   plan degenerates at scale. Standard LSH practice is to skip such
+    *   buckets: their members are caught by their other bands or are
+    *   degenerate duplicates better handled by exact dedup. `None`
+    *   (default) keeps the historical exact-recall behavior.
     */
   def lshCandidates(sigs: DataFrame, idCol: String, numHashes: Int,
-      rowsPerBand: Int): DataFrame = {
+      rowsPerBand: Int, maxBucket: Option[Int] = None): DataFrame = {
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
     val nBands = numHashes / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
@@ -89,8 +99,14 @@ object Dedup {
     val bands = sigs.select(col(idCol),
         explode(array(bandCols: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val a = bands.select(col(idCol).as("id_a"), col("band"), col("sig"))
-    val b = bands.select(col(idCol).as("id_b"), col("band"), col("sig"))
+    val kept = maxBucket.fold(bands) { m =>
+      val small = bands.groupBy("band", "sig")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") <= m)
+        .select("band", "sig")
+      bands.join(small, Seq("band", "sig"))
+    }
+    val a = kept.select(col(idCol).as("id_a"), col("band"), col("sig"))
+    val b = kept.select(col(idCol).as("id_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -124,7 +140,7 @@ object Dedup {
     */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numHashes: Int = 8, rowsPerBand: Int = 2,
-      shingleK: Int = 3): DataFrame = {
+      shingleK: Int = 3, maxBucket: Option[Int] = None): DataFrame = {
     // the shingle table feeds the signature aggregate, both sides of the
     // intersection join, and the size aggregate. It is deliberately NOT
     // persisted: the explode+distinct recomputes through whole-stage
@@ -134,19 +150,63 @@ object Dedup {
     // sources can persist the input df upstream
     val sh = shingles(df, idCol, textCol, shingleK)
     val sigs = minHashSignatures(sh, idCol, numHashes)
-    val cands = lshCandidates(sigs, idCol, numHashes, rowsPerBand)
+    val cands = lshCandidates(sigs, idCol, numHashes, rowsPerBand, maxBucket)
     jaccardVerify(cands, sh, idCol)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_inter", "jaccard")
   }
 
   /** SimHash-based near-dup candidate groups: documents sharing an exact
-    * 64-bit SimHash (Hamming distance 0). For distance ≤ k, band the hash
-    * into k+1 chunks and bucket-join per chunk (same LSH shape as MinHash).
+    * 64-bit SimHash (Hamming distance 0). For distance ≤ k see
+    * [[simHashNearPairs]].
     */
   def simHashGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     TextOps.simHash64(df, idCol, textCol)
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .filter(col("n_docs") > 1)
+
+  /** Hamming-distance-≤k SimHash pairs over a precomputed hash frame
+    * (`[[TextOps.simHash64]]` output, or the 16-bit portable
+    * `[[TextOps.simHash16]]`): band the `bits`-bit hash into k+1 chunks —
+    * by pigeonhole, two hashes within distance k agree EXACTLY on at least
+    * one chunk — bucket-join per chunk, then verify
+    * `bit_count(a XOR b) <= k`. The banding is a complete filter, so the
+    * result is exactly the distance-≤k pair set, through the same
+    * banded-bucket-join shape as MinHash LSH (never all-pairs; chunk
+    * width bits/(k+1) sets the bucket count, e.g. 64-bit k=3 → 16-bit
+    * chunks → 65 536 buckets per chunk).
+    *
+    * Output: (id_a, id_b, hamming), id_a < id_b, hamming ≤ k.
+    */
+  def simHashNearPairs(hashes: DataFrame, idCol: String,
+      hashCol: String = "simhash", k: Int = 3, bits: Int = 64): DataFrame = {
+    require(k >= 0 && k < bits, s"need 0 <= k < bits, got k=$k bits=$bits")
+    val nChunks = k + 1
+    // spread the bits as evenly as possible over the k+1 chunks
+    val sizes = (0 until nChunks).map(c =>
+      bits / nChunks + (if (c < bits % nChunks) 1 else 0))
+    val offsets = sizes.scanLeft(0)(_ + _)
+    val chunkCols = (0 until nChunks).map { c =>
+      val w = sizes(c)
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      struct(lit(c).as("chunk"),
+        shiftright(col(hashCol), offsets(c)).bitwiseAND(lit(mask)).as("sig"))
+    }
+    val chunks = hashes.select(col(idCol), col(hashCol),
+        explode(array(chunkCols: _*)).as("cs"))
+      .select(col(idCol), col(hashCol),
+        col("cs.chunk").as("chunk"), col("cs.sig").as("sig"))
+    val a = chunks.select(col(idCol).as("id_a"), col(hashCol).as("__ha"),
+      col("chunk"), col("sig"))
+    val b = chunks.select(col(idCol).as("id_b"), col(hashCol).as("__hb"),
+      col("chunk"), col("sig"))
+    a.join(b, Seq("chunk", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("bigint")
+          .as("hamming"))
+      .filter(col("hamming") <= k)
+      .distinct()
+  }
 }

@@ -22,6 +22,51 @@ class PipelineSpec extends SparkSpec {
     got.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.8))
   }
 
+  test("lshCandidates maxBucket guard bounds degenerate hot buckets") {
+    val s = spark
+    import s.implicits._
+    // 300 boilerplate copies share every MinHash band — without the guard
+    // that one bucket alone yields 300·299/2 candidate pairs (quadratic);
+    // with it, the hot buckets are dropped and only the small planted
+    // bucket survives
+    val boiler = (1 to 300).map(i =>
+      (i.toLong, "this licence header is repeated verbatim across the corpus"))
+    val planted = Seq(
+      (1001L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1002L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val df = (boiler ++ planted).toSeq.toDF("doc_id", "text")
+    val sh = Dedup.shingles(df, "doc_id", "text", 3)
+    val sigs = Dedup.minHashSignatures(sh, "doc_id", 8)
+    val unguarded = Dedup.lshCandidates(sigs, "doc_id", 8, 2).count()
+    assert(unguarded >= 300L * 299 / 2, s"expected quadratic blowup, got $unguarded")
+    val guarded = Dedup.lshCandidates(sigs, "doc_id", 8, 2, Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == Set((1001L, 1002L)),
+      s"guard should keep only the small planted bucket, got $guarded")
+  }
+
+  test("simHashNearPairs equals the brute-force Hamming filter (64-bit, k=3)") {
+    val h = TextOps.simHash64(docs, "doc_id", "text")
+    val near = Dedup.simHashNearPairs(h, "doc_id", "simhash", k = 3, bits = 64)
+    val plan = near.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), s"cartesian in plan:\n$plan")
+    val banded = near.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hashes = h.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(banded == brute,
+      s"banded ${banded.size} pairs vs brute ${brute.size}")
+    // a planted identical copy must surface at distance 0 for any k
+    val dup = docs.limit(1).withColumn("doc_id", lit(999999L))
+    val withDup = TextOps.simHash64(docs.unionAll(dup), "doc_id", "text")
+    val zero = Dedup.simHashNearPairs(withDup, "doc_id", "simhash", 1, 64)
+      .filter(col("id_b") === 999999L).collect()
+    assert(zero.length == 1 && zero.head.getLong(2) == 0L)
+  }
+
   test("exact dedup keeps one survivor per content group") {
     val withDup = docs.unionAll(docs.limit(5))
     val deduped = Dedup.dropExactDuplicates(withDup, "doc_id", "text")
@@ -260,6 +305,32 @@ class PipelineSpec extends SparkSpec {
     val expect = orders.groupBy("o_custkey").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(counts == expect)
+  }
+
+  test("approx quantiles track exact quantiles within the GK rank bound") {
+    import graft.pipeline.Percentiles
+    val li = spark.read.parquet(s"$fixtures/lineitem.parquet")
+    val probs = Seq(0.25, 0.5, 0.75)
+    val exact = Percentiles.exactQuantiles(li, Seq("l_returnflag"),
+        "l_extendedprice", probs).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    val approx = Percentiles.approxQuantiles(li, Seq("l_returnflag"),
+        "l_extendedprice", probs).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val (e25, e50, e75) = exact(r.getString(0))
+      // accuracy 10000 on groups of ≤ a few thousand rows: the sketch holds
+      // every value, so the approximate answer is a true element within one
+      // rank of the interpolated exact value — a tight relative tolerance
+      Seq(e25, e50, e75).zip(Seq(r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).foreach { case (e, a) =>
+        assert(math.abs(a - e) / math.max(math.abs(e), 1e-9) < 0.01,
+          s"approx $a vs exact $e for flag ${r.getString(0)}")
+      }
+    }
+    // default naming contract used by qPercentile
+    assert(Percentiles.defaultNames(probs) == Seq("p25", "p50", "p75"))
   }
 
   test("text ops: token counts and language profiles behave") {
