@@ -85,15 +85,22 @@ final class ParquetIO(spark: SparkSession, dir: String) extends TableIO {
   * the masking against the emptied table (data loss). The rename swap is
   * atomic on MySQL. FK checks are disabled for the session via
   * `sessionInitStatement` — the analog of the reference's
-  * `SET FOREIGN_KEY_CHECKS=0` (src/Anonymizer.php:440–444).
+  * `SET FOREIGN_KEY_CHECKS=0` (src/Anonymizer.php:440–444); `sessionInit`
+  * defaults to that MySQL statement and is overridable (or `None`) for
+  * engines with different FK-disable syntax — the Derby integration test
+  * exercises the full read/stage/commit path that way.
   */
 final class JdbcIO(spark: SparkSession, url: String,
     options: Map[String, String] = Map.empty,
-    partition: Option[JdbcPartitioning] = None) extends TableIO {
+    partition: Option[JdbcPartitioning] = None,
+    sessionInit: Option[String] = Some("SET FOREIGN_KEY_CHECKS=0"))
+    extends TableIO {
+  private def withInit(
+      r: org.apache.spark.sql.DataFrameReader): org.apache.spark.sql.DataFrameReader =
+    sessionInit.fold(r)(s => r.option("sessionInitStatement", s))
   def read(table: String): DataFrame = {
-    val base = spark.read.format("jdbc").options(options)
-      .option("url", url).option("dbtable", table)
-      .option("sessionInitStatement", "SET FOREIGN_KEY_CHECKS=0")
+    val base = withInit(spark.read.format("jdbc").options(options)
+      .option("url", url).option("dbtable", table))
     // partition-parallel scan: numPartitions concurrent range queries — the
     // Spark-side analog of the reference's NB_MAX_MYSQL_CLIENT pool
     partition.fold(base) { p =>
@@ -103,11 +110,12 @@ final class JdbcIO(spark: SparkSession, url: String,
         .option("numPartitions", p.numPartitions.toString)
     }.load()
   }
-  override def stage(table: String, df: DataFrame): Unit =
-    df.write.format("jdbc").options(options)
+  override def stage(table: String, df: DataFrame): Unit = {
+    val w = df.write.format("jdbc").options(options)
       .option("url", url).option("dbtable", s"${table}__graft_staging")
-      .option("sessionInitStatement", "SET FOREIGN_KEY_CHECKS=0")
+    sessionInit.fold(w)(s => w.option("sessionInitStatement", s))
       .mode("overwrite").save()
+  }
   override def commit(table: String): Unit = withConnection { st =>
     val staging = s"${table}__graft_staging"
     // TRUNCATE + INSERT..SELECT instead of a RENAME swap: the target keeps
@@ -131,7 +139,7 @@ final class JdbcIO(spark: SparkSession, url: String,
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
-      try { st.execute("SET FOREIGN_KEY_CHECKS=0"); f(st) } finally st.close()
+      try { sessionInit.foreach(st.execute); f(st) } finally st.close()
     } finally conn.close()
   }
 }

@@ -7,14 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column handling: image/audio/video payloads ride through the
   * pipeline as opaque `binary` columns with a typed metadata struct, and
   * decode/feature-extraction runs as a *partition-batched* transformation —
-  * the executor-side loop a real codec would plug into.
+  * the executor-side loop that amortises codec init across a partition.
   *
-  * The actual byte decoding is STUBBED (this environment has no image/audio
-  * codecs): [[StubCodec]] derives deterministic fake dimensions/features
-  * from the bytes. Everything around it — the schema contract, the
-  * mapPartitions batch shape, the narrow no-shuffle plan — is the real
-  * production plumbing; swapping [[StubCodec]] for a JNI/javacpp codec
-  * changes no query shape.
+  * Image decode is REAL (JDK-only `javax.imageio`: PNG/JPEG/GIF/BMP);
+  * payloads that aren't a decodable image fall back deterministically to an
+  * opaque-bytes profile (octet-stream mime, 0×0 dims, byte histogram) — the
+  * decode is total, never throws, and is stable across executors/retries,
+  * which a distributed codec must be (a task retry that decodes differently
+  * corrupts downstream joins). Audio/video codecs are not in the JDK; their
+  * payloads take the opaque-bytes path with the same plumbing.
   */
 object Multimodal {
 
@@ -25,28 +26,79 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("n_frames", IntegerType, nullable = false)))
 
-  /** DETERMINISTIC STUB of a media decoder: "dimensions" are md5-nibble
-    * functions of the payload, "features" a byte-histogram projection.
-    * Stable across executors/retries, which is exactly the property a real
-    * codec must also have.
+  /** Executor-side media decoder contract: total functions from bytes to
+    * metadata/features. Implementations MUST be deterministic — Spark
+    * retries tasks, and a retry that decodes differently breaks exactness
+    * guarantees downstream.
     */
-  object StubCodec {
-    def meta(bytes: Array[Byte]): (String, Int, Int, Int) = {
-      val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-      def nib(i: Int): Int = (h(i / 2) >> (4 * (1 - i % 2))) & 0xf
-      ("application/x-graft-stub",
-        64 + nib(0) * 16 + nib(1), 64 + nib(2) * 16 + nib(3), 1 + nib(4))
-    }
-    /** Fake feature vector: dim-bucketed byte histogram, L1-normalised. */
-    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
-      val counts = new Array[Float](dim)
-      var i = 0
-      while (i < bytes.length) { counts((bytes(i) & 0xff) % dim) += 1f; i += 1 }
-      val total = math.max(bytes.length, 1).toFloat
-      var j = 0
-      while (j < dim) { counts(j) /= total; j += 1 }
-      counts
-    }
+  trait MediaCodec extends Serializable {
+    def meta(bytes: Array[Byte]): (String, Int, Int, Int)
+    def features(bytes: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** Real image decode via the JDK's `javax.imageio` — no external codecs.
+    * Magic-byte sniff (PNG/JPEG/GIF/BMP) then a full pixel decode; images
+    * yield (mime, width, height, 1) and a luminance histogram, anything
+    * else yields ("application/octet-stream", 0, 0, 0) and an L1-normalised
+    * byte histogram. `ImageIO` lookup is cached per JVM, so the per-row
+    * cost is the decode itself; [[decodePartitioned]] batches rows per
+    * partition around it.
+    */
+  object ImageCodec extends MediaCodec {
+    private def sniff(b: Array[Byte]): Option[String] =
+      if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G') Some("image/png")
+      else if (b.length >= 3 && (b(0) & 0xff) == 0xff &&
+        (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) Some("image/jpeg")
+      else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8') Some("image/gif")
+      else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') Some("image/bmp")
+      else None
+
+    private def decode(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+      catch { case _: Exception => None }
+
+    def meta(bytes: Array[Byte]): (String, Int, Int, Int) =
+      sniff(bytes).flatMap(m => decode(bytes).map(img =>
+        (m, img.getWidth, img.getHeight, 1)))
+        .getOrElse(("application/octet-stream", 0, 0, 0))
+
+    /** Images: `dim`-bucket luminance (BT.601) histogram over the decoded
+      * pixels; non-images: `dim`-bucket byte histogram. Both L1-normalised.
+      */
+    def features(bytes: Array[Byte], dim: Int): Array[Float] =
+      (if (sniff(bytes).isDefined) decode(bytes) else None) match {
+        case Some(img) =>
+          val counts = new Array[Float](dim)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+                + 114 * (rgb & 0xff)) / 1000
+              counts(lum * dim / 256) += 1f
+              x += 1
+            }
+            y += 1
+          }
+          val total = math.max(w * h, 1).toFloat
+          var j = 0
+          while (j < dim) { counts(j) /= total; j += 1 }
+          counts
+        case None =>
+          val counts = new Array[Float](dim)
+          var i = 0
+          while (i < bytes.length) {
+            counts((bytes(i) & 0xff) % dim) += 1f; i += 1
+          }
+          val total = math.max(bytes.length, 1).toFloat
+          var j = 0
+          while (j < dim) { counts(j) /= total; j += 1 }
+          counts
+      }
   }
 
   /** Stand-in payload column: the UTF-8 bytes of a text column (fixtures
@@ -54,8 +106,11 @@ object Multimodal {
     */
   def payloadOf(text: Column): Column = text.cast("binary")
 
-  /** Pure-Column metadata derivation (oracle-portable md5-nibble formulas —
-    * mirrors [[StubCodec.meta]] for UTF-8 payloads).
+  /** Pure-Column synthetic metadata for payloads with no embedded metadata
+    * (oracle-portable md5-nibble formulas over the bytes) — the
+    * oracle-checkable stand-in exercised by q_multimodal_meta, since the
+    * fixtures carry text payloads, not media. Real images go through
+    * [[ImageCodec]]/[[decodePartitioned]] instead.
     */
   def metaColumns(payload: Column): Seq[Column] = {
     def nib(i: Int): Column =
@@ -66,10 +121,10 @@ object Multimodal {
       (nib(5) + 1).as("n_frames"))
   }
 
-  /** Deterministic frame-sample stub: `n` byte offsets spread evenly
+  /** Deterministic frame-sample offsets: `n` byte offsets spread evenly
     * through the payload (a video codec would decode the frames at these
-    * offsets). Pure Column arithmetic — the sampling plan is real, only
-    * the frame decode behind it is stubbed.
+    * offsets). Pure Column arithmetic — the sampling plan is real; frame
+    * decode would plug into [[decodePartitioned]]'s codec.
     */
   def frameSampleOffsets(payload: Column, n: Int): Column = {
     // 64-bit arithmetic: octet_length is 32-bit and len*i overflows ANSI
@@ -79,9 +134,9 @@ object Multimodal {
       floor(len * lit(i.toLong) / lit(n.toLong)).cast("bigint")): _*)
   }
 
-  /** "Resize" stub: re-derives the stub features at a different resolution
-    * (bucket count). Mirrors how a real pipeline recomputes features after
-    * a resize — same batched executor loop, different codec parameters.
+  /** "Resize": re-derives features at a different resolution (bucket
+    * count) — the same batched executor loop with different codec
+    * parameters, as a real post-resize feature recompute would be.
     */
   def resizeFeatures(df: DataFrame, payloadCol: String,
       newDim: Int): DataFrame = decodePartitioned(df, payloadCol, newDim)
@@ -92,7 +147,7 @@ object Multimodal {
     * input + meta struct + `features array<float>`.
     */
   def decodePartitioned(df: DataFrame, payloadCol: String,
-      featureDim: Int = 16): DataFrame = {
+      featureDim: Int = 16, codec: MediaCodec = ImageCodec): DataFrame = {
     val schema = df.schema
       .add("meta", mediaMetaType, nullable = false)
       .add("features", ArrayType(FloatType, containsNull = false),
@@ -103,9 +158,9 @@ object Multimodal {
       // per-partition codec init would go here (once, not per row)
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
-        val (mime, w, h, f) = StubCodec.meta(bytes)
+        val (mime, w, h, f) = codec.meta(bytes)
         Row.fromSeq(r.toSeq :+ Row(mime, w, h, f) :+
-          StubCodec.features(bytes, featureDim).toSeq)
+          codec.features(bytes, featureDim).toSeq)
       }
     }(enc)
   }

@@ -162,7 +162,7 @@ class PipelineSpec extends SparkSpec {
       assert(r.getSeq[Float](r.fieldIndex("features")).length == 8))
   }
 
-  test("multimodal decode: deterministic stub, typed meta, normalized features") {
+  test("multimodal decode: non-image payloads take the deterministic opaque path") {
     val withBin = docs.limit(20)
       .withColumn("payload", Multimodal.payloadOf(col("text")))
     val a = Multimodal.decodePartitioned(withBin, "payload")
@@ -173,7 +173,8 @@ class PipelineSpec extends SparkSpec {
       assert(feats.length == 16)
       assert(math.abs(feats.sum - 1.0f) < 1e-3)
       val meta = r.getStruct(r.fieldIndex("meta"))
-      assert(meta.getInt(1) >= 64 && meta.getInt(1) < 64 + 256)
+      assert(meta.getString(0) == "application/octet-stream")
+      assert(meta.getInt(1) == 0 && meta.getInt(2) == 0 && meta.getInt(3) == 0)
     }
     // Array[Byte].toString is identity-based — compare on doc_id/meta/
     // features, which carry the full decode output
@@ -184,6 +185,41 @@ class PipelineSpec extends SparkSpec {
     }.sortBy(_._1).toSeq
     val b = Multimodal.decodePartitioned(withBin, "payload").collect()
     assert(key(rows.toArray) == key(b))
+  }
+
+  test("imageio decode: real PNG/JPEG dimensions and luminance features") {
+    val s = spark
+    import s.implicits._
+    def img(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, img(20, 10, 0xffffff, "png")),
+      (2L, img(5, 8, 0x000000, "png")),
+      (3L, img(12, 7, 0x808080, "jpg")),
+      (4L, "definitely not an image".getBytes("UTF-8"))
+    ).toDF("id", "payload")
+    val got = Multimodal.decodePartitioned(df, "payload").collect()
+      .map(r => r.getLong(0) -> (r.getStruct(2), r.getSeq[Float](3))).toMap
+    val (m1, f1) = got(1L)
+    assert(m1.getString(0) == "image/png" &&
+      m1.getInt(1) == 20 && m1.getInt(2) == 10 && m1.getInt(3) == 1)
+    assert(f1.last == 1.0f && f1.init.forall(_ == 0f),
+      "white image: all luminance mass in the top bucket")
+    val (m2, f2) = got(2L)
+    assert(m2.getInt(1) == 5 && m2.getInt(2) == 8)
+    assert(f2.head == 1.0f, "black image: all mass in bucket 0")
+    val (m3, f3) = got(3L)
+    assert(m3.getString(0) == "image/jpeg" &&
+      m3.getInt(1) == 12 && m3.getInt(2) == 7)
+    assert(math.abs(f3.sum - 1.0f) < 1e-3)
+    val (m4, _) = got(4L)
+    assert(m4.getString(0) == "application/octet-stream" && m4.getInt(1) == 0)
   }
 
   test("native cosine expression is bit-identical to the portable fold") {
