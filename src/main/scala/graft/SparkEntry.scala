@@ -562,6 +562,25 @@ object SparkEntry {
         TextOps.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** Gopher-style repetition signals per document: top-word dominance and
+    * duplicate-bigram fraction (see [[graft.pipeline.TextOps.repetitionStats]]).
+    */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  /** Train/test decontamination: corpus docs sharing ≥3 word-3-grams with a
+    * benchmark doc (the doc_id%10==0 split stands in for the held-out set) —
+    * see [[graft.pipeline.Dedup.crossCorpusOverlap]].
+    */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.crossCorpusOverlap(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleK = 3, minShared = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Corpus vocabulary table: occurrences + document frequency per token. */
   private def qVocab(s: SparkSession, dir: String): DataFrame =
     TextOps.termFrequencies(docs(s, dir), "doc_id", "text")
@@ -687,6 +706,8 @@ object SparkEntry {
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
+    "q_repetition" -> (qRepetition _),
+    "q_decontaminate" -> (qDecontaminate _),
     "q_vocab" -> (qVocab _),
     "q_tfidf" -> (qTfidf _),
     "q_fingerprint" -> (qFingerprint _),
@@ -1054,6 +1075,33 @@ object SparkEntry {
          |    0.0), 1.0) AS quality
          |FROM f ORDER BY doc_id""".stripMargin
     },
+    "q_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |pt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+         |ws AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |         COUNT(*) AS n_distinct_tokens,
+         |         CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_word_frac
+         |       FROM pt GROUP BY 1),
+         |nm AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |bp AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i
+         |       FROM nm WHERE len(w) >= 2),
+         |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram FROM bp),
+         |bs AS (SELECT doc_id,
+         |         CAST(COUNT(*) - COUNT(DISTINCT bigram) AS DOUBLE) / COUNT(*)
+         |           AS dup_bigram_frac
+         |       FROM bg GROUP BY 1)
+         |SELECT ws.doc_id, ws.n_tokens, ws.n_distinct_tokens,
+         |  ws.top_word_frac, COALESCE(bs.dup_bigram_frac, 0.0) AS dup_bigram_frac
+         |FROM ws LEFT JOIN bs ON bs.doc_id = ws.doc_id
+         |ORDER BY ws.doc_id""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH $shingleCte,
+         |ca AS (SELECT doc_id AS id_a, shingle FROM sh WHERE doc_id % 10 <> 0),
+         |cb AS (SELECT doc_id AS id_b, shingle FROM sh WHERE doc_id % 10 = 0)
+         |SELECT ca.id_a, cb.id_b, COUNT(*) AS n_shared
+         |FROM ca JOIN cb USING (shingle)
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_vocab" ->
       s"""SELECT token, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
          |FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)

@@ -166,6 +166,40 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .filter(col("n_docs") > 1)
 
+  /** Cross-corpus contamination scan — the train/test decontamination pass
+    * of a training-data pipeline: for every (corpus doc, benchmark doc)
+    * pair sharing at least `minShared` distinct word-`shingleK`-grams,
+    * return the pair with its shared-shingle count. Shape: both sides
+    * explode to distinct (id, shingle) [narrow], equi-join on the shingle
+    * [one shuffle each side], then a pair-keyed count — work is
+    * proportional to actually-shared shingles, never |corpus|×|bench|.
+    *
+    * @param maxShingleDf optional stop-shingle guard: shingles occurring in
+    *   more than this many BENCHMARK docs are dropped before the join.
+    *   Ubiquitous shingles ("in terms of the") are hot join keys that
+    *   contribute joins ∝ corpusDf·benchDf while carrying no contamination
+    *   signal; capping them is the standard mitigation. `None` keeps exact
+    *   counts. Production note: join on `xxhash64(shingle)` to shrink
+    *   shuffle width ~3× when oracle-exact string equality isn't required.
+    */
+  def crossCorpusOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 3, minShared: Int = 1,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val shC = TextOps.explodedShingles(corpus, idCol, textCol, shingleK)
+      .select(col(idCol).as("id_a"), col("shingle"))
+    val shB0 = TextOps.explodedShingles(bench, idCol, textCol, shingleK)
+      .select(col(idCol).as("id_b"), col("shingle"))
+    val shB = maxShingleDf.fold(shB0) { m =>
+      val keep = shB0.groupBy("shingle").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= m).select("shingle")
+      shB0.join(keep, Seq("shingle"))
+    }
+    shC.join(shB, Seq("shingle"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Hamming-distance-≤k SimHash pairs over a precomputed hash frame
     * (`[[TextOps.simHash64]]` output, or the 16-bit portable
     * `[[TextOps.simHash16]]`): band the `bits`-bit hash into k+1 chunks —

@@ -170,6 +170,46 @@ object TextOps {
           element_at(col("__toks"), col("__i") + lit(j))): _*).as("shingle"))
       .distinct()
 
+  /** Repetition statistics per document — the classic corpus-curation
+    * repetition signals (high duplicate-n-gram or single-word dominance
+    * marks generated/boilerplate text): token count, distinct-token count,
+    * the most-frequent word's share of all tokens, and the fraction of
+    * word-bigram occurrences that are repeats of an earlier bigram in the
+    * same document. All int/int double divisions — engine-exact. Shape:
+    * one explode + two hash aggregates keyed by doc id; state per group is
+    * O(distinct tokens of the doc), never corpus-global.
+    */
+  def repetitionStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val perTok = toks.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("__c"))
+    val wordStats = perTok.groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        max(col("__c")).as("__maxc"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct_tokens"),
+        (col("__maxc").cast("double") / col("n_tokens")).as("top_word_frac"))
+    val bi = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(when(size(col("__toks")) >= 2,
+            sequence(lit(1), size(col("__toks")) - lit(1)))
+          .otherwise(array().cast("array<int>"))).as("__i"))
+      .select(col(idCol), concat_ws(" ",
+        element_at(col("__toks"), col("__i")),
+        element_at(col("__toks"), col("__i") + 1)).as("bigram"))
+    val biStats = bi.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nbi"),
+        countDistinct(col("bigram")).as("__nbid"))
+      .select(col(idCol),
+        ((col("__nbi") - col("__nbid")).cast("double") / col("__nbi"))
+          .as("dup_bigram_frac"))
+    // left join: a 1-token doc has no bigrams — its repetition is 0.0
+    wordStats.join(biStats, Seq(idCol), "left")
+      .withColumn("dup_bigram_frac",
+        coalesce(col("dup_bigram_frac"), lit(0.0)))
+  }
+
   /** Corpus vocabulary statistics: per token, total occurrences and
     * document frequency — one explode + one hash aggregate, the standard
     * first pass of corpus curation (stop-list mining, vocab pruning,

@@ -369,6 +369,49 @@ class PipelineSpec extends SparkSpec {
     assert(Percentiles.defaultNames(probs) == Seq("p25", "p50", "p75"))
   }
 
+  test("repetition stats: dominance and duplicate-bigram fractions are exact") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam"),     // bigrams: 3×"spam spam" → dup 2/3
+      (2L, "one two three"),           // all distinct
+      (3L, "solo")                     // no bigrams at all
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((4L, 1L, 1.0, 2.0 / 3.0)))
+    assert(got(2L) == ((3L, 3L, 1.0 / 3.0, 0.0)))
+    assert(got(3L) == ((1L, 1L, 1.0, 0.0)))
+  }
+
+  test("cross-corpus overlap counts shared shingles; df cap drops hot keys") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),  // shares 2 shingles with 100
+      (2L, "totally different words here now") // shares none
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta zeta"),   // first two 3-grams match doc 1
+      (101L, "unrelated benchmark content entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossCorpusOverlap(corpus, bench, "doc_id", "text",
+        shingleK = 3, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 100L) -> 2L),
+      s"expected doc1↔100 sharing 2 shingles, got $got")
+    // a shingle present in >maxShingleDf benchmark docs is dropped
+    val hotBench = (200L to 205L)
+      .map(i => (i, "alpha beta gamma delta zeta")).toDF("doc_id", "text")
+    val capped = Dedup.crossCorpusOverlap(corpus, hotBench, "doc_id", "text",
+      3, 1, maxShingleDf = Some(3)).count()
+    assert(capped == 0L, "df cap should drop the ubiquitous shingles")
+    val uncapped = Dedup.crossCorpusOverlap(corpus, hotBench, "doc_id",
+      "text", 3, 1).count()
+    assert(uncapped == 6L)
+  }
+
   test("text ops: token counts and language profiles behave") {
     val row = docs.select(TextOps.tokenCount(col("text")).as("n"),
       TextOps.langId(col("text")).as("lang")).collect()
