@@ -581,6 +581,23 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Free-text PII scrub ([[graft.pipeline.TextOps.redactPii]]): the fixture
+    * corpus carries no PII, so the query synthesises a deterministic
+    * contact string per customer (e-mail + phone + URL) and verifies the
+    * full redacted text plus per-kind hit counts against the oracle
+    * running the byte-identical patterns.
+    */
+  private def qPii(s: SparkSession, dir: String): DataFrame = {
+    val synth = concat(lit("reach user"), col("c_custkey").cast("string"),
+      lit("@example.com or call 555-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+      lit(" visit https://example.com/u/"), col("c_custkey").cast("string"))
+    t(s, dir, "customer")
+      .select(col("c_custkey") +: TextOps.redactPii(synth).as("redacted") +:
+        TextOps.piiCounts(synth): _*)
+      .orderBy("c_custkey")
+  }
+
   /** Corpus vocabulary table: occurrences + document frequency per token. */
   private def qVocab(s: SparkSession, dir: String): DataFrame =
     TextOps.termFrequencies(docs(s, dir), "doc_id", "text")
@@ -707,6 +724,7 @@ object SparkEntry {
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
     "q_repetition" -> (qRepetition _),
+    "q_pii" -> (qPii _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_vocab" -> (qVocab _),
     "q_tfidf" -> (qTfidf _),
@@ -1094,6 +1112,22 @@ object SparkEntry {
          |  ws.top_word_frac, COALESCE(bs.dup_bigram_frac, 0.0) AS dup_bigram_frac
          |FROM ws LEFT JOIN bs ON bs.doc_id = ws.doc_id
          |ORDER BY ws.doc_id""".stripMargin,
+    "q_pii" -> {
+      import graft.pipeline.TextOps.{emailRe, urlRe, phoneRe}
+      s"""WITH synth AS (SELECT c_custkey,
+         |  'reach user' || CAST(c_custkey AS VARCHAR) || '@example.com or call 555-' ||
+         |  lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+         |  ' visit https://example.com/u/' || CAST(c_custkey AS VARCHAR) AS text
+         |FROM customer)
+         |SELECT c_custkey,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$urlRe', '[URL]', 'g'), '$emailRe', '[EMAIL]', 'g'),
+         |    '$phoneRe', '[PHONE]', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$urlRe')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones
+         |FROM synth ORDER BY c_custkey""".stripMargin
+    },
     "q_decontaminate" ->
       s"""WITH $shingleCte,
          |ca AS (SELECT doc_id AS id_a, shingle FROM sh WHERE doc_id % 10 <> 0),

@@ -170,6 +170,36 @@ object TextOps {
           element_at(col("__toks"), col("__i") + lit(j))): _*).as("shingle"))
       .distinct()
 
+  /** PII patterns shared by the redaction and counting paths. Written in
+    * the common subset of Java regex and RE2 so the DuckDB oracle applies
+    * the byte-identical pattern: character classes, bounded repetition —
+    * no lookaround, no backreferences.
+    */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val urlRe = "https?://[^\\s]+"
+  val phoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** Free-text PII scrub — the text-pipeline counterpart of the engine's
+    * column masking: URLs, then e-mail addresses, then phone-shaped
+    * numbers are replaced with typed placeholders. Order matters (a URL
+    * may embed digits an address pattern would otherwise bite into).
+    * Pure `regexp_replace` chain: codegen'd, narrow, scan-speed.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlRe, "[URL]"),
+        emailRe, "[EMAIL]"),
+      phoneRe, "[PHONE]")
+
+  /** Per-row PII hit counts (audit signal before deciding to drop vs
+    * redact a document).
+    */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(emailRe)).cast("bigint").as("n_emails"),
+    regexp_count(text, lit(urlRe)).cast("bigint").as("n_urls"),
+    regexp_count(text, lit(phoneRe)).cast("bigint").as("n_phones"))
+
   /** Repetition statistics per document — the classic corpus-curation
     * repetition signals (high duplicate-n-gram or single-word dominance
     * marks generated/boilerplate text): token count, distinct-token count,

@@ -412,6 +412,23 @@ class PipelineSpec extends SparkSpec {
     assert(uncapped == 6L)
   }
 
+  test("PII redaction replaces urls, emails, phones and counts hits") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "mail a.b@x.co or c-d@y.org, call 555-1234 or 555-9876, " +
+        "see https://x.co/a?b=1 now"),
+      (2L, "no pii here at all")
+    ).toDF("id", "text")
+    val got = df.select(col("id") +: TextOps.redactPii(col("text")).as("r") +:
+        TextOps.piiCounts(col("text")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == (("mail [EMAIL] or [EMAIL], call [PHONE] or [PHONE], " +
+      "see [URL] now", 2L, 1L, 2L)))
+    assert(got(2L) == (("no pii here at all", 0L, 0L, 0L)))
+  }
+
   test("text ops: token counts and language profiles behave") {
     val row = docs.select(TextOps.tokenCount(col("text")).as("n"),
       TextOps.langId(col("text")).as("lang")).collect()
