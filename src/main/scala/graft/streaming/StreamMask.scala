@@ -100,6 +100,23 @@ object StreamMask {
       joinKeys: Seq[String]): DataFrame =
     stream.join(dim, joinKeys, "left")
 
+  /** Streaming corpus curation: the stateless text-pipeline operators
+    * (quality score, language ID, PII scrub — all pure Column expressions,
+    * see [[graft.pipeline.TextOps]]) applied to a document stream on its
+    * way into the lake. Narrow and stateless, so any trigger/output mode
+    * works and throughput scales with input partitions; batch-equivalent
+    * by construction (same expressions, verified in the spec).
+    */
+  def curateStream(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import graft.pipeline.TextOps
+    docs.select(col(idCol) +:
+      TextOps.qualityScore(col(textCol)).as("quality") +:
+      TextOps.langId(col(textCol)).as("lang_pred") +:
+      TextOps.redactPii(col(textCol)).as("redacted") +:
+      TextOps.piiCounts(col(textCol)): _*)
+  }
+
   /** Session windows per user: a session closes after `gap` of silence
     * (batch analog: the gaps-and-islands `q_sessionize` query). State per
     * key is bounded by the watermark.

@@ -60,6 +60,23 @@ class StreamingMaskSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming corpus curation equals the batch text pipeline") {
+    val dir = Files.createTempDirectory("graft_docs").toString
+    spark.read.parquet(s"$fixtures/documents.parquet")
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val schema = spark.read.parquet(s"$dir/docs").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/docs")
+    val streamed = runToMemory(
+      StreamMask.curateStream(stream, "doc_id", "text"),
+      "curate_stream", "append")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = StreamMask.curateStream(
+        spark.read.parquet(s"$dir/docs"), "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("#row# templates are rejected on streams") {
     val bp = Blueprint("events") { b =>
       b.primary("event_id")
