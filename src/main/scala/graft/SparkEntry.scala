@@ -544,6 +544,17 @@ object SparkEntry {
         countDistinct(col("source")).as("n_sources"))
       .orderBy("lang")
 
+  /** Token-budget audit: whitespace tokens next to the BPE-ish sub-word
+    * segmentation ([[TextOps.subwordCount]] — splits on any non-letter/
+    * non-digit run, the cheap stand-in for tokenizer-based counting).
+    * Both are pure regex Column expressions: scan-speed, no shuffle.
+    */
+  private def qSubword(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.subwordCount(col("text")).as("n_subwords"))
+      .orderBy("doc_id")
+
   /** Stop-word-profile language ID (n-gram heuristic). */
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
@@ -721,6 +732,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_near" -> (qDedupNear _),
     "q_text_stats" -> (qTextStats _),
+    "q_subword" -> (qSubword _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
     "q_repetition" -> (qRepetition _),
@@ -1060,6 +1072,13 @@ object SparkEntry {
          |CAST(MAX(len($toksSql)) AS BIGINT) AS max_tokens,
          |COUNT(DISTINCT source) AS n_sources
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_subword" ->
+      // \p{L}/\p{N} are Unicode classes in both Java regex and RE2, and
+      // the empty-token filter makes split-edge semantics irrelevant
+      s"""SELECT doc_id, len($toksSql) AS n_tokens,
+         |len(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+         |    x -> len(x) > 0)) AS n_subwords
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_id" -> {
       def hits(words: Seq[String]) =
         s"len(list_filter($toksSql, x -> x IN (${inList(words)})))"

@@ -101,6 +101,111 @@ object Multimodal {
       }
   }
 
+  /** Real audio decode via the JDK's `javax.sound.sampled` — no external
+    * codecs. Container sniff (WAV/AIFF/AU) then a PCM decode; audio yields
+    * `(mime, sampleRateHz, channels, frames)` in the positional meta tuple
+    * (the struct's `width`/`height` slots carry rate/channels — the tuple
+    * is positional by design so one schema serves every modality) and a
+    * `dim`-bucket RMS energy envelope as features. Non-audio payloads fall
+    * back to the same opaque-bytes profile as [[ImageCodec]]. Total and
+    * deterministic, as [[MediaCodec]] requires.
+    */
+  object AudioCodec extends MediaCodec {
+    private def sniff(b: Array[Byte]): Option[String] =
+      if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+        b(11) == 'E') Some("audio/wav")
+      else if (b.length >= 12 && b(0) == 'F' && b(1) == 'O' && b(2) == 'R' &&
+        b(3) == 'M' && b(8) == 'A' && b(9) == 'I' && b(10) == 'F') Some("audio/aiff")
+      else if (b.length >= 4 && b(0) == '.' && b(1) == 's' && b(2) == 'n' &&
+        b(3) == 'd') Some("audio/basic")
+      else None
+
+    /** PCM samples normalised to [-1, 1], averaged across channels. The
+      * stream is converted to 16-bit signed PCM first so every container
+      * variant (8-bit, big-endian AIFF, µ-law AU) lands in one code path.
+      */
+    private def samples(b: Array[Byte]): Option[Array[Double]] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(b))
+        val f = in.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
+          f.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(target, in)
+        val bytes = pcm.readAllBytes()
+        val ch = f.getChannels
+        val n = bytes.length / (2 * ch)
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var sum = 0.0
+          var c = 0
+          while (c < ch) {
+            val off = 2 * (i * ch + c)
+            val s = ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+            sum += s / 32768.0
+            c += 1
+          }
+          out(i) = sum / ch
+          i += 1
+        }
+        Some(out)
+      } catch { case _: Exception => None }
+
+    def meta(bytes: Array[Byte]): (String, Int, Int, Int) =
+      sniff(bytes).flatMap { m =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val f = in.getFormat
+          Some((m, f.getSampleRate.toInt, f.getChannels,
+            in.getFrameLength.toInt))
+        } catch { case _: Exception => None }
+      }.getOrElse(("application/octet-stream", 0, 0, 0))
+
+    /** Audio: `dim`-segment RMS energy envelope (each bucket the RMS of
+      * its equal-length span of samples); non-audio: ImageCodec's
+      * opaque-bytes histogram, so the fallback is codec-independent.
+      */
+    def features(bytes: Array[Byte], dim: Int): Array[Float] =
+      (if (sniff(bytes).isDefined) samples(bytes) else None) match {
+        case Some(s) if s.nonEmpty =>
+          val out = new Array[Float](dim)
+          var j = 0
+          while (j < dim) {
+            val lo = (s.length.toLong * j / dim).toInt
+            val hi = math.max((s.length.toLong * (j + 1) / dim).toInt, lo + 1)
+            var acc = 0.0
+            var i = lo
+            while (i < math.min(hi, s.length)) { acc += s(i) * s(i); i += 1 }
+            out(j) = math.sqrt(acc / math.max(hi - lo, 1)).toFloat
+            j += 1
+          }
+          out
+        case _ => ImageCodec.features(bytes, dim)
+      }
+  }
+
+  /** Modality-dispatching codec: images through [[ImageCodec]], audio
+    * through [[AudioCodec]], everything else the deterministic opaque
+    * profile. The default codec for mixed-modality corpora — one
+    * [[decodePartitioned]] pass handles a lake directory of interleaved
+    * payloads without a per-modality pre-split.
+    */
+  object CompositeCodec extends MediaCodec {
+    private def isAudio(b: Array[Byte]): Boolean =
+      AudioCodec.meta(b)._1 != "application/octet-stream"
+    def meta(bytes: Array[Byte]): (String, Int, Int, Int) =
+      if (isAudio(bytes)) AudioCodec.meta(bytes) else ImageCodec.meta(bytes)
+    def features(bytes: Array[Byte], dim: Int): Array[Float] =
+      if (isAudio(bytes)) AudioCodec.features(bytes, dim)
+      else ImageCodec.features(bytes, dim)
+  }
+
   /** Stand-in payload column: the UTF-8 bytes of a text column (fixtures
     * carry no real media; the binary-column plumbing is what's exercised).
     */

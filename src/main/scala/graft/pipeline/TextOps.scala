@@ -151,14 +151,14 @@ object TextOps {
         .otherwise(lit(0L))).as("simhash"))
   }
 
-  /** Distinct (id, shingle) rows for a document frame — the single shared
-    * shingle builder behind [[fingerprint]] and the dedup pipeline
-    * ([[Dedup.shingles]] delegates here). Explodes shingle POSITIONS and
-    * assembles each k-gram in a codegen'd projection (a `transform` lambda
-    * would evaluate interpreted), with tokens materialised once per row
-    * below the generator.
+  /** Raw (id, shingle) rows with multiplicity — narrow explode, no
+    * shuffle. Use directly when the consumer is itself a deduplicating
+    * aggregate (e.g. [[fingerprint]]'s bottom-k, whose state dedupes);
+    * routing through [[explodedShingles]] there would pay a full
+    * (id, shingle)-keyed exchange just to drop rows the aggregator
+    * ignores anyway.
     */
-  def explodedShingles(df: DataFrame, idCol: String, textCol: String,
+  def explodedShinglesRaw(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int): DataFrame =
     df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), col("__toks"),
@@ -168,7 +168,17 @@ object TextOps {
       .select(col(idCol), concat_ws(" ",
         (0 until shingleK).map(j =>
           element_at(col("__toks"), col("__i") + lit(j))): _*).as("shingle"))
-      .distinct()
+
+  /** Distinct (id, shingle) rows for a document frame — the single shared
+    * shingle builder behind the dedup pipeline ([[Dedup.shingles]]
+    * delegates here). Explodes shingle POSITIONS and assembles each
+    * k-gram in a codegen'd projection (a `transform` lambda would
+    * evaluate interpreted), with tokens materialised once per row below
+    * the generator.
+    */
+  def explodedShingles(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int): DataFrame =
+    explodedShinglesRaw(df, idCol, textCol, shingleK).distinct()
 
   /** PII patterns shared by the redaction and counting paths. Written in
     * the common subset of Java regex and RE2 so the DuckDB oracle applies
@@ -285,10 +295,12 @@ object TextOps {
   def fingerprint(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, shingleK: Int = 3): DataFrame = {
     // typed bottom-k Aggregator: per-group state and shuffle volume stay
-    // O(k) — a collect_set would buffer every distinct hash of the group
+    // O(k) — a collect_set would buffer every distinct hash of the group.
+    // Raw shingles (no upstream distinct): the aggregator's buffer already
+    // dedupes, so the only exchange is the O(k)-per-group partial-agg one.
     val bottomK = udaf(new graft.functions.BottomK(k),
       org.apache.spark.sql.Encoders.STRING)
-    explodedShingles(df, idCol, textCol, shingleK)
+    explodedShinglesRaw(df, idCol, textCol, shingleK)
       .select(col(idCol), md5(col("shingle")).as("__h"))
       .groupBy(idCol)
       .agg(array_join(bottomK(col("__h")), ",").as("fingerprint"))

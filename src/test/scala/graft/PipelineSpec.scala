@@ -222,6 +222,49 @@ class PipelineSpec extends SparkSpec {
     assert(m4.getString(0) == "application/octet-stream" && m4.getInt(1) == 0)
   }
 
+  test("audio decode: real WAV sample rate, channels, frames, RMS envelope") {
+    val s = spark
+    import s.implicits._
+    // 0.5 s mono 8 kHz WAV: first half silence, second half a full-scale
+    // 440 Hz sine — the RMS envelope must be ~0 then ~1/sqrt(2)
+    def wav(rate: Float, n: Int): Array[Byte] = {
+      val pcm = new Array[Byte](2 * n)
+      for (i <- n / 2 until n) {
+        val v = (math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, wav(8000f, 4000)),
+      (2L, "not audio at all".getBytes("UTF-8"))
+    ).toDF("id", "payload")
+    val got = Multimodal.decodePartitioned(df, "payload",
+        featureDim = 4, codec = Multimodal.AudioCodec).collect()
+      .map(r => r.getLong(0) -> (r.getStruct(2), r.getSeq[Float](3))).toMap
+    val (m1, f1) = got(1L)
+    assert(m1.getString(0) == "audio/wav" && m1.getInt(1) == 8000 &&
+      m1.getInt(2) == 1 && m1.getInt(3) == 4000)
+    assert(f1(0) < 0.01f && f1(1) < 0.01f, "leading silence")
+    assert(math.abs(f1(2) - 0.7071f) < 0.05f &&
+      math.abs(f1(3) - 0.7071f) < 0.05f, s"sine RMS ~ 1/sqrt(2), got $f1")
+    val (m2, _) = got(2L)
+    assert(m2.getString(0) == "application/octet-stream")
+    // CompositeCodec dispatches by sniffed modality in one pass
+    val mixed = Multimodal.decodePartitioned(df, "payload",
+      codec = Multimodal.CompositeCodec).collect()
+      .map(r => r.getLong(0) -> r.getStruct(2).getString(0)).toMap
+    assert(mixed(1L) == "audio/wav" &&
+      mixed(2L) == "application/octet-stream")
+  }
+
   test("native cosine expression is bit-identical to the portable fold") {
     assert(spark.catalog.functionExists("cosine_sim"),
       "GraftExtensions not registered in the test session")
