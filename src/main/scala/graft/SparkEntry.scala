@@ -533,6 +533,19 @@ object SparkEntry {
     Dedup.nearDuplicatePairs(docs(s, dir), "doc_id", "text", 0.8)
       .orderBy("id_a", "id_b")
 
+  /** Near-dup clusters: the verified pair graph collapsed to connected
+    * components ([[graft.pipeline.Dedup.connectedComponents]] — the
+    * distributed label propagation whose semantic spec is "cluster id =
+    * min reachable doc id"). The dedup decision table a curation run
+    * actually applies: keep `doc_id == cluster_id`, drop the rest.
+    */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.nearDuplicatePairs(docs(s, dir), "doc_id", "text", 0.8)
+          .select("id_a", "id_b"))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+
   /** Per-language corpus statistics (token counting over the scan). */
   private def qTextStats(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -731,6 +744,7 @@ object SparkEntry {
     "q_range_count" -> (qRangeCount _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_near" -> (qDedupNear _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_text_stats" -> (qTextStats _),
     "q_subword" -> (qSubword _),
     "q_lang_id" -> (qLangId _),
@@ -764,6 +778,29 @@ object SparkEntry {
        |        FROM norm WHERE len(w) >= 3),
        |sh AS (SELECT DISTINCT doc_id,
        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM pos)""".stripMargin
+
+  /** The MinHash→banded-LSH→Jaccard near-dup pipeline as DuckDB CTEs,
+    * shared by `q_dedup_near` (pair list) and `q_dedup_clusters`
+    * (connected components on top).
+    */
+  private val nearDupCtes = {
+    val mins = (0 until 8)
+      .map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")
+    val bands = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS sig FROM sig")
+      .mkString(" UNION ALL ")
+    s"""$shingleCte,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+       |          FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+       |          JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+       |          GROUP BY c.id_a, c.id_b)""".stripMargin
+  }
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
@@ -1039,30 +1076,33 @@ object SparkEntry {
          |FROM (SELECT * FROM documents
          |      UNION ALL SELECT * FROM documents WHERE doc_id % 50 = 0)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q_dedup_near" -> {
-      val mins = (0 until 8)
-        .map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")
-      val bands = (0 until 4)
-        .map(b => s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS sig FROM sig")
-        .mkString(" UNION ALL ")
-      s"""WITH $shingleCte,
-         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-         |bands AS ($bands),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
-         |          FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
-         |          JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
-         |          GROUP BY c.id_a, c.id_b)
+    "q_dedup_near" ->
+      s"""WITH $nearDupCtes
          |SELECT i.id_a, i.id_b, i.n_inter,
          |  CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) AS jaccard
          |FROM inter i JOIN sz za ON za.doc_id = i.id_a
          |JOIN sz zb ON zb.doc_id = i.id_b
          |WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) >= 0.8
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_clusters" ->
+      // transitive closure as the semantic spec: cluster id = MIN
+      // reachable doc id over the verified near-dup pair graph — the
+      // recursive CTE is DuckDB's way to say what the distributed
+      // label propagation computes
+      s"""WITH RECURSIVE $nearDupCtes,
+         |pairs AS (
+         |  SELECT i.id_a, i.id_b
+         |  FROM inter i JOIN sz za ON za.doc_id = i.id_a
+         |  JOIN sz zb ON zb.doc_id = i.id_b
+         |  WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT rc.id, e.dst FROM reach rc JOIN edges e ON e.src = rc.r)
+         |SELECT id AS doc_id, MIN(r) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       // CAST SUM/MAX to BIGINT: DuckDB SUM(integer) yields HUGEINT (float64
       // in pandas) and MAX(len) INT vs Spark's int64 — dtype-exact both sides

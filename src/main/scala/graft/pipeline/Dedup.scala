@@ -200,6 +200,79 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Connected components over an undirected pair frame — the clustering
+    * step that turns near-duplicate PAIRS into dedup CLUSTERS (keep the
+    * min-id member per cluster, drop the rest). A pair list alone
+    * under-deduplicates: A≈B and B≈C put A,B,C in one cluster even when
+    * (A,C) never surfaced as a pair.
+    *
+    * Algorithm: iterative min-label propagation on the label-contracted
+    * graph with per-round path compression (pointer jumping) — each round
+    * (1) every label adopts the minimum of its adjacent labels, (2) labels
+    * are compressed one hop (`lbl := lbl(lbl)`), (3) edges are rewritten
+    * into the new label space and self-loops dropped. The compression
+    * step makes chain-shaped components contract geometrically, so rounds
+    * scale with log(diameter), not diameter (the star-contraction family
+    * of MapReduce CC algorithms). Each round is a bounded number of hash
+    * joins + one aggregate; every frame is hash-partitioned on its key and
+    * the only driver-side action is an `isEmpty` convergence probe — no
+    * data ever collects to the driver, so the shape holds at 100 TB.
+    *
+    * Deterministic: labels only ever decrease toward the component's
+    * minimum id. Returns (id, cluster_id) for every id appearing in
+    * `pairs`; ids with no pair are trivially their own singleton cluster
+    * and are not emitted.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val sym = pairs.select(col(idA).as("la"), col(idB).as("lb"))
+      .union(pairs.select(col(idB).as("la"), col(idA).as("lb")))
+    // eager localCheckpoint each round: an iterative DataFrame algorithm
+    // MUST truncate lineage, or round r's logical plan embeds rounds
+    // 0..r-1 and planning itself blows up exponentially (persist alone
+    // keeps the full plan). On a real cluster with unreliable executors,
+    // swap for reliable `checkpoint` on a DFS checkpoint dir.
+    var lab = sym.select(col("la").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
+    val edges = sym.filter(col("la") =!= col("lb")).distinct()
+      .select(col("la").as("u"), col("lb").as("v"))
+      .localCheckpoint()
+    // label-space edge view, always RE-DERIVED from the original edges
+    // through the current labeling (never remapped incrementally — a
+    // label id's own label can move away from its members' mapping, so
+    // incremental remapping silently drops live edges)
+    def labelEdges(l: DataFrame): DataFrame = edges
+      .join(l.select(col("id").as("u"), col("lbl").as("la")), Seq("u"))
+      .join(l.select(col("id").as("v"), col("lbl").as("lb")), Seq("v"))
+      .select("la", "lb")
+      .filter(col("la") =!= col("lb")).distinct()
+    var le = labelEdges(lab).localCheckpoint()
+    var iter = 0
+    while (iter < maxIter && !le.isEmpty) {
+      // (1) min adjacent label, only where it actually shrinks (progress
+      // is guaranteed: a symmetric non-empty le always has some la > lb)
+      val m = le.groupBy(col("la")).agg(min(col("lb")).as("mn"))
+        .filter(col("mn") < col("la"))
+      val labA = lab.join(m, lab("lbl") === m("la"), "left")
+        .select(lab("id"), coalesce(m("mn"), lab("lbl")).as("lbl"))
+      // (2) one-hop path compression (pointer jumping): every label value
+      // is itself a node id of the pair graph, so the self-join is total;
+      // labels are monotone non-increasing, so composing two hops still
+      // lands inside the component, and chains contract geometrically
+      val parent = labA.select(col("id").as("pid"), col("lbl").as("plbl"))
+      val lab2 = labA.join(parent, labA("lbl") === parent("pid"))
+        .select(labA("id"), col("plbl").as("lbl"))
+        .localCheckpoint()
+      lab = lab2
+      le = labelEdges(lab).localCheckpoint()
+      iter += 1
+    }
+    require(le.isEmpty,
+      s"connectedComponents did not converge in $maxIter rounds")
+    lab.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
   /** Hamming-distance-≤k SimHash pairs over a precomputed hash frame
     * (`[[TextOps.simHash64]]` output, or the 16-bit portable
     * `[[TextOps.simHash16]]`): band the `bits`-bit hash into k+1 chunks —

@@ -222,6 +222,23 @@ class PipelineSpec extends SparkSpec {
     assert(m4.getString(0) == "application/octet-stream" && m4.getInt(1) == 0)
   }
 
+  test("connected components: chains merge transitively, islands stay apart") {
+    val s = spark
+    import s.implicits._
+    // one 30-node chain (worst case for plain min-propagation — the
+    // pointer-jumping rounds must contract it), one triangle via two
+    // pairs, one isolated pair
+    val chain = (1L until 30L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((100L, 101L), (101L, 102L), (200L, 201L)))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 30L).forall(got(_) == 1L), "chain collapses to min id")
+    assert(Seq(100L, 101L, 102L).forall(got(_) == 100L))
+    assert(got(200L) == 200L && got(201L) == 200L)
+    assert(got.size == 35)
+  }
+
   test("audio decode: real WAV sample rate, channels, frames, RMS envelope") {
     val s = spark
     import s.implicits._
