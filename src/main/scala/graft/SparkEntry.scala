@@ -693,6 +693,27 @@ object SparkEntry {
         "embedding", 0.45)
       .orderBy("id_a", "id_b")
 
+  /** Int8 quantization audit over the embedding store
+    * ([[Similarity.int8Scale]]/[[Similarity.int8Codes]] — the 4× storage/
+    * shuffle-width cut): per vector the symmetric scale, the worst
+    * dequantization error (≤ scale/2 by construction, asserted by the
+    * oracle values), and the saturated-code count. Narrow scan, no
+    * shuffle; scalar outputs so the driver can hash them.
+    */
+  private def qQuantize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.int8Scale(col("embedding")).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        Similarity.int8Codes(col("embedding"), col("scale")).as("codes"),
+        col("embedding"))
+      .select(col("vec_id"), col("scale"),
+        array_max(zip_with(col("embedding"),
+          Similarity.dequantize(col("codes"), col("scale")),
+          (x, d) => abs(x.cast("double") - d))).as("max_abs_err"),
+        size(filter(col("codes"), c => abs(c) === 127)).as("n_sat"))
+      .orderBy("vec_id")
+
   /** Multimodal metadata over an opaque binary payload (typed meta struct;
     * decode stubbed — see [[graft.pipeline.Multimodal]]).
     */
@@ -761,6 +782,7 @@ object SparkEntry {
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_embed_dedup" -> (qEmbedDedup _),
+    "q_quantize" -> (qQuantize _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
   )
 
@@ -1304,6 +1326,23 @@ object SparkEntry {
          |  FROM fx GROUP BY vec_id, label)
          |SELECT vec_id, label, dp / (sqrt(nv) * sqrt(nq)) AS cosine
          |FROM fd ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q_quantize" ->
+      // round() is half-away-from-zero in both engines, and the TINYINT
+      // cast sees an exactly-integral double, so truncation-vs-rounding
+      // cast semantics never bite
+      s"""WITH q AS (SELECT vec_id, embedding,
+         |  CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+         |       THEN 1.0
+         |       ELSE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+         |  END AS scale
+         |FROM embeddings)
+         |SELECT vec_id, scale,
+         |  list_max(list_transform(embedding, x ->
+         |    abs(CAST(x AS DOUBLE)
+         |        - CAST(round(CAST(x AS DOUBLE) / scale) AS TINYINT) * scale))) AS max_abs_err,
+         |  len(list_filter(embedding, x ->
+         |    abs(CAST(round(CAST(x AS DOUBLE) / scale) AS TINYINT)) = 127)) AS n_sat
+         |FROM q ORDER BY vec_id""".stripMargin,
     "q_embed_dedup" -> {
       val bandSel = (0 until 8)
         .map(b => s"SELECT vec_id, $b AS band, ${bandSql("embedding", b, 8)} AS sig FROM embeddings")

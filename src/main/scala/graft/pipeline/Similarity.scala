@@ -63,6 +63,28 @@ object Similarity {
   /** Literal column for a query vector (broadcast as part of the plan). */
   def vecLit(v: Seq[Float]): Column = array(v.map(x => lit(x)): _*)
 
+  /** Per-vector symmetric int8 scale: max|x|/127 (1.0 for the all-zero
+    * vector so quantization stays total). Kept alongside the codes; the
+    * per-element dequantization error is bounded by scale/2.
+    */
+  def int8Scale(vec: Column): Column = {
+    val maxAbs = array_max(transform(vec, x => abs(x.cast("double"))))
+    when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
+  }
+
+  /** Int8 codes for an embedding under `scale` — the standard 4× cut in
+    * storage and shuffle width for a large embedding store (ship
+    * `(scale, codes)` instead of float32s; cosine is scale-invariant, so
+    * ranking by the dequantized vectors equals ranking by the codes).
+    * Round-half-away-from-zero in double, exact in any ANSI engine.
+    */
+  def int8Codes(vec: Column, scale: Column): Column =
+    transform(vec, x => round(x.cast("double") / scale).cast("tinyint"))
+
+  /** Dequantized view of int8 codes: `code * scale`, double precision. */
+  def dequantize(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
+
   /** Exact brute-force cosine top-k against one query vector: narrow scan +
     * TakeOrdered — the correctness baseline every ANN variant is judged
     * against.

@@ -222,6 +222,25 @@ class PipelineSpec extends SparkSpec {
     assert(m4.getString(0) == "application/octet-stream" && m4.getInt(1) == 0)
   }
 
+  test("int8 quantization: bounded error, cosine preserved to ~1e-2") {
+    val q = embeddings.select(col("vec_id"), col("embedding"),
+        Similarity.int8Scale(col("embedding")).as("scale"))
+      .select(col("vec_id"), col("scale"), col("embedding"),
+        Similarity.int8Codes(col("embedding"), col("scale")).as("codes"))
+      .select(col("scale"),
+        array_max(zip_with(col("embedding"),
+          Similarity.dequantize(col("codes"), col("scale")),
+          (x, d) => abs(x.cast("double") - d))).as("err"),
+        Similarity.cosineFold(col("embedding"),
+          Similarity.dequantize(col("codes"), col("scale"))).as("cos"))
+      .collect()
+    q.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(0) / 2 + 1e-12,
+        "dequant error exceeds scale/2")
+      assert(r.getDouble(2) > 0.999, s"cosine drifted: ${r.getDouble(2)}")
+    }
+  }
+
   test("connected components: chains merge transitively, islands stay apart") {
     val s = spark
     import s.implicits._
