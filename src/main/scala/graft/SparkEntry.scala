@@ -693,6 +693,20 @@ object SparkEntry {
         "embedding", 0.45)
       .orderBy("id_a", "id_b")
 
+  /** Deterministic stratified sample — the data-mixing pass of a training
+    * pipeline ([[graft.pipeline.Sampling.stratifiedHashSample]]): keep
+    * half of English, all of Spanish, a quarter of German, a tenth of
+    * everything else, decided per row by a stable md5 bucket so the mix
+    * is reproducible on any engine / partitioning / retry.
+    */
+  private def qSample(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.stratifiedHashSample(
+        docs(s, dir).select("doc_id", "lang"),
+        key = col("doc_id"), stratum = col("lang"),
+        rates = Map("en" -> 0.5, "es" -> 1.0, "de" -> 0.25),
+        defaultRate = 0.1)
+      .orderBy("doc_id")
+
   /** Int8 quantization audit over the embedding store
     * ([[Similarity.int8Scale]]/[[Similarity.int8Codes]] — the 4× storage/
     * shuffle-width cut): per vector the symmetric scale, the worst
@@ -783,6 +797,7 @@ object SparkEntry {
     "q_sim_ivf" -> (qSimIvf _),
     "q_embed_dedup" -> (qEmbedDedup _),
     "q_quantize" -> (qQuantize _),
+    "q_sample" -> (qSample _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
   )
 
@@ -1326,6 +1341,17 @@ object SparkEntry {
          |  FROM fx GROUP BY vec_id, label)
          |SELECT vec_id, label, dp / (sqrt(nv) * sqrt(nq)) AS cosine
          |FROM fd ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q_sample" -> {
+      // 16-bit bucket from the first four md5 nibbles of the stringified
+      // key; thresholds are round(rate * 65536)
+      val h = "md5(CAST(doc_id AS VARCHAR))"
+      val bucket = s"(${nibSql(h, 1)} * 4096 + ${nibSql(h, 2)} * 256 " +
+        s"+ ${nibSql(h, 3)} * 16 + ${nibSql(h, 4)})"
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $bucket < CASE lang WHEN 'en' THEN 32768 WHEN 'es' THEN 65536
+         |                          WHEN 'de' THEN 16384 ELSE 6554 END
+         |ORDER BY doc_id""".stripMargin
+    },
     "q_quantize" ->
       // round() is half-away-from-zero in both engines, and the TINYINT
       // cast sees an exactly-integral double, so truncation-vs-rounding

@@ -222,6 +222,24 @@ class PipelineSpec extends SparkSpec {
     assert(m4.getString(0) == "application/octet-stream" && m4.getInt(1) == 0)
   }
 
+  test("hash sampling: deterministic, nested, rate-proportional") {
+    import graft.pipeline.Sampling
+    val a = Sampling.hashSample(docs, col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs.repartition(7), col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "keep set must not depend on partitioning")
+    val wider = Sampling.hashSample(docs, col("doc_id"), 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(wider), "rate-0.3 sample must nest inside rate-0.6")
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.3) < 0.08, s"rate off: ${a.size / n}")
+    val strat = Sampling.stratifiedHashSample(docs, col("doc_id"),
+        col("lang"), Map("en" -> 1.0), defaultRate = 0.0)
+      .select("lang").distinct().collect().map(_.getString(0)).toSeq
+    assert(strat == Seq("en"), "default rate 0 must drop other strata")
+  }
+
   test("int8 quantization: bounded error, cosine preserved to ~1e-2") {
     val q = embeddings.select(col("vec_id"), col("embedding"),
         Similarity.int8Scale(col("embedding")).as("scale"))
