@@ -263,6 +263,37 @@ object SparkEntry {
         col("n_rows"), col("sum_qty"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Explicit GROUPING SETS (the general form behind rollup/cube): per
+    * returnflag, per linestatus, and grand total in one aggregate pass.
+    */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+    s.sql(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM g_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin)
+  }
+
+  /** Distribution window functions: quartile (ntile), percent_rank and
+    * cume_dist per order-priority partition. The window orders on
+    * (price, orderkey) — a total order, so every rank is deterministic
+    * across engines.
+    */
+  private def qWindowDist(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("bigint").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("o_orderkey")
+  }
+
   /** INTERSECT set op: customers that are both BUILDING-segment and
     * positive-balance.
     */
@@ -759,11 +790,13 @@ object SparkEntry {
     "q5_multijoin" -> (q5MultiJoin _),
     "q_window_topk" -> (qWindowTopk _),
     "q_window_running" -> (qWindowRunning _),
+    "q_window_dist" -> (qWindowDist _),
     "q_sort_limit" -> (qSortLimit _),
     "q_setops" -> (qSetOps _),
     "q_intersect" -> (qIntersect _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_percentile" -> (qPercentile _),
     "q_histogram" -> (qHistogram _),
@@ -990,6 +1023,26 @@ object SparkEntry {
          |FROM customer JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY ROLLUP (r_name, n_name) ORDER BY r_name, n_name""".stripMargin,
+    "q_grouping_sets" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+         |COALESCE(l_linestatus, 'ALL') AS ls,
+         |COUNT(*) AS n_rows,
+         |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY rf, ls""".stripMargin,
+    "q_window_dist" ->
+      // (price, orderkey) is a total order, so ntile/percent_rank/
+      // cume_dist are engine-independent; the rank ratios are exact
+      // int/int double divisions
+      s"""SELECT o_orderkey, o_orderpriority,
+         |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         |percent_rank() OVER w AS pct_rank,
+         |cume_dist() OVER w AS cdist
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_orderpriority
+         |             ORDER BY o_totalprice, o_orderkey)
+         |ORDER BY o_orderkey""".stripMargin,
     "q_pivot" ->
       s"""SELECT l_returnflag,
          |CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS rev_f,
