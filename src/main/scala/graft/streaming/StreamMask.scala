@@ -117,6 +117,29 @@ object StreamMask {
       TextOps.piiCounts(col(textCol)): _*)
   }
 
+  /** Watermarked stream-stream interval join — the impression↔click
+    * correlation shape: each left event pairs with right events of the
+    * same key whose timestamp lands in `[leftTs, leftTs + maxDelay]`.
+    * The time bound plus both watermarks let Spark EVICT buffered rows
+    * (a left row once the right watermark passes `leftTs + maxDelay`,
+    * a right row once it can no longer land in any live left interval) —
+    * without the interval condition a stream-stream join must buffer
+    * both streams forever, which no watermark can save at 100 TB/day.
+    * Output columns are prefixed `l_`/`r_` so self-joins stay
+    * unambiguous.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, watermark: String,
+      maxDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+      .select(left.columns.map(c => col(c).as(s"l_$c")).toSeq: _*)
+    val r = right.withWatermark(rightTs, watermark)
+      .select(right.columns.map(c => col(c).as(s"r_$c")).toSeq: _*)
+    l.join(r, col(s"l_$keyCol") === col(s"r_$keyCol") &&
+      col(s"r_$rightTs") >= col(s"l_$leftTs") &&
+      col(s"r_$rightTs") <= col(s"l_$leftTs") + expr(s"INTERVAL $maxDelay"))
+  }
+
   /** Session windows per user: a session closes after `gap` of silence
     * (batch analog: the gaps-and-islands `q_sessionize` query). State per
     * key is bounded by the watermark.

@@ -77,6 +77,27 @@ class StreamingMaskSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    // views → follow-up clicks by the same user within 6 hours
+    // (the fixture's event times are day-spread; 6h yields ~25 pairs)
+    val views = streamingEvents.filter(col("event_type") === "view")
+    val clicks = streamingEvents.filter(col("event_type") === "click")
+    val streamed = runToMemory(
+      StreamMask.intervalJoin(views, clicks, "user_id", "ts", "ts",
+          watermark = "10 minutes", maxDelay = "6 hours")
+        .select("l_event_id", "r_event_id"),
+      "ssjoin_stream", "append")
+      .collect().map(_.toString).sorted.toSeq
+    val bv = batchEvents.filter(col("event_type") === "view")
+    val bc = batchEvents.filter(col("event_type") === "click")
+    val batch = StreamMask.intervalJoin(bv, bc, "user_id", "ts", "ts",
+        watermark = "10 minutes", maxDelay = "6 hours")
+      .select("l_event_id", "r_event_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("#row# templates are rejected on streams") {
     val bp = Blueprint("events") { b =>
       b.primary("event_id")
