@@ -225,13 +225,17 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    // eager localCheckpoint: an iterative DataFrame algorithm MUST
+    // truncate lineage, or round r's logical plan embeds rounds 0..r-1
+    // and planning itself blows up exponentially (persist alone keeps the
+    // full plan). On a real cluster with unreliable executors, swap for
+    // reliable `checkpoint` on a DFS checkpoint dir. Checkpointing the
+    // symmetric frame FIRST matters when `pairs` is itself an expensive
+    // pipeline (MinHash LSH): the node and edge inits below then read the
+    // materialised blocks instead of re-running that pipeline per action.
     val sym = pairs.select(col(idA).as("la"), col(idB).as("lb"))
       .union(pairs.select(col(idB).as("la"), col(idA).as("lb")))
-    // eager localCheckpoint each round: an iterative DataFrame algorithm
-    // MUST truncate lineage, or round r's logical plan embeds rounds
-    // 0..r-1 and planning itself blows up exponentially (persist alone
-    // keeps the full plan). On a real cluster with unreliable executors,
-    // swap for reliable `checkpoint` on a DFS checkpoint dir.
+      .localCheckpoint()
     var lab = sym.select(col("la").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .localCheckpoint()
