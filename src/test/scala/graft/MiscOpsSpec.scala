@@ -14,6 +14,23 @@ class MiscOpsSpec extends SparkSpec {
   private def customer = spark.read.parquet(s"$fixtures/customer.parquet")
   private def docs = spark.read.parquet(s"$fixtures/documents.parquet")
 
+  test("scan-speed operators shuffle at most once (the presentation sort)") {
+    // these are advertised as narrow/codegen paths: the only Exchange
+    // allowed in their physical plan is the range partitioning of the
+    // final deterministic ORDER BY — any second exchange means a shuffle
+    // crept into what must run at scan speed on 100 TB
+    val narrow = Seq("q_sample", "q_quantize", "q_subword", "q_lang_id",
+      "q_quality", "q_pii", "q_multimodal_meta")
+    narrow.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, fixtures)
+        .queryExecution.executedPlan.toString
+      // broadcasts don't shuffle the data; only partitioning exchanges do
+      val shuffles = "Exchange".r.findAllIn(plan).length -
+        "BroadcastExchange".r.findAllIn(plan).length
+      assert(shuffles <= 1, s"$name has $shuffles shuffles:\n$plan")
+    }
+  }
+
   test("remaining generator formatters: ranges, pools, dates, sentences") {
     val s = Gen.seed(col("c_custkey"))
     val rows = customer.select(
