@@ -270,7 +270,6 @@ object TextOps {
     * per-doc window; the corpus size rides in as a broadcast scalar.
     */
   def topKeywords(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
     val tf = toks.groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
@@ -279,11 +278,17 @@ object TextOps {
     val w = tf.join(dfreq, "token").crossJoin(broadcast(n))
       .withColumn("weight",
         col("tf") * (col("__n").cast("double") / col("dfreq")))
-    w.withColumn("__rk", row_number().over(
-        Window.partitionBy(col(idCol))
-          .orderBy(col("weight").desc, col("token"))))
-      .filter(col("__rk") === 1)
-      .select(col(idCol), col("token"), col("tf"), col("dfreq"), col("weight"))
+    // argmax as a hash aggregate, not a per-doc window: min_by on the
+    // (-weight, token) struct is exactly (weight DESC, token ASC) —
+    // same winner as a row_number window, minus the per-partition sort,
+    // with map-side partial aggregation
+    w.groupBy(col(idCol))
+      .agg(min_by(
+        struct(col("token"), col("tf"), col("dfreq"), col("weight")),
+        struct(negate(col("weight")), col("token"))).as("__top"))
+      .select(col(idCol), col("__top.token").as("token"),
+        col("__top.tf").as("tf"), col("__top.dfreq").as("dfreq"),
+        col("__top.weight").as("weight"))
   }
 
   /** Winnowing-style document fingerprint: the k lexicographically smallest
