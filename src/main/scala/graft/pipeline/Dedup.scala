@@ -156,6 +156,25 @@ object Dedup {
       .select("id_a", "id_b", "n_inter", "jaccard")
   }
 
+  /** The near-deduplicated corpus in one call: near-dup pairs →
+    * connected components → keep each cluster's min-id row, drop every
+    * other cluster member. Documents in no near-dup pair pass through
+    * untouched (left-anti against the drop set — the drop set is tiny
+    * relative to the corpus, so the anti join's build side is the thin
+    * one). The composition [[nearDuplicatePairs]] ∘
+    * [[connectedComponents]] is what a curation run actually executes.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, numHashes: Int = 8, rowsPerBand: Int = 2,
+      shingleK: Int = 3, maxBucket: Option[Int] = None): DataFrame = {
+    val pairs = nearDuplicatePairs(df, idCol, textCol, threshold,
+      numHashes, rowsPerBand, shingleK, maxBucket).select("id_a", "id_b")
+    val drop = connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** SimHash-based near-dup candidate groups: documents sharing an exact
     * 64-bit SimHash (Hamming distance 0). For distance ≤ k see
     * [[simHashNearPairs]].

@@ -222,6 +222,22 @@ class PipelineSpec extends SparkSpec {
     assert(m4.getString(0) == "application/octet-stream" && m4.getInt(1) == 0)
   }
 
+  test("dropNearDuplicates keeps exactly one survivor per near-dup cluster") {
+    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 0.8)
+      .select("id_a", "id_b")
+    val clusters = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val deduped = Dedup.dropNearDuplicates(docs, "doc_id", "text", 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val total = docs.count()
+    val expectedDrops = clusters.count { case (id, c) => id != c }
+    assert(deduped.size == total - expectedDrops)
+    // every cluster contributes exactly its min id
+    clusters.foreach { case (id, c) =>
+      assert(deduped.contains(id) == (id == c), s"doc $id cluster $c")
+    }
+  }
+
   test("hash sampling: deterministic, nested, rate-proportional") {
     import graft.pipeline.Sampling
     val a = Sampling.hashSample(docs, col("doc_id"), 0.3)

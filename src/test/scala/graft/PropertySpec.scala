@@ -62,4 +62,19 @@ class PropertySpec extends SparkSpec {
       MaskCompiler(base, bp).columns.toSeq == base.columns.toSeq
     })
   }
+
+  test("property: hash samples nest across arbitrary rate pairs") {
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.Sampling
+    val ids = spark.range(0, 400).toDF("id")
+    val rate = SGen.choose(0.0, 1.0)
+    check(Prop.forAll(rate, rate) { (r1, r2) =>
+      val (lo, hi) = (math.min(r1, r2), math.max(r1, r2))
+      val a = Sampling.hashSample(ids, col("id"), lo)
+        .collect().map(_.getLong(0)).toSet
+      val b = Sampling.hashSample(ids, col("id"), hi)
+        .collect().map(_.getLong(0)).toSet
+      a.subsetOf(b)
+    })
+  }
 }
