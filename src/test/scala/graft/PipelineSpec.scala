@@ -327,6 +327,20 @@ class PipelineSpec extends SparkSpec {
       math.abs(f1(3) - 0.7071f) < 0.05f, s"sine RMS ~ 1/sqrt(2), got $f1")
     val (m2, _) = got(2L)
     assert(m2.getString(0) == "application/octet-stream")
+    // AIFF container (big-endian PCM) through the same PCM-conversion path
+    def aiff(rate: Float, n: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, true)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](2 * n)), fmt, n)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+      bos.toByteArray
+    }
+    val am = Multimodal.AudioCodec.meta(aiff(16000f, 800))
+    assert(am == ("audio/aiff", 16000, 1, 800), s"aiff meta: $am")
+    val af = Multimodal.AudioCodec.features(aiff(16000f, 800), 4)
+    assert(af.length == 4 && af.forall(_ == 0f), "silent AIFF: zero RMS")
     // CompositeCodec dispatches by sniffed modality in one pass
     val mixed = Multimodal.decodePartitioned(df, "payload",
       codec = Multimodal.CompositeCodec).collect()
