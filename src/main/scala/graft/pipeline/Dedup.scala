@@ -72,6 +72,36 @@ object Dedup {
         (1 until numHashes).map(i =>
           min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i")): _*)
 
+  /** Production MinHash signatures: `xxhash64(i, shingle)` instead of the
+    * md5-string derivation — same shape (one map-side-combined min
+    * aggregate), ~10× less hash CPU and 8-byte signature members instead
+    * of 32-char strings, at the cost of oracle portability (the ANSI
+    * oracle can't re-derive xxhash64). Same banding/verify downstream:
+    * [[lshCandidates]] is hash-family-agnostic since the band signature
+    * is structural.
+    */
+  def minHashSignatures64(sh: DataFrame, idCol: String,
+      numHashes: Int): DataFrame =
+    sh.groupBy(col(idCol))
+      .agg(
+        min(xxhash64(lit(0), col("shingle"))).as("h0"),
+        (1 until numHashes).map(i =>
+          min(xxhash64(lit(i), col("shingle"))).as(s"h$i")): _*)
+
+  /** [[nearDuplicatePairs]] on the xxhash64 production signatures — the
+    * path to run at 100 TB; the md5 variant exists to stay oracle-exact.
+    */
+  def nearDuplicatePairs64(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, numHashes: Int = 8, rowsPerBand: Int = 2,
+      shingleK: Int = 3, maxBucket: Option[Int] = None): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleK)
+    val sigs = minHashSignatures64(sh, idCol, numHashes)
+    val cands = lshCandidates(sigs, idCol, numHashes, rowsPerBand, maxBucket)
+    jaccardVerify(cands, sh, idCol)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_inter", "jaccard")
+  }
+
   /** Banded LSH candidate pairs from signatures: concatenate `rowsPerBand`
     * consecutive hashes into a band signature, explode to (band, sig), and
     * self-join on equality — the bucket join that replaces the n² scan.
@@ -91,10 +121,13 @@ object Dedup {
       rowsPerBand: Int, maxBucket: Option[Int] = None): DataFrame = {
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
     val nBands = numHashes / rowsPerBand
+    // the band signature is a STRUCT of the band's hash columns — equality
+    // on the struct is equality on every member, works for md5 strings and
+    // xxhash64 longs alike, and skips a string concat per band
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
-        concat((0 until rowsPerBand)
-          .map(r => col(s"h${b * rowsPerBand + r}")): _*).as("sig"))
+        struct((0 until rowsPerBand)
+          .map(r => col(s"h${b * rowsPerBand + r}").as(s"m$r")): _*).as("sig"))
     }
     val bands = sigs.select(col(idCol),
         explode(array(bandCols: _*)).as("bs"))

@@ -222,6 +222,15 @@ class PipelineSpec extends SparkSpec {
     assert(m4.getString(0) == "application/octet-stream" && m4.getInt(1) == 0)
   }
 
+  test("xxhash64 production MinHash finds the planted pairs too") {
+    val got = Dedup.nearDuplicatePairs64(docs, "doc_id", "text", 0.8)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"))
+    val pairs = got.collect()
+    assert(pairs.length >= 20, s"recall collapsed: ${pairs.length}")
+    pairs.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.8))
+  }
+
   test("dropNearDuplicates keeps exactly one survivor per near-dup cluster") {
     val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 0.8)
       .select("id_a", "id_b")
