@@ -77,6 +77,19 @@ class StreamingMaskSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("deterministic sampling on a stream equals the batch sample") {
+    import graft.pipeline.Sampling
+    val sampled = runToMemory(
+      Sampling.hashSample(streamingEvents, col("event_id"), 0.25)
+        .select("event_id"),
+      "sample_stream", "append")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val batch = Sampling.hashSample(batchEvents, col("event_id"), 0.25)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(sampled == batch)
+    assert(sampled.nonEmpty)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     // views → follow-up clicks by the same user within 6 hours
     // (the fixture's event times are day-spread; 6h yields ~25 pairs)
