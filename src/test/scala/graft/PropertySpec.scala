@@ -63,6 +63,43 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: connected components equal driver-side union-find") {
+    import graft.pipeline.Dedup
+    val edgeGen = for {
+      n <- SGen.choose(2, 24)
+      m <- SGen.choose(1, 30)
+      edges <- SGen.listOfN(m, for {
+        a <- SGen.choose(0L, n.toLong)
+        b <- SGen.choose(0L, n.toLong) if a != b
+      } yield (a, b))
+    } yield edges
+    check(Prop.forAll(edgeGen) { edges =>
+      edges.isEmpty || {
+        // reference: classic union-find over the same edge list
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        // min-id per component (find() may not return the min directly)
+        val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val minOf = members.groupBy(find).map { case (r, ms) =>
+          r -> ms.min
+        }
+        val expect = members.map(x => x -> minOf(find(x))).toMap
+        val s = spark
+        import s.implicits._
+        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == expect
+      }
+    })
+  }
+
   test("property: hash samples nest across arbitrary rate pairs") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.Sampling
