@@ -184,36 +184,68 @@ object Similarity {
     * width, and the assignment column can be precomputed/partitioned-by so
     * repeated queries touch only matching cells' files at scale.
     */
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Float], k: Int, nCentroids: Int = 16,
-      nProbe: Int = 2): DataFrame = {
+  /** A built IVF index: coarse centroids + the corpus with its cell
+    * assignment materialised in a `__cell` column. Build once, query
+    * many — the serving pattern: the full-corpus assignment scan happens
+    * at build time, and each query then touches only its `nProbe` cells.
+    * At 100 TB, write `assigned` as a table PARTITIONED BY `__cell` (or
+    * bucketed on it) so a query prunes cell files at the source instead
+    * of filtering a full scan.
+    */
+  final case class IvfIndex(centroids: Array[Seq[Float]],
+      assigned: DataFrame, idCol: String, vecCol: String)
+
+  private def cosScalar(a: Seq[Float], b: Seq[Float]): Double = {
+    var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    dp / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Build the IVF index: deterministic coarse quantizer (the
+    * `nCentroids` lowest-id vectors — k-means would improve cell balance
+    * but costs determinism), then one narrow pass assigning every vector
+    * to its argmax-cosine cell. `collect` touches only O(nCentroids)
+    * rows.
+    */
+  def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16): IvfIndex = {
     val centroids: Array[Seq[Float]] = df.orderBy(col(idCol))
       .limit(nCentroids).select(vecCol).collect()
       .map(_.getSeq[Float](0))
-    def cosScalar(a: Seq[Float], b: Seq[Float]): Double = {
-      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-        nb += b(i).toDouble * b(i); i += 1
-      }
-      dp / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probes = centroids.zipWithIndex
-      .map { case (c, i) => i -> cosScalar(query, c) }
-      .sortBy(-_._2).take(nProbe).map(_._1).toSeq
     // assignment = argmax over centroid cosines; struct max is
-    // lexicographic (cosine first), so ties break toward the higher index —
-    // deterministic either way
+    // lexicographic (cosine first), so ties break toward the higher
+    // index — deterministic either way
     val cells = array(centroids.zipWithIndex.map { case (c, i) =>
       struct(cosine(col(vecCol), vecLit(c)).as("cos"), lit(i).as("cell"))
     }: _*)
-    df.withColumn("__cell", array_max(cells)("cell"))
+    IvfIndex(centroids, df.withColumn("__cell", array_max(cells)("cell")),
+      idCol, vecCol)
+  }
+
+  /** Query a built index: rank the query's `nProbe` nearest cells on the
+    * driver (O(nCentroids) work), scan only those cells, exact cosine +
+    * TakeOrdered inside them.
+    */
+  def queryIvf(idx: IvfIndex, query: Seq[Float], k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val probes = idx.centroids.zipWithIndex
+      .map { case (c, i) => i -> cosScalar(query, c) }
+      .sortBy(-_._2).take(nProbe).map(_._1).toSeq
+    idx.assigned
       .filter(col("__cell").isin(probes: _*))
-      .withColumn("cosine", cosine(col(vecCol), vecLit(query)))
-      .orderBy(col("cosine").desc, col(idCol))
+      .withColumn("cosine", cosine(col(idx.vecCol), vecLit(query)))
+      .orderBy(col("cosine").desc, col(idx.idCol))
       .limit(k)
       .drop("__cell")
   }
+
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nCentroids: Int = 16,
+      nProbe: Int = 2): DataFrame =
+    queryIvf(buildIvfIndex(df, idCol, vecCol, nCentroids), query, k, nProbe)
 
   /** Embedding near-duplicate pairs: banded candidates + exact cosine ≥
     * threshold. No stage is quadratic in the corpus: with `bitsPerBand`

@@ -125,6 +125,19 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("built IVF index answers multiple queries like the one-shot path") {
+    val idx = Similarity.buildIvfIndex(embeddings, "vec_id", "embedding")
+    Seq(Seq.fill(64)(0.1f), (0 until 64).map(i => (i % 7 - 3) * 0.2f))
+      .foreach { q =>
+        val viaIndex = Similarity.queryIvf(idx, q, 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSeq
+        val oneShot = Similarity.ivfTopK(embeddings, "vec_id", "embedding",
+            q, 10).select("vec_id").collect().map(_.getLong(0)).toSeq
+        assert(viaIndex == oneShot)
+        assert(viaIndex.nonEmpty)
+      }
+  }
+
   test("banded embedding near-dup plan has no cartesian product") {
     val nd = Similarity.nearDuplicateVectors(embeddings, "vec_id",
       "embedding", 0.45)
