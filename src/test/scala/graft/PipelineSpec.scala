@@ -235,6 +235,30 @@ class PipelineSpec extends SparkSpec {
     assert(m4.getString(0) == "application/octet-stream" && m4.getInt(1) == 0)
   }
 
+  test("degenerate inputs: empty corpus, empty pair set, zero vector") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.nearDuplicatePairs(empty, "doc_id", "text", 0.8)
+      .collect().isEmpty)
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).collect().isEmpty)
+    assert(Dedup.dropNearDuplicates(empty, "doc_id", "text", 0.8)
+      .collect().isEmpty)
+    assert(TextOps.fingerprint(empty, "doc_id", "text").collect().isEmpty)
+    // all-zero embedding: scale falls back to 1.0, codes all zero — total
+    val z = Seq((1L, Seq.fill(8)(0f))).toDF("vec_id", "embedding")
+    val r = z.select(Similarity.int8Scale(col("embedding")).as("s"),
+      Similarity.int8Codes(col("embedding"),
+        Similarity.int8Scale(col("embedding"))).as("c")).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getSeq[Byte](1).forall(_ == 0))
+    // single-document corpus: no pairs, survives every stage
+    val one = Seq((7L, "a single document")).toDF("doc_id", "text")
+    assert(Dedup.dropNearDuplicates(one, "doc_id", "text", 0.8)
+      .count() == 1)
+  }
+
   test("xxhash64 production MinHash finds the planted pairs too") {
     val got = Dedup.nearDuplicatePairs64(docs, "doc_id", "text", 0.8)
     val plan = got.queryExecution.executedPlan.toString
