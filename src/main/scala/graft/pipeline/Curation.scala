@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus-curation pipeline, composed from the operator
+  * families this package provides — the batch flow a training-data run
+  * actually executes, in the order that minimises work:
+  *
+  *  1. quality gate (narrow filter — cheapest first, thins everything
+  *     downstream),
+  *  2. PII scrub (narrow projection over the survivors),
+  *  3. near-deduplication (the only shuffling stage, now over the
+  *     thinned corpus),
+  *  4. deterministic stratified sampling (narrow filter — the mixing
+  *     knob; deciding on the ORIGINAL doc id keeps the mix reproducible
+  *     run-over-run even as upstream stages evolve).
+  *
+  * Each stage is independently oracle-checked elsewhere (`q_quality`,
+  * `q_pii`, `q_dedup_clusters`, `q_sample`); this composition is
+  * behavior-tested end-to-end. All stages but dedup are scan-speed.
+  */
+object Curation {
+
+  /** Curate a document corpus: returns the kept rows with the text
+    * column redacted, a `quality` score column appended, and near-dup
+    * cluster losers removed.
+    *
+    * @param minQuality    drop documents scoring below this
+    * @param dedupThreshold n-gram Jaccard threshold for near-dup removal
+    * @param mixRates      per-stratum sampling rates (see
+    *                      [[Sampling.stratifiedHashSample]]); pass
+    *                      `Map.empty` with `defaultRate = 1.0` to skip
+    *                      mixing
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, minQuality: Double = 0.3,
+      dedupThreshold: Double = 0.8, mixRates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 1.0): DataFrame = {
+    val quality = docs
+      .withColumn("quality", TextOps.qualityScore(col(textCol)))
+      .filter(col("quality") >= minQuality)
+    val scrubbed = quality
+      .withColumn(textCol, TextOps.redactPii(col(textCol)))
+    val deduped = Dedup.dropNearDuplicates(scrubbed, idCol, textCol,
+      dedupThreshold)
+    Sampling.stratifiedHashSample(deduped, col(idCol), col(stratumCol),
+      mixRates, defaultRate)
+  }
+}

@@ -235,6 +235,32 @@ class PipelineSpec extends SparkSpec {
     assert(m4.getString(0) == "application/octet-stream" && m4.getInt(1) == 0)
   }
 
+  test("end-to-end curation: quality gate, scrub, dedup, mix compose") {
+    import graft.pipeline.Curation
+    val out = Curation.curate(docs, "doc_id", "text", "lang",
+      minQuality = 0.3, dedupThreshold = 0.8,
+      mixRates = Map("en" -> 1.0, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0,
+        "zh" -> 1.0))
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length < docs.count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("quality") >= 0.3)
+      val t = r.getAs[String]("text")
+      assert(!t.matches(".*[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}.*"),
+        s"unredacted email survived: $t")
+    }
+    // the kept set is near-dup-free at the curation threshold
+    val kept = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), out.schema)
+    assert(Dedup.nearDuplicatePairs(kept, "doc_id", "text", 0.8)
+      .collect().isEmpty)
+    // mixing drops strata with rate 0
+    val onlyEn = Curation.curate(docs, "doc_id", "text", "lang",
+      mixRates = Map("en" -> 1.0), defaultRate = 0.0)
+      .select("lang").distinct().collect().map(_.getString(0)).toSeq
+    assert(onlyEn == Seq("en"))
+  }
+
   test("degenerate inputs: empty corpus, empty pair set, zero vector") {
     val s = spark
     import s.implicits._
