@@ -279,20 +279,27 @@ object SparkEntry {
   }
 
   /** Distribution window functions: quartile (ntile), percent_rank and
-    * cume_dist per order-priority partition. The window orders on
-    * (price, orderkey) — a total order, so every rank is deterministic
-    * across engines.
+    * cume_dist per order-priority partition, via
+    * [[graft.pipeline.RankStats]] rather than
+    * `Window.partitionBy(o_orderpriority)` — the priority column has 5
+    * distinct values, so the window plan sorts ~20% of the table on one
+    * task; RankStats range-shuffles instead and computes identical values
+    * with no giant partition. The ordering ends in the unique o_orderkey,
+    * hence `assumeTotalOrder = true` (rank == row index, deterministic
+    * across engines).
     */
-  private def qWindowDist(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
-        ntile(4).over(w).cast("bigint").as("quartile"),
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cdist"))
+  private def qWindowDist(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.RankStats.withRankStats(
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority",
+          "o_totalprice"),
+        groupCols = Seq("o_orderpriority"),
+        orderCols = Seq("o_totalprice", "o_orderkey"), nTiles = 4,
+        tileCol = "quartile", pctRankCol = "pct_rank",
+        cumeDistCol = "cdist", assumeTotalOrder = true)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("quartile").cast("bigint").as("quartile"),
+        col("pct_rank"), col("cdist"))
       .orderBy("o_orderkey")
-  }
 
   /** INTERSECT set op: customers that are both BUILDING-segment and
     * positive-balance.
