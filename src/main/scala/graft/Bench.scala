@@ -24,27 +24,39 @@ object Bench {
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    // median-of-N per query: a single run cannot distinguish host
-    // contention from a plan regression (a one-off 17 s spike on a 0.9 s
-    // query has happened); the median of 3 is immune to one bad run.
+    // median-of-N per query, INTERLEAVED: the full query list runs N times
+    // and each query takes its median across passes. Back-to-back repeats
+    // of one query all sit inside the same host-contention window, so a
+    // multi-second stall inflates every sample and survives the median;
+    // spreading a query's samples a full pass apart (~40 s at sf0.1) makes
+    // that near-impossible while keeping the same total work.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to repeats).map { _ =>
+    val names = SparkEntry.queries.keys.toSeq
+    val samples = (1 to repeats).map { _ =>
+      names.map { name =>
         val t0 = System.nanoTime()
         val ok =
           try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            SparkEntry.queries(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
             true
           } catch { case e: Throwable =>
             System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
             false
           }
         val sec = (System.nanoTime() - t0) / 1e9
-        if (ok) sec else -sec
-      }
+        // outside the timed region: drop caches pinned by numbering/LSH
+        // operators so no sample reuses a previous sample's materialisation
+        // (and long runs don't accumulate dead cache entries)
+        spark.catalog.clearCache()
+        name -> (if (ok) sec else -sec)
+      }.toMap
+    }
+    val results = names.map { name =>
+      val times = samples.map(_(name))
       val median = times.map(math.abs).sorted.apply(times.length / 2)
       name -> (if (times.exists(_ < 0)) -median else median)
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.map(math.abs).sum

@@ -153,16 +153,36 @@ object Similarity {
   def signBandCandidates(df: DataFrame, idCol: String, vecCol: String,
       nBands: Int = 8, bitsPerBand: Int = 8,
       maxBucket: Option[Int] = None): DataFrame = {
-    requireDim(df, vecCol, nBands * bitsPerBand)
     // both sides of the self-join read the banded frame — persisting it
-    // lets the self-join reuse one materialisation of the signatures.
-    // Lifecycle note: the cache lives until the session evicts it; callers
-    // looping over many corpora should spark.catalog.clearCache() between
-    // runs (the returned frame stays recomputable either way)
-    val bands = df.select(col(idCol), posexplode(
+    // lets the self-join reuse one materialisation of the signatures. The
+    // cache must not outlive the call (a long-lived session looping over
+    // corpora would accumulate dead entries), so the thin (id_a, id_b)
+    // result is materialised eagerly via localCheckpoint and the bands
+    // cache released in finally. The checkpointed blocks are
+    // MEMORY_AND_DISK and freed by the context cleaner once the frame is
+    // unreachable.
+    val bands = bandedSignatures(df, idCol, vecCol, nBands, bitsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try candidatePairPlan(bands, idCol, maxBucket).localCheckpoint()
+    finally bands.unpersist()
+  }
+
+  /** The banded (id, band, sig) frame behind [[signBandCandidates]]. */
+  private[graft] def bandedSignatures(df: DataFrame, idCol: String,
+      vecCol: String, nBands: Int, bitsPerBand: Int): DataFrame = {
+    requireDim(df, vecCol, nBands * bitsPerBand)
+    df.select(col(idCol), posexplode(
         array(signBands(col(vecCol), nBands, bitsPerBand): _*))
       .as(Seq("band", "sig")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Lazy candidate-pair plan over a banded frame — split out so tests can
+    * assert the join shape (equi-join, never cartesian) on the plan that
+    * actually generates candidates, which [[signBandCandidates]]'s
+    * checkpoint would otherwise hide.
+    */
+  private[graft] def candidatePairPlan(bands: DataFrame, idCol: String,
+      maxBucket: Option[Int]): DataFrame = {
     val kept = maxBucket.fold(bands) { m =>
       val small = bands.groupBy("band", "sig")
         .agg(count(lit(1)).as("__n")).filter(col("__n") <= m)

@@ -139,10 +139,15 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("banded embedding near-dup plan has no cartesian product") {
+    // assert the shape on the lazy candidate plan (signBandCandidates
+    // checkpoints its result, which would hide the generating join)
+    val bands = Similarity.bandedSignatures(embeddings, "vec_id",
+      "embedding", 8, 8)
+    val plan = Similarity.candidatePairPlan(bands, "vec_id", None)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), s"cartesian in plan:\n$plan")
     val nd = Similarity.nearDuplicateVectors(embeddings, "vec_id",
       "embedding", 0.45)
-    val plan = nd.queryExecution.executedPlan.toString
-    assert(!plan.contains("Cartesian"), s"cartesian in plan:\n$plan")
     nd.collect().foreach(r => assert(r.getAs[Double]("cosine") >= 0.45))
   }
 
