@@ -138,6 +138,42 @@ class PipelineSpec extends SparkSpec {
       }
   }
 
+  test("k-means-trained IVF recall >= untrained at the same probe budget") {
+    // ground truth: exact top-10 per query; recall = |ivf ∩ truth| / 10.
+    // Trained centroids must never lose to the raw lowest-id seeds when
+    // both probe a single cell.
+    val queries = Seq(5L, 25L, 77L, 99L, 123L, 250L, 300L, 333L, 411L,
+      470L).map { qid =>
+      embeddings.filter(col("vec_id") === qid)
+        .select("embedding").head.getSeq[Float](0)
+    }
+    val untrained = Similarity.buildIvfIndex(embeddings, "vec_id",
+      "embedding", nCentroids = 8)
+    val trained = Similarity.buildIvfIndex(embeddings, "vec_id",
+      "embedding", nCentroids = 8, kmeansIters = 5)
+    def recall(idx: Similarity.IvfIndex, q: Seq[Float]): Double = {
+      val truth = Similarity.cosineTopK(embeddings, "vec_id", "embedding",
+        q, 10).select("vec_id").collect().map(_.getLong(0)).toSet
+      val got = Similarity.queryIvf(idx, q, 10, nProbe = 1)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val (ru, rt) = queries.map(q => (recall(untrained, q), recall(trained, q)))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(rt >= ru, s"trained recall $rt < untrained $ru")
+    assert(rt > 0.0)
+    // the spherical k-means objective — mean cosine of each vector to its
+    // assigned centroid — is non-decreasing per iteration by construction;
+    // assert it improved (guaranteed, unlike the sampled recall above)
+    def objective(idx: Similarity.IvfIndex): Double = {
+      val cent = array(idx.centroids.map(Similarity.vecLit): _*)
+      idx.assigned.select(avg(Similarity.cosine(col("embedding"),
+          element_at(cent, col("__cell") + 1))).as("o"))
+        .head.getDouble(0)
+    }
+    assert(objective(trained) >= objective(untrained) - 1e-12)
+  }
+
   test("banded embedding near-dup plan has no cartesian product") {
     // assert the shape on the lazy candidate plan (signBandCandidates
     // checkpoints its result, which would hide the generating join)
