@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.blueprint.Blueprint
-import graft.streaming.StreamMask
+import graft.streaming.{ExactlyOnceSink, StreamMask}
 
 /** Structured-Streaming masking over the events fixture, checked for
   * batch-equivalence: the same blueprint/aggregation computed through
@@ -211,5 +211,33 @@ class StreamingMaskSpec extends SparkSpec {
       "dedup_stream", "append")
     assert(streamed.count() == batchEvents.count())
     assert(streamed.select("event_id").distinct().count() == streamed.count())
+  }
+
+  test("foreachBatch sink is exactly-once under batch replay and restart") {
+    val base = Files.createTempDirectory("graft_eos").toString
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val q1 = ExactlyOnceSink.start(
+      streamingEvents.select("event_id", "user_id", "value"), out, ckpt)
+    q1.awaitTermination(120000)
+    val expected = batchEvents.count()
+    assert(spark.read.parquet(out).count() == expected)
+
+    // crash-replay simulation: the driver re-runs an already-written batch
+    // (same batchId, same data) — the write must replace, not append
+    val replayed = spark.read.parquet(out)
+      .withColumn("value", col("value")) // same rows, fresh plan
+      .drop(ExactlyOnceSink.BatchIdCol)
+    ExactlyOnceSink.writeBatch(out)(replayed, 0L)
+    assert(spark.read.parquet(out).count() == expected,
+      "replaying batch 0 duplicated rows")
+
+    // restart from the same checkpoint with no new input: ledger says all
+    // batches committed, so nothing is rewritten and nothing duplicates
+    val q2 = ExactlyOnceSink.start(
+      streamingEvents.select("event_id", "user_id", "value"), out, ckpt)
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(out).count() == expected)
+    assert(spark.read.parquet(out).select("event_id").distinct().count()
+      == expected)
   }
 }
