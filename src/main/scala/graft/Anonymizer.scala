@@ -80,10 +80,13 @@ final class ParquetIO(spark: SparkSession, dir: String) extends TableIO {
   * rewrite (`batchsize` ≈ NB_MAX_PROMISE_IN_LOOP batching,
   * src/Anonymizer.php:177–186).
   *
-  * `write` goes through a staging table + `RENAME TABLE` swap: a straight
+  * `write` goes through a staging table + a publish step: a straight
   * truncate+overwrite of a table the plan still lazily reads would execute
-  * the masking against the emptied table (data loss). The rename swap is
-  * atomic on MySQL. FK checks are disabled for the session via
+  * the masking against the emptied table (data loss). The publish step is
+  * selected by `commitMode` — [[JdbcCommitMode.TruncateInsert]] (default,
+  * keeps all target DDL incl. inbound FKs, small non-atomic window) or
+  * [[JdbcCommitMode.RenameSwap]] (atomic single-statement publish on
+  * MySQL). FK checks are disabled for the session via
   * `sessionInitStatement` — the analog of the reference's
   * `SET FOREIGN_KEY_CHECKS=0` (src/Anonymizer.php:440–444); `sessionInit`
   * defaults to that MySQL statement and is overridable (or `None`) for
@@ -93,7 +96,8 @@ final class ParquetIO(spark: SparkSession, dir: String) extends TableIO {
 final class JdbcIO(spark: SparkSession, url: String,
     options: Map[String, String] = Map.empty,
     partition: Option[JdbcPartitioning] = None,
-    sessionInit: Option[String] = Some("SET FOREIGN_KEY_CHECKS=0"))
+    sessionInit: Option[String] = Some("SET FOREIGN_KEY_CHECKS=0"),
+    commitMode: JdbcCommitMode = JdbcCommitMode.TruncateInsert)
     extends TableIO {
   private def withInit(
       r: org.apache.spark.sql.DataFrameReader): org.apache.spark.sql.DataFrameReader =
@@ -118,17 +122,44 @@ final class JdbcIO(spark: SparkSession, url: String,
   }
   override def commit(table: String): Unit = withConnection { st =>
     val staging = s"${table}__graft_staging"
-    // TRUNCATE + INSERT..SELECT instead of a RENAME swap: the target keeps
-    // its DDL (primary key, indexes, AUTO_INCREMENT, FK definitions and
-    // any child-table FKs pointing at it), which a rename to a
-    // Spark-inferred staging table would destroy. Emptying the target is
-    // safe here because the plan was already fully materialised into the
-    // staging table during stage(). Not atomic — a crash between the two
-    // statements leaves the target empty with the data still in staging;
-    // re-running commit() completes the publish.
-    st.execute(s"TRUNCATE TABLE $table")
-    st.execute(s"INSERT INTO $table SELECT * FROM $staging")
-    st.execute(s"DROP TABLE $staging")
+    commitMode match {
+      case JdbcCommitMode.TruncateInsert =>
+        // TRUNCATE + INSERT..SELECT: the target keeps its DDL (primary
+        // key, indexes, AUTO_INCREMENT, FK definitions and any
+        // child-table FKs pointing at it), which a rename to a
+        // Spark-inferred staging table would destroy. Emptying the target
+        // is safe here because the plan was already fully materialised
+        // into the staging table during stage(). Not atomic — a crash
+        // between the two statements leaves the target empty with the
+        // data still in staging; re-running commit() completes the
+        // publish. For an atomic publish use RenameSwap.
+        st.execute(s"TRUNCATE TABLE $table")
+        st.execute(s"INSERT INTO $table SELECT * FROM $staging")
+        st.execute(s"DROP TABLE $staging")
+      case JdbcCommitMode.RenameSwap(cloneDdl, renames) =>
+        // Clone the TARGET's DDL (not the Spark-inferred staging schema),
+        // fill the clone from staging, then publish with RENAME — on
+        // MySQL the multi-rename is ONE atomic statement, so readers see
+        // either the old or the new table, never an empty or missing
+        // one. Crash anywhere before the rename leaves the target
+        // untouched; after it, the new data is live and re-running
+        // commit() merely rebuilds from the still-present staging table.
+        // Caveat vs TruncateInsert: on MySQL, child-table FKs POINTING AT
+        // the target follow the rename to the retired name — use this
+        // mode for tables without inbound FKs.
+        val clone = s"${table}__graft_next"
+        val retired = s"${table}__graft_retired"
+        // leftovers from a previously crashed publish; ignore "not found"
+        Seq(clone, retired).foreach { t =>
+          try st.execute(s"DROP TABLE $t")
+          catch { case _: java.sql.SQLException => () }
+        }
+        st.execute(cloneDdl(clone, table))
+        st.execute(s"INSERT INTO $clone SELECT * FROM $staging")
+        renames(table, clone, retired).foreach(st.execute)
+        st.execute(s"DROP TABLE $retired")
+        st.execute(s"DROP TABLE $staging")
+    }
   }
   def write(table: String, df: DataFrame): Unit = {
     stage(table, df); commit(table)
@@ -149,6 +180,39 @@ final class JdbcIO(spark: SparkSession, url: String,
   */
 final case class JdbcPartitioning(column: String, lowerBound: Long,
     upperBound: Long, numPartitions: Int)
+
+/** How [[JdbcIO.commit]] publishes staged rows into the live table. */
+sealed trait JdbcCommitMode
+object JdbcCommitMode {
+
+  /** Default: `TRUNCATE target; INSERT INTO target SELECT * FROM staging`.
+    * Keeps every piece of target DDL (incl. FKs pointing at it); small
+    * crash window between the two statements (target empty, data safe in
+    * staging — re-run commit() to finish).
+    */
+  case object TruncateInsert extends JdbcCommitMode
+
+  /** Atomic publish: clone the target's DDL, fill the clone from staging,
+    * swap names. The defaults speak MySQL, where `CREATE TABLE … LIKE`
+    * copies PK/indexes/defaults and the multi-`RENAME TABLE` is a single
+    * atomic statement. Other engines override the two hooks — e.g. Derby:
+    * `cloneDdl = (c, t) => s"CREATE TABLE $c AS SELECT * FROM $t WITH NO
+    * DATA"` and two single renames (sacrificing atomicity — Derby has no
+    * multi-rename — but exercising the identical orchestration).
+    *
+    * @param cloneDdl (clone, target) => DDL statement cloning target's
+    *   shape under the clone name
+    * @param renames (target, clone, retired) => statements retiring the
+    *   live table and promoting the clone
+    */
+  final case class RenameSwap(
+      cloneDdl: (String, String) => String =
+        (clone, target) => s"CREATE TABLE $clone LIKE $target",
+      renames: (String, String, String) => Seq[String] =
+        (target, clone, retired) =>
+          Seq(s"RENAME TABLE $target TO $retired, $clone TO $target"))
+    extends JdbcCommitMode
+}
 
 /** Typed connection/runtime configuration with build-time validation — the
   * analog of the reference's config loader + checks

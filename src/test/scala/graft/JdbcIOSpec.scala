@@ -92,4 +92,44 @@ class JdbcIOSpec extends SparkSpec {
       st.close()
     } finally c.close()
   }
+
+  test("RenameSwap commit publishes staged rows through a DDL-clone swap") {
+    freshTable()
+    // Derby dialect for the swap hooks: no CREATE TABLE LIKE and no
+    // atomic multi-rename — same orchestration, engine-specific SQL
+    val swap = JdbcCommitMode.RenameSwap(
+      cloneDdl = (clone, target) =>
+        s"CREATE TABLE $clone AS SELECT * FROM $target WITH NO DATA",
+      renames = (target, clone, retired) => Seq(
+        s"RENAME TABLE $target TO $retired",
+        s"RENAME TABLE $clone TO $target"))
+    val io = new JdbcIO(spark, url, opts,
+      partition = Some(JdbcPartitioning("C_ID", 0, 100, 4)),
+      sessionInit = Some("SET SCHEMA APP"), commitMode = swap)
+    val anon = new Anonymizer(spark, io)
+    anon.table("CUSTOMER") { b =>
+      b.primary("C_ID")
+      b.column("C_NAME").replaceWith("swapped_#row#")
+    }
+    anon.run()
+
+    val c = conn()
+    try {
+      val st = c.createStatement()
+      val rs = st.executeQuery(
+        "SELECT C_ID, C_NAME FROM CUSTOMER ORDER BY C_ID")
+      var n = 0
+      while (rs.next()) {
+        assert(rs.getString(2) == s"swapped_${rs.getInt(1)}")
+        n += 1
+      }
+      assert(n == 100)
+      // every working table (staging, clone, retired) cleaned up
+      val meta = c.getMetaData.getTables(null, "APP", "CUSTOMER%", null)
+      var tables = List.empty[String]
+      while (meta.next()) tables ::= meta.getString("TABLE_NAME")
+      assert(tables == List("CUSTOMER"), s"leftover tables: $tables")
+      st.close()
+    } finally c.close()
+  }
 }
