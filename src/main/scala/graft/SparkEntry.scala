@@ -653,7 +653,11 @@ object SparkEntry {
     val synth = concat(lit("reach user"), col("c_custkey").cast("string"),
       lit("@example.com or call 555-"),
       lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
-      lit(" visit https://example.com/u/"), col("c_custkey").cast("string"))
+      lit(" visit https://example.com/u/"), col("c_custkey").cast("string"),
+      lit(" card 4242-4242-4242-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+      lit(" from 10.0."), (col("c_custkey") % 256).cast("string"),
+      lit("."), expr("c_custkey div 256 % 256").cast("string"))
     t(s, dir, "customer")
       .select(col("c_custkey") +: TextOps.redactPii(synth).as("redacted") +:
         TextOps.piiCounts(synth): _*)
@@ -1269,18 +1273,26 @@ object SparkEntry {
          |FROM ws LEFT JOIN bs ON bs.doc_id = ws.doc_id
          |ORDER BY ws.doc_id""".stripMargin,
     "q_pii" -> {
-      import graft.pipeline.TextOps.{emailRe, urlRe, phoneRe}
+      import graft.pipeline.TextOps.{emailRe, urlRe, phoneRe, ccRe, ipv4Re}
       s"""WITH synth AS (SELECT c_custkey,
          |  'reach user' || CAST(c_custkey AS VARCHAR) || '@example.com or call 555-' ||
          |  lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
-         |  ' visit https://example.com/u/' || CAST(c_custkey AS VARCHAR) AS text
+         |  ' visit https://example.com/u/' || CAST(c_custkey AS VARCHAR) ||
+         |  ' card 4242-4242-4242-' ||
+         |  lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+         |  ' from 10.0.' || CAST(c_custkey % 256 AS VARCHAR) ||
+         |  '.' || CAST(c_custkey // 256 % 256 AS VARCHAR) AS text
          |FROM customer)
          |SELECT c_custkey,
-         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(text,
          |    '$urlRe', '[URL]', 'g'), '$emailRe', '[EMAIL]', 'g'),
+         |    '$ccRe', '[CARD]', 'g'), '$ipv4Re', '[IP]', 'g'),
          |    '$phoneRe', '[PHONE]', 'g') AS redacted,
          |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
          |  CAST(len(regexp_extract_all(text, '$urlRe')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(text, '$ccRe')) AS BIGINT) AS n_cards,
+         |  CAST(len(regexp_extract_all(text, '$ipv4Re')) AS BIGINT) AS n_ips,
          |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones
          |FROM synth ORDER BY c_custkey""".stripMargin
     },

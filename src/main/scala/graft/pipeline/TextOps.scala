@@ -188,26 +188,45 @@ object TextOps {
   val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val urlRe = "https?://[^\\s]+"
   val phoneRe = "[0-9]{3}-[0-9]{4}"
+  /** 16 digits in groups of 4 with dash/space separators (the formatted
+    * card shape; an unseparated digit run is indistinguishable from an id).
+    */
+  val ccRe = "[0-9]{4}([- ][0-9]{4}){3}"
+  /** Dotted quad — deliberately permissive on octet range (a malformed
+    * quad in free text is still worth scrubbing, and the simple class
+    * keeps the pattern in the Java∩RE2 subset).
+    */
+  val ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
   /** Free-text PII scrub — the text-pipeline counterpart of the engine's
-    * column masking: URLs, then e-mail addresses, then phone-shaped
-    * numbers are replaced with typed placeholders. Order matters (a URL
-    * may embed digits an address pattern would otherwise bite into).
-    * Pure `regexp_replace` chain: codegen'd, narrow, scan-speed.
+    * column masking: URLs, e-mail addresses, card numbers, IPv4 addresses,
+    * then phone-shaped numbers are replaced with typed placeholders.
+    * Order matters twice over: a URL may embed digits the later patterns
+    * would bite into, and a grouped card number contains phone-shaped
+    * `ddd-dddd` substrings — so cards go before phones. Pure
+    * `regexp_replace` chain: codegen'd, narrow, scan-speed.
     */
   def redactPii(text: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(text, urlRe, "[URL]"),
-        emailRe, "[EMAIL]"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, urlRe, "[URL]"),
+            emailRe, "[EMAIL]"),
+          ccRe, "[CARD]"),
+        ipv4Re, "[IP]"),
       phoneRe, "[PHONE]")
 
   /** Per-row PII hit counts (audit signal before deciding to drop vs
-    * redact a document).
+    * redact a document). Counts run on the RAW text independently per
+    * kind — a card number also contains phone-shaped substrings and a URL
+    * may embed an IP; overlaps count under every kind they match.
     */
   def piiCounts(text: Column): Seq[Column] = Seq(
     regexp_count(text, lit(emailRe)).cast("bigint").as("n_emails"),
     regexp_count(text, lit(urlRe)).cast("bigint").as("n_urls"),
+    regexp_count(text, lit(ccRe)).cast("bigint").as("n_cards"),
+    regexp_count(text, lit(ipv4Re)).cast("bigint").as("n_ips"),
     regexp_count(text, lit(phoneRe)).cast("bigint").as("n_phones"))
 
   /** Repetition statistics per document — the classic corpus-curation

@@ -652,21 +652,28 @@ class PipelineSpec extends SparkSpec {
     assert(uncapped == 6L)
   }
 
-  test("PII redaction replaces urls, emails, phones and counts hits") {
+  test("PII redaction replaces urls, emails, cards, ips, phones + counts") {
     val s = spark
     import s.implicits._
     val df = Seq(
       (1L, "mail a.b@x.co or c-d@y.org, call 555-1234 or 555-9876, " +
         "see https://x.co/a?b=1 now"),
-      (2L, "no pii here at all")
+      (2L, "no pii here at all"),
+      (3L, "pay 4111 1111 1111 1111 or 4242-4242-4242-4242 from 10.0.0.7")
     ).toDF("id", "text")
     val got = df.select(col("id") +: TextOps.redactPii(col("text")).as("r") +:
         TextOps.piiCounts(col("text")): _*)
       .collect().map(r => r.getLong(0) ->
-        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
     assert(got(1L) == (("mail [EMAIL] or [EMAIL], call [PHONE] or [PHONE], " +
-      "see [URL] now", 2L, 1L, 2L)))
-    assert(got(2L) == (("no pii here at all", 0L, 0L, 0L)))
+      "see [URL] now", 2L, 1L, 0L, 0L, 2L)))
+    assert(got(2L) == (("no pii here at all", 0L, 0L, 0L, 0L, 0L)))
+    // cards are scrubbed BEFORE phones, so the ddd-dddd substrings inside
+    // a grouped card never leak a [PHONE] hole into [CARD]; raw-text
+    // counts still tally them under both kinds (documented overlap)
+    assert(got(3L) == (("pay [CARD] or [CARD] from [IP]",
+      0L, 0L, 2L, 1L, 2L)))
   }
 
   test("text ops: token counts and language profiles behave") {
