@@ -749,6 +749,27 @@ object SparkEntry {
         defaultRate = 0.1)
       .orderBy("doc_id")
 
+  /** The composed curation pipeline ([[graft.pipeline.Curation.curate]]):
+    * quality gate → PII scrub → near-dedup (survivors only) → stratified
+    * mix, end-to-end under one oracle. The fixture corpus carries no PII,
+    * so a deterministic contact string is appended per document BEFORE
+    * the pipeline — the scrub stage genuinely fires, and the dedup stage
+    * shingles the REDACTED text exactly as a production run would.
+    */
+  private def qCuration(s: SparkSession, dir: String): DataFrame = {
+    val synth = docs(s, dir).select("doc_id", "lang", "text")
+      .withColumn("text", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com via https://example.com/d/"),
+        col("doc_id").cast("string")))
+    graft.pipeline.Curation.curate(synth, "doc_id", "text", "lang",
+        minQuality = 0.3, dedupThreshold = 0.8,
+        mixRates = Map("en" -> 0.5, "es" -> 1.0, "de" -> 0.25),
+        defaultRate = 0.1)
+      .select("doc_id", "lang", "quality", "text")
+      .orderBy("doc_id")
+  }
+
   /** Int8 quantization audit over the embedding store
     * ([[Similarity.int8Scale]]/[[Similarity.int8Codes]] — the 4× storage/
     * shuffle-width cut): per vector the symmetric scale, the worst
@@ -842,6 +863,7 @@ object SparkEntry {
     "q_embed_dedup" -> (qEmbedDedup _),
     "q_quantize" -> (qQuantize _),
     "q_sample" -> (qSample _),
+    "q_curation" -> (qCuration _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
   )
 
@@ -851,26 +873,28 @@ object SparkEntry {
   private val toksSql = s"string_split($normSql, ' ')"
 
   /** Shared CTE: distinct word-3-shingles per doc (DuckDB mirror of
-    * [[Dedup.shingles]]).
+    * [[Dedup.shingles]]) — over any relation carrying (doc_id, text).
     */
-  private val shingleCte =
-    s"""norm AS (SELECT doc_id, $toksSql AS w FROM documents),
+  private def shingleCteFrom(rel: String): String =
+    s"""norm AS (SELECT doc_id, $toksSql AS w FROM $rel),
        |pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
        |        FROM norm WHERE len(w) >= 3),
        |sh AS (SELECT DISTINCT doc_id,
        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM pos)""".stripMargin
 
+  private val shingleCte = shingleCteFrom("documents")
+
   /** The MinHash→banded-LSH→Jaccard near-dup pipeline as DuckDB CTEs,
     * shared by `q_dedup_near` (pair list) and `q_dedup_clusters`
     * (connected components on top).
     */
-  private val nearDupCtes = {
+  private def nearDupCtesFrom(rel: String): String = {
     val mins = (0 until 8)
       .map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")
     val bands = (0 until 4)
       .map(b => s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS sig FROM sig")
       .mkString(" UNION ALL ")
-    s"""$shingleCte,
+    s"""${shingleCteFrom(rel)},
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |bands AS ($bands),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -882,6 +906,8 @@ object SparkEntry {
        |          JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
        |          GROUP BY c.id_a, c.id_b)""".stripMargin
   }
+
+  private val nearDupCtes = nearDupCtesFrom("documents")
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
@@ -1421,6 +1447,58 @@ object SparkEntry {
         s"+ ${nibSql(h, 3)} * 16 + ${nibSql(h, 4)})"
       s"""SELECT doc_id, lang FROM documents
          |WHERE $bucket < CASE lang WHEN 'en' THEN 32768 WHEN 'es' THEN 65536
+         |                          WHEN 'de' THEN 16384 ELSE 6554 END
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q_curation" -> {
+      // the four stages' own oracle fragments, chained: synthesized PII →
+      // quality gate (over the PRE-scrub text, as curate() computes it) →
+      // redaction → md5-MinHash near-dup survivors → md5-bucket mix
+      import graft.pipeline.TextOps.{emailRe, urlRe, phoneRe, ccRe, ipv4Re}
+      val stop = s"len(list_filter($toksSql, x -> x IN (${inList(TextOps.langProfiles("en"))})))"
+      val h = "md5(CAST(doc_id AS VARCHAR))"
+      val bucket = s"(${nibSql(h, 1)} * 4096 + ${nibSql(h, 2)} * 256 " +
+        s"+ ${nibSql(h, 3)} * 16 + ${nibSql(h, 4)})"
+      val redact = s"regexp_replace(regexp_replace(regexp_replace(" +
+        s"regexp_replace(regexp_replace(text, '$urlRe', '[URL]', 'g'), " +
+        s"'$emailRe', '[EMAIL]', 'g'), '$ccRe', '[CARD]', 'g'), " +
+        s"'$ipv4Re', '[IP]', 'g'), '$phoneRe', '[PHONE]', 'g')"
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id, lang,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |    '@example.com via https://example.com/d/' ||
+         |    CAST(doc_id AS VARCHAR) AS text
+         |  FROM documents),
+         |qual AS (
+         |  SELECT doc_id, lang, text,
+         |    least(greatest(
+         |      least(CAST(len($toksSql) AS DOUBLE) / 64.0, 1.0) * 0.5
+         |      + least(CAST($stop AS DOUBLE) / greatest(CAST(len($toksSql) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3
+         |      + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |               / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2,
+         |      0.0), 1.0) AS quality
+         |  FROM base),
+         |scrub AS (
+         |  SELECT doc_id, lang, quality, $redact AS text
+         |  FROM qual WHERE quality >= 0.3),
+         |${nearDupCtesFrom("scrub")},
+         |pairs AS (
+         |  SELECT i.id_a, i.id_b
+         |  FROM inter i JOIN sz za ON za.doc_id = i.id_a
+         |  JOIN sz zb ON zb.doc_id = i.id_b
+         |  WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT rc.id, e.dst FROM reach rc JOIN edges e ON e.src = rc.r),
+         |clusters AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |dropped AS (SELECT id AS doc_id FROM clusters WHERE id <> cluster_id)
+         |SELECT doc_id, lang, quality, text
+         |FROM scrub
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |  AND $bucket < CASE lang WHEN 'en' THEN 32768 WHEN 'es' THEN 65536
          |                          WHEN 'de' THEN 16384 ELSE 6554 END
          |ORDER BY doc_id""".stripMargin
     },
