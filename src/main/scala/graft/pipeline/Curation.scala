@@ -42,6 +42,12 @@ object Curation {
       .filter(col("quality") >= minQuality)
     val scrubbed = quality
       .withColumn(textCol, TextOps.redactPii(col(textCol)))
+    // Deliberately NOT persisted into the dedup stage: the pair pipeline
+    // materialises in ONE job (connectedComponents checkpoints the edge
+    // frame first), where exchange reuse already deduplicates the scrub
+    // subtree — caching it instead measured 1.6× slower end-to-end at
+    // sf0.1 (block-store write + read beats nothing here; see the
+    // matching note on Dedup.nearDuplicatePairs).
     val deduped = Dedup.dropNearDuplicates(scrubbed, idCol, textCol,
       dedupThreshold)
     Sampling.stratifiedHashSample(deduped, col(idCol), col(stratumCol),
