@@ -749,6 +749,21 @@ object SparkEntry {
         defaultRate = 0.1)
       .orderBy("doc_id")
 
+  /** Real tokenizer-based token counting ([[graft.functions.Bpe]]): the
+    * greedy BPE merge loop under a rank-ordered merges vocabulary,
+    * next to the whitespace count it corrects. The vocabulary's
+    * structural invariant makes greedy encoding equal rank-order rule
+    * application, so the oracle can evaluate the SAME tokenizer as a
+    * nested replace chain — a full value oracle, not a row count.
+    */
+  private def qBpe(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("bigint").as("n_ws_tokens"),
+        graft.functions.Bpe.tokenCount(graft.functions.Bpe.demoEnglish)(
+          TextOps.tokens(col("text"))).cast("bigint").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   /** The composed curation pipeline ([[graft.pipeline.Curation.curate]]):
     * quality gate → PII scrub → near-dedup (survivors only) → stratified
     * mix, end-to-end under one oracle. The fixture corpus carries no PII,
@@ -864,6 +879,7 @@ object SparkEntry {
     "q_quantize" -> (qQuantize _),
     "q_sample" -> (qSample _),
     "q_curation" -> (qCuration _),
+    "q_bpe" -> (qBpe _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
   )
 
@@ -1449,6 +1465,24 @@ object SparkEntry {
          |WHERE $bucket < CASE lang WHEN 'en' THEN 32768 WHEN 'es' THEN 65536
          |                          WHEN 'de' THEN 16384 ELSE 6554 END
          |ORDER BY doc_id""".stripMargin
+    },
+    "q_bpe" -> {
+      // the SAME tokenizer, evaluated as sequential rank-order merges
+      // (== greedy under BpeMerges' construction invariant): codepoints
+      // joined by a separator byte absent from the corpus, one replace()
+      // per merge rule, token count = separators + 1
+      val sep = "chr(31)"
+      val base = s"rtrim(regexp_replace(tok, '(.)', '\\1' || $sep, 'g'), $sep)"
+      val merged = graft.functions.Bpe.demoEnglish.rules.foldLeft(base) {
+        case (acc, (a, b)) => s"replace($acc, '$a' || $sep || '$b', '$a$b')"
+      }
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |enc AS (SELECT doc_id, tok, $merged AS m FROM toks)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+         |  CAST(SUM(CASE WHEN tok = '' THEN 0
+         |           ELSE length(m) - length(replace(m, $sep, '')) + 1 END)
+         |       AS BIGINT) AS n_bpe_tokens
+         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "q_curation" -> {
       // the four stages' own oracle fragments, chained: synthesized PII →

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** A byte-pair-encoding vocabulary: ordered merge rules, rank = training
+  * order — the real tokenizer-based token counter for budget accounting
+  * (whitespace counts under-estimate subword budgets 1.3–2×).
+  *
+  * Encoding is the standard greedy loop: repeatedly merge the
+  * lowest-rank adjacent pair present in the word (all leftmost
+  * non-overlapping occurrences at once) until no rule applies.
+  *
+  * Construction enforces the structural invariant every trained BPE
+  * vocabulary has — each rule's sides are single codepoints or the
+  * output of an EARLIER rule, and outputs are distinct. Under it, greedy
+  * encoding provably equals applying the rules once each in rank order
+  * (a merge can never create an adjacency for an earlier rule, because
+  * that earlier rule's sides were all formed before it). That sequential
+  * form is what the DuckDB oracle evaluates as a nested `replace` chain
+  * — a full value oracle for a tokenizer, not just a row count.
+  *
+  * Scale shape: the vocabulary is a plain broadcast-size value captured
+  * in a UDF closure (merge tables are ≤ a few hundred KB); counting is a
+  * narrow per-row map, no shuffle. The UDF is the honest choice here —
+  * the merge loop is imperative string work with no Column/codegen
+  * equivalent; everything around it (normalize, tokenize, aggregate)
+  * stays in codegen.
+  */
+final case class BpeMerges(rules: Seq[(String, String)])
+    extends Serializable {
+  {
+    val formed = scala.collection.mutable.Set.empty[String]
+    rules.zipWithIndex.foreach { case ((a, b), i) =>
+      def ok(s: String) = s.codePointCount(0, s.length) == 1 ||
+        formed.contains(s)
+      require(ok(a) && ok(b),
+        s"rule $i ($a,$b): sides must be single codepoints or outputs of " +
+          "earlier rules (the invariant that makes greedy == rank-order)")
+      require(!formed.contains(a + b), s"rule $i: duplicate output ${a + b}")
+      formed += (a + b)
+    }
+  }
+
+  @transient private lazy val rank: Map[(String, String), Int] =
+    rules.zipWithIndex.toMap
+
+  /** Split into single-codepoint strings (surrogate-pair safe — the
+    * DuckDB mirror's `(.)` regex is codepoint-based too).
+    */
+  private def codepoints(word: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  private def mergeAll(toks: Array[String], a: String,
+      b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Greedy BPE: tokens of `word`. */
+  def encode(word: String): Seq[String] = {
+    var toks = codepoints(word)
+    var continue = toks.length > 1
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var bestA: String = null
+      var bestB: String = null
+      var i = 0
+      while (i < toks.length - 1) {
+        rank.get((toks(i), toks(i + 1))).foreach { r =>
+          if (r < bestRank) { bestRank = r; bestA = toks(i); bestB = toks(i + 1) }
+        }
+        i += 1
+      }
+      if (bestA == null) continue = false
+      else toks = mergeAll(toks, bestA, bestB)
+    }
+    toks.toSeq
+  }
+
+  /** Token count over a pre-tokenized word array (empty words are
+    * skipped; pair with [[graft.pipeline.TextOps.tokens]] so the word
+    * segmentation stays on the oracle-verified codegen path).
+    */
+  def countTokens(words: Seq[String]): Int = {
+    var n = 0
+    words.foreach(w => if (w.nonEmpty) n += encode(w).length)
+    n
+  }
+}
+
+object Bpe {
+
+  /** Column function: BPE token count of a (normalized) token-array
+    * column under `vocab`.
+    */
+  def tokenCount(vocab: BpeMerges)(words: Column): Column = {
+    val f = udf((ws: Seq[String]) => vocab.countTokens(ws))
+    f(words)
+  }
+
+  /** A small demonstration vocabulary over common English fragments —
+    * rank-ordered, invariant-respecting. Real deployments load the
+    * tokenizer's merges file into [[BpeMerges]] the same way.
+    */
+  val demoEnglish: BpeMerges = BpeMerges(Seq(
+    ("t", "h"), ("th", "e"),            // the
+    ("i", "n"), ("in", "g"),            // ing
+    ("a", "n"), ("an", "d"),            // and
+    ("e", "r"), ("o", "n"),             // er, on
+    ("t", "i"), ("ti", "on"),           // tion
+    ("e", "n"), ("r", "e"),             // en, re
+    ("o", "u"), ("s", "t"),             // ou, st
+    ("a", "r"), ("o", "r")))            // ar, or
+}

@@ -29,7 +29,8 @@ object TextOps {
 
   /** A BPE-ish sub-word segmentation: splits on whitespace AND punctuation
     * boundaries, keeping digits/word chars together — a cheap, deterministic
-    * stand-in for tokenizer-based counting at corpus-audit time.
+    * stand-in for tokenizer-based counting at corpus-audit time. For real
+    * merges-table tokenization see [[graft.functions.Bpe]].
     */
   def subwordCount(text: Column): Column =
     size(filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0))
