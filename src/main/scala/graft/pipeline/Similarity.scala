@@ -300,6 +300,50 @@ object Similarity {
       nProbe: Int = 2): DataFrame =
     queryIvf(buildIvfIndex(df, idCol, vecCol, nCentroids), query, k, nProbe)
 
+  /** Batch ANN: a whole DataFrame of queries resolved through the index
+    * in ONE distributed plan — the many-query serving shape, where a
+    * per-query [[queryIvf]] driver loop would serialize. Each query's
+    * `nProbe` nearest cells come from the broadcast centroid literals (a
+    * narrow projection), explode to (query, probe cell), equi-join the
+    * cell column of the assigned corpus — at scale the corpus is
+    * partitioned by `__cell`, so the join prunes to probed cells — and
+    * the exact-cosine top-k cut is a window over the HIGH-cardinality
+    * query id (every window partition is one query's ≤ nProbe cells of
+    * candidates, never a giant partition).
+    *
+    * Tie rules match [[queryIvf]] exactly: probe ties toward the lower
+    * cell id, result ties toward the lower corpus id.
+    *
+    * Output: query id (as `qIdCol`), all corpus columns, `cosine`.
+    */
+  def queryIvfBatch(idx: IvfIndex, queries: DataFrame, qIdCol: String,
+      qVecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // internal names so query columns can never collide with corpus ones
+    val q = queries.select(col(qIdCol).as("__qid"), col(qVecCol).as("__qv"))
+    // negated cell id inside the sort struct: sort_array desc orders by
+    // (cos desc, -cell desc) = (cos desc, cell asc) — the probe tie rule
+    val scored = array(idx.centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(col("__qv"), vecLit(c)).as("cos"),
+        lit(-i).as("negcell"))
+    }: _*)
+    val probes = transform(
+      slice(sort_array(scored, asc = false), 1, nProbe),
+      s => -s("negcell"))
+    val candidates = q
+      .withColumn("__probe", explode(probes))
+      .join(idx.assigned, col("__probe") === col("__cell"))
+      .withColumn("cosine", cosine(col(idx.vecCol), col("__qv")))
+    val w = Window.partitionBy("__qid")
+      .orderBy(col("cosine").desc, col(idx.idCol))
+    candidates
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as(qIdCol) +:
+        idx.assigned.columns.filterNot(_ == "__cell").map(col) :+
+        col("cosine"): _*)
+  }
+
   /** Embedding near-duplicate pairs: banded candidates + exact cosine ≥
     * threshold. No stage is quadratic in the corpus: with `bitsPerBand`
     * = 8 a band has 256 buckets, so expected bucket size — and with it the

@@ -138,6 +138,27 @@ class PipelineSpec extends SparkSpec {
       }
   }
 
+  test("batch IVF == per-query IVF loop on every query") {
+    val idx = Similarity.buildIvfIndex(embeddings, "vec_id", "embedding")
+    val qids = Seq(0L, 1L, 2L)
+    val queries = embeddings.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val batch = Similarity.queryIvfBatch(idx, queries, "query_id",
+        "embedding", k = 10)
+      .select("query_id", "vec_id", "cosine").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(r => (r.getLong(1),
+        r.getDouble(2))).sortBy(x => (-x._2, x._1)).toSeq }
+    qids.foreach { qid =>
+      val qv = embeddings.filter(col("vec_id") === qid)
+        .select("embedding").head.getSeq[Float](0)
+      val loop = Similarity.queryIvf(idx, qv, 10)
+        .select("vec_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == loop, s"query $qid differs from the loop path")
+    }
+  }
+
   test("k-means-trained IVF recall >= untrained at the same probe budget") {
     // ground truth: exact top-10 per query; recall = |ivf ∩ truth| / 10.
     // Trained centroids must never lose to the raw lowest-id seeds when
