@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`), north-star
@@ -208,9 +208,10 @@ object Similarity {
     * assignment materialised in a `__cell` column. Build once, query
     * many — the serving pattern: the full-corpus assignment scan happens
     * at build time, and each query then touches only its `nProbe` cells.
-    * At 100 TB, write `assigned` as a table PARTITIONED BY `__cell` (or
-    * bucketed on it) so a query prunes cell files at the source instead
-    * of filtering a full scan.
+    * At 100 TB, persist with [[writeIvfIndex]] (PARTITIONED BY `__cell`)
+    * so a query prunes cell files at the source instead of filtering a
+    * full scan — demonstrated by the PartitionFilters plan assertion in
+    * PipelineSpec.
     */
   final case class IvfIndex(centroids: Array[Seq[Float]],
       assigned: DataFrame, idCol: String, vecCol: String)
@@ -342,6 +343,43 @@ object Similarity {
       .select(col("__qid").as(qIdCol) +:
         idx.assigned.columns.filterNot(_ == "__cell").map(col) :+
         col("cosine"): _*)
+  }
+
+  /** Persist a built IVF index as the partition-pruned serving layout:
+    * the assigned corpus written PARTITIONED BY `__cell`, so a query's
+    * `nProbe` cell filter becomes a PARTITION filter at the parquet
+    * source — only the probed cells' files are ever opened, instead of
+    * filtering a full-corpus scan. This is the 100 TB shape: cell count
+    * is chosen so one cell ≈ a few GB of files, and a top-k query then
+    * reads `nProbe` cells regardless of corpus size. The centroids (tiny
+    * — nCentroids · dim floats) ride along as a sidecar table with the
+    * id/vector column names, so the index round-trips without external
+    * metadata.
+    */
+  def writeIvfIndex(idx: IvfIndex, path: String): Unit = {
+    idx.assigned.write.mode("overwrite")
+      .partitionBy("__cell").parquet(s"$path/corpus")
+    val spark = idx.assigned.sparkSession
+    import spark.implicits._
+    idx.centroids.zipWithIndex
+      .map { case (c, i) => (i, c, idx.idCol, idx.vecCol) }.toSeq
+      .toDF("cell", "centroid", "id_col", "vec_col")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load an index written by [[writeIvfIndex]]. The returned index's
+    * `assigned` frame is the cell-partitioned parquet table, so
+    * [[queryIvf]]/[[queryIvfBatch]] cell predicates prune partitions at
+    * the source (asserted on `PartitionFilters` in PipelineSpec).
+    */
+  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
+    val meta = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+    require(meta.nonEmpty, s"no centroids found under $path/centroids")
+    IvfIndex(meta.map(_.getSeq[Float](1)),
+      spark.read.parquet(s"$path/corpus"),
+      meta.head.getString(2), meta.head.getString(3))
   }
 
   /** Embedding near-duplicate pairs: banded candidates + exact cosine ≥

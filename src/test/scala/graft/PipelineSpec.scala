@@ -125,6 +125,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF index prunes cell partitions at the parquet source") {
+    val idx = Similarity.buildIvfIndex(embeddings, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.writeIvfIndex(idx, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    assert(loaded.idCol == "vec_id" && loaded.vecCol == "embedding")
+    assert(loaded.centroids.length == idx.centroids.length &&
+      loaded.centroids.zip(idx.centroids).forall { case (a, b) => a == b })
+    val q = (0 until 64).map(i => (i % 7 - 3) * 0.2f)
+    val viaLoaded = Similarity.queryIvf(loaded, q, 10)
+    // the cell filter must reach the scan as a PARTITION filter (source
+    // prunes to the probed cells' files), not a post-scan data filter
+    val plan = viaLoaded.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*__cell[^\\]]*IN".r
+    assert(pf.findFirstIn(plan).isDefined,
+      s"no __cell partition filter in scan:\n$plan")
+    // and the pruned scan must answer exactly like the in-memory index
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+    assert(rows(viaLoaded) == rows(Similarity.queryIvf(idx, q, 10)))
+  }
+
   test("built IVF index answers multiple queries like the one-shot path") {
     val idx = Similarity.buildIvfIndex(embeddings, "vec_id", "embedding")
     Seq(Seq.fill(64)(0.1f), (0 until 64).map(i => (i % 7 - 3) * 0.2f))
