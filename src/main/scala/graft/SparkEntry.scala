@@ -773,13 +773,24 @@ object SparkEntry {
     * application, so the oracle can evaluate the SAME tokenizer as a
     * nested replace chain — a full value oracle, not a row count.
     */
-  private def qBpe(s: SparkSession, dir: String): DataFrame =
+  private def qBpe(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Bpe
+    // production shape: the vocabulary is parsed from merges-FILE lines
+    // (BpeMerges.fromLines, Ġ-decoded) and pre-tokenization is the
+    // GPT-2-style regex, so pieces carry their leading space and the
+    // space-prefixed merges fire — next to the whitespace-token path it
+    // corrects. Both counts are full value-oracle-checked.
+    val pieces = Bpe.preTokenize(TextOps.normalize(col("text")))
     docs(s, dir)
       .select(col("doc_id"),
         TextOps.tokenCount(col("text")).cast("bigint").as("n_ws_tokens"),
-        graft.functions.Bpe.tokenCount(graft.functions.Bpe.demoEnglish)(
-          TextOps.tokens(col("text"))).cast("bigint").as("n_bpe_tokens"))
+        Bpe.tokenCount(Bpe.demoEnglish)(
+          TextOps.tokens(col("text"))).cast("bigint").as("n_bpe_tokens"),
+        size(pieces).cast("bigint").as("n_gpt2_pieces"),
+        Bpe.tokenCount(Bpe.demoGpt2)(pieces)
+          .cast("bigint").as("n_bpe_gpt2"))
       .orderBy("doc_id")
+  }
 
   /** The composed curation pipeline ([[graft.pipeline.Curation.curate]]):
     * quality gate → PII scrub → near-dedup (survivors only) → stratified
@@ -1533,22 +1544,41 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin
     },
     "q_bpe" -> {
-      // the SAME tokenizer, evaluated as sequential rank-order merges
+      // the SAME tokenizers, evaluated as sequential rank-order merges
       // (== greedy under BpeMerges' construction invariant): codepoints
       // joined by a separator byte absent from the corpus, one replace()
-      // per merge rule, token count = separators + 1
+      // per merge rule, token count = separators + 1. The gpt2-style
+      // path re-extracts the identical pre-token pieces with the shared
+      // Java∩RE2 regex (DuckDB is RE2) before the same merge chain.
       val sep = "chr(31)"
-      val base = s"rtrim(regexp_replace(tok, '(.)', '\\1' || $sep, 'g'), $sep)"
-      val merged = graft.functions.Bpe.demoEnglish.rules.foldLeft(base) {
-        case (acc, (a, b)) => s"replace($acc, '$a' || $sep || '$b', '$a$b')"
-      }
+      def chain(rules: Seq[(String, String)], base: String) =
+        rules.foldLeft(base) { case (acc, (a, b)) =>
+          s"replace($acc, '$a' || $sep || '$b', '$a$b')"
+        }
+      val merged = chain(graft.functions.Bpe.demoEnglish.rules,
+        s"rtrim(regexp_replace(tok, '(.)', '\\1' || $sep, 'g'), $sep)")
+      val pmerged = chain(graft.functions.Bpe.demoGpt2.rules,
+        s"rtrim(regexp_replace(piece, '(.)', '\\1' || $sep, 'g'), $sep)")
+      val pat = graft.functions.Bpe.preTokenizeRegex.replace("'", "''")
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-         |enc AS (SELECT doc_id, tok, $merged AS m FROM toks)
-         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+         |enc AS (SELECT doc_id, tok, $merged AS m FROM toks),
+         |ws AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
          |  CAST(SUM(CASE WHEN tok = '' THEN 0
          |           ELSE length(m) - length(replace(m, $sep, '')) + 1 END)
          |       AS BIGINT) AS n_bpe_tokens
-         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |  FROM enc GROUP BY doc_id),
+         |p AS (SELECT doc_id,
+         |        unnest(regexp_extract_all($normSql, '$pat')) AS piece
+         |      FROM documents),
+         |penc AS (SELECT doc_id, $pmerged AS m FROM p),
+         |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_gpt2_pieces,
+         |  CAST(SUM(length(m) - length(replace(m, $sep, '')) + 1) AS BIGINT)
+         |    AS n_bpe_gpt2
+         |  FROM penc GROUP BY doc_id)
+         |SELECT ws.doc_id, ws.n_ws_tokens, ws.n_bpe_tokens,
+         |  CAST(COALESCE(g.n_gpt2_pieces, 0) AS BIGINT) AS n_gpt2_pieces,
+         |  CAST(COALESCE(g.n_bpe_gpt2, 0) AS BIGINT) AS n_bpe_gpt2
+         |FROM ws LEFT JOIN g USING (doc_id) ORDER BY ws.doc_id""".stripMargin
     },
     "q_curation" -> {
       // the four stages' own oracle fragments, chained: synthesized PII →

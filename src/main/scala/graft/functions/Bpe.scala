@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.functions.{lit, regexp_extract_all, udf}
 
 /** A byte-pair-encoding vocabulary: ordered merge rules, rank = training
   * order — the real tokenizer-based token counter for budget accounting
@@ -103,6 +103,32 @@ final case class BpeMerges(rules: Seq[(String, String)])
   }
 }
 
+object BpeMerges {
+
+  /** Load a merges file in the standard `merges.txt` layout: one
+    * whitespace-separated `A B` pair per line, rank = line order;
+    * `#`-prefixed header/comment lines and blanks skipped. With
+    * `gpt2Spaces = true`, the GPT-2 convention of printing the space
+    * byte as `Ġ` (U+0120) is undone on both sides, so a real tokenizer
+    * release's merges file loads directly. Construction re-validates the
+    * greedy==rank-order invariant, so a malformed or truncated file
+    * fails fast instead of silently tokenizing differently.
+    */
+  def fromLines(lines: Iterator[String],
+      gpt2Spaces: Boolean = false): BpeMerges = {
+    def decode(s: String) = if (gpt2Spaces) s.replace('Ġ', ' ') else s
+    BpeMerges(lines
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val parts = l.split("\\s+")
+        require(parts.length == 2, s"malformed merges line: '$l'")
+        (decode(parts(0)), decode(parts(1)))
+      }
+      .toSeq)
+  }
+}
+
 object Bpe {
 
   /** Column function: BPE token count of a (normalized) token-array
@@ -113,9 +139,29 @@ object Bpe {
     f(words)
   }
 
+  /** GPT-2-style pre-tokenization pattern, restricted to the Java∩RE2
+    * syntax intersection so Spark (java.util.regex) and any RE2 engine
+    * (e.g. a DuckDB oracle) extract identical pieces: contractions, then
+    * optional-space + letter run / digit run / punctuation run, then
+    * bare whitespace. The upstream pattern's `\s+(?!\S)` lookahead
+    * (RE2 has no lookarounds) only matters on whitespace RUNS, which
+    * normalized text ([[graft.pipeline.TextOps.normalize]]) never
+    * contains — on collapsed text the two patterns agree.
+    */
+  val preTokenizeRegex: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Pre-token pieces of a (normalized) text column — the word-boundary
+    * segmentation a real byte-level BPE runs its merge loop inside, with
+    * each piece carrying its leading space so the vocabulary can merge
+    * space-prefixed words (` the`) as single tokens.
+    */
+  def preTokenize(text: Column): Column =
+    regexp_extract_all(text, lit(preTokenizeRegex), lit(0))
+
   /** A small demonstration vocabulary over common English fragments —
     * rank-ordered, invariant-respecting. Real deployments load the
-    * tokenizer's merges file into [[BpeMerges]] the same way.
+    * tokenizer's merges file with [[BpeMerges.fromLines]] the same way.
     */
   val demoEnglish: BpeMerges = BpeMerges(Seq(
     ("t", "h"), ("th", "e"),            // the
@@ -126,4 +172,26 @@ object Bpe {
     ("e", "n"), ("r", "e"),             // en, re
     ("o", "u"), ("s", "t"),             // ou, st
     ("a", "r"), ("o", "r")))            // ar, or
+
+  /** [[demoEnglish]] plus space-prefixed merges, in the merges-FILE form
+    * (Ġ = space, per the GPT-2 release convention) — the demo vocabulary
+    * for the [[preTokenize]] path, where pieces carry their leading
+    * space and the space-prefixed rules fire first like a real trained
+    * vocabulary's low ranks.
+    */
+  val demoGpt2Lines: Seq[String] = Seq(
+    "#version: 0.2 (graft demo)",
+    "Ġ t", "Ġt h", "Ġth e",             // ' the'
+    "Ġ a", "Ġa n", "Ġan d",             // ' and'
+    "t h", "th e",
+    "i n", "in g",
+    "a n", "an d",
+    "e r", "o n",
+    "t i", "ti on",
+    "e n", "r e",
+    "o u", "s t",
+    "a r", "o r")
+
+  lazy val demoGpt2: BpeMerges =
+    BpeMerges.fromLines(demoGpt2Lines.iterator, gpt2Spaces = true)
 }

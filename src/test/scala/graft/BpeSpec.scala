@@ -41,6 +41,39 @@ class BpeSpec extends SparkSpec {
       BpeMerges(Seq(("a", "b"), ("a", "b"))))
   }
 
+  test("fromLines parses the merges-file layout with Ġ space decoding") {
+    val v = BpeMerges.fromLines(Bpe.demoGpt2Lines.iterator, gpt2Spaces = true)
+    // header/comment skipped, rank = line order, Ġ decoded on both sides
+    assert(v.rules.take(3) == Seq((" ", "t"), (" t", "h"), (" th", "e")))
+    assert(v.rules.drop(6) == Bpe.demoEnglish.rules)
+    // blank lines and surrounding whitespace are tolerated
+    val v2 = BpeMerges.fromLines(Seq("# h", "", "  a b  ").iterator)
+    assert(v2.rules == Seq(("a", "b")))
+    intercept[IllegalArgumentException](
+      BpeMerges.fromLines(Seq("a b c").iterator))
+    // a truncated file that breaks the invariant fails at load
+    intercept[IllegalArgumentException](
+      BpeMerges.fromLines(Seq("th e").iterator))
+  }
+
+  test("preTokenize splits like a byte-level BPE: contractions, spaced words") {
+    val df = spark.range(1).select(
+      Bpe.preTokenize(lit("it's the 3rd test, isn't it?")).as("p"))
+    assert(df.head.getSeq[String](0) == Seq(
+      "it", "'s", " the", " 3", "rd", " test", ",", " isn", "'t",
+      " it", "?"))
+  }
+
+  test("space-prefixed merges fire on pre-token pieces") {
+    val v = Bpe.demoGpt2
+    assert(v.encode(" the") == Seq(" the"))
+    assert(v.encode(" and") == Seq(" and"))
+    assert(v.encode("the") == Seq("the"))
+    assert(v.encode(" theory") == Seq(" the", "or", "y"))
+    assert(v.encode(" standing") == Seq(" ", "st", "and", "ing"))
+    assert(v.countTokens(Seq("it", "'s", " the")) == 2 + 2 + 1)
+  }
+
   test("column path counts BPE tokens over the documents fixture") {
     val docs = spark.read.parquet(s"$fixtures/documents.parquet")
     val counted = docs.select(col("doc_id"),
