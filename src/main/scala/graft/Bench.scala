@@ -32,6 +32,7 @@ object Bench {
     // that near-impossible while keeping the same total work.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq
+    val wall0 = System.nanoTime()
     val samples = (1 to repeats).map { _ =>
       names.map { name =>
         val t0 = System.nanoTime()
@@ -47,11 +48,18 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         // outside the timed region: drop caches pinned by numbering/LSH
         // operators so no sample reuses a previous sample's materialisation
-        // (and long runs don't accumulate dead cache entries)
+        // (and long runs don't accumulate dead cache entries). clearCache
+        // only covers the SQL cache; localCheckpoint blocks (LSH candidate
+        // frames, the CC loop) register as persistent RDDs, so sweep those
+        // too — every sample rebuilds its frames from scratch, so nothing
+        // live can reference last sample's checkpoint data.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         name -> (if (ok) sec else -sec)
       }.toMap
     }
+    val wallSec = (System.nanoTime() - wall0) / 1e9
     val results = names.map { name =>
       val times = samples.map(_(name))
       val median = times.map(math.abs).sorted.apply(times.length / 2)
@@ -59,8 +67,19 @@ object Bench {
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // contention self-diagnosis: all N raw samples and the per-query min
+    // ride along, so a reader can spot `min << median` (transient stall
+    // inflating one pass) or wall_sec >> sum(medians) * repeats
+    // (sustained host contention) from the artifact alone, without a
+    // manual quiet re-run.
+    val mins = names.map { name =>
+      s"\"" + name + "\":" + samples.map(s => math.abs(s(name))).min
+    }.mkString("{", ",", "}")
+    val raw = names.map { name =>
+      s"\"" + name + "\":" + samples.map(_(name)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.values.map(math.abs).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"samples":$raw,"repeats":$repeats,"wall_sec":$wallSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -69,7 +69,8 @@ object RankStats {
       orderCols: Seq[String], nTiles: Int,
       tileCol: String = "tile", pctRankCol: String = "pct_rank",
       cumeDistCol: String = "cume_dist",
-      assumeTotalOrder: Boolean = false): DataFrame = {
+      assumeTotalOrder: Boolean = false,
+      maxDriverStats: Int = 1 << 20): DataFrame = {
     require(nTiles >= 1, s"nTiles must be >= 1, got $nTiles")
     val spark = df.sparkSession
     val inputCols = df.columns.toSeq
@@ -88,6 +89,16 @@ object RankStats {
       .agg(count(lit(1)).as("__rs_cnt"),
         min(col(MidCol).bitwiseAND(lit(LocalMask))).as("__rs_start"))
       .collect()
+    // the driver holds O(partitions × groups) stat rows — the operator's
+    // contract is the LOW-cardinality-group regime (where the plain
+    // window's per-group single-task sort is the scale-killer). Misuse
+    // with millions of groups should be a clear error, not a driver OOM:
+    require(statRows.length <= maxDriverStats,
+      s"RankStats collected ${statRows.length} (partition, group) stat " +
+        s"rows > maxDriverStats=$maxDriverStats — group cardinality is too " +
+        "high for the range-shuffle regime; use a plain Window.partitionBy " +
+        "(each group then fits one task by construction), or raise " +
+        "maxDriverStats if the driver can hold the stats")
 
     val nGroup = groupCols.length
     // keyed by the group-value tuple (Seq equality covers the atomic types

@@ -53,4 +53,73 @@ object ExactlyOnceSink {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+
+  val BucketCol = "__bucket"
+
+  /** KEY-idempotent per-batch merge — the transactionless-lake MERGE
+    * analog for streams of UPDATED records, where [[writeBatch]]'s
+    * batch-idempotence isn't enough: a later batch re-sending key K with
+    * a new payload must REPLACE K's row, not append a second one.
+    *
+    * Layout: the table is partitioned by `__bucket` =
+    * `pmod(xxhash64(key), nBuckets)`. A micro-batch touches only its
+    * keys' buckets; each touched bucket is rewritten as
+    * (existing rows whose key is NOT in the batch) ∪ (batch rows),
+    * via dynamic partition overwrite — untouched buckets are never read
+    * or written. The rewrite is a set-merge keyed on `keyCol`, so it is
+    * idempotent under batch REPLAY (re-merging the same rows is a
+    * no-op) AND under key UPDATES (the anti-join drops the old row).
+    *
+    * Scale shape: per batch the work is `touched buckets / nBuckets` of
+    * the table re-read + rewritten — size `nBuckets` so a bucket is a
+    * few files and batch keys spread across few buckets. The batch's
+    * key set rides a broadcast anti-join (micro-batches are small by
+    * construction). Within a batch, duplicate keys keep one arbitrary
+    * row (`dropDuplicates` — dedupe upstream if the stream can carry
+    * intra-batch updates whose order matters). The merged frame is
+    * materialised via `localCheckpoint` before the overwrite so the
+    * write never reads the files it is replacing.
+    */
+  def writeKeyedBatch(path: String, keyCol: String, nBuckets: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    // cast to int so the written value round-trips through partition
+    // discovery (which infers int32) with the same type
+    val bucketOf = pmod(xxhash64(col(keyCol)), lit(nBuckets)).cast("int")
+    val incoming = batch.dropDuplicates(Seq(keyCol))
+      .withColumn(BucketCol, bucketOf)
+    val existing =
+      try spark.read.parquet(path)
+      catch { case _: org.apache.spark.sql.AnalysisException => null }
+    val merged =
+      if (existing == null) incoming
+      else {
+        val touched = incoming.select(BucketCol).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        existing
+          .filter(col(BucketCol).isin(touched: _*))
+          .join(broadcast(incoming.select(keyCol)), Seq(keyCol),
+            "left_anti")
+          .select(incoming.columns.map(col): _*)
+          .unionByName(incoming)
+      }
+    merged.localCheckpoint()
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy(BucketCol)
+      .parquet(path)
+  }
+
+  /** Start `stream` → `path` with key-idempotent upsert delivery:
+    * replays and re-sent keys both land exactly one row per key.
+    */
+  def startKeyed(stream: DataFrame, path: String, checkpoint: String,
+      keyCol: String, nBuckets: Int = 64,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch(writeKeyedBatch(path, keyCol, nBuckets) _)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
 }

@@ -90,6 +90,18 @@ class RankStatsSpec extends SparkSpec {
     }
   }
 
+  test("driver-stats guard turns high-cardinality misuse into a clear error") {
+    val base = orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .limit(100)
+    // o_orderkey is unique: every row is its own group, so the stat rows
+    // blow past a tiny maxDriverStats — the misuse regime in miniature
+    val e = intercept[IllegalArgumentException] {
+      RankStats.withRankStats(base, Seq("o_orderkey"), Seq("o_totalprice"),
+        4, maxDriverStats = 10)
+    }
+    assert(e.getMessage.contains("Window.partitionBy"), e.getMessage)
+  }
+
   test("plan has no window sort over the low-cardinality partition key") {
     val base = orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
     val plan = RankStats.withRankStats(base, Seq("o_orderpriority"),
