@@ -86,16 +86,24 @@ object ExactlyOnceSink {
     // cast to int so the written value round-trips through partition
     // discovery (which infers int32) with the same type
     val bucketOf = pmod(xxhash64(col(keyCol)), lit(nBuckets)).cast("int")
+    // inside foreachBatch the batch frame may recompute per action; this
+    // function acts on it three times (touched-bucket collect, broadcast
+    // anti-join, union), so pin one materialisation first
     val incoming = batch.dropDuplicates(Seq(keyCol))
       .withColumn(BucketCol, bucketOf)
-    val existing =
-      try spark.read.parquet(path)
-      catch { case _: org.apache.spark.sql.AnalysisException => null }
+      .localCheckpoint()
+    // distinguish "table not yet created" (merge path skipped) from any
+    // other analysis failure (schema/metadata corruption): treating the
+    // latter as empty would silently drop every surviving key in the
+    // touched buckets on overwrite
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (existing == null) incoming
+      if (!fs.exists(target)) incoming
       else {
+        val existing = spark.read.parquet(path)
         val touched = incoming.select(BucketCol).distinct()
-          .collect().map(_.getLong(0)).toSeq
+          .collect().map(_.getInt(0)).toSeq
         existing
           .filter(col(BucketCol).isin(touched: _*))
           .join(broadcast(incoming.select(keyCol)), Seq(keyCol),

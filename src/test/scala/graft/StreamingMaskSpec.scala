@@ -213,6 +213,60 @@ class StreamingMaskSpec extends SparkSpec {
     assert(streamed.select("event_id").distinct().count() == streamed.count())
   }
 
+  test("keyed sink replaces re-sent keys and is idempotent under replay") {
+    import SparkSpec.spark.implicits._
+    val base = Files.createTempDirectory("graft_keyed").toString
+    val out = s"$base/out"
+    val write = ExactlyOnceSink.writeKeyedBatch(out, "k", 4) _
+
+    // batch 1: keys spread across buckets so later merges have both
+    // touched and untouched buckets to get right
+    val batch1 = (1L to 20L).map(k => (k, s"v$k")).toDF("k", "payload")
+    write(batch1, 0L)
+    assert(spark.read.parquet(out).count() == 20)
+
+    // batch 2: re-sends key 7 with a CHANGED payload plus a new key —
+    // the merge path (the part that crashed on getLong) must replace
+    // 7's row, append 21, and leave every untouched key byte-identical
+    val batch2 = Seq((7L, "v7_updated"), (21L, "v21")).toDF("k", "payload")
+    write(batch2, 1L)
+    val afterMerge = spark.read.parquet(out).select("k", "payload")
+      .as[(Long, String)].collect().toMap
+    assert(afterMerge.size == 21, "one row per key expected")
+    assert(afterMerge(7L) == "v7_updated", "re-sent key kept the old payload")
+    assert(afterMerge(21L) == "v21")
+    ((1L to 20L).toSet - 7L).foreach(k =>
+      assert(afterMerge(k) == s"v$k", s"untouched key $k was modified"))
+
+    // crash-replay: re-running batch 2 (same rows) must change nothing
+    write(batch2, 1L)
+    val afterReplay = spark.read.parquet(out).select("k", "payload")
+      .as[(Long, String)].collect().toMap
+    assert(afterReplay == afterMerge, "replaying batch 2 changed the table")
+  }
+
+  test("startKeyed lands exactly one row per key across restarts") {
+    import SparkSpec.spark.implicits._
+    val base = Files.createTempDirectory("graft_keyed_stream").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "payload")
+      .write.parquet(s"$in/f0")
+    val schema = spark.read.parquet(s"$in/f0").schema
+    def stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(in)
+    val q1 = ExactlyOnceSink.startKeyed(stream, out, ckpt, "k", nBuckets = 4)
+    q1.awaitTermination(120000)
+    // restart after a new file UPDATES key 1: the resumed stream's batch
+    // must merge, not append
+    Seq((1L, "a2"), (3L, "c")).toDF("k", "payload")
+      .write.parquet(s"$in/f1")
+    val q2 = ExactlyOnceSink.startKeyed(stream, out, ckpt, "k", nBuckets = 4)
+    q2.awaitTermination(120000)
+    val rows = spark.read.parquet(out).select("k", "payload")
+      .as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+  }
+
   test("foreachBatch sink is exactly-once under batch replay and restart") {
     val base = Files.createTempDirectory("graft_eos").toString
     val out = s"$base/out"; val ckpt = s"$base/ckpt"
