@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, StringType}
 
 import graft.functions.Gen
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+import graft.pipeline.{Dedup, Multimodal, Pq, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -727,6 +727,23 @@ object SparkEntry {
       .select("vec_id", "label", "cosine")
   }
 
+  /** Product-quantized ADC top-10 ([[graft.pipeline.Pq]]): train at
+    * `iters = 0` (codebooks = the 16 lowest-id corpus vectors' 8-dim
+    * subvectors — bit-reproducible), encode every corpus vector to 8
+    * one-byte codes, score against the vec_id=0 query via the m×k
+    * lookup table. The candidate stage of PQ serving; [[qSimIvf]] is the
+    * probe stage and [[qSimTopk]] the exact baseline.
+    */
+  private def qPq(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val cb = Pq.train(corpus, "vec_id", "embedding", m = 8, k = 16,
+      iters = 0)
+    val coded = corpus.withColumn("codes",
+      Pq.encode(cb)(col("embedding")))
+    Pq.pqTopK(coded, "vec_id", "codes", cb, queryVec(s, dir), 10)
+      .select("vec_id", "label", "pq_score")
+  }
+
   /** Batch IVF ANN ([[graft.pipeline.Similarity.queryIvfBatch]]): three
     * query vectors answered through one built index in a single
     * distributed plan — probe assignment from broadcast centroids, cell
@@ -904,6 +921,7 @@ object SparkEntry {
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_ivf_batch" -> (qSimIvfBatch _),
+    "q_pq" -> (qPq _),
     "q_embed_dedup" -> (qEmbedDedup _),
     "q_quantize" -> (qQuantize _),
     "q_sample" -> (qSample _),
@@ -1532,6 +1550,40 @@ object SparkEntry {
          |QUALIFY row_number() OVER (PARTITION BY qid
          |  ORDER BY dp / (sqrt(nv) * sqrt(nq)) DESC, vec_id ASC) <= 5
          |ORDER BY query_id, cosine DESC, vec_id""".stripMargin,
+    "q_pq" ->
+      // mirrors Pq.train(iters=0)/encode/pqTopK exactly: codebook
+      // centroid c of subspace j = positions j*8+1..j*8+8 of the
+      // (c+1)-th lowest-id corpus vector; code = argmin squared L2
+      // (ties to the LOWER code = struct-min); score = sum over j of
+      // LUT[j][code_j] where LUT = per-subspace query·centroid dots.
+      // All folds are element-order (SUM ... ORDER BY) — bit-identical
+      // to Spark's array-order aggregate / left-assoc reduce.
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0),
+         |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+         |          embedding AS se FROM corpus ORDER BY vec_id LIMIT 16),
+         |ex AS (SELECT e.vec_id, s.code, unnest(e.embedding) AS v,
+         |         unnest(generate_series(1, len(e.embedding))) AS i, s.se AS se
+         |       FROM corpus e CROSS JOIN seeds s),
+         |dist AS (SELECT vec_id, code, (i - 1) // 8 AS j,
+         |    SUM((CAST(v AS DOUBLE) - CAST(se[i] AS DOUBLE))
+         |      * (CAST(v AS DOUBLE) - CAST(se[i] AS DOUBLE)) ORDER BY i) AS d
+         |  FROM ex GROUP BY vec_id, code, j),
+         |codes AS (SELECT vec_id, j, code FROM dist
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+         |    ORDER BY d ASC, code ASC) = 1),
+         |qx AS (SELECT s.code, unnest(s.se) AS cv,
+         |         unnest(generate_series(1, len(s.se))) AS i, q.qe AS qe
+         |       FROM seeds s, q),
+         |lut AS (SELECT code, (i - 1) // 8 AS j,
+         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(cv AS DOUBLE) ORDER BY i) AS dp
+         |  FROM qx GROUP BY code, j),
+         |score AS (SELECT c.vec_id, SUM(l.dp ORDER BY c.j) AS pq_score
+         |  FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+         |  GROUP BY c.vec_id)
+         |SELECT e.vec_id, e.label, s.pq_score
+         |FROM score s JOIN corpus e ON e.vec_id = s.vec_id
+         |ORDER BY s.pq_score DESC, s.vec_id LIMIT 10""".stripMargin,
     "q_sample" -> {
       // 16-bit bucket from the first four md5 nibbles of the stringified
       // key; thresholds are round(rate * 65536)
