@@ -279,15 +279,23 @@ object Similarity {
       idCol, vecCol)
   }
 
+  /** The query's `nProbe` highest-cosine cells (driver-side,
+    * O(nCentroids · dim)); ties toward the lower cell id via the stable
+    * sort — the probe rule shared by every query path over an index.
+    */
+  private def probeCells(idx: IvfIndex, query: Seq[Float],
+      nProbe: Int): Seq[Int] =
+    idx.centroids.zipWithIndex
+      .map { case (c, i) => i -> cosScalar(query, c) }
+      .sortBy(-_._2).take(nProbe).map(_._1).toSeq
+
   /** Query a built index: rank the query's `nProbe` nearest cells on the
     * driver (O(nCentroids) work), scan only those cells, exact cosine +
     * TakeOrdered inside them.
     */
   def queryIvf(idx: IvfIndex, query: Seq[Float], k: Int,
       nProbe: Int = 2): DataFrame = {
-    val probes = idx.centroids.zipWithIndex
-      .map { case (c, i) => i -> cosScalar(query, c) }
-      .sortBy(-_._2).take(nProbe).map(_._1).toSeq
+    val probes = probeCells(idx, query, nProbe)
     idx.assigned
       .filter(col("__cell").isin(probes: _*))
       .withColumn("cosine", cosine(col(idx.vecCol), vecLit(query)))
@@ -357,7 +365,11 @@ object Similarity {
     * metadata.
     */
   def writeIvfIndex(idx: IvfIndex, path: String): Unit = {
-    idx.assigned.write.mode("overwrite")
+    // id-sorted within each cell's files: id-range row-group stats then
+    // prune point fetches by id (the queryIvfPq rerank stage) to the few
+    // groups holding the requested ids
+    idx.assigned.sortWithinPartitions(col("__cell"), col(idx.idCol))
+      .write.mode("overwrite")
       .partitionBy("__cell").parquet(s"$path/corpus")
     val spark = idx.assigned.sparkSession
     import spark.implicits._
@@ -380,6 +392,94 @@ object Similarity {
     IvfIndex(meta.map(_.getSeq[Float](1)),
       spark.read.parquet(s"$path/corpus"),
       meta.head.getString(2), meta.head.getString(3))
+  }
+
+  /** PQ codes column name in a composed IVF×PQ index. */
+  val PqCodesCol = "__codes"
+
+  /** Persist an IVF index whose corpus rows ALSO carry their `m`-byte PQ
+    * codes — the composed 100 TB serving layout. A query then peels three
+    * layers of I/O off the corpus scan: (1) the probe predicate prunes to
+    * `nProbe` cells' FILES (partition filter, as [[writeIvfIndex]]);
+    * (2) inside those files the ADC stage reads only the id + codes
+    * columns — m bytes per row instead of 4·d for the floats (32× at
+    * d=64, m=8); (3) only the top-`rerank` ADC survivors' float vectors
+    * are ever materialised, for exact rescoring. The codebooks (m·k
+    * subvectors, KBs) join the centroids as a second sidecar so the
+    * composed index round-trips without external metadata.
+    */
+  def writeIvfPqIndex(idx: IvfIndex, cb: Pq.PqCodebooks,
+      path: String): Unit = {
+    val coded = idx.assigned
+      .withColumn(PqCodesCol, Pq.encode(cb)(col(idx.vecCol)))
+    writeIvfIndex(IvfIndex(idx.centroids, coded, idx.idCol, idx.vecCol),
+      path)
+    val spark = idx.assigned.sparkSession
+    import spark.implicits._
+    cb.codebooks.zipWithIndex.flatMap { case (cents, j) =>
+      cents.zipWithIndex.map { case (c, code) => (j, code, c) }
+    }.toSeq.toDF("j", "code", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/pq")
+  }
+
+  /** Load a composed index written by [[writeIvfPqIndex]]: the
+    * cell-partitioned corpus (with its `__codes` column) plus the
+    * reconstructed codebooks.
+    */
+  def loadIvfPqIndex(spark: SparkSession,
+      path: String): (IvfIndex, Pq.PqCodebooks) = {
+    val idx = loadIvfIndex(spark, path)
+    val rows = spark.read.parquet(s"$path/pq").orderBy("j", "code")
+      .collect()
+    require(rows.nonEmpty, s"no PQ codebooks found under $path/pq")
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    require(rows.length == m * k, s"codebook table has ${rows.length} " +
+      s"rows, expected $m x $k")
+    val byJc = rows.map(r =>
+      (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
+    val cbs = Array.tabulate(m)(j => Array.tabulate(k)(c => byJc((j, c))))
+    (idx, Pq.PqCodebooks(cbs.head.head.length, cbs))
+  }
+
+  /** ANN through a composed IVF×PQ index: prune to the `nProbe` probed
+    * cells, rank their rows by the ADC approximate dot, keep the top
+    * `rerank` candidates, exact-cosine rescore ONLY those, return the
+    * top `k`.
+    *
+    * Two stages so the float column is never scanned wholesale: the ADC
+    * stage projects only (id, codes) — parquet column pruning leaves the
+    * float vectors on disk, so the probed-cell scan reads m bytes of
+    * codes per row instead of 4·d of floats — and runs EAGERLY (one
+    * job) to collect the `rerank` surviving ids. The rerank stage then
+    * point-fetches those ids: the `In(id)` predicate is pushed to the
+    * parquet source, and [[writeIvfIndex]] lays each cell file out
+    * id-sorted, so row-group stats prune the fetch to the few groups
+    * holding survivors. (A single lazy plan would be simpler but reads
+    * the float column for every probed row — the cost PQ exists to
+    * avoid.)
+    *
+    * Result ties follow [[queryIvf]] (cosine desc, id asc), so with
+    * `rerank` ≥ the probed cells' row count the answer EQUALS
+    * [[queryIvf]]'s — shrinking `rerank` trades recall for float I/O.
+    */
+  def queryIvfPq(idx: IvfIndex, cb: Pq.PqCodebooks, query: Seq[Float],
+      k: Int, nProbe: Int = 2, rerank: Int = 100): DataFrame = {
+    val probes = probeCells(idx, query, nProbe)
+    val cells = idx.assigned.filter(col("__cell").isin(probes: _*))
+    val surviving = cells
+      .select(col(idx.idCol),
+        Pq.approxDot(cb, query)(col(PqCodesCol)).as("pq_score"))
+      .orderBy(col("pq_score").desc, col(idx.idCol))
+      .limit(rerank)
+      .select(idx.idCol).collect().map(_.get(0)).toSeq
+    cells
+      .filter(col(idx.idCol).isInCollection(surviving))
+      .withColumn("cosine", cosine(col(idx.vecCol), vecLit(query)))
+      .orderBy(col("cosine").desc, col(idx.idCol))
+      .limit(k)
+      .drop("__cell", PqCodesCol)
   }
 
   /** Embedding near-duplicate pairs: banded candidates + exact cosine ≥

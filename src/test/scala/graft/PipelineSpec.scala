@@ -147,6 +147,45 @@ class PipelineSpec extends SparkSpec {
     assert(rows(viaLoaded) == rows(Similarity.queryIvf(idx, q, 10)))
   }
 
+  test("composed IVF×PQ index prunes partitions, pushes the rerank " +
+      "fetch, and reranks to the exact IVF answer") {
+    import graft.pipeline.Pq
+    val idx = Similarity.buildIvfIndex(embeddings, "vec_id", "embedding")
+    val cb = Pq.train(embeddings, "vec_id", "embedding", m = 8, k = 16,
+      iters = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.writeIvfPqIndex(idx, cb, dir)
+    val (loaded, loadedCb) = Similarity.loadIvfPqIndex(spark, dir)
+    // codebooks round-trip exactly
+    assert(loadedCb.subDim == cb.subDim && loadedCb.m == cb.m &&
+      loadedCb.k == cb.k)
+    assert(loadedCb.codebooks.flatten.toSeq == cb.codebooks.flatten.toSeq)
+    // codes column present alongside the cell layout
+    assert(loaded.assigned.columns.contains(Similarity.PqCodesCol))
+
+    val q = (0 until 64).map(i => (i % 7 - 3) * 0.2f)
+    // rerank ≥ probed-cell rows ⇒ the composed answer must EQUAL the
+    // plain IVF answer (same probes, same tie rules)
+    val composed = Similarity.queryIvfPq(loaded, loadedCb, q, 10,
+      rerank = 1000)
+    val plan = composed.queryExecution.executedPlan.toString
+    // (a) cell pruning is intact with codes present
+    assert("PartitionFilters: \\[[^\\]]*__cell[^\\]]*IN".r
+      .findFirstIn(plan).isDefined, s"no __cell partition filter:\n$plan")
+    // (b) the rerank fetch pushes the survivor ids to the source
+    assert("PushedFilters: \\[[^\\]]*In\\(vec_id".r
+      .findFirstIn(plan).isDefined, s"no pushed In(vec_id) filter:\n$plan")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows(composed) == rows(Similarity.queryIvf(loaded, q, 10)))
+    // a tight rerank still returns k rows, scored exactly
+    val tight = Similarity.queryIvfPq(loaded, loadedCb, q, 10, rerank = 20)
+    val brute = rows(Similarity.queryIvf(loaded, q, 1000, nProbe = 2)).toMap
+    assert(tight.count() == 10)
+    rows(tight).foreach { case (id, cos) => assert(brute(id) == cos) }
+  }
+
   test("built IVF index answers multiple queries like the one-shot path") {
     val idx = Similarity.buildIvfIndex(embeddings, "vec_id", "embedding")
     Seq(Seq.fill(64)(0.1f), (0 until 64).map(i => (i % 7 - 3) * 0.2f))
