@@ -2,12 +2,28 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 import graft.blueprint.{Blueprint, ColumnRule, MaskCompiler, Rule}
 
 /** Custom per-key streaming state for [[StreamMask.runningUserTotals]]. */
 final case class UserTotals(n: Long, sum: Double)
+
+/** One (doc, band) row entering the streaming near-dedup state: the band's
+  * slice of the MinHash signature is the grouping key, the distinct
+  * shingle hashes ride along for exact Jaccard verification.
+  */
+final case class BandedDoc(id: Long, tsMs: Long, band: Int,
+    sig: Seq[Long], hashes: Seq[Long])
+
+/** Retained bucket members for one (band, signature) key:
+  * (id, event-time ms, distinct shingle hashes).
+  */
+final case class NearDupBucket(members: List[(Long, Long, Seq[Long])])
+
+/** A verified near-duplicate pair (id_a < id_b). */
+final case class NearDupHit(id_a: Long, id_b: Long, n_inter: Long,
+    jaccard: Double)
 
 /** Structured-Streaming surface (SURVEY.md §2.10; the reference is strictly
   * batch — src/Anonymizer.php:152–195 — so this is north-star extension
@@ -138,6 +154,102 @@ object StreamMask {
     l.join(r, col(s"l_$keyCol") === col(s"r_$keyCol") &&
       col(s"r_$rightTs") >= col(s"l_$leftTs") &&
       col(s"r_$rightTs") <= col(s"l_$leftTs") + expr(s"INTERVAL $maxDelay"))
+  }
+
+  /** Streaming MinHash near-duplicate detection — the streaming ingest
+    * analog of [[graft.pipeline.Dedup.nearDuplicatePairs64]]: every
+    * incoming document is checked against the recently-ingested corpus
+    * and each verified near-duplicate pair is emitted as
+    * (id_a, id_b, n_inter, jaccard).
+    *
+    * Shape: the MinHash signature is computed NARROWLY per row
+    * (`array_min` over the shingle-hash array — no aggregation, unlike
+    * the batch path's groupBy, so it composes with the single stateful
+    * operator), the signature is banded exactly like
+    * [[graft.pipeline.Dedup.lshCandidates]], and each (band, band-sig)
+    * bucket is a `flatMapGroupsWithState` key holding its retained
+    * members' (id, ts, distinct shingle hashes). A new document emits a
+    * pair for every retained bucket member whose exact hashed-shingle
+    * Jaccard clears `threshold`, then joins the bucket.
+    *
+    * State is bounded two ways: members older than the current watermark
+    * are dropped on every bucket visit, and an event-time timeout
+    * removes buckets no batch touches — so a document only ever pairs
+    * against the trailing `watermark` of ingest, the deliberate
+    * streaming semantics (a FULL-corpus check is the batch operator on
+    * the landed lake).
+    *
+    * Delivery: a pair agreeing on several bands is emitted once per
+    * agreeing band (groups can't see each other), and batch-internal
+    * pairs once per band too — at-least-once per verified pair;
+    * downstream consumers dedupe on (id_a, id_b) (the values are
+    * identical). Jaccard is computed on xxhash64 shingle hashes, equal
+    * to the batch string-shingle Jaccard barring 64-bit collisions.
+    */
+  def nearDupPairsStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermark: String, threshold: Double = 0.8,
+      numHashes: Int = 8, rowsPerBand: Int = 2,
+      shingleK: Int = 3): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "bands must tile the signature")
+    val nBands = numHashes / rowsPerBand
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.pipeline.TextOps
+    val sh = col("__sh")
+    val sig = array((0 until numHashes).map(i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
+    val bandSlices = array((0 until nBands).map(b =>
+      slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand)): _*)
+    val banded = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol).cast("long").as("id"),
+        unix_millis(col(tsCol)).as("tsMs"), col(tsCol).as("__ts"),
+        TextOps.wordShingles(col(textCol), shingleK).as("__sh"))
+      // docs shorter than the shingle width have no signature in the
+      // batch pipeline either (they produce no shingle rows)
+      .filter(size(sh) > 0)
+      .select(col("id"), col("tsMs"), col("__ts"), sig.as("__sig"),
+        array_distinct(transform(sh, s => xxhash64(s))).as("hashes"))
+      .select(col("id"), col("tsMs"), col("__ts"), col("hashes"),
+        posexplode(bandSlices).as(Seq("band", "sig")))
+      .select(col("id"), col("tsMs"), col("band"), col("sig"),
+        col("hashes"), col("__ts"))
+      .as[BandedDoc]
+    banded
+      .groupByKey(d => (d.band, d.sig))
+      .flatMapGroupsWithState[NearDupBucket, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+              .filter(_._2 >= wm)
+            // id order pins which same-batch doc is "already present"
+            // when the other arrives — deterministic output
+            val out = List.newBuilder[NearDupHit]
+            rows.toSeq.sortBy(_.id).foreach { d =>
+              val hs = d.hashes.toSet
+              members.foreach { case (mid, _, mh) =>
+                if (mid != d.id) {
+                  val inter = mh.count(hs.contains)
+                  val union = hs.size + mh.size - inter
+                  val j = inter.toDouble / union
+                  if (j >= threshold)
+                    out += NearDupHit(math.min(mid, d.id),
+                      math.max(mid, d.id), inter.toLong, j)
+                }
+              }
+              members = (d.id, d.tsMs, d.hashes) :: members
+            }
+            state.update(NearDupBucket(members))
+            // the bucket dies `watermark` past its newest member unless
+            // revisited first
+            state.setTimeoutTimestamp(members.map(_._2).max, watermark)
+            out.result().iterator
+          }
+      }
+      .toDF("id_a", "id_b", "n_inter", "jaccard")
   }
 
   /** Session windows per user: a session closes after `gap` of silence

@@ -213,6 +213,61 @@ class StreamingMaskSpec extends SparkSpec {
     assert(streamed.select("event_id").distinct().count() == streamed.count())
   }
 
+  test("streaming near-dedup equals the batch MinHash pipeline on the " +
+      "planted near-dup pairs") {
+    import graft.pipeline.Dedup
+    val dir = Files.createTempDirectory("graft_neardup").toString
+    // the operator needs an event-time column; derive a deterministic one
+    val docs = spark.read.parquet(s"$fixtures/documents.parquet")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    val schema = spark.read.parquet(s"$dir/docs").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/docs")
+    val streamed = runToMemory(
+      StreamMask.nearDupPairsStream(stream, "doc_id", "text", "ts",
+        watermark = "1 hour"),
+      "neardup_stream", "append").collect()
+    // at-least-once per pair (one emission per agreeing band): dedupe,
+    // then every (pair, n_inter, jaccard) must match the batch pipeline
+    val streamedSet = streamed
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batchSet = Dedup.nearDuplicatePairs64(
+        spark.read.parquet(s"$dir/docs"), "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_inter"), r.getAs[Double]("jaccard")))
+      .toSet
+    assert(batchSet.nonEmpty, "fixture should contain planted near-dups")
+    assert(streamedSet == batchSet)
+  }
+
+  test("streaming near-dedup pairs documents across micro-batches") {
+    import SparkSpec.spark.implicits._
+    val base = Files.createTempDirectory("graft_neardup_xb").toString
+    val in = s"$base/in"
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:10:00")
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "the quick brown fox jumps over the lazy dog again and once"
+    Seq((1L, textA, t0), (10L, "completely unrelated words about weather " +
+        "patterns in the alps today", t0))
+      .toDF("doc_id", "text", "ts").write.parquet(s"$in/f0")
+    Seq((2L, textB, t1)).toDF("doc_id", "text", "ts").write.parquet(s"$in/f1")
+    val schema = spark.read.parquet(s"$in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val pairs = runToMemory(
+      StreamMask.nearDupPairsStream(stream, "doc_id", "text", "ts",
+        watermark = "1 hour", threshold = 0.5),
+      "neardup_xb", "append").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 2 arrives in a LATER micro-batch than doc 1: the pair can only
+    // come from bucket state carried across batches
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("keyed sink replaces re-sent keys and is idempotent under replay") {
     import SparkSpec.spark.implicits._
     val base = Files.createTempDirectory("graft_keyed").toString
