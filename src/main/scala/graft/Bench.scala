@@ -18,6 +18,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the cache sweep below unpersists localCheckpoint'd RDD blocks, and
+    // every such unpersist logs a per-RDD "lineage has been truncated"
+    // WARN (hundreds per run). The behavior is intended — each sample
+    // rebuilds its frames from scratch — so drop those loggers to ERROR
+    // rather than flood the bench log.
+    Seq("org.apache.spark.rdd.MapPartitionsRDD",
+        "org.apache.spark.rdd.ParallelCollectionRDD")
+      .foreach(l => org.apache.logging.log4j.core.config.Configurator
+        .setLevel(l, org.apache.logging.log4j.Level.ERROR))
     // JVM/codegen/parquet-footer warmup so the first timed query isn't
     // charged for session bring-up
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
