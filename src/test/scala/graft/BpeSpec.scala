@@ -56,6 +56,29 @@ class BpeSpec extends SparkSpec {
       BpeMerges.fromLines(Seq("th e").iterator))
   }
 
+  test("fromLines loads a realistic-size merges file fast") {
+    // a real release's merges.txt carries tens of thousands of rules; the
+    // load-time invariant check must stay linear. Synthesize ~1.6k valid
+    // rules: per letter, a chain of progressively longer merges (every
+    // side is a single codepoint or an earlier output — the invariant a
+    // trained vocabulary satisfies by construction).
+    val lines = Seq("#version: synthetic") ++
+      ('a' to 'z').flatMap { c =>
+        (1 to 60).map(n => (c.toString * n) + " " + c)
+      }
+    val t0 = System.nanoTime()
+    val v = BpeMerges.fromLines(lines.iterator)
+    val loadSec = (System.nanoTime() - t0) / 1e9
+    assert(v.rules.length == 26 * 60)
+    assert(loadSec < 1.0, s"load took $loadSec s for ${v.rules.length} rules")
+    // the big vocabulary still encodes correctly: (a,a) merges all
+    // leftmost pairs first, then (aa,a) absorbs a trailing singleton;
+    // no cross-letter rule exists
+    assert(v.encode("aaa") == Seq("aaa"))
+    assert(v.encode("aaaa") == Seq("aa", "aa"))
+    assert(v.encode("ab" * 3) == Seq("a", "b", "a", "b", "a", "b"))
+  }
+
   test("preTokenize splits like a byte-level BPE: contractions, spaced words") {
     val df = spark.range(1).select(
       Bpe.preTokenize(lit("it's the 3rd test, isn't it?")).as("p"))
