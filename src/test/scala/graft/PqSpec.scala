@@ -78,6 +78,31 @@ class PqSpec extends SparkSpec {
       f"training should cut reconstruction MSE: $trained%.5f vs $seeded%.5f")
   }
 
+  test("native pq_encode is codegen'd and bit-identical to the portable fold") {
+    assert(spark.catalog.functionExists("pq_encode"),
+      "GraftExtensions not registered in the test session")
+    // double vectors (the unit-normalized training shape)
+    val cb = Pq.train(unitCorpus, "vec_id", "u", m = 8, k = 16, iters = 1)
+    val nat = unitCorpus.select(col("vec_id"),
+      Pq.encode(cb)(col("u")).as("codes"))
+    assert(nat.queryExecution.analyzed.toString.contains("pq_encode"),
+      "Pq.encode did not pick the native expression")
+    val fold = unitCorpus.select(col("vec_id"),
+      Pq.encodeFold(cb)(col("u")).as("codes"))
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Byte](1).toList)).toSeq
+    assert(codes(nat) == codes(fold))
+    // float vectors (the raw stored-embedding shape, q_pq's path)
+    val cbF = Pq.train(embeddings, "vec_id", "embedding", m = 8, k = 16,
+      iters = 0)
+    val natF = embeddings.select(col("vec_id"),
+      Pq.encode(cbF)(col("embedding")).as("codes"))
+    val foldF = embeddings.select(col("vec_id"),
+      Pq.encodeFold(cbF)(col("embedding")).as("codes"))
+    assert(codes(natF) == codes(foldF))
+  }
+
   test("ADC candidates recall the exact cosine top-k for reranking") {
     val cb = Pq.train(unitCorpus, "vec_id", "u", m = 8, k = 16, iters = 2)
     val coded = unitCorpus.select(col("vec_id"),
