@@ -744,6 +744,28 @@ object SparkEntry {
       .select("vec_id", "label", "pq_score")
   }
 
+  /** Composed IVF×PQ ANN ([[graft.pipeline.Similarity.queryIvfPq]]):
+    * the full 100 TB serving pipeline in one oracle-checked query —
+    * coarse-quantize the corpus into 16 cells (iters=0 seeds), PQ-encode
+    * every vector to 8 one-byte codes (iters=0 codebooks), then answer
+    * the vec_id=0 query by probing 2 cells, ranking their rows by the
+    * ADC approximate dot, keeping the top-50 candidates, and
+    * exact-cosine reranking ONLY those for the top-10. The rerank cut
+    * is deliberately < the probed cells' row count so the oracle pins
+    * the composed recall path, not just the [[qSimIvf]] equality case.
+    */
+  private def qIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val idx = Similarity.buildIvfIndex(corpus, "vec_id", "embedding", 16)
+    val cb = Pq.train(corpus, "vec_id", "embedding", m = 8, k = 16,
+      iters = 0)
+    val coded = idx.copy(assigned = idx.assigned.withColumn(
+      Similarity.PqCodesCol, Pq.encode(cb)(col("embedding"))))
+    Similarity.queryIvfPq(coded, cb, queryVec(s, dir), k = 10,
+        nProbe = 2, rerank = 50)
+      .select("vec_id", "label", "cosine")
+  }
+
   /** Batch IVF ANN ([[graft.pipeline.Similarity.queryIvfBatch]]): three
     * query vectors answered through one built index in a single
     * distributed plan — probe assignment from broadcast centroids, cell
@@ -922,6 +944,7 @@ object SparkEntry {
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_ivf_batch" -> (qSimIvfBatch _),
     "q_pq" -> (qPq _),
+    "q_ivf_pq" -> (qIvfPq _),
     "q_embed_dedup" -> (qEmbedDedup _),
     "q_quantize" -> (qQuantize _),
     "q_sample" -> (qSample _),
@@ -1584,6 +1607,77 @@ object SparkEntry {
          |SELECT e.vec_id, e.label, s.pq_score
          |FROM score s JOIN corpus e ON e.vec_id = s.vec_id
          |ORDER BY s.pq_score DESC, s.vec_id LIMIT 10""".stripMargin,
+    "q_ivf_pq" ->
+      // the composed serving pipeline, stage by stage: q_sim_ivf's
+      // cell assignment (ties to the HIGHER cell) + probe selection
+      // (ties to the LOWER cell), q_pq's codes (argmin squared L2,
+      // ties to the LOWER code) and query LUT, then the ADC candidate
+      // cut (top-50 by pq_score, ties to the lower vec_id) INSIDE the
+      // probed cells, and an exact-cosine rerank of only the survivors
+      // (ties to the lower vec_id). All folds element-order SUMs.
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |         embedding AS ce FROM corpus ORDER BY vec_id LIMIT 16),
+         |ax AS (SELECT e.vec_id, c.cell, unnest(e.embedding) AS v,
+         |         unnest(generate_series(1, len(e.embedding))) AS i, c.ce AS ce
+         |       FROM corpus e CROSS JOIN cent c),
+         |ad AS (SELECT vec_id, cell,
+         |    SUM(CAST(v AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+         |    SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS nc
+         |  FROM ax GROUP BY vec_id, cell),
+         |assign AS (SELECT vec_id, cell FROM ad
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cell DESC) = 1),
+         |qx AS (SELECT c.cell, unnest(c.ce) AS v,
+         |         unnest(generate_series(1, len(c.ce))) AS i, q.qe AS qe
+         |       FROM cent c, q),
+         |qd AS (SELECT cell,
+         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nc,
+         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+         |  FROM qx GROUP BY cell),
+         |probes AS (SELECT cell FROM qd
+         |  QUALIFY row_number() OVER (
+         |    ORDER BY dp / (sqrt(nc) * sqrt(nq)) DESC, cell ASC) <= 2),
+         |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+         |          embedding AS se FROM corpus ORDER BY vec_id LIMIT 16),
+         |ex AS (SELECT e.vec_id, s.code, unnest(e.embedding) AS v,
+         |         unnest(generate_series(1, len(e.embedding))) AS i, s.se AS se
+         |       FROM corpus e CROSS JOIN seeds s),
+         |dist AS (SELECT vec_id, code, (i - 1) // 8 AS j,
+         |    SUM((CAST(v AS DOUBLE) - CAST(se[i] AS DOUBLE))
+         |      * (CAST(v AS DOUBLE) - CAST(se[i] AS DOUBLE)) ORDER BY i) AS d
+         |  FROM ex GROUP BY vec_id, code, j),
+         |codes AS (SELECT vec_id, j, code FROM dist
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+         |    ORDER BY d ASC, code ASC) = 1),
+         |qpx AS (SELECT s.code, unnest(s.se) AS cv,
+         |         unnest(generate_series(1, len(s.se))) AS i, q.qe AS qe
+         |       FROM seeds s, q),
+         |lut AS (SELECT code, (i - 1) // 8 AS j,
+         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(cv AS DOUBLE) ORDER BY i) AS dp
+         |  FROM qpx GROUP BY code, j),
+         |score AS (SELECT c.vec_id, SUM(l.dp ORDER BY c.j) AS pq_score
+         |  FROM codes c
+         |  JOIN lut l ON l.j = c.j AND l.code = c.code
+         |  JOIN assign a ON a.vec_id = c.vec_id
+         |  JOIN probes p ON p.cell = a.cell
+         |  GROUP BY c.vec_id),
+         |surv AS (SELECT vec_id FROM score
+         |  QUALIFY row_number() OVER (
+         |    ORDER BY pq_score DESC, vec_id ASC) <= 50),
+         |fx AS (SELECT e.vec_id, e.label, unnest(e.embedding) AS v,
+         |         unnest(generate_series(1, len(e.embedding))) AS i, q.qe AS qe
+         |       FROM corpus e JOIN surv s ON s.vec_id = e.vec_id, q),
+         |fd AS (SELECT vec_id, label,
+         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+         |  FROM fx GROUP BY vec_id, label)
+         |SELECT vec_id, label, dp / (sqrt(nv) * sqrt(nq)) AS cosine
+         |FROM fd ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "q_sample" -> {
       // 16-bit bucket from the first four md5 nibbles of the stringified
       // key; thresholds are round(rate * 65536)
