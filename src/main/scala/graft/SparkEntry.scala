@@ -678,6 +678,15 @@ object SparkEntry {
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     TextOps.fingerprint(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  /** TRUE winnowing fingerprints ([[TextOps.winnowFingerprints]],
+    * k=8-char grams, w=4 windows) exploded to (doc_id, fp) rows — the
+    * position-local overlap-detection selection, value-oracle-checked
+    * selection by selection.
+    */
+  private def qWinnow(s: SparkSession, dir: String): DataFrame =
+    TextOps.winnowFingerprintRows(docs(s, dir), "doc_id", "text", 8, 4)
+      .orderBy("doc_id", "fp")
+
   /** 16-bit SimHash per document (md5-nibble, oracle-portable variant;
     * production path is the xxhash64 64-bit [[TextOps.simHash64]]).
     */
@@ -937,6 +946,7 @@ object SparkEntry {
     "q_vocab" -> (qVocab _),
     "q_tfidf" -> (qTfidf _),
     "q_fingerprint" -> (qFingerprint _),
+    "q_winnow" -> (qWinnow _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_near" -> (qSimhashNear _),
     "q_sim_topk" -> (qSimTopk _),
@@ -1438,6 +1448,26 @@ object SparkEntry {
          |        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h) <= 4)
          |SELECT doc_id, string_agg(h, ',' ORDER BY h) AS fingerprint
          |FROM top GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_winnow" ->
+      // the same winnowing selection: md5 of every 8-char gram of the
+      // normalized text, min over each 4-gram window (frames past the
+      // last full window are excluded — i <= cnt-3 — except the single
+      // all-grams window of docs with < 4 grams), distinct selections.
+      // md5-string minima compare lexicographically on both engines.
+      s"""WITH norm AS (SELECT doc_id, $normSql AS t FROM documents),
+         |g AS (SELECT doc_id, t,
+         |        unnest(generate_series(1, greatest(length(t) - 7, 0))) AS i
+         |      FROM norm),
+         |h AS (SELECT doc_id, i, md5(substr(t, CAST(i AS INT), 8)) AS h
+         |      FROM g),
+         |w AS (SELECT doc_id, i,
+         |        min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+         |        count(*) OVER (PARTITION BY doc_id) AS cnt
+         |      FROM h)
+         |SELECT DISTINCT doc_id, mh AS fp FROM w
+         |WHERE i <= greatest(cnt - 3, 1)
+         |ORDER BY doc_id, fp""".stripMargin,
     "q_simhash" ->
       s"""WITH $simhash16Cte
          |SELECT doc_id, simhash FROM sh16 ORDER BY doc_id""".stripMargin,

@@ -330,4 +330,80 @@ object TextOps {
       .groupBy(idCol)
       .agg(array_join(bottomK(col("__h")), ",").as("fingerprint"))
   }
+
+  /** TRUE winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+    * MOSS algorithm): hash every character k-gram of the normalized
+    * text, slide a window of `w` consecutive gram hashes, keep each
+    * window's minimum, return the sorted distinct selections as a
+    * `fingerprints` array column. The winnowing guarantee: any
+    * substring match of length ≥ w + k − 1 between two documents
+    * surfaces as a shared fingerprint, and no match shorter than k
+    * ever does — position-local, unlike the global bottom-k sketch of
+    * [[fingerprint]], so it powers partial-overlap detection
+    * (plagiarism / quote mining), not just whole-document
+    * near-identity.
+    *
+    * Scale shape: fully narrow — gram hashing, window minima, and
+    * dedup all happen inside the row via higher-order functions
+    * (O(n·k) hashing + O(n·w) minima per doc, zero shuffle, no
+    * explode). Joining fingerprints across corpora is then a thin
+    * (id, fp) equi-join, never all-pairs.
+    *
+    * DataFrame-level on purpose: each stage must land in its own
+    * projection with the previous stage as a MULTIPLY-REFERENCED alias.
+    * A lambda capturing a full expression tree re-evaluates it per
+    * element — normalize per gram, the whole gram array per window, an
+    * O(n²) blow-up — whereas referencing an alias ≥ 2 times keeps
+    * `CollapseProject` from inlining it back into the lambda.
+    *
+    * Hashes are md5 strings compared lexicographically so an ANSI-SQL
+    * oracle re-derives the exact selection (the [[Dedup]] md5/xxhash64
+    * duality; swap in xxhash64 grams for the cheap production path).
+    * Documents shorter than k have no grams → empty. With fewer than
+    * `w` grams the single window covers them all (`slice` tolerates a
+    * short tail).
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val empty = array().cast("array<string>")
+    df.select(col(idCol), normalize(col(textCol)).as("__t"))
+      .select(col(idCol),
+        // __t is referenced twice (bound + lambda) — stays materialised
+        when(length(col("__t")) - (k - 1) >= 1,
+            transform(sequence(lit(1), length(col("__t")) - (k - 1)),
+              i => md5(col("__t").substr(i, lit(k)))))
+          .otherwise(empty).as("__grams"))
+      .select(col(idCol),
+        // __grams referenced three times — stays materialised
+        when(size(col("__grams")) >= 1,
+            transform(
+              sequence(lit(1),
+                greatest(size(col("__grams")) - (w - 1), lit(1))),
+              j => array_min(slice(col("__grams"), j, lit(w)))))
+          .otherwise(empty).as("__mins"))
+      .select(col(idCol),
+        array_sort(array_distinct(col("__mins"))).as("fingerprints"))
+  }
+
+  /** [[winnowFingerprints]] exploded to thin (id, fp) rows — the join
+    * shape for cross-corpus overlap detection.
+    *
+    * Deliberately `explode_outer` + an `isNotNull` filter on the
+    * GENERATED column, not a plain `explode`: for a non-outer explode
+    * the optimizer infers a `size(fingerprints) > 0` filter BELOW the
+    * Generate, and predicate pushdown then drags it through the staged
+    * projections, substituting every alias back in — which rebuilds
+    * exactly the per-row O(n²) inlined tree (normalize re-evaluated
+    * per gram, the gram array per window) that the staged projections
+    * exist to prevent; at ~300-char docs that turns a sub-second scan
+    * into minutes. `InferFiltersFromGenerate` skips outer generators,
+    * and a predicate on the generator OUTPUT can never be pushed below
+    * the Generate, so this shape is stable against both rules
+    * (plan-asserted in PipelineSpec).
+    */
+  def winnowFingerprintRows(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame =
+    winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol), explode_outer(col("fingerprints")).as("fp"))
+      .filter(col("fp").isNotNull)
 }

@@ -269,6 +269,48 @@ class PipelineSpec extends SparkSpec {
     nd.collect().foreach(r => assert(r.getAs[Double]("cosine") >= 0.45))
   }
 
+  test("winnowing fingerprints: shared-substring guarantee and window selection") {
+    val s = spark; import s.implicits._
+    val shared = "the winnowing guarantee holds" // ≥ w + k − 1 = 11 chars
+    val df = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"unrelated prose here $shared and more"),
+      (3L, "zzzz qqqq vvvv"), // no 8-gram in common with doc 1
+      (4L, "tiny"), // shorter than k → no grams at all
+      (5L, "exactly9!") // 2 grams < w → one window over them all
+    ).toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(df, "doc_id", "text", 8, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert((fps(1) intersect fps(2)).nonEmpty,
+      "documents sharing an 11+-char substring must share a fingerprint")
+    assert((fps(1) intersect fps(3)).isEmpty,
+      "documents with no common 8-gram must share none")
+    assert(fps(4).isEmpty)
+    assert(fps(5).size == 1)
+    // driver-side reference replay of the full selection for doc 1
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val norm = s"alpha beta $shared gamma delta"
+    val grams = (0 to norm.length - 8).map(i => md5hex(norm.substring(i, i + 8)))
+    val wins = (0 until math.max(grams.length - 3, 1))
+      .map(j => grams.slice(j, j + 4).min)
+    assert(fps(1) == wins.toSet)
+    // regression guard: exploding must NOT let the optimizer infer a
+    // size()>0 filter and push it through the staged projections — that
+    // inlines the whole pipeline into one per-row O(n²) Filter tree
+    // (normalize re-run per gram). One regexp_replace = the normalize
+    // projection only.
+    // plan guard over the parquet source (a literal-backed frame folds
+    // to a LocalRelation and has no plan left to inspect)
+    val plan = TextOps.winnowFingerprintRows(docs, "doc_id", "text", 8, 4)
+      .queryExecution.optimizedPlan.toString
+    assert("regexp_replace".r.findAllIn(plan).length == 1,
+      s"winnow stages were inlined by the optimizer:\n$plan")
+    val rows = TextOps.winnowFingerprintRows(df, "doc_id", "text", 8, 4)
+    assert(rows.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 5L),
+      "outer explode + isNotNull must drop only fingerprint-less docs")
+  }
+
   test("approx_count_distinct tracks exact distinct within 5% (HLL)") {
     val li = spark.read.parquet(s"$fixtures/lineitem.parquet")
     val r = li.agg(
