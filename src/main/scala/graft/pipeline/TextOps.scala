@@ -364,14 +364,29 @@ object TextOps {
     * short tail).
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 4): DataFrame = {
-    val empty = array().cast("array<string>")
+      k: Int = 8, w: Int = 4): DataFrame =
+    winnowStaged(df, idCol, textCol, k, w, g => md5(g), "array<string>")
+
+  /** [[winnowFingerprints]] on `xxhash64` gram hashes (`array<bigint>`
+    * fingerprints) — the production path at ~10× less hash CPU, same
+    * md5/xxhash64 duality as the dedup family; the selection guarantee
+    * is hash-agnostic (any fixed total order on gram hashes works).
+    */
+  def winnowFingerprints64(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame =
+    winnowStaged(df, idCol, textCol, k, w, g => xxhash64(g),
+      "array<bigint>")
+
+  private def winnowStaged(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, hash: Column => Column,
+      arrType: String): DataFrame = {
+    val empty = array().cast(arrType)
     df.select(col(idCol), normalize(col(textCol)).as("__t"))
       .select(col(idCol),
         // __t is referenced twice (bound + lambda) — stays materialised
         when(length(col("__t")) - (k - 1) >= 1,
             transform(sequence(lit(1), length(col("__t")) - (k - 1)),
-              i => md5(col("__t").substr(i, lit(k)))))
+              i => hash(col("__t").substr(i, lit(k)))))
           .otherwise(empty).as("__grams"))
       .select(col(idCol),
         // __grams referenced three times — stays materialised
