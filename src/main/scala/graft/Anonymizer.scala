@@ -36,20 +36,23 @@ trait TableIO {
   def commit(table: String): Unit = ()
 }
 
-/** Parquet-directory-backed IO: `dir/<table>.parquet`; a qualified
-  * `db.table` maps to `dir/<db>/<table>.parquet`.
+/** Directory-of-files IO base: `dir/<table>.<ext>`; a qualified
+  * `db.table` maps to `dir/<db>/<table>.<ext>`.
   *
   * `write` never truncates the path it is still lazily reading from
   * (Spark refuses to overwrite a path that feeds the plan): the new data is
   * materialised under a staging suffix first, then swapped in with two
   * filesystem renames.
   */
-final class ParquetIO(spark: SparkSession, dir: String) extends TableIO {
+sealed abstract class FileTableIO(spark: SparkSession, dir: String,
+    ext: String) extends TableIO {
+  protected def load(path: String): DataFrame
+  protected def save(df: DataFrame, path: String): Unit
   private def path(table: String): String =
-    s"$dir/${table.replace('.', '/')}.parquet"
-  def read(table: String): DataFrame = spark.read.parquet(path(table))
+    s"$dir/${table.replace('.', '/')}.$ext"
+  def read(table: String): DataFrame = load(path(table))
   override def stage(table: String, df: DataFrame): Unit =
-    df.write.mode("overwrite").parquet(path(table) + ".__graft_staging")
+    save(df, path(table) + ".__graft_staging")
   override def commit(table: String): Unit = {
     val dst = path(table)
     val staging = dst + ".__graft_staging"
@@ -70,6 +73,43 @@ final class ParquetIO(spark: SparkSession, dir: String) extends TableIO {
   def write(table: String, df: DataFrame): Unit = {
     stage(table, df); commit(table)
   }
+}
+
+/** Parquet-directory-backed IO: `dir/<table>.parquet` — the default
+  * columnar lake layout (typed schema travels with the files).
+  */
+final class ParquetIO(spark: SparkSession, dir: String)
+    extends FileTableIO(spark, dir, "parquet") {
+  protected def load(path: String): DataFrame = spark.read.parquet(path)
+  protected def save(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}
+
+/** Any path-based `DataFrameReader` format (csv, json, orc, text, avro)
+  * behind the same staged-swap contract: `dir/<table>.<format>` with
+  * per-side reader/writer options. CSV defaults carry the header and
+  * infer the schema on read — schema-less formats round-trip VALUES,
+  * not types (a csv bigint re-reads as the narrowest inferred type;
+  * the reference's stringly model tolerates exactly this, and parquet
+  * remains the typed path). Pass an explicit `schema` to pin types.
+  */
+final class FormatIO(spark: SparkSession, dir: String, format: String,
+    readOptions: Map[String, String] = Map.empty,
+    writeOptions: Map[String, String] = Map.empty,
+    schema: Option[org.apache.spark.sql.types.StructType] = None)
+    extends FileTableIO(spark, dir, format) {
+  private def defaults: Map[String, String] = format match {
+    case "csv" => Map("header" -> "true", "inferSchema" -> "true")
+    case _ => Map.empty
+  }
+  protected def load(path: String): DataFrame = {
+    val r = spark.read.format(format).options(defaults ++ readOptions)
+    schema.fold(r)(r.schema).load(path)
+  }
+  protected def save(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").format(format)
+      .options(defaults.filter(_._1 == "header") ++ writeOptions)
+      .save(path)
 }
 
 /** JDBC-backed IO — the direct analog of the reference's MySQL target

@@ -309,6 +309,17 @@ class PipelineSpec extends SparkSpec {
     val rows = TextOps.winnowFingerprintRows(df, "doc_id", "text", 8, 4)
     assert(rows.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 5L),
       "outer explode + isNotNull must drop only fingerprint-less docs")
+    // the xxhash64 production variant honors the same guarantee and is
+    // deterministic across runs
+    val f64 = TextOps.winnowFingerprints64(df, "doc_id", "text", 8, 4)
+    val m64 = f64.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((m64(1) intersect m64(2)).nonEmpty)
+    assert((m64(1) intersect m64(3)).isEmpty)
+    assert(m64(4).isEmpty)
+    val m64b = TextOps.winnowFingerprints64(df, "doc_id", "text", 8, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(m64 == m64b)
   }
 
   test("approx_count_distinct tracks exact distinct within 5% (HLL)") {
