@@ -54,6 +54,94 @@ object ExactlyOnceSink {
       .trigger(trigger)
       .start()
 
+  /** Fold the per-batch partitions of a [[writeBatch]] lake into one
+    * consolidated partition — the "compact later" that one-directory-
+    * per-micro-batch layouts need once small batches accumulate (a day
+    * of 1-minute batches is 1,440 directories of kB-sized files; scans
+    * pay per-file open cost).
+    *
+    * Replay safety, which dictates the shape: Structured Streaming can
+    * only ever replay the LAST batch of a checkpointed query (batch ids
+    * are strictly increasing; every id below the max is committed), so
+    * batches below the newest `keepLast` are immutable history. They
+    * are rewritten — coalesced to `targetPartitions` files — into the
+    * SMALLEST folded id's partition and the emptied partition
+    * directories are dropped; the newest `keepLast` partitions are left
+    * byte-untouched, so a replay of the newest batch still overwrites
+    * only its own directory.
+    *
+    * Crash safety is a three-phase commit on a marker file:
+    * (1) merged data lands in a staging directory; (2) a pending marker
+    * naming every folded id is created — this is the commit point;
+    * (3) staging renames over the smallest id's partition, the other
+    * folded partitions are dropped, the marker is removed. A re-run
+    * first completes any pending fold it finds (marker present →
+    * publish staging if it still exists, drop the listed source
+    * directories, clear the marker) before looking for new work, so a
+    * crash at ANY point yields either the old layout, the new layout,
+    * or a state the next run finishes — never duplicated or lost rows.
+    *
+    * Returns the number of batch partitions folded (0 = nothing to do).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      keepLast: Int = 1, targetPartitions: Int = 1): Int = {
+    require(keepLast >= 1,
+      "keepLast must be >= 1: the newest batch is replayable and " +
+        "must stay byte-identical")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val prefix = s"$BatchIdCol="
+    val marker = new org.apache.hadoop.fs.Path(root,
+      ".__graft_compact_pending")
+    def dirOf(id: Long) =
+      new org.apache.hadoop.fs.Path(root, s"$prefix$id")
+    def stagingOf(id: Long) =
+      new org.apache.hadoop.fs.Path(root, s".__graft_compact_$id")
+    def publish(ids: Seq[Long]): Unit = {
+      val keepId = ids.min
+      val staging = stagingOf(keepId)
+      if (fs.exists(staging)) {
+        // merged data not yet published: swap it in
+        fs.delete(dirOf(keepId), true)
+        if (!fs.rename(staging, dirOf(keepId)))
+          throw new java.io.IOException(
+            s"compact($path): rename $staging -> ${dirOf(keepId)} failed")
+      }
+      ids.filter(_ != keepId).foreach(id => fs.delete(dirOf(id), true))
+      fs.delete(marker, false)
+    }
+    // finish a fold a previous run committed but did not complete
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val pending =
+        try scala.io.Source.fromInputStream(in).getLines()
+          .filter(_.nonEmpty).map(_.toLong).toSeq
+        finally in.close()
+      if (pending.nonEmpty) publish(pending)
+    }
+    val batchDirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(s => s.getPath.getName.stripPrefix(prefix).toLong)
+      .sorted
+    val toFold = batchDirs.dropRight(keepLast)
+    if (toFold.length <= 1) return 0
+    // read ONLY the folded partitions (partition pruning by id), rewrite
+    // them as one partition's worth of consolidated files
+    val folded = spark.read.parquet(path)
+      .filter(col(BatchIdCol).isin(toFold: _*))
+      .drop(BatchIdCol)
+      .coalesce(targetPartitions)
+    folded.write.mode("overwrite").parquet(stagingOf(toFold.min).toString)
+    // commit point: once the marker exists, the fold WILL happen — this
+    // run or the next one's recovery pass
+    val out = fs.create(marker, true)
+    try out.write(toFold.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    publish(toFold)
+    toFold.length
+  }
+
   val BucketCol = "__bucket"
 
   /** KEY-idempotent per-batch merge — the transactionless-lake MERGE

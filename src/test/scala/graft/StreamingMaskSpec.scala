@@ -349,4 +349,53 @@ class StreamingMaskSpec extends SparkSpec {
     assert(spark.read.parquet(out).select("event_id").distinct().count()
       == expected)
   }
+
+  test("compaction folds committed batches, stays replay-safe, and " +
+      "recovers a crashed fold") {
+    val s = SparkSpec.spark; import s.implicits._
+    val out = Files.createTempDirectory("graft_compact").toString + "/lake"
+    def batch(ids: Range): DataFrame =
+      ids.map(i => (i.toLong, s"payload_$i")).toDF("id", "payload")
+    (0 to 4).foreach(b =>
+      ExactlyOnceSink.writeBatch(out)(batch(b * 10 until b * 10 + 5), b))
+    def rows = spark.read.parquet(out).select("id", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    def batchDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__batch_id="))
+      .map(_.getName).toSet
+    val before = rows
+    assert(batchDirs.size == 5)
+
+    // fold everything but the newest (replayable) batch
+    assert(ExactlyOnceSink.compact(spark, out) == 4)
+    assert(batchDirs == Set("__batch_id=0", "__batch_id=4"),
+      "batches 0-3 fold into partition 0; newest stays untouched")
+    assert(rows == before, "compaction must not change the row set")
+    // idempotent: nothing left to fold
+    assert(ExactlyOnceSink.compact(spark, out) == 0)
+
+    // the newest batch is still replayable: same id, same data, no dupes
+    ExactlyOnceSink.writeBatch(out)(batch(40 until 45), 4)
+    assert(rows == before, "replay after compaction duplicated rows")
+
+    // crash simulation: a previous run wrote its merged staging and the
+    // pending marker (the commit point) but died before publishing.
+    // Here: batches {0, 4} exist; pretend a fold of both into 0 crashed.
+    ExactlyOnceSink.writeBatch(out)(batch(50 until 55), 5)
+    val root = new org.apache.hadoop.fs.Path(out)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(out)
+      .filter(col(ExactlyOnceSink.BatchIdCol).isin(0, 4))
+      .drop(ExactlyOnceSink.BatchIdCol).coalesce(1)
+      .write.parquet(s"$out/.__graft_compact_0")
+    val marker = fs.create(
+      new org.apache.hadoop.fs.Path(root, ".__graft_compact_pending"), true)
+    marker.write("0\n4".getBytes("UTF-8")); marker.close()
+    val after = rows
+    // recovery completes the pending fold (0+4 -> 0), then finds only
+    // {0, 5} left: one foldable batch below the newest -> nothing new
+    assert(ExactlyOnceSink.compact(spark, out) == 0)
+    assert(batchDirs == Set("__batch_id=0", "__batch_id=5"))
+    assert(rows == after, "crash recovery lost or duplicated rows")
+  }
 }
