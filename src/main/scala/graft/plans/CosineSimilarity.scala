@@ -103,5 +103,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "pq_encode takes exactly 2 arguments")
         PqEncode(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_select"),
+      new ExpressionInfo(classOf[WinnowSelect].getName, "winnow_select"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "winnow_select takes exactly 3 arguments (text, k, w)")
+        WinnowSelect(children.head, children(1), children(2))
+      }))
   }
 }

@@ -320,6 +320,18 @@ class PipelineSpec extends SparkSpec {
     val m64b = TextOps.winnowFingerprints64(df, "doc_id", "text", 8, 4)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     assert(m64 == m64b)
+    // the native winnow_select expression is bit-identical to the
+    // staged HOF fold on the real corpus
+    assert(spark.catalog.functionExists("winnow_select"),
+      "GraftExtensions not registered in the test session")
+    def allFps(frame: org.apache.spark.sql.DataFrame) =
+      frame.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toSeq
+    val nat = TextOps.winnowFingerprints(docs, "doc_id", "text", 8, 4)
+    assert(nat.queryExecution.analyzed.toString.contains("winnow_select"),
+      "winnowFingerprints did not pick the native expression")
+    assert(allFps(nat) ==
+      allFps(TextOps.winnowFingerprintsFold(docs, "doc_id", "text", 8, 4)))
   }
 
   test("approx_count_distinct tracks exact distinct within 5% (HLL)") {
