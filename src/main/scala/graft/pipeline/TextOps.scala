@@ -331,6 +331,23 @@ object TextOps {
       .agg(array_join(bottomK(col("__h")), ",").as("fingerprint"))
   }
 
+  /** Approximate corpus heavy hitters via the Misra-Gries sketch
+    * ([[graft.functions.TopFreq]]): (token, estimate) rows for at most
+    * `k` dominant tokens, estimate undercounting by ≤ n/(k+1) and any
+    * token above that threshold guaranteed present. The bounded-state
+    * companion to the exact [[termFrequencies]]: O(k) state and shuffle
+    * per partition regardless of vocabulary size or Zipfian skew.
+    */
+  def heavyHitters(df: DataFrame, textCol: String, k: Int = 20): DataFrame = {
+    val tf = udaf(new graft.functions.TopFreq(k),
+      org.apache.spark.sql.Encoders.STRING)
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .agg(tf(col("token")).as("__hh"))
+      .select(explode(col("__hh")).as("__h"))
+      .select(col("__h._1").as("token"), col("__h._2").as("est"))
+  }
+
   /** TRUE winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the
     * MOSS algorithm): hash every character k-gram of the normalized
     * text, slide a window of `w` consecutive gram hashes, keep each

@@ -334,6 +334,30 @@ class PipelineSpec extends SparkSpec {
       allFps(TextOps.winnowFingerprintsFold(docs, "doc_id", "text", 8, 4)))
   }
 
+  test("Misra-Gries heavy hitters: sketch bounds hold against exact counts") {
+    val toks = docs
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val n = toks.count()
+    val exact = toks.groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = 50
+    val err = n.toDouble / (k + 1)
+    val hh = TextOps.heavyHitters(docs, "text", k).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(hh.nonEmpty && hh.size <= k)
+    hh.foreach { case (t, est) =>
+      val truth = exact(t)
+      assert(est <= truth, s"'$t' overestimated: $est > $truth")
+      assert(truth - est <= err,
+        s"'$t' undercounts past the n/(k+1) bound: $truth - $est > $err")
+    }
+    val mustHave = exact.collect { case (t, c) if c > err => t }.toSet
+    assert(mustHave.subsetOf(hh.map(_._1).toSet),
+      s"guaranteed heavy hitters missing: " +
+        s"${mustHave -- hh.map(_._1).toSet}")
+  }
+
   test("approx_count_distinct tracks exact distinct within 5% (HLL)") {
     val li = spark.read.parquet(s"$fixtures/lineitem.parquet")
     val r = li.agg(
