@@ -100,6 +100,31 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: native winnow selection == staged fold on arbitrary text") {
+    // adversarial text for the native expression's UTF-8 handling:
+    // multi-byte code points, runs of whitespace (normalize folds them),
+    // empty and shorter-than-k strings, arbitrary (k, w)
+    import graft.pipeline.TextOps
+    val charGen = SGen.frequency(
+      6 -> SGen.alphaNumChar, 2 -> SGen.const(' '),
+      1 -> SGen.oneOf('é', 'ß', '中', 'Ω'), 1 -> SGen.const('\t'))
+    val strGen = SGen.listOf(charGen).map(_.mkString.take(40))
+    val kw = for {
+      k <- SGen.choose(2, 6); w <- SGen.choose(1, 5)
+    } yield (k, w)
+    check(Prop.forAll(SGen.listOfN(6, strGen), kw) { case (texts, (k, w)) =>
+      val s = spark
+      import s.implicits._
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      def fps(frame: org.apache.spark.sql.DataFrame) =
+        frame.orderBy("id").collect()
+          .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toSeq
+      fps(TextOps.winnowFingerprints(df, "id", "text", k, w)) ==
+        fps(TextOps.winnowFingerprintsFold(df, "id", "text", k, w))
+    })
+  }
+
   test("property: hash samples nest across arbitrary rate pairs") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.Sampling
