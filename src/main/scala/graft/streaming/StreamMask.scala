@@ -133,6 +133,28 @@ object StreamMask {
       TextOps.piiCounts(col(textCol)): _*)
   }
 
+  /** Streaming corpus heavy hitters: the Misra-Gries sketch
+    * ([[graft.functions.TopFreq]]) as STREAMING aggregation state — the
+    * running "which tokens dominate the ingest so far" monitor. The
+    * sketch buffer (≤ k counters) IS the state-store row, so state
+    * stays O(k) for the lifetime of the query regardless of volume or
+    * vocabulary; use `OutputMode.Complete` (one tiny result row). The
+    * n/(k+1) undercount bound and guaranteed-presence hold across
+    * micro-batch merges (mergeable summaries) — the spec pins them
+    * against exact counts of everything streamed; the reported item SET
+    * near the error floor may differ from a batch run's, which is
+    * inherent to any mergeable sketch, not a streaming defect.
+    */
+  def heavyHitterStream(docs: DataFrame, textCol: String,
+      k: Int = 20): DataFrame = {
+    import graft.pipeline.TextOps
+    val tf = udaf(new graft.functions.TopFreq(k),
+      org.apache.spark.sql.Encoders.STRING)
+    docs.select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .agg(tf(col("token")).as("heavy_hitters"))
+  }
+
   /** Watermarked stream-stream interval join — the impression↔click
     * correlation shape: each left event pairs with right events of the
     * same key whose timestamp lands in `[leftTs, leftTs + maxDelay]`.

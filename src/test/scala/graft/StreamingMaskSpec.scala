@@ -268,6 +268,40 @@ class StreamingMaskSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("streaming heavy hitters honor the Misra-Gries bounds over the " +
+      "full ingest") {
+    import graft.pipeline.TextOps
+    val dir = Files.createTempDirectory("graft_hh").toString
+    val docs = spark.read.parquet(s"$fixtures/documents.parquet")
+    // 4 files + maxFilesPerTrigger=1 => 4 micro-batches, so the sketch
+    // state actually merges across batches
+    docs.repartition(4).write.mode("overwrite").parquet(s"$dir/docs")
+    val schema = spark.read.parquet(s"$dir/docs").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/docs")
+    val k = 50
+    val got = runToMemory(
+      StreamMask.heavyHitterStream(stream, "text", k),
+      "hh_stream", "complete")
+      .select(explode(col("heavy_hitters")).as("h"))
+      .select(col("h._1").as("token"), col("h._2").as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val toks = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val n = toks.count()
+    val exact = toks.groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val err = n.toDouble / (k + 1)
+    assert(got.nonEmpty && got.length <= k)
+    got.foreach { case (t, est) =>
+      assert(est <= exact(t), s"'$t' overestimated")
+      assert(exact(t) - est <= err, s"'$t' undercounts past the bound")
+    }
+    val mustHave = exact.collect { case (t, c) if c > err => t }.toSet
+    assert(mustHave.subsetOf(got.map(_._1).toSet),
+      "guaranteed heavy hitters missing from the streaming sketch")
+  }
+
   test("keyed sink replaces re-sent keys and is idempotent under replay") {
     import SparkSpec.spark.implicits._
     val base = Files.createTempDirectory("graft_keyed").toString
