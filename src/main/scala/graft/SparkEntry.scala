@@ -687,6 +687,20 @@ object SparkEntry {
     TextOps.winnowFingerprintRows(docs(s, dir), "doc_id", "text", 8, 4)
       .orderBy("doc_id", "fp")
 
+  /** Winnowing cross-corpus overlap ([[TextOps.winnowOverlap]]): every
+    * (corpus, benchmark) pair sharing ≥ 20 winnowing selections, with
+    * the same %10 corpus/benchmark split as [[qDecontaminate]] — the
+    * position-local verbatim-overlap scan next to the shingle-set one.
+    */
+  private def qWinnowOverlap(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextOps.winnowOverlap(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", k = 8, w = 4, minShared = 20)
+      .orderBy("id_a", "id_b")
+  }
+
   /** 16-bit SimHash per document (md5-nibble, oracle-portable variant;
     * production path is the xxhash64 64-bit [[TextOps.simHash64]]).
     */
@@ -947,6 +961,7 @@ object SparkEntry {
     "q_tfidf" -> (qTfidf _),
     "q_fingerprint" -> (qFingerprint _),
     "q_winnow" -> (qWinnow _),
+    "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_near" -> (qSimhashNear _),
     "q_sim_topk" -> (qSimTopk _),
@@ -1468,6 +1483,31 @@ object SparkEntry {
          |SELECT DISTINCT doc_id, mh AS fp FROM w
          |WHERE i <= greatest(cnt - 3, 1)
          |ORDER BY doc_id, fp""".stripMargin,
+    "q_winnow_overlap" ->
+      // q_winnow's selection CTE over the whole corpus, self-joined on
+      // the fingerprint across the %10 corpus/benchmark split, pair
+      // counts with the >= 20 floor (the fixture corpus shares heavy
+      // boilerplate, so a low floor passes nearly every pair) — mirrors
+      // TextOps.winnowOverlap
+      s"""WITH norm AS (SELECT doc_id, $normSql AS t FROM documents),
+         |g AS (SELECT doc_id, t,
+         |        unnest(generate_series(1, greatest(length(t) - 7, 0))) AS i
+         |      FROM norm),
+         |h AS (SELECT doc_id, i, md5(substr(t, CAST(i AS INT), 8)) AS h
+         |      FROM g),
+         |wnd AS (SELECT doc_id, i,
+         |        min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+         |        count(*) OVER (PARTITION BY doc_id) AS cnt
+         |      FROM h),
+         |sel AS (SELECT DISTINCT doc_id, mh AS fp FROM wnd
+         |        WHERE i <= greatest(cnt - 3, 1))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM sel a JOIN sel b ON a.fp = b.fp
+         |WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 20
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_simhash" ->
       s"""WITH $simhash16Cte
          |SELECT doc_id, simhash FROM sh16 ORDER BY doc_id""".stripMargin,

@@ -439,6 +439,33 @@ object TextOps {
         array_sort(array_distinct(col("__mins"))).as("fingerprints"))
   }
 
+  /** Cross-corpus PARTIAL-overlap scan via winnowing fingerprints — the
+    * quote-mining / plagiarism-detection companion to
+    * [[graft.pipeline.Dedup.crossCorpusOverlap]]'s shingle scan: for
+    * every (corpus doc, benchmark doc) pair sharing at least
+    * `minShared` winnowing selections, return the pair with its shared
+    * count. The winnowing guarantee makes this position-local: any
+    * verbatim run of ≥ w + k − 1 characters between two documents is
+    * guaranteed to register, at fingerprint density ~2/(w+1) of the
+    * gram count instead of every gram — so the join input is a
+    * fraction of the shingle scan's at equal guarantee strength.
+    * Shape: narrow per-row selection both sides, equi-join on the
+    * fingerprint, pair-keyed count — work ∝ actually-shared
+    * fingerprints, never |corpus|×|bench|.
+    */
+  def winnowOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, k: Int = 8, w: Int = 4,
+      minShared: Int = 1): DataFrame = {
+    val fa = winnowFingerprintRows(corpus, idCol, textCol, k, w)
+      .select(col(idCol).as("id_a"), col("fp"))
+    val fb = winnowFingerprintRows(bench, idCol, textCol, k, w)
+      .select(col(idCol).as("id_b"), col("fp"))
+    fa.join(fb, Seq("fp"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** [[winnowFingerprints]] exploded to thin (id, fp) rows — the join
     * shape for cross-corpus overlap detection.
     *
