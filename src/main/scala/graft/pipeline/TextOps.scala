@@ -452,14 +452,26 @@ object TextOps {
     * Shape: narrow per-row selection both sides, equi-join on the
     * fingerprint, pair-keyed count — work ∝ actually-shared
     * fingerprints, never |corpus|×|bench|.
+    *
+    * @param maxFpDf optional stop-fingerprint guard, the winnowing
+    *   analog of [[graft.pipeline.Dedup.crossCorpusOverlap]]'s
+    *   stop-shingle cap: fingerprints selected by more than this many
+    *   BENCHMARK docs are boilerplate (headers, licenses, templates) —
+    *   hot join keys contributing joins ∝ corpusDf·benchDf with no
+    *   overlap signal. `None` keeps exact counts (the oracle path).
     */
   def winnowOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, k: Int = 8, w: Int = 4,
-      minShared: Int = 1): DataFrame = {
+      minShared: Int = 1, maxFpDf: Option[Int] = None): DataFrame = {
     val fa = winnowFingerprintRows(corpus, idCol, textCol, k, w)
       .select(col(idCol).as("id_a"), col("fp"))
-    val fb = winnowFingerprintRows(bench, idCol, textCol, k, w)
+    val fb0 = winnowFingerprintRows(bench, idCol, textCol, k, w)
       .select(col(idCol).as("id_b"), col("fp"))
+    val fb = maxFpDf.fold(fb0) { m =>
+      val keep = fb0.groupBy("fp").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= m).select("fp")
+      fb0.join(keep, Seq("fp"))
+    }
     fa.join(fb, Seq("fp"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))

@@ -334,6 +334,28 @@ class PipelineSpec extends SparkSpec {
       allFps(TextOps.winnowFingerprintsFold(docs, "doc_id", "text", 8, 4)))
   }
 
+  test("winnowOverlap stop-fingerprint cap drops only boilerplate keys") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val exact = TextOps.winnowOverlap(corpus, bench, "doc_id", "text",
+        minShared = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // a cap at the benchmark size is a no-op (no fp can exceed it)
+    val capped = TextOps.winnowOverlap(corpus, bench, "doc_id", "text",
+        minShared = 20, maxFpDf = Some(bench.count().toInt)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped == exact)
+    // a tight cap only ever REDUCES pair counts (drops hot keys)
+    val tight = TextOps.winnowOverlap(corpus, bench, "doc_id", "text",
+        minShared = 1, maxFpDf = Some(2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val loose = TextOps.winnowOverlap(corpus, bench, "doc_id", "text",
+        minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(tight.keySet.subsetOf(loose.keySet))
+    tight.foreach { case (p, n) => assert(n <= loose(p)) }
+  }
+
   test("Misra-Gries heavy hitters: sketch bounds hold against exact counts") {
     val toks = docs
       .select(explode(TextOps.tokens(col("text"))).as("token"))
