@@ -89,6 +89,13 @@ class AnonymizerSpec extends SparkSpec {
     assert(pq.size == 150)
     assert(csv == pq, "csv-backed run diverged from parquet")
     assert(json == pq, "json-backed run diverged from parquet")
+    // a pinned schema overrides csv inference and restores exact types
+    val pinned = new FormatIO(spark,
+      Files.createTempDirectory("graft_fmt_csv_schema").toString, "csv",
+      schema = Some(src.schema))
+    assert(masked(pinned) == pq)
+    assert(pinned.read("customer").schema == src.schema,
+      "pinned csv schema must round-trip the exact source types")
   }
 
   test("run() stages all tables before publishing any (cross-table safety)") {
