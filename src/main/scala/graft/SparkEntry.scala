@@ -701,6 +701,17 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Heavy hitters in the EXACT regime ([[TextOps.heavyHitters]] with
+    * `k` = 64 > the fixture's 31 distinct tokens): with no evictions the
+    * Misra-Gries sketch IS the exact frequency table, making its
+    * reduce/merge arithmetic fully deterministic and oracle-checkable;
+    * the approximate regime (k < vocabulary) is bound-pinned in the
+    * specs instead, like GK quantiles and HLL.
+    */
+  private def qHeavy(s: SparkSession, dir: String): DataFrame =
+    TextOps.heavyHitters(docs(s, dir), "text", 64)
+      .orderBy(col("est").desc, col("token"))
+
   /** 16-bit SimHash per document (md5-nibble, oracle-portable variant;
     * production path is the xxhash64 64-bit [[TextOps.simHash64]]).
     */
@@ -962,6 +973,7 @@ object SparkEntry {
     "q_fingerprint" -> (qFingerprint _),
     "q_winnow" -> (qWinnow _),
     "q_winnow_overlap" -> (qWinnowOverlap _),
+    "q_heavy" -> (qHeavy _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_near" -> (qSimhashNear _),
     "q_sim_topk" -> (qSimTopk _),
@@ -1508,6 +1520,13 @@ object SparkEntry {
          |WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
          |GROUP BY 1, 2 HAVING COUNT(*) >= 20
          |ORDER BY id_a, id_b""".stripMargin,
+    "q_heavy" ->
+      // exact regime (k=64 > 31 distinct fixture tokens): the sketch
+      // equals the exact token-frequency table
+      s"""WITH toks AS (SELECT unnest($toksSql) AS token FROM documents)
+         |SELECT token, CAST(COUNT(*) AS BIGINT) AS est FROM toks
+         |WHERE token <> ''
+         |GROUP BY token ORDER BY est DESC, token""".stripMargin,
     "q_simhash" ->
       s"""WITH $simhash16Cte
          |SELECT doc_id, simhash FROM sh16 ORDER BY doc_id""".stripMargin,

@@ -89,6 +89,11 @@ class AnonymizerSpec extends SparkSpec {
     assert(pq.size == 150)
     assert(csv == pq, "csv-backed run diverged from parquet")
     assert(json == pq, "json-backed run diverged from parquet")
+    // orc is typed like parquet — values AND schema round-trip
+    val orc = new FormatIO(spark,
+      Files.createTempDirectory("graft_fmt_orc").toString, "orc")
+    assert(masked(orc) == pq, "orc-backed run diverged from parquet")
+    assert(orc.read("customer").schema == src.schema)
     // a pinned schema overrides csv inference and restores exact types
     val pinned = new FormatIO(spark,
       Files.createTempDirectory("graft_fmt_csv_schema").toString, "csv",

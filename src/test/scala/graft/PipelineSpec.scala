@@ -363,7 +363,10 @@ class PipelineSpec extends SparkSpec {
     val n = toks.count()
     val exact = toks.groupBy("token").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val k = 50
+    // k BELOW the fixture vocabulary (31 distinct tokens), so the
+    // sketch actually decrements and merges — the approximate regime;
+    // q_heavy oracle-checks the exact regime (k > vocabulary)
+    val k = 10
     val err = n.toDouble / (k + 1)
     val hh = TextOps.heavyHitters(docs, "text", k).collect()
       .map(r => (r.getString(0), r.getLong(1)))
