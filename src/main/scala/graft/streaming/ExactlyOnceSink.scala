@@ -134,12 +134,43 @@ object ExactlyOnceSink {
       .coalesce(targetPartitions)
     folded.write.mode("overwrite").parquet(stagingOf(toFold.min).toString)
     // commit point: once the marker exists, the fold WILL happen — this
-    // run or the next one's recovery pass
-    val out = fs.create(marker, true)
+    // run or the next one's recovery pass. The marker itself must appear
+    // atomically (write temp + rename): a torn marker would make
+    // recovery act on a TRUNCATED id list — deleting source partitions
+    // whose rows were never published
+    val markerTmp = new org.apache.hadoop.fs.Path(root,
+      ".__graft_compact_pending.tmp")
+    val out = fs.create(markerTmp, true)
     try out.write(toFold.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    fs.delete(marker, false)
+    if (!fs.rename(markerTmp, marker))
+      throw new java.io.IOException(
+        s"compact($path): rename $markerTmp -> $marker failed")
     publish(toFold)
     toFold.length
+  }
+
+  /** True iff `path` holds at least one committed data file — a
+    * directory containing only write-attempt debris (`_temporary`,
+    * `_SUCCESS`, dotfiles) counts as not-yet-created. Distinguishes the
+    * crashed-first-write state from a real table without catching broad
+    * AnalysisException (which would also swallow genuine
+    * schema/metadata corruption).
+    */
+  private def hasCommittedData(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Boolean = {
+    if (!fs.exists(path)) return false
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      val inTemp = f.getPath.toString.contains("/_temporary/")
+      if (f.isFile && !inTemp &&
+          !name.startsWith("_") && !name.startsWith("."))
+        return true
+    }
+    false
   }
 
   val BucketCol = "__bucket"
@@ -183,11 +214,14 @@ object ExactlyOnceSink {
     // distinguish "table not yet created" (merge path skipped) from any
     // other analysis failure (schema/metadata corruption): treating the
     // latter as empty would silently drop every surviving key in the
-    // touched buckets on overwrite
+    // touched buckets on overwrite. The probe looks for COMMITTED data
+    // files, not bare directory existence — a first write that crashed
+    // after creating only `_temporary` must take the fresh-table path,
+    // or every replay of batch 0 dies on an uninferable-schema read
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (!fs.exists(target)) incoming
+      if (!hasCommittedData(fs, target)) incoming
       else {
         val existing = spark.read.parquet(path)
         val touched = incoming.select(BucketCol).distinct()
