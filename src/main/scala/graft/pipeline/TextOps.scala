@@ -338,14 +338,23 @@ object TextOps {
     * companion to the exact [[termFrequencies]]: O(k) state and shuffle
     * per partition regardless of vocabulary size or Zipfian skew.
     */
-  def heavyHitters(df: DataFrame, textCol: String, k: Int = 20): DataFrame = {
+  def heavyHitters(df: DataFrame, textCol: String, k: Int = 20): DataFrame =
+    heavyHitterAgg(df, textCol, k)
+      .select(explode(col("heavy_hitters")).as("__h"))
+      .select(col("__h._1").as("token"), col("__h._2").as("est"))
+
+  /** The single-row heavy-hitters aggregation (array column
+    * `heavy_hitters` of (token, estimate) structs) — the one shared
+    * tokenize → filter → sketch body behind [[heavyHitters]] and the
+    * streaming `StreamMask.heavyHitterStream`, so the two paths cannot
+    * drift.
+    */
+  def heavyHitterAgg(df: DataFrame, textCol: String, k: Int): DataFrame = {
     val tf = udaf(new graft.functions.TopFreq(k),
       org.apache.spark.sql.Encoders.STRING)
     df.select(explode(tokens(col(textCol))).as("token"))
       .filter(col("token") =!= "")
-      .agg(tf(col("token")).as("__hh"))
-      .select(explode(col("__hh")).as("__h"))
-      .select(col("__h._1").as("token"), col("__h._2").as("est"))
+      .agg(tf(col("token")).as("heavy_hitters"))
   }
 
   /** TRUE winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the
@@ -382,9 +391,8 @@ object TextOps {
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
-    val native = org.apache.spark.sql.SparkSession.getActiveSession
-      .exists(_.catalog.functionExists("winnow_select"))
-    if (native)
+    require(k >= 1 && w >= 1, s"winnowing needs k >= 1 and w >= 1 (got k=$k, w=$w)")
+    if (graft.plans.GraftExtensions.hasNative("winnow_select"))
       // one per-row loop (graft.plans.WinnowSelect): raw-digest window
       // minima, hex only for survivors — bit-identical selection, ~10×
       // over the staged HOFs; coalesce matches their []-on-null
@@ -419,6 +427,7 @@ object TextOps {
   private def winnowStaged(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, hash: Column => Column,
       arrType: String): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowing needs k >= 1 and w >= 1 (got k=$k, w=$w)")
     val empty = array().cast(arrType)
     df.select(col(idCol), normalize(col(textCol)).as("__t"))
       .select(col(idCol),
@@ -468,9 +477,13 @@ object TextOps {
     val fb0 = winnowFingerprintRows(bench, idCol, textCol, k, w)
       .select(col(idCol).as("id_b"), col("fp"))
     val fb = maxFpDf.fold(fb0) { m =>
-      val keep = fb0.groupBy("fp").agg(count(lit(1)).as("__df"))
+      // the cap path reads the bench selection twice (df aggregate +
+      // join input); winnowing is the CPU-heavy stage, so materialise
+      // it once instead of recomputing per subtree
+      val mat = fb0.localCheckpoint()
+      val keep = mat.groupBy("fp").agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= m).select("fp")
-      fb0.join(keep, Seq("fp"))
+      mat.join(keep, Seq("fp"))
     }
     fa.join(fb, Seq("fp"))
       .groupBy("id_a", "id_b")

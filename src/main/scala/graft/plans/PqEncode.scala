@@ -81,6 +81,12 @@ case class PqEncode(left: Expression, right: Expression)
 
   override protected def nullSafeEval(vec: Any, cb: Any): Any = {
     val v = vec.asInstanceOf[ArrayData]
+    // UnsafeArrayData accessors do no bounds checking: a short vector
+    // would read past the array and yield nondeterministic garbage codes
+    if (v.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector has ${v.numElements()} elements, " +
+          s"codebooks expect ${m * subDim}")
     val out = new Array[Byte](m)
     var j = 0
     while (j < m) {
@@ -121,6 +127,11 @@ case class PqEncode(left: Expression, right: Expression)
     val diff = ctx.freshName("diff"); val off = ctx.freshName("off")
     nullSafeCodeGen(ctx, ev, (vec, _) =>
       s"""
+         |if ($vec.numElements() != ${m * subDim}) {
+         |  throw new IllegalArgumentException(
+         |    "pq_encode: vector has " + $vec.numElements() +
+         |    " elements, codebooks expect ${m * subDim}");
+         |}
          |byte[] $out = new byte[$m];
          |for (int $j = 0; $j < $m; $j++) {
          |  int $off = $j * $subDim;

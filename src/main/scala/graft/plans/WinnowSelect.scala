@@ -38,6 +38,12 @@ case class WinnowSelect(first: Expression, second: Expression,
         e.dataType == IntegerType && e.foldable))
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects foldable int k and w arguments")
+    else if (Seq(second, third).exists(e =>
+        e.eval() == null || e.eval().asInstanceOf[Int] < 1))
+      // w <= 0 would push the window count past the gram count and read
+      // out of bounds; fail at analysis, not mid-task
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires k >= 1 and w >= 1")
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
