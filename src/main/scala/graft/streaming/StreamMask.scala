@@ -146,14 +146,8 @@ object StreamMask {
     * inherent to any mergeable sketch, not a streaming defect.
     */
   def heavyHitterStream(docs: DataFrame, textCol: String,
-      k: Int = 20): DataFrame = {
-    import graft.pipeline.TextOps
-    val tf = udaf(new graft.functions.TopFreq(k),
-      org.apache.spark.sql.Encoders.STRING)
-    docs.select(explode(TextOps.tokens(col(textCol))).as("token"))
-      .filter(col("token") =!= "")
-      .agg(tf(col("token")).as("heavy_hitters"))
-  }
+      k: Int = 20): DataFrame =
+    graft.pipeline.TextOps.heavyHitterAgg(docs, textCol, k)
 
   /** Watermarked stream-stream interval join — the impression↔click
     * correlation shape: each left event pairs with right events of the
@@ -251,18 +245,23 @@ object StreamMask {
             // when the other arrives — deterministic output
             val out = List.newBuilder[NearDupHit]
             rows.toSeq.sortBy(_.id).foreach { d =>
-              val hs = d.hashes.toSet
-              members.foreach { case (mid, _, mh) =>
-                if (mid != d.id) {
-                  val inter = mh.count(hs.contains)
-                  val union = hs.size + mh.size - inter
-                  val j = inter.toDouble / union
-                  if (j >= threshold)
-                    out += NearDupHit(math.min(mid, d.id),
-                      math.max(mid, d.id), inter.toLong, j)
+              // an at-least-once source can redeliver a document: a doc
+              // already in the bucket must neither re-emit its pairs nor
+              // grow the member list (state stays ∝ distinct docs)
+              if (!members.exists(_._1 == d.id)) {
+                val hs = d.hashes.toSet
+                members.foreach { case (mid, _, mh) =>
+                  if (mid != d.id) {
+                    val inter = mh.count(hs.contains)
+                    val union = hs.size + mh.size - inter
+                    val j = inter.toDouble / union
+                    if (j >= threshold)
+                      out += NearDupHit(math.min(mid, d.id),
+                        math.max(mid, d.id), inter.toLong, j)
+                  }
                 }
+                members = (d.id, d.tsMs, d.hashes) :: members
               }
-              members = (d.id, d.tsMs, d.hashes) :: members
             }
             state.update(NearDupBucket(members))
             // the bucket dies `watermark` past its newest member unless

@@ -255,17 +255,31 @@ class StreamingMaskSpec extends SparkSpec {
       .toDF("doc_id", "text", "ts").write.parquet(s"$in/f0")
     Seq((2L, textB, t1)).toDF("doc_id", "text", "ts").write.parquet(s"$in/f1")
     val schema = spark.read.parquet(s"$in/f0").schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .option("recursiveFileLookup", "true").parquet(in)
-    val pairs = runToMemory(
-      StreamMask.nearDupPairsStream(stream, "doc_id", "text", "ts",
-        watermark = "1 hour", threshold = 0.5),
-      "neardup_xb", "append").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run(dir: String, name: String): Seq[(Long, Long)] = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true").parquet(dir)
+      runToMemory(
+        StreamMask.nearDupPairsStream(stream, "doc_id", "text", "ts",
+          watermark = "1 hour", threshold = 0.5),
+        name, "append").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    }
+    val clean = run(in, "neardup_xb")
     // doc 2 arrives in a LATER micro-batch than doc 1: the pair can only
-    // come from bucket state carried across batches
-    assert(pairs == Set((1L, 2L)))
+    // come from bucket state carried across batches (once per agreeing
+    // band, hence the multiset compare below)
+    assert(clean.toSet == Set((1L, 2L)))
+    // an at-least-once source REDELIVERS doc 1 in a later batch: the
+    // bucket must treat it as already present — the emission multiset
+    // is unchanged
+    val in2 = s"$base/in_redelivered"
+    spark.read.parquet(s"$in/f0").write.parquet(s"$in2/f0")
+    spark.read.parquet(s"$in/f1").write.parquet(s"$in2/f1")
+    Seq((1L, textA, t1)).toDF("doc_id", "text", "ts")
+      .write.parquet(s"$in2/f2")
+    assert(run(in2, "neardup_xb2") == clean,
+      "redelivered doc changed the emitted pair multiset")
   }
 
   test("streaming heavy hitters honor the Misra-Gries bounds over the " +
@@ -307,6 +321,15 @@ class StreamingMaskSpec extends SparkSpec {
     val base = Files.createTempDirectory("graft_keyed").toString
     val out = s"$base/out"
     val write = ExactlyOnceSink.writeKeyedBatch(out, "k", 4) _
+
+    // crashed-first-write state: the target exists but holds only
+    // committer debris (no parquet footers). The replay of batch 0 must
+    // take the fresh-table path, not die reading an uninferable table
+    val temp = new java.io.File(s"$out/_temporary/0")
+    temp.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/_temporary/0/part-junk"),
+      Array[Byte](1, 2, 3))
 
     // batch 1: keys spread across buckets so later merges have both
     // touched and untouched buckets to get right
