@@ -144,12 +144,10 @@ object Pq {
     * the fold path pays m·k interpreted `aggregate` evaluations per
     * row).
     */
-  def encode(cb: PqCodebooks)(vec: Column): Column = {
-    val native = org.apache.spark.sql.SparkSession.getActiveSession
-      .exists(_.catalog.functionExists("pq_encode"))
-    if (native) call_function("pq_encode", vec, codebooksLit(cb))
+  def encode(cb: PqCodebooks)(vec: Column): Column =
+    if (graft.plans.GraftExtensions.hasNative("pq_encode"))
+      call_function("pq_encode", vec, codebooksLit(cb))
     else encodeFold(cb)(vec)
-  }
 
   /** ADC score of a codes column against one query: the m×k lookup
     * table of per-subspace dots is computed driver-side and shipped as

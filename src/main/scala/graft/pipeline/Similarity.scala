@@ -54,11 +54,10 @@ object Similarity {
   /** Cosine similarity; native codegen'd expression when available
     * (bit-identical to [[cosineFold]] — same accumulation order).
     */
-  def cosine(a: Column, b: Column): Column = {
-    val native = org.apache.spark.sql.SparkSession.getActiveSession
-      .exists(_.catalog.functionExists("cosine_sim"))
-    if (native) call_function("cosine_sim", a, b) else cosineFold(a, b)
-  }
+  def cosine(a: Column, b: Column): Column =
+    if (graft.plans.GraftExtensions.hasNative("cosine_sim"))
+      call_function("cosine_sim", a, b)
+    else cosineFold(a, b)
 
   /** Literal column for a query vector (broadcast as part of the plan). */
   def vecLit(v: Seq[Float]): Column = array(v.map(x => lit(x)): _*)

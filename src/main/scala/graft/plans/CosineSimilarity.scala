@@ -87,6 +87,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * [[graft.pipeline.Similarity]] auto-detects the registration and falls
   * back to the portable (bit-identical) fold when absent.
   */
+object GraftExtensions {
+  /** True iff the active session registered native function `name` —
+    * the single detection point behind every auto-upgrading operator
+    * ([[graft.pipeline.Similarity.cosine]], `Pq.encode`,
+    * `TextOps.winnowFingerprints`).
+    */
+  def hasNative(name: String): Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists(name))
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
