@@ -420,7 +420,23 @@ object TextOps {
     * is hash-agnostic (any fixed total order on gram hashes works).
     */
   def winnowFingerprints64(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 4): DataFrame =
+      k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowing needs k >= 1 and w >= 1 (got k=$k, w=$w)")
+    if (graft.plans.GraftExtensions.hasNative("winnow_select64"))
+      df.select(col(idCol),
+        coalesce(
+          call_function("winnow_select64", normalize(col(textCol)),
+            lit(k), lit(w)),
+          array().cast("array<bigint>")).as("fingerprints"))
+    else winnowFingerprints64Fold(df, idCol, textCol, k, w)
+  }
+
+  /** The staged higher-order-function xxhash64 winnowing path —
+    * portable baseline, bit-identical to the native
+    * [[winnowFingerprints64]] upgrade.
+    */
+  def winnowFingerprints64Fold(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 8, w: Int = 4): DataFrame =
     winnowStaged(df, idCol, textCol, k, w, g => xxhash64(g),
       "array<bigint>")
 

@@ -122,5 +122,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "winnow_select takes exactly 3 arguments (text, k, w)")
         WinnowSelect(children.head, children(1), children(2))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_select64"),
+      new ExpressionInfo(classOf[WinnowSelect64].getName, "winnow_select64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "winnow_select64 takes exactly 3 arguments (text, k, w)")
+        WinnowSelect64(children.head, children(1), children(2))
+      }))
   }
 }

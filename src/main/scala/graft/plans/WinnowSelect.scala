@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -64,6 +64,50 @@ case class WinnowSelect(first: Expression, second: Expression,
 
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): WinnowSelect =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** [[WinnowSelect]] on `xxhash64` gram hashes (`array<bigint>`, SIGNED
+  * minima — the same ordering `array_min` applies to bigint), the
+  * native upgrade of the production fold
+  * [[graft.pipeline.TextOps.winnowFingerprints64]]. Gram hashes call
+  * Spark's own XXH64 with the `xxhash64()` seed, so values are
+  * bit-identical to the fold's.
+  */
+case class WinnowSelect64(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string text argument, got " +
+          first.dataType.simpleString)
+    else if (!Seq(second, third).forall(e =>
+        e.dataType == IntegerType && e.foldable))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects foldable int k and w arguments")
+    else if (Seq(second, third).exists(e =>
+        e.eval() == null || e.eval().asInstanceOf[Int] < 1))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires k >= 1 and w >= 1")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_select64"
+
+  @transient private lazy val k: Int = second.eval().asInstanceOf[Int]
+  @transient private lazy val w: Int = third.eval().asInstanceOf[Int]
+
+  override protected def nullSafeEval(t: Any, kv: Any, wv: Any): Any =
+    WinnowSelect.select64(t.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _, _) =>
+      s"${ev.value} = graft.plans.WinnowSelect.select64($t, $k, $w);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): WinnowSelect64 =
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
@@ -135,5 +179,43 @@ object WinnowSelect {
     var o = 0
     while (it.hasNext) { out(o) = hex(it.next()); o += 1 }
     new GenericArrayData(out)
+  }
+
+  /** The xxhash64 winnowing selection for one text — gram hashes via
+    * Spark's XXH64 with the `xxhash64()` function's seed (42), SIGNED
+    * long minima, sorted distinct output. Bit-identical to the
+    * `xxhash64`-HOF fold.
+    */
+  def select64(t: UTF8String, k: Int, w: Int): ArrayData = {
+    val n = t.numChars()
+    val g = n - k + 1
+    if (g < 1) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    val hashes = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      val gram = t.substringSQL(i + 1, k)
+      hashes(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(gram.getBaseObject, gram.getBaseOffset,
+          gram.numBytes, 42L)
+      i += 1
+    }
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    val windows = math.max(g - w + 1, 1)
+    var j = 0
+    while (j < windows) {
+      var best = hashes(j)
+      var c = j + 1
+      while (c < j + w && c < g) {
+        if (hashes(c) < best) best = hashes(c)
+        c += 1
+      }
+      selected.add(best)
+      j += 1
+    }
+    val out = new Array[Long](selected.size)
+    val it = selected.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 }

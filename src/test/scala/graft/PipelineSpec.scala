@@ -332,6 +332,15 @@ class PipelineSpec extends SparkSpec {
       "winnowFingerprints did not pick the native expression")
     assert(allFps(nat) ==
       allFps(TextOps.winnowFingerprintsFold(docs, "doc_id", "text", 8, 4)))
+    // ...and the xxhash64 production variant's native upgrade likewise
+    def all64(frame: org.apache.spark.sql.DataFrame) =
+      frame.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSeq
+    val nat64 = TextOps.winnowFingerprints64(docs, "doc_id", "text", 8, 4)
+    assert(nat64.queryExecution.analyzed.toString.contains("winnow_select64"),
+      "winnowFingerprints64 did not pick the native expression")
+    assert(all64(nat64) ==
+      all64(TextOps.winnowFingerprints64Fold(docs, "doc_id", "text", 8, 4)))
   }
 
   test("winnowOverlap stop-fingerprint cap drops only boilerplate keys") {

@@ -120,8 +120,13 @@ class PropertySpec extends SparkSpec {
       def fps(frame: org.apache.spark.sql.DataFrame) =
         frame.orderBy("id").collect()
           .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toSeq
+      def fps64(frame: org.apache.spark.sql.DataFrame) =
+        frame.orderBy("id").collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSeq
       fps(TextOps.winnowFingerprints(df, "id", "text", k, w)) ==
-        fps(TextOps.winnowFingerprintsFold(df, "id", "text", k, w))
+        fps(TextOps.winnowFingerprintsFold(df, "id", "text", k, w)) &&
+      fps64(TextOps.winnowFingerprints64(df, "id", "text", k, w)) ==
+        fps64(TextOps.winnowFingerprints64Fold(df, "id", "text", k, w))
     })
   }
 
