@@ -130,6 +130,29 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: native pq_encode == HOF fold on arbitrary vectors") {
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.Pq
+    val dim = 8 // m=4 subspaces of 2 dims — small enough per sample
+    val vecGen = SGen.listOfN(dim,
+      SGen.chooseNum(-2.0f, 2.0f)).map(_.toArray)
+    val cbGen = SGen.listOfN(3, vecGen).map { seeds =>
+      Pq.PqCodebooks(2, Array.tabulate(4)(j =>
+        seeds.map(v => v.slice(j * 2, (j + 1) * 2).toSeq).toArray))
+    }
+    check(Prop.forAll(SGen.listOfN(5, vecGen), cbGen) { (vecs, cb) =>
+      val s = spark
+      import s.implicits._
+      val df = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("id", "vec")
+      def codes(c: org.apache.spark.sql.Column) =
+        df.select(col("id"), c.as("codes")).orderBy("id").collect()
+          .map(r => (r.getLong(0), r.getSeq[Byte](1).toList)).toSeq
+      codes(Pq.encode(cb)(col("vec"))) ==
+        codes(Pq.encodeFold(cb)(col("vec")))
+    })
+  }
+
   test("property: hash samples nest across arbitrary rate pairs") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.Sampling
