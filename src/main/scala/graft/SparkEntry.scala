@@ -817,6 +817,35 @@ object SparkEntry {
       .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
   }
 
+  /** Batch serving through the composed IVF×PQ index
+    * ([[graft.pipeline.Similarity.queryIvfPqBatch]]) — the r9 verdict's
+    * top ask: the three vec_id<3 query vectors answered through one
+    * coded index in a single distributed plan. Per-query probes (ties to
+    * the lower cell) and the m×k ADC lookup table both come from
+    * broadcast literals on the thin query frame; candidates are a cell
+    * equi-join over (id, codes) only; a per-query window keeps the
+    * top-30 ADC survivors (ties to the lower id — 30 < the ~60 rows of
+    * two probed cells, so the composed recall path is pinned, not the
+    * trivial rerank-everything case); only survivors' float vectors are
+    * exact-cosine reranked for the top-5 (ties to the lower id, as
+    * q_sim_ivf_batch).
+    */
+  private def qIvfPqBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 3)
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val idx = Similarity.buildIvfIndex(corpus, "vec_id", "embedding", 16)
+    val cb = Pq.train(corpus, "vec_id", "embedding", m = 8, k = 16,
+      iters = 0)
+    val coded = idx.copy(assigned = idx.assigned.withColumn(
+      Similarity.PqCodesCol, Pq.encode(cb)(col("embedding"))))
+    Similarity.queryIvfPqBatch(coded, cb, queries, "query_id", "embedding",
+        k = 5, nProbe = 2, rerank = 30)
+      .select("query_id", "vec_id", "label", "cosine")
+      .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+  }
+
   /** Embedding near-duplicate pairs: banded sign-LSH candidates + exact
     * cosine ≥ 0.45 — the bucketed (never n²) self-join shape.
     */
@@ -982,6 +1011,7 @@ object SparkEntry {
     "q_sim_ivf_batch" -> (qSimIvfBatch _),
     "q_pq" -> (qPq _),
     "q_ivf_pq" -> (qIvfPq _),
+    "q_ivf_pq_batch" -> (qIvfPqBatch _),
     "q_embed_dedup" -> (qEmbedDedup _),
     "q_quantize" -> (qQuantize _),
     "q_sample" -> (qSample _),
@@ -1767,6 +1797,83 @@ object SparkEntry {
          |  FROM fx GROUP BY vec_id, label)
          |SELECT vec_id, label, dp / (sqrt(nv) * sqrt(nq)) AS cosine
          |FROM fd ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ivf_pq_batch" ->
+      // q_ivf_pq generalised to a query SET (the 3 vec_id<3 vectors,
+      // corpus vec_id >= 3 as q_sim_ivf_batch): per-query probes (ties
+      // to the LOWER cell), query-independent codes (argmin squared L2,
+      // ties to the LOWER code), per-QUERY ADC lookup table, per-query
+      // top-30 ADC cut (ties to the lower vec_id) inside the probed
+      // cells, per-query exact-cosine rerank top-5 (ties to the lower
+      // vec_id). All folds element-order SUMs.
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+         |corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= 3),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |         embedding AS ce FROM corpus ORDER BY vec_id LIMIT 16),
+         |ax AS (SELECT e.vec_id, c.cell, unnest(e.embedding) AS v,
+         |         unnest(generate_series(1, len(e.embedding))) AS i, c.ce AS ce
+         |       FROM corpus e CROSS JOIN cent c),
+         |ad AS (SELECT vec_id, cell,
+         |    SUM(CAST(v AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+         |    SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS nc
+         |  FROM ax GROUP BY vec_id, cell),
+         |assign AS (SELECT vec_id, cell FROM ad
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cell DESC) = 1),
+         |qx AS (SELECT q.qid, c.cell, unnest(c.ce) AS v,
+         |         unnest(generate_series(1, len(c.ce))) AS i, q.qe AS qe
+         |       FROM cent c CROSS JOIN qs q),
+         |qd AS (SELECT qid, cell,
+         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nc,
+         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+         |  FROM qx GROUP BY qid, cell),
+         |probes AS (SELECT qid, cell FROM qd
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY dp / (sqrt(nc) * sqrt(nq)) DESC, cell ASC) <= 2),
+         |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+         |          embedding AS se FROM corpus ORDER BY vec_id LIMIT 16),
+         |ex AS (SELECT e.vec_id, s.code, unnest(e.embedding) AS v,
+         |         unnest(generate_series(1, len(e.embedding))) AS i, s.se AS se
+         |       FROM corpus e CROSS JOIN seeds s),
+         |dist AS (SELECT vec_id, code, (i - 1) // 8 AS j,
+         |    SUM((CAST(v AS DOUBLE) - CAST(se[i] AS DOUBLE))
+         |      * (CAST(v AS DOUBLE) - CAST(se[i] AS DOUBLE)) ORDER BY i) AS d
+         |  FROM ex GROUP BY vec_id, code, j),
+         |codes AS (SELECT vec_id, j, code FROM dist
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+         |    ORDER BY d ASC, code ASC) = 1),
+         |qpx AS (SELECT q.qid, s.code, unnest(s.se) AS cv,
+         |         unnest(generate_series(1, len(s.se))) AS i, q.qe AS qe
+         |       FROM seeds s CROSS JOIN qs q),
+         |lut AS (SELECT qid, code, (i - 1) // 8 AS j,
+         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(cv AS DOUBLE) ORDER BY i) AS dp
+         |  FROM qpx GROUP BY qid, code, j),
+         |score AS (SELECT l.qid, c.vec_id, SUM(l.dp ORDER BY c.j) AS pq_score
+         |  FROM codes c
+         |  JOIN lut l ON l.j = c.j AND l.code = c.code
+         |  JOIN assign a ON a.vec_id = c.vec_id
+         |  JOIN probes p ON p.cell = a.cell AND p.qid = l.qid
+         |  GROUP BY l.qid, c.vec_id),
+         |surv AS (SELECT qid, vec_id FROM score
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY pq_score DESC, vec_id ASC) <= 30),
+         |fx AS (SELECT s.qid, e.vec_id, e.label, unnest(e.embedding) AS v,
+         |         unnest(generate_series(1, len(e.embedding))) AS i, q.qe AS qe
+         |       FROM corpus e
+         |       JOIN surv s ON s.vec_id = e.vec_id
+         |       JOIN qs q ON q.qid = s.qid),
+         |fdb AS (SELECT qid, vec_id, label,
+         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+         |  FROM fx GROUP BY qid, vec_id, label)
+         |SELECT qid AS query_id, vec_id, label,
+         |       dp / (sqrt(nv) * sqrt(nq)) AS cosine
+         |FROM fdb
+         |QUALIFY row_number() OVER (PARTITION BY qid
+         |  ORDER BY dp / (sqrt(nv) * sqrt(nq)) DESC, vec_id ASC) <= 5
+         |ORDER BY query_id, cosine DESC, vec_id""".stripMargin,
     "q_sample" -> {
       // 16-bit bucket from the first four md5 nibbles of the stringified
       // key; thresholds are round(rate * 65536)

@@ -481,6 +481,101 @@ object Similarity {
       .drop("__cell", PqCodesCol)
   }
 
+  /** Batch ANN through a composed IVF×PQ index: a whole DataFrame of
+    * queries resolved against the coded corpus in ONE distributed plan —
+    * the actual 100 TB serving shape, where [[queryIvfPq]]'s per-query
+    * driver collect would serialize the query set.
+    *
+    * Stages, all in a single lazy plan:
+    *  1. each query row computes its `nProbe` probe cells from the
+    *     broadcast centroid literals AND its m×k ADC lookup table (the
+    *     per-subspace query·centroid dots, O(m·k·subDim) per QUERY row,
+    *     once — never per candidate), then explodes to (query, probe);
+    *  2. the probe equi-joins the corpus's `__cell` column projected to
+    *     (id, cell, codes) ONLY — on a [[writeIvfPqIndex]] layout the
+    *     cell predicate prunes partitions and column pruning leaves the
+    *     float vectors on disk, so the candidate scan reads m bytes of
+    *     codes per row; ADC per candidate is m `element_at` lookups +
+    *     adds into the query's LUT;
+    *  3. a window over the HIGH-cardinality query id keeps the top
+    *     `rerank` ADC candidates per query (each partition is one
+    *     query's ≤ nProbe cells, never a giant partition);
+    *  4. survivors re-join the query vectors (thin — `rerank` rows per
+    *     query) and the corpus floats on (`__cell`, id), so only
+    *     survivors' float vectors materialise and the join still prunes
+    *     to probed cells; exact cosine + a top-`k` window finish.
+    *
+    * Tie rules match [[queryIvfPq]] / [[queryIvfBatch]] exactly (probe
+    * ties toward the lower cell, ADC cut and result ties toward the
+    * lower corpus id), and the LUT fold is element-order double math —
+    * so on a single query this EQUALS [[queryIvfPq]], and with `rerank`
+    * ≥ the probed cells' row count it equals [[queryIvfBatch]].
+    *
+    * Output: query id (as `qIdCol`), all corpus columns except the
+    * internals (`__cell`, codes), `pq_score` of the survivor, `cosine`.
+    */
+  def queryIvfPqBatch(idx: IvfIndex, cb: Pq.PqCodebooks,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      nProbe: Int = 2, rerank: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(qIdCol).as("__qid"), col(qVecCol).as("__qv"))
+    // probe selection, exactly queryIvfBatch's rule: sort_array desc on
+    // (cos, -cell) = (cos desc, cell asc)
+    val scoredCells = array(idx.centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(col("__qv"), vecLit(c)).as("cos"),
+        lit(-i).as("negcell"))
+    }: _*)
+    val probes = transform(
+      slice(sort_array(scoredCells, asc = false), 1, nProbe),
+      s => -s("negcell"))
+    // the query's ADC lookup table: lut[j][c] = ⟨query_j, centroid_{j,c}⟩,
+    // an element-order fold — bit-identical to Pq.approxDot's driver-side
+    // LUT (same ops, same order) so single-query results match queryIvfPq
+    val lut = array((0 until cb.m).map { j =>
+      array(cb.codebooks(j).map { c =>
+        aggregate(zip_with(
+            slice(col("__qv"), j * cb.subDim + 1, cb.subDim), vecLit(c),
+            (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (a, x) => a + x)
+      }: _*)
+    }: _*)
+    val probed = q
+      .withColumn("__lut", lut)
+      .withColumn("__probe", explode(probes))
+      .select("__qid", "__lut", "__probe")
+    // candidate scan: (id, cell, codes) only — floats stay on disk
+    val candidates = probed.join(
+      idx.assigned.select(col(idx.idCol), col("__cell"), col(PqCodesCol)),
+      col("__probe") === col("__cell"))
+    val adc = (0 until cb.m).map { j =>
+      element_at(element_at(col("__lut"), j + 1),
+        element_at(col(PqCodesCol), j + 1).cast("int") + 1)
+    }.reduce(_ + _)
+    val wAdc = Window.partitionBy("__qid")
+      .orderBy(col("pq_score").desc, col(idx.idCol))
+    val survivors = candidates
+      .withColumn("pq_score", adc)
+      .withColumn("__rn", row_number().over(wAdc))
+      .filter(col("__rn") <= rerank)
+      .select(col("__qid"), col("__cell"), col(idx.idCol),
+        col("pq_score"))
+    // rerank: only survivors' floats are read; the (__cell, id) join key
+    // keeps partition pruning AND row-group id-stat pruning on the
+    // id-sorted cell layout
+    val wK = Window.partitionBy("__qid")
+      .orderBy(col("cosine").desc, col(idx.idCol))
+    survivors
+      .join(q, "__qid")
+      .join(idx.assigned.drop(PqCodesCol), Seq("__cell", idx.idCol))
+      .withColumn("cosine", cosine(col(idx.vecCol), col("__qv")))
+      .withColumn("__rnk", row_number().over(wK))
+      .filter(col("__rnk") <= k)
+      .select(col("__qid").as(qIdCol) +:
+        idx.assigned.columns
+          .filterNot(c => c == "__cell" || c == PqCodesCol).map(col) :+
+        col("pq_score") :+ col("cosine"): _*)
+  }
+
   /** Embedding near-duplicate pairs: banded candidates + exact cosine ≥
     * threshold. No stage is quadratic in the corpus: with `bitsPerBand`
     * = 8 a band has 256 buckets, so expected bucket size — and with it the

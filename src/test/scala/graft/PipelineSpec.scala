@@ -220,6 +220,54 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("batch IVF×PQ serves a query set like the single-query composed path") {
+    import graft.pipeline.Pq
+    val corpus = embeddings.filter(col("vec_id") >= 3)
+    val idx0 = Similarity.buildIvfIndex(corpus, "vec_id", "embedding")
+    val cb = Pq.train(corpus, "vec_id", "embedding", m = 8, k = 16,
+      iters = 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-batch").toString
+    Similarity.writeIvfPqIndex(idx0, cb, dir)
+    val (idx, lcb) = Similarity.loadIvfPqIndex(spark, dir)
+    val queries = embeddings.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val batchDf = Similarity.queryIvfPqBatch(idx, lcb, queries, "query_id",
+      "embedding", k = 10, nProbe = 2, rerank = 50)
+    // the ADC candidate stage reads only (id, codes) — column pruning
+    // must leave the float vectors on disk for the non-survivor rows
+    val plan = batchDf.queryExecution.executedPlan.toString
+    assert("ReadSchema: struct<vec_id:[^,]+,__codes".r
+      .findFirstIn(plan).isDefined,
+      s"candidate scan did not prune to id+codes:\n$plan")
+    // tight rerank: per-query equality with the single-query composed path
+    val batch = batchDf
+      .select("query_id", "vec_id", "cosine").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(r => (r.getLong(1),
+        r.getDouble(2))).sortBy(x => (-x._2, x._1)).toSeq }
+    Seq(0L, 1L, 2L).foreach { qid =>
+      val qv = embeddings.filter(col("vec_id") === qid)
+        .select("embedding").head.getSeq[Float](0)
+      val single = Similarity.queryIvfPq(idx, lcb, qv, 10, nProbe = 2,
+          rerank = 50)
+        .select("vec_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single, s"query $qid differs from queryIvfPq")
+    }
+    // rerank ≥ every probed cell's row count ⇒ ADC order can't evict a
+    // true neighbour, so the composed batch EQUALS plain batch IVF
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    val full = Similarity.queryIvfPqBatch(idx, lcb, queries, "query_id",
+      "embedding", k = 10, nProbe = 2, rerank = 1000000)
+    val plain = Similarity.queryIvfBatch(idx, queries, "query_id",
+      "embedding", k = 10, nProbe = 2)
+    assert(rows(full) == rows(plain))
+  }
+
   test("k-means-trained IVF recall >= untrained at the same probe budget") {
     // ground truth: exact top-10 per query; recall = |ivf ∩ truth| / 10.
     // Trained centroids must never lose to the raw lowest-id seeds when
