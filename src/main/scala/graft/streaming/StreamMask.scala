@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupStateTimeout,
+  ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues}
 
 import graft.blueprint.{Blueprint, ColumnRule, MaskCompiler, Rule}
 
@@ -14,16 +16,104 @@ final case class UserTotals(n: Long, sum: Double)
   * shingle hashes ride along for exact Jaccard verification.
   */
 final case class BandedDoc(id: Long, tsMs: Long, band: Int,
-    sig: Seq[Long], hashes: Seq[Long])
+    sig: Array[Long], hashes: Array[Long])
 
-/** Retained bucket members for one (band, signature) key:
-  * (id, event-time ms, distinct shingle hashes).
+/** One retained member of a near-dup bucket — the element type of
+  * [[NearDupBucketProcessor]]'s `ListState`: (id, event-time ms,
+  * distinct shingle hashes), kept flat so the state encoder handles it
+  * natively.
   */
-final case class NearDupBucket(members: List[(Long, Long, Seq[Long])])
+final case class BucketMember(id: Long, tsMs: Long, hashes: Array[Long])
 
-/** A verified near-duplicate pair (id_a < id_b). */
+/** A verified near-duplicate pair (id_a < id_b); `eventTime` is the
+  * pair's event time (the later member's timestamp) — declared as the
+  * operator's output event-time column so the exactly-once dedup stage
+  * can chain downstream of the bucket state.
+  */
 final case class NearDupHit(id_a: Long, id_b: Long, n_inter: Long,
-    jaccard: Double)
+    jaccard: Double, eventTime: java.sql.Timestamp)
+
+/** The per-(band, band-signature) bucket state behind
+  * [[StreamMask.nearDupPairsStream]], as a Spark 4 `StatefulProcessor`
+  * (`transformWithState`) rather than `flatMapGroupsWithState`: the
+  * newer operator can DECLARE its output event-time column, which is
+  * what lets the exactly-once `dropDuplicatesWithinWatermark` stage
+  * chain after it — the old operator is opaque to the watermark
+  * machinery, so Spark's global-watermark correctness check rejects any
+  * stateful consumer of its output.
+  *
+  * State per key: the retained members' (id, event-time ms, distinct
+  * shingle hashes), trimmed against the watermark on every visit; one
+  * event-time timer per bucket evicts the whole bucket `delayMs` past
+  * its newest member if no batch touches it first.
+  *
+  * Every emitted pair's `eventTime` is ≥ the current watermark (members
+  * are trimmed to `ts ≥ watermark` first, and the incoming doc survived
+  * the upstream watermark filter), so the declared output event time
+  * never violates the chained operators' late-row bound.
+  */
+final class NearDupBucketProcessor(threshold: Double, delayMs: Long)
+    extends StatefulProcessor[String, BandedDoc, NearDupHit] {
+
+  @transient private var bucket: ListState[BucketMember] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    bucket = getHandle.getListState[BucketMember]("bucket",
+      Encoders.product[BucketMember], TTLConfig.NONE)
+
+  override def handleInputRows(key: String,
+      rows: Iterator[BandedDoc],
+      timerValues: TimerValues): Iterator[NearDupHit] = {
+    val wm = timerValues.getCurrentWatermarkInMs()
+    var members = bucket.get().toList.filter(_.tsMs >= wm)
+    // id order pins which same-batch doc is "already present" when the
+    // other arrives — deterministic output
+    val out = List.newBuilder[NearDupHit]
+    rows.toSeq.sortBy(_.id).foreach { d =>
+      // an at-least-once source can redeliver a document: a doc already
+      // in the bucket must neither re-emit its pairs nor grow the
+      // member list (state stays ∝ distinct docs)
+      if (!members.exists(_.id == d.id)) {
+        val hs = d.hashes.toSet
+        members.foreach { m =>
+          if (m.id != d.id) {
+            val inter = m.hashes.count(hs.contains)
+            val union = hs.size + m.hashes.size - inter
+            val j = inter.toDouble / union
+            if (j >= threshold)
+              out += NearDupHit(math.min(m.id, d.id), math.max(m.id, d.id),
+                inter.toLong,
+                j, new java.sql.Timestamp(math.max(m.tsMs, d.tsMs)))
+          }
+        }
+        members = BucketMember(d.id, d.tsMs, d.hashes) :: members
+      }
+    }
+    bucket.put(members.toArray)
+    // one live timer per bucket: the bucket dies `delayMs` past its
+    // newest member unless revisited first
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    getHandle.registerTimer(members.map(_.tsMs).max + delayMs)
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(key: String,
+      timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[NearDupHit] = {
+    // the timer only fires `delayMs` past the newest member at the time
+    // it was registered; members added since re-registered a later timer
+    val kept = bucket.get().toList
+      .filter(_.tsMs >= timerValues.getCurrentWatermarkInMs())
+    if (kept.isEmpty) bucket.clear()
+    else {
+      // can only happen if a visit raced the expiry: keep the survivors
+      // and arm a fresh eviction timer for them
+      bucket.put(kept.toArray)
+      getHandle.registerTimer(kept.map(_.tsMs).max + delayMs)
+    }
+    Iterator.empty
+  }
+}
 
 /** Structured-Streaming surface (SURVEY.md §2.10; the reference is strictly
   * batch — src/Anonymizer.php:152–195 — so this is north-star extension
@@ -179,14 +269,14 @@ object StreamMask {
     * (id_a, id_b, n_inter, jaccard).
     *
     * Shape: the MinHash signature is computed NARROWLY per row
-    * (`array_min` over the shingle-hash array — no aggregation, unlike
-    * the batch path's groupBy, so it composes with the single stateful
-    * operator), the signature is banded exactly like
+    * (`array_min` over the shingle-hash array — no aggregation), the
+    * signature is banded exactly like
     * [[graft.pipeline.Dedup.lshCandidates]], and each (band, band-sig)
-    * bucket is a `flatMapGroupsWithState` key holding its retained
-    * members' (id, ts, distinct shingle hashes). A new document emits a
-    * pair for every retained bucket member whose exact hashed-shingle
-    * Jaccard clears `threshold`, then joins the bucket.
+    * bucket is a [[NearDupBucketProcessor]] (`transformWithState`) key
+    * holding its retained members' (id, ts, distinct shingle hashes). A
+    * new document emits a pair for every retained bucket member whose
+    * exact hashed-shingle Jaccard clears `threshold`, then joins the
+    * bucket.
     *
     * State is bounded two ways: members older than the current watermark
     * are dropped on every bucket visit, and an event-time timeout
@@ -195,12 +285,31 @@ object StreamMask {
     * streaming semantics (a FULL-corpus check is the batch operator on
     * the landed lake).
     *
-    * Delivery: a pair agreeing on several bands is emitted once per
-    * agreeing band (groups can't see each other), and batch-internal
-    * pairs once per band too — at-least-once per verified pair;
-    * downstream consumers dedupe on (id_a, id_b) (the values are
-    * identical). Jaccard is computed on xxhash64 shingle hashes, equal
-    * to the batch string-shingle Jaccard barring 64-bit collisions.
+    * Delivery: EXACTLY-once per verified pair. Band buckets can't see
+    * each other, so a pair agreeing on several bands is emitted once per
+    * agreeing band by the state stage; a watermarked
+    * `dropDuplicatesWithinWatermark` on (id_a, id_b) — keyed state ∝
+    * distinct pairs inside the watermark, evicted as it advances — then
+    * collapses those to one row. The pair's event time (the later
+    * member's timestamp) drives that watermark, and a redelivered pair
+    * can only recur within the bucket-state watermark, so the two
+    * horizons coincide: any duplicate the state stage can produce is
+    * still inside the dedup window. Chaining a stateful operator after
+    * keyed state is exactly what `transformWithState`'s declared output
+    * event-time column exists for (the pair's `eventTime` — Spark
+    * re-derives the downstream watermark from it); the old
+    * `flatMapGroupsWithState` operator is opaque to the watermark
+    * machinery and Spark rejects stateful consumers of its output.
+    * Jaccard is computed on xxhash64 shingle hashes, equal to the batch
+    * string-shingle Jaccard barring 64-bit collisions.
+    *
+    * Requires the RocksDB state store
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`):
+    * `transformWithState` needs a store with column families, which the
+    * default HDFS-backed store lacks — at 100 TB/day ingest RocksDB is
+    * the store you'd run anyway (state spills to local SST files
+    * instead of living on the executor heap).
     */
   def nearDupPairsStream(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, watermark: String, threshold: Double = 0.8,
@@ -231,46 +340,30 @@ object StreamMask {
       .select(col("id"), col("tsMs"), col("band"), col("sig"),
         col("hashes"), col("__ts"))
       .as[BandedDoc]
+    // the watermark delay in ms, parsed exactly as withWatermark parses
+    // its threshold — the timer eviction horizon must match the
+    // member-trim horizon
+    val delayMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .getDuration(
+        org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+          org.apache.spark.unsafe.types.UTF8String.fromString(watermark)),
+        java.util.concurrent.TimeUnit.MILLISECONDS)
     banded
-      .groupByKey(d => (d.band, d.sig))
-      .flatMapGroupsWithState[NearDupBucket, NearDupHit](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (_, rows, state) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val wm = state.getCurrentWatermarkMs()
-            var members = state.getOption.map(_.members).getOrElse(Nil)
-              .filter(_._2 >= wm)
-            // id order pins which same-batch doc is "already present"
-            // when the other arrives — deterministic output
-            val out = List.newBuilder[NearDupHit]
-            rows.toSeq.sortBy(_.id).foreach { d =>
-              // an at-least-once source can redeliver a document: a doc
-              // already in the bucket must neither re-emit its pairs nor
-              // grow the member list (state stays ∝ distinct docs)
-              if (!members.exists(_._1 == d.id)) {
-                val hs = d.hashes.toSet
-                members.foreach { case (mid, _, mh) =>
-                  if (mid != d.id) {
-                    val inter = mh.count(hs.contains)
-                    val union = hs.size + mh.size - inter
-                    val j = inter.toDouble / union
-                    if (j >= threshold)
-                      out += NearDupHit(math.min(mid, d.id),
-                        math.max(mid, d.id), inter.toLong, j)
-                  }
-                }
-                members = (d.id, d.tsMs, d.hashes) :: members
-              }
-            }
-            state.update(NearDupBucket(members))
-            // the bucket dies `watermark` past its newest member unless
-            // revisited first
-            state.setTimeoutTimestamp(members.map(_._2).max, watermark)
-            out.result().iterator
-          }
-      }
-      .toDF("id_a", "id_b", "n_inter", "jaccard")
+      // the bucket key is the scalar "band:sig" rendering, not the
+      // (band, sig array) pair: the timer state's key encoder cannot
+      // carry an array field, and a scalar key keeps the state-store
+      // row key flat anyway. The rendering is injective (fixed-width
+      // band, '|'-joined longs), so buckets are EXACTLY the batch
+      // path's (band, signature) buckets.
+      .groupByKey(d => s"${d.band}:${d.sig.mkString("|")}")
+      .transformWithState(new NearDupBucketProcessor(threshold, delayMs),
+        "eventTime", OutputMode.Append)
+      .toDF()
+      // exactly-once stage: per-band duplicate emissions carry identical
+      // values, so a watermarked keyed dedup collapses them; the key
+      // state lives only `watermark` past the pair's declared event time
+      .dropDuplicatesWithinWatermark(Seq("id_a", "id_b"))
+      .drop("eventTime")
   }
 
   /** Session windows per user: a session closes after `gap` of silence

@@ -44,6 +44,23 @@ class StreamingMaskSpec extends SparkSpec {
     spark.table(name)
   }
 
+  /** `transformWithState` needs a state store with column families —
+    * run `body` with the RocksDB provider and restore the session
+    * default after (provider choice is read at query START, so scoping
+    * it around the start call is enough).
+    */
+  private def withRocksDbStateStore[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stateless streaming mask equals the batch mask") {
     val bp = Blueprint("events") { b =>
       b.primary("event_id")
@@ -223,23 +240,24 @@ class StreamingMaskSpec extends SparkSpec {
     docs.write.mode("overwrite").parquet(s"$dir/docs")
     val schema = spark.read.parquet(s"$dir/docs").schema
     val stream = spark.readStream.schema(schema).parquet(s"$dir/docs")
-    val streamed = runToMemory(
+    val streamed = withRocksDbStateStore(runToMemory(
       StreamMask.nearDupPairsStream(stream, "doc_id", "text", "ts",
         watermark = "1 hour"),
-      "neardup_stream", "append").collect()
-    // at-least-once per pair (one emission per agreeing band): dedupe,
-    // then every (pair, n_inter, jaccard) must match the batch pipeline
-    val streamedSet = streamed
+      "neardup_stream", "append").collect())
+    // exactly-once per pair: the composed watermarked (id_a, id_b) dedup
+    // collapses the per-band duplicate emissions, so the emitted
+    // MULTISET — not just the set — must equal the batch pair list
+    val streamedPairs = streamed
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-      .toSet
-    val batchSet = Dedup.nearDuplicatePairs64(
+      .toSeq.sorted
+    val batchPairs = Dedup.nearDuplicatePairs64(
         spark.read.parquet(s"$dir/docs"), "doc_id", "text")
       .collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
         r.getAs[Long]("n_inter"), r.getAs[Double]("jaccard")))
-      .toSet
-    assert(batchSet.nonEmpty, "fixture should contain planted near-dups")
-    assert(streamedSet == batchSet)
+      .toSeq.sorted
+    assert(batchPairs.nonEmpty, "fixture should contain planted near-dups")
+    assert(streamedPairs == batchPairs)
   }
 
   test("streaming near-dedup pairs documents across micro-batches") {
@@ -259,17 +277,18 @@ class StreamingMaskSpec extends SparkSpec {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("recursiveFileLookup", "true").parquet(dir)
-      runToMemory(
+      withRocksDbStateStore(runToMemory(
         StreamMask.nearDupPairsStream(stream, "doc_id", "text", "ts",
           watermark = "1 hour", threshold = 0.5),
-        name, "append").collect()
+        name, "append").collect())
         .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     }
     val clean = run(in, "neardup_xb")
     // doc 2 arrives in a LATER micro-batch than doc 1: the pair can only
-    // come from bucket state carried across batches (once per agreeing
-    // band, hence the multiset compare below)
-    assert(clean.toSet == Set((1L, 2L)))
+    // come from bucket state carried across batches — and the composed
+    // dedup stage must deliver it EXACTLY once even where several bands
+    // agree on the pair
+    assert(clean == Seq((1L, 2L)))
     // an at-least-once source REDELIVERS doc 1 in a later batch: the
     // bucket must treat it as already present — the emission multiset
     // is unchanged
