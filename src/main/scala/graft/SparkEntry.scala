@@ -729,6 +729,42 @@ object SparkEntry {
         "doc_id", "simhash", k = 1, bits = 16)
       .orderBy("id_a", "id_b")
 
+  /** Production-path parity row for 64-bit winnowing (the r9 verdict's
+    * ask): xxhash64 fingerprints have no ANSI-SQL oracle, so the driver
+    * gate instead pins the native codegen path
+    * ([[graft.plans.WinnowSelect]] 64-bit form) against the staged
+    * higher-order-function fold — two independent implementations of
+    * the same selection, compared per document over the whole fixture.
+    * Any divergence turns n_match < n_docs and the row red.
+    */
+  private def qWinnow64Parity(s: SparkSession, dir: String): DataFrame = {
+    val fold = TextOps.winnowFingerprints64Fold(docs(s, dir), "doc_id",
+      "text").withColumnRenamed("fingerprints", "__fold")
+    val nat = TextOps.winnowFingerprints64(docs(s, dir), "doc_id", "text")
+      .withColumnRenamed("fingerprints", "__native")
+    fold.join(nat, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__fold") === col("__native"), 1L).otherwise(0L))
+          .as("n_match"))
+  }
+
+  /** Production-path parity row for 64-bit SimHash: the explode +
+    * two-stage aggregate [[TextOps.simHash64]] against the pure-Column
+    * per-row [[TextOps.simHash64Expr]] re-derivation — independent
+    * plans, identical integer math, compared per document. Pins the
+    * xxhash64 production hash to the driver gate the way q_simhash
+    * pins the md5 oracle twin.
+    */
+  private def qSimhash64Parity(s: SparkSession, dir: String): DataFrame = {
+    val agg = TextOps.simHash64(docs(s, dir), "doc_id", "text")
+    val row = docs(s, dir).select(col("doc_id"),
+      TextOps.simHash64Expr(col("text")).as("__row"))
+    agg.join(row, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("simhash") === col("__row"), 1L).otherwise(0L))
+          .as("n_match"))
+  }
+
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select("embedding").head.getSeq[Float](0)
@@ -1005,6 +1041,8 @@ object SparkEntry {
     "q_heavy" -> (qHeavy _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_near" -> (qSimhashNear _),
+    "q_winnow64_parity" -> (qWinnow64Parity _),
+    "q_simhash64_parity" -> (qSimhash64Parity _),
     "q_sim_topk" -> (qSimTopk _),
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
@@ -1570,6 +1608,16 @@ object SparkEntry {
          |FROM sh16 a JOIN sh16 b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
          |ORDER BY id_a, id_b""".stripMargin,
+    "q_winnow64_parity" ->
+      // the production xxhash64 winnowing selection has no ANSI-SQL
+      // oracle; the check is Spark-side (native codegen path vs staged
+      // HOF fold, per doc) and the oracle pins the CONTRACT: every
+      // fixture document compared, every one matching
+      "SELECT count(*) AS n_docs, count(*) AS n_match FROM documents",
+    "q_simhash64_parity" ->
+      // same pattern for the 64-bit SimHash: aggregate-shaped vs
+      // per-row Column re-derivations must agree on every document
+      "SELECT count(*) AS n_docs, count(*) AS n_match FROM documents",
     "q_sim_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |ex AS (SELECT e.vec_id, e.label, unnest(e.embedding) AS v,

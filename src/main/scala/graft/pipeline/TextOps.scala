@@ -152,6 +152,37 @@ object TextOps {
         .otherwise(lit(0L))).as("simhash"))
   }
 
+  /** Per-ROW 64-bit SimHash — bit-identical to [[simHash64]] but
+    * computed as one pure Column expression (fold over the token
+    * hashes accumulating the 64 bit-counters in an array, then a fold
+    * packing the sign bits), no explode, no aggregation, no shuffle.
+    *
+    * Two uses: (a) streaming — composes with a single stateful operator
+    * the way the batch groupBy shape cannot; (b) an INDEPENDENT
+    * re-derivation of the production hash, so `q_simhash64_parity` can
+    * pin the two implementations against each other in the driver's
+    * correctness gate (xxhash64 itself has no ANSI-SQL oracle).
+    *
+    * The bit-counter math mirrors [[simHash64]] exactly: per token the
+    * counter for bit b moves ±1 on `shiftright(h, b) & 1`; a bit of the
+    * signature is set iff its counter ends ≥ 0 (integer counters —
+    * associative, so fold order vs partial-aggregate order cannot
+    * diverge).
+    */
+  def simHash64Expr(text: Column): Column = {
+    val hs = transform(tokens(text), t => xxhash64(t))
+    val bitIdx = sequence(lit(0), lit(63))
+    val counts = aggregate(hs, array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, bitIdx, (a, b) =>
+        a + when(call_function("shiftright", h, b)
+          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)))
+    aggregate(
+      zip_with(counts, bitIdx, (c, b) =>
+        when(c >= 0, call_function("shiftleft", lit(1L), b))
+          .otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+  }
+
   /** Raw (id, shingle) rows with multiplicity — narrow explode, no
     * shuffle. Use directly when the consumer is itself a deduplicating
     * aggregate (e.g. [[fingerprint]]'s bottom-k, whose state dedupes);

@@ -84,6 +84,27 @@ class PipelineSpec extends SparkSpec {
     assert(h.count() == docs.count())
   }
 
+  test("per-row simHash64Expr is bit-identical to the aggregate simHash64") {
+    import SparkSpec.spark.implicits._
+    // fixture docs plus adversarial shapes: empty, whitespace-only,
+    // single token, unicode, repeated token
+    val extra = Seq((90001L, ""), (90002L, "   "), (90003L, "one"),
+      (90004L, "héllo wörld héllo"), (90005L, "a a a a a a"))
+      .toDF("doc_id", "text")
+    val all = docs.select("doc_id", "text").unionAll(extra)
+    val agg = TextOps.simHash64(all, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val row = all.select(col("doc_id"),
+        TextOps.simHash64Expr(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the aggregate path tokenizes every doc too (split of "" is [""]),
+    // so the id sets must coincide exactly — then every value must match
+    assert(agg.keySet == row.keySet)
+    agg.foreach { case (id, h) =>
+      assert(row(id) == h, s"doc $id: row ${row(id)} vs agg $h")
+    }
+  }
+
   test("cosine top-k: self-similarity ranks first with cosine ~ 1") {
     val q = embeddings.filter(col("vec_id") === 0)
       .select("embedding").head.getSeq[Float](0)
