@@ -972,8 +972,11 @@ object SparkEntry {
         size(filter(col("codes"), c => abs(c) === 127)).as("n_sat"))
       .orderBy("vec_id")
 
-  /** Multimodal metadata over an opaque binary payload (typed meta struct;
-    * decode stubbed — see [[graft.pipeline.Multimodal]]).
+  /** Multimodal metadata over an opaque binary payload (typed meta
+    * struct). This oracle row covers the metadata/plumbing layer; the
+    * REAL image/audio decode (ImageIO pixel stats, javax.sound PCM
+    * stats — [[graft.pipeline.Multimodal.decodePartitioned]]) is
+    * spec-tested instead, since DuckDB cannot re-derive codec output.
     */
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
     val payload = Multimodal.payloadOf(col("text"))

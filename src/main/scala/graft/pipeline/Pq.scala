@@ -125,10 +125,26 @@ object Pq {
     * [[graft.plans.PqEncode]] (bit-identical — same accumulation order
     * and tie rule) when the session registered
     * [[graft.plans.GraftExtensions]].
+    *
+    * Mirrors the native expression's dimension check (same message):
+    * without it this path would silently emit codes for a
+    * mis-dimensioned vector (`slice` truncates, `zip_with` pads nulls)
+    * while the native path throws — and a pipeline that ran clean
+    * without GraftExtensions would start failing once they were
+    * registered. Null vectors pass through as null on both paths.
     */
-  def encodeFold(cb: PqCodebooks)(vec: Column): Column =
-    array((0 until cb.m).map(j =>
-      codeOf(vec, j, cb).cast("tinyint")): _*)
+  def encodeFold(cb: PqCodebooks)(vec: Column): Column = {
+    val expected = cb.m * cb.subDim
+    val checked = when(size(vec) === expected, vec)
+      .otherwise(raise_error(concat(
+        lit("pq_encode: vector has "), size(vec).cast("string"),
+        lit(s" elements, codebooks expect $expected"))))
+    // null passthrough FIRST (the native expression is null-safe; the
+    // raw fold would fold a null vector into a garbage code array)
+    when(vec.isNull, lit(null).cast("array<tinyint>"))
+      .otherwise(array((0 until cb.m).map(j =>
+        codeOf(checked, j, cb).cast("tinyint")): _*))
+  }
 
   /** The m × k × subDim codebooks as a nested array literal — KBs,
     * rides the plan like a broadcast value.

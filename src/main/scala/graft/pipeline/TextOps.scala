@@ -524,13 +524,16 @@ object TextOps {
     val fb0 = winnowFingerprintRows(bench, idCol, textCol, k, w)
       .select(col(idCol).as("id_b"), col("fp"))
     val fb = maxFpDf.fold(fb0) { m =>
-      // the cap path reads the bench selection twice (df aggregate +
-      // join input); winnowing is the CPU-heavy stage, so materialise
-      // it once instead of recomputing per subtree
-      val mat = fb0.localCheckpoint()
-      val keep = mat.groupBy("fp").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= m).select("fp")
-      mat.join(keep, Seq("fp"))
+      // the document frequency is a window count over the banded rows:
+      // ONE pass over the CPU-heavy winnowing selection (no aggregate +
+      // self-join reading it twice, no checkpoint/persist whose block
+      // loss would kill a long scan — lineage stays fully recoverable).
+      // The fp-partitioned window is bounded: a fingerprint occurs at
+      // most once per BENCHMARK doc, and the benchmark suite is the
+      // small side by construction.
+      import org.apache.spark.sql.expressions.Window
+      fb0.withColumn("__df", count(lit(1)).over(Window.partitionBy("fp")))
+        .filter(col("__df") <= m).drop("__df")
     }
     fa.join(fb, Seq("fp"))
       .groupBy("id_a", "id_b")

@@ -29,6 +29,11 @@ object ExactlyOnceSink {
 
   val BatchIdCol = "__batch_id"
 
+  /** Data column carrying a row's original micro-batch id across
+    * [[compact]] folds (`preserveBatchId = true`).
+    */
+  val SourceBatchIdCol = "__src_batch_id"
+
   /** The idempotent per-batch writer: exposed separately so a driver
     * replay (same `batchId`, same data) can be exercised directly —
     * calling it twice must leave the target byte-identical.
@@ -80,11 +85,33 @@ object ExactlyOnceSink {
     * directories, clear the marker) before looking for new work, so a
     * crash at ANY point yields either the old layout, the new layout,
     * or a state the next run finishes — never duplicated or lost rows.
+    * A staging directory orphaned by a crash BEFORE its marker was
+    * committed is deleted on the next run's entry (it was never
+    * published, so its rows still live in the source partitions).
+    *
+    * Concurrency: safe to run alongside the WRITER (it only rewrites
+    * immutable history partitions; the newest `keepLast` are untouched),
+    * but NOT alongside READERS — the publish step deletes the kept
+    * partition before renaming staging over it and then drops the other
+    * folded partitions, so a scan overlapping that window can observe a
+    * transiently incomplete row set. Schedule compaction in the lake's
+    * maintenance window, or read through a snapshot/table format if
+    * readers can't be paused. (Dotfile staging and the marker are
+    * invisible to parquet reads — only the delete→rename window is
+    * exposed.)
+    *
+    * Folding erases the partition-level provenance (folded rows adopt
+    * the smallest folded id's directory); pass `preserveBatchId = true`
+    * to carry each row's ORIGINAL batch id into a [[SourceBatchIdCol]]
+    * data column before folding — already-preserved ids survive later
+    * folds untouched (coalesce), and rows of batches folded WITHOUT
+    * preservation read as null (their provenance was already erased).
     *
     * Returns the number of batch partitions folded (0 = nothing to do).
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-      keepLast: Int = 1, targetPartitions: Int = 1): Int = {
+      keepLast: Int = 1, targetPartitions: Int = 1,
+      preserveBatchId: Boolean = false): Int = {
     require(keepLast >= 1,
       "keepLast must be >= 1: the newest batch is replayable and " +
         "must stay byte-identical")
@@ -120,6 +147,17 @@ object ExactlyOnceSink {
         finally in.close()
       if (pending.nonEmpty) publish(pending)
     }
+    // with no pending marker, any remaining .__graft_compact_* staging
+    // directory is an orphan from a crash BEFORE its commit point: its
+    // rows still live in the source partitions, and nothing would ever
+    // reclaim it unless a later fold happened to reuse the same min id.
+    // Delete them (and a torn marker tmp) before starting new work.
+    fs.listStatus(root).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        n.startsWith(".__graft_compact_") && n != marker.getName
+      }
+      .foreach(s => fs.delete(s.getPath, true))
     val batchDirs = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
       .map(s => s.getPath.getName.stripPrefix(prefix).toLong)
@@ -127,9 +165,22 @@ object ExactlyOnceSink {
     val toFold = batchDirs.dropRight(keepLast)
     if (toFold.length <= 1) return 0
     // read ONLY the folded partitions (partition pruning by id), rewrite
-    // them as one partition's worth of consolidated files
-    val folded = spark.read.parquet(path)
+    // them as one partition's worth of consolidated files. mergeSchema:
+    // after a preserving fold, partition files differ in whether they
+    // carry the provenance column — the union schema must see it
+    val src = spark.read
+      .option("mergeSchema", preserveBatchId.toString)
+      .parquet(path)
       .filter(col(BatchIdCol).isin(toFold: _*))
+    val provenanced =
+      if (!preserveBatchId) src
+      else {
+        val prior =
+          if (src.columns.contains(SourceBatchIdCol)) col(SourceBatchIdCol)
+          else lit(null).cast("long")
+        src.withColumn(SourceBatchIdCol, coalesce(prior, col(BatchIdCol)))
+      }
+    val folded = provenanced
       .drop(BatchIdCol)
       .coalesce(targetPartitions)
     folded.write.mode("overwrite").parquet(stagingOf(toFold.min).toString)

@@ -103,6 +103,33 @@ class PqSpec extends SparkSpec {
     assert(codes(natF) == codes(foldF))
   }
 
+  test("native and fold encode both reject a mis-dimensioned vector") {
+    import SparkSpec.spark.implicits._
+    val cb = Pq.train(unitCorpus, "vec_id", "u", m = 8, k = 16, iters = 0)
+    // 63 elements where the codebooks expect 64
+    val bad = Seq((1L, (0 until 63).map(_.toFloat))).toDF("id", "v")
+    def failure(c: org.apache.spark.sql.Column): String = {
+      val e = intercept[Exception] {
+        bad.select(c.as("codes")).collect()
+      }
+      // unwrap to the root message (Spark wraps executor exceptions)
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq.mkString("\n")
+    }
+    val nativeMsg = failure(Pq.encode(cb)(col("v")))
+    val foldMsg = failure(Pq.encodeFold(cb)(col("v")))
+    // both paths name the same contract violation — a pipeline cannot
+    // change failure behavior by (de)registering GraftExtensions
+    Seq(nativeMsg, foldMsg).foreach(m =>
+      assert(m.contains("vector has 63 elements, codebooks expect 64"),
+        s"unexpected failure message:\n$m"))
+    // and a null vector passes through as null on both paths
+    val nul = Seq((1L, null.asInstanceOf[Seq[Float]])).toDF("id", "v")
+    Seq(Pq.encode(cb)(col("v")), Pq.encodeFold(cb)(col("v"))).foreach { c =>
+      assert(nul.select(c).head.isNullAt(0))
+    }
+  }
+
   test("ADC candidates recall the exact cosine top-k for reranking") {
     val cb = Pq.train(unitCorpus, "vec_id", "u", m = 8, k = 16, iters = 2)
     val coded = unitCorpus.select(col("vec_id"),

@@ -473,5 +473,63 @@ class StreamingMaskSpec extends SparkSpec {
     assert(ExactlyOnceSink.compact(spark, out) == 0)
     assert(batchDirs == Set("__batch_id=0", "__batch_id=5"))
     assert(rows == after, "crash recovery lost or duplicated rows")
+
+    // crash BEFORE the commit point: staging written, no marker. The
+    // rows still live in the source partitions, so the orphan must be
+    // deleted on the next entry — not published, and not left to
+    // accumulate forever
+    ExactlyOnceSink.writeBatch(out)(batch(60 until 65), 6)
+    spark.read.parquet(out)
+      .filter(col(ExactlyOnceSink.BatchIdCol) === 0)
+      .drop(ExactlyOnceSink.BatchIdCol).coalesce(1)
+      .write.parquet(s"$out/.__graft_compact_0")
+    val preOrphan = rows
+    // {0, 5, 6}: folds 0+5 into 0, keeps 6; the orphan must be gone
+    assert(ExactlyOnceSink.compact(spark, out) == 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root,
+      ".__graft_compact_0")), "orphan staging directory not cleaned")
+    assert(batchDirs == Set("__batch_id=0", "__batch_id=6"))
+    assert(rows == preOrphan, "orphan cleanup changed the row set")
+  }
+
+  test("compaction with preserveBatchId carries per-row provenance " +
+      "across repeated folds") {
+    val s = SparkSpec.spark; import s.implicits._
+    val out = Files.createTempDirectory("graft_compact_prov").toString +
+      "/lake"
+    def batch(b: Int): DataFrame =
+      (b * 10 until b * 10 + 5).map(i => (i.toLong, s"payload_$i"))
+        .toDF("id", "payload")
+    (0 to 3).foreach(b => ExactlyOnceSink.writeBatch(out)(batch(b), b))
+    // every row's true origin: id 10b..10b+4 came from batch b
+    def provenance(): Map[Long, Long] = spark.read
+      .option("mergeSchema", "true").parquet(out)
+      .select(col("id"), col(ExactlyOnceSink.SourceBatchIdCol))
+      .collect().filter(!_.isNullAt(1))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // first preserving fold: batches 0-2 into partition 0
+    assert(ExactlyOnceSink.compact(spark, out, preserveBatchId = true) == 3)
+    val p1 = provenance()
+    val foldedIds1 = (0 to 2).flatMap(b => b * 10 until b * 10 + 5)
+    assert(foldedIds1.forall(i => p1(i.toLong) == i / 10),
+      s"first fold lost provenance: $p1")
+
+    // second fold over a mix of already-preserved rows (partition 0)
+    // and a fresh batch directory (3): earlier provenance must survive
+    // the coalesce, batch 3's rows must pick up id 3
+    ExactlyOnceSink.writeBatch(out)(batch(4), 4)
+    assert(ExactlyOnceSink.compact(spark, out, preserveBatchId = true) == 2)
+    val p2 = provenance()
+    val foldedIds2 = (0 to 3).flatMap(b => b * 10 until b * 10 + 5)
+    assert(foldedIds2.forall(i => p2(i.toLong) == i / 10),
+      s"second fold lost provenance: $p2")
+    // the newest (replayable) batch is untouched, so it has no
+    // provenance column content yet
+    assert(!p2.contains(40L))
+    // row set integrity across both folds
+    val ids = spark.read.option("mergeSchema", "true").parquet(out)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == (0 to 4).flatMap(b => b * 10L until b * 10L + 5).sorted)
   }
 }
