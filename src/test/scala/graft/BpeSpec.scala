@@ -82,6 +82,53 @@ class BpeSpec extends SparkSpec {
     assert(v.encode("ab" * 3) == Seq("a", "b", "a", "b", "a", "b"))
   }
 
+  test("GPT-2-scale vocabulary (50k merges): load and corpus " +
+      "tokenization stay in budget") {
+    // a real release ships ~50k merges; synthesize a VALID 50k-rule
+    // vocabulary shaped like a trained one: left-heavy chains over
+    // a–z — all 676 2-grams, all 17,576 3-grams, and the first 31,748
+    // 4-grams in rank order. Every side is a single codepoint or an
+    // earlier output; outputs are distinct; outputs stay ≤ 4 chars
+    // (unlike the per-letter chain generator above, whose strings grow
+    // to the rule count and would make the 50k file itself ~100 MB).
+    val alpha = 'a' to 'z'
+    val len2 = for (a <- alpha; b <- alpha) yield s"$a $b"
+    val len3 = for (a <- alpha; b <- alpha; c <- alpha) yield s"$a$b $c"
+    val n4 = 50000 - len2.length - len3.length
+    val len4 = alpha.iterator.flatMap(a => alpha.iterator.flatMap(b =>
+      alpha.iterator.flatMap(c => alpha.iterator.map(d => s"$a$b$c $d"))))
+      .take(n4)
+    val t0 = System.nanoTime()
+    val v = BpeMerges.fromLines(
+      Iterator("#version: synthetic-50k") ++ len2.iterator ++
+        len3.iterator ++ len4)
+    val loadSec = (System.nanoTime() - t0) / 1e9
+    assert(v.rules.length == 50000)
+    assert(loadSec < 10.0,
+      f"50k-rule load took $loadSec%.2f s — validator must stay linear")
+    // greedy semantics under the full table: lowest PRESENT rank wins
+    assert(v.encode("abcd") == Seq("ab", "cd"))
+    assert(v.encode("the") == Seq("t", "he"))
+    // q_bpe-shaped tokenization over the documents fixture with the
+    // 50k-rule closure broadcast to every task
+    val docs = spark.read.parquet(s"$fixtures/documents.parquet")
+    val t1 = System.nanoTime()
+    val Seq(nDocs, bpeTokens, codepoints) = docs
+      .select(count(lit(1)),
+        sum(Bpe.tokenCount(v)(TextOps.tokens(col("text"))).cast("long")),
+        sum(length(TextOps.normalize(col("text"))).cast("long")))
+      .head.toSeq.map(_.asInstanceOf[Long])
+    val tokSec = (System.nanoTime() - t1) / 1e9
+    info(f"50k-rule vocab: load $loadSec%.2f s; " +
+      f"tokenized $nDocs docs in $tokSec%.2f s ($bpeTokens tokens)")
+    // budget: the per-token merge loop must not degrade with table size
+    // (rank lookups are O(1)); generous wall bound for a loaded host
+    assert(tokSec < 30.0, f"tokenization took $tokSec%.2f s")
+    // and the merges actually fire: well below one token per codepoint
+    assert(bpeTokens < codepoints / 2,
+      s"only $bpeTokens tokens over $codepoints codepoints — merges inert")
+  }
+
   test("preTokenize splits like a byte-level BPE: contractions, spaced words") {
     val df = spark.range(1).select(
       Bpe.preTokenize(lit("it's the 3rd test, isn't it?")).as("p"))
