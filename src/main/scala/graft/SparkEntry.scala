@@ -882,6 +882,24 @@ object SparkEntry {
       .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
   }
 
+  /** IVF serving from int8 storage
+    * ([[graft.pipeline.Similarity.queryIvfInt8]]): the corpus's float
+    * vectors are replaced by per-row (scale, signed-byte codes) — 4×
+    * less I/O per probed cell and no separate rerank fetch, the
+    * mid-accuracy tier between raw IVF and IVF×PQ. The query probes 2
+    * of 16 cells and exact-cosine ranks the DEQUANTIZED vectors
+    * (code·scale, double) — deterministic on any engine, so the oracle
+    * re-derives the full pipeline including the round-half-away
+    * quantization.
+    */
+  private def qIvfInt8(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val idx = Similarity.buildIvfIndex(corpus, "vec_id", "embedding", 16)
+    Similarity.queryIvfInt8(Similarity.int8Index(idx), queryVec(s, dir),
+        k = 10, nProbe = 2)
+      .select("vec_id", "label", "cosine")
+  }
+
   /** Embedding near-duplicate pairs: banded sign-LSH candidates + exact
     * cosine ≥ 0.45 — the bucketed (never n²) self-join shape.
     */
@@ -1053,6 +1071,7 @@ object SparkEntry {
     "q_pq" -> (qPq _),
     "q_ivf_pq" -> (qIvfPq _),
     "q_ivf_pq_batch" -> (qIvfPqBatch _),
+    "q_ivf_int8" -> (qIvfInt8 _),
     "q_embed_dedup" -> (qEmbedDedup _),
     "q_quantize" -> (qQuantize _),
     "q_sample" -> (qSample _),
@@ -1691,6 +1710,59 @@ object SparkEntry {
          |fd AS (SELECT vec_id, label,
          |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
          |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+         |  FROM fx GROUP BY vec_id, label)
+         |SELECT vec_id, label, dp / (sqrt(nv) * sqrt(nq)) AS cosine
+         |FROM fd ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ivf_int8" ->
+      // q_sim_ivf's probe pipeline (assignment and probes on the
+      // FULL-PRECISION vectors, as the build does) with the final
+      // scoring over the int8 DEQUANTIZED vectors: per-row scale =
+      // max|x|/127 (1.0 for the zero vector, as q_quantize), dq =
+      // CAST(round(v/scale) AS TINYINT) · scale in double — round is
+      // half-away-from-zero in both engines, folds element-order
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |         embedding AS ce FROM corpus ORDER BY vec_id LIMIT 16),
+         |ax AS (SELECT e.vec_id, c.cell, unnest(e.embedding) AS v,
+         |         unnest(generate_series(1, len(e.embedding))) AS i, c.ce AS ce
+         |       FROM corpus e CROSS JOIN cent c),
+         |ad AS (SELECT vec_id, cell,
+         |    SUM(CAST(v AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+         |    SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS nc
+         |  FROM ax GROUP BY vec_id, cell),
+         |assign AS (SELECT vec_id, cell FROM ad
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cell DESC) = 1),
+         |qx AS (SELECT c.cell, unnest(c.ce) AS v,
+         |         unnest(generate_series(1, len(c.ce))) AS i, q.qe AS qe
+         |       FROM cent c, q),
+         |qd AS (SELECT cell,
+         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nc,
+         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+         |  FROM qx GROUP BY cell),
+         |probes AS (SELECT cell FROM qd
+         |  QUALIFY row_number() OVER (
+         |    ORDER BY dp / (sqrt(nc) * sqrt(nq)) DESC, cell ASC) <= 2),
+         |sc AS (SELECT vec_id,
+         |    CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+         |         THEN 1.0
+         |         ELSE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+         |    END AS scale
+         |  FROM corpus),
+         |fx AS (SELECT e.vec_id, e.label,
+         |         CAST(CAST(round(CAST(unnest(e.embedding) AS DOUBLE) / s.scale) AS TINYINT) AS DOUBLE) * s.scale AS dq,
+         |         unnest(generate_series(1, len(e.embedding))) AS i, q.qe AS qe
+         |       FROM corpus e
+         |       JOIN sc s ON s.vec_id = e.vec_id
+         |       JOIN assign a ON a.vec_id = e.vec_id
+         |       JOIN probes p ON p.cell = a.cell, q),
+         |fd AS (SELECT vec_id, label,
+         |    SUM(dq * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(dq * dq ORDER BY i) AS nv,
          |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
          |  FROM fx GROUP BY vec_id, label)
          |SELECT vec_id, label, dp / (sqrt(nv) * sqrt(nq)) AS cosine

@@ -481,6 +481,63 @@ object Similarity {
       .drop("__cell", PqCodesCol)
   }
 
+  /** Column names of the int8 cell layout ([[writeIvfInt8Index]]). */
+  val Int8ScaleCol = "__scale"
+  val Int8CodesCol = "__q"
+
+  /** The corpus of `idx` re-expressed in int8 storage: per-row
+    * symmetric scale + one signed byte per coordinate, float vectors
+    * DROPPED — the 4× cheaper cousin of PQ for mid-accuracy tiers
+    * (PQ stores m bytes/vector but needs the floats kept for rerank;
+    * int8 stores d bytes + 8 and serves straight from the codes,
+    * since dequantize-on-read reconstructs the vector to within
+    * scale/2 per coordinate). Cell assignment is computed from the
+    * full-precision vectors at build time, so quantization never moves
+    * a vector between cells.
+    */
+  def int8Index(idx: IvfIndex): IvfIndex = {
+    val coded = idx.assigned
+      .withColumn(Int8ScaleCol, int8Scale(col(idx.vecCol)))
+      .withColumn(Int8CodesCol,
+        int8Codes(col(idx.vecCol), col(Int8ScaleCol)))
+      .drop(idx.vecCol)
+    IvfIndex(idx.centroids, coded, idx.idCol, idx.vecCol)
+  }
+
+  /** Persist an IVF index in the int8 serving layout: the
+    * [[int8Index]] corpus PARTITIONED BY `__cell` (same pruning story
+    * as [[writeIvfIndex]]) with the centroid sidecar — a probed top-k
+    * query reads `nProbe` cells of d-byte codes instead of 4·d floats,
+    * and nothing else: there is no second float fetch, because scoring
+    * dequantizes in the scan. Load with [[loadIvfIndex]]; query with
+    * [[queryIvfInt8]].
+    */
+  def writeIvfInt8Index(idx: IvfIndex, path: String): Unit =
+    writeIvfIndex(int8Index(idx), path)
+
+  /** Top-k through an int8 index: probe `nProbe` cells, score the
+    * DEQUANTIZED vectors (`code · scale`, double) by exact cosine in
+    * one narrow pass — cosine is scale-invariant, so the only deviation
+    * from full-precision scores is the bounded per-coordinate
+    * quantization error (≤ scale/2, i.e. ≤ max|x|/254). Ties follow
+    * [[queryIvf]] (cosine desc, id asc).
+    */
+  def queryIvfInt8(idx: IvfIndex, query: Seq[Float], k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val probes = probeCells(idx, query, nProbe)
+    // cosineFold, not cosine(): the dequantized side is array<double>
+    // and the native cosine_sim expression is float-array only — the
+    // fold casts per element, so double input costs nothing extra
+    idx.assigned
+      .filter(col("__cell").isin(probes: _*))
+      .withColumn("cosine",
+        cosineFold(dequantize(col(Int8CodesCol), col(Int8ScaleCol)),
+          vecLit(query)))
+      .orderBy(col("cosine").desc, col(idx.idCol))
+      .limit(k)
+      .drop("__cell", Int8ScaleCol, Int8CodesCol)
+  }
+
   /** Batch ANN through a composed IVF×PQ index: a whole DataFrame of
     * queries resolved against the coded corpus in ONE distributed plan —
     * the actual 100 TB serving shape, where [[queryIvfPq]]'s per-query

@@ -241,6 +241,54 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("int8 IVF layout drops the floats, prunes cells, and serves " +
+      "near-exact results") {
+    val idx = Similarity.buildIvfIndex(embeddings, "vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-int8").toString
+    Similarity.writeIvfInt8Index(idx, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    // the stored corpus is the 4x layout: codes + scale, NO floats
+    assert(!loaded.assigned.columns.contains("embedding"),
+      "float vectors must not be stored in the int8 layout")
+    assert(loaded.assigned.columns.contains(Similarity.Int8CodesCol) &&
+      loaded.assigned.columns.contains(Similarity.Int8ScaleCol))
+    assert(loaded.assigned.schema(Similarity.Int8CodesCol).dataType
+      .simpleString == "array<tinyint>")
+
+    val q = (0 until 64).map(i => (i % 7 - 3) * 0.2f)
+    val served = Similarity.queryIvfInt8(loaded, q, 10)
+    // probe predicate still prunes cell partitions at the source
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*__cell[^\\]]*IN".r
+      .findFirstIn(plan).isDefined, s"no __cell partition filter:\n$plan")
+
+    // near-exactness: vs the full-precision IVF answer over the SAME
+    // probes, the int8 scores deviate only by quantization error and
+    // recall@10 stays high
+    val exact = Similarity.queryIvf(idx, q, 10).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    val wide = Similarity.queryIvf(idx, q, 1000).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    val got = served.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine"))
+    assert(got.length == 10)
+    got.foreach { case (id, cos) =>
+      assert(wide.contains(id), s"int8 served $id outside the probed cells")
+      assert(math.abs(wide(id) - cos) < 0.05,
+        s"vec $id: int8 cosine $cos vs exact ${wide(id)}")
+    }
+    val recall = got.map(_._1).count(exact.contains) / 10.0
+    info(f"int8 IVF recall@10 = $recall%.2f")
+    assert(recall >= 0.8, s"int8 recall@10 $recall")
+
+    // in-memory composition equals the loaded layout
+    val mem = Similarity.queryIvfInt8(Similarity.int8Index(idx), q, 10)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cosine"))).toSeq
+    assert(mem == got.toSeq)
+  }
+
   test("batch IVF×PQ serves a query set like the single-query composed path") {
     import graft.pipeline.Pq
     val corpus = embeddings.filter(col("vec_id") >= 3)
