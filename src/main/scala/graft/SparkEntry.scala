@@ -324,6 +324,42 @@ object SparkEntry {
         Seq("l_returnflag"), "l_extendedprice", Seq(0.25, 0.5, 0.75))
       .orderBy("l_returnflag")
 
+  /** Production-path parity row for GK approximate quantiles (the r9
+    * verdict's third production variant): `percentile_approx`'s
+    * Greenwald–Khanna sketch guarantees a returned value whose RANK is
+    * within n/accuracy of the target — a contract an ANSI oracle can't
+    * re-derive value-for-value (the sketch is engine-specific), so the
+    * driver gate instead pins the GUARANTEE: per (group, probability),
+    * compare the estimate's exact rank interval [cntLT+1, cntLE]
+    * against the target ± n/accuracy (± 1 for rank-convention slack)
+    * and emit the boolean. Any estimate drifting outside its error
+    * bound turns a row false against the all-true oracle.
+    */
+  private def qPercentileGkParity(s: SparkSession, dir: String): DataFrame = {
+    val probs = Seq(0.25, 0.5, 0.75)
+    val acc = 1000
+    val li = t(s, dir, "lineitem")
+    val gk = graft.pipeline.Percentiles.approxQuantiles(li,
+      Seq("l_returnflag"), "l_extendedprice", probs, acc)
+    val est = gk.select(col("l_returnflag"),
+      explode(map(probs.flatMap(p => Seq(lit(p),
+        col(graft.pipeline.Percentiles.defaultNames(Seq(p)).head))): _*))
+        .as(Seq("prob", "est")))
+    li.select(col("l_returnflag"),
+        col("l_extendedprice").cast("double").as("__v"))
+      .join(est, Seq("l_returnflag"))
+      .groupBy("l_returnflag", "prob", "est")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__v") < col("est"), 1L).otherwise(0L)).as("__lt"),
+        sum(when(col("__v") <= col("est"), 1L).otherwise(0L)).as("__le"))
+      .select(col("l_returnflag"), col("prob"),
+        ((col("__lt") + 1 <= col("prob") * col("__n")
+            + col("__n") / acc + 1) &&
+          (col("__le") >= col("prob") * col("__n")
+            - col("__n") / acc - 1)).as("within_bound"))
+      .orderBy("l_returnflag", "prob")
+  }
+
   /** Histogram: fixed-width price buckets (integer-exact binning). */
   private def qHistogram(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -1033,6 +1069,7 @@ object SparkEntry {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_percentile" -> (qPercentile _),
+    "q_percentile_gk_parity" -> (qPercentileGkParity _),
     "q_histogram" -> (qHistogram _),
     "q_pivot" -> (qPivot _),
     "q_semi_join" -> (qSemiJoin _),
@@ -1304,6 +1341,15 @@ object SparkEntry {
          |quantile_cont(l_extendedprice, 0.5) AS p50,
          |quantile_cont(l_extendedprice, 0.75) AS p75
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_percentile_gk_parity" ->
+      // the GK sketch is engine-specific, so the oracle pins the
+      // CONTRACT, not the values: every (group, probability) estimate
+      // must sit within its rank-error bound (checked Spark-side
+      // against exact ranks) — all-true, one row per group × prob
+      s"""SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS prob,
+         |       true AS within_bound
+         |FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+         |ORDER BY l_returnflag, prob""".stripMargin,
     "q_histogram" ->
       s"""SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS price_bucket,
          |COUNT(*) AS n,
