@@ -525,13 +525,13 @@ object Similarity {
   def queryIvfInt8(idx: IvfIndex, query: Seq[Float], k: Int,
       nProbe: Int = 2): DataFrame = {
     val probes = probeCells(idx, query, nProbe)
-    // cosineFold, not cosine(): the dequantized side is array<double>
-    // and the native cosine_sim expression is float-array only — the
-    // fold casts per element, so double input costs nothing extra
+    // cosine() handles the mixed shape natively: the dequantized side is
+    // array<double>, the query literal array<float> — the codegen'd
+    // cosine_sim widens per element exactly like the portable fold
     idx.assigned
       .filter(col("__cell").isin(probes: _*))
       .withColumn("cosine",
-        cosineFold(dequantize(col(Int8CodesCol), col(Int8ScaleCol)),
+        cosine(dequantize(col(Int8CodesCol), col(Int8ScaleCol)),
           vecLit(query)))
       .orderBy(col("cosine").desc, col(idx.idCol))
       .limit(k)

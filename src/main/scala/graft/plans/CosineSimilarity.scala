@@ -8,7 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Whole-stage-codegen cosine similarity over two `array<float>` columns.
+/** Whole-stage-codegen cosine similarity over two float or double array
+  * columns (each side independently — a dequantized `array<double>`
+  * against a float query literal is the int8-serving shape).
   *
   * Spark's higher-order array functions (`zip_with`/`aggregate`) evaluate
   * interpreted — no codegen — which makes them the bottleneck of
@@ -17,7 +19,8 @@ import org.apache.spark.sql.types._
   * accumulates (dot, ‖a‖², ‖b‖²) in exactly the same element order as the
   * portable fold in [[graft.pipeline.Similarity.cosine]], so both paths
   * produce bit-identical doubles and stay interchangeable under the value
-  * oracle.
+  * oracle (the fold casts each element to double before multiplying —
+  * exactly this loop's widening).
   *
   * This is the §7.3 "custom Expression where built-ins genuinely can't
   * express it efficiently" case; everything else in the engine stays on
@@ -26,18 +29,24 @@ import org.apache.spark.sql.types._
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
+    if (Seq(left, right).forall(elemType(_).isDefined))
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects two array<float> arguments, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+      s"$prettyName expects two array<float>/array<double> arguments, " +
+        s"got ${left.dataType.simpleString} and " +
+        s"${right.dataType.simpleString}")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+
+  @transient private lazy val leftIsFloat = elemType(left).contains(FloatType)
+  @transient private lazy val rightIsFloat = elemType(right).contains(FloatType)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -46,8 +55,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dp = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xv = x.getFloat(i).toDouble
-      val yv = y.getFloat(i).toDouble
+      val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
       dp += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
@@ -62,13 +71,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val nb = ctx.freshName("nb"); val n = ctx.freshName("n")
     val i = ctx.freshName("i"); val x = ctx.freshName("x")
     val y = ctx.freshName("y")
+    def get(arr: String, isFloat: Boolean) =
+      if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
          |double $dp = 0.0, $na = 0.0, $nb = 0.0;
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
+         |  double $x = ${get(a, leftIsFloat)};
+         |  double $y = ${get(b, rightIsFloat)};
          |  $dp += $x * $y;
          |  $na += $x * $x;
          |  $nb += $y * $y;

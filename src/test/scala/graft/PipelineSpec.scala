@@ -796,6 +796,21 @@ class PipelineSpec extends SparkSpec {
       assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
         java.lang.Double.doubleToLongBits(r.getDouble(1)))
     }
+    // the mixed double/float shape (the int8 dequantize-on-read path):
+    // left side array<double>, right a float literal — still bit-identical
+    val dq = Similarity.dequantize(
+      Similarity.int8Codes(col("embedding"),
+        Similarity.int8Scale(col("embedding"))),
+      Similarity.int8Scale(col("embedding")))
+    val mixed = embeddings.limit(200).select(
+      Similarity.cosineFold(dq,
+        Similarity.vecLit(Seq.fill(64)(0.1f))).as("fold"),
+      call_function("cosine_sim", dq,
+        Similarity.vecLit(Seq.fill(64)(0.1f))).as("native"))
+    mixed.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
   }
 
   test("as-of join: tie rules, missing matches, and no range explosion") {
