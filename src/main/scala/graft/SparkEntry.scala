@@ -936,6 +936,25 @@ object SparkEntry {
       .select("vec_id", "label", "cosine")
   }
 
+  /** Batch serving from int8 storage
+    * ([[graft.pipeline.Similarity.queryIvfInt8Batch]]): the query-set
+    * plan over the 4×-cheaper layout — per-query probes from broadcast
+    * centroids, cell equi-join reading (scale, codes) only, dequantized
+    * codegen cosine per candidate, per-query top-5 window. Same query
+    * split and tie rules as q_sim_ivf_batch.
+    */
+  private def qIvfInt8Batch(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 3)
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val idx = Similarity.buildIvfIndex(corpus, "vec_id", "embedding", 16)
+    Similarity.queryIvfInt8Batch(Similarity.int8Index(idx), queries,
+        "query_id", "embedding", k = 5, nProbe = 2)
+      .select("query_id", "vec_id", "label", "cosine")
+      .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+  }
+
   /** Embedding near-duplicate pairs: banded sign-LSH candidates + exact
     * cosine ≥ 0.45 — the bucketed (never n²) self-join shape.
     */
@@ -1109,6 +1128,7 @@ object SparkEntry {
     "q_ivf_pq" -> (qIvfPq _),
     "q_ivf_pq_batch" -> (qIvfPqBatch _),
     "q_ivf_int8" -> (qIvfInt8 _),
+    "q_ivf_int8_batch" -> (qIvfInt8Batch _),
     "q_embed_dedup" -> (qEmbedDedup _),
     "q_quantize" -> (qQuantize _),
     "q_sample" -> (qSample _),
@@ -1813,6 +1833,61 @@ object SparkEntry {
          |  FROM fx GROUP BY vec_id, label)
          |SELECT vec_id, label, dp / (sqrt(nv) * sqrt(nq)) AS cosine
          |FROM fd ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ivf_int8_batch" ->
+      // q_ivf_int8's dequantized scoring in q_sim_ivf_batch's query-set
+      // shape: per-query probes on full-precision centroids, final
+      // cosine over dq = CAST(round(v/scale) AS TINYINT)·scale
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+         |corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= 3),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |         embedding AS ce FROM corpus ORDER BY vec_id LIMIT 16),
+         |ax AS (SELECT e.vec_id, c.cell, unnest(e.embedding) AS v,
+         |         unnest(generate_series(1, len(e.embedding))) AS i, c.ce AS ce
+         |       FROM corpus e CROSS JOIN cent c),
+         |ad AS (SELECT vec_id, cell,
+         |    SUM(CAST(v AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+         |    SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS nc
+         |  FROM ax GROUP BY vec_id, cell),
+         |assign AS (SELECT vec_id, cell FROM ad
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cell DESC) = 1),
+         |qx AS (SELECT q.qid, c.cell, unnest(c.ce) AS v,
+         |         unnest(generate_series(1, len(c.ce))) AS i, q.qe AS qe
+         |       FROM cent c CROSS JOIN qs q),
+         |qd AS (SELECT qid, cell,
+         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nc,
+         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+         |  FROM qx GROUP BY qid, cell),
+         |probes AS (SELECT qid, cell FROM qd
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY dp / (sqrt(nc) * sqrt(nq)) DESC, cell ASC) <= 2),
+         |sc AS (SELECT vec_id,
+         |    CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+         |         THEN 1.0
+         |         ELSE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+         |    END AS scale
+         |  FROM corpus),
+         |fx AS (SELECT q.qid, e.vec_id, e.label,
+         |         CAST(CAST(round(CAST(unnest(e.embedding) AS DOUBLE) / s.scale) AS TINYINT) AS DOUBLE) * s.scale AS dq,
+         |         unnest(generate_series(1, len(e.embedding))) AS i, q.qe AS qe
+         |       FROM corpus e
+         |       JOIN sc s ON s.vec_id = e.vec_id
+         |       JOIN assign a ON a.vec_id = e.vec_id
+         |       JOIN probes p ON p.cell = a.cell
+         |       JOIN qs q ON q.qid = p.qid),
+         |fd AS (SELECT qid, vec_id, label,
+         |    SUM(dq * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(dq * dq ORDER BY i) AS nv,
+         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+         |  FROM fx GROUP BY qid, vec_id, label)
+         |SELECT qid AS query_id, vec_id, label,
+         |       dp / (sqrt(nv) * sqrt(nq)) AS cosine
+         |FROM fd
+         |QUALIFY row_number() OVER (PARTITION BY qid
+         |  ORDER BY dp / (sqrt(nv) * sqrt(nq)) DESC, vec_id ASC) <= 5
+         |ORDER BY query_id, cosine DESC, vec_id""".stripMargin,
     "q_sim_ivf_batch" ->
       // the batch form of q_sim_ivf: 3 queries (vec_id < 3), corpus
       // vec_id >= 3, centroids = 16 lowest-id corpus vectors, nProbe=2

@@ -325,30 +325,54 @@ object Similarity {
     * Output: query id (as `qIdCol`), all corpus columns, `cosine`.
     */
   def queryIvfBatch(idx: IvfIndex, queries: DataFrame, qIdCol: String,
-      qVecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+      qVecCol: String, k: Int, nProbe: Int = 2): DataFrame =
+    ivfBatchPlan(idx, queries, qIdCol, qVecCol, k, nProbe,
+      cosine(col(idx.vecCol), col("__qv")), dropCols = Seq("__cell"))
+
+  /** Batch ANN through an int8 index ([[int8Index]]/[[writeIvfInt8Index]]):
+    * [[queryIvfBatch]]'s one-plan query-set shape with the scoring
+    * swapped to the dequantized codes — each probed cell is read once
+    * per touching query as d bytes of codes, scored by codegen'd cosine
+    * (the native expression takes the double/float mix), no float fetch
+    * anywhere. Tie rules match [[queryIvfInt8]].
+    */
+  def queryIvfInt8Batch(idx: IvfIndex, queries: DataFrame, qIdCol: String,
+      qVecCol: String, k: Int, nProbe: Int = 2): DataFrame =
+    ivfBatchPlan(idx, queries, qIdCol, qVecCol, k, nProbe,
+      cosine(dequantize(col(Int8CodesCol), col(Int8ScaleCol)), col("__qv")),
+      dropCols = Seq("__cell", Int8ScaleCol, Int8CodesCol))
+
+  /** The shared one-plan batch shape behind [[queryIvfBatch]] and
+    * [[queryIvfInt8Batch]]: per-query probes from broadcast centroid
+    * literals, cell equi-join, `score` per candidate, per-query top-k
+    * window (ties toward the lower corpus id).
+    */
+  private def ivfBatchPlan(idx: IvfIndex, queries: DataFrame,
+      qIdCol: String, qVecCol: String, k: Int, nProbe: Int,
+      score: Column, dropCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // internal names so query columns can never collide with corpus ones
     val q = queries.select(col(qIdCol).as("__qid"), col(qVecCol).as("__qv"))
     // negated cell id inside the sort struct: sort_array desc orders by
     // (cos desc, -cell desc) = (cos desc, cell asc) — the probe tie rule
-    val scored = array(idx.centroids.zipWithIndex.map { case (c, i) =>
+    val scoredCells = array(idx.centroids.zipWithIndex.map { case (c, i) =>
       struct(cosine(col("__qv"), vecLit(c)).as("cos"),
         lit(-i).as("negcell"))
     }: _*)
     val probes = transform(
-      slice(sort_array(scored, asc = false), 1, nProbe),
+      slice(sort_array(scoredCells, asc = false), 1, nProbe),
       s => -s("negcell"))
     val candidates = q
       .withColumn("__probe", explode(probes))
       .join(idx.assigned, col("__probe") === col("__cell"))
-      .withColumn("cosine", cosine(col(idx.vecCol), col("__qv")))
+      .withColumn("cosine", score)
     val w = Window.partitionBy("__qid")
       .orderBy(col("cosine").desc, col(idx.idCol))
     candidates
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col("__qid").as(qIdCol) +:
-        idx.assigned.columns.filterNot(_ == "__cell").map(col) :+
+        idx.assigned.columns.filterNot(dropCols.contains).map(col) :+
         col("cosine"): _*)
   }
 

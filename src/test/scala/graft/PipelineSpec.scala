@@ -289,6 +289,28 @@ class PipelineSpec extends SparkSpec {
     assert(mem == got.toSeq)
   }
 
+  test("batch int8 IVF == per-query int8 loop on every query") {
+    val corpus = embeddings.filter(col("vec_id") >= 3)
+    val coded = Similarity.int8Index(
+      Similarity.buildIvfIndex(corpus, "vec_id", "embedding"))
+    val queries = embeddings.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val batch = Similarity.queryIvfInt8Batch(coded, queries, "query_id",
+        "embedding", k = 10)
+      .select("query_id", "vec_id", "cosine").collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rs) => qid -> rs.map(r => (r.getLong(1),
+        r.getDouble(2))).sortBy(x => (-x._2, x._1)).toSeq }
+    Seq(0L, 1L, 2L).foreach { qid =>
+      val qv = embeddings.filter(col("vec_id") === qid)
+        .select("embedding").head.getSeq[Float](0)
+      val loop = Similarity.queryIvfInt8(coded, qv, 10)
+        .select("vec_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == loop, s"query $qid differs from the loop path")
+    }
+  }
+
   test("batch IVF×PQ serves a query set like the single-query composed path") {
     import graft.pipeline.Pq
     val corpus = embeddings.filter(col("vec_id") >= 3)
