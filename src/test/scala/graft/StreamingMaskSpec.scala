@@ -301,6 +301,47 @@ class StreamingMaskSpec extends SparkSpec {
       "redelivered doc changed the emitted pair multiset")
   }
 
+  test("streaming near-dedup restarts from its checkpoint exactly-once " +
+      "into the idempotent lake") {
+    import SparkSpec.spark.implicits._
+    val base = Files.createTempDirectory("graft_neardup_restart").toString
+    val in = s"$base/in"; val out = s"$base/lake"; val ck = s"$base/ck"
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:10:00")
+    val t2 = java.sql.Timestamp.valueOf("2026-01-01 00:20:00")
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "the quick brown fox jumps over the lazy dog again and once"
+    Seq((1L, textA, t0), (10L, "completely unrelated words about weather " +
+        "patterns in the alps today", t0))
+      .toDF("doc_id", "text", "ts").write.parquet(s"$in/f0")
+    Seq((2L, textB, t1)).toDF("doc_id", "text", "ts").write.parquet(s"$in/f1")
+    val schema = spark.read.parquet(s"$in/f0").schema
+    def runOnce(): Unit = withRocksDbStateStore {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true").parquet(in)
+      val q = ExactlyOnceSink.start(
+        StreamMask.nearDupPairsStream(stream, "doc_id", "text", "ts",
+          watermark = "1 hour", threshold = 0.5), out, ck)
+      q.awaitTermination(120000)
+    }
+    def landedPairs: Seq[(Long, Long)] = spark.read.parquet(out)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    runOnce()
+    assert(landedPairs == Seq((1L, 2L)))
+    // doc 3 duplicates doc 1 and arrives AFTER a full query restart: the
+    // bucket membership of docs 1 and 2 must come back from the RocksDB
+    // checkpoint — and every pair must land in the lake exactly once,
+    // across the TWS state, the chained dedup state, and the
+    // batch-idempotent sink
+    Seq((3L, textA, t2)).toDF("doc_id", "text", "ts")
+      .write.parquet(s"$in/f2")
+    runOnce()
+    assert(landedPairs == Seq((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"restart broke exactly-once delivery: $landedPairs")
+  }
+
   test("streaming heavy hitters honor the Misra-Gries bounds over the " +
       "full ingest") {
     import graft.pipeline.TextOps
