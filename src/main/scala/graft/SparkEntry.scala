@@ -737,6 +737,20 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Sequence packing ([[graft.pipeline.Packing.packByOffset]]): assign
+    * every document to its fixed-token-budget training bin — offset
+    * packing (concat-and-chunk) per language shard, budget 256
+    * whitespace tokens, pinned doc_id order. One shard-partitioned
+    * window cumulative sum; fully value-oracled (offset and bin per
+    * document).
+    */
+  private def qPack(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Packing.packByOffset(
+        docs(s, dir).select("doc_id", "lang", "text"),
+        "lang", "doc_id", TextOps.tokenCount(col("text")), 256)
+      .select("doc_id", "lang", "tokens", "offset", "bin")
+      .orderBy("lang", "doc_id")
+
   /** Heavy hitters in the EXACT regime ([[TextOps.heavyHitters]] with
     * `k` = 64 > the fixture's 31 distinct tokens): with no evictions the
     * Misra-Gries sketch IS the exact frequency table, making its
@@ -1116,6 +1130,7 @@ object SparkEntry {
     "q_winnow" -> (qWinnow _),
     "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_heavy" -> (qHeavy _),
+    "q_pack" -> (qPack _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_near" -> (qSimhashNear _),
     "q_winnow64_parity" -> (qWinnow64Parity _),
@@ -1683,6 +1698,20 @@ object SparkEntry {
          |SELECT token, CAST(COUNT(*) AS BIGINT) AS est FROM toks
          |WHERE token <> ''
          |GROUP BY token ORDER BY est DESC, token""".stripMargin,
+    "q_pack" ->
+      // offset packing: tokens laid out per language shard in doc_id
+      // order; offset = tokens before the doc, bin = floor(offset /
+      // budget). `/` is double division in both engines, so floor +
+      // BIGINT cast agree exactly
+      s"""WITH tok AS (SELECT doc_id, lang,
+         |  CAST(len($toksSql) AS BIGINT) AS tokens FROM documents),
+         |ofs AS (SELECT doc_id, lang, tokens,
+         |  COALESCE(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+         |  FROM tok)
+         |SELECT doc_id, lang, tokens, "offset",
+         |  CAST(floor("offset" / 256) AS BIGINT) AS bin
+         |FROM ofs ORDER BY lang, doc_id""".stripMargin,
     "q_simhash" ->
       s"""WITH $simhash16Cte
          |SELECT doc_id, simhash FROM sh16 ORDER BY doc_id""".stripMargin,

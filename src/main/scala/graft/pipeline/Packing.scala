@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data pipelines (north-star extension;
+  * the reference has no text surface): assign documents to fixed
+  * token-budget bins — the batch-assembly step between a curated corpus
+  * and an LLM training run, where short documents are concatenated up to
+  * the context length so no sequence slot is wasted.
+  *
+  * The packing rule is OFFSET packing, the concat-and-chunk scheme the
+  * big public training pipelines use: lay the documents out in a pinned
+  * total order, cut the concatenated token stream every `budget` tokens,
+  * and assign each document to the bin where it STARTS
+  * (`bin = floor(tokens_before / budget)`). Unlike first-fit bin
+  * packing — whose bin boundary depends on every previous assignment and
+  * therefore serializes — offset packing is one window cumulative sum:
+  * embarrassingly parallel, deterministic under retries, and
+  * re-derivable by any ANSI engine (the `q_pack` value oracle). A bin
+  * can overshoot `budget` by at most its last document's tokens (the
+  * straddling doc belongs to the bin where it starts); real packers
+  * split that document across the boundary, which is a row-local
+  * `posexplode` of the token array downstream of this assignment.
+  *
+  * Scale shape: packing is per SHARD (`shardCol` — a date, a source, a
+  * mixture component): the window partitions by shard and orders by
+  * `orderCol` within it, so the sort is a shard-local shuffle, never a
+  * global single-partition order. At 100 TB pick shards of a few GB
+  * (the natural mixture/date granularity); a global pack order across
+  * shards is meaningless for training anyway — batches sample across
+  * bins.
+  */
+object Packing {
+
+  /** Bin assignment: every row of `df` with its shard, running token
+    * offset, and bin id. `tokens` is any Column (e.g.
+    * [[TextOps.tokenCount]] for budget accounting, or a real
+    * [[graft.functions.Bpe]] count).
+    *
+    * Output columns: all input columns + `tokens`, `offset` (tokens
+    * before this doc within its shard), `bin` (0-based per shard).
+    */
+  def packByOffset(df: DataFrame, shardCol: String, orderCol: String,
+      tokens: Column, budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1 (got $budget)")
+    val w = Window.partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("tokens", tokens.cast("long"))
+      .withColumn("offset",
+        coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("offset") / budget).cast("long"))
+  }
+
+  /** Per-bin packing report over a [[packByOffset]] assignment: documents
+    * per bin, token fill, and fill ratio against the budget — the
+    * packing-efficiency audit (mean fill ratio ≈ 1 means no wasted
+    * context slots; the last bin of a shard is naturally partial).
+    */
+  def binStats(packed: DataFrame, shardCol: String,
+      budget: Int): DataFrame =
+    packed.groupBy(col(shardCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tokens").as("bin_tokens"))
+      .withColumn("fill_ratio", col("bin_tokens") / lit(budget.toDouble))
+}

@@ -84,6 +84,51 @@ class PipelineSpec extends SparkSpec {
     assert(h.count() == docs.count())
   }
 
+  test("offset packing: contiguous bins, budget-aligned cuts, full bins " +
+      "except each shard's last") {
+    import graft.pipeline.Packing
+    val budget = 256
+    val packed = Packing.packByOffset(
+      docs.select("doc_id", "lang", "text"),
+      "lang", "doc_id", TextOps.tokenCount(col("text")), budget)
+    val rows = packed.select("lang", "doc_id", "tokens", "offset", "bin")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, docs0) =>
+      val inOrder = docs0.sortBy(_._2)
+      // offsets are the exact running token sum in doc_id order
+      var cum = 0L
+      inOrder.foreach { case (_, id, toks, off, bin) =>
+        assert(off == cum, s"$lang/$id: offset $off != cum $cum")
+        assert(bin == off / budget, s"$lang/$id: bin $bin")
+        cum += toks
+      }
+      // bins are contiguous from 0 (no empty bin can exist: every cut
+      // point below the last doc's start has some doc starting in it)
+      val bins = inOrder.map(_._5).distinct.sorted.toSeq
+      assert(bins == (0L until bins.length.toLong).toSeq,
+        s"$lang: non-contiguous bins $bins")
+    }
+    // packing efficiency invariant: the first doc of bin b+1 starts at
+    // offset >= (b+1)·budget, and that offset equals the total tokens
+    // of bins <= b — so cumulative bin_tokens through any non-last bin
+    // covers its cut point exactly (no wasted context slots except the
+    // shard's trailing partial bin)
+    val stats = Packing.binStats(packed, "lang", budget).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    stats.groupBy(_._1).foreach { case (lang, s) =>
+      val byBin = s.sortBy(_._2)
+      var cum = 0L
+      byBin.dropRight(1).foreach { case (_, bin, tokens) =>
+        cum += tokens
+        assert(cum >= (bin + 1) * budget,
+          s"$lang/$bin: cumulative $cum < cut ${(bin + 1) * budget}")
+      }
+    }
+  }
+
   test("per-row simHash64Expr is bit-identical to the aggregate simHash64") {
     import SparkSpec.spark.implicits._
     // fixture docs plus adversarial shapes: empty, whitespace-only,
