@@ -751,6 +751,21 @@ object SparkEntry {
       .select("doc_id", "lang", "tokens", "offset", "bin")
       .orderBy("lang", "doc_id")
 
+  /** Boundary splitting over the [[qPack]] assignment
+    * ([[graft.pipeline.Packing.chunkSpans]]): one row per (document,
+    * bin) piece with its in-document start and length — the exact
+    * material a sequence builder concatenates into full training bins.
+    * Row-local arithmetic; the oracle re-derives every piece.
+    */
+  private def qPackChunks(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Packing.chunkSpans(
+        graft.pipeline.Packing.packByOffset(
+          docs(s, dir).select("doc_id", "lang", "text"),
+          "lang", "doc_id", TextOps.tokenCount(col("text")), 256),
+        256)
+      .select("doc_id", "lang", "piece_bin", "doc_from", "piece_tokens")
+      .orderBy("lang", "doc_id", "piece_bin")
+
   /** Heavy hitters in the EXACT regime ([[TextOps.heavyHitters]] with
     * `k` = 64 > the fixture's 31 distinct tokens): with no evictions the
     * Misra-Gries sketch IS the exact frequency table, making its
@@ -1131,6 +1146,7 @@ object SparkEntry {
     "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_heavy" -> (qHeavy _),
     "q_pack" -> (qPack _),
+    "q_pack_chunks" -> (qPackChunks _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_near" -> (qSimhashNear _),
     "q_winnow64_parity" -> (qWinnow64Parity _),
@@ -1712,6 +1728,25 @@ object SparkEntry {
          |SELECT doc_id, lang, tokens, "offset",
          |  CAST(floor("offset" / 256) AS BIGINT) AS bin
          |FROM ofs ORDER BY lang, doc_id""".stripMargin,
+    "q_pack_chunks" ->
+      // the boundary-splitting pieces: for each doc, one row per bin in
+      // [floor(offset/B), floor((offset+tokens-1)/B)]; the piece starts
+      // at max(offset, bin·B) and ends at min(offset+tokens, (bin+1)·B)
+      s"""WITH tok AS (SELECT doc_id, lang,
+         |  CAST(len($toksSql) AS BIGINT) AS tokens FROM documents),
+         |ofs AS (SELECT doc_id, lang, tokens,
+         |  COALESCE(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+         |  FROM tok),
+         |pieces AS (SELECT doc_id, lang, tokens, "offset",
+         |  unnest(generate_series(CAST(floor("offset" / 256) AS BIGINT),
+         |    CAST(floor(("offset" + tokens - 1) / 256) AS BIGINT))) AS piece_bin
+         |  FROM ofs WHERE tokens > 0)
+         |SELECT doc_id, lang, piece_bin,
+         |  GREATEST("offset", piece_bin * 256) - "offset" AS doc_from,
+         |  LEAST("offset" + tokens, (piece_bin + 1) * 256)
+         |    - GREATEST("offset", piece_bin * 256) AS piece_tokens
+         |FROM pieces ORDER BY lang, doc_id, piece_bin""".stripMargin,
     "q_simhash" ->
       s"""WITH $simhash16Cte
          |SELECT doc_id, simhash FROM sh16 ORDER BY doc_id""".stripMargin,

@@ -64,4 +64,34 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"),
         sum("tokens").as("bin_tokens"))
       .withColumn("fill_ratio", col("bin_tokens") / lit(budget.toDouble))
+
+  /** The boundary-splitting step real packers add on top of
+    * [[packByOffset]]: each document's token range
+    * `[offset, offset + tokens)` is cut at every bin boundary it
+    * crosses, yielding one row per (document, bin) piece — `doc_from`
+    * (0-based token index within the document where the piece starts)
+    * and `piece_tokens` (its length). Downstream, a sequence builder
+    * groups pieces by bin in offset order and slices each document's
+    * token array accordingly; by construction every bin then holds
+    * exactly `budget` tokens (except each shard's last).
+    *
+    * Pure row-local arithmetic on the packed frame — an `explode` over
+    * the ≤ ⌈tokens/budget⌉ + 1 bins a document overlaps, no extra
+    * shuffle; zero-token documents contribute no pieces.
+    */
+  def chunkSpans(packed: DataFrame, budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1 (got $budget)")
+    val end = col("offset") + col("tokens") // exclusive
+    val firstBin = floor(col("offset") / budget).cast("long")
+    val lastBin = floor((end - 1) / budget).cast("long")
+    packed
+      .filter(col("tokens") > 0)
+      .withColumn("piece_bin", explode(sequence(firstBin, lastBin)))
+      .withColumn("piece_from",
+        greatest(col("offset"), col("piece_bin") * budget))
+      .withColumn("doc_from", (col("piece_from") - col("offset")))
+      .withColumn("piece_tokens",
+        least(end, (col("piece_bin") + 1) * budget) - col("piece_from"))
+      .drop("piece_from")
+  }
 }

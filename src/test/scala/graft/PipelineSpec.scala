@@ -127,6 +127,33 @@ class PipelineSpec extends SparkSpec {
           s"$lang/$bin: cumulative $cum < cut ${(bin + 1) * budget}")
       }
     }
+    // boundary splitting: pieces tile every document exactly, and every
+    // bin but a shard's last assembles to EXACTLY the budget
+    val chunks = Packing.chunkSpans(packed, budget)
+      .select("lang", "doc_id", "piece_bin", "doc_from", "piece_tokens")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val tokensOf = rows.map(r => (r._1, r._2) -> r._3).toMap
+    chunks.groupBy(c => (c._1, c._2)).foreach { case ((lang, id), ps) =>
+      val inOrder = ps.sortBy(_._3)
+      // pieces start at 0 within the doc, abut, and sum to the doc
+      var pos = 0L
+      inOrder.foreach { p => assert(p._4 == pos); pos += p._5 }
+      assert(pos == tokensOf((lang, id)),
+        s"$lang/$id pieces sum $pos != ${tokensOf((lang, id))}")
+      // consecutive bins
+      assert(inOrder.map(_._3).toSeq ==
+        (inOrder.head._3 to inOrder.last._3).toSeq)
+    }
+    chunks.groupBy(c => (c._1, c._3)).foreach { case ((lang, bin), ps) =>
+      val binTokens = ps.map(_._5).sum
+      val last = chunks.filter(_._1 == lang).map(_._3).max
+      if (bin != last)
+        assert(binTokens == budget,
+          s"$lang/$bin assembles to $binTokens != $budget")
+      else assert(binTokens <= budget)
+    }
   }
 
   test("per-row simHash64Expr is bit-identical to the aggregate simHash64") {
