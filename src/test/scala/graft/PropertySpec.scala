@@ -153,6 +153,76 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: per-row simHash64Expr == aggregate simHash64 on " +
+      "arbitrary text") {
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.TextOps
+    // same adversarial alphabet as the winnow property: multi-byte code
+    // points, whitespace runs, empties
+    val charGen = SGen.frequency(
+      6 -> SGen.alphaNumChar, 2 -> SGen.const(' '),
+      1 -> SGen.oneOf('é', 'ß', '中', 'Ω'), 1 -> SGen.const('\t'))
+    val strGen = SGen.listOf(charGen).map(_.mkString.take(40))
+    check(Prop.forAll(SGen.listOfN(6, strGen)) { texts =>
+      val s = spark
+      import s.implicits._
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val agg = TextOps.simHash64(df, "id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val row = df.select(col("id"),
+          TextOps.simHash64Expr(col("text")).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      agg == row
+    })
+  }
+
+  test("property: offset packing tiles every shard exactly") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.pipeline.Packing
+    val rowGen = for {
+      shard <- SGen.oneOf("a", "b")
+      toks <- SGen.choose(0L, 40L)
+    } yield (shard, toks)
+    val gen = for {
+      n <- SGen.choose(1, 30)
+      rows <- SGen.listOfN(n, rowGen)
+      budget <- SGen.choose(1, 50)
+    } yield (rows, budget)
+    check(Prop.forAll(gen) { case (rows, budget) =>
+      val s = spark
+      import s.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((sh, tk), i) => (i.toLong, sh, tk) }
+        .toDF("id", "shard", "toks")
+      val packed = Packing.packByOffset(df, "shard", "id",
+        col("toks"), budget)
+      val got = packed.select("shard", "id", "tokens", "offset", "bin")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      // reference: sequential scan per shard
+      val ok = got.groupBy(_._1).forall { case (_, docs) =>
+        var cum = 0L
+        docs.sortBy(_._2).forall { case (_, _, tk, off, bin) =>
+          val good = off == cum && bin == off / budget
+          cum += tk; good
+        }
+      }
+      // chunk pieces sum back to each doc's tokens
+      val pieces = Packing.chunkSpans(packed, budget)
+        .groupBy("shard", "id")
+        .agg(org.apache.spark.sql.functions.sum("piece_tokens")
+          .as("pieced"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val tiled = got.forall { case (sh, id, tk, _, _) =>
+        pieces.getOrElse((sh, id), 0L) == tk
+      }
+      ok && tiled
+    })
+  }
+
   test("property: hash samples nest across arbitrary rate pairs") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.Sampling
