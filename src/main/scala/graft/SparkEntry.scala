@@ -1039,19 +1039,39 @@ object SparkEntry {
     * the pipeline — the scrub stage genuinely fires, and the dedup stage
     * shingles the REDACTED text exactly as a production run would.
     */
-  private def qCuration(s: SparkSession, dir: String): DataFrame = {
+  /** The synthesized-PII corpus + curation call shared by
+    * [[qCuration]] and [[qCurationPack]].
+    */
+  private def curatedDocs(s: SparkSession, dir: String): DataFrame = {
     val synth = docs(s, dir).select("doc_id", "lang", "text")
       .withColumn("text", concat(col("text"),
         lit(" contact user"), col("doc_id").cast("string"),
         lit("@example.com via https://example.com/d/"),
         col("doc_id").cast("string")))
     graft.pipeline.Curation.curate(synth, "doc_id", "text", "lang",
-        minQuality = 0.3, dedupThreshold = 0.8,
-        mixRates = Map("en" -> 0.5, "es" -> 1.0, "de" -> 0.25),
-        defaultRate = 0.1)
+      minQuality = 0.3, dedupThreshold = 0.8,
+      mixRates = Map("en" -> 0.5, "es" -> 1.0, "de" -> 0.25),
+      defaultRate = 0.1)
+  }
+
+  private def qCuration(s: SparkSession, dir: String): DataFrame =
+    curatedDocs(s, dir)
       .select("doc_id", "lang", "quality", "text")
       .orderBy("doc_id")
-  }
+
+  /** The curated corpus packed into training bins
+    * ([[qCuration]] ∘ [[graft.pipeline.Packing.packByOffset]]): the
+    * full pipeline a training run executes — quality gate → PII scrub
+    * → near-dedup → stratified mix → offset packing of the SURVIVORS
+    * (tokens counted on the redacted text) into 128-token bins per
+    * language shard — chained under one value oracle.
+    */
+  private def qCurationPack(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Packing.packByOffset(
+        curatedDocs(s, dir).select("doc_id", "lang", "text"),
+        "lang", "doc_id", TextOps.tokenCount(col("text")), 128)
+      .select("doc_id", "lang", "tokens", "offset", "bin")
+      .orderBy("lang", "doc_id")
 
   /** Int8 quantization audit over the embedding store
     * ([[Similarity.int8Scale]]/[[Similarity.int8Codes]] — the 4× storage/
@@ -1164,6 +1184,7 @@ object SparkEntry {
     "q_quantize" -> (qQuantize _),
     "q_sample" -> (qSample _),
     "q_curation" -> (qCuration _),
+    "q_curation_pack" -> (qCurationPack _),
     "q_bpe" -> (qBpe _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
   )
@@ -1172,6 +1193,66 @@ object SparkEntry {
   /** DuckDB rendering of [[TextOps.normalize]]. */
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val toksSql = s"string_split($normSql, ' ')"
+
+  /** The curation pipeline's CTE chain (synthesized PII → quality gate
+    * over the PRE-scrub text, as curate() computes it → redaction →
+    * md5-MinHash near-dup clusters → `dropped` losers), shared by
+    * `q_curation` and `q_curation_pack`; consumers select from `scrub`
+    * filtered by [[curationKeepPred]] (survivors + md5-bucket mix).
+    */
+  private lazy val curationCtes: String = {
+    import graft.pipeline.TextOps.{emailRe, urlRe, phoneRe, ccRe, ipv4Re}
+    val stop = s"len(list_filter($toksSql, x -> x IN (${inList(TextOps.langProfiles("en"))})))"
+    val redact = s"regexp_replace(regexp_replace(regexp_replace(" +
+      s"regexp_replace(regexp_replace(text, '$urlRe', '[URL]', 'g'), " +
+      s"'$emailRe', '[EMAIL]', 'g'), '$ccRe', '[CARD]', 'g'), " +
+      s"'$ipv4Re', '[IP]', 'g'), '$phoneRe', '[PHONE]', 'g')"
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_id, lang,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |    '@example.com via https://example.com/d/' ||
+       |    CAST(doc_id AS VARCHAR) AS text
+       |  FROM documents),
+       |qual AS (
+       |  SELECT doc_id, lang, text,
+       |    least(greatest(
+       |      least(CAST(len($toksSql) AS DOUBLE) / 64.0, 1.0) * 0.5
+       |      + least(CAST($stop AS DOUBLE) / greatest(CAST(len($toksSql) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3
+       |      + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+       |               / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2,
+       |      0.0), 1.0) AS quality
+       |  FROM base),
+       |scrub AS (
+       |  SELECT doc_id, lang, quality, $redact AS text
+       |  FROM qual WHERE quality >= 0.3),
+       |${nearDupCtesFrom("scrub")},
+       |pairs AS (
+       |  SELECT i.id_a, i.id_b
+       |  FROM inter i JOIN sz za ON za.doc_id = i.id_a
+       |  JOIN sz zb ON zb.doc_id = i.id_b
+       |  WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) >= 0.8),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT DISTINCT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT rc.id, e.dst FROM reach rc JOIN edges e ON e.src = rc.r),
+       |clusters AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |dropped AS (SELECT id AS doc_id FROM clusters WHERE id <> cluster_id)""".stripMargin
+  }
+
+  /** The curation keep predicate over `scrub`: near-dup survivors only,
+    * then the md5-bucket stratified mix (en 0.5, es 1.0, de 0.25,
+    * default 0.1).
+    */
+  private lazy val curationKeepPred: String = {
+    val h = "md5(CAST(doc_id AS VARCHAR))"
+    val bucket = s"(${nibSql(h, 1)} * 4096 + ${nibSql(h, 2)} * 256 " +
+      s"+ ${nibSql(h, 3)} * 16 + ${nibSql(h, 4)})"
+    s"""doc_id NOT IN (SELECT doc_id FROM dropped)
+       |  AND $bucket < CASE lang WHEN 'en' THEN 32768 WHEN 'es' THEN 65536
+       |                          WHEN 'de' THEN 16384 ELSE 6554 END""".stripMargin
+  }
 
   /** Shared CTE: distinct word-3-shingles per doc (DuckDB mirror of
     * [[Dedup.shingles]]) — over any relation carrying (doc_id, text).
@@ -2230,58 +2311,28 @@ object SparkEntry {
          |  CAST(COALESCE(g.n_bpe_gpt2, 0) AS BIGINT) AS n_bpe_gpt2
          |FROM ws LEFT JOIN g USING (doc_id) ORDER BY ws.doc_id""".stripMargin
     },
-    "q_curation" -> {
-      // the four stages' own oracle fragments, chained: synthesized PII →
-      // quality gate (over the PRE-scrub text, as curate() computes it) →
-      // redaction → md5-MinHash near-dup survivors → md5-bucket mix
-      import graft.pipeline.TextOps.{emailRe, urlRe, phoneRe, ccRe, ipv4Re}
-      val stop = s"len(list_filter($toksSql, x -> x IN (${inList(TextOps.langProfiles("en"))})))"
-      val h = "md5(CAST(doc_id AS VARCHAR))"
-      val bucket = s"(${nibSql(h, 1)} * 4096 + ${nibSql(h, 2)} * 256 " +
-        s"+ ${nibSql(h, 3)} * 16 + ${nibSql(h, 4)})"
-      val redact = s"regexp_replace(regexp_replace(regexp_replace(" +
-        s"regexp_replace(regexp_replace(text, '$urlRe', '[URL]', 'g'), " +
-        s"'$emailRe', '[EMAIL]', 'g'), '$ccRe', '[CARD]', 'g'), " +
-        s"'$ipv4Re', '[IP]', 'g'), '$phoneRe', '[PHONE]', 'g')"
-      s"""WITH RECURSIVE base AS (
-         |  SELECT doc_id, lang,
-         |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
-         |    '@example.com via https://example.com/d/' ||
-         |    CAST(doc_id AS VARCHAR) AS text
-         |  FROM documents),
-         |qual AS (
-         |  SELECT doc_id, lang, text,
-         |    least(greatest(
-         |      least(CAST(len($toksSql) AS DOUBLE) / 64.0, 1.0) * 0.5
-         |      + least(CAST($stop AS DOUBLE) / greatest(CAST(len($toksSql) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3
-         |      + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-         |               / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2,
-         |      0.0), 1.0) AS quality
-         |  FROM base),
-         |scrub AS (
-         |  SELECT doc_id, lang, quality, $redact AS text
-         |  FROM qual WHERE quality >= 0.3),
-         |${nearDupCtesFrom("scrub")},
-         |pairs AS (
-         |  SELECT i.id_a, i.id_b
-         |  FROM inter i JOIN sz za ON za.doc_id = i.id_a
-         |  JOIN sz zb ON zb.doc_id = i.id_b
-         |  WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) >= 0.8),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |reach AS (
-         |  SELECT DISTINCT src AS id, src AS r FROM edges
-         |  UNION
-         |  SELECT rc.id, e.dst FROM reach rc JOIN edges e ON e.src = rc.r),
-         |clusters AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
-         |dropped AS (SELECT id AS doc_id FROM clusters WHERE id <> cluster_id)
+    "q_curation" ->
+      s"""$curationCtes
          |SELECT doc_id, lang, quality, text
          |FROM scrub
-         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
-         |  AND $bucket < CASE lang WHEN 'en' THEN 32768 WHEN 'es' THEN 65536
-         |                          WHEN 'de' THEN 16384 ELSE 6554 END
-         |ORDER BY doc_id""".stripMargin
-    },
+         |WHERE $curationKeepPred
+         |ORDER BY doc_id""".stripMargin,
+    "q_curation_pack" ->
+      // the curated survivors packed into 128-token bins per language
+      // shard: the full training-data flow under one oracle (tokens
+      // counted on the REDACTED text, as the Spark pipeline does)
+      s"""$curationCtes,
+         |kept AS (SELECT doc_id, lang, text FROM scrub
+         |         WHERE $curationKeepPred),
+         |ktok AS (SELECT doc_id, lang,
+         |  CAST(len($toksSql) AS BIGINT) AS tokens FROM kept),
+         |kofs AS (SELECT doc_id, lang, tokens,
+         |  COALESCE(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+         |  FROM ktok)
+         |SELECT doc_id, lang, tokens, "offset",
+         |  CAST(floor("offset" / 128) AS BIGINT) AS bin
+         |FROM kofs ORDER BY lang, doc_id""".stripMargin,
     "q_quantize" ->
       // round() is half-away-from-zero in both engines, and the TINYINT
       // cast sees an exactly-integral double, so truncation-vs-rounding

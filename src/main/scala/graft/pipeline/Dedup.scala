@@ -208,6 +208,36 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** [[dropNearDuplicates]] with a QUALITY-aware survivor policy: each
+    * near-dup cluster keeps its highest-`scoreCol` member (ties toward
+    * the lower id) instead of blindly the min-id one — the production
+    * dedup knob when a quality signal exists (keep the cleanest copy of
+    * a template, not the first-crawled one). Shape: the cluster frame
+    * joins back only the (id, score) projection, a per-cluster `max_by`
+    * struct aggregate picks the survivor, and the corpus anti-joins the
+    * loser set — the extra cost over min-id survivors is one thin
+    * aggregate over cluster members (tiny relative to the corpus).
+    */
+  def dropNearDuplicatesKeepBest(df: DataFrame, idCol: String,
+      textCol: String, scoreCol: String, threshold: Double = 0.8,
+      numHashes: Int = 8, rowsPerBand: Int = 2, shingleK: Int = 3,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val pairs = nearDuplicatePairs(df, idCol, textCol, threshold,
+      numHashes, rowsPerBand, shingleK, maxBucket).select("id_a", "id_b")
+    val members = connectedComponents(pairs)
+      .join(df.select(col(idCol).as("id"), col(scoreCol).as("__s")), "id")
+    // lexicographic struct max = (score desc, then LOWER id): negate the
+    // id inside the struct so ties pin deterministically
+    val keep = members.groupBy("cluster_id")
+      .agg(max(struct(col("__s"), (-col("id")).as("__negid")))
+        .as("__best"))
+      .select((-col("__best.__negid")).as("id"))
+    val drop = members.select("id")
+      .join(keep, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** SimHash-based near-dup candidate groups: documents sharing an exact
     * 64-bit SimHash (Hamming distance 0). For distance ≤ k see
     * [[simHashNearPairs]].

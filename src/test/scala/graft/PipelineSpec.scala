@@ -67,6 +67,37 @@ class PipelineSpec extends SparkSpec {
     assert(zero.length == 1 && zero.head.getLong(2) == 0L)
   }
 
+  test("keep-best near-dedup keeps each cluster's highest-score member") {
+    import SparkSpec.spark.implicits._
+    // corpus with a quality column; clusters must keep argmax(quality),
+    // ties to the lower id — NOT the min id
+    val scored = docs.select("doc_id", "text")
+      .withColumn("q", (col("doc_id") % 7).cast("double"))
+    val best = Dedup.dropNearDuplicatesKeepBest(scored, "doc_id", "text",
+      "q", threshold = 0.8)
+    // reference: pairs -> components -> driver-side argmax per cluster
+    val pairs = Dedup.nearDuplicatePairs(scored, "doc_id", "text", 0.8)
+      .select("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(comp.nonEmpty, "fixture should contain near-dup clusters")
+    val qOf = scored.select("doc_id", "q").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expectDropped = comp.groupBy(_._2).values.flatMap { ms =>
+      val ids = ms.map(_._1)
+      val keep = ids.maxBy(id => (qOf(id), -id))
+      ids.filterNot(_ == keep)
+    }.toSet
+    val got = best.select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = scored.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == all -- expectDropped)
+    // and at least one cluster's survivor differs from the min-id policy
+    val minIdSurvivors = Dedup.dropNearDuplicates(scored, "doc_id",
+      "text", 0.8).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got != minIdSurvivors,
+      "fixture clusters should distinguish the two survivor policies")
+  }
+
   test("exact dedup keeps one survivor per content group") {
     val withDup = docs.unionAll(docs.limit(5))
     val deduped = Dedup.dropExactDuplicates(withDup, "doc_id", "text")
