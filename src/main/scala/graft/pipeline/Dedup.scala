@@ -226,12 +226,15 @@ object Dedup {
       numHashes, rowsPerBand, shingleK, maxBucket).select("id_a", "id_b")
     val members = connectedComponents(pairs)
       .join(df.select(col(idCol).as("id"), col(scoreCol).as("__s")), "id")
-    // lexicographic struct max = (score desc, then LOWER id): negate the
-    // id inside the struct so ties pin deterministically
-    val keep = members.groupBy("cluster_id")
-      .agg(max(struct(col("__s"), (-col("id")).as("__negid")))
-        .as("__best"))
-      .select((-col("__best.__negid")).as("id"))
+    // two thin aggregates instead of a struct-max with a negated id:
+    // the tie-break must stay type-generic (string/uuid ids negate to
+    // null and would silently drop whole clusters), so take the max
+    // score per cluster, then the MIN id among the members achieving it
+    val top = members.groupBy("cluster_id").agg(max("__s").as("__m"))
+    val keep = members.join(top, "cluster_id")
+      .filter(col("__s") === col("__m"))
+      .groupBy("cluster_id").agg(min("id").as("id"))
+      .select("id")
     val drop = members.select("id")
       .join(keep, Seq("id"), "left_anti")
       .select(col("id").as(idCol))

@@ -45,6 +45,12 @@ object Packing {
   def packByOffset(df: DataFrame, shardCol: String, orderCol: String,
       tokens: Column, budget: Int): DataFrame = {
     require(budget >= 1, s"budget must be >= 1 (got $budget)")
+    // fail fast instead of silently overwriting caller data: the output
+    // contract is "all input columns PLUS tokens/offset/bin"
+    val clash = df.columns.toSet.intersect(Set("tokens", "offset", "bin"))
+    require(clash.isEmpty,
+      s"input already has column(s) ${clash.mkString(", ")} — rename " +
+        "them before packing (the packing output claims those names)")
     val w = Window.partitionBy(shardCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("tokens", tokens.cast("long"))
@@ -82,7 +88,16 @@ object Packing {
   def chunkSpans(packed: DataFrame, budget: Int): DataFrame = {
     require(budget >= 1, s"budget must be >= 1 (got $budget)")
     val end = col("offset") + col("tokens") // exclusive
-    val firstBin = floor(col("offset") / budget).cast("long")
+    // the budget is re-supplied rather than carried by the frame; a
+    // value mismatched with the packByOffset call would silently emit
+    // pieces inconsistent with the `bin` assignment — re-derive the
+    // first bin and fail loudly if it disagrees
+    val firstBin = when(
+      floor(col("offset") / budget).cast("long") === col("bin"),
+      col("bin")).otherwise(raise_error(concat(
+        lit(s"chunkSpans: budget $budget disagrees with the packed " +
+          "frame's bin assignment (packed with a different budget?) "),
+        lit("at offset "), col("offset").cast("string"))))
     val lastBin = floor((end - 1) / budget).cast("long")
     packed
       .filter(col("tokens") > 0)

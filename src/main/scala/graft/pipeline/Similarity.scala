@@ -347,23 +347,30 @@ object Similarity {
     * literals, cell equi-join, `score` per candidate, per-query top-k
     * window (ties toward the lower corpus id).
     */
+  /** The per-row probe-cell array for a `__qv` query-vector column —
+    * [[probeCells]]' rule as a Column expression: negated cell id inside
+    * the sort struct, so sort_array desc orders by (cos desc, -cell
+    * desc) = (cos desc, cell ASC), ties toward the lower cell. The ONE
+    * definition every batch path shares.
+    */
+  private def probeCellsExpr(idx: IvfIndex, nProbe: Int): Column = {
+    val scoredCells = array(idx.centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(col("__qv"), vecLit(c)).as("cos"),
+        lit(-i).as("negcell"))
+    }: _*)
+    transform(
+      slice(sort_array(scoredCells, asc = false), 1, nProbe),
+      s => -s("negcell"))
+  }
+
   private def ivfBatchPlan(idx: IvfIndex, queries: DataFrame,
       qIdCol: String, qVecCol: String, k: Int, nProbe: Int,
       score: Column, dropCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // internal names so query columns can never collide with corpus ones
     val q = queries.select(col(qIdCol).as("__qid"), col(qVecCol).as("__qv"))
-    // negated cell id inside the sort struct: sort_array desc orders by
-    // (cos desc, -cell desc) = (cos desc, cell asc) — the probe tie rule
-    val scoredCells = array(idx.centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(col("__qv"), vecLit(c)).as("cos"),
-        lit(-i).as("negcell"))
-    }: _*)
-    val probes = transform(
-      slice(sort_array(scoredCells, asc = false), 1, nProbe),
-      s => -s("negcell"))
     val candidates = q
-      .withColumn("__probe", explode(probes))
+      .withColumn("__probe", explode(probeCellsExpr(idx, nProbe)))
       .join(idx.assigned, col("__probe") === col("__cell"))
       .withColumn("cosine", score)
     val w = Window.partitionBy("__qid")
@@ -600,15 +607,10 @@ object Similarity {
       nProbe: Int = 2, rerank: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(qIdCol).as("__qid"), col(qVecCol).as("__qv"))
-    // probe selection, exactly queryIvfBatch's rule: sort_array desc on
-    // (cos, -cell) = (cos desc, cell asc)
-    val scoredCells = array(idx.centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(col("__qv"), vecLit(c)).as("cos"),
-        lit(-i).as("negcell"))
-    }: _*)
-    val probes = transform(
-      slice(sort_array(scoredCells, asc = false), 1, nProbe),
-      s => -s("negcell"))
+    // probe selection shared with ivfBatchPlan — ONE definition of the
+    // probe tie rule, so the 'equals queryIvfBatch at full rerank'
+    // invariant cannot silently drift
+    val probes = probeCellsExpr(idx, nProbe)
     // the query's ADC lookup table: lut[j][c] = ⟨query_j, centroid_{j,c}⟩,
     // an element-order fold — bit-identical to Pq.approxDot's driver-side
     // LUT (same ops, same order) so single-query results match queryIvfPq

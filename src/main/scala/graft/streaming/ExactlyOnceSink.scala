@@ -98,7 +98,11 @@ object ExactlyOnceSink {
     * maintenance window, or read through a snapshot/table format if
     * readers can't be paused. (Dotfile staging and the marker are
     * invisible to parquet reads — only the delete→rename window is
-    * exposed.)
+    * exposed.) Nor alongside ANOTHER compact of the same lake: the
+    * crash-recovery protocol (orphan sweep, marker replacement) assumes
+    * a single compactor — an overlapping run could sweep a sibling's
+    * not-yet-committed staging. One maintenance job per lake, which is
+    * how a compaction cron is deployed anyway.
     *
     * Folding erases the partition-level provenance (folded rows adopt
     * the smallest folded id's directory); pass `preserveBatchId = true`
@@ -165,11 +169,14 @@ object ExactlyOnceSink {
     val toFold = batchDirs.dropRight(keepLast)
     if (toFold.length <= 1) return 0
     // read ONLY the folded partitions (partition pruning by id), rewrite
-    // them as one partition's worth of consolidated files. mergeSchema:
-    // after a preserving fold, partition files differ in whether they
-    // carry the provenance column — the union schema must see it
+    // them as one partition's worth of consolidated files. mergeSchema
+    // UNCONDITIONALLY: after a preserving fold, partition files differ
+    // in whether they carry the provenance column, and a later
+    // non-preserving fold inferring its schema from one arbitrary file
+    // would silently erase previously-preserved provenance — merged
+    // schemas keep existing `__src_batch_id` values through ANY fold
     val src = spark.read
-      .option("mergeSchema", preserveBatchId.toString)
+      .option("mergeSchema", "true")
       .parquet(path)
       .filter(col(BatchIdCol).isin(toFold: _*))
     val provenanced =
