@@ -572,5 +572,16 @@ class StreamingMaskSpec extends SparkSpec {
     val ids = spark.read.option("mergeSchema", "true").parquet(out)
       .select("id").collect().map(_.getLong(0)).toSeq.sorted
     assert(ids == (0 to 4).flatMap(b => b * 10L until b * 10L + 5).sorted)
+
+    // a later fold WITHOUT preserveBatchId must not erase the existing
+    // provenance values (the folded read merges schemas regardless of
+    // the flag; only NEW provenance stops being added)
+    ExactlyOnceSink.writeBatch(out)(batch(5), 5)
+    assert(ExactlyOnceSink.compact(spark, out) == 2)
+    val p3 = provenance()
+    assert(foldedIds2.forall(i => p3(i.toLong) == i / 10),
+      s"non-preserving fold erased earlier provenance: $p3")
+    // batch 4's rows were folded without preservation: provenance null
+    assert(!p3.contains(40L))
   }
 }
