@@ -1,10 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupStateTimeout,
   ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
-  TimerValues}
+  TimerValues, ValueState}
 
 import graft.blueprint.{Blueprint, ColumnRule, MaskCompiler, Rule}
 
@@ -112,6 +112,49 @@ final class NearDupBucketProcessor(threshold: Double, delayMs: Long)
       getHandle.registerTimer(kept.map(_.tsMs).max + delayMs)
     }
     Iterator.empty
+  }
+}
+
+/** A document with its streaming packing assignment — the output row of
+  * [[StreamMask.packStream]].
+  */
+final case class PackedDoc(shard: String, id: Long, tokens: Long,
+    offset: Long, bin: Long)
+
+/** Per-shard running token offset behind [[StreamMask.packStream]]:
+  * the streaming form of [[graft.pipeline.Packing.packByOffset]]'s
+  * window cumulative sum — one `ValueState[Long]` per shard carries the
+  * token count packed so far, each incoming document takes its offset
+  * from it and advances it. `TimeMode.None`: the counter must NEVER
+  * expire (a shard's bins number forward for the lifetime of the
+  * ingest), so state is O(#shards) — a handful of longs.
+  *
+  * Ordering contract: offsets follow ARRIVAL order (documents within
+  * one micro-batch are sub-ordered by id for determinism) — the
+  * streaming analog of the batch operator's pinned `orderCol` order.
+  * When files arrive in id order the two paths assign identical bins
+  * (spec-pinned).
+  */
+final class ShardOffsetProcessor(budget: Int)
+    extends StatefulProcessor[String, (String, Long, Long), PackedDoc] {
+
+  @transient private var cum: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    cum = getHandle.getValueState[Long]("cum", Encoders.scalaLong,
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: String,
+      rows: Iterator[(String, Long, Long)],
+      timerValues: TimerValues): Iterator[PackedDoc] = {
+    var c = if (cum.exists()) cum.get() else 0L
+    val out = rows.toSeq.sortBy(_._2).map { case (shard, id, toks) =>
+      val off = c
+      c += toks
+      PackedDoc(shard, id, toks, off, off / budget)
+    }
+    cum.update(c)
+    out.iterator
   }
 }
 
@@ -364,6 +407,32 @@ object StreamMask {
       // state lives only `watermark` past the pair's declared event time
       .dropDuplicatesWithinWatermark(Seq("id_a", "id_b"))
       .drop("eventTime")
+  }
+
+  /** Streaming sequence packing — the streaming form of
+    * [[graft.pipeline.Packing.packByOffset]]: every incoming document
+    * is assigned its token offset and training-bin id from a per-shard
+    * running counter ([[ShardOffsetProcessor]]), so bins fill
+    * CONTINUOUSLY as the ingest runs instead of in a nightly batch
+    * pass. Offsets follow arrival order (id-sub-ordered within a
+    * micro-batch); a downstream consumer closes bin `b` once a doc of
+    * bin > `b` appears in its shard. State is one long per shard,
+    * never expired. Requires the RocksDB state store, like every
+    * `transformWithState` operator.
+    */
+  def packStream(docs: DataFrame, shardCol: String, idCol: String,
+      tokens: Column, budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1 (got $budget)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(shardCol).cast("string").as("shard"),
+        col(idCol).cast("long").as("id"), tokens.cast("long").as("toks"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new ShardOffsetProcessor(budget),
+        TimeMode.None(), OutputMode.Append)
+      .toDF()
   }
 
   /** Session windows per user: a session closes after `gap` of silence

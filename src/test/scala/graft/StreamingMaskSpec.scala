@@ -342,6 +342,42 @@ class StreamingMaskSpec extends SparkSpec {
       s"restart broke exactly-once delivery: $landedPairs")
   }
 
+  test("streaming packing equals the batch offset packing under ordered " +
+      "arrival") {
+    import SparkSpec.spark.implicits._
+    import graft.pipeline.{Packing, TextOps}
+    val base = Files.createTempDirectory("graft_pack_stream").toString
+    val in = s"$base/in"
+    val docs = spark.read.parquet(s"$fixtures/documents.parquet")
+      .select("doc_id", "lang", "text")
+    // id-ordered files => per-shard arrival order == doc_id order, the
+    // regime where streaming assignment must EQUAL the batch window
+    val n = docs.count()
+    docs.filter(col("doc_id") < n / 3).write.parquet(s"$in/f0")
+    docs.filter(col("doc_id") >= n / 3 && col("doc_id") < 2 * n / 3)
+      .write.parquet(s"$in/f1")
+    docs.filter(col("doc_id") >= 2 * n / 3).write.parquet(s"$in/f2")
+    val schema = spark.read.parquet(s"$in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val streamed = withRocksDbStateStore(runToMemory(
+      StreamMask.packStream(stream, "lang", "doc_id",
+        TextOps.tokenCount(col("text")), 256),
+      "pack_stream", "append").collect())
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sorted
+    val batch = Packing.packByOffset(docs, "lang", "doc_id",
+        TextOps.tokenCount(col("text")), 256)
+      .select(col("lang"), col("doc_id"), col("tokens"), col("offset"),
+        col("bin"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sorted
+    assert(streamed.nonEmpty && streamed == batch,
+      "streaming packing diverged from the batch window assignment")
+  }
+
   test("streaming heavy hitters honor the Misra-Gries bounds over the " +
       "full ingest") {
     import graft.pipeline.TextOps
