@@ -190,19 +190,106 @@ object Multimodal {
       }
   }
 
+  /** REAL video container metadata via a hand-rolled ISO-BMFF (MP4/MOV)
+    * box walker — the JDK ships no video codec, but the container
+    * STRUCTURE is plain length-prefixed boxes (ISO/IEC 14496-12):
+    * `ftyp` identifies the brand, `moov/mvhd` carries
+    * timescale + duration, and the first `trak/tkhd` the presentation
+    * width/height as 16.16 fixed-point. The positional meta tuple is
+    * (mime, width, height, durationMs); FRAME pixels would need an
+    * external decoder, so features fall back to the deterministic
+    * opaque-bytes histogram — honest metadata, no fake decode. Total:
+    * any malformed/truncated box tree degrades to the opaque profile,
+    * never throws.
+    */
+  object VideoCodec extends MediaCodec {
+    private def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def u64(b: Array[Byte], o: Int): Long =
+      (u32(b, o) << 32) | u32(b, o + 4)
+    private def boxType(b: Array[Byte], o: Int): String =
+      new String(b, o + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+    private def sniff(b: Array[Byte]): Option[String] =
+      if (b.length >= 12 && boxType(b, 0) == "ftyp") {
+        val brand = new String(b, 8, 4,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        Some(if (brand.startsWith("qt")) "video/quicktime" else "video/mp4")
+      } else None
+
+    /** First box named `name` in `[from, to)`: its (payload start,
+      * box end). Size 0 = "to end of enclosing box", size 1 = 64-bit
+      * largesize; any inconsistent size aborts the walk (None).
+      */
+    private def findBox(b: Array[Byte], from: Int, to: Int,
+        name: String): Option[(Int, Int)] = {
+      var o = from
+      while (o + 8 <= to) {
+        val size0 = u32(b, o)
+        val (hdr, size) =
+          if (size0 == 1 && o + 16 <= to) (16L, u64(b, o + 8))
+          else (8L, if (size0 == 0) (to - o).toLong else size0)
+        if (size < hdr || o + size > to) return None
+        if (boxType(b, o) == name)
+          return Some(((o + hdr).toInt, (o + size).toInt))
+        o += size.toInt
+      }
+      None
+    }
+
+    def meta(bytes: Array[Byte]): (String, Int, Int, Int) =
+      sniff(bytes).flatMap { m =>
+        try for {
+          (moovS, moovE) <- findBox(bytes, 0, bytes.length, "moov")
+          (mvhdS, _) <- findBox(bytes, moovS, moovE, "mvhd")
+        } yield {
+          // mvhd v0: timescale@12, 32-bit duration@16;
+          // v1: 64-bit times — timescale@20, duration@24
+          val (ts, dur) =
+            if ((bytes(mvhdS) & 0xff) == 1)
+              (u32(bytes, mvhdS + 20), u64(bytes, mvhdS + 24))
+            else (u32(bytes, mvhdS + 12), u32(bytes, mvhdS + 16))
+          val durMs = if (ts > 0) dur * 1000 / ts else 0L
+          // tkhd v0: 16.16 width@76/height@80; v1 (64-bit times): @88/@92
+          val wh = for {
+            (trakS, trakE) <- findBox(bytes, moovS, moovE, "trak")
+            (tkS, tkE) <- findBox(bytes, trakS, trakE, "tkhd")
+            base = if ((bytes(tkS) & 0xff) == 1) tkS + 88 else tkS + 76
+            if base + 8 <= tkE
+          } yield ((u32(bytes, base) >> 16).toInt,
+            (u32(bytes, base + 4) >> 16).toInt)
+          val (w, h) = wh.getOrElse((0, 0))
+          (m, w, h, durMs.toInt)
+        } catch { case _: Exception => None }
+      }.getOrElse(("application/octet-stream", 0, 0, 0))
+
+    /** No JDK frame decoder exists — the deterministic opaque-bytes
+      * histogram, the same fallback every codec shares.
+      */
+    def features(bytes: Array[Byte], dim: Int): Array[Float] =
+      ImageCodec.features(bytes, dim)
+  }
+
   /** Modality-dispatching codec: images through [[ImageCodec]], audio
-    * through [[AudioCodec]], everything else the deterministic opaque
-    * profile. The default codec for mixed-modality corpora — one
-    * [[decodePartitioned]] pass handles a lake directory of interleaved
-    * payloads without a per-modality pre-split.
+    * through [[AudioCodec]], MP4/MOV containers through [[VideoCodec]],
+    * everything else the deterministic opaque profile. The default codec
+    * for mixed-modality corpora — one [[decodePartitioned]] pass handles
+    * a lake directory of interleaved payloads without a per-modality
+    * pre-split.
     */
   object CompositeCodec extends MediaCodec {
     private def isAudio(b: Array[Byte]): Boolean =
       AudioCodec.meta(b)._1 != "application/octet-stream"
+    private def isVideo(b: Array[Byte]): Boolean =
+      VideoCodec.meta(b)._1 != "application/octet-stream"
     def meta(bytes: Array[Byte]): (String, Int, Int, Int) =
-      if (isAudio(bytes)) AudioCodec.meta(bytes) else ImageCodec.meta(bytes)
+      if (isAudio(bytes)) AudioCodec.meta(bytes)
+      else if (isVideo(bytes)) VideoCodec.meta(bytes)
+      else ImageCodec.meta(bytes)
     def features(bytes: Array[Byte], dim: Int): Array[Float] =
       if (isAudio(bytes)) AudioCodec.features(bytes, dim)
+      else if (isVideo(bytes)) VideoCodec.features(bytes, dim)
       else ImageCodec.features(bytes, dim)
   }
 

@@ -852,6 +852,49 @@ class PipelineSpec extends SparkSpec {
     assert(got.size == 35)
   }
 
+  test("video codec parses ISO-BMFF container metadata from raw bytes") {
+    import java.nio.ByteBuffer
+    val s = spark
+    import s.implicits._
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      ByteBuffer.allocate(8 + payload.length).putInt(8 + payload.length)
+        .put(typ.getBytes("ISO-8859-1")).put(payload).array()
+    // mvhd v0: ver+flags, creation, modification, timescale=1000,
+    // duration=5000 (→ 5000 ms), then trailing fields the parser skips
+    val mvhd = box("mvhd", ByteBuffer.allocate(96)
+      .putInt(0).putInt(0).putInt(0).putInt(1000).putInt(5000).array())
+    // tkhd v0: 76 header/matrix bytes, then 16.16 width and height
+    val tk = ByteBuffer.allocate(84)
+    tk.position(76)
+    tk.putInt(640 << 16).putInt(360 << 16)
+    val tkhd = box("tkhd", tk.array())
+    val mp4 = box("ftyp",
+        "isomiso2".getBytes("ISO-8859-1") ++ new Array[Byte](4)) ++
+      box("moov", mvhd ++ box("trak", tkhd)) ++
+      box("mdat", Array.fill[Byte](32)(7))
+    assert(Multimodal.VideoCodec.meta(mp4) == ("video/mp4", 640, 360, 5000))
+    // the composite codec dispatches the container without a pre-split
+    assert(Multimodal.CompositeCodec.meta(mp4) ==
+      ("video/mp4", 640, 360, 5000))
+    // QuickTime brand maps to its own mime
+    val mov = box("ftyp",
+        "qt      ".getBytes("ISO-8859-1")) ++
+      box("moov", mvhd ++ box("trak", tkhd))
+    assert(Multimodal.VideoCodec.meta(mov)._1 == "video/quicktime")
+    // truncated mid-moov: degrades to the opaque profile, never throws
+    assert(Multimodal.VideoCodec.meta(mp4.take(40)) ==
+      ("application/octet-stream", 0, 0, 0))
+    // and through the partition-batched decode path
+    val got = Multimodal.decodePartitioned(
+        Seq((1L, mp4)).toDF("id", "payload"), "payload",
+        featureDim = 4, codec = Multimodal.CompositeCodec)
+      .collect().head
+    val meta = got.getStruct(2)
+    assert(meta.getString(0) == "video/mp4" && meta.getInt(1) == 640 &&
+      meta.getInt(2) == 360 && meta.getInt(3) == 5000)
+    assert(got.getSeq[Float](3).length == 4)
+  }
+
   test("audio decode: real WAV sample rate, channels, frames, RMS envelope") {
     val s = spark
     import s.implicits._
