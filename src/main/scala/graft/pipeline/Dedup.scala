@@ -244,9 +244,16 @@ object Dedup {
   /** SimHash-based near-dup candidate groups: documents sharing an exact
     * 64-bit SimHash (Hamming distance 0). For distance ≤ k see
     * [[simHashNearPairs]].
+    *
+    * Hashes come from the per-row [[TextOps.simHash64Expr]] (bit-identical
+    * to the aggregate-shaped [[TextOps.simHash64]], property-tested):
+    * the hash is one narrow projection, so the ONLY shuffle is the group
+    * aggregate itself — the aggregate form pays a 64×-row bit explode
+    * plus an extra keyed exchange first.
     */
   def simHashGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    TextOps.simHash64(df, idCol, textCol)
+    df.select(col(idCol),
+        TextOps.simHash64Expr(col(textCol)).as("simhash"))
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .filter(col("n_docs") > 1)
