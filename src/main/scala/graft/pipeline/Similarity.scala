@@ -363,15 +363,32 @@ object Similarity {
       s => -s("negcell"))
   }
 
+  /** The union of cells any query probes — a TINY eager job over the
+    * query frame (result ≤ min(|queries|·nProbe, nCentroids) ints).
+    * Joining the corpus on `__cell` alone cannot prune partitions at
+    * the source (a filter can't cross a join without runtime pruning);
+    * materialising the probed-cell set and filtering the corpus with a
+    * literal `isin` BEFORE the join turns the candidate scan into a
+    * partition-pruned read of exactly the probed cells' files on a
+    * [[writeIvfIndex]]-family layout — the difference between reading
+    * `|probed cells|` and the whole corpus per batch.
+    */
+  private def probedCellUnion(q: DataFrame, idx: IvfIndex,
+      nProbe: Int): Seq[Int] =
+    q.select(explode(probeCellsExpr(idx, nProbe)).as("__probe"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+
   private def ivfBatchPlan(idx: IvfIndex, queries: DataFrame,
       qIdCol: String, qVecCol: String, k: Int, nProbe: Int,
       score: Column, dropCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // internal names so query columns can never collide with corpus ones
     val q = queries.select(col(qIdCol).as("__qid"), col(qVecCol).as("__qv"))
+    val cells = probedCellUnion(q, idx, nProbe)
     val candidates = q
       .withColumn("__probe", explode(probeCellsExpr(idx, nProbe)))
-      .join(idx.assigned, col("__probe") === col("__cell"))
+      .join(idx.assigned.filter(col("__cell").isInCollection(cells)),
+        col("__probe") === col("__cell"))
       .withColumn("cosine", score)
     val w = Window.partitionBy("__qid")
       .orderBy(col("cosine").desc, col(idx.idCol))
@@ -626,9 +643,13 @@ object Similarity {
       .withColumn("__lut", lut)
       .withColumn("__probe", explode(probes))
       .select("__qid", "__lut", "__probe")
+    // the probed-cell union (tiny eager job) prunes BOTH corpus scans
+    // at the source — see probedCellUnion
+    val cells = probedCellUnion(q, idx, nProbe)
     // candidate scan: (id, cell, codes) only — floats stay on disk
     val candidates = probed.join(
-      idx.assigned.select(col(idx.idCol), col("__cell"), col(PqCodesCol)),
+      idx.assigned.filter(col("__cell").isInCollection(cells))
+        .select(col(idx.idCol), col("__cell"), col(PqCodesCol)),
       col("__probe") === col("__cell"))
     val adc = (0 until cb.m).map { j =>
       element_at(element_at(col("__lut"), j + 1),
@@ -649,7 +670,8 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idx.idCol))
     survivors
       .join(q, "__qid")
-      .join(idx.assigned.drop(PqCodesCol), Seq("__cell", idx.idCol))
+      .join(idx.assigned.filter(col("__cell").isInCollection(cells))
+        .drop(PqCodesCol), Seq("__cell", idx.idCol))
       .withColumn("cosine", cosine(col(idx.vecCol), col("__qv")))
       .withColumn("__rnk", row_number().over(wK))
       .filter(col("__rnk") <= k)

@@ -394,12 +394,23 @@ class PipelineSpec extends SparkSpec {
 
   test("batch int8 IVF == per-query int8 loop on every query") {
     val corpus = embeddings.filter(col("vec_id") >= 3)
-    val coded = Similarity.int8Index(
+    val memIdx = Similarity.int8Index(
       Similarity.buildIvfIndex(corpus, "vec_id", "embedding"))
+    // through the persisted layout, so the probed-cell-union pruning is
+    // visible as a source partition filter
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-int8-batch").toString
+    Similarity.writeIvfIndex(memIdx, dir)
+    val coded = Similarity.loadIvfIndex(spark, dir)
     val queries = embeddings.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    val batch = Similarity.queryIvfInt8Batch(coded, queries, "query_id",
-        "embedding", k = 10)
+    val batchDf = Similarity.queryIvfInt8Batch(coded, queries, "query_id",
+      "embedding", k = 10)
+    val plan = batchDf.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*__cell[^\\]]*IN".r
+      .findFirstIn(plan).isDefined,
+      s"no __cell partition filter in the int8 batch plan:\n$plan")
+    val batch = batchDf
       .select("query_id", "vec_id", "cosine").collect()
       .groupBy(_.getLong(0))
       .map { case (qid, rs) => qid -> rs.map(r => (r.getLong(1),
@@ -434,6 +445,11 @@ class PipelineSpec extends SparkSpec {
     assert("ReadSchema: struct<vec_id:[^,]+,__codes".r
       .findFirstIn(plan).isDefined,
       s"candidate scan did not prune to id+codes:\n$plan")
+    // and the probed-cell union prunes the corpus scans at the SOURCE
+    // (an equi-join alone cannot push partition filters)
+    assert("PartitionFilters: \\[[^\\]]*__cell[^\\]]*IN".r
+      .findFirstIn(plan).isDefined,
+      s"no __cell partition filter in the batch plan:\n$plan")
     // tight rerank: per-query equality with the single-query composed path
     val batch = batchDf
       .select("query_id", "vec_id", "cosine").collect()
