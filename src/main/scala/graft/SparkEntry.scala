@@ -737,6 +737,24 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental near-dedup ([[graft.pipeline.Dedup.buildNearDupIndex]] /
+    * [[graft.pipeline.Dedup.nearDupPairsAgainstIndex]]): the even-id
+    * half of the corpus plays the already-landed indexed corpus, the
+    * odd-id half the incoming ingest batch — every cross near-dup pair
+    * at Jaccard ≥ 0.8 must surface WITHOUT a corpus self-join (the
+    * batch's banded signatures broadcast into the index scan). The
+    * oracle re-derives the full MinHash → banding → verify pipeline
+    * across the split.
+    */
+  private def qDedupIncr(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val idx = Dedup.buildNearDupIndex(
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    Dedup.nearDupPairsAgainstIndex(idx,
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text", 0.8)
+      .orderBy("id_old", "id_new")
+  }
+
   /** Sequence packing ([[graft.pipeline.Packing.packByOffset]]): assign
     * every document to its fixed-token-budget training bin — offset
     * packing (concat-and-chunk) per language shard, budget 256
@@ -1152,6 +1170,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_incr" -> (qDedupIncr _),
     "q_text_stats" -> (qTextStats _),
     "q_subword" -> (qSubword _),
     "q_lang_id" -> (qLangId _),
@@ -1621,6 +1640,36 @@ object SparkEntry {
          |  SELECT rc.id, e.dst FROM reach rc JOIN edges e ON e.src = rc.r)
          |SELECT id AS doc_id, MIN(r) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_dedup_incr" -> {
+      // the incremental shape across the even/odd split: signatures are
+      // per-doc (split-independent), candidates pair an EVEN (indexed
+      // corpus) doc with an ODD (ingest batch) doc on a shared band
+      // signature, then the standard exact-Jaccard verify
+      val mins = (0 until 8)
+        .map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")
+      val bandSel = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS sig FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |bands AS ($bandSel),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_old, b.doc_id AS id_new
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.sig = b.sig
+         |         WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.id_old, c.id_new, count(*) AS n_inter
+         |          FROM cand c JOIN sh sa ON sa.doc_id = c.id_old
+         |          JOIN sh sb ON sb.doc_id = c.id_new
+         |            AND sb.shingle = sa.shingle
+         |          GROUP BY c.id_old, c.id_new)
+         |SELECT i.id_old, i.id_new, i.n_inter,
+         |  CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) AS jaccard
+         |FROM inter i JOIN sz za ON za.doc_id = i.id_old
+         |JOIN sz zb ON zb.doc_id = i.id_new
+         |WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) >= 0.8
+         |ORDER BY id_old, id_new""".stripMargin
+    },
     "q_text_stats" ->
       // CAST SUM/MAX to BIGINT: DuckDB SUM(integer) yields HUGEINT (float64
       // in pandas) and MAX(len) INT vs Spark's int64 — dtype-exact both sides

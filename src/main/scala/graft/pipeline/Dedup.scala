@@ -117,21 +117,28 @@ object Dedup {
     *   degenerate duplicates better handled by exact dedup. `None`
     *   (default) keeps the historical exact-recall behavior.
     */
-  def lshCandidates(sigs: DataFrame, idCol: String, numHashes: Int,
-      rowsPerBand: Int, maxBucket: Option[Int] = None): DataFrame = {
+  /** (id, band, sig) rows of a signature frame — the banded form behind
+    * [[lshCandidates]] and the incremental-index family. The band
+    * signature is a STRUCT of the band's hash columns: equality on the
+    * struct is equality on every member, works for md5 strings and
+    * xxhash64 longs alike, and skips a string concat per band.
+    */
+  private[graft] def bandedSigs(sigs: DataFrame, idCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
     val nBands = numHashes / rowsPerBand
-    // the band signature is a STRUCT of the band's hash columns — equality
-    // on the struct is equality on every member, works for md5 strings and
-    // xxhash64 longs alike, and skips a string concat per band
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         struct((0 until rowsPerBand)
           .map(r => col(s"h${b * rowsPerBand + r}").as(s"m$r")): _*).as("sig"))
     }
-    val bands = sigs.select(col(idCol),
-        explode(array(bandCols: _*)).as("bs"))
+    sigs.select(col(idCol), explode(array(bandCols: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  def lshCandidates(sigs: DataFrame, idCol: String, numHashes: Int,
+      rowsPerBand: Int, maxBucket: Option[Int] = None): DataFrame = {
+    val bands = bandedSigs(sigs, idCol, numHashes, rowsPerBand)
     val kept = maxBucket.fold(bands) { m =>
       val small = bands.groupBy("band", "sig")
         .agg(count(lit(1)).as("__n")).filter(col("__n") <= m)
@@ -411,5 +418,114 @@ object Dedup {
           .as("hamming"))
       .filter(col("hamming") <= k)
       .distinct()
+  }
+
+  /** A built near-dup index over an already-landed corpus: the banded
+    * MinHash signatures, the distinct (id, shingle) rows, and per-doc
+    * shingle counts — everything an INCREMENTAL ingest batch needs to
+    * dedup against the corpus without recomputing it. Build once per
+    * corpus ([[buildNearDupIndex]]), persist with
+    * [[writeNearDupIndex]], probe per batch with
+    * [[nearDupPairsAgainstIndex]].
+    */
+  final case class NearDupIndex(bands: DataFrame, shingles: DataFrame,
+      sizes: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int,
+      shingleK: Int, production64: Boolean)
+
+  /** Build the incremental-dedup index frames for `df`. With
+    * `production64` the signatures use xxhash64 (the ~10× cheaper
+    * family); the shingle table is hash-family independent either way.
+    */
+  def buildNearDupIndex(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, rowsPerBand: Int = 2, shingleK: Int = 3,
+      production64: Boolean = false): NearDupIndex = {
+    val sh = shingles(df, idCol, textCol, shingleK)
+    val sigs =
+      if (production64) minHashSignatures64(sh, idCol, numHashes)
+      else minHashSignatures(sh, idCol, numHashes)
+    NearDupIndex(
+      bandedSigs(sigs, idCol, numHashes, rowsPerBand),
+      sh,
+      sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz")),
+      idCol, numHashes, rowsPerBand, shingleK, production64)
+  }
+
+  /** Near-duplicate pairs of an incoming batch AGAINST the indexed
+    * corpus: the incremental-ingest shape, where re-running the full
+    * self-join dedup per batch would re-shingle and re-shuffle the
+    * whole corpus. Returns (id_old, id_new, n_inter, jaccard) for
+    * every (corpus doc, batch doc) pair clearing `threshold` — pairs
+    * WITHIN the batch are deliberately out of scope (run the batch
+    * through [[nearDuplicatePairs]] for those; they're a batch-local
+    * cost).
+    *
+    * Scale shape: the batch side is small by construction, so its
+    * banded signatures broadcast into the candidate join — the index
+    * tables stream through WITHOUT a shuffle; the Jaccard verify joins
+    * the index shingle table only on candidate ids. Per batch the work
+    * is one corpus-band scan + candidate-proportional verification,
+    * never a corpus self-join.
+    */
+  def nearDupPairsAgainstIndex(idx: NearDupIndex, newDocs: DataFrame,
+      idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val shNew = shingles(newDocs, idCol, textCol, idx.shingleK)
+    val sigNew =
+      if (idx.production64) minHashSignatures64(shNew, idCol, idx.numHashes)
+      else minHashSignatures(shNew, idCol, idx.numHashes)
+    val bNew = bandedSigs(sigNew, idCol, idx.numHashes, idx.rowsPerBand)
+      .select(col(idCol).as("id_new"), col("band"), col("sig"))
+    val cands = idx.bands
+      .select(col(idx.idCol).as("id_old"), col("band"), col("sig"))
+      .join(broadcast(bNew), Seq("band", "sig"))
+      .select("id_old", "id_new").distinct()
+    val inter = cands
+      .join(idx.shingles.select(col(idx.idCol).as("id_old"),
+        col("shingle")), "id_old")
+      .join(shNew.select(col(idCol).as("id_new"), col("shingle")),
+        Seq("id_new", "shingle"))
+      .groupBy("id_old", "id_new")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(idx.sizes.select(col(idx.idCol).as("id_old"),
+        col("sz").as("sz_old")), "id_old")
+      .join(shNew.groupBy(col(idCol)).agg(count(lit(1)).as("sz_new"))
+        .select(col(idCol).as("id_new"), col("sz_new")), "id_new")
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("sz_old") + col("sz_new") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_old", "id_new", "n_inter", "jaccard")
+  }
+
+  /** Persist a [[NearDupIndex]]: bands PARTITIONED BY `band` (a probe
+    * touches every band, but band files sort by signature so row-group
+    * stats narrow the scan), shingles and sizes as plain tables, and a
+    * one-row meta sidecar so the index round-trips without external
+    * configuration.
+    */
+  def writeNearDupIndex(idx: NearDupIndex, path: String): Unit = {
+    idx.bands.sortWithinPartitions("band", "sig")
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    idx.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+    idx.sizes.write.mode("overwrite").parquet(s"$path/sizes")
+    val spark = idx.bands.sparkSession
+    import spark.implicits._
+    Seq((idx.idCol, idx.numHashes, idx.rowsPerBand, idx.shingleK,
+        idx.production64))
+      .toDF("id_col", "num_hashes", "rows_per_band", "shingle_k",
+        "production64")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load an index written by [[writeNearDupIndex]]. */
+  def loadNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): NearDupIndex = {
+    val m = spark.read.parquet(s"$path/meta").head
+    NearDupIndex(
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/shingles"),
+      spark.read.parquet(s"$path/sizes"),
+      m.getString(0), m.getInt(1), m.getInt(2), m.getInt(3),
+      m.getBoolean(4))
   }
 }

@@ -67,6 +67,46 @@ class PipelineSpec extends SparkSpec {
     assert(zero.length == 1 && zero.head.getLong(2) == 0L)
   }
 
+  test("incremental dedup against a persisted index equals the " +
+      "cross-split slice of the full self-join") {
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    // reference: the full-corpus self-join's cross-parity pairs
+    val full = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 0.8)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_inter"), r.getAs[Double]("jaccard")))
+    val expect = full.filter(p => p._1 % 2 != p._2 % 2)
+      .map { case (a, b, n, j) =>
+        if (a % 2 == 0) (a, b, n, j) else (b, a, n, j) }
+      .toSet
+    assert(expect.nonEmpty, "fixture should plant cross-parity pairs")
+    // via the persisted index (round-trips the meta sidecar too)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-neardup-idx").toString
+    Dedup.writeNearDupIndex(
+      Dedup.buildNearDupIndex(even, "doc_id", "text"), dir)
+    val loaded = Dedup.loadNearDupIndex(spark, dir)
+    assert(loaded.idCol == "doc_id" && loaded.numHashes == 8 &&
+      !loaded.production64)
+    val got = Dedup.nearDupPairsAgainstIndex(loaded, odd, "doc_id",
+        "text", 0.8)
+      .collect()
+      .map(r => (r.getAs[Long]("id_old"), r.getAs[Long]("id_new"),
+        r.getAs[Long]("n_inter"), r.getAs[Double]("jaccard"))).toSet
+    assert(got == expect, s"index probe ${got.size} vs full ${expect.size}")
+    // the production xxhash64 family finds the same planted pairs
+    val idx64 = Dedup.buildNearDupIndex(even, "doc_id", "text",
+      production64 = true)
+    val got64 = Dedup.nearDupPairsAgainstIndex(idx64, odd, "doc_id",
+        "text", 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got64 == expect,
+      "xxhash64 index diverged from the md5 index on the planted pairs")
+  }
+
   test("keep-best near-dedup keeps each cluster's highest-score member") {
     import SparkSpec.spark.implicits._
     // corpus with a quality column; clusters must keep argmax(quality),
