@@ -89,8 +89,14 @@ class PipelineSpec extends SparkSpec {
     val loaded = Dedup.loadNearDupIndex(spark, dir)
     assert(loaded.idCol == "doc_id" && loaded.numHashes == 8 &&
       !loaded.production64)
-    val got = Dedup.nearDupPairsAgainstIndex(loaded, odd, "doc_id",
-        "text", 0.8)
+    val probe = Dedup.nearDupPairsAgainstIndex(loaded, odd, "doc_id",
+      "text", 0.8)
+    // the scale claim, pinned: the batch side broadcasts into the
+    // candidate join, so the index band table streams without a shuffle
+    assert(probe.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "candidate join must broadcast the batch's banded signatures")
+    val got = probe
       .collect()
       .map(r => (r.getAs[Long]("id_old"), r.getAs[Long]("id_new"),
         r.getAs[Long]("n_inter"), r.getAs[Double]("jaccard"))).toSet
