@@ -1852,8 +1852,8 @@ object SparkEntry {
       s"""WITH tok AS (SELECT doc_id, lang,
          |  CAST(len($toksSql) AS BIGINT) AS tokens FROM documents),
          |ofs AS (SELECT doc_id, lang, tokens,
-         |  COALESCE(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+         |  CAST(COALESCE(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
          |  FROM tok)
          |SELECT doc_id, lang, tokens, "offset",
          |  CAST(floor("offset" / 256) AS BIGINT) AS bin
@@ -1865,8 +1865,8 @@ object SparkEntry {
       s"""WITH tok AS (SELECT doc_id, lang,
          |  CAST(len($toksSql) AS BIGINT) AS tokens FROM documents),
          |ofs AS (SELECT doc_id, lang, tokens,
-         |  COALESCE(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+         |  CAST(COALESCE(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
          |  FROM tok),
          |pieces AS (SELECT doc_id, lang, tokens, "offset",
          |  unnest(generate_series(CAST(floor("offset" / 256) AS BIGINT),
@@ -2376,8 +2376,8 @@ object SparkEntry {
          |ktok AS (SELECT doc_id, lang,
          |  CAST(len($toksSql) AS BIGINT) AS tokens FROM kept),
          |kofs AS (SELECT doc_id, lang, tokens,
-         |  COALESCE(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+         |  CAST(COALESCE(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
          |  FROM ktok)
          |SELECT doc_id, lang, tokens, "offset",
          |  CAST(floor("offset" / 128) AS BIGINT) AS bin
