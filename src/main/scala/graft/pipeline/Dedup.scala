@@ -430,16 +430,33 @@ object Dedup {
     */
   final case class NearDupIndex(bands: DataFrame, shingles: DataFrame,
       sizes: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int,
-      shingleK: Int, production64: Boolean)
+      shingleK: Int, production64: Boolean) {
+    /** Release the cached shingle frame a [[buildNearDupIndex]] build
+      * holds (no-op on a [[loadNearDupIndex]]-loaded index, whose frames
+      * are plain parquet reads). Call once the index is written or
+      * probing is done.
+      */
+    def unpersistShingles(): Unit = { shingles.unpersist(); () }
+  }
 
   /** Build the incremental-dedup index frames for `df`. With
     * `production64` the signatures use xxhash64 (the ~10× cheaper
     * family); the shingle table is hash-family independent either way.
+    *
+    * The shingle frame feeds all three index tables (signatures, the
+    * shingle table itself, per-doc sizes), so it is persisted here —
+    * the CPU-heavy explode + distinct runs once per build, not once per
+    * consumer (a [[writeNearDupIndex]] of an unshared frame would
+    * re-shingle the corpus per output table). MEMORY_AND_DISK because
+    * shingle rows are corpus-scale: spill beats recompute, and the
+    * deterministic lineage keeps eviction safe. Release with
+    * [[NearDupIndex.unpersistShingles]] when done.
     */
   def buildNearDupIndex(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, rowsPerBand: Int = 2, shingleK: Int = 3,
       production64: Boolean = false): NearDupIndex = {
     val sh = shingles(df, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs =
       if (production64) minHashSignatures64(sh, idCol, numHashes)
       else minHashSignatures(sh, idCol, numHashes)
@@ -465,19 +482,29 @@ object Dedup {
     * the index shingle table only on candidate ids. Per batch the work
     * is one corpus-band scan + candidate-proportional verification,
     * never a corpus self-join.
+    *
+    * `broadcastBatch` forces the broadcast hint (the default). The
+    * broadcast side is the batch's banded signature rows — numHashes /
+    * rowsPerBand rows per batch doc, assembled ON THE DRIVER and capped
+    * by Spark's hard 8 GB broadcast-table limit well before that by
+    * driver/executor memory; as a rule of thumb keep batches under a
+    * few million docs. For a jumbo backfill batch pass
+    * `broadcastBatch = false` to degrade to a shuffle join on (band,
+    * sig) instead of OOMing.
     */
   def nearDupPairsAgainstIndex(idx: NearDupIndex, newDocs: DataFrame,
       idCol: String, textCol: String,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, broadcastBatch: Boolean = true): DataFrame = {
     val shNew = shingles(newDocs, idCol, textCol, idx.shingleK)
     val sigNew =
       if (idx.production64) minHashSignatures64(shNew, idCol, idx.numHashes)
       else minHashSignatures(shNew, idCol, idx.numHashes)
-    val bNew = bandedSigs(sigNew, idCol, idx.numHashes, idx.rowsPerBand)
+    val bNew0 = bandedSigs(sigNew, idCol, idx.numHashes, idx.rowsPerBand)
       .select(col(idCol).as("id_new"), col("band"), col("sig"))
+    val bNew = if (broadcastBatch) broadcast(bNew0) else bNew0
     val cands = idx.bands
       .select(col(idx.idCol).as("id_old"), col("band"), col("sig"))
-      .join(broadcast(bNew), Seq("band", "sig"))
+      .join(bNew, Seq("band", "sig"))
       .select("id_old", "id_new").distinct()
     val inter = cands
       .join(idx.shingles.select(col(idx.idCol).as("id_old"),

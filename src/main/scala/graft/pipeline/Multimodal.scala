@@ -238,6 +238,25 @@ object Multimodal {
       None
     }
 
+    /** ALL boxes named `name` in `[from, to)`, in file order; an
+      * inconsistent size stops the walk at what was found so far.
+      */
+    private def findBoxes(b: Array[Byte], from: Int, to: Int,
+        name: String): Seq[(Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var o = from
+      while (o + 8 <= to) {
+        val size0 = u32(b, o)
+        val (hdr, size) =
+          if (size0 == 1 && o + 16 <= to) (16L, u64(b, o + 8))
+          else (8L, if (size0 == 0) (to - o).toLong else size0)
+        if (size < hdr || o + size > to) return out.toSeq
+        if (boxType(b, o) == name) out += (((o + hdr).toInt, (o + size).toInt))
+        o += size.toInt
+      }
+      out.toSeq
+    }
+
     def meta(bytes: Array[Byte]): (String, Int, Int, Int) =
       sniff(bytes).flatMap { m =>
         try for {
@@ -251,14 +270,25 @@ object Multimodal {
               (u32(bytes, mvhdS + 20), u64(bytes, mvhdS + 24))
             else (u32(bytes, mvhdS + 12), u32(bytes, mvhdS + 16))
           val durMs = if (ts > 0) dur * 1000 / ts else 0L
-          // tkhd v0: 16.16 width@76/height@80; v1 (64-bit times): @88/@92
-          val wh = for {
-            (trakS, trakE) <- findBox(bytes, moovS, moovE, "trak")
-            (tkS, tkE) <- findBox(bytes, trakS, trakE, "tkhd")
-            base = if ((bytes(tkS) & 0xff) == 1) tkS + 88 else tkS + 76
-            if base + 8 <= tkE
-          } yield ((u32(bytes, base) >> 16).toInt,
-            (u32(bytes, base + 4) >> 16).toInt)
+          // tkhd v0: 16.16 width@76/height@80; v1 (64-bit times): @88/@92.
+          // A QuickTime file may legally put an audio or hint trak before
+          // the video trak (and only visual tracks carry nonzero tkhd
+          // dimensions), so scan ALL traks and take the first tkhd with
+          // nonzero width AND height, not the first trak blindly.
+          val wh = findBoxes(bytes, moovS, moovE, "trak").iterator
+            .flatMap { case (trakS, trakE) =>
+              findBox(bytes, trakS, trakE, "tkhd").flatMap {
+                case (tkS, tkE) =>
+                  val base =
+                    if ((bytes(tkS) & 0xff) == 1) tkS + 88 else tkS + 76
+                  if (base + 8 > tkE) None
+                  else {
+                    val tw = (u32(bytes, base) >> 16).toInt
+                    val th = (u32(bytes, base + 4) >> 16).toInt
+                    if (tw > 0 && th > 0) Some((tw, th)) else None
+                  }
+              }
+            }.nextOption()
           val (w, h) = wh.getOrElse((0, 0))
           (m, w, h, durMs.toInt)
         } catch { case _: Exception => None }

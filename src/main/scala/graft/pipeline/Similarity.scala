@@ -322,6 +322,12 @@ object Similarity {
     * Tie rules match [[queryIvf]] exactly: probe ties toward the lower
     * cell id, result ties toward the lower corpus id.
     *
+    * NOTE: the call itself runs a small eager job (it checkpoints the
+    * thin query projection and collects the probed-cell union used to
+    * prune the corpus scan) — the returned frame is lazy, the probe-set
+    * derivation is not. The query frame may be non-deterministic; it is
+    * materialised exactly once.
+    *
     * Output: query id (as `qIdCol`), all corpus columns, `cosine`.
     */
   def queryIvfBatch(idx: IvfIndex, queries: DataFrame, qIdCol: String,
@@ -372,18 +378,37 @@ object Similarity {
     * partition-pruned read of exactly the probed cells' files on a
     * [[writeIvfIndex]]-family layout — the difference between reading
     * `|probed cells|` and the whole corpus per batch.
+    *
+    * Callers MUST pass an already-materialised query frame (see
+    * [[pinnedQueryFrame]]): this union and the downstream lazy plan read
+    * the frame independently, and if a non-deterministic source
+    * (sampling, rand, a re-read of changing data) re-evaluated between
+    * the two, a query could probe a cell the `isin` prefilter excluded —
+    * silently dropping its candidates.
     */
   private def probedCellUnion(q: DataFrame, idx: IvfIndex,
       nProbe: Int): Seq[Int] =
     q.select(explode(probeCellsExpr(idx, nProbe)).as("__probe"))
       .distinct().collect().map(_.getInt(0)).toSeq
 
+  /** The internal (`__qid`, `__qv`) query projection, pinned with an
+    * eager localCheckpoint so every consumer — the probed-cell union's
+    * collect, the candidate explode, the rerank join — reads the SAME
+    * materialised rows. The checkpoint is what makes the batch paths
+    * safe on non-deterministic query frames; it is thin (id + vector)
+    * and batch-sized by construction, so the eager job is cheap.
+    */
+  private def pinnedQueryFrame(queries: DataFrame, qIdCol: String,
+      qVecCol: String): DataFrame =
+    queries.select(col(qIdCol).as("__qid"), col(qVecCol).as("__qv"))
+      .localCheckpoint()
+
   private def ivfBatchPlan(idx: IvfIndex, queries: DataFrame,
       qIdCol: String, qVecCol: String, k: Int, nProbe: Int,
       score: Column, dropCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // internal names so query columns can never collide with corpus ones
-    val q = queries.select(col(qIdCol).as("__qid"), col(qVecCol).as("__qv"))
+    val q = pinnedQueryFrame(queries, qIdCol, qVecCol)
     val cells = probedCellUnion(q, idx, nProbe)
     val candidates = q
       .withColumn("__probe", explode(probeCellsExpr(idx, nProbe)))
@@ -616,6 +641,10 @@ object Similarity {
     * so on a single query this EQUALS [[queryIvfPq]], and with `rerank`
     * ≥ the probed cells' row count it equals [[queryIvfBatch]].
     *
+    * NOTE: like [[queryIvfBatch]], the call runs a small eager job
+    * (query-projection checkpoint + probed-cell union collect) before
+    * returning the lazy result frame.
+    *
     * Output: query id (as `qIdCol`), all corpus columns except the
     * internals (`__cell`, codes), `pq_score` of the survivor, `cosine`.
     */
@@ -623,7 +652,7 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
       nProbe: Int = 2, rerank: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col(qIdCol).as("__qid"), col(qVecCol).as("__qv"))
+    val q = pinnedQueryFrame(queries, qIdCol, qVecCol)
     // probe selection shared with ivfBatchPlan — ONE definition of the
     // probe tie rule, so the 'equals queryIvfBatch at full rerank'
     // invariant cannot silently drift

@@ -943,6 +943,15 @@ class PipelineSpec extends SparkSpec {
         "qt      ".getBytes("ISO-8859-1")) ++
       box("moov", mvhd ++ box("trak", tkhd))
     assert(Multimodal.VideoCodec.meta(mov)._1 == "video/quicktime")
+    // an audio (or hint) trak may legally precede the video trak and
+    // carries 0×0 tkhd dimensions — the walker must keep scanning traks
+    // until it finds one with real dimensions
+    val audioTkhd = box("tkhd", new Array[Byte](84))
+    val audioFirst = box("ftyp",
+        "isomiso2".getBytes("ISO-8859-1") ++ new Array[Byte](4)) ++
+      box("moov", mvhd ++ box("trak", audioTkhd) ++ box("trak", tkhd))
+    assert(Multimodal.VideoCodec.meta(audioFirst) ==
+      ("video/mp4", 640, 360, 5000))
     // truncated mid-moov: degrades to the opaque profile, never throws
     assert(Multimodal.VideoCodec.meta(mp4.take(40)) ==
       ("application/octet-stream", 0, 0, 0))
