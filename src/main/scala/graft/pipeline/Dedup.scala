@@ -555,4 +555,53 @@ object Dedup {
       m.getString(0), m.getInt(1), m.getInt(2), m.getInt(3),
       m.getBoolean(4))
   }
+
+  /** Fold an ingested batch INTO the persisted index at `path` — the
+    * missing half of the incremental-ingest loop: probe with
+    * [[nearDupPairsAgainstIndex]], keep the survivors, then append THEM
+    * here so the next batch dedups against corpus ∪ batch without a
+    * full [[buildNearDupIndex]] rebuild. After the append,
+    * [[loadNearDupIndex]] sees exactly the index a fresh build over the
+    * combined corpus would produce (same rows; file layout differs).
+    *
+    * The banding family and parameters come FROM the meta sidecar —
+    * never from the caller — so an append can not silently mix hash
+    * families or shingle widths; a missing/unreadable sidecar fails
+    * loudly before any write. `newDocs`' id column is renamed to the
+    * index's `idCol` on write.
+    *
+    * `checkDisjoint` (default true) verifies no batch id already exists
+    * in the index — an overlapping id would double its size/shingle
+    * rows and corrupt every later Jaccard against it. The check is one
+    * thin scan of the sizes table against the (broadcast-sized) batch
+    * ids; opt out only when disjointness is guaranteed upstream.
+    *
+    * Scale shape: appended work ∝ batch (shingle + sign the batch only);
+    * the three appends land new files without rewriting existing ones
+    * (bands keep the `band=` partition dirs). The three table appends
+    * are NOT atomic as a group — a crash mid-append can leave a partial
+    * batch; re-ingest under NEW ids or rebuild to recover.
+    */
+  def appendToNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame, idCol: String, textCol: String,
+      checkDisjoint: Boolean = true): Unit = {
+    val idx = loadNearDupIndex(spark, path)
+    val renamed = newDocs.select(col(idCol).as(idx.idCol), col(textCol))
+    if (checkDisjoint) {
+      val overlap = idx.sizes
+        .join(broadcast(renamed.select(idx.idCol).distinct()), idx.idCol)
+        .limit(1).count()
+      require(overlap == 0L,
+        s"appendToNearDupIndex: batch ids overlap the index at $path — " +
+          "appending would double-count their shingles/sizes")
+    }
+    val batch = buildNearDupIndex(renamed, idx.idCol, textCol,
+      idx.numHashes, idx.rowsPerBand, idx.shingleK, idx.production64)
+    try {
+      batch.bands.sortWithinPartitions("band", "sig")
+        .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+      batch.shingles.write.mode("append").parquet(s"$path/shingles")
+      batch.sizes.write.mode("append").parquet(s"$path/sizes")
+    } finally batch.unpersistShingles()
+  }
 }

@@ -113,6 +113,45 @@ class PipelineSpec extends SparkSpec {
       "xxhash64 index diverged from the md5 index on the planted pairs")
   }
 
+  test("appending a batch to a persisted near-dup index equals a fresh " +
+      "rebuild over the combined corpus") {
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch1 = docs.filter(col("doc_id") % 4 === 1)
+    val batch2 = docs.filter(col("doc_id") % 4 === 3)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-neardup-append").toString
+    Dedup.writeNearDupIndex(
+      Dedup.buildNearDupIndex(corpus, "doc_id", "text"), dir)
+    Dedup.appendToNearDupIndex(spark, dir, batch1, "doc_id", "text")
+    val loaded = Dedup.loadNearDupIndex(spark, dir)
+    // meta sidecar untouched by the append
+    assert(loaded.idCol == "doc_id" && loaded.numHashes == 8 &&
+      loaded.rowsPerBand == 2 && loaded.shingleK == 3 &&
+      !loaded.production64)
+    def pairs(p: org.apache.spark.sql.DataFrame) = p.collect()
+      .map(r => (r.getAs[Long]("id_old"), r.getAs[Long]("id_new"),
+        r.getAs[Long]("n_inter"), r.getAs[Double]("jaccard"))).toSet
+    val gotAfterAppend = pairs(Dedup.nearDupPairsAgainstIndex(
+      loaded, batch2, "doc_id", "text", 0.8))
+    val fresh = Dedup.buildNearDupIndex(
+      corpus.unionAll(batch1), "doc_id", "text")
+    val expect = pairs(Dedup.nearDupPairsAgainstIndex(
+      fresh, batch2, "doc_id", "text", 0.8))
+    assert(expect.exists(_._1 % 2 == 1),
+      "fixture should pair a second-batch doc against the FIRST batch — " +
+        "otherwise the append contributed nothing to the probe")
+    assert(gotAfterAppend == expect,
+      s"append probe ${gotAfterAppend.size} vs fresh rebuild ${expect.size}")
+    // overlapping ids must fail loudly, and leave the index unchanged
+    val thrown = intercept[IllegalArgumentException] {
+      Dedup.appendToNearDupIndex(spark, dir, batch1, "doc_id", "text")
+    }
+    assert(thrown.getMessage.contains("overlap"))
+    assert(pairs(Dedup.nearDupPairsAgainstIndex(
+      Dedup.loadNearDupIndex(spark, dir), batch2, "doc_id", "text", 0.8))
+      == expect, "failed append must not mutate the index")
+  }
+
   test("keep-best near-dedup keeps each cluster's highest-score member") {
     import SparkSpec.spark.implicits._
     // corpus with a quality column; clusters must keep argmax(quality),
