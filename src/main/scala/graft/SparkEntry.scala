@@ -784,6 +784,42 @@ object SparkEntry {
       .select("doc_id", "lang", "piece_bin", "doc_from", "piece_tokens")
       .orderBy("lang", "doc_id", "piece_bin")
 
+  /** [[qPack]] budgeted in REAL tokenizer tokens instead of whitespace
+    * words: [[graft.functions.Bpe.tokenCount]] under the demo vocabulary
+    * supplies `tokens`, so the bin assignment reflects what a trainer's
+    * context window actually holds (whitespace counts under-estimate
+    * subword budgets 1.3–2×). The oracle re-derives the tokenizer as
+    * q_bpe's nested replace chain, then runs the same window sum.
+    */
+  private def qPackBpe(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Bpe
+    graft.pipeline.Packing.packByOffset(
+        docs(s, dir).select("doc_id", "lang", "text"),
+        "lang", "doc_id",
+        Bpe.tokenCount(Bpe.demoEnglish)(TextOps.tokens(col("text"))), 256)
+      .select("doc_id", "lang", "tokens", "offset", "bin")
+      .orderBy("lang", "doc_id")
+  }
+
+  /** The materialised token-id sequence ([[graft.functions.Bpe
+    * .encodeWithIds]] under the canonical merges-derived numbering),
+    * exploded to one row per (doc, position) so every token string AND
+    * id is value-oracled — the DuckDB side re-runs the merge chain,
+    * splits on the separator, renumbers with the SAME alphabet-then-rank
+    * VALUES table, and must reproduce the sequence exactly.
+    */
+  private def qBpeIds(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Bpe, BpeVocab}
+    val v = BpeVocab(Bpe.demoEnglish, BpeVocab.asciiPrintable)
+    docs(s, dir)
+      .select(col("doc_id"),
+        posexplode(Bpe.encodeWithIds(v)(TextOps.tokens(col("text")))))
+      .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("pos"),
+        col("col.token").as("token"),
+        col("col.token_id").cast("bigint").as("token_id"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** Heavy hitters in the EXACT regime ([[TextOps.heavyHitters]] with
     * `k` = 64 > the fixture's 31 distinct tokens): with no evictions the
     * Misra-Gries sketch IS the exact frequency table, making its
@@ -1205,6 +1241,8 @@ object SparkEntry {
     "q_curation" -> (qCuration _),
     "q_curation_pack" -> (qCurationPack _),
     "q_bpe" -> (qBpe _),
+    "q_bpe_ids" -> (qBpeIds _),
+    "q_pack_bpe" -> (qPackBpe _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
   )
 
@@ -1212,6 +1250,28 @@ object SparkEntry {
   /** DuckDB rendering of [[TextOps.normalize]]. */
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val toksSql = s"string_split($normSql, ' ')"
+
+  /** The BPE-oracle building blocks shared by `q_bpe`, `q_bpe_ids` and
+    * `q_pack_bpe`: tokenizers evaluated as sequential rank-order merges
+    * (== greedy under BpeMerges' construction invariant) — codepoints
+    * joined by a separator byte absent from the corpus, one `replace()`
+    * per merge rule; token count = separators + 1.
+    */
+  private val bpeSepSql = "chr(31)"
+  private def bpeChainSql(rules: Seq[(String, String)],
+      base: String): String =
+    rules.foldLeft(base) { case (acc, (a, b)) =>
+      s"replace($acc, '$a' || $bpeSepSql || '$b', '$a$b')"
+    }
+  /** The demoEnglish merge chain over a word column named `tok`. */
+  private def bpeMergedSql: String =
+    bpeChainSql(graft.functions.Bpe.demoEnglish.rules,
+      s"rtrim(regexp_replace(tok, '(.)', '\\1' || $bpeSepSql, 'g'), " +
+        s"$bpeSepSql)")
+  /** Per-word token count of a merged column `m` (empty words are 0). */
+  private val bpeCountSql =
+    s"CASE WHEN tok = '' THEN 0 " +
+      s"ELSE length(m) - length(replace(m, $bpeSepSql, '')) + 1 END"
 
   /** The curation pipeline's CTE chain (synthesized PII → quality gate
     * over the PRE-scrub text, as curate() computes it → redaction →
@@ -2324,42 +2384,75 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin
     },
     "q_bpe" -> {
-      // the SAME tokenizers, evaluated as sequential rank-order merges
-      // (== greedy under BpeMerges' construction invariant): codepoints
-      // joined by a separator byte absent from the corpus, one replace()
-      // per merge rule, token count = separators + 1. The gpt2-style
-      // path re-extracts the identical pre-token pieces with the shared
-      // Java∩RE2 regex (DuckDB is RE2) before the same merge chain.
-      val sep = "chr(31)"
-      def chain(rules: Seq[(String, String)], base: String) =
-        rules.foldLeft(base) { case (acc, (a, b)) =>
-          s"replace($acc, '$a' || $sep || '$b', '$a$b')"
-        }
-      val merged = chain(graft.functions.Bpe.demoEnglish.rules,
-        s"rtrim(regexp_replace(tok, '(.)', '\\1' || $sep, 'g'), $sep)")
-      val pmerged = chain(graft.functions.Bpe.demoGpt2.rules,
-        s"rtrim(regexp_replace(piece, '(.)', '\\1' || $sep, 'g'), $sep)")
+      // the SAME tokenizers via the shared bpeChainSql rendering. The
+      // gpt2-style path re-extracts the identical pre-token pieces with
+      // the shared Java∩RE2 regex (DuckDB is RE2) before the same merge
+      // chain.
+      val pmerged = bpeChainSql(graft.functions.Bpe.demoGpt2.rules,
+        s"rtrim(regexp_replace(piece, '(.)', '\\1' || $bpeSepSql, 'g'), " +
+          s"$bpeSepSql)")
       val pat = graft.functions.Bpe.preTokenizeRegex.replace("'", "''")
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-         |enc AS (SELECT doc_id, tok, $merged AS m FROM toks),
+         |enc AS (SELECT doc_id, tok, $bpeMergedSql AS m FROM toks),
          |ws AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
-         |  CAST(SUM(CASE WHEN tok = '' THEN 0
-         |           ELSE length(m) - length(replace(m, $sep, '')) + 1 END)
-         |       AS BIGINT) AS n_bpe_tokens
+         |  CAST(SUM($bpeCountSql) AS BIGINT) AS n_bpe_tokens
          |  FROM enc GROUP BY doc_id),
          |p AS (SELECT doc_id,
          |        unnest(regexp_extract_all($normSql, '$pat')) AS piece
          |      FROM documents),
          |penc AS (SELECT doc_id, $pmerged AS m FROM p),
          |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_gpt2_pieces,
-         |  CAST(SUM(length(m) - length(replace(m, $sep, '')) + 1) AS BIGINT)
-         |    AS n_bpe_gpt2
+         |  CAST(SUM(length(m) - length(replace(m, $bpeSepSql, '')) + 1)
+         |    AS BIGINT) AS n_bpe_gpt2
          |  FROM penc GROUP BY doc_id)
          |SELECT ws.doc_id, ws.n_ws_tokens, ws.n_bpe_tokens,
          |  CAST(COALESCE(g.n_gpt2_pieces, 0) AS BIGINT) AS n_gpt2_pieces,
          |  CAST(COALESCE(g.n_bpe_gpt2, 0) AS BIGINT) AS n_bpe_gpt2
          |FROM ws LEFT JOIN g USING (doc_id) ORDER BY ws.doc_id""".stripMargin
     },
+    "q_bpe_ids" -> {
+      // full value oracle on the token-ID SEQUENCE: re-run the merge
+      // chain, split on the separator, renumber with the identical
+      // alphabet-then-rank VALUES table, compare every (pos, token, id)
+      val vocab = graft.functions.BpeVocab(
+        graft.functions.Bpe.demoEnglish,
+        graft.functions.BpeVocab.asciiPrintable)
+      val vocabValues = vocab.idOf.toSeq.sortBy(_._2)
+        .map { case (t, i) => s"('${t.replace("'", "''")}', $i)" }
+        .mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok,
+         |  unnest(generate_series(1, len($toksSql))) AS wi FROM documents),
+         |enc AS (SELECT doc_id, wi, $bpeMergedSql AS m FROM toks
+         |        WHERE tok <> ''),
+         |tt AS (SELECT doc_id, wi,
+         |  unnest(string_split(m, $bpeSepSql)) AS token,
+         |  unnest(generate_series(1, len(string_split(m, $bpeSepSql))))
+         |    AS ti FROM enc),
+         |voc(token, token_id) AS (VALUES $vocabValues),
+         |pos AS (SELECT doc_id, token,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY wi, ti) AS pos
+         |  FROM tt)
+         |SELECT p.doc_id, CAST(p.pos AS BIGINT) AS pos, p.token,
+         |  CAST(COALESCE(voc.token_id, -1) AS BIGINT) AS token_id
+         |FROM pos p LEFT JOIN voc USING (token)
+         |ORDER BY doc_id, pos""".stripMargin
+    },
+    "q_pack_bpe" ->
+      // q_pack's window sum, budgeted by the re-derived BPE token count
+      s"""WITH toks AS (SELECT doc_id, lang, unnest($toksSql) AS tok
+         |              FROM documents),
+         |enc AS (SELECT doc_id, lang, tok, $bpeMergedSql AS m FROM toks),
+         |tok AS (SELECT doc_id, lang,
+         |  CAST(COALESCE(SUM($bpeCountSql), 0) AS BIGINT) AS tokens
+         |  FROM enc GROUP BY doc_id, lang),
+         |ofs AS (SELECT doc_id, lang, tokens,
+         |  CAST(COALESCE(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS "offset"
+         |  FROM tok)
+         |SELECT doc_id, lang, tokens, "offset",
+         |  CAST(floor("offset" / 256) AS BIGINT) AS bin
+         |FROM ofs ORDER BY lang, doc_id""".stripMargin,
     "q_curation" ->
       s"""$curationCtes
          |SELECT doc_id, lang, quality, text

@@ -103,6 +103,56 @@ final case class BpeMerges(rules: Seq[(String, String)])
   }
 }
 
+/** One emitted token with its vocabulary id — [[Bpe.encodeWithIds]]'s
+  * element type (case class so the struct fields are named, not `_1`).
+  */
+final case class BpeToken(token: String, token_id: Int)
+
+/** Token-id numbering over a merges table, derived the canonical way a
+  * BPE release with no explicit vocab file is numbered: base-alphabet
+  * entries take ids `0 .. |alphabet|-1` in the given order, then each
+  * merge rule's output takes id `|alphabet| + rank`. The ranges can
+  * never collide — merge outputs are ≥ 2 codepoints, alphabet entries
+  * exactly 1 — and [[BpeMerges]]' construction already guarantees
+  * outputs are distinct. A token outside the vocabulary (a codepoint
+  * the alphabet lacks) maps to `unkId` rather than failing; the
+  * drop/replace decision belongs to the caller.
+  *
+  * Like the merges table, the whole vocabulary is a broadcast-size
+  * closure value — id assignment adds no distributed state.
+  */
+final case class BpeVocab(merges: BpeMerges, alphabet: Seq[String],
+    unkId: Int = -1) extends Serializable {
+  {
+    require(alphabet.distinct == alphabet,
+      "alphabet entries must be distinct")
+    alphabet.foreach(a => require(a.codePointCount(0, a.length) == 1,
+      s"alphabet entry '$a' must be a single codepoint"))
+  }
+
+  /** Total id space: alphabet then merge outputs. */
+  def size: Int = alphabet.size + merges.rules.size
+
+  @transient lazy val idOf: Map[String, Int] =
+    (alphabet.zipWithIndex ++
+      merges.rules.zipWithIndex.map { case ((a, b), i) =>
+        (a + b, alphabet.size + i)
+      }).toMap
+
+  /** Greedy-encode `word` and number each token. */
+  def encodeIds(word: String): Seq[Int] =
+    merges.encode(word).map(idOf.getOrElse(_, unkId))
+}
+
+object BpeVocab {
+
+  /** Printable-ASCII base alphabet (codepoints 32–126) — covers
+    * normalized English corpora; real deployments pass their release's
+    * byte alphabet in its published order.
+    */
+  val asciiPrintable: Seq[String] = (32 to 126).map(_.toChar.toString)
+}
+
 object BpeMerges {
 
   /** Load a merges file in the standard `merges.txt` layout: one
@@ -136,6 +186,35 @@ object Bpe {
     */
   def tokenCount(vocab: BpeMerges)(words: Column): Column = {
     val f = udf((ws: Seq[String]) => vocab.countTokens(ws))
+    f(words)
+  }
+
+  /** Column function: the materialised token sequence of a word-array
+    * column — one `array<struct<token, token_id>>` per row, tokens in
+    * word order then merge order, empty words skipped. THE missing half
+    * of the tokenize→pack flow: `transform(..., _.token_id)` (or
+    * [[tokenIds]]) is the id sequence a trainer consumes, `size(...)`
+    * equals [[tokenCount]], and a downstream bin assembler slices it by
+    * [[graft.pipeline.Packing.chunkSpans]]' `doc_from`/`piece_tokens`.
+    * One UDF call encodes each row once — ids come from the same greedy
+    * pass as the token strings, never a second encode.
+    */
+  def encodeWithIds(vocab: BpeVocab)(words: Column): Column = {
+    val f = udf((ws: Seq[String]) =>
+      ws.iterator.filter(_.nonEmpty).flatMap { w =>
+        vocab.merges.encode(w).map(t =>
+          BpeToken(t, vocab.idOf.getOrElse(t, vocab.unkId)))
+      }.toSeq)
+    f(words)
+  }
+
+  /** Column function: just the flat token-id array (`array<int>`) of a
+    * word-array column under `vocab` — [[encodeWithIds]] without the
+    * token strings, for pipelines that only ship ids.
+    */
+  def tokenIds(vocab: BpeVocab)(words: Column): Column = {
+    val f = udf((ws: Seq[String]) =>
+      ws.iterator.filter(_.nonEmpty).flatMap(vocab.encodeIds).toSeq)
     f(words)
   }
 

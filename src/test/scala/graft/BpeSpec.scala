@@ -162,4 +162,45 @@ class BpeSpec extends SparkSpec {
         s"doc ${r.get(0)}: bpe ${r.getLong(2)} < words ${r.getLong(1)}")
     }
   }
+
+  test("vocab numbers alphabet then merge outputs, unknowns to unkId") {
+    import graft.functions.BpeVocab
+    val v = BpeVocab(Bpe.demoEnglish, BpeVocab.asciiPrintable)
+    assert(v.size == 95 + Bpe.demoEnglish.rules.size)
+    // alphabet ids are positional: 'a' is codepoint 97, alphabet starts at 32
+    assert(v.idOf("a") == 97 - 32)
+    // merge outputs number from |alphabet| in rank order: rule 1 is ("th","e")
+    assert(v.idOf("the") == 95 + 1)
+    // ids come from the SAME greedy pass as the strings
+    assert(v.encodeIds("anding") ==
+      Seq(v.idOf("and"), v.idOf("ing")))
+    // a codepoint outside printable ASCII maps to unkId, not a crash
+    assert(v.encodeIds("naïve").contains(-1))
+    // construction validates the alphabet
+    intercept[IllegalArgumentException](
+      BpeVocab(Bpe.demoEnglish, Seq("a", "a")))
+    intercept[IllegalArgumentException](
+      BpeVocab(Bpe.demoEnglish, Seq("ab")))
+  }
+
+  test("column path emits the (token, id) sequence and the id array") {
+    import graft.functions.BpeVocab
+    val s = spark
+    import s.implicits._
+    val v = BpeVocab(Bpe.demoEnglish, BpeVocab.asciiPrintable)
+    val df = Seq((1L, "the cat anding")).toDF("doc_id", "text")
+    val words = TextOps.tokens(col("text"))
+    val row = df.select(
+        Bpe.encodeWithIds(v)(words).as("tt"),
+        Bpe.tokenIds(v)(words).as("ids"),
+        Bpe.tokenCount(Bpe.demoEnglish)(words).as("n"))
+      .collect().head
+    val toks = row.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getInt(1)))
+    assert(toks.map(_._1) == Seq("the", "c", "a", "t", "and", "ing"))
+    // ids agree between the struct form and the flat form, and with size
+    assert(row.getSeq[Int](1) == toks.map(_._2))
+    assert(row.getInt(2) == toks.length)
+    assert(toks.forall { case (t, id) => v.idOf(t) == id })
+  }
 }
