@@ -820,6 +820,33 @@ object SparkEntry {
       .orderBy("doc_id", "pos")
   }
 
+  /** The END of the training-batch flow: tokenize-to-ids → BPE-budget
+    * offset packing → boundary splitting → bin assembly
+    * ([[graft.pipeline.Packing.assembleBins]]) — every bin's
+    * concatenated id sequence, value-checked per bin on piece count,
+    * token fill, first/last doc, and the id content (count + sum;
+    * q_bpe_ids already pins every id per position, so together the
+    * assembled sequences are fully determined).
+    */
+  private def qPackBins(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Bpe, BpeVocab}
+    import graft.pipeline.Packing
+    val v = BpeVocab(Bpe.demoEnglish, BpeVocab.asciiPrintable)
+    val withIds = docs(s, dir).select("doc_id", "lang", "text")
+      .withColumn("ids", Bpe.tokenIds(v)(TextOps.tokens(col("text"))))
+    val packed = Packing.packByOffset(withIds, "lang", "doc_id",
+      size(col("ids")).cast("long"), 256)
+    Packing.assembleBins(Packing.chunkSpans(packed, 256),
+        "lang", "doc_id", "ids")
+      .select(col("lang"), col("bin"), col("n_pieces"), col("bin_tokens"),
+        col("first_piece").as("first_doc"),
+        col("last_piece").as("last_doc"),
+        size(col("token_ids")).cast("bigint").as("n_ids"),
+        aggregate(col("token_ids"), lit(0L),
+          (a, x) => a + x.cast("long")).as("id_sum"))
+      .orderBy("lang", "bin")
+  }
+
   /** Heavy hitters in the EXACT regime ([[TextOps.heavyHitters]] with
     * `k` = 64 > the fixture's 31 distinct tokens): with no evictions the
     * Misra-Gries sketch IS the exact frequency table, making its
@@ -1243,6 +1270,7 @@ object SparkEntry {
     "q_bpe" -> (qBpe _),
     "q_bpe_ids" -> (qBpeIds _),
     "q_pack_bpe" -> (qPackBpe _),
+    "q_pack_bins" -> (qPackBins _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
   )
 
@@ -1272,6 +1300,35 @@ object SparkEntry {
   private val bpeCountSql =
     s"CASE WHEN tok = '' THEN 0 " +
       s"ELSE length(m) - length(replace(m, $bpeSepSql, '')) + 1 END"
+  /** The demo numbering as a `(token, token_id)` VALUES list — the
+    * DuckDB mirror of [[graft.functions.BpeVocab]]'s alphabet-then-rank
+    * ids, shared by `q_bpe_ids` and `q_pack_bins`.
+    */
+  private lazy val bpeVocabValuesSql: String =
+    graft.functions.BpeVocab(graft.functions.Bpe.demoEnglish,
+        graft.functions.BpeVocab.asciiPrintable)
+      .idOf.toSeq.sortBy(_._2)
+      .map { case (t, i) => s"('${t.replace("'", "''")}', $i)" }
+      .mkString(", ")
+  /** The per-doc token-id sequence CTE chain (`toks`→`enc`→`tt`→`voc`→
+    * `seq`): every document's (pos, token_id) rows under the demo
+    * vocabulary — `q_bpe_ids` selects it directly, `q_pack_bins`
+    * aggregates it per assembled bin.
+    */
+  private lazy val bpeSeqCtes: String =
+    s"""toks AS (SELECT doc_id, lang, unnest($toksSql) AS tok,
+       |  unnest(generate_series(1, len($toksSql))) AS wi FROM documents),
+       |enc AS (SELECT doc_id, lang, wi, $bpeMergedSql AS m FROM toks
+       |        WHERE tok <> ''),
+       |tt AS (SELECT doc_id, lang, wi,
+       |  unnest(string_split(m, $bpeSepSql)) AS token,
+       |  unnest(generate_series(1, len(string_split(m, $bpeSepSql))))
+       |    AS ti FROM enc),
+       |voc(token, token_id) AS (VALUES $bpeVocabValuesSql),
+       |seq AS (SELECT t.doc_id, t.lang, t.token,
+       |  row_number() OVER (PARTITION BY t.doc_id ORDER BY wi, ti) AS pos,
+       |  CAST(COALESCE(voc.token_id, -1) AS BIGINT) AS token_id
+       |  FROM tt t LEFT JOIN voc USING (token))""".stripMargin
 
   /** The curation pipeline's CTE chain (synthesized PII → quality gate
     * over the PRE-scrub text, as curate() computes it → redaction →
@@ -2410,33 +2467,54 @@ object SparkEntry {
          |  CAST(COALESCE(g.n_bpe_gpt2, 0) AS BIGINT) AS n_bpe_gpt2
          |FROM ws LEFT JOIN g USING (doc_id) ORDER BY ws.doc_id""".stripMargin
     },
-    "q_bpe_ids" -> {
+    "q_bpe_ids" ->
       // full value oracle on the token-ID SEQUENCE: re-run the merge
       // chain, split on the separator, renumber with the identical
       // alphabet-then-rank VALUES table, compare every (pos, token, id)
-      val vocab = graft.functions.BpeVocab(
-        graft.functions.Bpe.demoEnglish,
-        graft.functions.BpeVocab.asciiPrintable)
-      val vocabValues = vocab.idOf.toSeq.sortBy(_._2)
-        .map { case (t, i) => s"('${t.replace("'", "''")}', $i)" }
-        .mkString(", ")
-      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok,
-         |  unnest(generate_series(1, len($toksSql))) AS wi FROM documents),
-         |enc AS (SELECT doc_id, wi, $bpeMergedSql AS m FROM toks
-         |        WHERE tok <> ''),
-         |tt AS (SELECT doc_id, wi,
-         |  unnest(string_split(m, $bpeSepSql)) AS token,
-         |  unnest(generate_series(1, len(string_split(m, $bpeSepSql))))
-         |    AS ti FROM enc),
-         |voc(token, token_id) AS (VALUES $vocabValues),
-         |pos AS (SELECT doc_id, token,
-         |  row_number() OVER (PARTITION BY doc_id ORDER BY wi, ti) AS pos
-         |  FROM tt)
-         |SELECT p.doc_id, CAST(p.pos AS BIGINT) AS pos, p.token,
-         |  CAST(COALESCE(voc.token_id, -1) AS BIGINT) AS token_id
-         |FROM pos p LEFT JOIN voc USING (token)
-         |ORDER BY doc_id, pos""".stripMargin
-    },
+      s"""WITH $bpeSeqCtes
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos, token, token_id
+         |FROM seq ORDER BY doc_id, pos""".stripMargin,
+    "q_pack_bins" ->
+      // the assembled training bins, value-checked on every per-bin
+      // scalar: piece count, token fill, first/last doc, and the id
+      // content (count + sum of the ids landing in the bin — combined
+      // with q_bpe_ids' per-position check this pins the assembly)
+      s"""WITH $bpeSeqCtes,
+         |cnt AS (SELECT d.doc_id, d.lang,
+         |  CAST(COALESCE(c.n, 0) AS BIGINT) AS tokens
+         |  FROM documents d LEFT JOIN (SELECT doc_id, COUNT(*) AS n
+         |    FROM seq GROUP BY doc_id) c USING (doc_id)),
+         |ofs AS (SELECT doc_id, lang, tokens,
+         |  CAST(COALESCE(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS "offset"
+         |  FROM cnt),
+         |pieces AS (SELECT doc_id, lang, tokens, "offset",
+         |  unnest(generate_series(CAST(floor("offset" / 256) AS BIGINT),
+         |    CAST(floor(("offset" + tokens - 1) / 256) AS BIGINT)))
+         |    AS piece_bin
+         |  FROM ofs WHERE tokens > 0),
+         |pc AS (SELECT doc_id, lang, piece_bin,
+         |  GREATEST("offset", piece_bin * 256) - "offset" AS doc_from,
+         |  LEAST("offset" + tokens, (piece_bin + 1) * 256)
+         |    - GREATEST("offset", piece_bin * 256) AS piece_tokens
+         |  FROM pieces),
+         |ids AS (SELECT p.lang, p.piece_bin, s.token_id
+         |  FROM pc p JOIN seq s ON s.doc_id = p.doc_id
+         |   AND s.pos > p.doc_from AND s.pos <= p.doc_from + p.piece_tokens),
+         |agg1 AS (SELECT lang, piece_bin AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(piece_tokens) AS BIGINT) AS bin_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |  FROM pc GROUP BY 1, 2),
+         |agg2 AS (SELECT lang, piece_bin AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n_ids,
+         |  CAST(SUM(token_id) AS BIGINT) AS id_sum
+         |  FROM ids GROUP BY 1, 2)
+         |SELECT a.lang, a.bin, a.n_pieces, a.bin_tokens, a.first_doc,
+         |  a.last_doc, b.n_ids, b.id_sum
+         |FROM agg1 a JOIN agg2 b USING (lang, bin)
+         |ORDER BY lang, bin""".stripMargin,
     "q_pack_bpe" ->
       // q_pack's window sum, budgeted by the re-derived BPE token count
       s"""WITH toks AS (SELECT doc_id, lang, unnest($toksSql) AS tok

@@ -109,4 +109,47 @@ object Packing {
         least(end, (col("piece_bin") + 1) * budget) - col("piece_from"))
       .drop("piece_from")
   }
+
+  /** The LAST step of the sequence-builder flow: group [[chunkSpans]]
+    * pieces by (shard, bin) and emit each bin's concatenated token-id
+    * sequence — the training-batch artifact itself. `idsCol` is each
+    * document's full token-id array (e.g.
+    * [[graft.functions.Bpe.tokenIds]]; its length MUST equal the
+    * `tokens` count the frame was packed with, or slices misalign);
+    * each piece contributes `ids[doc_from, doc_from + piece_tokens)`,
+    * pieces concatenate in offset order, and by [[chunkSpans]]'
+    * construction every bin except each shard's last assembles to
+    * exactly `budget` tokens.
+    *
+    * Output: `shardCol`, `bin`, `n_pieces`, `bin_tokens` (= the
+    * assembled length), `first_piece` / `last_piece` (`orderCol` of the
+    * bin's first/last piece — `orderCol` ordering is offset ordering
+    * within a shard, so plain min/max), `token_ids`.
+    *
+    * Scale shape: one shuffle on (shard, bin); per-group state is the
+    * bin's own ≤ budget + last-doc-overshoot tokens — bounded by the
+    * CONTEXT LENGTH, not the corpus — so group skew cannot exist by
+    * construction. The in-bin ordering does not rely on collect_list's
+    * arrival order (nondeterministic after a shuffle): pieces sort by
+    * their in-shard offset inside the aggregate.
+    */
+  def assembleBins(pieces: DataFrame, shardCol: String,
+      orderCol: String, idsCol: String): DataFrame =
+    pieces
+      .withColumn("__piece_ids",
+        slice(col(idsCol), (col("doc_from") + 1).cast("int"),
+          col("piece_tokens").cast("int")))
+      .groupBy(col(shardCol), col("piece_bin").as("bin"))
+      .agg(
+        count(lit(1)).as("n_pieces"),
+        sum("piece_tokens").as("bin_tokens"),
+        min(orderCol).as("first_piece"),
+        max(orderCol).as("last_piece"),
+        flatten(transform(
+          array_sort(collect_list(struct(
+            // offset + doc_from orders SPLIT pieces of one doc too:
+            // they share the doc's offset but cut at increasing doc_from
+            (col("offset") + col("doc_from")).as("__at"),
+            col("__piece_ids").as("__ids")))),
+          s => s("__ids"))).as("token_ids"))
 }

@@ -272,6 +272,53 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bin assembly reproduces each shard's token stream cut at exact " +
+      "budget boundaries") {
+    import graft.pipeline.Packing
+    import graft.functions.{Bpe, BpeVocab}
+    val budget = 64
+    val vocab = BpeVocab(Bpe.demoEnglish, BpeVocab.asciiPrintable)
+    val withIds = docs.select("doc_id", "lang", "text")
+      .withColumn("ids", Bpe.tokenIds(vocab)(TextOps.tokens(col("text"))))
+    val packed = Packing.packByOffset(withIds, "lang", "doc_id",
+      size(col("ids")).cast("long"), budget)
+    val bins = Packing.assembleBins(
+        Packing.chunkSpans(packed, budget), "lang", "doc_id", "ids")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getSeq[Int](6)))
+    assert(bins.nonEmpty)
+    // reference: each shard's full concatenated id stream in doc order
+    val stream = withIds.select("lang", "doc_id", "ids").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Int](2)))
+      .groupBy(_._1)
+      .map { case (l, ds) => l -> ds.sortBy(_._2).flatMap(_._3).toSeq }
+    bins.groupBy(_._1).foreach { case (lang, bs) =>
+      val byBin = bs.sortBy(_._2)
+      // bins are contiguous from 0, and their concatenation IS the stream
+      assert(byBin.map(_._2).toSeq ==
+        (0L until byBin.length.toLong).toSeq)
+      assert(byBin.flatMap(_._7).toSeq == stream(lang),
+        s"$lang: assembled bins diverge from the shard stream")
+      byBin.foreach { case (_, bin, nPieces, binTokens, first, last, ids) =>
+        // the assembled array is the stream slice at the bin's cut points
+        assert(ids == stream(lang).slice(
+          (bin * budget).toInt, (bin * budget + binTokens).toInt))
+        assert(ids.length == binTokens)
+        assert(nPieces >= 1 && first <= last)
+        if (bin != byBin.last._2)
+          assert(binTokens == budget,
+            s"$lang/$bin: non-last bin holds $binTokens != $budget")
+      }
+    }
+    // a doc split across bins arrives in both, cut mid-array: force one
+    // by checking at least one bin boundary falls inside a document
+    assert(bins.exists(b => b._3 > 1), "fixture should pack multi-piece bins")
+    assert(bins.groupBy(_._1).exists { case (_, bs) =>
+      bs.map(_._5).toSet.intersect(bs.map(_._6).toSet).nonEmpty },
+      "fixture should split at least one doc across adjacent bins")
+  }
+
   test("per-row simHash64Expr is bit-identical to the aggregate simHash64") {
     import SparkSpec.spark.implicits._
     // fixture docs plus adversarial shapes: empty, whitespace-only,
