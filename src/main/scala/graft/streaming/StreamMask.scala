@@ -158,6 +158,81 @@ final class ShardOffsetProcessor(budget: Int)
   }
 }
 
+/** One buffered document awaiting its watermark release in
+  * [[OrderedShardOffsetProcessor]].
+  */
+final case class PendingDoc(id: Long, toks: Long, tsMs: Long)
+
+/** A document entering the ordered streaming packer — carries both the
+  * millisecond event time (for the buffer) and the raw timestamp (the
+  * plan's watermark column).
+  */
+final case class ShardDoc(shard: String, id: Long, toks: Long,
+    tsMs: Long, ts: java.sql.Timestamp)
+
+/** Event-time ORDERED streaming packing (behind
+  * [[StreamMask.packStreamOrdered]]): where [[ShardOffsetProcessor]]
+  * assigns offsets in ARRIVAL order (batch-equivalent only when files
+  * arrive in `orderCol` order), this processor buffers each document in
+  * a per-shard `ListState` until the watermark passes its event time,
+  * then releases in (event time, id) order, taking offsets from the
+  * same per-shard running counter. Any arrival permutation within the
+  * watermark window therefore produces the IDENTICAL assignment — the
+  * batch equivalence is unconditional for in-watermark data. A row
+  * arriving after the watermark passed its timestamp (if the upstream
+  * late-row filter let it through) releases immediately at the current
+  * counter — the defined degradation back to arrival order.
+  *
+  * State per shard: the unflushed ≤ watermark-window of (id, toks, ts)
+  * plus one running long; one live event-time timer at the OLDEST
+  * unflushed timestamp, re-armed after every release — O(1) timers per
+  * shard no matter the buffer depth.
+  */
+final class OrderedShardOffsetProcessor(budget: Int)
+    extends StatefulProcessor[String, ShardDoc, PackedDoc] {
+
+  @transient private var buf: ListState[PendingDoc] = _
+  @transient private var cum: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[PendingDoc]("buf",
+      Encoders.product[PendingDoc], TTLConfig.NONE)
+    cum = getHandle.getValueState[Long]("cum", Encoders.scalaLong,
+      TTLConfig.NONE)
+  }
+
+  /** Emit every buffered doc the watermark has passed, in (ts, id)
+    * order; keep the rest and re-arm the timer for the oldest survivor.
+    */
+  private def release(shard: String, wmMs: Long): Iterator[PackedDoc] = {
+    val (ripe, wait) = buf.get().toList.partition(_.tsMs <= wmMs)
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    if (wait.nonEmpty) getHandle.registerTimer(wait.map(_.tsMs).min)
+    if (ripe.isEmpty) Iterator.empty
+    else {
+      if (wait.isEmpty) buf.clear() else buf.put(wait.toArray)
+      var c = if (cum.exists()) cum.get() else 0L
+      val out = ripe.sortBy(p => (p.tsMs, p.id)).map { p =>
+        val off = c
+        c += p.toks
+        PackedDoc(shard, p.id, p.toks, off, off / budget)
+      }
+      cum.update(c)
+      out.iterator
+    }
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[ShardDoc],
+      timerValues: TimerValues): Iterator[PackedDoc] = {
+    rows.foreach(d => buf.appendValue(PendingDoc(d.id, d.toks, d.tsMs)))
+    release(key, timerValues.getCurrentWatermarkInMs())
+  }
+
+  override def handleExpiredTimer(key: String, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[PackedDoc] =
+    release(key, timerValues.getCurrentWatermarkInMs())
+}
+
 /** Structured-Streaming surface (SURVEY.md §2.10; the reference is strictly
   * batch — src/Anonymizer.php:152–195 — so this is north-star extension
   * territory: masking event streams on the way into a lake).
@@ -432,6 +507,36 @@ object StreamMask {
       .groupByKey(_._1)
       .transformWithState(new ShardOffsetProcessor(budget),
         TimeMode.None(), OutputMode.Append)
+      .toDF()
+  }
+
+  /** [[packStream]] with the ordered-arrival precondition REMOVED:
+    * documents buffer per shard until the watermark passes their event
+    * time (`tsCol`/`watermark`), then take offsets in (event time, id)
+    * order — so ANY arrival permutation within the watermark window
+    * yields the batch assignment of [[graft.pipeline.Packing
+    * .packByOffset]] ordered by `tsCol` (ties by `idCol`). The price is
+    * the standard watermark trade: output lags arrival by up to the
+    * watermark delay, and per-shard state holds the unflushed window
+    * (bounded by watermark × ingest rate, not the corpus). Rows later
+    * than the watermark degrade to arrival order — the documented
+    * streaming late-data contract, not silent corruption.
+    */
+  def packStreamOrdered(docs: DataFrame, shardCol: String, idCol: String,
+      tokens: Column, budget: Int, tsCol: String,
+      watermark: String): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1 (got $budget)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(shardCol).cast("string").as("shard"),
+        col(idCol).cast("long").as("id"), tokens.cast("long").as("toks"),
+        unix_millis(col(tsCol)).as("tsMs"), col(tsCol).as("ts"))
+      .as[ShardDoc]
+      .groupByKey(_.shard)
+      .transformWithState(new OrderedShardOffsetProcessor(budget),
+        TimeMode.EventTime(), OutputMode.Append)
       .toDF()
   }
 

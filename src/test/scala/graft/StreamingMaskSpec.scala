@@ -378,6 +378,120 @@ class StreamingMaskSpec extends SparkSpec {
       "streaming packing diverged from the batch window assignment")
   }
 
+  test("streaming packing under SHUFFLED arrival is the defined " +
+      "arrival-order assignment, not silence or corruption") {
+    import graft.pipeline.{Packing, TextOps}
+    val base = Files.createTempDirectory("graft_pack_shuffled").toString
+    val in = s"$base/in"
+    val docs = spark.read.parquet(s"$fixtures/documents.parquet")
+      .select("doc_id", "lang", "text")
+    // residue-interleaved files: arrival order deliberately != doc_id
+    // order (file k carries doc_id % 3 == perm(k))
+    val perm = Seq(2L, 0L, 1L)
+    perm.zipWithIndex.foreach { case (m, k) =>
+      docs.filter(col("doc_id") % 3 === m).write.parquet(s"$in/f$k")
+    }
+    val schema = spark.read.parquet(s"$in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val streamed = withRocksDbStateStore(runToMemory(
+      StreamMask.packStream(stream, "lang", "doc_id",
+        TextOps.tokenCount(col("text")), 256),
+      "pack_shuffled", "append").collect())
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sorted
+    // the CONTRACT under shuffled arrival: offsets follow arrival order
+    // (file order, id-sorted within a micro-batch) — compute it exactly
+    val byFile = perm.map(m =>
+      docs.filter(col("doc_id") % 3 === m)
+        .select(col("lang"), col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._2))
+    val cum = scala.collection.mutable.Map.empty[String, Long]
+    val expected = byFile.flatten.map { case (lang, id, toks) =>
+      val off = cum.getOrElse(lang, 0L)
+      cum(lang) = off + toks
+      (lang, id, toks, off, off / 256)
+    }.sorted
+    assert(streamed == expected,
+      "shuffled arrival must follow the documented arrival-order contract")
+    // and the arrival-order assignment genuinely differs from the batch
+    // doc_id-order window here — the precondition packStream documents
+    val batch = Packing.packByOffset(docs, "lang", "doc_id",
+        TextOps.tokenCount(col("text")), 256)
+      .select("lang", "doc_id", "tokens", "offset", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sorted
+    assert(streamed != batch,
+      "fixture should make arrival order diverge from doc_id order")
+  }
+
+  test("event-time ordered streaming packing equals the batch window " +
+      "under shuffled arrival") {
+    import graft.pipeline.{Packing, TextOps}
+    val base = Files.createTempDirectory("graft_pack_ordered").toString
+    val in = s"$base/in"
+    // ts = t0 + doc_id seconds, so event-time order == doc_id order and
+    // the batch reference is packByOffset ordered by doc_id
+    val docs = spark.read.parquet(s"$fixtures/documents.parquet")
+      .select("doc_id", "lang", "text")
+      .withColumn("ts", expr("timestampadd(SECOND, " +
+        "CAST(doc_id AS INT), timestamp'2026-01-01 00:00:00')"))
+    // bounded-disorder arrival: file k holds its own 100-id block MINUS
+    // a held-back slice [100k+80, 100k+90), which arrives one file LATE
+    // (displacement ~20 s, inside the 60 s watermark — nothing is late)
+    val n = docs.count().toInt
+    val blocks = (n + 99) / 100
+    def hold(k: Int) = (k * 100 + 80, k * 100 + 90)
+    (0 until blocks).foreach { k =>
+      val (hLo, hHi) = hold(k)
+      var f = docs.filter(col("doc_id") >= k * 100 &&
+        col("doc_id") < (k + 1) * 100 &&
+        !(col("doc_id") >= hLo && col("doc_id") < hHi))
+      if (k > 0) {
+        val (pLo, pHi) = hold(k - 1)
+        f = f.unionAll(
+          docs.filter(col("doc_id") >= pLo && col("doc_id") < pHi))
+      }
+      f.write.parquet(s"$in/f$k")
+    }
+    val (lLo, lHi) = hold(blocks - 1)
+    // final held slice + a far-future sentinel that advances the
+    // watermark past every real row; a second sentinel batch makes the
+    // resulting timers fire even if no no-data batch runs
+    docs.filter(col("doc_id") >= lLo && col("doc_id") < lHi)
+      .unionAll(docs.limit(1).select(lit(900000L).as("doc_id"),
+        col("lang"), col("text"))
+        .withColumn("ts", expr("timestamp'2026-02-01 00:00:00'")))
+      .write.parquet(s"$in/f$blocks")
+    docs.limit(1).select(lit(900001L).as("doc_id"), col("lang"),
+        col("text"))
+      .withColumn("ts", expr("timestamp'2026-03-01 00:00:00'"))
+      .write.parquet(s"$in/f${blocks + 1}")
+    val schema = spark.read.parquet(s"$in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val streamed = withRocksDbStateStore(runToMemory(
+      StreamMask.packStreamOrdered(stream, "lang", "doc_id",
+        TextOps.tokenCount(col("text")), 256, "ts", "60 seconds"),
+      "pack_ordered", "append").collect())
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .filter(_._2 < 900000L).toSeq.sorted
+    val batch = Packing.packByOffset(docs, "lang", "doc_id",
+        TextOps.tokenCount(col("text")), 256)
+      .select("lang", "doc_id", "tokens", "offset", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sorted
+    assert(streamed.nonEmpty && streamed == batch,
+      "ordered streaming packing diverged from the batch assignment " +
+        "under shuffled arrival")
+  }
+
   test("streaming heavy hitters honor the Misra-Gries bounds over the " +
       "full ingest") {
     import graft.pipeline.TextOps
