@@ -33,6 +33,26 @@ object Bench {
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // native-expression + HOF-chain JIT warmup on a 64-row in-memory
+    // frame: the parity gates time BOTH engine paths over the full
+    // fixture, so without this their first sample carries ~20 s of
+    // codegen bring-up that reads as host contention in the raw samples
+    // (BENCH_r10 q_winnow64_parity: [25.6, 5.2, 4.9] s)
+    try {
+      import org.apache.spark.sql.functions._
+      import graft.pipeline.TextOps
+      val w = spark.range(64).selectExpr("id",
+        "concat('warm up the native paths ', cast(id as string), " +
+          "' with a few more words') as text")
+      Seq(
+        TextOps.winnowFingerprints(w.toDF(), "id", "text"),
+        TextOps.winnowFingerprintsFold(w.toDF(), "id", "text"),
+        TextOps.winnowFingerprints64(w.toDF(), "id", "text"),
+        TextOps.winnowFingerprints64Fold(w.toDF(), "id", "text"),
+        TextOps.simHash64(w.toDF(), "id", "text"),
+        w.select(TextOps.simHash64Expr(col("text"))))
+        .foreach(_.write.format("noop").mode("overwrite").save())
+    } catch { case _: Throwable => () }
     // median-of-N per query, INTERLEAVED: the full query list runs N times
     // and each query takes its median across passes. Back-to-back repeats
     // of one query all sit inside the same host-contention window, so a
