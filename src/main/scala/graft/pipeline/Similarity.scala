@@ -466,6 +466,63 @@ object Similarity {
       meta.head.getString(2), meta.head.getString(3))
   }
 
+  /** Fold newly-ingested vectors INTO a persisted IVF-family index at
+    * `path` WITHOUT re-clustering — the vector side of the incremental
+    * ingest loop: each new vector takes its argmax-cosine cell under the
+    * EXISTING centroid sidecar (which is never rewritten, so cell
+    * geometry is stable and every previously-persisted row keeps its
+    * cell) and lands as new files in the cell-partitioned corpus, in
+    * whichever row shape the layout was written with — detected from
+    * the persisted corpus schema and sidecars:
+    *   - plain [[writeIvfIndex]]: the row + `__cell`;
+    *   - [[writeIvfPqIndex]]: the pq sidecar's codebooks encode the new
+    *     rows' `__codes` (codebooks are NOT retrained — same trade as
+    *     the centroids);
+    *   - [[writeIvfInt8Index]]: per-row symmetric scale + int8 codes,
+    *     floats dropped.
+    *
+    * The trade every IVF deployment makes: appended vectors get the
+    * best cell under the OLD centroids, which drift from the grown
+    * corpus's optimum over many appends — recall decays gracefully, and
+    * the fix is a periodic rebuild (re-clustering in place would move
+    * EXISTING rows between cells, i.e. a full rewrite anyway). Appended
+    * files keep the id-sorted-within-cell property for their own rows,
+    * so row-group id stats still prune rerank point fetches. Duplicate
+    * ids are not checked: an ANN index tolerates them (the id would
+    * surface twice in results) — pre-dedup batches upstream.
+    */
+  def appendToIvfIndex(spark: SparkSession, path: String,
+      newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
+    val meta = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+    require(meta.nonEmpty, s"no centroids found under $path/centroids")
+    require(meta.head.getString(2) == idCol &&
+        meta.head.getString(3) == vecCol,
+      s"index at $path keys on (${meta.head.getString(2)}, " +
+        s"${meta.head.getString(3)}), not ($idCol, $vecCol)")
+    val centroids: Array[Seq[Float]] = meta.map(_.getSeq[Float](1))
+    val corpusFields =
+      spark.read.parquet(s"$path/corpus").schema.fieldNames
+    val assigned = newVectors.withColumn("__cell", cellOf(vecCol, centroids))
+    val shaped =
+      if (corpusFields.contains(PqCodesCol)) {
+        val (_, cb) = loadIvfPqIndex(spark, path)
+        assigned.withColumn(PqCodesCol, Pq.encode(cb)(col(vecCol)))
+      } else if (corpusFields.contains(Int8CodesCol))
+        assigned
+          .withColumn(Int8ScaleCol, int8Scale(col(vecCol)))
+          .withColumn(Int8CodesCol,
+            int8Codes(col(vecCol), col(Int8ScaleCol)))
+          .drop(vecCol)
+      else assigned
+    require(shaped.columns.sorted.sameElements(corpusFields.sorted),
+      s"batch columns [${shaped.columns.sorted.mkString(", ")}] do not " +
+        s"match the persisted corpus [${corpusFields.sorted.mkString(", ")}]")
+    shaped.select(corpusFields.map(col).toSeq: _*)
+      .sortWithinPartitions(col("__cell"), col(idCol))
+      .write.mode("append").partitionBy("__cell").parquet(s"$path/corpus")
+  }
+
   /** PQ codes column name in a composed IVF×PQ index. */
   val PqCodesCol = "__codes"
 

@@ -403,6 +403,85 @@ class PipelineSpec extends SparkSpec {
     assert(rows(viaLoaded) == rows(Similarity.queryIvf(idx, q, 10)))
   }
 
+  test("appending vectors to a persisted IVF index keeps the centroids, " +
+      "assigns existing-centroid cells, and round-trips the layouts") {
+    val even = embeddings.filter(col("vec_id") % 2 === 0)
+    val odd = embeddings.filter(col("vec_id") % 2 === 1)
+    val idx = Similarity.buildIvfIndex(even, "vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-append").toString
+    Similarity.writeIvfIndex(idx, dir)
+    Similarity.appendToIvfIndex(spark, dir, odd, "vec_id", "embedding")
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    // centroid sidecar untouched by the append
+    assert(loaded.centroids.toSeq == idx.centroids.toSeq)
+    // reference cells: the SAME argmax-cosine rule (element-order double
+    // math, ties toward the higher cell — mirroring cellOf exactly)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = embeddings.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val expectCell = vecs.map { case (id, v) =>
+      id -> idx.centroids.zipWithIndex
+        .map { case (c, i) => (cos(v, c), i) }.max._2
+    }
+    val got = loaded.assigned.select(col("vec_id"), col("__cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.keySet == vecs.keySet,
+      "appended corpus must hold exactly corpus ∪ batch")
+    assert(got == expectCell,
+      "appended rows must take argmax cells under the EXISTING centroids")
+    // probing the appended index finds a batch vector at cosine 1
+    val probe = odd.orderBy("vec_id").limit(1).collect().head
+    val hit = Similarity.queryIvf(loaded,
+      probe.getSeq[Float](1), 1, nProbe = 1).collect().head
+    assert(hit.getAs[Long]("vec_id") == probe.getLong(0) &&
+      math.abs(hit.getAs[Double]("cosine") - 1.0) < 1e-9)
+    // a mismatched key column fails loudly before any write
+    intercept[IllegalArgumentException](Similarity.appendToIvfIndex(
+      spark, dir, odd, "vec_id", "nope"))
+    // int8 layout: same cell math, floats stay dropped, appended rows
+    // carry the exact quantization of their vectors
+    val dir8 = java.nio.file.Files
+      .createTempDirectory("graft-ivf-append8").toString
+    Similarity.writeIvfInt8Index(idx, dir8)
+    Similarity.appendToIvfIndex(spark, dir8, odd, "vec_id", "embedding")
+    val loaded8 = Similarity.loadIvfIndex(spark, dir8)
+    assert(!loaded8.assigned.columns.contains("embedding"))
+    val badQuant = loaded8.assigned
+      .join(odd.select(col("vec_id"), col("embedding")), "vec_id")
+      .filter(
+        Similarity.int8Codes(col("embedding"),
+          Similarity.int8Scale(col("embedding")))
+          =!= col(Similarity.Int8CodesCol))
+      .count()
+    assert(badQuant == 0, "appended int8 codes diverge from int8Codes")
+    assert(loaded8.assigned.count() == embeddings.count())
+    // PQ layout: appended rows' codes must equal Pq.encode under the
+    // persisted (untrained-by-append) codebooks
+    val cb = graft.pipeline.Pq.train(even, "vec_id", "embedding",
+      m = 8, k = 16)
+    val dirPq = java.nio.file.Files
+      .createTempDirectory("graft-ivf-appendpq").toString
+    Similarity.writeIvfPqIndex(idx, cb, dirPq)
+    Similarity.appendToIvfIndex(spark, dirPq, odd, "vec_id", "embedding")
+    val (loadedPq, cbLoaded) = Similarity.loadIvfPqIndex(spark, dirPq)
+    val badPq = loadedPq.assigned
+      .join(odd.select(col("vec_id"), col("embedding").as("__orig")),
+        "vec_id")
+      .filter(graft.pipeline.Pq.encode(cbLoaded)(col("__orig"))
+        =!= col(Similarity.PqCodesCol))
+      .count()
+    assert(badPq == 0, "appended PQ codes diverge from the sidecar codebooks")
+    assert(loadedPq.assigned.count() == embeddings.count())
+  }
+
   test("composed IVF×PQ index prunes partitions, pushes the rerank " +
       "fetch, and reranks to the exact IVF answer") {
     import graft.pipeline.Pq
