@@ -233,6 +233,75 @@ final class OrderedShardOffsetProcessor(budget: Int)
     release(key, timerValues.getCurrentWatermarkInMs())
 }
 
+/** A document entering the streaming bin assembler: its token-id array
+  * IS its token count (the assembler slices it across bin boundaries).
+  */
+final case class AssembleDoc(shard: String, id: Long, ids: Array[Int])
+
+/** One COMPLETED training bin emitted by [[BinAssemblerProcessor]] —
+  * schema-compatible with [[graft.pipeline.Packing.assembleBins]]' rows
+  * (every emitted bin holds exactly `budget` tokens; the open partial
+  * bin stays in state, as an unbounded stream has no "last" bin).
+  */
+final case class AssembledBin(shard: String, bin: Long, n_pieces: Long,
+    bin_tokens: Long, first_piece: Long, last_piece: Long,
+    token_ids: Array[Int])
+
+/** The open-bin state of one shard in [[BinAssemblerProcessor]]: the
+  * total tokens packed so far (`cum` — the next doc's offset) and the
+  * open bin's accumulated pieces/ids. Bounded by the CONTEXT LENGTH:
+  * the buffer never exceeds `budget` ids regardless of corpus size.
+  */
+final case class OpenBin(cum: Long, nPieces: Long, firstPiece: Long,
+    lastPiece: Long, ids: Array[Int])
+
+/** Per-shard streaming bin assembly (behind
+  * [[StreamMask.packBinsStream]]): the streaming form of
+  * [[graft.pipeline.Packing.assembleBins]], fused with the offset
+  * assignment — each document's id array is sliced across bin
+  * boundaries into the open bin, and every bin is EMITTED the moment it
+  * reaches exactly `budget` tokens, so training bins leave the ingest
+  * continuously instead of in a nightly assembly pass. Arrival order
+  * (id-sub-ordered within a micro-batch) is the pack order, matching
+  * [[ShardOffsetProcessor]]'s contract; under ordered arrival the
+  * emitted bins equal the batch pipeline's full bins (spec-pinned).
+  */
+final class BinAssemblerProcessor(budget: Int)
+    extends StatefulProcessor[String, AssembleDoc, AssembledBin] {
+
+  @transient private var open: ValueState[OpenBin] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getValueState[OpenBin]("open",
+      Encoders.product[OpenBin], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[AssembleDoc],
+      timerValues: TimerValues): Iterator[AssembledBin] = {
+    var st =
+      if (open.exists()) open.get()
+      else OpenBin(0L, 0L, -1L, -1L, Array.empty)
+    val out = List.newBuilder[AssembledBin]
+    rows.toSeq.sortBy(_.id).foreach { d =>
+      var from = 0
+      while (from < d.ids.length) {
+        val space = budget - (st.cum % budget).toInt
+        val take = math.min(space, d.ids.length - from)
+        st = OpenBin(st.cum + take, st.nPieces + 1,
+          if (st.nPieces == 0L) d.id else st.firstPiece, d.id,
+          st.ids ++ d.ids.slice(from, from + take))
+        from += take
+        if (st.cum % budget == 0) {
+          out += AssembledBin(key, st.cum / budget - 1, st.nPieces,
+            budget.toLong, st.firstPiece, st.lastPiece, st.ids)
+          st = OpenBin(st.cum, 0L, -1L, -1L, Array.empty)
+        }
+      }
+    }
+    open.update(st)
+    out.result().iterator
+  }
+}
+
 /** Structured-Streaming surface (SURVEY.md §2.10; the reference is strictly
   * batch — src/Anonymizer.php:152–195 — so this is north-star extension
   * territory: masking event streams on the way into a lake).
@@ -537,6 +606,38 @@ object StreamMask {
       .groupByKey(_.shard)
       .transformWithState(new OrderedShardOffsetProcessor(budget),
         TimeMode.EventTime(), OutputMode.Append)
+      .toDF()
+  }
+
+  /** The streaming END of the training-batch flow
+    * ([[BinAssemblerProcessor]]): tokenized documents in, COMPLETED
+    * training bins out — each bin exactly `budget` token ids, emitted
+    * the moment it fills, schema-compatible with the batch
+    * [[graft.pipeline.Packing.assembleBins]] rows. The open partial bin
+    * per shard stays in state (an unbounded stream has no last bin);
+    * state is ≤ `budget` ids + three longs per shard, bounded by the
+    * context length, never the corpus. `ids` is each document's full
+    * token-id array (e.g. [[graft.functions.Bpe.tokenIds]]); its length
+    * is the document's token count, so offsets/bins agree with
+    * [[packStream]] fed `size(ids)`. Pack order is arrival order
+    * (id-sub-ordered per micro-batch), like [[packStream]]; under
+    * ordered arrival the emitted bins equal the batch pipeline's full
+    * bins (spec-pinned).
+    */
+  def packBinsStream(docs: DataFrame, shardCol: String, idCol: String,
+      ids: Column, budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1 (got $budget)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(shardCol).cast("string").as("shard"),
+        col(idCol).cast("long").as("id"),
+        coalesce(ids.cast("array<int>"), array().cast("array<int>"))
+          .as("ids"))
+      .as[AssembleDoc]
+      .groupByKey(_.shard)
+      .transformWithState(new BinAssemblerProcessor(budget),
+        TimeMode.None(), OutputMode.Append)
       .toDF()
   }
 

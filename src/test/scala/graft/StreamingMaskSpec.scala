@@ -492,6 +492,58 @@ class StreamingMaskSpec extends SparkSpec {
         "under shuffled arrival")
   }
 
+  test("streaming bin assembly emits exactly the batch pipeline's full " +
+      "bins as they fill") {
+    import graft.pipeline.{Packing, TextOps}
+    import graft.functions.{Bpe, BpeVocab}
+    val base = Files.createTempDirectory("graft_bins_stream").toString
+    val in = s"$base/in"
+    val budget = 64
+    val vocab = BpeVocab(Bpe.demoEnglish, BpeVocab.asciiPrintable)
+    val docs = spark.read.parquet(s"$fixtures/documents.parquet")
+      .select("doc_id", "lang", "text")
+    // id-ordered files: the arrival-order contract's batch-equivalent
+    // regime, split so bins genuinely span micro-batch boundaries
+    val n = docs.count()
+    docs.filter(col("doc_id") < n / 3).write.parquet(s"$in/f0")
+    docs.filter(col("doc_id") >= n / 3 && col("doc_id") < 2 * n / 3)
+      .write.parquet(s"$in/f1")
+    docs.filter(col("doc_id") >= 2 * n / 3).write.parquet(s"$in/f2")
+    val schema = spark.read.parquet(s"$in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val streamed = withRocksDbStateStore(runToMemory(
+      StreamMask.packBinsStream(stream, "lang", "doc_id",
+        Bpe.tokenIds(vocab)(TextOps.tokens(col("text"))), budget),
+      "bins_stream", "append").collect())
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getSeq[Int](6).toList))
+      .toSeq.sortBy(b => (b._1, b._2))
+    // reference: the batch flow, keeping only the EXACTLY-full bins
+    // (the stream's open partial bin stays in state, unemitted)
+    val withIds = docs
+      .withColumn("ids", Bpe.tokenIds(vocab)(TextOps.tokens(col("text"))))
+    val batch = Packing.assembleBins(
+        Packing.chunkSpans(
+          Packing.packByOffset(withIds, "lang", "doc_id",
+            size(col("ids")).cast("long"), budget), budget),
+        "lang", "doc_id", "ids")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getSeq[Int](6).toList))
+      .filter(_._4 == budget.toLong)
+      .toSeq.sortBy(b => (b._1, b._2))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streaming bins (${streamed.length}) diverged from the batch " +
+        s"pipeline's full bins (${batch.length})")
+    // bins crossed micro-batch boundaries: some bin's first and last
+    // pieces arrived in different files
+    val cut = n / 3
+    assert(streamed.exists(b => b._5 < cut && b._6 >= cut),
+      "fixture should assemble at least one bin across micro-batches")
+  }
+
   test("streaming heavy hitters honor the Misra-Gries bounds over the " +
       "full ingest") {
     import graft.pipeline.TextOps
