@@ -563,6 +563,12 @@ object StreamMask {
     * bin > `b` appears in its shard. State is one long per shard,
     * never expired. Requires the RocksDB state store, like every
     * `transformWithState` operator.
+    *
+    * The packing family does NOT dedup redeliveries (per-shard seen-id
+    * state would grow with the corpus, unlike the near-dup bucket's
+    * watermark-bounded members): an at-least-once source that re-sends
+    * a document would double-pack it. Feed exactly-once sources, or
+    * chain `dropDuplicatesWithinWatermark(idCol)` upstream.
     */
   def packStream(docs: DataFrame, shardCol: String, idCol: String,
       tokens: Column, budget: Int): DataFrame = {

@@ -223,6 +223,52 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: bin assembly reproduces every shard's id stream for " +
+      "arbitrary corpora and budgets") {
+    import org.apache.spark.sql.functions.{col, size}
+    import graft.pipeline.Packing
+    val rowGen = for {
+      shard <- SGen.oneOf("a", "b")
+      nIds <- SGen.choose(0, 30)
+      ids <- SGen.listOfN(nIds, SGen.choose(0, 999))
+    } yield (shard, ids)
+    val gen = for {
+      n <- SGen.choose(1, 20)
+      rows <- SGen.listOfN(n, rowGen)
+      budget <- SGen.choose(1, 40)
+    } yield (rows, budget)
+    check(Prop.forAll(gen) { case (rows, budget) =>
+      val s = spark
+      import s.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((sh, ids), i) => (i.toLong, sh, ids) }
+        .toDF("id", "shard", "ids")
+      val bins = Packing.assembleBins(
+          Packing.chunkSpans(
+            Packing.packByOffset(df, "shard", "id",
+              size(col("ids")).cast("long"), budget), budget),
+          "shard", "id", "ids")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+          r.getSeq[Int](6).toList))
+      val stream = rows.zipWithIndex
+        .map { case ((sh, ids), i) => (sh, i.toLong, ids) }
+        .groupBy(_._1)
+        .map { case (sh, ds) => sh -> ds.sortBy(_._2).flatMap(_._3) }
+      bins.groupBy(_._1).forall { case (sh, bs) =>
+        val byBin = bs.sortBy(_._2)
+        // concatenated bins == the shard's id stream, cut at budget
+        // boundaries, every non-last bin exactly full
+        byBin.flatMap(_._4).toList == stream(sh).toList &&
+        byBin.zipWithIndex.forall { case ((_, bin, binToks, ids), i) =>
+          bin == i.toLong && ids.length == binToks &&
+          (i == byBin.length - 1 || binToks == budget.toLong)
+        }
+      } && stream.filter(_._2.nonEmpty).keySet ==
+        bins.map(_._1).toSet
+    })
+  }
+
   test("property: hash samples nest across arbitrary rate pairs") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.Sampling

@@ -544,6 +544,63 @@ class StreamingMaskSpec extends SparkSpec {
       "fixture should assemble at least one bin across micro-batches")
   }
 
+  test("streaming bin assembly restarts from its checkpoint and lands " +
+      "every bin exactly once") {
+    import graft.pipeline.{Packing, TextOps}
+    import graft.functions.{Bpe, BpeVocab}
+    val base = Files.createTempDirectory("graft_bins_restart").toString
+    val in = s"$base/in"; val out = s"$base/lake"; val ck = s"$base/ck"
+    val budget = 64
+    val vocab = BpeVocab(Bpe.demoEnglish, BpeVocab.asciiPrintable)
+    val docs = spark.read.parquet(s"$fixtures/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val n = docs.count()
+    val schema = docs.schema
+    def runOnce(): Unit = withRocksDbStateStore {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true").parquet(in)
+      val q = ExactlyOnceSink.start(
+        StreamMask.packBinsStream(stream, "lang", "doc_id",
+          Bpe.tokenIds(vocab)(TextOps.tokens(col("text"))), budget),
+        out, ck)
+      q.awaitTermination(120000)
+    }
+    // first half of the corpus, then STOP (simulating a crash between
+    // micro-batches); the open-bin state must come back from RocksDB
+    docs.filter(col("doc_id") < n / 2).write.parquet(s"$in/f0")
+    runOnce()
+    // second half lands after the restart
+    docs.filter(col("doc_id") >= n / 2).write.parquet(s"$in/f1")
+    runOnce()
+    val landed = spark.read.parquet(out)
+      .select("shard", "bin", "n_pieces", "bin_tokens", "first_piece",
+        "last_piece", "token_ids")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getSeq[Int](6).toList))
+      .toSeq.sortBy(b => (b._1, b._2))
+    val withIds = docs
+      .withColumn("ids", Bpe.tokenIds(vocab)(TextOps.tokens(col("text"))))
+    val batch = Packing.assembleBins(
+        Packing.chunkSpans(
+          Packing.packByOffset(withIds, "lang", "doc_id",
+            size(col("ids")).cast("long"), budget), budget),
+        "lang", "doc_id", "ids")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getSeq[Int](6).toList))
+      .filter(_._4 == budget.toLong)
+      .toSeq.sortBy(b => (b._1, b._2))
+    // every full bin exactly once — no duplicates from the restart, no
+    // gap where the open bin crossed the crash point
+    assert(landed == batch,
+      s"restart broke exactly-once bin landing: ${landed.length} landed " +
+        s"vs ${batch.length} expected")
+    assert(landed.exists(b => b._5 < n / 2 && b._6 >= n / 2),
+      "fixture should assemble at least one bin ACROSS the restart")
+  }
+
   test("streaming heavy hitters honor the Misra-Gries bounds over the " +
       "full ingest") {
     import graft.pipeline.TextOps
