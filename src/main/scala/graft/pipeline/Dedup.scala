@@ -604,4 +604,52 @@ object Dedup {
       batch.sizes.write.mode("append").parquet(s"$path/sizes")
     } finally batch.unpersistShingles()
   }
+
+  /** Fold the small files an append-heavy lifecycle accumulates back
+    * into consolidated, sig-sorted per-band files (and `targetPartitions`
+    * files each for shingles/sizes) — the maintenance-window companion
+    * of [[appendToNearDupIndex]]: reads are unchanged semantically, but
+    * a probe stops paying per-file open cost for every past ingest
+    * cycle. `filesPerBand` sizes the band output (1 is right up to a
+    * few GB per band; raise it so individual files stay row-group
+    * friendly at corpus scale).
+    *
+    * MUST NOT run concurrently with readers or appends (same documented
+    * publish window as `ExactlyOnceSink.compact`). Crash-safe at any
+    * interruption point via [[IndexMaintenance]]: each table is staged
+    * fully, marked, then swapped; an interrupted swap heals on the next
+    * call (which also sweeps pre-commit orphans) — and healing runs
+    * BEFORE anything is read, so a crashed compaction never feeds a
+    * half-swapped table into the next one. The meta sidecar is never
+    * touched.
+    */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, filesPerBand: Int = 1,
+      targetPartitions: Int = 1): Unit = {
+    require(filesPerBand >= 1 && targetPartitions >= 1,
+      "filesPerBand and targetPartitions must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tables = Seq("bands", "shingles", "sizes")
+      .map(t => t -> new org.apache.hadoop.fs.Path(root, t)).toMap
+    tables.values.foreach(IndexMaintenance.recoverOrSweep(fs, _))
+    val idx = loadNearDupIndex(spark, path)
+    val nBands = idx.numHashes / idx.rowsPerBand
+    // bands: RANGE-partition on (band, sig) so partitions align with
+    // the band dirs (a hash repartition on the pair would spread every
+    // band across every partition and MULTIPLY files); the sig sort
+    // keeps row-group stats narrowing probe scans
+    idx.bands
+      .repartitionByRange(nBands * filesPerBand, col("band"), col("sig"))
+      .sortWithinPartitions("band", "sig")
+      .write.partitionBy("band")
+      .parquet(IndexMaintenance.stagingOf(tables("bands")).toString)
+    IndexMaintenance.swap(fs, tables("bands"))
+    idx.shingles.repartition(targetPartitions)
+      .write.parquet(IndexMaintenance.stagingOf(tables("shingles")).toString)
+    IndexMaintenance.swap(fs, tables("shingles"))
+    idx.sizes.repartition(targetPartitions)
+      .write.parquet(IndexMaintenance.stagingOf(tables("sizes")).toString)
+    IndexMaintenance.swap(fs, tables("sizes"))
+  }
 }

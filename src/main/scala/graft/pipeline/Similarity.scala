@@ -523,6 +523,39 @@ object Similarity {
       .write.mode("append").partitionBy("__cell").parquet(s"$path/corpus")
   }
 
+  /** Fold an append-grown cell layout back into consolidated, id-sorted
+    * per-cell files — [[appendToIvfIndex]]'s maintenance-window
+    * companion, working on any of the three persisted layouts (it
+    * rewrites rows as-is; codes and sidecars are untouched). Restores
+    * the full id-sort within each cell, so row-group id stats prune
+    * rerank point fetches like a fresh [[writeIvfIndex]] again.
+    * `filesPerCell` sizes the output (raise it when single cells exceed
+    * a few GB). MUST NOT run concurrently with readers or appends;
+    * crash-safe at any interruption point via [[IndexMaintenance]]
+    * (stage → mark → swap; an interrupted swap heals on the next call,
+    * before anything is read).
+    */
+  def compactIvfIndex(spark: SparkSession, path: String,
+      filesPerCell: Int = 1): Unit = {
+    require(filesPerCell >= 1, "filesPerCell must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(root, "corpus")
+    IndexMaintenance.recoverOrSweep(fs, live)
+    val idx = loadIvfIndex(spark, path)
+    // RANGE-partition on (cell, id): partitions align with the cell
+    // dirs (hash on the pair would spread every cell across every
+    // partition and multiply files) and the id sort is already the
+    // range order
+    idx.assigned
+      .repartitionByRange(idx.centroids.length * filesPerCell,
+        col("__cell"), col(idx.idCol))
+      .sortWithinPartitions(col("__cell"), col(idx.idCol))
+      .write.partitionBy("__cell")
+      .parquet(IndexMaintenance.stagingOf(live).toString)
+    IndexMaintenance.swap(fs, live)
+  }
+
   /** PQ codes column name in a composed IVF×PQ index. */
   val PqCodesCol = "__codes"
 

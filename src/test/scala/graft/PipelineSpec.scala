@@ -150,6 +150,43 @@ class PipelineSpec extends SparkSpec {
     assert(pairs(Dedup.nearDupPairsAgainstIndex(
       Dedup.loadNearDupIndex(spark, dir), batch2, "doc_id", "text", 0.8))
       == expect, "failed append must not mutate the index")
+    // compaction folds the append's small files without changing any
+    // answer, and leaves the meta sidecar alone
+    def parquetFiles(sub: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      walk(new java.io.File(s"$dir/$sub"))
+    }
+    val bandFilesBefore = parquetFiles("bands").size
+    Dedup.compactNearDupIndex(spark, dir)
+    assert(parquetFiles("bands").size < bandFilesBefore,
+      s"compaction should consolidate the appended band files " +
+        s"($bandFilesBefore before)")
+    val compacted = Dedup.loadNearDupIndex(spark, dir)
+    assert(compacted.numHashes == 8 && !compacted.production64)
+    assert(pairs(Dedup.nearDupPairsAgainstIndex(
+      compacted, batch2, "doc_id", "text", 0.8)) == expect,
+      "compaction changed probe results")
+    // crash simulation: marker written, live dir gone, staging complete
+    // (the post-commit window) — the next compaction call must heal it
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/shingles")
+    val stg = new org.apache.hadoop.fs.Path(
+      s"$dir/.__graft_idxcompact_shingles")
+    assert(fs.rename(live, stg))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/.__graft_idxcompact_shingles.pending"), true).close()
+    Dedup.compactNearDupIndex(spark, dir)
+    assert(pairs(Dedup.nearDupPairsAgainstIndex(
+      Dedup.loadNearDupIndex(spark, dir), batch2, "doc_id", "text", 0.8))
+      == expect, "crashed compaction did not heal")
+    // and appending after compaction still composes
+    Dedup.appendToNearDupIndex(spark, dir, batch2, "doc_id", "text")
+    assert(Dedup.loadNearDupIndex(spark, dir).sizes.count() ==
+      Dedup.buildNearDupIndex(docs, "doc_id", "text").sizes.count(),
+      "append after compaction lost rows")
   }
 
   test("keep-best near-dedup keeps each cluster's highest-score member") {
@@ -480,6 +517,25 @@ class PipelineSpec extends SparkSpec {
       .count()
     assert(badPq == 0, "appended PQ codes diverge from the sidecar codebooks")
     assert(loadedPq.assigned.count() == embeddings.count())
+    // compaction folds the appended files per cell, answers unchanged
+    def parquetFiles(d: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      walk(new java.io.File(d)).size
+    }
+    val q = (0 until 64).map(i => (i % 5 - 2) * 0.3f)
+    val before = Similarity.queryIvf(Similarity.loadIvfIndex(spark, dir),
+      q, 10).collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cosine"))).toSeq
+    val filesBefore = parquetFiles(s"$dir/corpus")
+    Similarity.compactIvfIndex(spark, dir)
+    assert(parquetFiles(s"$dir/corpus") < filesBefore,
+      s"compaction should consolidate appended cell files ($filesBefore)")
+    val after = Similarity.queryIvf(Similarity.loadIvfIndex(spark, dir),
+      q, 10).collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cosine"))).toSeq
+    assert(after == before, "compaction changed query results")
   }
 
   test("composed IVF×PQ index prunes partitions, pushes the rerank " +
