@@ -187,6 +187,17 @@ class PipelineSpec extends SparkSpec {
     assert(Dedup.loadNearDupIndex(spark, dir).sizes.count() ==
       Dedup.buildNearDupIndex(docs, "doc_id", "text").sizes.count(),
       "append after compaction lost rows")
+    // the production xxhash64 family appends through the same path —
+    // the meta sidecar carries production64 and the append must sign
+    // the batch with the SAME family
+    val dir64 = java.nio.file.Files
+      .createTempDirectory("graft-neardup-append64").toString
+    Dedup.writeNearDupIndex(Dedup.buildNearDupIndex(
+      corpus, "doc_id", "text", production64 = true), dir64)
+    Dedup.appendToNearDupIndex(spark, dir64, batch1, "doc_id", "text")
+    assert(pairs(Dedup.nearDupPairsAgainstIndex(
+      Dedup.loadNearDupIndex(spark, dir64), batch2, "doc_id", "text", 0.8))
+      == expect, "xxhash64-family append diverged")
   }
 
   test("keep-best near-dedup keeps each cluster's highest-score member") {

@@ -544,6 +544,65 @@ class StreamingMaskSpec extends SparkSpec {
       "fixture should assemble at least one bin across micro-batches")
   }
 
+  test("ordered streaming packing recovers its buffer and timers across " +
+      "a restart") {
+    import SparkSpec.spark.implicits._
+    import graft.pipeline.{Packing, TextOps}
+    val base = Files.createTempDirectory("graft_pack_ordrestart").toString
+    val in = s"$base/in"; val out = s"$base/lake"; val ck = s"$base/ck"
+    val docs = spark.read.parquet(s"$fixtures/documents.parquet")
+      .select("doc_id", "lang", "text")
+      .withColumn("ts", expr("timestampadd(SECOND, " +
+        "CAST(doc_id AS INT), timestamp'2026-01-01 00:00:00')"))
+    val n = docs.count()
+    val schema = docs.schema
+    def runOnce(): Unit = withRocksDbStateStore {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true").parquet(in)
+      val q = ExactlyOnceSink.start(
+        StreamMask.packStreamOrdered(stream, "lang", "doc_id",
+          TextOps.tokenCount(col("text")), 256, "ts", "60 seconds"),
+        out, ck)
+      q.awaitTermination(120000)
+    }
+    // run 1 ends with most of the corpus BUFFERED (inside the 60 s
+    // watermark window) and timers armed; the crash happens here
+    docs.filter(col("doc_id") < n / 2).write.parquet(s"$in/f0")
+    runOnce()
+    val landedMid = spark.read.parquet(out).count()
+    assert(landedMid < n / 2,
+      "some docs must still be buffered at the crash point")
+    // run 2: rest of the corpus + a far-future flush sentinel; buffered
+    // docs from run 1 must release from the RECOVERED ListState in
+    // (ts, id) order, giving the batch assignment end to end
+    docs.filter(col("doc_id") >= n / 2)
+      .unionAll(docs.limit(1).select(lit(900000L).as("doc_id"),
+        col("lang"), col("text"))
+        .withColumn("ts", expr("timestamp'2026-02-01 00:00:00'")))
+      .write.parquet(s"$in/f1")
+    Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+      .withColumn("ts", expr("timestamp'2026-03-01 00:00:00'"))
+      .unionAll(docs.limit(1).select(lit(900001L).as("doc_id"),
+        col("lang"), col("text"))
+        .withColumn("ts", expr("timestamp'2026-03-01 00:00:00'")))
+      .write.parquet(s"$in/f2")
+    runOnce()
+    val streamed = spark.read.parquet(out)
+      .select("shard", "id", "tokens", "offset", "bin")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .filter(_._2 < 900000L).toSeq.sorted
+    val batch = Packing.packByOffset(docs, "lang", "doc_id",
+        TextOps.tokenCount(col("text")), 256)
+      .select("lang", "doc_id", "tokens", "offset", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sorted
+    assert(streamed == batch,
+      "restart lost or reordered the ordered packer's buffered state")
+  }
+
   test("streaming bin assembly restarts from its checkpoint and lands " +
       "every bin exactly once") {
     import graft.pipeline.{Packing, TextOps}
