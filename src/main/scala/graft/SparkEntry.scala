@@ -755,6 +755,30 @@ object SparkEntry {
       .orderBy("id_old", "id_new")
   }
 
+  /** [[qDedupIncr]] THROUGH THE MAINTENANCE PATH: the even corpus lands
+    * in two installments — an initial [[graft.pipeline.Dedup
+    * .buildNearDupIndex]]/[[graft.pipeline.Dedup.writeNearDupIndex]] on
+    * doc_id%4==0, then an [[graft.pipeline.Dedup.appendToNearDupIndex]]
+    * of the %4==2 ingest — and the odd batch probes the LOADED layout.
+    * Shares q_dedup_incr's oracle verbatim: the appended index must
+    * answer exactly like a fresh build over the full even corpus, under
+    * the driver's value gate, not just the specs.
+    */
+  private def qDedupAppend(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-q-dedup-append").toString
+    val base = Dedup.buildNearDupIndex(
+      d.filter(col("doc_id") % 4 === 0), "doc_id", "text")
+    try Dedup.writeNearDupIndex(base, path)
+    finally base.unpersistShingles()
+    Dedup.appendToNearDupIndex(s, path,
+      d.filter(col("doc_id") % 4 === 2), "doc_id", "text")
+    Dedup.nearDupPairsAgainstIndex(Dedup.loadNearDupIndex(s, path),
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text", 0.8)
+      .orderBy("id_old", "id_new")
+  }
+
   /** Sequence packing ([[graft.pipeline.Packing.packByOffset]]): assign
     * every document to its fixed-token-budget training bin — offset
     * packing (concat-and-chunk) per language shard, budget 256
@@ -940,6 +964,30 @@ object SparkEntry {
   private def qSimIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
     Similarity.ivfTopK(e, "vec_id", "embedding", queryVec(s, dir), 10)
+      .select("vec_id", "label", "cosine")
+  }
+
+  /** [[qSimIvf]] THROUGH THE MAINTENANCE PATH: the index lands in two
+    * installments — [[graft.pipeline.Similarity.buildIvfIndex]] +
+    * [[graft.pipeline.Similarity.writeIvfIndex]] on the even vec_ids,
+    * then an [[graft.pipeline.Similarity.appendToIvfIndex]] of the odd
+    * ingest — and the query probes the LOADED layout. The oracle
+    * re-derives the centroids from the EVEN half only (the seeds the
+    * initial build saw) but assigns and scores the FULL corpus,
+    * putting the no-re-clustering append contract under the value
+    * gate, not just the specs.
+    */
+  private def qSimIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-q-ivf-append").toString
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding"), path)
+    Similarity.appendToIvfIndex(s, path,
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    Similarity.queryIvf(Similarity.loadIvfIndex(s, path),
+        queryVec(s, dir), 10)
       .select("vec_id", "label", "cosine")
   }
 
@@ -1234,6 +1282,7 @@ object SparkEntry {
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_incr" -> (qDedupIncr _),
+    "q_dedup_append" -> (qDedupAppend _),
     "q_text_stats" -> (qTextStats _),
     "q_subword" -> (qSubword _),
     "q_lang_id" -> (qLangId _),
@@ -1256,6 +1305,7 @@ object SparkEntry {
     "q_sim_topk" -> (qSimTopk _),
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
+    "q_sim_ivf_append" -> (qSimIvfAppend _),
     "q_sim_ivf_batch" -> (qSimIvfBatch _),
     "q_pq" -> (qPq _),
     "q_ivf_pq" -> (qIvfPq _),
@@ -1401,6 +1451,93 @@ object SparkEntry {
        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM pos)""".stripMargin
 
   private val shingleCte = shingleCteFrom("documents")
+
+  /** The IVF probe pipeline mirrored in SQL — shared by `q_sim_ivf`
+    * (centroids seeded from the whole corpus) and `q_sim_ivf_append`
+    * (centroids seeded from the `centPred` half the initial build saw;
+    * assignment/scoring still cover the full corpus). Mirrors
+    * `Similarity.ivfTopK` exactly: centroids = 16 lowest-id vectors
+    * passing `centPred` (cell = rank-1); assignment = argmax cell
+    * cosine with ties toward the HIGHER cell (Spark's lexicographic
+    * struct max); probes = 2 centroids nearest the query with ties
+    * toward the LOWER cell (stable driver sort); all cosines are
+    * element-order folds (`SUM ... ORDER BY i` is bit-identical).
+    */
+  private def simIvfOracleSql(centPred: String): String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0),
+       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+       |         embedding AS ce FROM corpus WHERE $centPred
+       |         ORDER BY vec_id LIMIT 16),
+       |ax AS (SELECT e.vec_id, c.cell, unnest(e.embedding) AS v,
+       |         unnest(generate_series(1, len(e.embedding))) AS i, c.ce AS ce
+       |       FROM corpus e CROSS JOIN cent c),
+       |ad AS (SELECT vec_id, cell,
+       |    SUM(CAST(v AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS dp,
+       |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+       |    SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS nc
+       |  FROM ax GROUP BY vec_id, cell),
+       |assign AS (SELECT vec_id, cell FROM ad
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cell DESC) = 1),
+       |qx AS (SELECT c.cell, unnest(c.ce) AS v,
+       |         unnest(generate_series(1, len(c.ce))) AS i, q.qe AS qe
+       |       FROM cent c, q),
+       |qd AS (SELECT cell,
+       |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+       |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nc,
+       |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+       |  FROM qx GROUP BY cell),
+       |probes AS (SELECT cell FROM qd
+       |  QUALIFY row_number() OVER (
+       |    ORDER BY dp / (sqrt(nc) * sqrt(nq)) DESC, cell ASC) <= 2),
+       |fx AS (SELECT e.vec_id, e.label, unnest(e.embedding) AS v,
+       |         unnest(generate_series(1, len(e.embedding))) AS i, q.qe AS qe
+       |       FROM corpus e
+       |       JOIN assign a ON a.vec_id = e.vec_id
+       |       JOIN probes p ON p.cell = a.cell, q),
+       |fd AS (SELECT vec_id, label,
+       |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+       |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+       |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+       |  FROM fx GROUP BY vec_id, label)
+       |SELECT vec_id, label, dp / (sqrt(nv) * sqrt(nq)) AS cosine
+       |FROM fd ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
+  /** The incremental shape across the even/odd split: signatures are
+    * per-doc (split-independent), candidates pair an EVEN (indexed
+    * corpus) doc with an ODD (ingest batch) doc on a shared band
+    * signature, then the standard exact-Jaccard verify. Shared verbatim
+    * by `q_dedup_incr` (fresh in-memory index) and `q_dedup_append`
+    * (persisted index grown by `appendToNearDupIndex`) — the two Spark
+    * paths must produce identical values.
+    */
+  private lazy val dedupIncrOracleSql: String = {
+    val mins = (0 until 8)
+      .map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")
+    val bandSel = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS sig FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH $shingleCte,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS ($bandSel),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_old, b.doc_id AS id_new
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.sig = b.sig
+       |         WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.id_old, c.id_new, count(*) AS n_inter
+       |          FROM cand c JOIN sh sa ON sa.doc_id = c.id_old
+       |          JOIN sh sb ON sb.doc_id = c.id_new
+       |            AND sb.shingle = sa.shingle
+       |          GROUP BY c.id_old, c.id_new)
+       |SELECT i.id_old, i.id_new, i.n_inter,
+       |  CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) AS jaccard
+       |FROM inter i JOIN sz za ON za.doc_id = i.id_old
+       |JOIN sz zb ON zb.doc_id = i.id_new
+       |WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) >= 0.8
+       |ORDER BY id_old, id_new""".stripMargin
+  }
 
   /** The MinHash→banded-LSH→Jaccard near-dup pipeline as DuckDB CTEs,
     * shared by `q_dedup_near` (pair list) and `q_dedup_clusters`
@@ -1757,36 +1894,11 @@ object SparkEntry {
          |  SELECT rc.id, e.dst FROM reach rc JOIN edges e ON e.src = rc.r)
          |SELECT id AS doc_id, MIN(r) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
-    "q_dedup_incr" -> {
-      // the incremental shape across the even/odd split: signatures are
-      // per-doc (split-independent), candidates pair an EVEN (indexed
-      // corpus) doc with an ODD (ingest batch) doc on a shared band
-      // signature, then the standard exact-Jaccard verify
-      val mins = (0 until 8)
-        .map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")
-      val bandSel = (0 until 4)
-        .map(b => s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS sig FROM sig")
-        .mkString(" UNION ALL ")
-      s"""WITH $shingleCte,
-         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-         |bands AS ($bandSel),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_old, b.doc_id AS id_new
-         |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.sig = b.sig
-         |         WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |inter AS (SELECT c.id_old, c.id_new, count(*) AS n_inter
-         |          FROM cand c JOIN sh sa ON sa.doc_id = c.id_old
-         |          JOIN sh sb ON sb.doc_id = c.id_new
-         |            AND sb.shingle = sa.shingle
-         |          GROUP BY c.id_old, c.id_new)
-         |SELECT i.id_old, i.id_new, i.n_inter,
-         |  CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) AS jaccard
-         |FROM inter i JOIN sz za ON za.doc_id = i.id_old
-         |JOIN sz zb ON zb.doc_id = i.id_new
-         |WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) >= 0.8
-         |ORDER BY id_old, id_new""".stripMargin
-    },
+    "q_dedup_incr" -> dedupIncrOracleSql,
+    // the SAME oracle verbatim: after folding the second even half into
+    // the persisted layout, the appended index must answer EXACTLY like
+    // a fresh build over the full even corpus
+    "q_dedup_append" -> dedupIncrOracleSql,
     "q_text_stats" ->
       // CAST SUM/MAX to BIGINT: DuckDB SUM(integer) yields HUGEINT (float64
       // in pandas) and MAX(len) INT vs Spark's int64 — dtype-exact both sides
@@ -2046,51 +2158,11 @@ object SparkEntry {
          |SELECT vec_id, label, dp / (sqrt(nv) * sqrt(nq)) AS cosine
          |FROM dots ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
     },
-    "q_sim_ivf" ->
-      // mirrors Similarity.ivfTopK exactly: centroids = 16 lowest-id
-      // corpus vectors (cell = rank-1); assignment = argmax cell cosine
-      // with ties toward the HIGHER cell (Spark's lexicographic struct
-      // max); probes = 2 centroids nearest the query with ties toward the
-      // LOWER cell (stable driver sort); all cosines are element-order
-      // folds (SUM ... ORDER BY i is bit-identical)
-      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0),
-         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-         |         embedding AS ce FROM corpus ORDER BY vec_id LIMIT 16),
-         |ax AS (SELECT e.vec_id, c.cell, unnest(e.embedding) AS v,
-         |         unnest(generate_series(1, len(e.embedding))) AS i, c.ce AS ce
-         |       FROM corpus e CROSS JOIN cent c),
-         |ad AS (SELECT vec_id, cell,
-         |    SUM(CAST(v AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS dp,
-         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
-         |    SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS nc
-         |  FROM ax GROUP BY vec_id, cell),
-         |assign AS (SELECT vec_id, cell FROM ad
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cell DESC) = 1),
-         |qx AS (SELECT c.cell, unnest(c.ce) AS v,
-         |         unnest(generate_series(1, len(c.ce))) AS i, q.qe AS qe
-         |       FROM cent c, q),
-         |qd AS (SELECT cell,
-         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
-         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nc,
-         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
-         |  FROM qx GROUP BY cell),
-         |probes AS (SELECT cell FROM qd
-         |  QUALIFY row_number() OVER (
-         |    ORDER BY dp / (sqrt(nc) * sqrt(nq)) DESC, cell ASC) <= 2),
-         |fx AS (SELECT e.vec_id, e.label, unnest(e.embedding) AS v,
-         |         unnest(generate_series(1, len(e.embedding))) AS i, q.qe AS qe
-         |       FROM corpus e
-         |       JOIN assign a ON a.vec_id = e.vec_id
-         |       JOIN probes p ON p.cell = a.cell, q),
-         |fd AS (SELECT vec_id, label,
-         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
-         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
-         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
-         |  FROM fx GROUP BY vec_id, label)
-         |SELECT vec_id, label, dp / (sqrt(nv) * sqrt(nq)) AS cosine
-         |FROM fd ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q_sim_ivf" -> simIvfOracleSql(centPred = "TRUE"),
+    // the appended-index probe: centroids seed from the EVEN half (the
+    // initial build), assignment/scoring cover the full corpus — the
+    // rest of the pipeline SQL is shared verbatim with q_sim_ivf
+    "q_sim_ivf_append" -> simIvfOracleSql(centPred = "vec_id % 2 = 0"),
     "q_ivf_int8" ->
       // q_sim_ivf's probe pipeline (assignment and probes on the
       // FULL-PRECISION vectors, as the build does) with the final
