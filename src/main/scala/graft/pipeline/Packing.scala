@@ -136,9 +136,18 @@ object Packing {
   def assembleBins(pieces: DataFrame, shardCol: String,
       orderCol: String, idsCol: String): DataFrame =
     pieces
+      // an ids array shorter/longer than the `tokens` the frame was
+      // packed with would silently mis-slice every downstream bin —
+      // fail loudly instead (the chunkSpans budget guard's sibling)
       .withColumn("__piece_ids",
-        slice(col(idsCol), (col("doc_from") + 1).cast("int"),
-          col("piece_tokens").cast("int")))
+        when(size(col(idsCol)).cast("long") === col("tokens"),
+          slice(col(idsCol), (col("doc_from") + 1).cast("int"),
+            col("piece_tokens").cast("int")))
+          .otherwise(raise_error(concat(
+            lit("assembleBins: doc "), col(orderCol).cast("string"),
+            lit(" carries "), size(col(idsCol)).cast("string"),
+            lit(" ids but was packed with tokens="),
+            col("tokens").cast("string")))))
       .groupBy(col(shardCol), col("piece_bin").as("bin"))
       .agg(
         count(lit(1)).as("n_pieces"),

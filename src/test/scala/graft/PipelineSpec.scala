@@ -365,6 +365,17 @@ class PipelineSpec extends SparkSpec {
     assert(bins.groupBy(_._1).exists { case (_, bs) =>
       bs.map(_._5).toSet.intersect(bs.map(_._6).toSet).nonEmpty },
       "fixture should split at least one doc across adjacent bins")
+    // an ids array inconsistent with the packed token count fails
+    // loudly instead of silently mis-slicing every downstream bin
+    val mispacked = Packing.packByOffset(withIds, "lang", "doc_id",
+      size(col("ids")).cast("long") + 1, budget)
+    val thrown = intercept[Exception] {
+      Packing.assembleBins(Packing.chunkSpans(mispacked, budget),
+        "lang", "doc_id", "ids").collect()
+    }
+    assert(Iterator.iterate(thrown: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(5)
+      .exists(t => Option(t.getMessage).exists(_.contains("assembleBins"))))
   }
 
   test("per-row simHash64Expr is bit-identical to the aggregate simHash64") {
