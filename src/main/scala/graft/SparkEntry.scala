@@ -844,6 +844,27 @@ object SparkEntry {
       .orderBy("doc_id", "pos")
   }
 
+  /** Unicode NFC canonicalization ([[graft.pipeline.TextOps
+    * .nfcNormalize]] → the native [[graft.plans.NfcNormalize]]): the
+    * fixture text is ASCII (NFC identity), so a decomposed
+    * `e`+combining-acute and a composed `é` are appended per row — the
+    * oracle (DuckDB's own `nfc_normalize`) must agree codepoint for
+    * codepoint that both collapse to the composed form, with the
+    * before/after lengths proving a real transformation happened.
+    */
+  private def qUnicodeNfc(s: SparkSession, dir: String): DataFrame = {
+    // explicit escapes, never raw source literals (an editor could
+    // silently re-normalize them): decomposed = 'e' + U+0301
+    // combining acute; composed = U+00E9
+    val decorated = concat(col("text"), lit(" caf"), lit("e\u0301"),
+      lit(" caf\u00e9"))
+    docs(s, dir).select(col("doc_id"),
+      length(decorated).cast("bigint").as("len_raw"),
+      TextOps.nfcNormalize(decorated).as("nfc"),
+      length(TextOps.nfcNormalize(decorated)).cast("bigint").as("len_nfc"))
+      .orderBy("doc_id")
+  }
+
   /** The END of the training-batch flow: tokenize-to-ids → BPE-budget
     * offset packing → boundary splitting → bin assembly
     * ([[graft.pipeline.Packing.assembleBins]]) — every bin's
@@ -1318,6 +1339,7 @@ object SparkEntry {
     "q_curation" -> (qCuration _),
     "q_curation_pack" -> (qCurationPack _),
     "q_bpe" -> (qBpe _),
+    "q_unicode_nfc" -> (qUnicodeNfc _),
     "q_bpe_ids" -> (qBpeIds _),
     "q_pack_bpe" -> (qPackBpe _),
     "q_pack_bins" -> (qPackBins _),
@@ -2538,6 +2560,16 @@ object SparkEntry {
          |  CAST(COALESCE(g.n_gpt2_pieces, 0) AS BIGINT) AS n_gpt2_pieces,
          |  CAST(COALESCE(g.n_bpe_gpt2, 0) AS BIGINT) AS n_bpe_gpt2
          |FROM ws LEFT JOIN g USING (doc_id) ORDER BY ws.doc_id""".stripMargin
+    },
+    "q_unicode_nfc" -> {
+      // chr(769) = U+0301 combining acute (decomposed), chr(233) = é
+      // (composed); DuckDB's own nfc_normalize is the oracle
+      val dec = "text || ' caf' || 'e' || chr(769) || ' caf' || chr(233)"
+      s"""SELECT doc_id,
+         |  CAST(length($dec) AS BIGINT) AS len_raw,
+         |  nfc_normalize($dec) AS nfc,
+         |  CAST(length(nfc_normalize($dec)) AS BIGINT) AS len_nfc
+         |FROM documents ORDER BY doc_id""".stripMargin
     },
     "q_bpe_ids" ->
       // full value oracle on the token-ID SEQUENCE: re-run the merge

@@ -22,6 +22,25 @@ object TextOps {
   def normalize(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
+  /** Unicode canonical (NFC) normalization — run BEFORE any hash-based
+    * operator (shingles, MinHash, SimHash, winnowing, exact dedup):
+    * composed `é` and decomposed `e`+U+0301 are the SAME text but
+    * different bytes, so without it equal documents can fail to dedup.
+    * Auto-upgrades to the codegen'd [[graft.plans.NfcNormalize]] when
+    * the session registered `GraftExtensions`; the JDK-Normalizer UDF
+    * fallback is value-identical.
+    */
+  def nfcNormalize(text: Column): Column =
+    if (graft.plans.GraftExtensions.hasNative("nfc_normalize"))
+      call_function("nfc_normalize", text)
+    else {
+      val f = udf((s: String) =>
+        if (s == null) null
+        else java.text.Normalizer.normalize(s,
+          java.text.Normalizer.Form.NFC))
+      f(text)
+    }
+
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalize(text), " ")
 

@@ -141,5 +141,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "winnow_select64 takes exactly 3 arguments (text, k, w)")
         WinnowSelect64(children.head, children(1), children(2))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "nfc_normalize takes exactly 1 argument")
+        NfcNormalize(children.head)
+      }))
   }
 }

@@ -139,4 +139,39 @@ class MiscOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Skew.saltedJoin(orders, richCust, "o_custkey", "c_custkey", 4, "right"))
   }
+
+  test("NFC normalization composes decomposed text, native == fallback") {
+    import SparkSpec.spark.implicits._
+    import graft.pipeline.TextOps
+    // decomposed e+U+0301 vs composed U+00E9, plus shapes that must be
+    // identities: ASCII, empty, already-composed, null
+    val df = Seq(
+      (1L, "caf" + "e\u0301" + " and caf\u00e9"),
+      (2L, "plain ascii"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "s")
+    val got = df.select(col("id"), TextOps.nfcNormalize(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "caf\u00e9 and caf\u00e9",
+      "decomposed and composed forms must both land on NFC")
+    assert(got(2L) == "plain ascii" && got(3L) == "" && got(4L) == null)
+    // the session registers GraftExtensions: the native expression must
+    // actually be in play, and agree with the UDF fallback everywhere
+    assert(graft.plans.GraftExtensions.hasNative("nfc_normalize"))
+    val viaUdf = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    val diff = df.select(
+        TextOps.nfcNormalize(col("s")).as("a"), viaUdf(col("s")).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(diff == 0)
+    // and equal-text-different-bytes now dedups: the hashes collapse
+    val hashes = df.filter(col("id") === 1L)
+      .select(split(TextOps.nfcNormalize(col("s")), " ").as("w"))
+      .select(explode(col("w")).as("w"))
+      .filter(col("w").contains("caf"))
+      .select(md5(col("w"))).distinct().count()
+    assert(hashes == 1L, "NFC'd renderings must hash identically")
+  }
 }
