@@ -255,6 +255,38 @@ final case class AssembledBin(shard: String, bin: Long, n_pieces: Long,
 final case class OpenBin(cum: Long, nPieces: Long, firstPiece: Long,
     lastPiece: Long, ids: Array[Int])
 
+/** The open-bin fold shared by the arrival-order and event-time bin
+  * assemblers: slice one document's id array across bin boundaries into
+  * the running [[OpenBin]], emitting every bin the moment it reaches
+  * exactly `budget` tokens. ONE definition, so the two processors
+  * cannot drift on the cut rule.
+  */
+private[streaming] object BinAssembly {
+
+  val emptyOpen: OpenBin = OpenBin(0L, 0L, -1L, -1L, Array.empty)
+
+  def foldDoc(shard: String, st0: OpenBin, id: Long, ids: Array[Int],
+      budget: Int,
+      out: scala.collection.mutable.Builder[AssembledBin, _]): OpenBin = {
+    var st = st0
+    var from = 0
+    while (from < ids.length) {
+      val space = budget - (st.cum % budget).toInt
+      val take = math.min(space, ids.length - from)
+      st = OpenBin(st.cum + take, st.nPieces + 1,
+        if (st.nPieces == 0L) id else st.firstPiece, id,
+        st.ids ++ ids.slice(from, from + take))
+      from += take
+      if (st.cum % budget == 0) {
+        out += AssembledBin(shard, st.cum / budget - 1, st.nPieces,
+          budget.toLong, st.firstPiece, st.lastPiece, st.ids)
+        st = OpenBin(st.cum, 0L, -1L, -1L, Array.empty)
+      }
+    }
+    st
+  }
+}
+
 /** Per-shard streaming bin assembly (behind
   * [[StreamMask.packBinsStream]]): the streaming form of
   * [[graft.pipeline.Packing.assembleBins]], fused with the offset
@@ -277,29 +309,75 @@ final class BinAssemblerProcessor(budget: Int)
 
   override def handleInputRows(key: String, rows: Iterator[AssembleDoc],
       timerValues: TimerValues): Iterator[AssembledBin] = {
-    var st =
-      if (open.exists()) open.get()
-      else OpenBin(0L, 0L, -1L, -1L, Array.empty)
+    var st = if (open.exists()) open.get() else BinAssembly.emptyOpen
     val out = List.newBuilder[AssembledBin]
-    rows.toSeq.sortBy(_.id).foreach { d =>
-      var from = 0
-      while (from < d.ids.length) {
-        val space = budget - (st.cum % budget).toInt
-        val take = math.min(space, d.ids.length - from)
-        st = OpenBin(st.cum + take, st.nPieces + 1,
-          if (st.nPieces == 0L) d.id else st.firstPiece, d.id,
-          st.ids ++ d.ids.slice(from, from + take))
-        from += take
-        if (st.cum % budget == 0) {
-          out += AssembledBin(key, st.cum / budget - 1, st.nPieces,
-            budget.toLong, st.firstPiece, st.lastPiece, st.ids)
-          st = OpenBin(st.cum, 0L, -1L, -1L, Array.empty)
-        }
-      }
-    }
+    rows.toSeq.sortBy(_.id).foreach(d =>
+      st = BinAssembly.foldDoc(key, st, d.id, d.ids, budget, out))
     open.update(st)
     out.result().iterator
   }
+}
+
+/** A document entering the EVENT-TIME bin assembler, buffered until the
+  * watermark passes its timestamp.
+  */
+final case class OrderedAssembleDoc(shard: String, id: Long,
+    ids: Array[Int], tsMs: Long, ts: java.sql.Timestamp)
+
+/** One buffered document in [[OrderedBinAssemblerProcessor]]. */
+final case class PendingAssembleDoc(id: Long, tsMs: Long, ids: Array[Int])
+
+/** Event-time ORDERED streaming bin assembly (behind
+  * [[StreamMask.packBinsStreamOrdered]]): [[BinAssemblerProcessor]]'s
+  * continuous bin emission with [[OrderedShardOffsetProcessor]]'s
+  * buffering discipline — documents wait in a per-shard `ListState`
+  * until the watermark passes their event time, then feed the SAME
+  * open-bin fold in (event time, id) order. Any arrival permutation
+  * within the watermark window therefore emits the identical bin
+  * sequence the batch pipeline assembles over the time-ordered corpus.
+  * State per shard: the in-watermark buffer + one ≤ budget open bin;
+  * one re-armed timer at the oldest pending timestamp.
+  */
+final class OrderedBinAssemblerProcessor(budget: Int)
+    extends StatefulProcessor[String, OrderedAssembleDoc, AssembledBin] {
+
+  @transient private var buf: ListState[PendingAssembleDoc] = _
+  @transient private var open: ValueState[OpenBin] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[PendingAssembleDoc]("buf",
+      Encoders.product[PendingAssembleDoc], TTLConfig.NONE)
+    open = getHandle.getValueState[OpenBin]("open",
+      Encoders.product[OpenBin], TTLConfig.NONE)
+  }
+
+  private def release(shard: String, wmMs: Long): Iterator[AssembledBin] = {
+    val (ripe, wait) = buf.get().toList.partition(_.tsMs <= wmMs)
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    if (wait.nonEmpty) getHandle.registerTimer(wait.map(_.tsMs).min)
+    if (ripe.isEmpty) Iterator.empty
+    else {
+      if (wait.isEmpty) buf.clear() else buf.put(wait.toArray)
+      var st = if (open.exists()) open.get() else BinAssembly.emptyOpen
+      val out = List.newBuilder[AssembledBin]
+      ripe.sortBy(p => (p.tsMs, p.id)).foreach(p =>
+        st = BinAssembly.foldDoc(shard, st, p.id, p.ids, budget, out))
+      open.update(st)
+      out.result().iterator
+    }
+  }
+
+  override def handleInputRows(key: String,
+      rows: Iterator[OrderedAssembleDoc],
+      timerValues: TimerValues): Iterator[AssembledBin] = {
+    rows.foreach(d =>
+      buf.appendValue(PendingAssembleDoc(d.id, d.tsMs, d.ids)))
+    release(key, timerValues.getCurrentWatermarkInMs())
+  }
+
+  override def handleExpiredTimer(key: String, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[AssembledBin] =
+    release(key, timerValues.getCurrentWatermarkInMs())
 }
 
 /** Structured-Streaming surface (SURVEY.md §2.10; the reference is strictly
@@ -644,6 +722,36 @@ object StreamMask {
       .groupByKey(_.shard)
       .transformWithState(new BinAssemblerProcessor(budget),
         TimeMode.None(), OutputMode.Append)
+      .toDF()
+  }
+
+  /** [[packBinsStream]] with the ordered-arrival precondition REMOVED —
+    * the production composition for out-of-order ingest: documents
+    * buffer per shard until the watermark passes their event time
+    * (`tsCol`/`watermark`), then feed the open bin in (event time, id)
+    * order, so ANY in-watermark arrival permutation emits the exact bin
+    * sequence the batch pipeline assembles over the time-ordered
+    * corpus. Bins still leave the moment they fill — delayed by at most
+    * the watermark. Late rows degrade to arrival order, the standard
+    * watermark contract shared with [[packStreamOrdered]].
+    */
+  def packBinsStreamOrdered(docs: DataFrame, shardCol: String,
+      idCol: String, ids: Column, budget: Int, tsCol: String,
+      watermark: String): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1 (got $budget)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(shardCol).cast("string").as("shard"),
+        col(idCol).cast("long").as("id"),
+        coalesce(ids.cast("array<int>"), array().cast("array<int>"))
+          .as("ids"),
+        unix_millis(col(tsCol)).as("tsMs"), col(tsCol).as("ts"))
+      .as[OrderedAssembleDoc]
+      .groupByKey(_.shard)
+      .transformWithState(new OrderedBinAssemblerProcessor(budget),
+        TimeMode.EventTime(), OutputMode.Append)
       .toDF()
   }
 

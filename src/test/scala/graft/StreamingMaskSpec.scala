@@ -660,6 +660,78 @@ class StreamingMaskSpec extends SparkSpec {
       "fixture should assemble at least one bin ACROSS the restart")
   }
 
+  test("event-time ordered bin assembly emits the batch bin sequence " +
+      "under shuffled arrival") {
+    import SparkSpec.spark.implicits._
+    import graft.pipeline.{Packing, TextOps}
+    import graft.functions.{Bpe, BpeVocab}
+    val base = Files.createTempDirectory("graft_bins_ordered").toString
+    val in = s"$base/in"
+    val budget = 64
+    val vocab = BpeVocab(Bpe.demoEnglish, BpeVocab.asciiPrintable)
+    val docs = spark.read.parquet(s"$fixtures/documents.parquet")
+      .select("doc_id", "lang", "text")
+      .withColumn("ts", expr("timestampadd(SECOND, " +
+        "CAST(doc_id AS INT), timestamp'2026-01-01 00:00:00')"))
+    // the same bounded-disorder arrival as the ordered-packing spec:
+    // file k holds its 100-id block minus a held-back slice that
+    // arrives one file late, inside the 60 s watermark
+    val n = docs.count().toInt
+    val blocks = (n + 99) / 100
+    def hold(k: Int) = (k * 100 + 80, k * 100 + 90)
+    (0 until blocks).foreach { k =>
+      val (hLo, hHi) = hold(k)
+      var f = docs.filter(col("doc_id") >= k * 100 &&
+        col("doc_id") < (k + 1) * 100 &&
+        !(col("doc_id") >= hLo && col("doc_id") < hHi))
+      if (k > 0) {
+        val (pLo, pHi) = hold(k - 1)
+        f = f.unionAll(
+          docs.filter(col("doc_id") >= pLo && col("doc_id") < pHi))
+      }
+      f.write.parquet(s"$in/f$k")
+    }
+    val (lLo, lHi) = hold(blocks - 1)
+    docs.filter(col("doc_id") >= lLo && col("doc_id") < lHi)
+      .unionAll(docs.limit(1).select(lit(900000L).as("doc_id"),
+        col("lang"), col("text"))
+        .withColumn("ts", expr("timestamp'2026-02-01 00:00:00'")))
+      .write.parquet(s"$in/f$blocks")
+    docs.limit(1).select(lit(900001L).as("doc_id"), col("lang"),
+        col("text"))
+      .withColumn("ts", expr("timestamp'2026-03-01 00:00:00'"))
+      .write.parquet(s"$in/f${blocks + 1}")
+    val schema = spark.read.parquet(s"$in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val streamed = withRocksDbStateStore(runToMemory(
+      StreamMask.packBinsStreamOrdered(stream, "lang", "doc_id",
+        Bpe.tokenIds(vocab)(TextOps.tokens(col("text"))), budget,
+        "ts", "60 seconds"),
+      "bins_ordered", "append").collect())
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getSeq[Int](6).toList))
+      // sentinels never flush; any bin they'd start stays open in state
+      .filter(b => b._5 < 900000L && b._6 < 900000L)
+      .toSeq.sortBy(b => (b._1, b._2))
+    val withIds = docs
+      .withColumn("ids", Bpe.tokenIds(vocab)(TextOps.tokens(col("text"))))
+    val batch = Packing.assembleBins(
+        Packing.chunkSpans(
+          Packing.packByOffset(withIds, "lang", "doc_id",
+            size(col("ids")).cast("long"), budget), budget),
+        "lang", "doc_id", "ids")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getSeq[Int](6).toList))
+      .filter(_._4 == budget.toLong)
+      .toSeq.sortBy(b => (b._1, b._2))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"ordered bin assembly diverged under shuffled arrival " +
+        s"(${streamed.length} streamed vs ${batch.length} batch)")
+  }
+
   test("streaming heavy hitters honor the Misra-Gries bounds over the " +
       "full ingest") {
     import graft.pipeline.TextOps
