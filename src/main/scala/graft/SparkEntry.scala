@@ -958,7 +958,7 @@ object SparkEntry {
 
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
-      .select("embedding").head.getSeq[Float](0)
+      .select("embedding").head().getSeq[Float](0)
 
   /** Brute-force cosine top-10 against the vec_id=0 query vector — narrow
     * scan + TakeOrdered, the ANN correctness baseline.

@@ -547,7 +547,7 @@ object Dedup {
   /** Load an index written by [[writeNearDupIndex]]. */
   def loadNearDupIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): NearDupIndex = {
-    val m = spark.read.parquet(s"$path/meta").head
+    val m = spark.read.parquet(s"$path/meta").head()
     NearDupIndex(
       spark.read.parquet(s"$path/bands"),
       spark.read.parquet(s"$path/shingles"),

@@ -71,8 +71,9 @@ object Pq {
     * lexicographic on (dist², code): ties pin to the lower code.
     */
   private def codeOf(vec: Column, j: Int, cb: PqCodebooks): Column =
-    array_min(array(cb.codebooks(j).zipWithIndex.map { case (c, i) =>
-      struct(dist2(sub(vec, j, cb.subDim), c).as("d"), lit(i).as("code"))
+    array_min(array(cb.codebooks(j).zipWithIndex.toIndexedSeq.map {
+      case (c, i) =>
+        struct(dist2(sub(vec, j, cb.subDim), c).as("d"), lit(i).as("code"))
     }: _*))("code")
 
   /** Train per-subspace codebooks with seeded L2 k-means: seeds are the
@@ -84,7 +85,7 @@ object Pq {
     */
   def train(df: DataFrame, idCol: String, vecCol: String, m: Int,
       k: Int = 16, iters: Int = 2): PqCodebooks = {
-    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     require(k <= 128, s"k=$k codes must fit a signed byte (<= 128)")
     val subDim = dim / m
@@ -150,8 +151,8 @@ object Pq {
     * rides the plan like a broadcast value.
     */
   private def codebooksLit(cb: PqCodebooks): Column =
-    array(cb.codebooks.map(cents =>
-      array(cents.map(Similarity.vecLit): _*)): _*)
+    array(cb.codebooks.toIndexedSeq.map(cents =>
+      array(cents.toIndexedSeq.map(Similarity.vecLit): _*)): _*)
 
   /** The m-byte PQ codes of a vector — `array<tinyint>`, the stored
     * representation. Native codegen'd expression when available
@@ -179,7 +180,7 @@ object Pq {
         qj.zip(c).map { case (a, b) => a.toDouble * b.toDouble }.sum).toArray
     }
     (0 until cb.m).map { j =>
-      element_at(array(lut(j).map(lit): _*),
+      element_at(array(lut(j).toIndexedSeq.map(lit): _*),
         element_at(codes, j + 1).cast("int") + 1)
     }.reduce(_ + _)
   }

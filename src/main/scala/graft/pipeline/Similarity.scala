@@ -229,8 +229,9 @@ object Similarity {
     * deterministic and pinned for both build and k-means passes.
     */
   private def cellOf(vecCol: String, centroids: Array[Seq[Float]]): Column =
-    array_max(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(col(vecCol), vecLit(c)).as("cos"), lit(i).as("cell"))
+    array_max(array(centroids.zipWithIndex.toIndexedSeq.map {
+      case (c, i) =>
+        struct(cosine(col(vecCol), vecLit(c)).as("cos"), lit(i).as("cell"))
     }: _*))("cell")
 
   /** Build the IVF index: coarse quantizer seeded from the `nCentroids`
@@ -360,9 +361,10 @@ object Similarity {
     * definition every batch path shares.
     */
   private def probeCellsExpr(idx: IvfIndex, nProbe: Int): Column = {
-    val scoredCells = array(idx.centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(col("__qv"), vecLit(c)).as("cos"),
-        lit(-i).as("negcell"))
+    val scoredCells = array(idx.centroids.zipWithIndex.toIndexedSeq.map {
+      case (c, i) =>
+        struct(cosine(col("__qv"), vecLit(c)).as("cos"),
+          lit(-i).as("negcell"))
     }: _*)
     transform(
       slice(sort_array(scoredCells, asc = false), 1, nProbe),
@@ -420,9 +422,9 @@ object Similarity {
     candidates
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
-      .select(col("__qid").as(qIdCol) +:
+      .select((col("__qid").as(qIdCol) +:
         idx.assigned.columns.filterNot(dropCols.contains).map(col) :+
-        col("cosine"): _*)
+        col("cosine")).toIndexedSeq: _*)
   }
 
   /** Persist a built IVF index as the partition-pruned serving layout:
@@ -751,7 +753,7 @@ object Similarity {
     // an element-order fold — bit-identical to Pq.approxDot's driver-side
     // LUT (same ops, same order) so single-query results match queryIvfPq
     val lut = array((0 until cb.m).map { j =>
-      array(cb.codebooks(j).map { c =>
+      array(cb.codebooks(j).toIndexedSeq.map { c =>
         aggregate(zip_with(
             slice(col("__qv"), j * cb.subDim + 1, cb.subDim), vecLit(c),
             (x, y) => x.cast("double") * y.cast("double")),
@@ -794,10 +796,10 @@ object Similarity {
       .withColumn("cosine", cosine(col(idx.vecCol), col("__qv")))
       .withColumn("__rnk", row_number().over(wK))
       .filter(col("__rnk") <= k)
-      .select(col("__qid").as(qIdCol) +:
+      .select((col("__qid").as(qIdCol) +:
         idx.assigned.columns
           .filterNot(c => c == "__cell" || c == PqCodesCol).map(col) :+
-        col("pq_score") :+ col("cosine"): _*)
+        col("pq_score") :+ col("cosine")).toIndexedSeq: _*)
   }
 
   /** Embedding near-duplicate pairs: banded candidates + exact cosine ≥

@@ -288,7 +288,7 @@ object ExactlyOnceSink {
           .filter(col(BucketCol).isin(touched: _*))
           .join(broadcast(incoming.select(keyCol)), Seq(keyCol),
             "left_anti")
-          .select(incoming.columns.map(col): _*)
+          .select(incoming.columns.toIndexedSeq.map(col): _*)
           .unionByName(incoming)
       }
     merged.localCheckpoint()
