@@ -1115,6 +1115,29 @@ object SparkEntry {
       .select("vec_id", "label", "cosine")
   }
 
+  /** [[qIvfInt8]] THROUGH THE MAINTENANCE PATH: the int8 layout lands
+    * as an even-half [[graft.pipeline.Similarity.writeIvfInt8Index]]
+    * plus an [[graft.pipeline.Similarity.appendToIvfIndex]] of the odd
+    * ingest — the append detects the code-only layout and quantizes the
+    * batch itself (floats dropped, per-row scale). The oracle freezes
+    * the centroids at the even half and re-derives every appended row's
+    * quantization, so both the cell math AND the append's int8
+    * transform sit under the value gate.
+    */
+  private def qIvfInt8Append(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-q-int8-append").toString
+    Similarity.writeIvfInt8Index(
+      Similarity.buildIvfIndex(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding"), path)
+    Similarity.appendToIvfIndex(s, path,
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    Similarity.queryIvfInt8(Similarity.loadIvfIndex(s, path),
+        queryVec(s, dir), k = 10, nProbe = 2)
+      .select("vec_id", "label", "cosine")
+  }
+
   /** Batch serving from int8 storage
     * ([[graft.pipeline.Similarity.queryIvfInt8Batch]]): the query-set
     * plan over the 4×-cheaper layout — per-query probes from broadcast
@@ -1332,6 +1355,7 @@ object SparkEntry {
     "q_ivf_pq" -> (qIvfPq _),
     "q_ivf_pq_batch" -> (qIvfPqBatch _),
     "q_ivf_int8" -> (qIvfInt8 _),
+    "q_ivf_int8_append" -> (qIvfInt8Append _),
     "q_ivf_int8_batch" -> (qIvfInt8Batch _),
     "q_embed_dedup" -> (qEmbedDedup _),
     "q_quantize" -> (qQuantize _),
@@ -1521,6 +1545,64 @@ object SparkEntry {
        |fd AS (SELECT vec_id, label,
        |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
        |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+       |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+       |  FROM fx GROUP BY vec_id, label)
+       |SELECT vec_id, label, dp / (sqrt(nv) * sqrt(nq)) AS cosine
+       |FROM fd ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
+  /** `q_sim_ivf`'s probe pipeline with the final scoring over the int8
+    * DEQUANTIZED vectors (assignment and probes on the FULL-PRECISION
+    * vectors, as the build does): per-row scale = max|x|/127 (1.0 for
+    * the zero vector, as q_quantize), dq = CAST(round(v/scale) AS
+    * TINYINT) · scale in double — round is half-away-from-zero in both
+    * engines, folds element-order. Shared by `q_ivf_int8` and
+    * `q_ivf_int8_append` (the maintenance path, centroids seeded from
+    * `centPred` only).
+    */
+  private def ivfInt8OracleSql(centPred: String): String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0),
+       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+       |         embedding AS ce FROM corpus WHERE $centPred
+       |         ORDER BY vec_id LIMIT 16),
+       |ax AS (SELECT e.vec_id, c.cell, unnest(e.embedding) AS v,
+       |         unnest(generate_series(1, len(e.embedding))) AS i, c.ce AS ce
+       |       FROM corpus e CROSS JOIN cent c),
+       |ad AS (SELECT vec_id, cell,
+       |    SUM(CAST(v AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS dp,
+       |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+       |    SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS nc
+       |  FROM ax GROUP BY vec_id, cell),
+       |assign AS (SELECT vec_id, cell FROM ad
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cell DESC) = 1),
+       |qx AS (SELECT c.cell, unnest(c.ce) AS v,
+       |         unnest(generate_series(1, len(c.ce))) AS i, q.qe AS qe
+       |       FROM cent c, q),
+       |qd AS (SELECT cell,
+       |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+       |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nc,
+       |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+       |  FROM qx GROUP BY cell),
+       |probes AS (SELECT cell FROM qd
+       |  QUALIFY row_number() OVER (
+       |    ORDER BY dp / (sqrt(nc) * sqrt(nq)) DESC, cell ASC) <= 2),
+       |sc AS (SELECT vec_id,
+       |    CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+       |         THEN 1.0
+       |         ELSE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+       |    END AS scale
+       |  FROM corpus),
+       |fx AS (SELECT e.vec_id, e.label,
+       |         CAST(CAST(round(CAST(unnest(e.embedding) AS DOUBLE) / s.scale) AS TINYINT) AS DOUBLE) * s.scale AS dq,
+       |         unnest(generate_series(1, len(e.embedding))) AS i, q.qe AS qe
+       |       FROM corpus e
+       |       JOIN sc s ON s.vec_id = e.vec_id
+       |       JOIN assign a ON a.vec_id = e.vec_id
+       |       JOIN probes p ON p.cell = a.cell, q),
+       |fd AS (SELECT vec_id, label,
+       |    SUM(dq * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+       |    SUM(dq * dq ORDER BY i) AS nv,
        |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
        |  FROM fx GROUP BY vec_id, label)
        |SELECT vec_id, label, dp / (sqrt(nv) * sqrt(nq)) AS cosine
@@ -2185,59 +2267,10 @@ object SparkEntry {
     // initial build), assignment/scoring cover the full corpus — the
     // rest of the pipeline SQL is shared verbatim with q_sim_ivf
     "q_sim_ivf_append" -> simIvfOracleSql(centPred = "vec_id % 2 = 0"),
-    "q_ivf_int8" ->
-      // q_sim_ivf's probe pipeline (assignment and probes on the
-      // FULL-PRECISION vectors, as the build does) with the final
-      // scoring over the int8 DEQUANTIZED vectors: per-row scale =
-      // max|x|/127 (1.0 for the zero vector, as q_quantize), dq =
-      // CAST(round(v/scale) AS TINYINT) · scale in double — round is
-      // half-away-from-zero in both engines, folds element-order
-      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0),
-         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-         |         embedding AS ce FROM corpus ORDER BY vec_id LIMIT 16),
-         |ax AS (SELECT e.vec_id, c.cell, unnest(e.embedding) AS v,
-         |         unnest(generate_series(1, len(e.embedding))) AS i, c.ce AS ce
-         |       FROM corpus e CROSS JOIN cent c),
-         |ad AS (SELECT vec_id, cell,
-         |    SUM(CAST(v AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS dp,
-         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
-         |    SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS nc
-         |  FROM ax GROUP BY vec_id, cell),
-         |assign AS (SELECT vec_id, cell FROM ad
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cell DESC) = 1),
-         |qx AS (SELECT c.cell, unnest(c.ce) AS v,
-         |         unnest(generate_series(1, len(c.ce))) AS i, q.qe AS qe
-         |       FROM cent c, q),
-         |qd AS (SELECT cell,
-         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
-         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nc,
-         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
-         |  FROM qx GROUP BY cell),
-         |probes AS (SELECT cell FROM qd
-         |  QUALIFY row_number() OVER (
-         |    ORDER BY dp / (sqrt(nc) * sqrt(nq)) DESC, cell ASC) <= 2),
-         |sc AS (SELECT vec_id,
-         |    CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
-         |         THEN 1.0
-         |         ELSE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
-         |    END AS scale
-         |  FROM corpus),
-         |fx AS (SELECT e.vec_id, e.label,
-         |         CAST(CAST(round(CAST(unnest(e.embedding) AS DOUBLE) / s.scale) AS TINYINT) AS DOUBLE) * s.scale AS dq,
-         |         unnest(generate_series(1, len(e.embedding))) AS i, q.qe AS qe
-         |       FROM corpus e
-         |       JOIN sc s ON s.vec_id = e.vec_id
-         |       JOIN assign a ON a.vec_id = e.vec_id
-         |       JOIN probes p ON p.cell = a.cell, q),
-         |fd AS (SELECT vec_id, label,
-         |    SUM(dq * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
-         |    SUM(dq * dq ORDER BY i) AS nv,
-         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
-         |  FROM fx GROUP BY vec_id, label)
-         |SELECT vec_id, label, dp / (sqrt(nv) * sqrt(nq)) AS cosine
-         |FROM fd ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ivf_int8" -> ivfInt8OracleSql(centPred = "TRUE"),
+    // the int8 append row: centroids frozen at the even half, every
+    // appended row's quantization re-derived — shares the pipeline SQL
+    "q_ivf_int8_append" -> ivfInt8OracleSql(centPred = "vec_id % 2 = 0"),
     "q_ivf_int8_batch" ->
       // q_ivf_int8's dequantized scoring in q_sim_ivf_batch's query-set
       // shape: per-query probes on full-precision centroids, final
