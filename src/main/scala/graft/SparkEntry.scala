@@ -748,11 +748,35 @@ object SparkEntry {
     */
   private def qDedupIncr(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+    // persistShingles = false: the index feeds exactly one probe action
+    // (evaluated after this function returns), so a cache entry would
+    // outlive the call with no one to release it
     val idx = Dedup.buildNearDupIndex(
-      d.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      persistShingles = false)
     Dedup.nearDupPairsAgainstIndex(idx,
         d.filter(col("doc_id") % 2 === 1), "doc_id", "text", 0.8)
       .orderBy("id_old", "id_new")
+  }
+
+  /** A per-name scratch dir under `java.io.tmpdir`, WIPED on every call
+    * — the append-path gate queries rebuild full index layouts per
+    * invocation, and a fresh random dir each time would accumulate one
+    * complete index copy per bench sample on a shared host. One fixed
+    * dir per query name bounds the footprint; wiping (rather than
+    * relying on overwrite modes) keeps a leftover layout from poisoning
+    * the append's disjointness semantics.
+    */
+  private def scratchDir(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-gate-$name")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(); ()
+    }
+    wipe(p.toFile)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
   }
 
   /** [[qDedupIncr]] THROUGH THE MAINTENANCE PATH: the even corpus lands
@@ -766,8 +790,7 @@ object SparkEntry {
     */
   private def qDedupAppend(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-q-dedup-append").toString
+    val path = scratchDir("q-dedup-append")
     val base = Dedup.buildNearDupIndex(
       d.filter(col("doc_id") % 4 === 0), "doc_id", "text")
     try Dedup.writeNearDupIndex(base, path)
@@ -1000,8 +1023,7 @@ object SparkEntry {
     */
   private def qSimIvfAppend(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-q-ivf-append").toString
+    val path = scratchDir("q-sim-ivf-append")
     Similarity.writeIvfIndex(
       Similarity.buildIvfIndex(e.filter(col("vec_id") % 2 === 0),
         "vec_id", "embedding"), path)
@@ -1126,8 +1148,7 @@ object SparkEntry {
     */
   private def qIvfInt8Append(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-q-int8-append").toString
+    val path = scratchDir("q-ivf-int8-append")
     Similarity.writeIvfInt8Index(
       Similarity.buildIvfIndex(e.filter(col("vec_id") % 2 === 0),
         "vec_id", "embedding"), path)

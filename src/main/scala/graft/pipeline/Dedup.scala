@@ -444,19 +444,27 @@ object Dedup {
     * family); the shingle table is hash-family independent either way.
     *
     * The shingle frame feeds all three index tables (signatures, the
-    * shingle table itself, per-doc sizes), so it is persisted here —
-    * the CPU-heavy explode + distinct runs once per build, not once per
-    * consumer (a [[writeNearDupIndex]] of an unshared frame would
-    * re-shingle the corpus per output table). MEMORY_AND_DISK because
-    * shingle rows are corpus-scale: spill beats recompute, and the
-    * deterministic lineage keeps eviction safe. Release with
-    * [[NearDupIndex.unpersistShingles]] when done.
+    * shingle table itself, per-doc sizes), so by default it is
+    * persisted — the CPU-heavy explode + distinct runs once per build,
+    * not once per consumer (a [[writeNearDupIndex]] of an unshared
+    * frame would re-shingle the corpus per output ACTION).
+    * MEMORY_AND_DISK because shingle rows are corpus-scale: spill beats
+    * recompute, and the deterministic lineage keeps eviction safe.
+    * Release with [[NearDupIndex.unpersistShingles]] when done — or
+    * pass `persistShingles = false` when the index feeds exactly ONE
+    * action (e.g. an immediate [[nearDupPairsAgainstIndex]] probe),
+    * where in-plan reuse already computes the shingles once and a cache
+    * entry would outlive the call for nothing.
     */
   def buildNearDupIndex(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, rowsPerBand: Int = 2, shingleK: Int = 3,
-      production64: Boolean = false): NearDupIndex = {
-    val sh = shingles(df, idCol, textCol, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      production64: Boolean = false,
+      persistShingles: Boolean = true): NearDupIndex = {
+    val sh0 = shingles(df, idCol, textCol, shingleK)
+    val sh =
+      if (persistShingles)
+        sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sh0
     val sigs =
       if (production64) minHashSignatures64(sh, idCol, numHashes)
       else minHashSignatures(sh, idCol, numHashes)

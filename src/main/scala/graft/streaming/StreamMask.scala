@@ -201,13 +201,19 @@ final class OrderedShardOffsetProcessor(budget: Int)
       TTLConfig.NONE)
   }
 
-  /** Emit every buffered doc the watermark has passed, in (ts, id)
-    * order; keep the rest and re-arm the timer for the oldest survivor.
+  /** Emit every buffered doc the watermark has STRICTLY passed, in
+    * (ts, id) order; keep the rest and re-arm the timer for the oldest
+    * survivor. Strict `<`, not `<=`: Spark's late filter only drops
+    * rows with event time strictly below the watermark, so a row at
+    * exactly the watermark can still arrive — releasing its equal-ts
+    * siblings early would break the (ts, id) batch equivalence at the
+    * boundary. The timer is armed at ts + 1 for the same reason (fire
+    * once the watermark is strictly past).
     */
   private def release(shard: String, wmMs: Long): Iterator[PackedDoc] = {
-    val (ripe, wait) = buf.get().toList.partition(_.tsMs <= wmMs)
+    val (ripe, wait) = buf.get().toList.partition(_.tsMs < wmMs)
     getHandle.listTimers().foreach(getHandle.deleteTimer)
-    if (wait.nonEmpty) getHandle.registerTimer(wait.map(_.tsMs).min)
+    if (wait.nonEmpty) getHandle.registerTimer(wait.map(_.tsMs).min + 1)
     if (ripe.isEmpty) Iterator.empty
     else {
       if (wait.isEmpty) buf.clear() else buf.put(wait.toArray)
@@ -256,34 +262,52 @@ final case class OpenBin(cum: Long, nPieces: Long, firstPiece: Long,
     lastPiece: Long, ids: Array[Int])
 
 /** The open-bin fold shared by the arrival-order and event-time bin
-  * assemblers: slice one document's id array across bin boundaries into
-  * the running [[OpenBin]], emitting every bin the moment it reaches
-  * exactly `budget` tokens. ONE definition, so the two processors
-  * cannot drift on the cut rule.
+  * assemblers: slice each document's id array across bin boundaries
+  * into the running [[OpenBin]], emitting every bin the moment it
+  * reaches exactly `budget` tokens. ONE definition, so the two
+  * processors cannot drift on the cut rule. The open bin accumulates in
+  * an ArrayBuffer (amortised O(1) appends) and materialises an array
+  * only at emission and once for the state update — an immutable
+  * `ids ++ slice` per piece would copy the whole accumulated bin per
+  * document, quadratic per bin when many short documents fill it.
   */
 private[streaming] object BinAssembly {
 
   val emptyOpen: OpenBin = OpenBin(0L, 0L, -1L, -1L, Array.empty)
 
-  def foldDoc(shard: String, st0: OpenBin, id: Long, ids: Array[Int],
-      budget: Int,
+  /** Fold `docs` (already in pack order) into the open bin; returns the
+    * new open-bin state.
+    */
+  def foldDocs(shard: String, st0: OpenBin,
+      docs: Seq[(Long, Array[Int])], budget: Int,
       out: scala.collection.mutable.Builder[AssembledBin, _]): OpenBin = {
-    var st = st0
-    var from = 0
-    while (from < ids.length) {
-      val space = budget - (st.cum % budget).toInt
-      val take = math.min(space, ids.length - from)
-      st = OpenBin(st.cum + take, st.nPieces + 1,
-        if (st.nPieces == 0L) id else st.firstPiece, id,
-        st.ids ++ ids.slice(from, from + take))
-      from += take
-      if (st.cum % budget == 0) {
-        out += AssembledBin(shard, st.cum / budget - 1, st.nPieces,
-          budget.toLong, st.firstPiece, st.lastPiece, st.ids)
-        st = OpenBin(st.cum, 0L, -1L, -1L, Array.empty)
+    var cum = st0.cum
+    var nPieces = st0.nPieces
+    var first = st0.firstPiece
+    var last = st0.lastPiece
+    val buf = new scala.collection.mutable.ArrayBuffer[Int](budget)
+    buf ++= st0.ids
+    docs.foreach { case (id, ids) =>
+      var from = 0
+      while (from < ids.length) {
+        val space = budget - (cum % budget).toInt
+        val take = math.min(space, ids.length - from)
+        var i = from
+        while (i < from + take) { buf += ids(i); i += 1 }
+        if (nPieces == 0L) first = id
+        last = id
+        nPieces += 1
+        cum += take
+        from += take
+        if (cum % budget == 0) {
+          out += AssembledBin(shard, cum / budget - 1, nPieces,
+            budget.toLong, first, last, buf.toArray)
+          buf.clear()
+          nPieces = 0L; first = -1L; last = -1L
+        }
       }
     }
-    st
+    OpenBin(cum, nPieces, first, last, buf.toArray)
   }
 }
 
@@ -309,11 +333,10 @@ final class BinAssemblerProcessor(budget: Int)
 
   override def handleInputRows(key: String, rows: Iterator[AssembleDoc],
       timerValues: TimerValues): Iterator[AssembledBin] = {
-    var st = if (open.exists()) open.get() else BinAssembly.emptyOpen
+    val st = if (open.exists()) open.get() else BinAssembly.emptyOpen
     val out = List.newBuilder[AssembledBin]
-    rows.toSeq.sortBy(_.id).foreach(d =>
-      st = BinAssembly.foldDoc(key, st, d.id, d.ids, budget, out))
-    open.update(st)
+    open.update(BinAssembly.foldDocs(key, st,
+      rows.toSeq.sortBy(_.id).map(d => (d.id, d.ids)), budget, out))
     out.result().iterator
   }
 }
@@ -351,18 +374,21 @@ final class OrderedBinAssemblerProcessor(budget: Int)
       Encoders.product[OpenBin], TTLConfig.NONE)
   }
 
+  // strict `<` + ts+1 timer, like OrderedShardOffsetProcessor.release:
+  // Spark admits rows AT the watermark, so equal-ts siblings of a
+  // buffered row can still arrive until the watermark strictly passes
   private def release(shard: String, wmMs: Long): Iterator[AssembledBin] = {
-    val (ripe, wait) = buf.get().toList.partition(_.tsMs <= wmMs)
+    val (ripe, wait) = buf.get().toList.partition(_.tsMs < wmMs)
     getHandle.listTimers().foreach(getHandle.deleteTimer)
-    if (wait.nonEmpty) getHandle.registerTimer(wait.map(_.tsMs).min)
+    if (wait.nonEmpty) getHandle.registerTimer(wait.map(_.tsMs).min + 1)
     if (ripe.isEmpty) Iterator.empty
     else {
       if (wait.isEmpty) buf.clear() else buf.put(wait.toArray)
-      var st = if (open.exists()) open.get() else BinAssembly.emptyOpen
+      val st = if (open.exists()) open.get() else BinAssembly.emptyOpen
       val out = List.newBuilder[AssembledBin]
-      ripe.sortBy(p => (p.tsMs, p.id)).foreach(p =>
-        st = BinAssembly.foldDoc(shard, st, p.id, p.ids, budget, out))
-      open.update(st)
+      open.update(BinAssembly.foldDocs(shard, st,
+        ripe.sortBy(p => (p.tsMs, p.id)).map(p => (p.id, p.ids)),
+        budget, out))
       out.result().iterator
     }
   }

@@ -103,7 +103,7 @@ class PipelineSpec extends SparkSpec {
     assert(got == expect, s"index probe ${got.size} vs full ${expect.size}")
     // the production xxhash64 family finds the same planted pairs
     val idx64 = Dedup.buildNearDupIndex(even, "doc_id", "text",
-      production64 = true)
+      production64 = true, persistShingles = false)
     val got64 = Dedup.nearDupPairsAgainstIndex(idx64, odd, "doc_id",
         "text", 0.8)
       .collect()
@@ -134,7 +134,7 @@ class PipelineSpec extends SparkSpec {
     val gotAfterAppend = pairs(Dedup.nearDupPairsAgainstIndex(
       loaded, batch2, "doc_id", "text", 0.8))
     val fresh = Dedup.buildNearDupIndex(
-      corpus.unionAll(batch1), "doc_id", "text")
+      corpus.unionAll(batch1), "doc_id", "text", persistShingles = false)
     val expect = pairs(Dedup.nearDupPairsAgainstIndex(
       fresh, batch2, "doc_id", "text", 0.8))
     assert(expect.exists(_._1 % 2 == 1),
@@ -185,7 +185,8 @@ class PipelineSpec extends SparkSpec {
     // and appending after compaction still composes
     Dedup.appendToNearDupIndex(spark, dir, batch2, "doc_id", "text")
     assert(Dedup.loadNearDupIndex(spark, dir).sizes.count() ==
-      Dedup.buildNearDupIndex(docs, "doc_id", "text").sizes.count(),
+      Dedup.buildNearDupIndex(docs, "doc_id", "text",
+        persistShingles = false).sizes.count(),
       "append after compaction lost rows")
     // the production xxhash64 family appends through the same path —
     // the meta sidecar carries production64 and the append must sign
