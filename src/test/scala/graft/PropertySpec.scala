@@ -269,6 +269,48 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: incremental index probe equals the cross slice of " +
+      "the full self-join for arbitrary corpora") {
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.Dedup
+    // tiny word alphabet so near-duplicate shingle overlaps actually
+    // occur; doc lengths straddle the shingle width (3), including 0
+    val word = SGen.oneOf("alpha", "beta", "gamma", "delta")
+    val docGen = for {
+      n <- SGen.choose(0, 8)
+      ws <- SGen.listOfN(n, word)
+      inBatch <- SGen.oneOf(false, true)
+    } yield (ws.mkString(" "), inBatch)
+    val gen = SGen.choose(4, 16).flatMap(n => SGen.listOfN(n, docGen))
+    check(Prop.forAll(gen) { rows =>
+      val s = spark
+      import s.implicits._
+      val all = rows.zipWithIndex
+        .map { case ((text, b), i) => (i.toLong, text, b) }
+        .toDF("doc_id", "text", "in_batch")
+      val corpus = all.filter(!col("in_batch")).select("doc_id", "text")
+      val batch = all.filter(col("in_batch")).select("doc_id", "text")
+      val idx = Dedup.buildNearDupIndex(corpus, "doc_id", "text",
+        persistShingles = false)
+      val got = Dedup.nearDupPairsAgainstIndex(idx, batch,
+          "doc_id", "text", 0.5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val inBatch = rows.zipWithIndex
+        .collect { case ((_, true), i) => i.toLong }.toSet
+      val expect = Dedup.nearDuplicatePairs(
+          all.select("doc_id", "text"), "doc_id", "text", 0.5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+        .filter(p => inBatch(p._1) != inBatch(p._2))
+        .map(p => if (inBatch(p._2)) p else (p._2, p._1, p._3, p._4))
+        .toSet
+      got == expect
+    })
+  }
+
   test("property: hash samples nest across arbitrary rate pairs") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.Sampling
