@@ -1073,6 +1073,33 @@ object SparkEntry {
       .select("vec_id", "label", "cosine")
   }
 
+  /** [[qIvfPq]] THROUGH THE MAINTENANCE PATH — the third layout's
+    * append row: the composed IVF×PQ layout lands as an even-half
+    * [[graft.pipeline.Similarity.writeIvfPqIndex]] (centroids AND
+    * codebooks trained on the even half), the odd ingest arrives via
+    * [[graft.pipeline.Similarity.appendToIvfIndex]] (which detects the
+    * coded layout and encodes the batch with the SIDECAR codebooks),
+    * and the query runs the full probe→ADC→rerank pipeline on the
+    * loaded index. The oracle freezes both the centroid and codebook
+    * seeds at the even half, so the append's code assignment for every
+    * odd row is value-checked too.
+    */
+  private def qIvfPqAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val even = e.filter(col("vec_id") % 2 === 0)
+    val path = scratchDir("q-ivf-pq-append")
+    Similarity.writeIvfPqIndex(
+      Similarity.buildIvfIndex(even, "vec_id", "embedding", 16),
+      Pq.train(even, "vec_id", "embedding", m = 8, k = 16, iters = 0),
+      path)
+    Similarity.appendToIvfIndex(s, path,
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    val (loaded, cb) = Similarity.loadIvfPqIndex(s, path)
+    Similarity.queryIvfPq(loaded, cb, queryVec(s, dir), k = 10,
+        nProbe = 2, rerank = 50)
+      .select("vec_id", "label", "cosine")
+  }
+
   /** Batch IVF ANN ([[graft.pipeline.Similarity.queryIvfBatch]]): three
     * query vectors answered through one built index in a single
     * distributed plan — probe assignment from broadcast centroids, cell
@@ -1374,6 +1401,7 @@ object SparkEntry {
     "q_sim_ivf_batch" -> (qSimIvfBatch _),
     "q_pq" -> (qPq _),
     "q_ivf_pq" -> (qIvfPq _),
+    "q_ivf_pq_append" -> (qIvfPqAppend _),
     "q_ivf_pq_batch" -> (qIvfPqBatch _),
     "q_ivf_int8" -> (qIvfInt8 _),
     "q_ivf_int8_append" -> (qIvfInt8Append _),
@@ -1628,6 +1656,83 @@ object SparkEntry {
        |  FROM fx GROUP BY vec_id, label)
        |SELECT vec_id, label, dp / (sqrt(nv) * sqrt(nq)) AS cosine
        |FROM fd ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
+  /** The composed IVF×PQ serving pipeline mirrored in SQL, stage by
+    * stage: `q_sim_ivf`'s cell assignment (ties to the HIGHER cell) +
+    * probe selection (ties to the LOWER cell), `q_pq`’s codes (argmin
+    * squared L2, ties to the LOWER code) and query LUT, the ADC
+    * candidate cut (top-50 by pq_score, ties to the lower vec_id)
+    * INSIDE the probed cells, and an exact-cosine rerank of only the
+    * survivors (ties to the lower vec_id). All folds element-order
+    * SUMs. `buildPred` restricts BOTH seed sets (centroids and
+    * codebooks) to the rows the initial build saw — `TRUE` for
+    * `q_ivf_pq`, the even half for `q_ivf_pq_append` (assignment,
+    * codes and scoring still cover the full corpus).
+    */
+  private def ivfPqOracleSql(buildPred: String): String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |         embedding AS ce FROM corpus WHERE $buildPred ORDER BY vec_id LIMIT 16),
+         |ax AS (SELECT e.vec_id, c.cell, unnest(e.embedding) AS v,
+         |         unnest(generate_series(1, len(e.embedding))) AS i, c.ce AS ce
+         |       FROM corpus e CROSS JOIN cent c),
+         |ad AS (SELECT vec_id, cell,
+         |    SUM(CAST(v AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+         |    SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS nc
+         |  FROM ax GROUP BY vec_id, cell),
+         |assign AS (SELECT vec_id, cell FROM ad
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cell DESC) = 1),
+         |qx AS (SELECT c.cell, unnest(c.ce) AS v,
+         |         unnest(generate_series(1, len(c.ce))) AS i, q.qe AS qe
+         |       FROM cent c, q),
+         |qd AS (SELECT cell,
+         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nc,
+         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+         |  FROM qx GROUP BY cell),
+         |probes AS (SELECT cell FROM qd
+         |  QUALIFY row_number() OVER (
+         |    ORDER BY dp / (sqrt(nc) * sqrt(nq)) DESC, cell ASC) <= 2),
+         |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+         |          embedding AS se FROM corpus WHERE $buildPred ORDER BY vec_id LIMIT 16),
+         |ex AS (SELECT e.vec_id, s.code, unnest(e.embedding) AS v,
+         |         unnest(generate_series(1, len(e.embedding))) AS i, s.se AS se
+         |       FROM corpus e CROSS JOIN seeds s),
+         |dist AS (SELECT vec_id, code, (i - 1) // 8 AS j,
+         |    SUM((CAST(v AS DOUBLE) - CAST(se[i] AS DOUBLE))
+         |      * (CAST(v AS DOUBLE) - CAST(se[i] AS DOUBLE)) ORDER BY i) AS d
+         |  FROM ex GROUP BY vec_id, code, j),
+         |codes AS (SELECT vec_id, j, code FROM dist
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+         |    ORDER BY d ASC, code ASC) = 1),
+         |qpx AS (SELECT s.code, unnest(s.se) AS cv,
+         |         unnest(generate_series(1, len(s.se))) AS i, q.qe AS qe
+         |       FROM seeds s, q),
+         |lut AS (SELECT code, (i - 1) // 8 AS j,
+         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(cv AS DOUBLE) ORDER BY i) AS dp
+         |  FROM qpx GROUP BY code, j),
+         |score AS (SELECT c.vec_id, SUM(l.dp ORDER BY c.j) AS pq_score
+         |  FROM codes c
+         |  JOIN lut l ON l.j = c.j AND l.code = c.code
+         |  JOIN assign a ON a.vec_id = c.vec_id
+         |  JOIN probes p ON p.cell = a.cell
+         |  GROUP BY c.vec_id),
+         |surv AS (SELECT vec_id FROM score
+         |  QUALIFY row_number() OVER (
+         |    ORDER BY pq_score DESC, vec_id ASC) <= 50),
+         |fx AS (SELECT e.vec_id, e.label, unnest(e.embedding) AS v,
+         |         unnest(generate_series(1, len(e.embedding))) AS i, q.qe AS qe
+         |       FROM corpus e JOIN surv s ON s.vec_id = e.vec_id, q),
+         |fd AS (SELECT vec_id, label,
+         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+         |  FROM fx GROUP BY vec_id, label)
+         |SELECT vec_id, label, dp / (sqrt(nv) * sqrt(nq)) AS cosine
+         |FROM fd ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
 
   /** The incremental shape across the even/odd split: signatures are
     * per-doc (split-independent), candidates pair an EVEN (indexed
@@ -2429,77 +2534,11 @@ object SparkEntry {
          |SELECT e.vec_id, e.label, s.pq_score
          |FROM score s JOIN corpus e ON e.vec_id = s.vec_id
          |ORDER BY s.pq_score DESC, s.vec_id LIMIT 10""".stripMargin,
-    "q_ivf_pq" ->
-      // the composed serving pipeline, stage by stage: q_sim_ivf's
-      // cell assignment (ties to the HIGHER cell) + probe selection
-      // (ties to the LOWER cell), q_pq's codes (argmin squared L2,
-      // ties to the LOWER code) and query LUT, then the ADC candidate
-      // cut (top-50 by pq_score, ties to the lower vec_id) INSIDE the
-      // probed cells, and an exact-cosine rerank of only the survivors
-      // (ties to the lower vec_id). All folds element-order SUMs.
-      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0),
-         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-         |         embedding AS ce FROM corpus ORDER BY vec_id LIMIT 16),
-         |ax AS (SELECT e.vec_id, c.cell, unnest(e.embedding) AS v,
-         |         unnest(generate_series(1, len(e.embedding))) AS i, c.ce AS ce
-         |       FROM corpus e CROSS JOIN cent c),
-         |ad AS (SELECT vec_id, cell,
-         |    SUM(CAST(v AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS dp,
-         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
-         |    SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS nc
-         |  FROM ax GROUP BY vec_id, cell),
-         |assign AS (SELECT vec_id, cell FROM ad
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cell DESC) = 1),
-         |qx AS (SELECT c.cell, unnest(c.ce) AS v,
-         |         unnest(generate_series(1, len(c.ce))) AS i, q.qe AS qe
-         |       FROM cent c, q),
-         |qd AS (SELECT cell,
-         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
-         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nc,
-         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
-         |  FROM qx GROUP BY cell),
-         |probes AS (SELECT cell FROM qd
-         |  QUALIFY row_number() OVER (
-         |    ORDER BY dp / (sqrt(nc) * sqrt(nq)) DESC, cell ASC) <= 2),
-         |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
-         |          embedding AS se FROM corpus ORDER BY vec_id LIMIT 16),
-         |ex AS (SELECT e.vec_id, s.code, unnest(e.embedding) AS v,
-         |         unnest(generate_series(1, len(e.embedding))) AS i, s.se AS se
-         |       FROM corpus e CROSS JOIN seeds s),
-         |dist AS (SELECT vec_id, code, (i - 1) // 8 AS j,
-         |    SUM((CAST(v AS DOUBLE) - CAST(se[i] AS DOUBLE))
-         |      * (CAST(v AS DOUBLE) - CAST(se[i] AS DOUBLE)) ORDER BY i) AS d
-         |  FROM ex GROUP BY vec_id, code, j),
-         |codes AS (SELECT vec_id, j, code FROM dist
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
-         |    ORDER BY d ASC, code ASC) = 1),
-         |qpx AS (SELECT s.code, unnest(s.se) AS cv,
-         |         unnest(generate_series(1, len(s.se))) AS i, q.qe AS qe
-         |       FROM seeds s, q),
-         |lut AS (SELECT code, (i - 1) // 8 AS j,
-         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(cv AS DOUBLE) ORDER BY i) AS dp
-         |  FROM qpx GROUP BY code, j),
-         |score AS (SELECT c.vec_id, SUM(l.dp ORDER BY c.j) AS pq_score
-         |  FROM codes c
-         |  JOIN lut l ON l.j = c.j AND l.code = c.code
-         |  JOIN assign a ON a.vec_id = c.vec_id
-         |  JOIN probes p ON p.cell = a.cell
-         |  GROUP BY c.vec_id),
-         |surv AS (SELECT vec_id FROM score
-         |  QUALIFY row_number() OVER (
-         |    ORDER BY pq_score DESC, vec_id ASC) <= 50),
-         |fx AS (SELECT e.vec_id, e.label, unnest(e.embedding) AS v,
-         |         unnest(generate_series(1, len(e.embedding))) AS i, q.qe AS qe
-         |       FROM corpus e JOIN surv s ON s.vec_id = e.vec_id, q),
-         |fd AS (SELECT vec_id, label,
-         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
-         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
-         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
-         |  FROM fx GROUP BY vec_id, label)
-         |SELECT vec_id, label, dp / (sqrt(nv) * sqrt(nq)) AS cosine
-         |FROM fd ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ivf_pq" -> ivfPqOracleSql(buildPred = "TRUE"),
+    // the PQ append row: centroid AND codebook seeds frozen at the
+    // even half; the appended rows’ sidecar-codebook encoding is
+    // re-derived — shares the pipeline SQL verbatim
+    "q_ivf_pq_append" -> ivfPqOracleSql(buildPred = "vec_id % 2 = 0"),
     "q_ivf_pq_batch" ->
       // q_ivf_pq generalised to a query SET (the 3 vec_id<3 vectors,
       // corpus vec_id >= 3 as q_sim_ivf_batch): per-query probes (ties
