@@ -763,17 +763,26 @@ object SparkEntry {
     * — the append-path gate queries rebuild full index layouts per
     * invocation, and a fresh random dir each time would accumulate one
     * complete index copy per bench sample on a shared host. One fixed
-    * dir per query name bounds the footprint; wiping (rather than
-    * relying on overwrite modes) keeps a leftover layout from poisoning
-    * the append's disjointness semantics.
+    * dir per (process, query name) bounds the footprint; wiping (rather
+    * than relying on overwrite modes) keeps a leftover layout from
+    * poisoning the append's disjointness semantics. The PID suffix
+    * keeps two concurrent gate/bench runs on one host from clobbering
+    * each other's live index mid-query, and the wipe refuses to follow
+    * symlinks: a planted link at the scratch path (or inside it) is
+    * unlinked, never descended into.
     */
   private def scratchDir(name: String): String = {
+    val pid = ProcessHandle.current().pid()
     val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft-gate-$name")
+      sys.props("java.io.tmpdir"), s"graft-gate-$pid-$name")
     def wipe(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(wipe)
+      if (!java.nio.file.Files.isSymbolicLink(f.toPath) && f.isDirectory)
+        f.listFiles().foreach(wipe)
       f.delete(); ()
     }
+    if (java.nio.file.Files.isSymbolicLink(p))
+      throw new IllegalStateException(
+        s"refusing to wipe scratch path $p: it is a symlink")
     wipe(p.toFile)
     java.nio.file.Files.createDirectories(p)
     p.toString

@@ -21,6 +21,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Callers run [[recoverOrSweep]] for every table BEFORE reading index
   * state, so a compaction interrupted at any point heals on the next
   * maintenance call. The dotted names are hidden from Spark's readers.
+  *
+  * FILESYSTEM REQUIREMENT (same as
+  * [[graft.streaming.ExactlyOnceSink]]): the swap's correctness rests
+  * on `fs.rename` of a directory being atomic, which holds on HDFS and
+  * local filesystems. On object stores whose Hadoop connectors emulate
+  * rename as a per-file copy loop (e.g. S3A), a crash mid-rename can
+  * leave rows split between live and staging — and recovery would then
+  * delete live (the already-moved half) before renaming the rest,
+  * losing part of the compacted table. Run index compaction against an
+  * atomic-rename filesystem, or front the object store with a
+  * rename-atomic committer layer.
   */
 private[pipeline] object IndexMaintenance {
 

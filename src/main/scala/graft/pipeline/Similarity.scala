@@ -399,11 +399,52 @@ object Similarity {
     * materialised rows. The checkpoint is what makes the batch paths
     * safe on non-deterministic query frames; it is thin (id + vector)
     * and batch-sized by construction, so the eager job is cheap.
+    *
+    * Lifetime: the checkpointed blocks live until [[releaseQueryPins]]
+    * (or GC of the RDD). And because a localCheckpoint truncates
+    * lineage, its blocks are unrecoverable on executor loss — a lost
+    * executor mid-action fails the returned lazy frame rather than
+    * recomputing. Acceptable for batch serving (re-run the batch);
+    * long-lived drivers should call [[releaseQueryPins]] after each
+    * batch's results are consumed.
     */
   private def pinnedQueryFrame(queries: DataFrame, qIdCol: String,
-      qVecCol: String): DataFrame =
-    queries.select(col(qIdCol).as("__qid"), col(qVecCol).as("__qv"))
+      qVecCol: String): DataFrame = {
+    val cp = queries
+      .select(col(qIdCol).as("__qid"), col(qVecCol).as("__qv"))
       .localCheckpoint()
+    cp.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        queryPins.add(lr.rdd)
+      case _ => ()
+    }
+    cp
+  }
+
+  // pins outstanding since the last releaseQueryPins drain — bounded by
+  // the number of batch-ANN calls between drains, each entry one thin
+  // (id, vector) RDD handle
+  private val queryPins =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.rdd.RDD[_]]
+
+  /** Drop the materialised query-frame blocks pinned by every
+    * [[queryIvfBatch]]/[[queryIvfInt8Batch]]/[[queryIvfPqBatch]] call
+    * since the last drain (mirrors
+    * [[Dedup.NearDupIndex.unpersistShingles]]). Call ONLY after the
+    * batch results have been fully consumed: the pinned frames are
+    * lineage-truncated, so a released frame cannot be recomputed and
+    * any still-lazy result reading it will fail. Returns the number of
+    * pins released.
+    */
+  def releaseQueryPins(): Int = {
+    var n = 0
+    var r = queryPins.poll()
+    while (r != null) {
+      r.unpersist(blocking = false); n += 1; r = queryPins.poll()
+    }
+    n
+  }
 
   private def ivfBatchPlan(idx: IvfIndex, queries: DataFrame,
       qIdCol: String, qVecCol: String, k: Int, nProbe: Int,

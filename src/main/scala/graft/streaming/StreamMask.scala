@@ -91,8 +91,10 @@ final class NearDupBucketProcessor(threshold: Double, delayMs: Long)
     }
     bucket.put(members.toArray)
     // one live timer per bucket: the bucket dies `delayMs` past its
-    // newest member unless revisited first
-    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    // newest member unless revisited first. (.toSeq at every
+    // listTimers site: deleting while iterating the state-store-backed
+    // iterator is undefined on some backends.)
+    getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
     getHandle.registerTimer(members.map(_.tsMs).max + delayMs)
     out.result().iterator
   }
@@ -212,7 +214,7 @@ final class OrderedShardOffsetProcessor(budget: Int)
     */
   private def release(shard: String, wmMs: Long): Iterator[PackedDoc] = {
     val (ripe, wait) = buf.get().toList.partition(_.tsMs < wmMs)
-    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
     if (wait.nonEmpty) getHandle.registerTimer(wait.map(_.tsMs).min + 1)
     if (ripe.isEmpty) Iterator.empty
     else {
@@ -379,7 +381,7 @@ final class OrderedBinAssemblerProcessor(budget: Int)
   // buffered row can still arrive until the watermark strictly passes
   private def release(shard: String, wmMs: Long): Iterator[AssembledBin] = {
     val (ripe, wait) = buf.get().toList.partition(_.tsMs < wmMs)
-    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
     if (wait.nonEmpty) getHandle.registerTimer(wait.map(_.tsMs).min + 1)
     if (ripe.isEmpty) Iterator.empty
     else {

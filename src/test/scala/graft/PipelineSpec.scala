@@ -634,6 +634,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("releaseQueryPins frees the batch paths' pinned query frames") {
+    val idx = Similarity.buildIvfIndex(embeddings, "vec_id", "embedding")
+    Similarity.releaseQueryPins() // drain pins left by earlier tests
+    val queries = embeddings.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val batch = Similarity.queryIvfBatch(idx, queries, "query_id",
+      "embedding", k = 5)
+    assert(batch.count() > 0) // consume fully BEFORE releasing
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinned.nonEmpty, "the batch path should pin its query frame")
+    assert(Similarity.releaseQueryPins() >= 1)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((pinned -- after) == pinned,
+      "released pins must leave the block manager's persistent-RDD map")
+    assert(Similarity.releaseQueryPins() == 0, "drain must be idempotent")
+  }
+
   test("int8 IVF layout drops the floats, prunes cells, and serves " +
       "near-exact results") {
     val idx = Similarity.buildIvfIndex(embeddings, "vec_id", "embedding")
