@@ -1243,6 +1243,26 @@ object SparkEntry {
     * application, so the oracle can evaluate the SAME tokenizer as a
     * nested replace chain — a full value oracle, not a row count.
     */
+  /** Merges learned by [[graft.functions.BpeTrainer]] on the documents
+    * corpus — rank, sides, and the selection-time pair count of each of
+    * the first [[bpeTrainMerges]] rules. The oracle is a full
+    * cross-engine re-derivation, not a parity row: DuckDB replays the
+    * training loop step by step (adjacent-pair count → deterministic
+    * argmax → leftmost-non-overlapping merge, each step as window SQL
+    * over an exact positional segmentation), so a trainer that picked
+    * even one wrong pair, miscounted one adjacency, or merged
+    * non-leftmost diverges on that rank's row.
+    */
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Bpe, BpeTrainer}
+    val pieces = Bpe.preTokenize(TextOps.normalize(col("text")))
+    val learned = BpeTrainer.train(docs(s, dir), pieces, bpeTrainMerges)
+    import s.implicits._
+    learned.map(m => (m.rank.toLong, m.left, m.right, m.pairCount))
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .orderBy("merge_rank")
+  }
+
   private def qBpe(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Bpe
     // production shape: the vocabulary is parsed from merges-FILE lines
@@ -1421,6 +1441,7 @@ object SparkEntry {
     "q_curation" -> (qCuration _),
     "q_curation_pack" -> (qCurationPack _),
     "q_bpe" -> (qBpe _),
+    "q_bpe_train" -> (qBpeTrain _),
     "q_unicode_nfc" -> (qUnicodeNfc _),
     "q_bpe_ids" -> (qBpeIds _),
     "q_pack_bpe" -> (qPackBpe _),
@@ -1440,6 +1461,74 @@ object SparkEntry {
     * per merge rule; token count = separators + 1.
     */
   private val bpeSepSql = "chr(31)"
+  /** Rules learned by `q_bpe_train` (and re-derived by its oracle). */
+  private val bpeTrainMerges = 8
+  /** DuckDB re-derivation of BPE TRAINING, one CTE block per merge
+    * step. Segmentations are kept POSITIONAL (`(piece, cnt, pos, sym)`
+    * rows) rather than separator-joined strings: a string `replace`
+    * would false-match across symbol boundaries once symbols are
+    * multi-codepoint (a symbol ENDING in the pair's left side next to
+    * one STARTING with its right), which training — unlike rank-order
+    * encoding — cannot rule out. Per step `k`:
+    *   - `g{k}`: adjacent-pair counts via `lead` (every adjacent index,
+    *     overlapping occurrences included), weighted by type count;
+    *   - `b{k}`: the argmax under (count DESC, lhs, rhs) — DuckDB's
+    *     binary collation, matching the trainer's codepoint tie-break;
+    *   - `c{k}`/`m{k}`: candidate flags, then leftmost-non-overlapping
+    *     merge starts — islands of consecutive candidates (only
+    *     possible when lhs == rhs) take every other position;
+    *   - `seg{k}`: rewrite — merge starts concatenate with their next
+    *     symbol, absorbed successors drop, positions renumber.
+    */
+  private def bpeTrainOracleSql(k: Int): String = {
+    val pat = graft.functions.Bpe.preTokenizeRegex.replace("'", "''")
+    val sb = new StringBuilder
+    sb ++= s"""WITH p AS (SELECT unnest(regexp_extract_all($normSql, '$pat')) AS piece
+       |  FROM documents),
+       |pc AS (SELECT piece, CAST(COUNT(*) AS BIGINT) AS cnt FROM p
+       |  WHERE piece <> '' GROUP BY piece),
+       |seg0 AS (SELECT piece, cnt,
+       |  unnest(generate_series(1, CAST(length(piece) AS INTEGER))) AS pos,
+       |  unnest(regexp_extract_all(piece, '.')) AS sym FROM pc)""".stripMargin
+    for (step <- 1 to k) {
+      val prev = s"seg${step - 1}"
+      sb ++= s""",
+         |g$step AS (SELECT sym AS a, nx AS b, CAST(SUM(cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, sym,
+         |          lead(sym) OVER (PARTITION BY piece ORDER BY pos) AS nx
+         |        FROM $prev)
+         |  WHERE nx IS NOT NULL GROUP BY sym, nx),
+         |b$step AS (SELECT a, b, c FROM g$step ORDER BY c DESC, a, b LIMIT 1),
+         |c$step AS (SELECT s.piece, s.cnt, s.pos, s.sym,
+         |    lead(s.sym) OVER (PARTITION BY s.piece ORDER BY s.pos) AS nx,
+         |    COALESCE(s.sym = b.a AND
+         |      lead(s.sym) OVER (PARTITION BY s.piece ORDER BY s.pos) = b.b,
+         |      FALSE) AS cc
+         |  FROM $prev s CROSS JOIN b$step b),
+         |m$step AS (SELECT piece, cnt, pos, sym, nx,
+         |    CASE WHEN cc THEN
+         |      (ROW_NUMBER() OVER (PARTITION BY piece, cc, grp ORDER BY pos)
+         |        % 2 = 1)
+         |    ELSE FALSE END AS mg
+         |  FROM (SELECT *, pos -
+         |      ROW_NUMBER() OVER (PARTITION BY piece, cc ORDER BY pos) AS grp
+         |    FROM c$step)),
+         |seg$step AS (SELECT piece, cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY piece ORDER BY pos) AS pos,
+         |    CASE WHEN mg THEN sym || nx ELSE sym END AS sym
+         |  FROM (SELECT *,
+         |      COALESCE(lag(mg) OVER (PARTITION BY piece ORDER BY pos),
+         |        FALSE) AS pm
+         |    FROM m$step)
+         |  WHERE NOT pm)""".stripMargin
+    }
+    sb ++= "\n"
+    sb ++= (1 to k).map(s =>
+        s"SELECT CAST(${s - 1} AS BIGINT) AS merge_rank, a AS lhs, " +
+          s"b AS rhs, c AS pair_count FROM b$s")
+      .mkString("", "\nUNION ALL ", "\nORDER BY merge_rank")
+    sb.toString
+  }
   private def bpeChainSql(rules: Seq[(String, String)],
       base: String): String =
     rules.foldLeft(base) { case (acc, (a, b)) =>
@@ -2636,6 +2725,9 @@ object SparkEntry {
          |                          WHEN 'de' THEN 16384 ELSE 6554 END
          |ORDER BY doc_id""".stripMargin
     },
+    // full training re-derivation, one CTE block per learned rule —
+    // see bpeTrainOracleSql
+    "q_bpe_train" -> bpeTrainOracleSql(bpeTrainMerges),
     "q_bpe" -> {
       // the SAME tokenizers via the shared bpeChainSql rendering. The
       // gpt2-style path re-extracts the identical pre-token pieces with

@@ -8,7 +8,10 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional third arg (dev iteration only): run just the queries
+    // whose name contains the substring; the driver always passes two
+    val Array(sfDir, outDir) = args.take(2)
+    val only: Option[String] = args.drop(2).headOption
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,15 +38,18 @@ object Verify {
       case c => c.toString
     } + "\""
     var errors = Map.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        errors += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
-        System.err.println(s"[verify] FAILED $name: ${e.getMessage}")
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(name.contains) }
+      .foreach { case (name, fn) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          errors += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
+          System.err.println(s"[verify] FAILED $name: ${e.getMessage}")
+        }
       }
-    }
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(k.contains) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }

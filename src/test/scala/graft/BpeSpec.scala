@@ -203,4 +203,118 @@ class BpeSpec extends SparkSpec {
     assert(row.getInt(2) == toks.length)
     assert(toks.forall { case (t, id) => v.idOf(t) == id })
   }
+
+  // ------------------------------------------------------------- training
+
+  test("trainLocal: hand-computed merges, counts, and tie-breaks") {
+    import graft.functions.BpeTrainer
+    import graft.functions.BpeTrainer.LearnedMerge
+    // (a,a): 2 adjacencies in "aaab" × cnt 2 = 4; (a,b): 2 + 3 = 5
+    val learned = BpeTrainer.trainLocal(Seq(("aaab", 2L), ("ab", 3L)), 3)
+    assert(learned(0) == LearnedMerge(0, "a", "b", 5))
+    // "aaab" → [a, a, ab]: (a,a)=2 vs (a,ab)=2 — tie falls to the
+    // lexicographically smaller right side
+    assert(learned(1) == LearnedMerge(1, "a", "a", 2))
+    assert(learned(2) == LearnedMerge(2, "aa", "ab", 2))
+  }
+
+  test("overlapping adjacencies count; merging is leftmost " +
+      "non-overlapping") {
+    import graft.functions.BpeTrainer
+    import graft.functions.BpeTrainer.LearnedMerge
+    // "aaa" holds TWO (a,a) adjacencies but only one merge fires
+    val learned = BpeTrainer.trainLocal(Seq(("aaa", 1L)), 2)
+    assert(learned == Seq(LearnedMerge(0, "a", "a", 2),
+      LearnedMerge(1, "aa", "a", 1)))
+    // even run: both non-overlapping positions merge in one pass
+    val even = BpeTrainer.trainLocal(Seq(("aaaa", 1L)), 2)
+    assert(even == Seq(LearnedMerge(0, "a", "a", 3),
+      LearnedMerge(1, "aa", "aa", 1)))
+  }
+
+  test("training stops early when no adjacent pair remains") {
+    import graft.functions.BpeTrainer
+    assert(BpeTrainer.trainLocal(Seq(("a", 5L), ("b", 2L)), 3).isEmpty)
+    // "ab" exhausts after one merge
+    assert(BpeTrainer.trainLocal(Seq(("ab", 1L)), 5).length == 1)
+  }
+
+  test("codepointCompare matches binary UTF-8 order where UTF-16 " +
+      "differs") {
+    import graft.functions.BpeTrainer.codepointCompare
+    val priv = "" // BMP private-use, UTF-16 unit 0xE000
+    val supp = new String(Character.toChars(0x10000)) // surrogate pair
+    assert(priv.compareTo(supp) > 0, "UTF-16 order (the trap)")
+    assert(codepointCompare(priv, supp) < 0, "codepoint = UTF-8 order")
+    assert(codepointCompare("a", "ab") < 0 && codepointCompare("", "a") < 0)
+    assert(codepointCompare("ab", "ab") == 0)
+  }
+
+  /** Independent reference: per-OCCURRENCE training (no type table),
+    * straight from the textbook loop — shares no code with
+    * [[graft.functions.BpeTrainer]].
+    */
+  private def referenceTrain(pieces: Seq[String],
+      k: Int): Seq[(String, String, Long)] = {
+    var words: Array[Array[String]] = pieces.filter(_.nonEmpty)
+      .map(_.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))))
+      .toArray
+    val out = Seq.newBuilder[(String, String, Long)]
+    var done = false
+    for (_ <- 0 until k if !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for (w <- words; i <- 0 until w.length - 1)
+        counts((w(i), w(i + 1))) =
+          counts.getOrElse((w(i), w(i + 1)), 0L) + 1
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) =
+          counts.toSeq.sortBy { case ((x, y), n) => (-n, x, y) }.head
+        out += ((a, b, c))
+        words = words.map { w =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < w.length) {
+            if (i + 1 < w.length && w(i) == a && w(i + 1) == b) {
+              buf += a + b; i += 2
+            } else { buf += w(i); i += 1 }
+          }
+          buf.toArray
+        }
+      }
+    }
+    out.result()
+  }
+
+  test("distributed trainer == independent per-occurrence reference " +
+      "on the fixture corpus") {
+    import graft.functions.BpeTrainer
+    val docs = spark.read.parquet(s"$fixtures/documents.parquet")
+    val piecesCol = Bpe.preTokenize(TextOps.normalize(col("text")))
+    val learned = BpeTrainer.train(docs, piecesCol, 8)
+    val local = docs.select(explode(piecesCol).as("p"))
+      .collect().map(_.getString(0)).toSeq
+    assert(learned.map(m => (m.left, m.right, m.pairCount)) ==
+      referenceTrain(local, 8))
+    // the learned table is a VALID vocabulary: construction re-checks
+    // the greedy==rank-order invariant, and encoding with it actually
+    // compresses the corpus it was trained on
+    val v = BpeTrainer.toMerges(learned)
+    val sample = local.filter(_.length > 3).take(50)
+    assert(sample.forall(p => v.encode(p).length <= p.length))
+    assert(sample.exists(p => v.encode(p).length < p.length),
+      "trained merges never fired on their own training corpus")
+  }
+
+  test("maxPieceTypes caps the collected type table without breaking " +
+      "the loop") {
+    import graft.functions.BpeTrainer
+    val docs = spark.read.parquet(s"$fixtures/documents.parquet")
+    val piecesCol = Bpe.preTokenize(TextOps.normalize(col("text")))
+    val capped = BpeTrainer.train(docs, piecesCol, 4,
+      maxPieceTypes = Some(100))
+    assert(capped.length == 4)
+    assert(capped.map(_.rank) == Seq(0, 1, 2, 3))
+  }
 }
