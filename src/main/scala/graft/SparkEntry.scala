@@ -679,6 +679,26 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** [[qDecontaminate]] through the Bloom-prefiltered path
+    * ([[graft.pipeline.Dedup.bloomDecontaminate]]): the corpus side is
+    * prescreened by a benchmark-shingle Bloom filter (narrow scan, no
+    * corpus shuffle — the 100 TB shape) before the exact join verifies
+    * the survivors. Because the prefilter has no false negatives, the
+    * result must EQUAL the exact path's — the oracle re-derives the
+    * full exact overlap in DuckDB, so a Bloom stage that dropped one
+    * true pair (or a verify stage that kept one false positive) reds
+    * this row. A lower `minShared` than q_decontaminate keeps the two
+    * rows from being copies of one another.
+    */
+  private def qDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.bloomDecontaminate(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleK = 3, minShared = 2, fpp = 0.01)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Free-text PII scrub ([[graft.pipeline.TextOps.redactPii]]): the fixture
     * corpus carries no PII, so the query synthesises a deterministic
     * contact string per customer (e-mail + phone + URL) and verifies the
@@ -1411,6 +1431,7 @@ object SparkEntry {
     "q_repetition" -> (qRepetition _),
     "q_pii" -> (qPii _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_vocab" -> (qVocab _),
     "q_tfidf" -> (qTfidf _),
     "q_fingerprint" -> (qFingerprint _),
@@ -2326,6 +2347,17 @@ object SparkEntry {
          |SELECT ca.id_a, cb.id_b, COUNT(*) AS n_shared
          |FROM ca JOIN cb USING (shingle)
          |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q_decontaminate_bloom" ->
+      // the EXACT overlap — the Bloom stage is a prefilter that must
+      // not change the answer (no false negatives; verify restores set
+      // equality over the superset it keeps)
+      s"""WITH $shingleCte,
+         |ca AS (SELECT doc_id AS id_a, shingle FROM sh WHERE doc_id % 10 <> 0),
+         |cb AS (SELECT doc_id AS id_b, shingle FROM sh WHERE doc_id % 10 = 0)
+         |SELECT ca.id_a, cb.id_b, COUNT(*) AS n_shared
+         |FROM ca JOIN cb USING (shingle)
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
          |ORDER BY id_a, id_b""".stripMargin,
     "q_vocab" ->
       s"""SELECT token, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs

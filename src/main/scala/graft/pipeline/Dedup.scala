@@ -299,6 +299,77 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Build a Bloom filter over the benchmark's distinct shingles —
+    * shared by [[bloomContaminationHits]] and [[bloomDecontaminate]].
+    * The filter is sized by an exact distinct count (one aggregation
+    * over the SMALL side) and explicitly broadcast so the executors
+    * fetch it once per node, not once per task closure.
+    */
+  private def benchShingleBloom(bench: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, fpp: Double)
+      : org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter] = {
+    val shingles = TextOps.explodedShingles(bench, idCol, textCol, shingleK)
+      .select("shingle").distinct()
+    val n = math.max(shingles.count(), 1L)
+    val bf = shingles.stat.bloomFilter("shingle", n, fpp)
+    bench.sparkSession.sparkContext.broadcast(bf)
+  }
+
+  /** Per-corpus-doc count of distinct shingles that HIT the benchmark
+    * Bloom filter — the zero-shuffle contamination prescreen. The whole
+    * corpus side is one narrow map (tokens → shingles → membership
+    * test inside a single per-row call); nothing of the corpus is ever
+    * exploded, shuffled, or joined, which is the shape that matters
+    * when the corpus is 100 TB and the benchmark suite is megabytes.
+    *
+    * Bloom semantics: NO false negatives — a doc sharing k distinct
+    * shingles with the benchmark reports `bloom_hits >= k` — and false
+    * positives inflate counts at rate `fpp` per distinct non-member
+    * shingle, so `bloom_hits` is an upper bound usable as an exact-set
+    * prefilter ([[bloomDecontaminate]]) or on its own as a cheap triage
+    * score.
+    */
+  def bloomContaminationHits(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, shingleK: Int = 3,
+      fpp: Double = 0.01): DataFrame = {
+    val bc = benchShingleBloom(bench, idCol, textCol, shingleK, fpp)
+    val hits = udf((ss: Seq[String]) =>
+      if (ss == null) 0
+      else ss.iterator.distinct.count(bc.value.mightContainString))
+    corpus
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .withColumn("bloom_hits",
+        hits(TextOps.shinglesOfTokens(col("__toks"), shingleK)))
+      .drop("__toks")
+  }
+
+  /** [[crossCorpusOverlap]] accelerated by a benchmark Bloom prefilter:
+    * identical results (the oracle gate runs both paths against one
+    * SQL), different 100 TB cost. The exact path explodes and shuffles
+    * EVERY corpus doc's shingles into the equi-join; this path first
+    * drops every corpus doc whose distinct-shingle hit count against
+    * the benchmark filter stays below `minShared` — a narrow scan with
+    * no shuffle — and only the surviving candidates pay the exact join.
+    * No false negatives (see [[bloomContaminationHits]]): a pair with
+    * `n_shared >= minShared` implies its corpus doc's hit count is at
+    * least that, so the prefilter keeps a superset and the exact verify
+    * restores equality; false positives only cost a candidate's worth
+    * of join work, tuned by `fpp`.
+    */
+  def bloomDecontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, shingleK: Int = 3,
+      minShared: Int = 1, fpp: Double = 0.01,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val candidates = bloomContaminationHits(corpus, bench, idCol, textCol,
+        shingleK, fpp)
+      .filter(col("bloom_hits") >= minShared)
+      .drop("bloom_hits")
+    crossCorpusOverlap(candidates, bench, idCol, textCol, shingleK,
+      minShared, maxShingleDf)
+  }
+
   /** Connected components over an undirected pair frame — the clustering
     * step that turns near-duplicate PAIRS into dedup CLUSTERS (keep the
     * min-id member per cluster, drop the rest). A pair list alone

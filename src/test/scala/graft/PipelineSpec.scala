@@ -1490,6 +1490,40 @@ class PipelineSpec extends SparkSpec {
     assert(uncapped == 6L)
   }
 
+  test("bloom decontamination equals the exact path and its prescreen " +
+      "is shuffle-free") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val exact = Dedup.crossCorpusOverlap(corpus, bench, "doc_id", "text",
+      shingleK = 3, minShared = 2).collect().map(key).toSet
+    val viaBloom = Dedup.bloomDecontaminate(corpus, bench, "doc_id",
+      "text", shingleK = 3, minShared = 2).collect().map(key).toSet
+    assert(viaBloom == exact,
+      "the Bloom prefilter must not change the exact answer")
+    assert(exact.nonEmpty, "fixture must actually contain contamination")
+    // the prescreen itself: one narrow map over the corpus — no
+    // exchange anywhere in its plan (the property that makes it the
+    // 100 TB shape)
+    val hits = Dedup.bloomContaminationHits(corpus, bench, "doc_id",
+      "text", shingleK = 3)
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bloom prescreen must not shuffle the corpus:\n$plan")
+    // no false negatives: every contaminated corpus doc's hit count
+    // dominates its true shared-shingle count against ANY bench doc
+    val maxShared = exact.groupBy(_._1).map { case (id, ps) =>
+      id -> ps.map(_._3).max
+    }
+    val hitOf = hits.select("doc_id", "bloom_hits").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    maxShared.foreach { case (id, n) =>
+      assert(hitOf(id) >= n,
+        s"doc $id: bloom_hits ${hitOf(id)} below true shared count $n")
+    }
+  }
+
   test("PII redaction replaces urls, emails, cards, ips, phones + counts") {
     val s = spark
     import s.implicits._
