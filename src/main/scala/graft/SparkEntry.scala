@@ -590,6 +590,24 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
 
+  /** Z-order (Morton) key over two lineitem dimensions
+    * ([[graft.pipeline.Layout.zorder]]) — the clustering key behind
+    * multi-dimensional data layout. Pure codegen bit arithmetic, and
+    * fully value-oracled: DuckDB recomputes the interleave bit by bit,
+    * so a lane swap, an off-by-one shift, or a sign-extension bug
+    * diverges on every row. (The layout WRITE and its locality win are
+    * plan/file-level properties, asserted in the spec — the gate row
+    * pins the key math the layout rests on.)
+    */
+  private def qZorder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("bigint")
+          .as("l_linenumber"),
+        graft.pipeline.Layout.zorder(10,
+          pmod(col("l_partkey"), lit(1024)),
+          pmod(col("l_suppkey"), lit(1024))).as("zval"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** Exact dedup: content-hash groupBy over the corpus with a deterministic
     * duplicate injection (every 50th doc repeated) so the grouping is
     * actually exercised. One hash-partitioned aggregate — the 100 TB shape.
@@ -1432,6 +1450,7 @@ object SparkEntry {
     "q_pii" -> (qPii _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
+    "q_zorder" -> (qZorder _),
     "q_vocab" -> (qVocab _),
     "q_tfidf" -> (qTfidf _),
     "q_fingerprint" -> (qFingerprint _),
@@ -2348,6 +2367,19 @@ object SparkEntry {
          |FROM ca JOIN cb USING (shingle)
          |GROUP BY 1, 2 HAVING COUNT(*) >= 3
          |ORDER BY id_a, id_b""".stripMargin,
+    "q_zorder" -> {
+      // recompute the interleave bit by bit: ((x>>i)&1) << (2i) lanes x,
+      // ((y>>i)&1) << (2i+1) lanes y
+      val terms = (for {
+        j <- 0 to 1
+        i <- 0 until 10
+      } yield s"(((${if (j == 0) "x" else "y"} >> $i) & 1) << ${i * 2 + j})")
+        .mkString(" | ")
+      s"""WITH b AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |  l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS zval
+         |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
     "q_decontaminate_bloom" ->
       // the EXACT overlap — the Bloom stage is a prefilter that must
       // not change the answer (no false negatives; verify restores set

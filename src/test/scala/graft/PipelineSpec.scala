@@ -1524,6 +1524,81 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("zorder interleaves bits exactly and rejects out-of-range keys") {
+    import graft.pipeline.Layout
+    val s = spark
+    import s.implicits._
+    // x=0b11, y=0b01 at 2 bits: lanes x->0,2 y->1,3 => 0b0111 = 7
+    val got = Seq((3L, 1L), (0L, 0L), (3L, 3L), (2L, 1L))
+      .toDF("x", "y")
+      .select(Layout.zorder(2, col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(7L, 0L, 15L, 6L))
+    intercept[IllegalArgumentException](Layout.zorder(8))
+    intercept[IllegalArgumentException](
+      Layout.zorder(32, col("x"), col("y")))
+    // out-of-range and negative keys fail loudly instead of aliasing
+    val bad = Seq((4L, 0L)).toDF("x", "y")
+      .select(Layout.zorder(2, col("x"), col("y")))
+    assert(intercept[Exception](bad.collect())
+      .getMessage.contains("zorder"))
+    val neg = Seq((-1L, 0L)).toDF("x", "y")
+      .select(Layout.zorder(2, col("x"), col("y")))
+    assert(intercept[Exception](neg.collect())
+      .getMessage.contains("zorder"))
+  }
+
+  test("z-ordered layout bounds per-file spread on BOTH dimensions; " +
+      "a linear sort only on one") {
+    import graft.pipeline.Layout
+    // a full 256x256 grid: x and y uniform and INDEPENDENT (the
+    // lineitem fixture's partkey/suppkey are correlated by TPC-H
+    // construction, which would mask the non-leading-dimension effect
+    // this test exists to show)
+    val li = spark.range(256L * 256L)
+      .select((col("id") % 256).as("x"),
+        floor(col("id") / 256).cast("long").as("y"))
+    def perFileSpread(path: String): (Double, Double) = {
+      val spreads = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+        .collect()
+      (spreads.map(_.getAs[Long]("sx")).sum.toDouble / spreads.length,
+        spreads.map(_.getAs[Long]("sy")).sum.toDouble / spreads.length)
+    }
+    val zDir = java.nio.file.Files
+      .createTempDirectory("graft-zorder").toString
+    val linDir = java.nio.file.Files
+      .createTempDirectory("graft-linear").toString
+    try {
+      Layout.writeZOrdered(li,
+        Layout.zorder(8, col("x"), col("y")), 16, zDir)
+      // the comparison layout: same file count, sorted on x alone
+      li.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(linDir)
+      val (zx, zy) = perFileSpread(zDir)
+      val (lx, ly) = perFileSpread(linDir)
+      // linear sort: x tightly bounded, y spans the whole domain
+      assert(lx < 64, s"linear layout x-spread $lx should be tight")
+      assert(ly > 192, s"linear layout y-spread $ly should span the domain")
+      // z-order: BOTH dimensions bounded well below the domain — this
+      // is the min/max-stats pruning win on the non-leading dimension.
+      // 16 files over a 256x256 grid = 4 z-bits per file => boxes of
+      // at most 64x128; allow slack for range-partition edges
+      assert(zx < 150 && zy < 150,
+        s"z-order spreads ($zx, $zy) must bound both dimensions")
+      assert(zy < ly / 2,
+        s"z-order y-spread $zy must beat the linear layout's $ly")
+    } finally {
+      def rm(p: String): Unit = {
+        val d = new java.io.File(p)
+        Option(d.listFiles()).foreach(_.foreach(f => { f.delete(); () }))
+        d.delete(); ()
+      }
+      rm(zDir); rm(linDir)
+    }
+  }
+
   test("PII redaction replaces urls, emails, cards, ips, phones + counts") {
     val s = spark
     import s.implicits._
