@@ -1274,6 +1274,22 @@ object SparkEntry {
         defaultRate = 0.1)
       .orderBy("doc_id")
 
+  /** Weighted deterministic Poisson sample
+    * ([[graft.pipeline.Sampling.weightedHashSample]]): inclusion
+    * probability proportional to the document's token count — the
+    * sample-by-token-budget mix knob. The kept SET is the oracle
+    * surface: the 48-bit hash fraction and the multiplication-only
+    * threshold are IEEE-exact on both engines, so DuckDB reproduces
+    * every keep decision bit-for-bit (the reason this operator avoids
+    * `pow` — see weightedReservoir's scaladoc for the contrast).
+    */
+  private def qSampleWeighted(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.weightedHashSample(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("bigint").as("n_tokens")),
+        key = col("doc_id"), weight = col("n_tokens"), c = 0.01)
+      .orderBy("doc_id")
+
   /** Real tokenizer-based token counting ([[graft.functions.Bpe]]): the
     * greedy BPE merge loop under a rank-ordered merges vocabulary,
     * next to the whitespace count it corrects. The vocabulary's
@@ -1478,6 +1494,7 @@ object SparkEntry {
     "q_embed_dedup" -> (qEmbedDedup _),
     "q_quantize" -> (qQuantize _),
     "q_sample" -> (qSample _),
+    "q_sample_weighted" -> (qSampleWeighted _),
     "q_curation" -> (qCuration _),
     "q_curation_pack" -> (qCurationPack _),
     "q_bpe" -> (qBpe _),
@@ -2787,6 +2804,21 @@ object SparkEntry {
       s"""SELECT doc_id, lang FROM documents
          |WHERE $bucket < CASE lang WHEN 'en' THEN 32768 WHEN 'es' THEN 65536
          |                          WHEN 'de' THEN 16384 ELSE 6554 END
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q_sample_weighted" -> {
+      // 48-bit bucket from the first twelve md5 nibbles; keep iff
+      // bucket < (tokens * c) * 2^48 — multiplications only, IEEE-exact
+      // on both engines, same association order as the Spark side
+      val h = "md5(CAST(doc_id AS VARCHAR))"
+      val b48 = (1 to 12)
+        .map(i => s"${nibSql(h, i)} * ${1L << ((12 - i) * 4)}")
+        .mkString("(", " + ", ")")
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents)
+         |SELECT doc_id, lang, n_tokens FROM t
+         |WHERE CAST($b48 AS DOUBLE) <
+         |  (CAST(n_tokens AS DOUBLE) * 0.01) * 281474976710656.0
          |ORDER BY doc_id""".stripMargin
     },
     // full training re-derivation, one CTE block per learned rule —

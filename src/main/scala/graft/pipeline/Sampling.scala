@@ -36,6 +36,67 @@ object Sampling {
   def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame =
     df.filter(hashBucket(key) < lit(threshold(rate)))
 
+  /** 48-bit deterministic hash fraction numerator: the first twelve md5
+    * nibbles of the stringified key, as a long in `[0, 2^48)`. 48 bits
+    * keep the long→double cast exact (doubles hold 53), so both engines
+    * compare the identical values.
+    */
+  def hashBucket48(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("long")
+
+  private val Two48 = 281474976710656.0 // 2^48
+
+  /** Weighted deterministic Poisson sample: keep each row with
+    * probability `min(1, c · weight)` — inclusion mass proportional to
+    * the weight column (sample-by-token-budget, quality-tilted mixes…),
+    * the Horvitz–Thompson shape. Same guarantees as [[hashSample]]:
+    * pure narrow filter, no RNG state, stable under retries and
+    * repartitioning, and monotone in `c` (raising the budget only ADDS
+    * rows — nested mixes come free). The comparison is arranged as
+    * `bucket < (weight · c) · 2^48`, multiplications only — every step
+    * is IEEE-exact and deterministic, so any engine reproduces the kept
+    * set bit-for-bit (no `pow`/`ln` in sight; contrast
+    * [[weightedReservoir]]).
+    */
+  def weightedHashSample(df: DataFrame, key: Column, weight: Column,
+      c: Double): DataFrame = {
+    require(c >= 0.0, s"c must be >= 0, got $c")
+    df.filter(hashBucket48(key).cast("double") <
+      weight.cast("double") * lit(c) * lit(Two48))
+  }
+
+  /** Exactly-k weighted sample without replacement — Efraimidis–
+    * Spirakis exponential keys: priority `u^(1/w)` with `u` the row's
+    * deterministic hash fraction; the k largest priorities win, each
+    * row's win probability proportional to its weight at every prefix.
+    * Plan shape: narrow priority projection + `TakeOrderedAndProject`
+    * (orderBy + limit) — per-partition top-k heaps then one k-row merge
+    * at the driver, never a full sort shuffle.
+    *
+    * Note `pow` is transcendental: unlike [[weightedHashSample]], the
+    * last-ulp rounding of priorities is engine-library-specific, so
+    * cross-ENGINE reproducibility of the exact kept set is not
+    * contractual (within Spark it is — same key, same weights, same
+    * set; the spec pins parity against an independent driver-side
+    * reference). Weights must be strictly positive: zero or negative
+    * weights raise rather than silently winning (`u^(1/w)` with w<=0
+    * inverts the order).
+    */
+  def weightedReservoir(df: DataFrame, key: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = weight.cast("double")
+    val guarded = when(w.isNull.or(w <= 0.0),
+        raise_error(concat(lit("weightedReservoir: non-positive weight "),
+          w.cast("string"))))
+      .otherwise(w)
+    val u = (hashBucket48(key).cast("double") + lit(0.5)) / lit(Two48)
+    df.withColumn("__pri", pow(u, lit(1.0) / guarded))
+      .orderBy(col("__pri").desc, key)
+      .limit(k)
+      .drop("__pri")
+  }
+
   /** Stratified deterministic sample — the training-mix knob: each
     * stratum (source, language, quality band …) keeps its own rate;
     * strata absent from `rates` fall back to `defaultRate`. The rates

@@ -1140,6 +1140,71 @@ class PipelineSpec extends SparkSpec {
     assert(strat == Seq("en"), "default rate 0 must drop other strata")
   }
 
+  test("weighted hash sampling: weight-proportional, nested in c, " +
+      "partition-stable") {
+    import graft.pipeline.Sampling
+    val s = spark
+    import s.implicits._
+    // two weight classes, many rows: heavy rows (w=8) must be kept at
+    // ~8x the light rows' (w=1) rate under p = min(1, c*w)
+    val rows = (0L until 4000L).map(i => (i, if (i % 2 == 0) 8.0 else 1.0))
+      .toDF("id", "w")
+    val kept = Sampling.weightedHashSample(rows, col("id"), col("w"), 0.05)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val heavyRate = kept.count(_._2 == 8.0) / 2000.0
+    val lightRate = kept.count(_._2 == 1.0) / 2000.0
+    assert(math.abs(heavyRate - 0.4) < 0.06, s"heavy rate $heavyRate")
+    assert(math.abs(lightRate - 0.05) < 0.03, s"light rate $lightRate")
+    // monotone in c, stable under repartitioning
+    val ids = kept.map(_._1).toSet
+    val wider = Sampling.weightedHashSample(rows, col("id"), col("w"), 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(wider), "raising c must only add rows")
+    val reparted = Sampling
+      .weightedHashSample(rows.repartition(7), col("id"), col("w"), 0.05)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == reparted, "keep set must not depend on partitioning")
+    // p = min(1, c*w): a huge weight is ALWAYS kept
+    val always = Sampling.weightedHashSample(
+      Seq((1L, 1e9), (2L, 1e9)).toDF("id", "w"), col("id"), col("w"), 0.05)
+    assert(always.count() == 2L)
+  }
+
+  test("weighted reservoir: exactly k, matches the A-ES reference, " +
+      "biased toward weight") {
+    import graft.pipeline.Sampling
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 500L).map(i => (i, 1.0 + (i % 10)))
+      .toDF("id", "w")
+    val got = Sampling.weightedReservoir(rows, col("id"), col("w"), 25)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got.length == 25 && got.distinct.length == 25)
+    // independent driver-side reference: same hash fraction, same
+    // exponential-key formula, same tie-break
+    def md5hex(sv: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(sv.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val ref = (0L until 500L).map { i =>
+      val u = (java.lang.Long.parseLong(md5hex(i.toString).take(12), 16)
+        + 0.5) / 281474976710656.0
+      (i, math.pow(u, 1.0 / (1.0 + (i % 10))))
+    }.sortBy { case (id, pri) => (-pri, id) }.take(25).map(_._1)
+    assert(got.toSet == ref.toSet, "must match the A-ES reference")
+    // stochastic sanity: mean weight of winners above the population's
+    val meanW = got.map(i => 1.0 + (i % 10)).sum / 25.0
+    assert(meanW > 5.5, s"winners' mean weight $meanW not weight-biased")
+    // plan: top-k, not a global sort — TakeOrdered carries the limit
+    val plan = Sampling.weightedReservoir(rows, col("id"), col("w"), 25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"expected TakeOrdered:\n$plan")
+    // non-positive weights raise instead of inverting the order
+    val bad = Sampling.weightedReservoir(
+      Seq((1L, 0.0)).toDF("id", "w"), col("id"), col("w"), 1)
+    assert(intercept[Exception](bad.collect())
+      .getMessage.contains("weightedReservoir"))
+  }
+
   test("int8 quantization: bounded error, cosine preserved to ~1e-2") {
     val q = embeddings.select(col("vec_id"), col("embedding"),
         Similarity.int8Scale(col("embedding")).as("scale"))
