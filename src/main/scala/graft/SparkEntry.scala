@@ -1317,6 +1317,27 @@ object SparkEntry {
       .orderBy("merge_rank")
   }
 
+  /** The train→encode COMPOSITION: learn the merges from the corpus,
+    * package them as a [[graft.functions.BpeMerges]] vocabulary (the
+    * construction invariant re-validated), and tokenize the SAME corpus
+    * with it. The oracle re-derives every per-doc count from the
+    * training chain's final segmentation table alone — trainer-side
+    * rank-order application equals greedy encoding under the invariant,
+    * so the two engines must agree doc by doc, closing the loop between
+    * [[graft.functions.BpeTrainer]] and the [[graft.functions.Bpe]]
+    * encoder.
+    */
+  private def qBpeTrainEncode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Bpe, BpeTrainer}
+    val pieces = Bpe.preTokenize(TextOps.normalize(col("text")))
+    val learned = BpeTrainer.train(docs(s, dir), pieces, bpeTrainMerges)
+    val vocab = BpeTrainer.toMerges(learned)
+    docs(s, dir).select(col("doc_id"),
+        Bpe.tokenCount(vocab)(pieces).cast("bigint")
+          .as("n_trained_tokens"))
+      .orderBy("doc_id")
+  }
+
   private def qBpe(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Bpe
     // production shape: the vocabulary is parsed from merges-FILE lines
@@ -1499,6 +1520,7 @@ object SparkEntry {
     "q_curation_pack" -> (qCurationPack _),
     "q_bpe" -> (qBpe _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_train_encode" -> (qBpeTrainEncode _),
     "q_unicode_nfc" -> (qUnicodeNfc _),
     "q_bpe_ids" -> (qBpeIds _),
     "q_pack_bpe" -> (qPackBpe _),
@@ -1537,10 +1559,15 @@ object SparkEntry {
     *   - `seg{k}`: rewrite — merge starts concatenate with their next
     *     symbol, absorbed successors drop, positions renumber.
     */
-  private def bpeTrainOracleSql(k: Int): String = {
+  /** The training CTE chain WITHOUT the leading `WITH` or final SELECT
+    * — ends in `seg$k` (the corpus piece types segmented under the k
+    * learned merges) and `b1..bk` (the learned rules); `q_bpe_train`
+    * selects the rules, `q_bpe_train_encode` aggregates seg$k lengths.
+    */
+  private def bpeTrainCtes(k: Int): String = {
     val pat = graft.functions.Bpe.preTokenizeRegex.replace("'", "''")
     val sb = new StringBuilder
-    sb ++= s"""WITH p AS (SELECT unnest(regexp_extract_all($normSql, '$pat')) AS piece
+    sb ++= s"""p AS (SELECT doc_id, unnest(regexp_extract_all($normSql, '$pat')) AS piece
        |  FROM documents),
        |pc AS (SELECT piece, CAST(COUNT(*) AS BIGINT) AS cnt FROM p
        |  WHERE piece <> '' GROUP BY piece),
@@ -1579,13 +1606,33 @@ object SparkEntry {
          |    FROM m$step)
          |  WHERE NOT pm)""".stripMargin
     }
-    sb ++= "\n"
-    sb ++= (1 to k).map(s =>
-        s"SELECT CAST(${s - 1} AS BIGINT) AS merge_rank, a AS lhs, " +
-          s"b AS rhs, c AS pair_count FROM b$s")
-      .mkString("", "\nUNION ALL ", "\nORDER BY merge_rank")
     sb.toString
   }
+
+  private def bpeTrainOracleSql(k: Int): String =
+    s"WITH ${bpeTrainCtes(k)}\n" +
+      (1 to k).map(s =>
+          s"SELECT CAST(${s - 1} AS BIGINT) AS merge_rank, a AS lhs, " +
+            s"b AS rhs, c AS pair_count FROM b$s")
+        .mkString("", "\nUNION ALL ", "\nORDER BY merge_rank")
+
+  /** Per-doc token counts under the SELF-trained vocabulary: the final
+    * `seg$k` table's per-piece-type row count IS that type's token
+    * count after the k learned merges (trainer-side rank-order
+    * application == greedy encode under the BpeMerges invariant), so
+    * joining the corpus's pieces back to those lengths re-derives every
+    * document's count without re-running any encoder in SQL.
+    */
+  private def bpeTrainEncodeOracleSql(k: Int): String =
+    s"""WITH ${bpeTrainCtes(k)},
+       |lens AS (SELECT piece, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM seg$k GROUP BY piece)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(SUM(lens.n), 0) AS BIGINT) AS n_trained_tokens
+       |FROM documents d
+       |LEFT JOIN p ON p.doc_id = d.doc_id AND p.piece <> ''
+       |LEFT JOIN lens ON lens.piece = p.piece
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   private def bpeChainSql(rules: Seq[(String, String)],
       base: String): String =
     rules.foldLeft(base) { case (acc, (a, b)) =>
@@ -2824,6 +2871,9 @@ object SparkEntry {
     // full training re-derivation, one CTE block per learned rule —
     // see bpeTrainOracleSql
     "q_bpe_train" -> bpeTrainOracleSql(bpeTrainMerges),
+    // train→encode composition: per-doc counts from the training
+    // chain's final segmentation — see bpeTrainEncodeOracleSql
+    "q_bpe_train_encode" -> bpeTrainEncodeOracleSql(bpeTrainMerges),
     "q_bpe" -> {
       // the SAME tokenizers via the shared bpeChainSql rendering. The
       // gpt2-style path re-extracts the identical pre-token pieces with
