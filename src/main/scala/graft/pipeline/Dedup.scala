@@ -334,14 +334,30 @@ object Dedup {
       idCol: String, textCol: String, shingleK: Int = 3,
       fpp: Double = 0.01): DataFrame = {
     val bc = benchShingleBloom(bench, idCol, textCol, shingleK, fpp)
-    val hits = udf((ss: Seq[String]) =>
-      if (ss == null) 0
-      else ss.iterator.distinct.count(bc.value.mightContainString))
-    corpus
-      .withColumn("__toks", TextOps.tokens(col(textCol)))
-      .withColumn("bloom_hits",
-        hits(TextOps.shinglesOfTokens(col("__toks"), shingleK)))
-      .drop("__toks")
+    val k = shingleK
+    // shingles are assembled INSIDE the udf from the codegen'd tokens
+    // array (imperative loop + one membership probe per window) — the
+    // Column-level alternative, a `transform` lambda over window
+    // indices, evaluates interpreted and measured ~30× slower than the
+    // whole exact join it is meant to prescreen
+    val hits = udf((toks: Seq[String]) =>
+      if (toks == null) 0
+      else {
+        val arr = toks.toArray
+        val seen = new java.util.HashSet[String]()
+        var n = 0
+        var i = 0
+        while (i + k <= arr.length) {
+          val sb = new java.lang.StringBuilder(arr(i))
+          var j = 1
+          while (j < k) { sb.append(' ').append(arr(i + j)); j += 1 }
+          val sh = sb.toString
+          if (seen.add(sh) && bc.value.mightContainString(sh)) n += 1
+          i += 1
+        }
+        n
+      })
+    corpus.withColumn("bloom_hits", hits(TextOps.tokens(col(textCol))))
   }
 
   /** [[crossCorpusOverlap]] accelerated by a benchmark Bloom prefilter:
