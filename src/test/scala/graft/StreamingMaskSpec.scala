@@ -107,6 +107,43 @@ class StreamingMaskSpec extends SparkSpec {
     assert(sampled.nonEmpty)
   }
 
+  test("weighted sampling and the bloom contamination prescreen " +
+      "compose onto streams unchanged") {
+    import graft.pipeline.{Dedup, Sampling}
+    // weighted Poisson sample: a pure narrow filter, so the streaming
+    // result must be the identical kept set
+    val weighted = (df: DataFrame) => Sampling.weightedHashSample(
+      df.withColumn("w", (col("event_id") % 10 + 1).cast("double")),
+      col("event_id"), col("w"), 0.05).select("event_id")
+    val sampled = runToMemory(weighted(streamingEvents),
+        "wsample_stream", "append")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val batchSample = weighted(batchEvents)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(sampled == batchSample)
+    assert(sampled.nonEmpty)
+    // bloom prescreen: the benchmark filter builds from a BATCH frame
+    // at call time; the corpus side is one udf column, so it attaches
+    // to a streaming corpus directly
+    val docsDir = Files.createTempDirectory("graft_stream_docs").toString
+    spark.read.parquet(s"$fixtures/documents.parquet")
+      .write.mode("overwrite").parquet(s"$docsDir/docs")
+    val docsSchema = spark.read.parquet(s"$docsDir/docs").schema
+    val bench = spark.read.parquet(s"$fixtures/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+    val hitsOf = (corpus: DataFrame) => Dedup.bloomContaminationHits(
+      corpus.filter(col("doc_id") % 10 =!= 0), bench, "doc_id", "text")
+      .select("doc_id", "bloom_hits")
+    val streamedHits = runToMemory(
+        hitsOf(spark.readStream.schema(docsSchema).parquet(s"$docsDir/docs")),
+        "bloom_stream", "append")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val batchHits = hitsOf(spark.read.parquet(s"$docsDir/docs"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(streamedHits == batchHits)
+    assert(streamedHits.exists(_._2 > 0), "fixture must produce hits")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     // views → follow-up clicks by the same user within 6 hours
     // (the fixture's event times are day-spread; 6h yields ~25 pairs)
