@@ -1164,6 +1164,27 @@ object SparkEntry {
       .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
   }
 
+  /** ANN quality audit ([[graft.pipeline.Similarity.recallAtK]]): the
+    * per-query recall of the nProbe=2 batch IVF cut against the exact
+    * top-5 (the same index probed on EVERY cell — candidate set = whole
+    * corpus). The oracle reuses the batch chain for the approximate
+    * side and derives the exact side brute-force, so the recall values
+    * themselves — not just the result sets — are pinned cross-engine.
+    */
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 3)
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val idx = Similarity.buildIvfIndex(corpus, "vec_id", "embedding", 16)
+    val approx = Similarity.queryIvfBatch(idx, queries, "query_id",
+      "embedding", k = 5, nProbe = 2)
+    val exact = Similarity.queryIvfBatch(idx, queries, "query_id",
+      "embedding", k = 5, nProbe = 16)
+    Similarity.recallAtK(exact, approx, "query_id", "vec_id")
+      .orderBy("query_id")
+  }
+
   /** Batch serving through the composed IVF×PQ index
     * ([[graft.pipeline.Similarity.queryIvfPqBatch]]) — the r9 verdict's
     * top ask: the three vec_id<3 query vectors answered through one
@@ -1505,6 +1526,7 @@ object SparkEntry {
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_ivf_append" -> (qSimIvfAppend _),
     "q_sim_ivf_batch" -> (qSimIvfBatch _),
+    "q_ann_recall" -> (qAnnRecall _),
     "q_pq" -> (qPq _),
     "q_ivf_pq" -> (qIvfPq _),
     "q_ivf_pq_append" -> (qIvfPqAppend _),
@@ -1760,6 +1782,53 @@ object SparkEntry {
     * toward the LOWER cell (stable driver sort); all cosines are
     * element-order folds (`SUM ... ORDER BY i` is bit-identical).
     */
+  /** Shared CTE chain of the batch-IVF oracle (3 queries vec_id < 3,
+    * corpus vec_id >= 3, centroids = 16 lowest-id corpus vectors,
+    * nProbe=2 with ties to the LOWER cell, all cosines element-order
+    * folds) ending in `fd(qid, vec_id, label, dp, nv, nq)` — the
+    * probed candidates scored per query. `q_sim_ivf_batch` cuts its
+    * top-5 from it; `q_ann_recall` intersects that cut with an
+    * independently derived brute-force exact top-5.
+    */
+  private lazy val simIvfBatchCtes: String =
+    s"""qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+         |corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= 3),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |         embedding AS ce FROM corpus ORDER BY vec_id LIMIT 16),
+         |ax AS (SELECT e.vec_id, c.cell, unnest(e.embedding) AS v,
+         |         unnest(generate_series(1, len(e.embedding))) AS i, c.ce AS ce
+         |       FROM corpus e CROSS JOIN cent c),
+         |ad AS (SELECT vec_id, cell,
+         |    SUM(CAST(v AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+         |    SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS nc
+         |  FROM ax GROUP BY vec_id, cell),
+         |assign AS (SELECT vec_id, cell FROM ad
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cell DESC) = 1),
+         |qx AS (SELECT q.qid, c.cell, unnest(c.ce) AS v,
+         |         unnest(generate_series(1, len(c.ce))) AS i, q.qe AS qe
+         |       FROM cent c CROSS JOIN qs q),
+         |qd AS (SELECT qid, cell,
+         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nc,
+         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+         |  FROM qx GROUP BY qid, cell),
+         |probes AS (SELECT qid, cell FROM qd
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY dp / (sqrt(nc) * sqrt(nq)) DESC, cell ASC) <= 2),
+         |fx AS (SELECT q.qid, e.vec_id, e.label, unnest(e.embedding) AS v,
+         |         unnest(generate_series(1, len(e.embedding))) AS i, q.qe AS qe
+         |       FROM corpus e
+         |       JOIN assign a ON a.vec_id = e.vec_id
+         |       JOIN probes p ON p.cell = a.cell
+         |       JOIN qs q ON q.qid = p.qid),
+         |fd AS (SELECT qid, vec_id, label,
+         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+         |  FROM fx GROUP BY qid, vec_id, label)""".stripMargin
+
   private def simIvfOracleSql(centPred: String): String =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0),
@@ -2679,53 +2748,42 @@ object SparkEntry {
          |  ORDER BY dp / (sqrt(nv) * sqrt(nq)) DESC, vec_id ASC) <= 5
          |ORDER BY query_id, cosine DESC, vec_id""".stripMargin,
     "q_sim_ivf_batch" ->
-      // the batch form of q_sim_ivf: 3 queries (vec_id < 3), corpus
-      // vec_id >= 3, centroids = 16 lowest-id corpus vectors, nProbe=2
-      // per query (ties to the LOWER cell), per-query top-5 (ties to the
-      // lower corpus id) — all cosines element-order folds
-      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
-         |corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= 3),
-         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-         |         embedding AS ce FROM corpus ORDER BY vec_id LIMIT 16),
-         |ax AS (SELECT e.vec_id, c.cell, unnest(e.embedding) AS v,
-         |         unnest(generate_series(1, len(e.embedding))) AS i, c.ce AS ce
-         |       FROM corpus e CROSS JOIN cent c),
-         |ad AS (SELECT vec_id, cell,
-         |    SUM(CAST(v AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS dp,
-         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
-         |    SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS nc
-         |  FROM ax GROUP BY vec_id, cell),
-         |assign AS (SELECT vec_id, cell FROM ad
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cell DESC) = 1),
-         |qx AS (SELECT q.qid, c.cell, unnest(c.ce) AS v,
-         |         unnest(generate_series(1, len(c.ce))) AS i, q.qe AS qe
-         |       FROM cent c CROSS JOIN qs q),
-         |qd AS (SELECT qid, cell,
-         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
-         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nc,
-         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
-         |  FROM qx GROUP BY qid, cell),
-         |probes AS (SELECT qid, cell FROM qd
-         |  QUALIFY row_number() OVER (PARTITION BY qid
-         |    ORDER BY dp / (sqrt(nc) * sqrt(nq)) DESC, cell ASC) <= 2),
-         |fx AS (SELECT q.qid, e.vec_id, e.label, unnest(e.embedding) AS v,
-         |         unnest(generate_series(1, len(e.embedding))) AS i, q.qe AS qe
-         |       FROM corpus e
-         |       JOIN assign a ON a.vec_id = e.vec_id
-         |       JOIN probes p ON p.cell = a.cell
-         |       JOIN qs q ON q.qid = p.qid),
-         |fd AS (SELECT qid, vec_id, label,
-         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
-         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
-         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
-         |  FROM fx GROUP BY qid, vec_id, label)
+      // the batch form of q_sim_ivf (see simIvfBatchCtes)
+      s"""WITH $simIvfBatchCtes
          |SELECT qid AS query_id, vec_id, label,
          |       dp / (sqrt(nv) * sqrt(nq)) AS cosine
          |FROM fd
          |QUALIFY row_number() OVER (PARTITION BY qid
          |  ORDER BY dp / (sqrt(nv) * sqrt(nq)) DESC, vec_id ASC) <= 5
          |ORDER BY query_id, cosine DESC, vec_id""".stripMargin,
+    "q_ann_recall" ->
+      // per-query intersection of the nProbe=2 IVF top-5 (the shared
+      // batch chain) with a BRUTE-FORCE exact top-5 derived
+      // independently over the full corpus — same tie rules
+      s"""WITH $simIvfBatchCtes,
+         |approx AS (SELECT qid, vec_id FROM fd
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY dp / (sqrt(nv) * sqrt(nq)) DESC, vec_id ASC) <= 5),
+         |bx AS (SELECT q.qid, e.vec_id, unnest(e.embedding) AS v,
+         |         unnest(generate_series(1, len(e.embedding))) AS i, q.qe AS qe
+         |       FROM corpus e CROSS JOIN qs q),
+         |bd AS (SELECT qid, vec_id,
+         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+         |  FROM bx GROUP BY qid, vec_id),
+         |exact AS (SELECT qid, vec_id FROM bd
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY dp / (sqrt(nv) * sqrt(nq)) DESC, vec_id ASC) <= 5)
+         |SELECT e.qid AS query_id,
+         |  CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+         |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(COUNT(a.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON a.qid = e.qid AND a.vec_id = e.vec_id
+         |GROUP BY e.qid ORDER BY query_id""".stripMargin,
+
     "q_pq" ->
       // mirrors Pq.train(iters=0)/encode/pqTopK exactly: codebook
       // centroid c of subspace j = positions j*8+1..j*8+8 of the

@@ -336,6 +336,31 @@ object Similarity {
     ivfBatchPlan(idx, queries, qIdCol, qVecCol, k, nProbe,
       cosine(col(idx.vecCol), col("__qv")), dropCols = Seq("__cell"))
 
+  /** Recall@k audit — the evaluation operator every approximate index
+    * needs before serving: per query, how much of the EXACT top-k the
+    * approximate path recovered. `exact` and `approx` are any two
+    * (query id, result id, …) frames (e.g. [[queryIvfBatch]] at full
+    * probe vs a small `nProbe`; brute force vs [[signBandTopK]]).
+    * Output per query id: `n_hit` (intersection size), `n_exact`, and
+    * `recall` = n_hit / n_exact. Shape: two thin |queries|·k frames
+    * through one equi-join and two aggregates — evaluation cost scales
+    * with the query sample, never the corpus.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, qIdCol: String,
+      idCol: String): DataFrame = {
+    val e = exact.select(col(qIdCol), col(idCol))
+    val a = approx.select(col(qIdCol), col(idCol))
+    val hit = e.join(a, Seq(qIdCol, idCol))
+      .groupBy(qIdCol).agg(count(lit(1)).as("n_hit"))
+    e.groupBy(qIdCol).agg(count(lit(1)).as("n_exact"))
+      .join(hit, Seq(qIdCol), "left")
+      .select(col(qIdCol),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_exact"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall"))
+  }
+
   /** Batch ANN through an int8 index ([[int8Index]]/[[writeIvfInt8Index]]):
     * [[queryIvfBatch]]'s one-plan query-set shape with the scoring
     * swapped to the dequantized codes — each probed cell is read once

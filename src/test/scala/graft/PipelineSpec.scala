@@ -634,6 +634,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("recallAtK: identity is 1.0, misses count, absent queries are 0") {
+    val s = spark
+    import s.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("qid", "id")
+    val approx = Seq((1L, 10L), (1L, 99L), (1L, 98L)) // qid 2 absent
+      .toDF("qid", "id")
+    val got = Similarity.recallAtK(exact, approx, "qid", "id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((1L, 3L, 1.0 / 3.0)))
+    assert(got(2L) == ((0L, 2L, 0.0)))
+    val self = Similarity.recallAtK(exact, exact, "qid", "id")
+      .collect().map(_.getDouble(3))
+    assert(self.forall(_ == 1.0))
+  }
+
   test("releaseQueryPins frees the batch paths' pinned query frames") {
     val idx = Similarity.buildIvfIndex(embeddings, "vec_id", "embedding")
     Similarity.releaseQueryPins() // drain pins left by earlier tests
