@@ -5,6 +5,45 @@ import org.apache.spark.sql.functions._
 import graft.functions.{Bpe, BpeMerges}
 import graft.pipeline.TextOps
 
+/** Independent reference for BPE training: per-OCCURRENCE (no type
+  * table), straight from the textbook loop — shares no code with
+  * [[graft.functions.BpeTrainer]]. Used by [[BpeSpec]] (fixture-corpus
+  * parity) and [[PropertySpec]] (random-corpus parity).
+  */
+private[graft] object BpeReference {
+  def train(pieces: Seq[String], k: Int): Seq[(String, String, Long)] = {
+    var words: Array[Array[String]] = pieces.filter(_.nonEmpty)
+      .map(_.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))))
+      .toArray
+    val out = Seq.newBuilder[(String, String, Long)]
+    var done = false
+    for (_ <- 0 until k if !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for (w <- words; i <- 0 until w.length - 1)
+        counts((w(i), w(i + 1))) =
+          counts.getOrElse((w(i), w(i + 1)), 0L) + 1
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) =
+          counts.toSeq.sortBy { case ((x, y), n) => (-n, x, y) }.head
+        out += ((a, b, c))
+        words = words.map { w =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < w.length) {
+            if (i + 1 < w.length && w(i) == a && w(i + 1) == b) {
+              buf += a + b; i += 2
+            } else { buf += w(i); i += 1 }
+          }
+          buf.toArray
+        }
+      }
+    }
+    out.result()
+  }
+}
+
 /** Greedy BPE semantics against hand-computed encodings, the construction
   * invariant, and the Spark column path.
   */
@@ -250,43 +289,6 @@ class BpeSpec extends SparkSpec {
     assert(codepointCompare("ab", "ab") == 0)
   }
 
-  /** Independent reference: per-OCCURRENCE training (no type table),
-    * straight from the textbook loop — shares no code with
-    * [[graft.functions.BpeTrainer]].
-    */
-  private def referenceTrain(pieces: Seq[String],
-      k: Int): Seq[(String, String, Long)] = {
-    var words: Array[Array[String]] = pieces.filter(_.nonEmpty)
-      .map(_.codePoints().toArray
-        .map(cp => new String(Character.toChars(cp))))
-      .toArray
-    val out = Seq.newBuilder[(String, String, Long)]
-    var done = false
-    for (_ <- 0 until k if !done) {
-      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
-      for (w <- words; i <- 0 until w.length - 1)
-        counts((w(i), w(i + 1))) =
-          counts.getOrElse((w(i), w(i + 1)), 0L) + 1
-      if (counts.isEmpty) done = true
-      else {
-        val ((a, b), c) =
-          counts.toSeq.sortBy { case ((x, y), n) => (-n, x, y) }.head
-        out += ((a, b, c))
-        words = words.map { w =>
-          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-          var i = 0
-          while (i < w.length) {
-            if (i + 1 < w.length && w(i) == a && w(i + 1) == b) {
-              buf += a + b; i += 2
-            } else { buf += w(i); i += 1 }
-          }
-          buf.toArray
-        }
-      }
-    }
-    out.result()
-  }
-
   test("distributed trainer == independent per-occurrence reference " +
       "on the fixture corpus") {
     import graft.functions.BpeTrainer
@@ -296,7 +298,7 @@ class BpeSpec extends SparkSpec {
     val local = docs.select(explode(piecesCol).as("p"))
       .collect().map(_.getString(0)).toSeq
     assert(learned.map(m => (m.left, m.right, m.pairCount)) ==
-      referenceTrain(local, 8))
+      BpeReference.train(local, 8))
     // the learned table is a VALID vocabulary: construction re-checks
     // the greedy==rank-order invariant, and encoding with it actually
     // compresses the corpus it was trained on

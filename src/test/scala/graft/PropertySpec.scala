@@ -325,4 +325,62 @@ class PropertySpec extends SparkSpec {
       a.subsetOf(b)
     })
   }
+
+  test("property: zorder == reference interleave and is injective, " +
+      "d=2 and d=3") {
+    import graft.pipeline.Layout
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      bits <- SGen.choose(1, 10)
+      d <- SGen.choose(2, 3)
+      n <- SGen.choose(1, 12)
+      rows <- SGen.listOfN(n,
+        SGen.listOfN(d, SGen.choose(0L, (1L << bits) - 1)))
+    } yield (bits, d, rows)
+    check(Prop.forAll(gen) { case (bits, d, rows) =>
+      def ref(ks: Seq[Long]): Long = {
+        var z = 0L
+        for (i <- 0 until bits; j <- 0 until d)
+          z |= ((ks(j) >> i) & 1L) << (i * d + j)
+        z
+      }
+      val s = spark
+      import s.implicits._
+      val df = rows.map(ks => (ks.head, ks(1), if (d > 2) ks(2) else 0L))
+        .toDF("x", "y", "z")
+      val cols = Seq(col("x"), col("y")) ++
+        (if (d > 2) Seq(col("z")) else Nil)
+      val got = df.select(Layout.zorder(bits, cols: _*))
+        .collect().map(_.getLong(0)).toSeq
+      val want = rows.map(ref)
+      // exact agreement with the reference, and distinct key tuples
+      // map to distinct z-values (the interleave is a bijection)
+      got == want && rows.distinct.length == want.distinct.length
+    })
+  }
+
+  test("property: distributed trainer loop == per-occurrence BPE " +
+      "reference on random corpora") {
+    import graft.functions.BpeTrainer
+    val wordGen = SGen.choose(1, 6).flatMap(l =>
+      SGen.listOfN(l, SGen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val gen = for {
+      n <- SGen.choose(1, 8)
+      words <- SGen.listOfN(n, wordGen)
+      cnts <- SGen.listOfN(n, SGen.choose(1, 3))
+      k <- SGen.choose(1, 5)
+    } yield (words.zip(cnts.map(_.toLong)), k)
+    check(Prop.forAll(gen) { case (raw, k) =>
+      // the trainer takes a TYPE table: collapse duplicate words, and
+      // expand the same multiset for the per-occurrence reference
+      val types = raw.groupBy(_._1).toSeq
+        .map { case (w, xs) => (w, xs.map(_._2).sum) }
+      val occurrences = types.flatMap { case (w, c) =>
+        Seq.fill(c.toInt)(w)
+      }
+      BpeTrainer.trainLocal(types, k)
+        .map(m => (m.left, m.right, m.pairCount)) ==
+        BpeReference.train(occurrences, k)
+    })
+  }
 }
