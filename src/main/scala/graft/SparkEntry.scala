@@ -1419,6 +1419,28 @@ object SparkEntry {
       .select("doc_id", "lang", "tokens", "offset", "bin")
       .orderBy("lang", "doc_id")
 
+  /** The full training-mix flow in ONE plan: curation survivors
+    * ([[qCuration]]) → weighted Poisson sample with inclusion mass
+    * proportional to each survivor's token count
+    * ([[graft.pipeline.Sampling.weightedHashSample]], the
+    * sample-by-token-budget knob) → offset packing of the sampled docs
+    * into 128-token bins per language shard. Every stage's decisions
+    * are value-oracled end to end — the sampling threshold is
+    * multiplication-only, so DuckDB reproduces the kept set inside the
+    * same chain that re-derives curation and packing.
+    */
+  private def qCurationWeighted(s: SparkSession, dir: String): DataFrame = {
+    val kept = curatedDocs(s, dir).select("doc_id", "lang", "text")
+    // the weight is recomputed for the window rather than materialised:
+    // packByOffset claims the "tokens" output name for its contract
+    val sampled = graft.pipeline.Sampling.weightedHashSample(
+      kept, col("doc_id"), TextOps.tokenCount(col("text")), 0.02)
+    graft.pipeline.Packing.packByOffset(sampled, "lang", "doc_id",
+        TextOps.tokenCount(col("text")), 128)
+      .select("doc_id", "lang", "tokens", "offset", "bin")
+      .orderBy("lang", "doc_id")
+  }
+
   /** Int8 quantization audit over the embedding store
     * ([[Similarity.int8Scale]]/[[Similarity.int8Codes]] — the 4× storage/
     * shuffle-width cut): per vector the symmetric scale, the worst
@@ -1540,6 +1562,7 @@ object SparkEntry {
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_curation" -> (qCuration _),
     "q_curation_pack" -> (qCurationPack _),
+    "q_curation_weighted" -> (qCurationWeighted _),
     "q_bpe" -> (qBpe _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_train_encode" -> (qBpeTrainEncode _),
@@ -1744,6 +1767,16 @@ object SparkEntry {
        |  SELECT rc.id, e.dst FROM reach rc JOIN edges e ON e.src = rc.r),
        |clusters AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
        |dropped AS (SELECT id AS doc_id FROM clusters WHERE id <> cluster_id)""".stripMargin
+  }
+
+  /** The 48-bit md5 hash-fraction numerator of `doc_id` — the DuckDB
+    * mirror of [[graft.pipeline.Sampling.hashBucket48]], shared by
+    * `q_sample_weighted` and `q_curation_weighted`.
+    */
+  private lazy val bucket48Sql: String = {
+    val h = "md5(CAST(doc_id AS VARCHAR))"
+    (1 to 12).map(i => s"${nibSql(h, i)} * ${1L << ((12 - i) * 4)}")
+      .mkString("(", " + ", ")")
   }
 
   /** The curation keep predicate over `scrub`: near-dup survivors only,
@@ -2911,21 +2944,36 @@ object SparkEntry {
          |                          WHEN 'de' THEN 16384 ELSE 6554 END
          |ORDER BY doc_id""".stripMargin
     },
-    "q_sample_weighted" -> {
+    "q_sample_weighted" ->
       // 48-bit bucket from the first twelve md5 nibbles; keep iff
       // bucket < (tokens * c) * 2^48 — multiplications only, IEEE-exact
       // on both engines, same association order as the Spark side
-      val h = "md5(CAST(doc_id AS VARCHAR))"
-      val b48 = (1 to 12)
-        .map(i => s"${nibSql(h, i)} * ${1L << ((12 - i) * 4)}")
-        .mkString("(", " + ", ")")
       s"""WITH t AS (SELECT doc_id, lang,
          |  CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents)
          |SELECT doc_id, lang, n_tokens FROM t
-         |WHERE CAST($b48 AS DOUBLE) <
+         |WHERE CAST($bucket48Sql AS DOUBLE) <
          |  (CAST(n_tokens AS DOUBLE) * 0.01) * 281474976710656.0
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
+    "q_curation_weighted" ->
+      // curate → weight-sample by token budget → pack, one chain: the
+      // weighted keep decision applies q_sample_weighted's exact
+      // threshold to the CURATED survivors' token counts, then the
+      // q_curation_pack window packs the sampled set
+      s"""$curationCtes,
+         |kept AS (SELECT doc_id, lang, text FROM scrub
+         |         WHERE $curationKeepPred),
+         |ktok AS (SELECT doc_id, lang,
+         |  CAST(len($toksSql) AS BIGINT) AS tokens FROM kept),
+         |samp AS (SELECT * FROM ktok
+         |  WHERE CAST($bucket48Sql AS DOUBLE) <
+         |    (CAST(tokens AS DOUBLE) * 0.02) * 281474976710656.0),
+         |kofs AS (SELECT doc_id, lang, tokens,
+         |  CAST(COALESCE(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+         |  FROM samp)
+         |SELECT doc_id, lang, tokens, "offset",
+         |  CAST(floor("offset" / 128) AS BIGINT) AS bin
+         |FROM kofs ORDER BY lang, doc_id""".stripMargin,
     // full training re-derivation, one CTE block per learned rule —
     // see bpeTrainOracleSql
     "q_bpe_train" -> bpeTrainOracleSql(bpeTrainMerges),
