@@ -51,6 +51,23 @@ object Layout {
     terms.reduce(_ bitwiseOR _)
   }
 
+  /** Linear-bin a numeric column into `[0, 2^bits)` so it can feed
+    * [[zorder]]: values at `lo` map to bucket 0, values at `hi` to the
+    * top bucket, out-of-range values CLAMP to the edge buckets (a
+    * boundary cell absorbs outliers — harmless for locality, unlike the
+    * silent bit aliasing [[zorder]] guards against). Equal-width bins
+    * keep the transform order-preserving, which is what file-level
+    * min/max pruning needs; heavily skewed dimensions deserve a
+    * quantile bucketing upstream instead.
+    */
+  def bucketize(c: Column, lo: Double, hi: Double, bits: Int): Column = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1,62], got $bits")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    val n = (1L << bits).toDouble
+    val raw = floor((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(n))
+    least(greatest(raw, lit(0.0)), lit(n - 1)).cast("long")
+  }
+
   /** Write `df` clustered by `zcol` into `numFiles` range partitions,
     * each internally sorted — every output file then covers one compact
     * Z-range, i.e. one small box of the interleaved key space. One

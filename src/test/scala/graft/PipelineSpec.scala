@@ -1630,6 +1630,28 @@ class PipelineSpec extends SparkSpec {
       .getMessage.contains("zorder"))
   }
 
+  test("bucketize maps a numeric range onto zorder lanes, clamping " +
+      "outliers") {
+    import graft.pipeline.Layout
+    val s = spark
+    import s.implicits._
+    val got = Seq(0.0, 0.49, 0.5, 0.99, 1.0, -3.0, 7.5)
+      .toDF("v")
+      .select(Layout.bucketize(col("v"), 0.0, 1.0, 2).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    // 4 equal bins over [0,1): edges clamp, hi lands in the top bin
+    assert(got == Seq(0L, 1L, 2L, 3L, 3L, 0L, 3L))
+    // order-preserving: sorted inputs give non-decreasing buckets
+    val vs = (0 until 100).map(_ / 100.0)
+    val bs = vs.toDF("v")
+      .select(Layout.bucketize(col("v"), 0.0, 1.0, 4))
+      .collect().map(_.getLong(0)).toSeq
+    assert(bs == bs.sorted)
+    assert(bs.distinct.length == 16, "all 16 bins should be hit")
+    intercept[IllegalArgumentException](
+      Layout.bucketize(col("v"), 1.0, 1.0, 4))
+  }
+
   test("z-ordered layout bounds per-file spread on BOTH dimensions; " +
       "a linear sort only on one") {
     import graft.pipeline.Layout
