@@ -807,16 +807,29 @@ object SparkEntry {
     * keeps two concurrent gate/bench runs on one host from clobbering
     * each other's live index mid-query, and the wipe refuses to follow
     * symlinks: a planted link at the scratch path (or inside it) is
-    * unlinked, never descended into.
+    * unlinked, never descended into. Dirs left by EXITED processes are
+    * swept on every call (pid parsed from the name, liveness via
+    * ProcessHandle), so repeated runs never accumulate dead layouts.
     */
   private def scratchDir(name: String): String = {
     val pid = ProcessHandle.current().pid()
-    val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft-gate-$pid-$name")
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val p = tmp.resolve(s"graft-gate-$pid-$name")
     def wipe(f: java.io.File): Unit = {
       if (!java.nio.file.Files.isSymbolicLink(f.toPath) && f.isDirectory)
         f.listFiles().foreach(wipe)
       f.delete(); ()
+    }
+    val stale = "graft-gate-(\\d+)-.*".r
+    Option(tmp.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case stale(p2) if p2.toLong != pid &&
+            !ProcessHandle.of(p2.toLong).map[Boolean](_.isAlive)
+              .orElse(false) &&
+            !java.nio.file.Files.isSymbolicLink(f.toPath) =>
+          wipe(f)
+        case _ => ()
+      }
     }
     if (java.nio.file.Files.isSymbolicLink(p))
       throw new IllegalStateException(
@@ -1600,7 +1613,11 @@ object SparkEntry {
     *     binary collation, matching the trainer's codepoint tie-break;
     *   - `c{k}`/`m{k}`: candidate flags, then leftmost-non-overlapping
     *     merge starts — islands of consecutive candidates (only
-    *     possible when lhs == rhs) take every other position;
+    *     possible when lhs == rhs) take every other position; the
+    *     `b{k}` join is LEFT ... ON TRUE so an EXHAUSTED corpus (no
+    *     pairs left before rank k) carries the segmentation forward
+    *     unchanged — a CROSS JOIN would empty every later `seg` and
+    *     report 0 tokens, where the trainer just stops early;
     *   - `seg{k}`: rewrite — merge starts concatenate with their next
     *     symbol, absorbed successors drop, positions renumber.
     */
@@ -1633,7 +1650,7 @@ object SparkEntry {
          |    COALESCE(s.sym = b.a AND
          |      lead(s.sym) OVER (PARTITION BY s.piece ORDER BY s.pos) = b.b,
          |      FALSE) AS cc
-         |  FROM $prev s CROSS JOIN b$step b),
+         |  FROM $prev s LEFT JOIN b$step b ON TRUE),
          |m$step AS (SELECT piece, cnt, pos, sym, nx,
          |    CASE WHEN cc THEN
          |      (ROW_NUMBER() OVER (PARTITION BY piece, cc, grp ORDER BY pos)

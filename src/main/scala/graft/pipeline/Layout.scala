@@ -39,7 +39,8 @@ object Layout {
     val guarded = cols.zipWithIndex.map { case (c, j) =>
       val cl = c.cast("long")
       when(cl.isNull.or(cl < 0).or(cl >= lim),
-        raise_error(concat(lit(s"zorder: column $j value "), cl.cast("string"),
+        raise_error(concat(lit(s"zorder: column $j value "),
+          coalesce(cl.cast("string"), lit("null")),
           lit(s" outside [0, $lim)"))))
         .otherwise(cl)
     }
@@ -64,8 +65,15 @@ object Layout {
     require(bits >= 1 && bits <= 62, s"bits must be in [1,62], got $bits")
     require(lo < hi, s"need lo < hi, got [$lo, $hi]")
     val n = (1L << bits).toDouble
-    val raw = floor((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(n))
-    least(greatest(raw, lit(0.0)), lit(n - 1)).cast("long")
+    val cd = c.cast("double")
+    val raw = floor((cd - lit(lo)) / lit(hi - lo) * lit(n))
+    // nulls raise, mirroring zorder's guard: greatest/least SKIP nulls
+    // (they don't propagate), so without this a null key would be
+    // silently laundered into bucket 0 and pollute the corner cell
+    when(cd.isNull.or(isnan(cd)),
+        raise_error(lit("bucketize: null or NaN input value")))
+      .otherwise(least(greatest(raw, lit(0.0)), lit(n - 1)))
+      .cast("long")
   }
 
   /** Write `df` clustered by `zcol` into `numFiles` range partitions,

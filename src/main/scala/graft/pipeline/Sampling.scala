@@ -61,8 +61,17 @@ object Sampling {
   def weightedHashSample(df: DataFrame, key: Column, weight: Column,
       c: Double): DataFrame = {
     require(c >= 0.0, s"c must be >= 0, got $c")
+    // null/negative weights raise (mirroring weightedReservoir's guard)
+    // rather than silently failing the filter — an upstream null (a
+    // failed token count, say) must fail the job, not shrink the mix.
+    // Zero stays legal: min(1, c·0) = 0 is an honest "drop this row".
+    val w = weight.cast("double")
+    val guarded = when(w.isNull.or(w < 0.0),
+      raise_error(concat(lit("weightedHashSample: null or negative " +
+        "weight "), coalesce(w.cast("string"), lit("null")))))
+      .otherwise(w)
     df.filter(hashBucket48(key).cast("double") <
-      weight.cast("double") * lit(c) * lit(Two48))
+      guarded * lit(c) * lit(Two48))
   }
 
   /** Exactly-k weighted sample without replacement — Efraimidis–
@@ -88,7 +97,7 @@ object Sampling {
     val w = weight.cast("double")
     val guarded = when(w.isNull.or(w <= 0.0),
         raise_error(concat(lit("weightedReservoir: non-positive weight "),
-          w.cast("string"))))
+          coalesce(w.cast("string"), lit("null")))))
       .otherwise(w)
     val u = (hashBucket48(key).cast("double") + lit(0.5)) / lit(Two48)
     df.withColumn("__pri", pow(u, lit(1.0) / guarded))

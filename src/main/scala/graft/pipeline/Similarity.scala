@@ -348,8 +348,10 @@ object Similarity {
     */
   def recallAtK(exact: DataFrame, approx: DataFrame, qIdCol: String,
       idCol: String): DataFrame = {
-    val e = exact.select(col(qIdCol), col(idCol))
-    val a = approx.select(col(qIdCol), col(idCol))
+    // distinct: duplicate (query, id) rows in either frame (a multi-cell
+    // union, say) must count as one hit, or recall can exceed 1.0
+    val e = exact.select(col(qIdCol), col(idCol)).distinct()
+    val a = approx.select(col(qIdCol), col(idCol)).distinct()
     val hit = e.join(a, Seq(qIdCol, idCol))
       .groupBy(qIdCol).agg(count(lit(1)).as("n_hit"))
     e.groupBy(qIdCol).agg(count(lit(1)).as("n_exact"))
@@ -440,7 +442,7 @@ object Similarity {
       .localCheckpoint()
     cp.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        queryPins.add(lr.rdd)
+        queryPins.add(new java.lang.ref.WeakReference(lr.rdd))
       case _ => ()
     }
     cp
@@ -448,10 +450,13 @@ object Similarity {
 
   // pins outstanding since the last releaseQueryPins drain — bounded by
   // the number of batch-ANN calls between drains, each entry one thin
-  // (id, vector) RDD handle
+  // (id, vector) RDD handle. Weak references: a caller that never
+  // drains still gets the ContextCleaner's GC-driven unpersist once it
+  // drops the result frame (the registry must not be what keeps the
+  // blocks alive); releaseQueryPins is the EAGER path on top.
   private val queryPins =
     new java.util.concurrent.ConcurrentLinkedQueue[
-      org.apache.spark.rdd.RDD[_]]
+      java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]
 
   /** Drop the materialised query-frame blocks pinned by every
     * [[queryIvfBatch]]/[[queryIvfInt8Batch]]/[[queryIvfPqBatch]] call
@@ -460,13 +465,15 @@ object Similarity {
     * batch results have been fully consumed: the pinned frames are
     * lineage-truncated, so a released frame cannot be recomputed and
     * any still-lazy result reading it will fail. Returns the number of
-    * pins released.
+    * pins released (GC-collected entries drain silently).
     */
   def releaseQueryPins(): Int = {
     var n = 0
-    var r = queryPins.poll()
-    while (r != null) {
-      r.unpersist(blocking = false); n += 1; r = queryPins.poll()
+    var ref = queryPins.poll()
+    while (ref != null) {
+      val r = ref.get()
+      if (r != null) { r.unpersist(blocking = false); n += 1 }
+      ref = queryPins.poll()
     }
     n
   }

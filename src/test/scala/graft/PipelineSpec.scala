@@ -649,6 +649,15 @@ class PipelineSpec extends SparkSpec {
     val self = Similarity.recallAtK(exact, exact, "qid", "id")
       .collect().map(_.getDouble(3))
     assert(self.forall(_ == 1.0))
+    // duplicate (qid, id) rows on either side count once — recall must
+    // never exceed 1.0 (a multi-cell union without dedup is a legal
+    // input per the scaladoc)
+    val dup = Similarity.recallAtK(
+        exact.union(exact), approx.union(approx), "qid", "id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(dup(1L) == ((1L, 3L, 1.0 / 3.0)))
+    assert(dup(2L) == ((0L, 2L, 0.0)))
   }
 
   test("releaseQueryPins frees the batch paths' pinned query frames") {
@@ -1185,6 +1194,18 @@ class PipelineSpec extends SparkSpec {
     val always = Sampling.weightedHashSample(
       Seq((1L, 1e9), (2L, 1e9)).toDF("id", "w"), col("id"), col("w"), 0.05)
     assert(always.count() == 2L)
+    // null/negative weights raise — a data bug must fail the job, not
+    // silently shrink the mix; zero stays a legal "never keep"
+    for (bad <- Seq(null.asInstanceOf[java.lang.Double],
+        java.lang.Double.valueOf(-1.0))) {
+      val ex = intercept[Exception](Sampling.weightedHashSample(
+          Seq((1L, bad)).toDF("id", "w"), col("id"), col("w"), 0.05)
+        .collect())
+      assert(ex.getMessage.contains("weightedHashSample"), ex.getMessage)
+    }
+    assert(Sampling.weightedHashSample(
+        Seq((1L, 0.0)).toDF("id", "w"), col("id"), col("w"), 0.05)
+      .count() == 0L)
   }
 
   test("weighted reservoir: exactly k, matches the A-ES reference, " +
@@ -1650,6 +1671,14 @@ class PipelineSpec extends SparkSpec {
     assert(bs.distinct.length == 16, "all 16 bins should be hit")
     intercept[IllegalArgumentException](
       Layout.bucketize(col("v"), 1.0, 1.0, 4))
+    // nulls and NaN raise (greatest/least would silently map them to
+    // bucket 0 otherwise), mirroring zorder's loud guard
+    for (bad <- Seq(null.asInstanceOf[java.lang.Double],
+        java.lang.Double.valueOf(Double.NaN))) {
+      val ex = intercept[Exception](Seq(bad).toDF("v")
+        .select(Layout.bucketize(col("v"), 0.0, 1.0, 2)).collect())
+      assert(ex.getMessage.contains("bucketize"), ex.getMessage)
+    }
   }
 
   test("z-ordered layout bounds per-file spread on BOTH dimensions; " +
