@@ -618,6 +618,21 @@ object SparkEntry {
     Dedup.exactGroups(withDups, "doc_id", "text").orderBy("content_hash")
   }
 
+  /** Exact substring dedup (Lee et al.): every 40-char gram duplicated
+    * anywhere in the corpus keeps its canonical occurrence only; other
+    * occurrences' spans merge and are cut out of the text
+    * ([[graft.pipeline.Dedup.dropDuplicateSubstrings]]). Full value
+    * oracle: DuckDB re-derives occurrence marking, island merging, and
+    * segment reassembly, and compares the CLEANED TEXT byte-for-byte —
+    * the sf0.001 corpus already exercises the all-removed edge (a doc
+    * cleaning to the empty string).
+    */
+  private def qSubstringDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropDuplicateSubstrings(docs(s, dir), "doc_id", "text", 40)
+      .select(col("doc_id"), col("clean_text"),
+        col("n_removed_chars").cast("bigint").as("n_removed_chars"))
+      .orderBy("doc_id")
+
   /** Near dedup: shingle → MinHash(8) → banded LSH(4×2) → exact-Jaccard
     * verify ≥ 0.8. No cartesian stage (see [[graft.pipeline.Dedup]]).
     */
@@ -1535,6 +1550,7 @@ object SparkEntry {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_incr" -> (qDedupIncr _),
     "q_dedup_append" -> (qDedupAppend _),
+    "q_substring_dedup" -> (qSubstringDedup _),
     "q_text_stats" -> (qTextStats _),
     "q_subword" -> (qSubword _),
     "q_lang_id" -> (qLangId _),
@@ -2426,6 +2442,53 @@ object SparkEntry {
          |JOIN sz zb ON zb.doc_id = i.id_b
          |WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+    // exact substring dedup: occurrence marking (count + canonical
+    // row_number over the gram hash), removal spans, gaps-and-islands
+    // merge, complement segments, ordered string_agg reassembly — the
+    // full Lee-et-al. pipeline re-derived relationally. No WHERE on
+    // empty segments: substring(_, k, 0) = '' keeps the all-removed
+    // doc's group alive so it cleans to '' rather than COALESCE-ing
+    // back to the original.
+    "q_substring_dedup" ->
+      """WITH occ AS (
+        |  SELECT doc_id, CAST(p AS INTEGER) AS pos,
+        |         md5(substring(text, CAST(p AS INTEGER), 40)) AS g
+        |  FROM documents,
+        |       unnest(generate_series(1, length(text) - 39)) AS u(p)),
+        |mk AS (SELECT doc_id, pos,
+        |         COUNT(*) OVER (PARTITION BY g) AS c,
+        |         ROW_NUMBER() OVER (PARTITION BY g
+        |           ORDER BY doc_id, pos) AS rn
+        |       FROM occ),
+        |rem AS (SELECT doc_id, pos, pos + 40 AS e FROM mk
+        |        WHERE c > 1 AND rn > 1),
+        |isl AS (SELECT doc_id, pos, e,
+        |    CASE WHEN pos > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+        |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING), 0) THEN 1 ELSE 0 END AS ni
+        |  FROM rem),
+        |iv AS (SELECT doc_id, MIN(pos) AS s, MAX(e) AS e
+        |       FROM (SELECT *, SUM(ni) OVER (PARTITION BY doc_id
+        |               ORDER BY pos) AS island FROM isl)
+        |       GROUP BY doc_id, island),
+        |seg AS (
+        |  SELECT doc_id, COALESCE(LAG(e) OVER (PARTITION BY doc_id
+        |           ORDER BY s), 1) AS ks, s AS ke
+        |  FROM iv
+        |  UNION ALL
+        |  SELECT iv.doc_id, MAX(iv.e), MIN(length(d.text)) + 1
+        |  FROM iv JOIN documents d USING (doc_id) GROUP BY iv.doc_id),
+        |cleaned AS (
+        |  SELECT seg.doc_id,
+        |         string_agg(substring(d.text, ks, ke - ks), ''
+        |           ORDER BY ks) AS ct
+        |  FROM seg JOIN documents d USING (doc_id)
+        |  GROUP BY seg.doc_id)
+        |SELECT d.doc_id, COALESCE(c.ct, d.text) AS clean_text,
+        |       CAST(length(d.text) - length(COALESCE(c.ct, d.text))
+        |         AS BIGINT) AS n_removed_chars
+        |FROM documents d LEFT JOIN cleaned c ON c.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_clusters" ->
       // transitive closure as the semantic spec: cluster id = MIN
       // reachable doc id over the verified near-dup pair graph — the

@@ -747,4 +747,103 @@ object Dedup {
       .write.parquet(IndexMaintenance.stagingOf(tables("sizes")).toString)
     IndexMaintenance.swap(fs, tables("sizes"))
   }
+
+  /** Merged character-span removal intervals for EXACT SUBSTRING
+    * deduplication (the corpus-level operator of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): every length-`gramLen` character gram occurring
+    * at more than one (doc, position) across the WHOLE corpus — other
+    * docs or elsewhere in the same doc — keeps only its canonical
+    * occurrence (smallest (doc id, position)); every other occurrence
+    * contributes a removal span `[pos, pos+gramLen)`, and overlapping
+    * or adjacent spans merge per doc. Output: one row per merged
+    * interval — (`idCol`, `s`, `e`), 1-based, end-exclusive.
+    *
+    * Scale shape (the suffix-array equivalent, relationally): the
+    * occurrence table is O(total chars) thin rows — (doc, pos, md5) —
+    * exactly a suffix array's footprint; duplicate marking is ONE
+    * shuffle (window over the gram hash: partition count + canonical
+    * row_number share the partitioning, the second window reuses the
+    * first's exchange); interval merging shuffles only the REMOVAL
+    * occurrences (the small output side) by doc. No self-join on
+    * positions, no driver state. md5 keeps the oracle cross-engine;
+    * xxhash64(gram) is the production drop-in (same pattern as
+    * [[minHashSignatures64]]). Collisions: a 128-bit hash equating two
+    * distinct grams is ~2^-64-scale — documented, not guarded.
+    */
+  def substringRemovalIntervals(df: DataFrame, idCol: String,
+      textCol: String, gramLen: Int): DataFrame = {
+    require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
+    import org.apache.spark.sql.expressions.Window
+    // sequence(1, n) with n < 1 would DESCEND in Spark — the length
+    // filter keeps the stop >= 1 (docs shorter than the gram have no
+    // occurrences and are untouched by construction)
+    val occ = df
+      .select(col(idCol).as("__doc"), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= gramLen)
+      .select(col("__doc"),
+        explode(sequence(lit(1), length(col("__t")) - gramLen + 1))
+          .as("pos"),
+        col("__t"))
+      .select(col("__doc"), col("pos"),
+        md5(col("__t").substr(col("pos"), lit(gramLen))).as("__g"))
+    val byGram = Window.partitionBy("__g")
+    val marked = occ
+      .withColumn("__c", count(lit(1)).over(byGram))
+      .withColumn("__rn",
+        row_number().over(byGram.orderBy("__doc", "pos")))
+    val rem = marked.filter(col("__c") > 1 && col("__rn") > 1)
+      .select(col("__doc"), col("pos"),
+        (col("pos") + gramLen).as("__e"))
+    val byDoc = Window.partitionBy("__doc").orderBy("pos")
+    val runMaxEnd = max(col("__e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    rem
+      .withColumn("__ni",
+        when(col("pos") > coalesce(runMaxEnd, lit(0)), 1).otherwise(0))
+      .withColumn("__isl", sum("__ni").over(byDoc))
+      .groupBy(col("__doc"), col("__isl"))
+      .agg(min("pos").as("s"), max("__e").as("e"))
+      .select(col("__doc").as(idCol), col("s"), col("e"))
+  }
+
+  /** The corpus with every non-canonical duplicated substring CUT OUT:
+    * [[substringRemovalIntervals]]' merged spans are complemented per
+    * doc and the kept segments reassembled in order. Output: (`idCol`,
+    * `clean_text`, `n_removed_chars`). A doc whose every position is
+    * covered cleans to the empty string (not a dropped row — span
+    * dedup is a TRANSFORM, the row-level dedups are the filters).
+    *
+    * Reassembly is one shuffle (intervals join + groupBy on the doc
+    * id): per doc, the sorted interval array folds left with
+    * `aggregate` — cursor starts at 1, each interval appends
+    * `text[cursor, s)` and advances the cursor to `e`, the finish
+    * lambda appends the tail. The fold is per-row over an array
+    * bounded by the doc's interval count — no second explode, no
+    * window over segments.
+    */
+  def dropDuplicateSubstrings(df: DataFrame, idCol: String,
+      textCol: String, gramLen: Int): DataFrame = {
+    val iv = substringRemovalIntervals(df, idCol, textCol, gramLen)
+    val zero = struct(lit(1).as("cur"), lit("").as("acc"))
+    val clean = aggregate(
+      col("__ivs"),
+      zero,
+      (acc, x) => struct(
+        x.getField("e").as("cur"),
+        concat(acc.getField("acc"),
+          col("__t").substr(acc.getField("cur"),
+            x.getField("s") - acc.getField("cur"))).as("acc")),
+      acc => concat(acc.getField("acc"),
+        col("__t").substr(acc.getField("cur"),
+          length(col("__t")) - acc.getField("cur") + 1)))
+    df.select(col(idCol), col(textCol).as("__t"))
+      .join(iv, Seq(idCol), "left")
+      .groupBy(col(idCol))
+      .agg(first(col("__t")).as("__t"),
+        sort_array(collect_list(when(col("s").isNotNull,
+          struct(col("s"), col("e"))))).as("__ivs"))
+      .select(col(idCol), clean.as("clean_text"),
+        (length(col("__t")) - length(clean)).as("n_removed_chars"))
+  }
 }

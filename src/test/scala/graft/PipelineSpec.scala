@@ -13,6 +13,50 @@ class PipelineSpec extends SparkSpec {
   private def docs = spark.read.parquet(s"$fixtures/documents.parquet")
   private def embeddings = spark.read.parquet(s"$fixtures/embeddings.parquet")
 
+  test("substring dedup cuts non-canonical duplicated spans, merges " +
+      "overlaps, keeps canonicals") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "abcdefghij"),   // canonical home of "abcde" — untouched
+      (2L, "XXabcdeYY"),    // one cut span [3,8) -> "XXYY"
+      (3L, "qwertqwert"),   // self-dup: pos 6 duplicates pos 1
+      (4L, "abcdefghij"),   // exact copy of doc 1 -> cleans to ""
+      (5L, "abc"),          // shorter than the gram — untouched
+      (6L, "zzzzqqqqwwww")  // no 5-gram shared with anything
+    ).toDF("doc_id", "text")
+    val iv = Dedup.substringRemovalIntervals(df, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    // doc 4's grams at pos 1..6 all duplicate doc 1's — overlapping
+    // spans [1,6)..[6,11) merge into ONE interval [1,11)
+    assert(iv == Seq((2L, 3, 8), (3L, 6, 11), (4L, 1, 11)), iv.toString)
+    val clean = Dedup.dropDuplicateSubstrings(df, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2)))
+      .toMap
+    assert(clean(1L) == (("abcdefghij", 0)))
+    assert(clean(2L) == (("XXYY", 5)))
+    assert(clean(3L) == (("qwert", 5)))
+    assert(clean(4L) == (("", 10)), "all-covered doc must clean to ''")
+    assert(clean(5L) == (("abc", 0)))
+    assert(clean(6L) == (("zzzzqqqqwwww", 0)))
+  }
+
+  test("substring dedup on the fixture corpus: removal accounting " +
+      "holds and canonicals survive") {
+    val cleaned = Dedup.dropDuplicateSubstrings(docs, "doc_id", "text", 40)
+      .collect()
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    cleaned.foreach { r =>
+      val (id, ct, n) = (r.getLong(0), r.getString(1), r.getInt(2))
+      assert(orig(id).length - ct.length == n, s"doc $id accounting")
+    }
+    assert(cleaned.exists(_.getInt(2) > 0), "fixture must have dups")
+    assert(cleaned.count(_.getInt(2) == 0) > cleaned.length / 2,
+      "most docs should be untouched at gramLen=40")
+  }
+
   test("near-dup LSH finds the planted duplicate pairs, no cartesian stage") {
     val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 0.8)
     val plan = pairs.queryExecution.executedPlan.toString
