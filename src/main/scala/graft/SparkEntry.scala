@@ -633,6 +633,36 @@ object SparkEntry {
         col("n_removed_chars").cast("bigint").as("n_removed_chars"))
       .orderBy("doc_id")
 
+  /** Line-level dedup (CCNet style): the corpus is folded into 25
+    * multi-line "pages" (header + member docs ORDER BY doc_id + footer,
+    * with every `doc_id % 10 == 3` doc ALSO guesting on the next page),
+    * then any line appearing in more than one page — the header/footer
+    * on all 25, each guest line on 2 — is dropped from EVERY page
+    * ([[graft.pipeline.Dedup.dropDuplicateLines]]). DuckDB rebuilds
+    * the pages and the dedup and compares cleaned text byte-for-byte.
+    */
+  private def qLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val members = d
+      .select((col("doc_id") % 25).as("page_id"), col("doc_id"),
+        col("text"))
+      .unionAll(d.filter(col("doc_id") % 10 === 3)
+        .select(((col("doc_id") + 1) % 25).as("page_id"), col("doc_id"),
+          col("text")))
+    val pages = members.groupBy("page_id").agg(
+      concat(lit("echo header: subscribe to the corpus feed\n"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")),
+          "\n"),
+        lit("\necho footer: all rights reserved")).as("text"))
+    Dedup.dropDuplicateLines(pages, "page_id", "text", maxDocFreq = 1)
+      .select(col("page_id"), col("clean_text"),
+        col("n_dropped_lines").cast("bigint").as("n_dropped_lines"))
+      .orderBy("page_id")
+  }
+
   /** Near dedup: shingle → MinHash(8) → banded LSH(4×2) → exact-Jaccard
     * verify ≥ 0.8. No cartesian stage (see [[graft.pipeline.Dedup]]).
     */
@@ -1551,6 +1581,7 @@ object SparkEntry {
     "q_dedup_incr" -> (qDedupIncr _),
     "q_dedup_append" -> (qDedupAppend _),
     "q_substring_dedup" -> (qSubstringDedup _),
+    "q_line_dedup" -> (qLineDedup _),
     "q_text_stats" -> (qTextStats _),
     "q_subword" -> (qSubword _),
     "q_lang_id" -> (qLangId _),
@@ -2489,6 +2520,50 @@ object SparkEntry {
         |         AS BIGINT) AS n_removed_chars
         |FROM documents d LEFT JOIN cleaned c ON c.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // line-level dedup: page synthesis (header + ORDER BY doc_id body +
+    // footer, %10==3 docs guesting on the next page), per-line doc
+    // frequency on the NORMALIZED line, drop every occurrence above
+    // df 1, ordered string_agg reassembly
+    "q_line_dedup" ->
+      """WITH members AS (
+        |  SELECT doc_id % 25 AS page_id, doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT (doc_id + 1) % 25, doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 3),
+        |pages AS (
+        |  SELECT page_id,
+        |    'echo header: subscribe to the corpus feed' || chr(10) ||
+        |    string_agg(text, chr(10) ORDER BY doc_id) || chr(10) ||
+        |    'echo footer: all rights reserved' AS text
+        |  FROM members GROUP BY page_id),
+        |ls AS (
+        |  SELECT page_id, CAST(i AS INTEGER) AS ln,
+        |         list_extract(string_split(text, chr(10)),
+        |           CAST(i AS INTEGER)) AS line
+        |  FROM pages,
+        |       unnest(generate_series(1,
+        |         len(string_split(text, chr(10))))) AS u(i)),
+        |keyed AS (
+        |  SELECT page_id, ln, line,
+        |         md5(lower(trim(regexp_replace(line, '\s+', ' ', 'g'))))
+        |           AS k,
+        |         lower(trim(regexp_replace(line, '\s+', ' ', 'g'))) AS nrm
+        |  FROM ls),
+        |freq AS (
+        |  SELECT k FROM keyed WHERE nrm <> ''
+        |  GROUP BY k HAVING COUNT(DISTINCT page_id) > 1),
+        |kept AS (
+        |  SELECT page_id, ln, line FROM keyed
+        |  WHERE k NOT IN (SELECT k FROM freq)),
+        |built AS (
+        |  SELECT page_id, COUNT(*) AS n_kept,
+        |         string_agg(line, chr(10) ORDER BY ln) AS clean_text
+        |  FROM kept GROUP BY page_id)
+        |SELECT p.page_id, COALESCE(b.clean_text, '') AS clean_text,
+        |       CAST(len(string_split(p.text, chr(10)))
+        |         - COALESCE(b.n_kept, 0) AS BIGINT) AS n_dropped_lines
+        |FROM pages p LEFT JOIN built b USING (page_id)
+        |ORDER BY p.page_id""".stripMargin,
     "q_dedup_clusters" ->
       // transitive closure as the semantic spec: cluster id = MIN
       // reachable doc id over the verified near-dup pair graph — the

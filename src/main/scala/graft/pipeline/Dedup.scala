@@ -807,6 +807,67 @@ object Dedup {
       .select(col("__doc").as(idCol), col("s"), col("e"))
   }
 
+  /** Per-line document frequency — the counting half of CCNet-style
+    * LINE-LEVEL dedup: each line (split on `delim`), normalized
+    * ([[TextOps.normalize]]) and md5-keyed, with the number of DISTINCT
+    * docs containing it. Lines normalizing to the empty string are
+    * structure, not content — excluded here and always kept by
+    * [[dropDuplicateLines]]. Two-stage shape: distinct (key, doc)
+    * partial-aggregates map-side, so a boilerplate line present in
+    * every doc costs one row per (doc, partition), never a hot-key
+    * shuffle of every occurrence.
+    */
+  def lineDocFrequencies(df: DataFrame, idCol: String, textCol: String,
+      delim: String = "\n"): DataFrame =
+    df.select(col(idCol).as("__doc"),
+        explode(split(col(textCol),
+          java.util.regex.Pattern.quote(delim))).as("__line"))
+      .select(col("__doc"), TextOps.normalize(col("__line")).as("__n"))
+      .filter(col("__n") =!= "")
+      .groupBy(md5(col("__n")).as("line_key"))
+      .agg(countDistinct(col("__doc")).as("doc_freq"))
+
+  /** CCNet-style line-level deduplication: drop EVERY occurrence of any
+    * line whose normalized form appears in more than `maxDocFreq`
+    * distinct docs (the boilerplate filter — nav bars, cookie banners,
+    * licence footers), keep the rest in order. Output: (`idCol`,
+    * `clean_text`, `n_dropped_lines`). Contrast
+    * [[dropDuplicateSubstrings]], which keeps a canonical occurrence —
+    * above-threshold boilerplate has no canonical worth keeping.
+    *
+    * Scale shape: the over-threshold key set is TINY (boilerplate by
+    * definition concentrates), so the drop is a left-anti join of the
+    * line table against it — AQE turns it into a broadcast anti-join;
+    * reassembly is one groupBy on the doc id folding the sorted
+    * (line_no, line) structs. A doc losing every line cleans to the
+    * empty string, never a dropped row.
+    */
+  def dropDuplicateLines(df: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Int, delim: String = "\n"): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val pat = java.util.regex.Pattern.quote(delim)
+    val frequent = lineDocFrequencies(df, idCol, textCol, delim)
+      .filter(col("doc_freq") > maxDocFreq).select("line_key")
+    val lines = df.select(col(idCol).as("__doc"),
+        posexplode(split(col(textCol), pat)).as(Seq("__ln", "__line")))
+      .withColumn("line_key", md5(TextOps.normalize(col("__line"))))
+    val rebuilt = lines.join(frequent, Seq("line_key"), "left_anti")
+      .groupBy(col("__doc").as(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(
+          transform(array_sort(collect_list(
+              struct(col("__ln"), col("__line")))),
+            x => x.getField("__line")),
+          delim).as("clean_text"))
+    df.select(col(idCol),
+        size(split(col(textCol), pat)).as("__n_total"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__n_total") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_dropped_lines"))
+  }
+
   /** The corpus with every non-canonical duplicated substring CUT OUT:
     * [[substringRemovalIntervals]]' merged spans are complemented per
     * doc and the kept segments reassembled in order. Output: (`idCol`,

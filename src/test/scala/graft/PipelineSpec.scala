@@ -57,6 +57,40 @@ class PipelineSpec extends SparkSpec {
       "most docs should be untouched at gramLen=40")
   }
 
+  test("line dedup drops every over-threshold line, keeps order, " +
+      "matches on the normalized form") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "COOKIE BANNER\nalpha unique one\n\nbeta unique two\ncookie banner"),
+      (2L, "cookie   Banner\ngamma unique three"),
+      (3L, "Cookie Banner")  // nothing but boilerplate -> cleans to ""
+    ).toDF("doc_id", "text")
+    // "cookie banner" normalizes identically across case/spacing and
+    // appears in all 3 docs (doc 1 twice) -> dropped everywhere at
+    // maxDocFreq=1; the blank line is structure and always kept
+    val got = Dedup.dropDuplicateLines(df, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(got(1L) == (("alpha unique one\n\nbeta unique two", 2L)))
+    assert(got(2L) == (("gamma unique three", 1L)))
+    assert(got(3L) == (("", 1L)))
+    // at maxDocFreq=2 the pair-frequency guest survives, the 3-doc
+    // boilerplate still dies
+    val df2 = Seq(
+      (1L, "shared pair\nboiler\nown one"),
+      (2L, "shared pair\nboiler"),
+      (3L, "boiler\nown three")).toDF("doc_id", "text")
+    val loose = Dedup.dropDuplicateLines(df2, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose(1L) == "shared pair\nown one")
+    assert(loose(2L) == "shared pair")
+    assert(loose(3L) == "own three")
+    val freqs = Dedup.lineDocFrequencies(df2, "doc_id", "text")
+      .collect().map(r => r.getLong(1)).sorted.toSeq
+    assert(freqs == Seq(1L, 1L, 2L, 3L))
+  }
+
   test("near-dup LSH finds the planted duplicate pairs, no cartesian stage") {
     val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 0.8)
     val plan = pairs.queryExecution.executedPlan.toString
