@@ -723,6 +723,22 @@ object SparkEntry {
         TextOps.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** Gopher rule-filter decision table
+    * ([[graft.pipeline.TextOps.gopherRules]]): every feature, every
+    * per-rule verdict, and the keep conjunction, fully value-oracled.
+    * Thresholds are tuned to the synthetic corpus (word window [30,90],
+    * mean word length [3.9,4.9], ≥1 stop hit) so BOTH outcomes of
+    * every live rule are exercised at gate scale (~332/500 keep).
+    */
+  private def qGopherRules(s: SparkSession, dir: String): DataFrame =
+    TextOps.gopherRules(docs(s, dir), "doc_id", "text",
+        TextOps.GopherConfig(minWords = 30, maxWords = 90,
+          minMeanWordLen = 3.9, maxMeanWordLen = 4.9,
+          minStopwordHits = 1))
+      .withColumn("n_words", col("n_words").cast("bigint"))
+      .withColumn("stop_hits", col("stop_hits").cast("bigint"))
+      .orderBy("doc_id")
+
   /** Gopher-style repetition signals per document: top-word dominance and
     * duplicate-bigram fraction (see [[graft.pipeline.TextOps.repetitionStats]]).
     */
@@ -1586,6 +1602,7 @@ object SparkEntry {
     "q_subword" -> (qSubword _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
+    "q_gopher_rules" -> (qGopherRules _),
     "q_repetition" -> (qRepetition _),
     "q_pii" -> (qPii _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -2636,6 +2653,50 @@ object SparkEntry {
          |    + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(CAST(len_raw AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2,
          |    0.0), 1.0) AS quality
          |FROM f ORDER BY doc_id""".stripMargin
+    },
+    // Gopher rule filter: int/int double divisions only, so every
+    // feature bit-matches; the stop-hit list is the en profile
+    "q_gopher_rules" -> {
+      val stop = s"len(list_filter($toksSql, x -> x IN " +
+        s"(${inList(TextOps.langProfiles("en"))})))"
+      s"""WITH f AS (SELECT doc_id, text,
+         |  lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nrm
+         |FROM documents),
+         |feat AS (SELECT doc_id,
+         |  CAST(len(string_split(nrm, ' ')) AS BIGINT) AS n_words,
+         |  CAST(length(nrm) - (len(string_split(nrm, ' ')) - 1)
+         |    AS DOUBLE) / len(string_split(nrm, ' ')) AS mean_word_len,
+         |  ((length(text) - length(replace(text, '#', '')))
+         |   + (length(text) - length(replace(text, '...', ''))) / 3)
+         |    / CAST(len(string_split(nrm, ' ')) AS DOUBLE)
+         |    AS symbol_word_ratio,
+         |  CAST(len(list_filter(string_split(nrm, ' '),
+         |      w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+         |    / len(string_split(nrm, ' ')) AS alpha_word_frac,
+         |  CAST(len(list_filter(string_split(text, chr(10)),
+         |      l -> regexp_matches(l, '^\\s*[-•*] '))) AS DOUBLE)
+         |    / len(string_split(text, chr(10))) AS bullet_line_frac,
+         |  CAST(len(list_filter(string_split(text, chr(10)),
+         |      l -> regexp_matches(l, '\\.\\.\\.\\s*$$'))) AS DOUBLE)
+         |    / len(string_split(text, chr(10))) AS ellipsis_line_frac,
+         |  CAST($stop AS BIGINT) AS stop_hits
+         |FROM f)
+         |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+         |  alpha_word_frac, bullet_line_frac, ellipsis_line_frac,
+         |  stop_hits,
+         |  n_words BETWEEN 30 AND 90 AS ok_words,
+         |  mean_word_len BETWEEN 3.9 AND 4.9 AS ok_mean_len,
+         |  symbol_word_ratio <= 0.1 AS ok_symbols,
+         |  bullet_line_frac <= 0.9 AS ok_bullets,
+         |  ellipsis_line_frac <= 0.3 AS ok_ellipsis,
+         |  alpha_word_frac >= 0.8 AS ok_alpha,
+         |  stop_hits >= 1 AS ok_stopwords,
+         |  (n_words BETWEEN 30 AND 90) AND
+         |  (mean_word_len BETWEEN 3.9 AND 4.9) AND
+         |  symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9 AND
+         |  ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8 AND
+         |  stop_hits >= 1 AS keep
+         |FROM feat ORDER BY doc_id""".stripMargin
     },
     "q_repetition" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),

@@ -122,6 +122,86 @@ object TextOps {
       lit(0.0)), lit(1.0))
   }
 
+  /** Thresholds for [[gopherRules]] — defaults are the published
+    * Gopher repetition-free quality heuristics (Rae et al.,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", arXiv:2112.11446, Table A1): word-count and
+    * mean-word-length windows, symbol-to-word ratio cap (`#` and
+    * `...`), bullet-start / ellipsis-end line-fraction caps, minimum
+    * fraction of words with an alphabetic character, minimum stop-word
+    * hits.
+    */
+  case class GopherConfig(
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1,
+      maxBulletLineFrac: Double = 0.9,
+      maxEllipsisLineFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8,
+      minStopwordHits: Int = 2)
+
+  /** Gopher-style composite rule filter: per doc, every feature, every
+    * per-rule verdict, and the conjunction `keep` — the decision table
+    * a curation run audits before applying (keep the flags; a bare
+    * boolean hides WHY a doc died). Pure Column arithmetic + two
+    * higher-order filters — narrow, codegen-friendly, zero shuffles;
+    * every ratio is an int/int double division so any engine
+    * reproduces the bits. Features:
+    * `n_words`, `mean_word_len` (derived from the normalized text's
+    * length — words are single-space joined, so total word chars =
+    * len − (n−1)), `symbol_word_ratio` (`#` + `...` occurrences per
+    * word), `alpha_word_frac`, `bullet_line_frac` (lines starting
+    * `-`/`•`/`*` + space), `ellipsis_line_frac` (lines ending `...`),
+    * `stop_hits`.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      cfg: GopherConfig = GopherConfig()): DataFrame = {
+    val text = col(textCol)
+    val nrm = normalize(text)
+    val toks = tokens(text)
+    val n = size(toks)
+    val nd = n.cast("double")
+    val meanWordLen =
+      (length(nrm) - (n - 1)).cast("double") / nd
+    val nHash = length(text) - length(regexp_replace(text, "#", ""))
+    val nEll =
+      (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = (nHash + nEll).cast("double") / nd
+    val alphaFrac =
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nd
+    val lines = split(text, "\n")
+    val nl = size(lines).cast("double")
+    val bulletFrac = size(filter(lines,
+      l => l.rlike("^\\s*[-•*] "))).cast("double") / nl
+    val ellipsisFrac = size(filter(lines,
+      l => l.rlike("\\.\\.\\.\\s*$"))).cast("double") / nl
+    val stops = stopwordHits(text)
+    df.select(col(idCol),
+        n.as("n_words"), meanWordLen.as("mean_word_len"),
+        symbolRatio.as("symbol_word_ratio"),
+        alphaFrac.as("alpha_word_frac"),
+        bulletFrac.as("bullet_line_frac"),
+        ellipsisFrac.as("ellipsis_line_frac"),
+        stops.as("stop_hits"))
+      .withColumn("ok_words", col("n_words").between(
+        cfg.minWords, cfg.maxWords))
+      .withColumn("ok_mean_len", col("mean_word_len").between(
+        cfg.minMeanWordLen, cfg.maxMeanWordLen))
+      .withColumn("ok_symbols",
+        col("symbol_word_ratio") <= cfg.maxSymbolWordRatio)
+      .withColumn("ok_bullets",
+        col("bullet_line_frac") <= cfg.maxBulletLineFrac)
+      .withColumn("ok_ellipsis",
+        col("ellipsis_line_frac") <= cfg.maxEllipsisLineFrac)
+      .withColumn("ok_alpha",
+        col("alpha_word_frac") >= cfg.minAlphaWordFrac)
+      .withColumn("ok_stopwords", col("stop_hits") >= cfg.minStopwordHits)
+      .withColumn("keep",
+        col("ok_words") && col("ok_mean_len") && col("ok_symbols") &&
+          col("ok_bullets") && col("ok_ellipsis") && col("ok_alpha") &&
+          col("ok_stopwords"))
+  }
+
   /** 16-bit SimHash over the token stream, md5-nibble variant (oracle-
     * portable). Per token t and bit b: the b-th bit of the first 4 nibbles
     * of md5(t); sum of (2·bit−1) over tokens; sign → bit of the signature.

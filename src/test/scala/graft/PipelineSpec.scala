@@ -57,6 +57,39 @@ class PipelineSpec extends SparkSpec {
       "most docs should be untouched at gramLen=40")
   }
 
+  test("gopher rules: each rule fires on its designed violation, " +
+      "clean prose keeps") {
+    val s = spark
+    import s.implicits._
+    val words50 = (1 to 44).map(i => s"word$i").mkString(" ")
+    val clean = s"the cat sat of and to in is that $words50" // 53 words
+    val df = Seq(
+      (1L, clean),
+      (2L, "the of and to in is"),                      // too few words
+      (3L, ("#" * 20) + " " + clean),                   // symbol soup
+      (4L, (1 to 60).map(_ => "- bullet point here").mkString("\n")),
+      (5L, (1 to 10).map(_ => "trailing off...").mkString("\n") +
+        "\nthe of and that is in " + words50),          // >30% ellipsis
+      (6L, clean + " " + (1 to 20).map(_ => "123 456").mkString(" ")),
+      (7L, words50 + " plus more words without any stopword here yes " +
+        (1 to 10).map(i => s"extra$i").mkString(" "))   // no stop hits
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherRules(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flag(id: Long, name: String): Boolean =
+      got(id).getAs[Boolean](name)
+    assert(flag(1L, "keep"), got(1L).toString)
+    assert(!flag(2L, "ok_words") && !flag(2L, "keep"))
+    assert(!flag(3L, "ok_symbols") && !flag(3L, "keep"))
+    assert(!flag(4L, "ok_bullets") && !flag(4L, "keep"))
+    assert(!flag(5L, "ok_ellipsis") && !flag(5L, "keep"))
+    assert(!flag(6L, "ok_alpha") && !flag(6L, "keep"))
+    assert(!flag(7L, "ok_stopwords") && !flag(7L, "keep"))
+    // features are auditable, not just booleans
+    assert(got(4L).getAs[Double]("bullet_line_frac") == 1.0)
+    assert(got(2L).getAs[Int]("n_words") == 6)
+  }
+
   test("line dedup drops every over-threshold line, keeps order, " +
       "matches on the normalized form") {
     val s = spark
