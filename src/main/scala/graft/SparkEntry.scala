@@ -988,6 +988,25 @@ object SparkEntry {
       .orderBy("doc_id", "pos")
   }
 
+  /** Striding token windows ([[graft.pipeline.Packing.tokenWindows]],
+    * window 64 / stride 48 over the real BPE id sequence): every
+    * (doc, window, position, token id) row is value-oracled — DuckDB
+    * re-derives the id sequence via the merge chain and re-cuts the
+    * windows with generate_series + a range join on position.
+    */
+  private def qTokenWindows(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Bpe, BpeVocab}
+    val v = BpeVocab(Bpe.demoEnglish, BpeVocab.asciiPrintable)
+    val ids = docs(s, dir).select(col("doc_id"),
+      Bpe.tokenIds(v)(TextOps.tokens(col("text"))).as("ids"))
+    graft.pipeline.Packing.tokenWindows(ids, "doc_id", "ids",
+        window = 64, stride = 48)
+      .select(col("doc_id"), col("win_no").cast("bigint").as("win_no"),
+        col("pos").cast("bigint").as("pos"),
+        col("token_id").cast("bigint").as("token_id"))
+      .orderBy("doc_id", "win_no", "pos")
+  }
+
   /** Unicode NFC canonicalization ([[graft.pipeline.TextOps
     * .nfcNormalize]] → the native [[graft.plans.NfcNormalize]]): the
     * fixture text is ASCII (NFC identity), so a decomposed
@@ -1645,6 +1664,7 @@ object SparkEntry {
     "q_bpe_train_encode" -> (qBpeTrainEncode _),
     "q_unicode_nfc" -> (qUnicodeNfc _),
     "q_bpe_ids" -> (qBpeIds _),
+    "q_token_windows" -> (qTokenWindows _),
     "q_pack_bpe" -> (qPackBpe _),
     "q_pack_bins" -> (qPackBins _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
@@ -3240,6 +3260,23 @@ object SparkEntry {
       s"""WITH $bpeSeqCtes
          |SELECT doc_id, CAST(pos AS BIGINT) AS pos, token, token_id
          |FROM seq ORDER BY doc_id, pos""".stripMargin,
+    // striding windows re-cut from the same id sequence: window count
+    // n = 1 + ceil((len-64)/48) (one window when len <= 64), window j
+    // = positions (j*48, j*48 + 64]
+    "q_token_windows" ->
+      s"""WITH $bpeSeqCtes,
+         |lens AS (SELECT doc_id, COUNT(*) AS n FROM seq GROUP BY doc_id),
+         |wins AS (SELECT doc_id, CAST(w AS BIGINT) AS win_no
+         |  FROM lens, unnest(generate_series(0,
+         |    CASE WHEN n <= 64 THEN 0
+         |         ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) END))
+         |    AS u(w))
+         |SELECT w.doc_id, w.win_no,
+         |  CAST(i.pos - w.win_no * 48 AS BIGINT) AS pos,
+         |  CAST(i.token_id AS BIGINT) AS token_id
+         |FROM wins w JOIN seq i ON i.doc_id = w.doc_id
+         |  AND i.pos > w.win_no * 48 AND i.pos <= w.win_no * 48 + 64
+         |ORDER BY w.doc_id, w.win_no, pos""".stripMargin,
     "q_pack_bins" ->
       // the assembled training bins, value-checked on every per-bin
       // scalar: piece count, token fill, first/last doc, and the id

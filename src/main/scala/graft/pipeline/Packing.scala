@@ -161,4 +161,35 @@ object Packing {
             (col("offset") + col("doc_from")).as("__at"),
             col("__piece_ids").as("__ids")))),
           s => s("__ids"))).as("token_ids"))
+
+  /** Overlapping STRIDING windows over a per-doc token-id array — the
+    * long-document counterpart to bin packing (tokenizer "overflow
+    * with stride": window `j` covers ids `[j·stride, j·stride+window)`,
+    * so consecutive windows share `window − stride` tokens of context).
+    * Windows are emitted while they add new tokens:
+    * `n = 1 + ceil((len − window)/stride)` for `len > window`, else
+    * one window; empty arrays yield no rows. Output: one row per
+    * (doc, window, position) — (`idCol`, `win_no` 0-based, `pos`
+    * 1-based within the window, `token_id`) — row-local `slice` +
+    * two generators, zero shuffles, trivially parallel at any corpus
+    * size.
+    */
+  def tokenWindows(df: DataFrame, idCol: String, idsCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window], got $stride")
+    val len = size(col("__ids"))
+    val nWin = when(len <= window, lit(1)).otherwise(
+      lit(1) + ceil((len - window).cast("double") / stride).cast("int"))
+    df.select(col(idCol), col(idsCol).as("__ids"))
+      .filter(size(col("__ids")) > 0)
+      .select(col(idCol), col("__ids"),
+        explode(sequence(lit(0), nWin - 1)).as("win_no"))
+      .select(col(idCol), col("win_no"),
+        posexplode(slice(col("__ids"), col("win_no") * stride + 1,
+          lit(window))).as(Seq("__p", "token_id")))
+      .select(col(idCol), col("win_no"), (col("__p") + 1).as("pos"),
+        col("token_id"))
+  }
 }

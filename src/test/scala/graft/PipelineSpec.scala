@@ -57,6 +57,37 @@ class PipelineSpec extends SparkSpec {
       "most docs should be untouched at gramLen=40")
   }
 
+  test("token windows: stride overlap, tail window, short and empty " +
+      "docs") {
+    import graft.pipeline.Packing
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, (1 to 10).toArray),  // W=4,S=3 -> wins at 0,3,6 (n=3)
+      (2L, (1 to 4).toArray),   // exactly W -> one window
+      (3L, (1 to 2).toArray),   // shorter than W -> one short window
+      (4L, Array.empty[Int])    // no rows
+    ).toDF("doc_id", "ids")
+    val got = Packing.tokenWindows(df, "doc_id", "ids", 4, 3)
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getInt(1)))
+      .view.mapValues(_.sortBy(_.getInt(2)).map(_.getInt(3)).toSeq)
+      .toMap
+    assert(got == Map(
+      (1L, 0) -> Seq(1, 2, 3, 4),
+      (1L, 1) -> Seq(4, 5, 6, 7),   // 1-token overlap at stride 3
+      (1L, 2) -> Seq(7, 8, 9, 10),
+      (2L, 0) -> Seq(1, 2, 3, 4),
+      (3L, 0) -> Seq(1, 2)), got.toString)
+    // every token of every doc appears in at least one window
+    val covered = Packing.tokenWindows(df, "doc_id", "ids", 4, 4)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(covered == Map(1L -> 10L, 2L -> 4L, 3L -> 2L))
+    intercept[IllegalArgumentException](
+      Packing.tokenWindows(df, "doc_id", "ids", 4, 5))
+  }
+
   test("gopher rules: each rule fires on its designed violation, " +
       "clean prose keeps") {
     val s = spark
