@@ -1404,6 +1404,34 @@ object SparkEntry {
         key = col("doc_id"), weight = col("n_tokens"), c = 0.01)
       .orderBy("doc_id")
 
+  private val mixTargets = Map("en" -> 0.5, "fr" -> 0.2, "de" -> 0.15,
+    "es" -> 0.1, "zh" -> 0.05)
+  private val mixBudget = 30000L
+
+  /** The domain-mix PLAN ([[graft.pipeline.Sampling.domainMixPlan]]):
+    * per language, available token mass, target mass under the 30k
+    * budget, the saturating keep rate, and the shortfall — every double
+    * value-oracled (int/int and literal·int arithmetic only).
+    */
+  private def qMixPlan(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.domainMixPlan(docs(s, dir), "lang",
+        TextOps.tokenCount(col("text")), mixTargets, mixBudget)
+      .orderBy("lang")
+
+  /** The deterministic keep set realising the plan
+    * ([[graft.pipeline.Sampling.sampleToMix]]): every kept (doc, lang,
+    * tokens) row compared — the oracle recomputes the per-domain rate
+    * AND the 48-bit hash threshold per doc.
+    */
+  private def qMixDomains(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.sampleToMix(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("bigint").as("n_tokens")),
+        key = col("doc_id"), domainCol = "lang", tokens = col("n_tokens"),
+        targets = mixTargets, budgetTokens = mixBudget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .orderBy("doc_id")
+
   /** Real tokenizer-based token counting ([[graft.functions.Bpe]]): the
     * greedy BPE merge loop under a rank-ordered merges vocabulary,
     * next to the whitespace count it corrects. The vocabulary's
@@ -1656,6 +1684,8 @@ object SparkEntry {
     "q_quantize" -> (qQuantize _),
     "q_sample" -> (qSample _),
     "q_sample_weighted" -> (qSampleWeighted _),
+    "q_mix_plan" -> (qMixPlan _),
+    "q_mix_domains" -> (qMixDomains _),
     "q_curation" -> (qCuration _),
     "q_curation_pack" -> (qCurationPack _),
     "q_curation_weighted" -> (qCurationWeighted _),
@@ -3190,6 +3220,49 @@ object SparkEntry {
          |WHERE CAST($bucket48Sql AS DOUBLE) <
          |  (CAST(n_tokens AS DOUBLE) * 0.01) * 281474976710656.0
          |ORDER BY doc_id""".stripMargin,
+    // the mix plan: rate = min(1, frac·budget / avail), saturation and
+    // shortfall included; arithmetic mirrors domainMixPlan op for op
+    "q_mix_plan" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CAST(len($toksSql) AS BIGINT) AS n FROM documents),
+         |avail AS (SELECT lang, SUM(n) AS m FROM t GROUP BY lang),
+         |tgt(lang, frac) AS (VALUES
+         |  ('de', CAST(0.15 AS DOUBLE)), ('en', CAST(0.5 AS DOUBLE)),
+         |  ('es', CAST(0.1 AS DOUBLE)), ('fr', CAST(0.2 AS DOUBLE)),
+         |  ('zh', CAST(0.05 AS DOUBLE)))
+         |SELECT COALESCE(a.lang, g.lang) AS lang,
+         |  CAST(COALESCE(a.m, 0) AS BIGINT) AS avail_tokens,
+         |  COALESCE(g.frac, 0.0) * CAST(30000 AS DOUBLE)
+         |    AS target_tokens,
+         |  CASE WHEN COALESCE(a.m, 0) = 0 THEN 0.0
+         |       ELSE least(1.0,
+         |         (COALESCE(g.frac, 0.0) * CAST(30000 AS DOUBLE))
+         |           / CAST(a.m AS DOUBLE)) END AS rate,
+         |  greatest(0.0, COALESCE(g.frac, 0.0) * CAST(30000 AS DOUBLE)
+         |    - CAST(COALESCE(a.m, 0) AS DOUBLE)) AS shortfall_tokens
+         |FROM avail a FULL OUTER JOIN tgt g ON a.lang = g.lang
+         |ORDER BY lang""".stripMargin,
+    // the realised keep set: per-doc 48-bit bucket vs the domain rate,
+    // same association order as weightedHashSample with c = 1
+    "q_mix_domains" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |avail AS (SELECT lang, SUM(n_tokens) AS m FROM t GROUP BY lang),
+         |tgt(lang, frac) AS (VALUES
+         |  ('de', CAST(0.15 AS DOUBLE)), ('en', CAST(0.5 AS DOUBLE)),
+         |  ('es', CAST(0.1 AS DOUBLE)), ('fr', CAST(0.2 AS DOUBLE)),
+         |  ('zh', CAST(0.05 AS DOUBLE))),
+         |plan AS (SELECT a.lang,
+         |  CASE WHEN a.m = 0 THEN 0.0
+         |       ELSE least(1.0,
+         |         (COALESCE(g.frac, 0.0) * CAST(30000 AS DOUBLE))
+         |           / CAST(a.m AS DOUBLE)) END AS rate
+         |  FROM avail a LEFT JOIN tgt g ON a.lang = g.lang)
+         |SELECT t.doc_id, t.lang, t.n_tokens
+         |FROM t JOIN plan p ON p.lang = t.lang
+         |WHERE CAST($bucket48Sql AS DOUBLE) <
+         |  (p.rate * 1.0) * 281474976710656.0
+         |ORDER BY t.doc_id""".stripMargin,
     "q_curation_weighted" ->
       // curate → weight-sample by token budget → pack, one chain: the
       // weighted keep decision applies q_sample_weighted's exact

@@ -124,4 +124,62 @@ object Sampling {
         coalesce(col("__thr"), lit(threshold(defaultRate))))
       .drop("__stratum", "__thr")
   }
+
+  /** Per-domain sampling plan that RETARGETS the corpus mix: given the
+    * desired token-mass fractions (`targets`, e.g. en→0.5) and a total
+    * token budget, each domain's keep rate is
+    * `min(1, target_frac · budget / available_tokens)` — the
+    * Horvitz–Thompson rate that makes the EXPECTED sampled token mass
+    * hit the target, saturating at 1 when the corpus simply does not
+    * hold enough of a domain (the shortfall is reported, not silently
+    * reweighted — upsampling/epoching is a separate, explicit decision).
+    * Output per domain: `avail_tokens`, `target_tokens`, `rate`,
+    * `shortfall_tokens`. Domains in the corpus but absent from
+    * `targets` get rate 0; targeted domains absent from the corpus
+    * surface as a full-shortfall row. One map-side-partial aggregate
+    * over the domain column — the plan is |domains| rows.
+    */
+  def domainMixPlan(df: DataFrame, domainCol: String, tokens: Column,
+      targets: Map[String, Double], budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    require(targets.values.forall(f => f >= 0.0 && f <= 1.0),
+      s"target fractions must be in [0,1], got $targets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targets.toSeq.toDF(domainCol, "__frac")
+    val avail = df.groupBy(col(domainCol))
+      .agg(sum(tokens.cast("bigint")).as("avail_tokens"))
+    avail.join(tgt, Seq(domainCol), "full_outer")
+      .select(col(domainCol),
+        coalesce(col("avail_tokens"), lit(0L)).as("avail_tokens"),
+        (coalesce(col("__frac"), lit(0.0)) * lit(budgetTokens.toDouble))
+          .as("target_tokens"))
+      .withColumn("rate",
+        when(col("avail_tokens") === 0L, lit(0.0)).otherwise(
+          least(lit(1.0),
+            col("target_tokens") / col("avail_tokens").cast("double"))))
+      .withColumn("shortfall_tokens",
+        greatest(lit(0.0),
+          col("target_tokens") - col("avail_tokens").cast("double")))
+  }
+
+  /** The deterministic keep set realising a [[domainMixPlan]]: each
+    * row keeps iff its 48-bit key bucket clears its domain's rate —
+    * [[weightedHashSample]] with the broadcast-joined rate as the
+    * weight (c = 1), so the decision is the same IEEE-exact
+    * multiplication chain any engine reproduces, stable under retries
+    * and partitioning, and monotone in the budget. Plan shape: narrow
+    * scan + broadcast join on the |domains|-row plan + filter — no
+    * shuffle of the corpus.
+    */
+  def sampleToMix(df: DataFrame, key: Column, domainCol: String,
+      tokens: Column, targets: Map[String, Double],
+      budgetTokens: Long): DataFrame = {
+    val plan = domainMixPlan(df, domainCol, tokens, targets, budgetTokens)
+      .select(col(domainCol), col("rate").as("__rate"))
+    val joined = df.join(broadcast(plan), Seq(domainCol), "left")
+      .withColumn("__rate", coalesce(col("__rate"), lit(0.0)))
+    weightedHashSample(joined, key, col("__rate"), 1.0)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

@@ -57,6 +57,55 @@ class PipelineSpec extends SparkSpec {
       "most docs should be untouched at gramLen=40")
   }
 
+  test("domain mix: saturating rates, shortfall accounting, untargeted " +
+      "domains drop, budget monotone") {
+    import graft.pipeline.Sampling
+    val s = spark
+    import s.implicits._
+    // web: 10k tokens avail; books: 1k; junk: untargeted; news: targeted
+    // but absent from the corpus
+    val rows = (0L until 1000L).map { i =>
+      val d = if (i < 500) "web" else if (i < 900) "books" else "junk"
+      (i, d, 20L + (i % 5))
+    }
+    val df = rows.toDF("id", "domain", "toks")
+    val targets = Map("web" -> 0.3, "books" -> 0.6, "news" -> 0.1)
+    val budget = 20000L
+    val plan = Sampling.domainMixPlan(df, "domain", col("toks"),
+        targets, budget)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val webAvail = rows.filter(_._2 == "web").map(_._3).sum
+    val booksAvail = rows.filter(_._2 == "books").map(_._3).sum
+    // books: target 12000 > avail 8800 -> rate saturates, shortfall
+    assert(plan("books")._1 == booksAvail)
+    assert(plan("books")._3 == 1.0)
+    assert(plan("books")._4 == 12000.0 - booksAvail)
+    // web: fractional rate, zero shortfall
+    assert(math.abs(plan("web")._3 - 6000.0 / webAvail) < 1e-12)
+    assert(plan("web")._4 == 0.0)
+    // untargeted corpus domain: rate 0; targeted absent domain: full
+    // shortfall row with nothing available
+    assert(plan("junk")._3 == 0.0)
+    assert(plan("news") == ((0L, 2000.0, 0.0, 2000.0)))
+    val kept = Sampling.sampleToMix(df, col("id"), "domain",
+      col("toks"), targets, budget).collect()
+    assert(!kept.exists(_.getString(1) == "junk"), "junk must drop")
+    assert(kept.count(_.getString(1) == "books") == 400,
+      "saturated domain keeps everything")
+    val webMass = kept.filter(_.getString(1) == "web")
+      .map(_.getLong(2)).sum.toDouble
+    assert(math.abs(webMass - 6000.0) < 900.0,
+      s"web kept mass $webMass should approximate its 6000 target")
+    // monotone: a bigger budget only adds rows
+    val keptIds = kept.map(_.getLong(0)).toSet
+    val wider = Sampling.sampleToMix(df, col("id"), "domain",
+        col("toks"), targets, budget * 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds.subsetOf(wider))
+  }
+
   test("token windows: stride overlap, tail window, short and empty " +
       "docs") {
     import graft.pipeline.Packing
