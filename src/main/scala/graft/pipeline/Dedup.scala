@@ -772,7 +772,23 @@ object Dedup {
     * distinct grams is ~2^-64-scale — documented, not guarded.
     */
   def substringRemovalIntervals(df: DataFrame, idCol: String,
-      textCol: String, gramLen: Int): DataFrame = {
+      textCol: String, gramLen: Int): DataFrame =
+    substringRemovalIntervalsBy(df, idCol, textCol, gramLen, md5(_))
+
+  /** [[substringRemovalIntervals]] on xxhash64 grams — the production
+    * hash at ~10× less CPU per position (the md5 form exists to stay
+    * oracle-exact; same family pattern as [[minHashSignatures64]]).
+    * Interval sets are identical barring a hash collision equating two
+    * distinct grams (spec pins family agreement on the fixture corpus).
+    */
+  def substringRemovalIntervals64(df: DataFrame, idCol: String,
+      textCol: String, gramLen: Int): DataFrame =
+    substringRemovalIntervalsBy(df, idCol, textCol, gramLen,
+      xxhash64(lit(0), _))
+
+  private def substringRemovalIntervalsBy(df: DataFrame, idCol: String,
+      textCol: String, gramLen: Int,
+      gramHash: Column => Column): DataFrame = {
     require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
     import org.apache.spark.sql.expressions.Window
     // sequence(1, n) with n < 1 would DESCEND in Spark — the length
@@ -786,7 +802,7 @@ object Dedup {
           .as("pos"),
         col("__t"))
       .select(col("__doc"), col("pos"),
-        md5(col("__t").substr(col("pos"), lit(gramLen))).as("__g"))
+        gramHash(col("__t").substr(col("pos"), lit(gramLen))).as("__g"))
     val byGram = Window.partitionBy("__g")
     val marked = occ
       .withColumn("__c", count(lit(1)).over(byGram))

@@ -42,6 +42,16 @@ class PipelineSpec extends SparkSpec {
     assert(clean(6L) == (("zzzzqqqqwwww", 0)))
   }
 
+  test("substring dedup md5/xxhash64 families agree on the fixture " +
+      "corpus") {
+    def ivSet(f: => org.apache.spark.sql.DataFrame) = f.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val a = ivSet(Dedup.substringRemovalIntervals(docs, "doc_id", "text", 40))
+    val b = ivSet(Dedup.substringRemovalIntervals64(docs, "doc_id", "text", 40))
+    assert(a == b, "hash family must not change the removal intervals")
+    assert(a.nonEmpty)
+  }
+
   test("substring dedup on the fixture corpus: removal accounting " +
       "holds and canonicals survive") {
     val cleaned = Dedup.dropDuplicateSubstrings(docs, "doc_id", "text", 40)

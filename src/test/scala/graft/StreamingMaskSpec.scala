@@ -144,6 +144,50 @@ class StreamingMaskSpec extends SparkSpec {
     assert(streamedHits.exists(_._2 > 0), "fixture must produce hits")
   }
 
+  test("gopher rules and token windows compose onto streams unchanged") {
+    import graft.pipeline.{Packing, TextOps}
+    // both are pure narrow transforms (Column arithmetic / row-local
+    // generators), so attaching them to a streaming corpus must yield
+    // the identical rows
+    val docsDir = Files.createTempDirectory("graft_stream_gopher").toString
+    spark.read.parquet(s"$fixtures/documents.parquet")
+      .write.mode("overwrite").parquet(s"$docsDir/docs")
+    val docsSchema = spark.read.parquet(s"$docsDir/docs").schema
+    val gopher = (df: DataFrame) =>
+      TextOps.gopherRules(df, "doc_id", "text",
+          TextOps.GopherConfig(minWords = 30, maxWords = 90,
+            minMeanWordLen = 3.9, maxMeanWordLen = 4.9,
+            minStopwordHits = 1))
+        .select("doc_id", "n_words", "keep")
+    val streamed = runToMemory(
+        gopher(spark.readStream.schema(docsSchema).parquet(s"$docsDir/docs")),
+        "gopher_stream", "append")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      .sorted.toSeq
+    val batch = gopher(spark.read.parquet(s"$docsDir/docs"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      .sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.exists(_._3) && streamed.exists(!_._3))
+    val windows = (df: DataFrame) => Packing.tokenWindows(
+      df.select(col("doc_id"),
+        split(lower(col("text")), " ").as("ids")
+          .cast("array<string>")).withColumn("ids",
+          org.apache.spark.sql.functions.transform(col("ids"),
+            t => length(t))),
+      "doc_id", "ids", 32, 24)
+    val streamedW = runToMemory(
+        windows(spark.readStream.schema(docsSchema).parquet(s"$docsDir/docs")),
+        "window_stream", "append")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3))).sorted.toSeq
+    val batchW = windows(spark.read.parquet(s"$docsDir/docs"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3))).sorted.toSeq
+    assert(streamedW == batchW)
+    assert(streamedW.nonEmpty)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     // views → follow-up clicks by the same user within 6 hours
     // (the fixture's event times are day-spread; 6h yields ~25 pairs)
