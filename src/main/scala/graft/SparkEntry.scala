@@ -1404,6 +1404,58 @@ object SparkEntry {
         key = col("doc_id"), weight = col("n_tokens"), c = 0.01)
       .orderBy("doc_id")
 
+  /** The per-source corpus data card
+    * ([[graft.pipeline.Curation.dataCard]]): doc counts, exact token
+    * mass, duplicate-text counts, language composition, Gopher keep
+    * counts — every double derived at the end from exact integer
+    * aggregates, so the whole report value-oracles.
+    */
+  private def qDataCard(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Curation.dataCard(docs(s, dir), "doc_id", "source",
+        "text", "lang", Seq("de", "en", "es", "fr", "zh"),
+        TextOps.GopherConfig(minWords = 30, maxWords = 90,
+          minMeanWordLen = 3.9, maxMeanWordLen = 4.9,
+          minStopwordHits = 1))
+      .orderBy("source")
+
+  /** Shared gopher-feature CTE chain (`f` + `feat`) and the keep
+    * conjunction under the gate thresholds — one definition for
+    * `q_gopher_rules` and `q_data_card` so the two oracles cannot
+    * drift.
+    */
+  private lazy val gopherFeatCtes: String = {
+    val stop = s"len(list_filter($toksSql, x -> x IN " +
+      s"(${inList(TextOps.langProfiles("en"))})))"
+    s"""f AS (SELECT doc_id, text,
+       |  lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nrm
+       |FROM documents),
+       |feat AS (SELECT doc_id,
+       |  CAST(len(string_split(nrm, ' ')) AS BIGINT) AS n_words,
+       |  CAST(length(nrm) - (len(string_split(nrm, ' ')) - 1)
+       |    AS DOUBLE) / len(string_split(nrm, ' ')) AS mean_word_len,
+       |  ((length(text) - length(replace(text, '#', '')))
+       |   + (length(text) - length(replace(text, '...', ''))) / 3)
+       |    / CAST(len(string_split(nrm, ' ')) AS DOUBLE)
+       |    AS symbol_word_ratio,
+       |  CAST(len(list_filter(string_split(nrm, ' '),
+       |      w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+       |    / len(string_split(nrm, ' ')) AS alpha_word_frac,
+       |  CAST(len(list_filter(string_split(text, chr(10)),
+       |      l -> regexp_matches(l, '^\\s*[-•*] '))) AS DOUBLE)
+       |    / len(string_split(text, chr(10))) AS bullet_line_frac,
+       |  CAST(len(list_filter(string_split(text, chr(10)),
+       |      l -> regexp_matches(l, '\\.\\.\\.\\s*$$'))) AS DOUBLE)
+       |    / len(string_split(text, chr(10))) AS ellipsis_line_frac,
+       |  CAST($stop AS BIGINT) AS stop_hits
+       |FROM f)""".stripMargin
+  }
+  private val gopherKeepSql: String =
+    "(n_words BETWEEN 30 AND 90) AND " +
+      "(mean_word_len BETWEEN 3.9 AND 4.9) AND " +
+      "symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9 AND " +
+      "ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8 AND " +
+      "stop_hits >= 1"
+
   private val mixTargets = Map("en" -> 0.5, "fr" -> 0.2, "de" -> 0.15,
     "es" -> 0.1, "zh" -> 0.05)
   private val mixBudget = 30000L
@@ -1686,6 +1738,7 @@ object SparkEntry {
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_mix_plan" -> (qMixPlan _),
     "q_mix_domains" -> (qMixDomains _),
+    "q_data_card" -> (qDataCard _),
     "q_curation" -> (qCuration _),
     "q_curation_pack" -> (qCurationPack _),
     "q_curation_weighted" -> (qCurationWeighted _),
@@ -2706,31 +2759,8 @@ object SparkEntry {
     },
     // Gopher rule filter: int/int double divisions only, so every
     // feature bit-matches; the stop-hit list is the en profile
-    "q_gopher_rules" -> {
-      val stop = s"len(list_filter($toksSql, x -> x IN " +
-        s"(${inList(TextOps.langProfiles("en"))})))"
-      s"""WITH f AS (SELECT doc_id, text,
-         |  lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nrm
-         |FROM documents),
-         |feat AS (SELECT doc_id,
-         |  CAST(len(string_split(nrm, ' ')) AS BIGINT) AS n_words,
-         |  CAST(length(nrm) - (len(string_split(nrm, ' ')) - 1)
-         |    AS DOUBLE) / len(string_split(nrm, ' ')) AS mean_word_len,
-         |  ((length(text) - length(replace(text, '#', '')))
-         |   + (length(text) - length(replace(text, '...', ''))) / 3)
-         |    / CAST(len(string_split(nrm, ' ')) AS DOUBLE)
-         |    AS symbol_word_ratio,
-         |  CAST(len(list_filter(string_split(nrm, ' '),
-         |      w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
-         |    / len(string_split(nrm, ' ')) AS alpha_word_frac,
-         |  CAST(len(list_filter(string_split(text, chr(10)),
-         |      l -> regexp_matches(l, '^\\s*[-•*] '))) AS DOUBLE)
-         |    / len(string_split(text, chr(10))) AS bullet_line_frac,
-         |  CAST(len(list_filter(string_split(text, chr(10)),
-         |      l -> regexp_matches(l, '\\.\\.\\.\\s*$$'))) AS DOUBLE)
-         |    / len(string_split(text, chr(10))) AS ellipsis_line_frac,
-         |  CAST($stop AS BIGINT) AS stop_hits
-         |FROM f)
+    "q_gopher_rules" ->
+      s"""WITH $gopherFeatCtes
          |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
          |  alpha_word_frac, bullet_line_frac, ellipsis_line_frac,
          |  stop_hits,
@@ -2741,13 +2771,39 @@ object SparkEntry {
          |  ellipsis_line_frac <= 0.3 AS ok_ellipsis,
          |  alpha_word_frac >= 0.8 AS ok_alpha,
          |  stop_hits >= 1 AS ok_stopwords,
-         |  (n_words BETWEEN 30 AND 90) AND
-         |  (mean_word_len BETWEEN 3.9 AND 4.9) AND
-         |  symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9 AND
-         |  ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8 AND
-         |  stop_hits >= 1 AS keep
-         |FROM feat ORDER BY doc_id""".stripMargin
-    },
+         |  $gopherKeepSql AS keep
+         |FROM feat ORDER BY doc_id""".stripMargin,
+    // the per-source data card: every double derived from exact integer
+    // aggregates AFTER the groupBy, so unordered float summation never
+    // enters the comparison
+    "q_data_card" ->
+      s"""WITH $gopherFeatCtes,
+         |base AS (SELECT d.source, d.lang,
+         |    CAST(len($toksSql) AS BIGINT) AS toks,
+         |    md5($normSql) AS h,
+         |    ($gopherKeepSql) AS keep
+         |  FROM documents d JOIN feat ON feat.doc_id = d.doc_id)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+         |  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_gopher_keep,
+         |  CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_de,
+         |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_en,
+         |  CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_es,
+         |  CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_fr,
+         |  CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_zh,
+         |  CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_dup_docs,
+         |  CAST(SUM(toks) AS DOUBLE) / COUNT(*) AS mean_tokens,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS gopher_keep_frac
+         |FROM base GROUP BY source ORDER BY source""".stripMargin,
     "q_repetition" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |pt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),

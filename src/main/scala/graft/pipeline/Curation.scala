@@ -53,4 +53,38 @@ object Curation {
     Sampling.stratifiedHashSample(deduped, col(idCol), col(stratumCol),
       mixRates, defaultRate)
   }
+
+  /** The corpus DATA CARD: the per-source audit table a curation run
+    * publishes alongside its output — doc count, exact token mass,
+    * duplicate-text count, per-language composition, and how many docs
+    * clear the [[TextOps.gopherRules]] bar. Every double is derived at
+    * the END from exact integer aggregates (counts, bigint sums,
+    * distinct counts), so the card is bit-reproducible on any engine
+    * and any partitioning — an unordered float SUM would not be.
+    * Shape: one hash aggregate over the source column (+ the rule
+    * join, broadcast-sized per doc id); |sources| output rows.
+    */
+  def dataCard(docs: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, langCol: String, langs: Seq[String],
+      cfg: TextOps.GopherConfig = TextOps.GopherConfig()): DataFrame = {
+    val keep = TextOps.gopherRules(docs, idCol, textCol, cfg)
+      .select(col(idCol), col("keep"))
+    val base = docs.join(keep, Seq(idCol))
+      .select(col(sourceCol), col(langCol).as("__lang"), col("keep"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("__toks"),
+        Dedup.contentHash(col(textCol)).as("__h"))
+    val langCols = langs.map(l =>
+      sum(when(col("__lang") === l, 1L).otherwise(0L)).as(s"n_$l"))
+    base.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("__toks")).as("total_tokens") +:
+          countDistinct(col("__h")).as("n_distinct_texts") +:
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_gopher_keep") +:
+          langCols): _*)
+      .withColumn("n_dup_docs", col("n_docs") - col("n_distinct_texts"))
+      .withColumn("mean_tokens",
+        col("total_tokens").cast("double") / col("n_docs"))
+      .withColumn("gopher_keep_frac",
+        col("n_gopher_keep").cast("double") / col("n_docs"))
+  }
 }

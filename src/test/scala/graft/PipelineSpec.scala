@@ -114,6 +114,13 @@ class PipelineSpec extends SparkSpec {
         col("toks"), targets, budget * 2)
       .collect().map(_.getLong(0)).toSet
     assert(keptIds.subsetOf(wider))
+    // the scale claim, pinned: the plan rides in broadcast — the corpus
+    // is never shuffled for the keep decision
+    val plan2 = Sampling.sampleToMix(df, col("id"), "domain",
+      col("toks"), targets, budget).queryExecution.executedPlan.toString
+    assert(plan2.contains("BroadcastHashJoin"),
+      s"mix keep set must broadcast the plan:\n$plan2")
+    assert(!plan2.contains("Cartesian"))
   }
 
   test("token windows: stride overlap, tail window, short and empty " +
@@ -145,6 +152,40 @@ class PipelineSpec extends SparkSpec {
     assert(covered == Map(1L -> 10L, 2L -> 4L, 3L -> 2L))
     intercept[IllegalArgumentException](
       Packing.tokenWindows(df, "doc_id", "ids", 4, 5))
+  }
+
+  test("data card: integer-exact accounting per source, dup and lang " +
+      "columns add up") {
+    import graft.pipeline.Curation
+    val s = spark
+    import s.implicits._
+    val base = "the cat sat of and to in is that " +
+      (1 to 30).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, "a", "en", base),
+      (2L, "a", "en", base),          // exact dup of doc 1 (same source)
+      (3L, "a", "fr", base + " extra"),
+      (4L, "b", "en", "too short"),   // fails gopher word window
+      (5L, "b", "de", base + " mehr")
+    ).toDF("doc_id", "source", "lang", "text")
+    val card = Curation.dataCard(df, "doc_id", "source", "text", "lang",
+        Seq("de", "en", "fr"),
+        graft.pipeline.TextOps.GopherConfig(minWords = 10, maxWords = 90,
+          minMeanWordLen = 0.0, maxMeanWordLen = 10.0,
+          minStopwordHits = 1))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = card("a")
+    assert(a.getAs[Long]("n_docs") == 3)
+    assert(a.getAs[Long]("n_distinct_texts") == 2)
+    assert(a.getAs[Long]("n_dup_docs") == 1)
+    assert(a.getAs[Long]("n_en") == 2 && a.getAs[Long]("n_fr") == 1)
+    assert(a.getAs[Long]("n_gopher_keep") == 3)
+    val b = card("b")
+    assert(b.getAs[Long]("n_docs") == 2)
+    assert(b.getAs[Long]("n_gopher_keep") == 1, "short doc must fail")
+    assert(b.getAs[Double]("gopher_keep_frac") == 0.5)
+    assert(b.getAs[Double]("mean_tokens") ==
+      b.getAs[Long]("total_tokens").toDouble / 2)
   }
 
   test("gopher rules: each rule fires on its designed violation, " +
@@ -212,6 +253,9 @@ class PipelineSpec extends SparkSpec {
     val freqs = Dedup.lineDocFrequencies(df2, "doc_id", "text")
       .collect().map(r => r.getLong(1)).sorted.toSeq
     assert(freqs == Seq(1L, 1L, 2L, 3L))
+    val plan = Dedup.dropDuplicateLines(df2, "doc_id", "text", 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), s"cartesian in plan:\n$plan")
   }
 
   test("near-dup LSH finds the planted duplicate pairs, no cartesian stage") {
