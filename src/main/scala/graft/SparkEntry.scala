@@ -1404,6 +1404,22 @@ object SparkEntry {
         key = col("doc_id"), weight = col("n_tokens"), c = 0.01)
       .orderBy("doc_id")
 
+  /** The FULL Gopher filter ([[graft.pipeline.TextOps
+    * .gopherRulesFull]]): the narrow rule table joined with the two
+    * repetition caps (top-word share ≤ 0.11, duplicate-bigram fraction
+    * ≤ 0.05 — tuned to the corpus so both outcomes appear), `keep`
+    * tightened to all nine rules. Fully value-oracled.
+    */
+  private def qGopherFull(s: SparkSession, dir: String): DataFrame =
+    TextOps.gopherRulesFull(docs(s, dir), "doc_id", "text",
+        TextOps.GopherConfig(minWords = 30, maxWords = 90,
+          minMeanWordLen = 3.9, maxMeanWordLen = 4.9,
+          minStopwordHits = 1),
+        maxTopWordFrac = 0.11, maxDupBigramFrac = 0.05)
+      .withColumn("n_words", col("n_words").cast("bigint"))
+      .withColumn("stop_hits", col("stop_hits").cast("bigint"))
+      .orderBy("doc_id")
+
   /** The per-source corpus data card
     * ([[graft.pipeline.Curation.dataCard]]): doc counts, exact token
     * mass, duplicate-text counts, language composition, Gopher keep
@@ -1449,6 +1465,25 @@ object SparkEntry {
        |  CAST($stop AS BIGINT) AS stop_hits
        |FROM f)""".stripMargin
   }
+  /** Shared repetition-stat CTEs (`ws` word stats + `bs` bigram stats)
+    * — one definition for `q_repetition` and `q_gopher_full`.
+    */
+  private lazy val repetitionCtes: String =
+    s"""toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |pt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+       |ws AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |         COUNT(*) AS n_distinct_tokens,
+       |         CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_word_frac
+       |       FROM pt GROUP BY 1),
+       |nm AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |bp AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i
+       |       FROM nm WHERE len(w) >= 2),
+       |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram FROM bp),
+       |bs AS (SELECT doc_id,
+       |         CAST(COUNT(*) - COUNT(DISTINCT bigram) AS DOUBLE) / COUNT(*)
+       |           AS dup_bigram_frac
+       |       FROM bg GROUP BY 1)""".stripMargin
+
   private val gopherKeepSql: String =
     "(n_words BETWEEN 30 AND 90) AND " +
       "(mean_word_len BETWEEN 3.9 AND 4.9) AND " +
@@ -1702,6 +1737,7 @@ object SparkEntry {
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
     "q_gopher_rules" -> (qGopherRules _),
+    "q_gopher_full" -> (qGopherFull _),
     "q_repetition" -> (qRepetition _),
     "q_pii" -> (qPii _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -2805,24 +2841,36 @@ object SparkEntry {
          |    / COUNT(*) AS gopher_keep_frac
          |FROM base GROUP BY source ORDER BY source""".stripMargin,
     "q_repetition" ->
-      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-         |pt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
-         |ws AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
-         |         COUNT(*) AS n_distinct_tokens,
-         |         CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_word_frac
-         |       FROM pt GROUP BY 1),
-         |nm AS (SELECT doc_id, $toksSql AS w FROM documents),
-         |bp AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i
-         |       FROM nm WHERE len(w) >= 2),
-         |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram FROM bp),
-         |bs AS (SELECT doc_id,
-         |         CAST(COUNT(*) - COUNT(DISTINCT bigram) AS DOUBLE) / COUNT(*)
-         |           AS dup_bigram_frac
-         |       FROM bg GROUP BY 1)
+      s"""WITH $repetitionCtes
          |SELECT ws.doc_id, ws.n_tokens, ws.n_distinct_tokens,
          |  ws.top_word_frac, COALESCE(bs.dup_bigram_frac, 0.0) AS dup_bigram_frac
          |FROM ws LEFT JOIN bs ON bs.doc_id = ws.doc_id
          |ORDER BY ws.doc_id""".stripMargin,
+    // the FULL Gopher filter: the shared feature CTEs joined with the
+    // shared repetition CTEs, two caps, keep tightened to all nine
+    "q_gopher_full" ->
+      s"""WITH $gopherFeatCtes,
+         |$repetitionCtes,
+         |rep AS (SELECT ws.doc_id, ws.top_word_frac,
+         |    COALESCE(bs.dup_bigram_frac, 0.0) AS dup_bigram_frac
+         |  FROM ws LEFT JOIN bs ON bs.doc_id = ws.doc_id)
+         |SELECT feat.doc_id, n_words, mean_word_len, symbol_word_ratio,
+         |  alpha_word_frac, bullet_line_frac, ellipsis_line_frac,
+         |  stop_hits,
+         |  n_words BETWEEN 30 AND 90 AS ok_words,
+         |  mean_word_len BETWEEN 3.9 AND 4.9 AS ok_mean_len,
+         |  symbol_word_ratio <= 0.1 AS ok_symbols,
+         |  bullet_line_frac <= 0.9 AS ok_bullets,
+         |  ellipsis_line_frac <= 0.3 AS ok_ellipsis,
+         |  alpha_word_frac >= 0.8 AS ok_alpha,
+         |  stop_hits >= 1 AS ok_stopwords,
+         |  rep.top_word_frac, rep.dup_bigram_frac,
+         |  rep.top_word_frac <= 0.11 AS ok_top_word,
+         |  rep.dup_bigram_frac <= 0.05 AS ok_dup_bigram,
+         |  ($gopherKeepSql) AND rep.top_word_frac <= 0.11
+         |    AND rep.dup_bigram_frac <= 0.05 AS keep
+         |FROM feat JOIN rep ON rep.doc_id = feat.doc_id
+         |ORDER BY feat.doc_id""".stripMargin,
     "q_pii" -> {
       import graft.pipeline.TextOps.{emailRe, urlRe, phoneRe, ccRe, ipv4Re}
       s"""WITH synth AS (SELECT c_custkey,

@@ -202,6 +202,29 @@ object TextOps {
           col("ok_stopwords"))
   }
 
+  /** [[gopherRules]] plus Gopher's REPETITION caps — the full published
+    * filter: the narrow rule table joined with [[repetitionStats]]' two
+    * aggregate signals (most-frequent-word share, duplicate-bigram
+    * fraction), each capped, with `keep` tightened to the conjunction
+    * of all nine rules. The repetition side is the only aggregating
+    * stage (one explode + two doc-keyed hash aggregates); everything
+    * else stays a narrow scan.
+    */
+  def gopherRulesFull(df: DataFrame, idCol: String, textCol: String,
+      cfg: GopherConfig = GopherConfig(),
+      maxTopWordFrac: Double = 0.2,
+      maxDupBigramFrac: Double = 0.2): DataFrame =
+    gopherRules(df, idCol, textCol, cfg)
+      .join(repetitionStats(df, idCol, textCol)
+          .select(col(idCol), col("top_word_frac"),
+            col("dup_bigram_frac")),
+        Seq(idCol))
+      .withColumn("ok_top_word", col("top_word_frac") <= maxTopWordFrac)
+      .withColumn("ok_dup_bigram",
+        col("dup_bigram_frac") <= maxDupBigramFrac)
+      .withColumn("keep",
+        col("keep") && col("ok_top_word") && col("ok_dup_bigram"))
+
   /** 16-bit SimHash over the token stream, md5-nibble variant (oracle-
     * portable). Per token t and bit b: the b-th bit of the first 4 nibbles
     * of md5(t); sum of (2·bit−1) over tokens; sign → bit of the signature.

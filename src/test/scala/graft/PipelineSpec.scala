@@ -42,6 +42,20 @@ class PipelineSpec extends SparkSpec {
     assert(clean(6L) == (("zzzzqqqqwwww", 0)))
   }
 
+  test("substring dedup occurrence marking shares ONE gram-hash " +
+      "exchange between its two windows") {
+    val iv = Dedup.substringRemovalIntervals(docs, "doc_id", "text", 40)
+    val plan = iv.queryExecution.executedPlan.toString
+    // count + canonical row_number both partition by the gram hash: the
+    // second window must reuse the first's exchange, so exactly one
+    // hashpartitioning on __g appears (plus the doc-keyed island merge)
+    val gramExchanges = "hashpartitioning\\(__g".r
+      .findAllIn(plan).length
+    assert(gramExchanges == 1,
+      s"expected one gram-hash exchange, got $gramExchanges in:\n$plan")
+    assert(!plan.contains("Cartesian"))
+  }
+
   test("substring dedup md5/xxhash64 families agree on the fixture " +
       "corpus") {
     def ivSet(f: => org.apache.spark.sql.DataFrame) = f.collect()
@@ -219,6 +233,33 @@ class PipelineSpec extends SparkSpec {
     // features are auditable, not just booleans
     assert(got(4L).getAs[Double]("bullet_line_frac") == 1.0)
     assert(got(2L).getAs[Int]("n_words") == 6)
+  }
+
+  test("full gopher filter: repetition caps tighten keep, never loosen") {
+    val s = spark
+    import s.implicits._
+    val stops = "the cat sat of and to in is that"
+    val clean = stops + " " + (1 to 44).map(i => s"word$i").mkString(" ")
+    // same length/stopword profile as clean, but one word dominates
+    val stuffed = stops + " " + (1 to 44).map(_ => "spam").mkString(" ")
+    // duplicate-bigram soup: one bigram repeated end to end
+    val looped = stops + " " + (1 to 22).map(_ => "buy now").mkString(" ")
+    val df = Seq((1L, clean), (2L, stuffed), (3L, looped))
+      .toDF("doc_id", "text")
+    val base = TextOps.gopherRules(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    val full = TextOps.gopherRulesFull(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // tightening: full keep implies base keep, never the reverse
+    full.foreach { case (id, r) =>
+      assert(!r.getAs[Boolean]("keep") || base(id),
+        s"doc $id kept by full but not base")
+    }
+    assert(full(1L).getAs[Boolean]("keep"))
+    assert(base(2L) && !full(2L).getAs[Boolean]("keep") &&
+      !full(2L).getAs[Boolean]("ok_top_word"),
+      "word stuffing must die on the repetition cap alone")
+    assert(!full(3L).getAs[Boolean]("ok_dup_bigram"))
   }
 
   test("line dedup drops every over-threshold line, keeps order, " +
