@@ -1427,7 +1427,7 @@ object SparkEntry {
     * aggregates, so the whole report value-oracles.
     */
   private def qDataCard(s: SparkSession, dir: String): DataFrame =
-    graft.pipeline.Curation.dataCard(docs(s, dir), "doc_id", "source",
+    graft.pipeline.Curation.dataCard(docs(s, dir), "source",
         "text", "lang", Seq("de", "en", "es", "fr", "zh"),
         TextOps.GopherConfig(minWords = 30, maxWords = 90,
           minMeanWordLen = 3.9, maxMeanWordLen = 4.9,

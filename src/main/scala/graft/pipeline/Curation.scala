@@ -61,16 +61,17 @@ object Curation {
     * the END from exact integer aggregates (counts, bigint sums,
     * distinct counts), so the card is bit-reproducible on any engine
     * and any partitioning — an unordered float SUM would not be.
-    * Shape: one hash aggregate over the source column (+ the rule
-    * join, broadcast-sized per doc id); |sources| output rows.
+    * Shape: ONE hash aggregate over the source column — the gopher
+    * verdict rides inline as the pure [[TextOps.gopherKeep]] Column,
+    * so the corpus is scanned once and never joined or shuffled by
+    * doc id; |sources| output rows.
     */
-  def dataCard(docs: DataFrame, idCol: String, sourceCol: String,
-      textCol: String, langCol: String, langs: Seq[String],
+  def dataCard(docs: DataFrame, sourceCol: String, textCol: String,
+      langCol: String, langs: Seq[String],
       cfg: TextOps.GopherConfig = TextOps.GopherConfig()): DataFrame = {
-    val keep = TextOps.gopherRules(docs, idCol, textCol, cfg)
-      .select(col(idCol), col("keep"))
-    val base = docs.join(keep, Seq(idCol))
-      .select(col(sourceCol), col(langCol).as("__lang"), col("keep"),
+    val base = docs
+      .select(col(sourceCol), col(langCol).as("__lang"),
+        TextOps.gopherKeep(col(textCol), cfg).as("keep"),
         TextOps.tokenCount(col(textCol)).cast("long").as("__toks"),
         Dedup.contentHash(col(textCol)).as("__h"))
     val langCols = langs.map(l =>

@@ -154,9 +154,12 @@ object TextOps {
     * `-`/`•`/`*` + space), `ellipsis_line_frac` (lines ending `...`),
     * `stop_hits`.
     */
-  def gopherRules(df: DataFrame, idCol: String, textCol: String,
-      cfg: GopherConfig = GopherConfig()): DataFrame = {
-    val text = col(textCol)
+  /** The seven gopher feature expressions over a text Column, in
+    * output order — ONE definition shared by [[gopherRules]] (the
+    * per-doc decision table) and [[gopherKeep]] (the inline predicate),
+    * so the two can never drift.
+    */
+  private def gopherFeatureCols(text: Column): Seq[(String, Column)] = {
     val nrm = normalize(text)
     val toks = tokens(text)
     val n = size(toks)
@@ -175,14 +178,36 @@ object TextOps {
       l => l.rlike("^\\s*[-•*] "))).cast("double") / nl
     val ellipsisFrac = size(filter(lines,
       l => l.rlike("\\.\\.\\.\\s*$"))).cast("double") / nl
-    val stops = stopwordHits(text)
-    df.select(col(idCol),
-        n.as("n_words"), meanWordLen.as("mean_word_len"),
-        symbolRatio.as("symbol_word_ratio"),
-        alphaFrac.as("alpha_word_frac"),
-        bulletFrac.as("bullet_line_frac"),
-        ellipsisFrac.as("ellipsis_line_frac"),
-        stops.as("stop_hits"))
+    Seq("n_words" -> n, "mean_word_len" -> meanWordLen,
+      "symbol_word_ratio" -> symbolRatio,
+      "alpha_word_frac" -> alphaFrac,
+      "bullet_line_frac" -> bulletFrac,
+      "ellipsis_line_frac" -> ellipsisFrac,
+      "stop_hits" -> stopwordHits(text))
+  }
+
+  /** The seven-rule keep conjunction as a PURE Column over a text
+    * column — for pipelines that only need the verdict (e.g.
+    * [[graft.pipeline.Curation.dataCard]]'s aggregate): zero joins,
+    * zero extra scans, just the same expressions [[gopherRules]]
+    * tables.
+    */
+  def gopherKeep(text: Column,
+      cfg: GopherConfig = GopherConfig()): Column = {
+    val f = gopherFeatureCols(text).toMap
+    f("n_words").between(cfg.minWords, cfg.maxWords) &&
+      f("mean_word_len").between(cfg.minMeanWordLen, cfg.maxMeanWordLen) &&
+      f("symbol_word_ratio") <= cfg.maxSymbolWordRatio &&
+      f("bullet_line_frac") <= cfg.maxBulletLineFrac &&
+      f("ellipsis_line_frac") <= cfg.maxEllipsisLineFrac &&
+      f("alpha_word_frac") >= cfg.minAlphaWordFrac &&
+      f("stop_hits") >= cfg.minStopwordHits
+  }
+
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      cfg: GopherConfig = GopherConfig()): DataFrame = {
+    val feats = gopherFeatureCols(col(textCol))
+    df.select(col(idCol) +: feats.map { case (nm, c) => c.as(nm) }: _*)
       .withColumn("ok_words", col("n_words").between(
         cfg.minWords, cfg.maxWords))
       .withColumn("ok_mean_len", col("mean_word_len").between(
@@ -208,7 +233,9 @@ object TextOps {
     * fraction), each capped, with `keep` tightened to the conjunction
     * of all nine rules. The repetition side is the only aggregating
     * stage (one explode + two doc-keyed hash aggregates); everything
-    * else stays a narrow scan.
+    * else stays a narrow scan. LEFT join: a doc with no token rows
+    * (null text) keeps its row with null repetition features — the
+    * decision table reports every input doc, same as [[gopherRules]].
     */
   def gopherRulesFull(df: DataFrame, idCol: String, textCol: String,
       cfg: GopherConfig = GopherConfig(),
@@ -218,7 +245,7 @@ object TextOps {
       .join(repetitionStats(df, idCol, textCol)
           .select(col(idCol), col("top_word_frac"),
             col("dup_bigram_frac")),
-        Seq(idCol))
+        Seq(idCol), "left")
       .withColumn("ok_top_word", col("top_word_frac") <= maxTopWordFrac)
       .withColumn("ok_dup_bigram",
         col("dup_bigram_frac") <= maxDupBigramFrac)

@@ -182,7 +182,7 @@ class PipelineSpec extends SparkSpec {
       (4L, "b", "en", "too short"),   // fails gopher word window
       (5L, "b", "de", base + " mehr")
     ).toDF("doc_id", "source", "lang", "text")
-    val card = Curation.dataCard(df, "doc_id", "source", "text", "lang",
+    val card = Curation.dataCard(df, "source", "text", "lang",
         Seq("de", "en", "fr"),
         graft.pipeline.TextOps.GopherConfig(minWords = 10, maxWords = 90,
           minMeanWordLen = 0.0, maxMeanWordLen = 10.0,
@@ -260,6 +260,13 @@ class PipelineSpec extends SparkSpec {
       !full(2L).getAs[Boolean]("ok_top_word"),
       "word stuffing must die on the repetition cap alone")
     assert(!full(3L).getAs[Boolean]("ok_dup_bigram"))
+    // a null-text doc still gets its row (left join): the decision
+    // table reports every input doc, like the base table does
+    val withNull = Seq((1L, clean), (9L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val fullIds = TextOps.gopherRulesFull(withNull, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(fullIds == Set(1L, 9L), s"null-text doc dropped: $fullIds")
   }
 
   test("line dedup drops every over-threshold line, keeps order, " +
