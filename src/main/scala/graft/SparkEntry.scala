@@ -663,6 +663,24 @@ object SparkEntry {
       .orderBy("page_id")
   }
 
+  /** Span-level decontamination
+    * ([[graft.pipeline.Dedup.removeBenchmarkSpans]]): corpus = docs
+    * with `doc_id % 10 != 0`, benchmark = the rest; every corpus span
+    * whose 25-char grams appear verbatim in the benchmark is cut out
+    * (quotes die, documents survive). DuckDB re-derives the benchmark
+    * gram set, the semi-join marking, the island merge, and the
+    * reassembly, comparing cleaned text byte-for-byte.
+    */
+  private def qDecontaminateSpans(s: SparkSession, dir: String)
+      : DataFrame = {
+    val d = docs(s, dir)
+    Dedup.removeBenchmarkSpans(d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0), "doc_id", "text", 25)
+      .select(col("doc_id"), col("clean_text"),
+        col("n_removed_chars").cast("bigint").as("n_removed_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Near dedup: shingle → MinHash(8) → banded LSH(4×2) → exact-Jaccard
     * verify ≥ 0.8. No cartesian stage (see [[graft.pipeline.Dedup]]).
     */
@@ -1742,6 +1760,7 @@ object SparkEntry {
     "q_pii" -> (qPii _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
+    "q_decontaminate_spans" -> (qDecontaminateSpans _),
     "q_zorder" -> (qZorder _),
     "q_vocab" -> (qVocab _),
     "q_tfidf" -> (qTfidf _),
@@ -2675,6 +2694,51 @@ object SparkEntry {
         |       CAST(length(d.text) - length(COALESCE(c.ct, d.text))
         |         AS BIGINT) AS n_removed_chars
         |FROM documents d LEFT JOIN cleaned c ON c.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // span decontamination: distinct benchmark grams, semi-join marking
+    // over the corpus occurrences, then the same island-merge +
+    // complement + ordered reassembly as q_substring_dedup
+    "q_decontaminate_spans" ->
+      """WITH bocc AS (
+        |  SELECT DISTINCT md5(substring(text, CAST(p AS INTEGER), 25))
+        |    AS g
+        |  FROM documents,
+        |       unnest(generate_series(1, length(text) - 24)) AS u(p)
+        |  WHERE doc_id % 10 = 0),
+        |corp AS (SELECT doc_id, text FROM documents
+        |         WHERE doc_id % 10 <> 0),
+        |rem AS (
+        |  SELECT doc_id, CAST(p AS INTEGER) AS pos,
+        |         CAST(p AS INTEGER) + 25 AS e
+        |  FROM corp, unnest(generate_series(1, length(text) - 24)) AS u(p)
+        |  WHERE md5(substring(text, CAST(p AS INTEGER), 25))
+        |        IN (SELECT g FROM bocc)),
+        |isl AS (SELECT doc_id, pos, e,
+        |    CASE WHEN pos > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+        |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING), 0) THEN 1 ELSE 0 END AS ni
+        |  FROM rem),
+        |iv AS (SELECT doc_id, MIN(pos) AS s, MAX(e) AS e
+        |       FROM (SELECT *, SUM(ni) OVER (PARTITION BY doc_id
+        |               ORDER BY pos) AS island FROM isl)
+        |       GROUP BY doc_id, island),
+        |seg AS (
+        |  SELECT doc_id, COALESCE(LAG(e) OVER (PARTITION BY doc_id
+        |           ORDER BY s), 1) AS ks, s AS ke
+        |  FROM iv
+        |  UNION ALL
+        |  SELECT iv.doc_id, MAX(iv.e), MIN(length(d.text)) + 1
+        |  FROM iv JOIN corp d USING (doc_id) GROUP BY iv.doc_id),
+        |cleaned AS (
+        |  SELECT seg.doc_id,
+        |         string_agg(substring(d.text, ks, ke - ks), ''
+        |           ORDER BY ks) AS ct
+        |  FROM seg JOIN corp d USING (doc_id)
+        |  GROUP BY seg.doc_id)
+        |SELECT d.doc_id, COALESCE(c.ct, d.text) AS clean_text,
+        |       CAST(length(d.text) - length(COALESCE(c.ct, d.text))
+        |         AS BIGINT) AS n_removed_chars
+        |FROM corp d LEFT JOIN cleaned c ON c.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     // line-level dedup: page synthesis (header + ORDER BY doc_id body +
     // footer, %10==3 docs guesting on the next page), per-line doc

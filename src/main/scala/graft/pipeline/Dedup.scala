@@ -900,8 +900,16 @@ object Dedup {
     * window over segments.
     */
   def dropDuplicateSubstrings(df: DataFrame, idCol: String,
-      textCol: String, gramLen: Int): DataFrame = {
-    val iv = substringRemovalIntervals(df, idCol, textCol, gramLen)
+      textCol: String, gramLen: Int): DataFrame =
+    cutIntervals(df, idCol, textCol,
+      substringRemovalIntervals(df, idCol, textCol, gramLen))
+
+  /** Cut a set of merged `(idCol, s, e)` character intervals out of
+    * each doc's text — the shared reassembly half of
+    * [[dropDuplicateSubstrings]] and [[removeBenchmarkSpans]].
+    */
+  private def cutIntervals(df: DataFrame, idCol: String,
+      textCol: String, iv: DataFrame): DataFrame = {
     val zero = struct(lit(1).as("cur"), lit("").as("acc"))
     val clean = aggregate(
       col("__ivs"),
@@ -922,5 +930,53 @@ object Dedup {
           struct(col("s"), col("e"))))).as("__ivs"))
       .select(col(idCol), clean.as("clean_text"),
         (length(col("__t")) - length(clean)).as("n_removed_chars"))
+  }
+
+  /** TOKEN-LEVEL (span) decontamination: every corpus span that appears
+    * VERBATIM in the benchmark — any `gramLen`-char gram of the corpus
+    * equal to any gram of the benchmark — becomes a removal interval;
+    * overlapping/adjacent spans merge and are cut out
+    * ([[cutIntervals]]). The surgical alternative to doc-level
+    * [[crossCorpusOverlap]]/[[bloomDecontaminate]]: a long document
+    * quoting one benchmark answer loses the QUOTE, not the document.
+    * Output: (`idCol`, `clean_text`, `n_removed_chars`).
+    *
+    * Scale shape: the benchmark side collapses to its DISTINCT gram
+    * hashes (benchmark suites are MBs — broadcast-sized next to a
+    * 100 TB corpus); the corpus occurrence explode is the same
+    * O(total chars) thin stream as [[substringRemovalIntervals]], but
+    * the duplicate marking is a semi-join against the small gram set
+    * instead of a corpus-wide window — no corpus self-shuffle at all.
+    * Compose with [[bloomContaminationHits]] as a prescreen to skip
+    * exploding obviously-clean docs.
+    */
+  def removeBenchmarkSpans(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, gramLen: Int): DataFrame = {
+    require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
+    import org.apache.spark.sql.expressions.Window
+    def occ(df: DataFrame) = df
+      .select(col(idCol).as("__doc"), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= gramLen)
+      .select(col("__doc"),
+        explode(sequence(lit(1), length(col("__t")) - gramLen + 1))
+          .as("pos"),
+        col("__t"))
+      .select(col("__doc"), col("pos"),
+        md5(col("__t").substr(col("pos"), lit(gramLen))).as("__g"))
+    val benchGrams = occ(bench).select("__g").distinct()
+    val rem = occ(corpus)
+      .join(benchGrams, Seq("__g"), "left_semi")
+      .select(col("__doc"), col("pos"), (col("pos") + gramLen).as("__e"))
+    val byDoc = Window.partitionBy("__doc").orderBy("pos")
+    val runMaxEnd = max(col("__e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val iv = rem
+      .withColumn("__ni",
+        when(col("pos") > coalesce(runMaxEnd, lit(0)), 1).otherwise(0))
+      .withColumn("__isl", sum("__ni").over(byDoc))
+      .groupBy(col("__doc"), col("__isl"))
+      .agg(min("pos").as("s"), max("__e").as("e"))
+      .select(col("__doc").as(idCol), col("s"), col("e"))
+    cutIntervals(corpus, idCol, textCol, iv)
   }
 }

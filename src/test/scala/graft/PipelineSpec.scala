@@ -56,6 +56,32 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("Cartesian"))
   }
 
+  test("span decontamination cuts benchmark quotes, not documents") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((100L, "the secret benchmark answer is fourty-two"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // quotes the whole benchmark line mid-document
+      (1L, "intro text here the secret benchmark answer is fourty-two and outro"),
+      (2L, "completely unrelated content with no overlap at all"),
+      // IS the benchmark text exactly -> cleans to ""
+      (3L, "the secret benchmark answer is fourty-two")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeBenchmarkSpans(corpus, bench, "doc_id",
+        "text", 10)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2)))
+      .toMap
+    // every 10-gram of the quote matches the benchmark, so the merged
+    // interval covers exactly the quoted span
+    assert(got(1L)._1 == "intro text here  and outro", got(1L).toString)
+    assert(got(2L) == (("completely unrelated content with no overlap " +
+      "at all", 0)))
+    assert(got(3L) == (("", 41)))
+    // unlike doc-level decontamination, the quoting doc SURVIVES
+    assert(got(1L)._1.nonEmpty)
+  }
+
   test("substring dedup md5/xxhash64 families agree on the fixture " +
       "corpus") {
     def ivSet(f: => org.apache.spark.sql.DataFrame) = f.collect()
