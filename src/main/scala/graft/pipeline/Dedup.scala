@@ -950,6 +950,66 @@ object Dedup {
     * Compose with [[bloomContaminationHits]] as a prescreen to skip
     * exploding obviously-clean docs.
     */
+  /** [[removeBenchmarkSpans]] as ONE narrow per-row map — the serving /
+    * streaming shape: the benchmark's distinct gram hashes are
+    * collected once (benchmark suites are MBs; the set is
+    * broadcast-sized) and shipped to the executors, and each corpus
+    * row marks, merges, and cuts its own spans inside a single UDF
+    * call — no occurrence explode, no shuffle, no window; attaches to
+    * a streaming corpus unchanged (same pattern as
+    * [[bloomContaminationHits]], but exact). Value-identical to the
+    * relational path (spec-pinned) — gram hashing is the same md5.
+    * Caveat: positions here are JVM UTF-16 units while the relational
+    * path counts codepoints — identical on BMP text (all the fixture
+    * corpora); astral-plane corpora should stick to one path.
+    */
+  def removeBenchmarkSpansNarrow(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, gramLen: Int): DataFrame = {
+    require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
+    val benchGrams: Set[String] = bench
+      .select(col(textCol).as("__t"))
+      .filter(length(col("__t")) >= gramLen)
+      .select(explode(sequence(lit(1),
+        length(col("__t")) - gramLen + 1)).as("pos"), col("__t"))
+      .select(md5(col("__t").substr(col("pos"), lit(gramLen))).as("g"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val bc = corpus.sparkSession.sparkContext.broadcast(benchGrams)
+    val cut = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val grams = bc.value
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(s: String): String =
+          md.digest(s.getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+        val n = text.length
+        var spans = List.empty[(Int, Int)] // reversed merged intervals
+        var p = 0
+        while (p + gramLen <= n) {
+          if (grams.contains(hex(text.substring(p, p + gramLen)))) {
+            spans = spans match {
+              case (s0, e0) :: tail if p <= e0 => (s0, p + gramLen) :: tail
+              case _ => (p, p + gramLen) :: spans
+            }
+          }
+          p += 1
+        }
+        val sb = new StringBuilder
+        var cur = 0
+        spans.reverse.foreach { case (s0, e0) =>
+          sb.append(text.substring(cur, s0)); cur = e0
+        }
+        sb.append(text.substring(cur))
+        sb.toString
+      }
+    }
+    corpus.select(col(idCol), col(textCol).as("__t"))
+      .withColumn("clean_text", cut(col("__t")))
+      .select(col(idCol), col("clean_text"),
+        (length(col("__t")) - length(col("clean_text")))
+          .as("n_removed_chars"))
+  }
+
   def removeBenchmarkSpans(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, gramLen: Int): DataFrame = {
     require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")

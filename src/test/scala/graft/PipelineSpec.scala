@@ -82,6 +82,25 @@ class PipelineSpec extends SparkSpec {
     assert(got(1L)._1.nonEmpty)
   }
 
+  test("narrow span decontamination equals the relational path on the " +
+      "fixture corpus") {
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val rel = res(Dedup.removeBenchmarkSpans(corpus, bench,
+      "doc_id", "text", 25))
+    val nar = res(Dedup.removeBenchmarkSpansNarrow(corpus, bench,
+      "doc_id", "text", 25))
+    assert(rel == nar, "narrow and relational paths must agree")
+    assert(rel.exists(_._3 > 0), "fixture must have contaminated spans")
+    // the narrow path is plan-thin: no exchange, no generator explode
+    val plan = Dedup.removeBenchmarkSpansNarrow(corpus, bench,
+      "doc_id", "text", 25).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"narrow path must not shuffle:\n$plan")
+  }
+
   test("substring dedup md5/xxhash64 families agree on the fixture " +
       "corpus") {
     def ivSet(f: => org.apache.spark.sql.DataFrame) = f.collect()
