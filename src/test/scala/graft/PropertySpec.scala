@@ -383,4 +383,72 @@ class PropertySpec extends SparkSpec {
         BpeReference.train(occurrences, k)
     })
   }
+
+  test("property: substring removal intervals == brute-force reference " +
+      "on random corpora") {
+    import scala.jdk.CollectionConverters._
+    val L = 3
+    val docGen = SGen.choose(0, 12).flatMap(l =>
+      SGen.listOfN(l, SGen.oneOf('a', 'b')).map(_.mkString))
+    val gen = SGen.choose(1, 5).flatMap(n => SGen.listOfN(n, docGen))
+    check(Prop.forAll(gen) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // brute force: every (doc,pos) L-gram; canonical = min (doc,pos)
+      // per gram; others are removal spans; merge overlapping/adjacent
+      val occ = for {
+        (id, t) <- rows; p <- 1 to t.length - L + 1
+      } yield (t.substring(p - 1, p - 1 + L), id, p)
+      val removed = occ.groupBy(_._1).values.flatMap { os =>
+        if (os.size < 2) Nil else os.sortBy(o => (o._2, o._3)).tail
+      }.toSeq
+      val want = removed.groupBy(_._2).view.mapValues { os =>
+        os.map(_._3).sorted.foldLeft(List.empty[(Int, Int)]) {
+          case ((s0, e0) :: tl, p) if p <= e0 => (s0, p + L) :: tl
+          case (acc, p) => (p, p + L) :: acc
+        }.reverse
+      }.toMap
+      val df = spark.createDataFrame(
+        rows.map { case (id, t) => Row(id, t) }.asJava,
+        StructType.fromDDL("doc_id BIGINT, text STRING"))
+      val got = graft.pipeline.Dedup
+        .substringRemovalIntervals(df, "doc_id", "text", L)
+        .collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(r => (r.getInt(1), r.getInt(2)))
+          .sortBy(_._1).toList)
+        .toMap
+      got == want.filter(_._2.nonEmpty).map { case (k, v) => k -> v }
+    })
+  }
+
+  test("property: token windows == reference slicing for arbitrary " +
+      "(len, window, stride)") {
+    import scala.jdk.CollectionConverters._
+    val gen = for {
+      len <- SGen.choose(0, 40)
+      w <- SGen.choose(1, 12)
+      s <- SGen.choose(1, w)
+    } yield (len, w, s)
+    check(Prop.forAll(gen) { case (len, w, s) =>
+      val ids = (1 to len).toArray
+      val want =
+        if (len == 0) Seq.empty
+        else {
+          val nWin = if (len <= w) 1
+            else 1 + math.ceil((len - w).toDouble / s).toInt
+          for {
+            j <- 0 until nWin
+            (tid, p) <- ids.slice(j * s, j * s + w).zipWithIndex
+          } yield (j, p + 1, tid)
+        }
+      val df = spark.createDataFrame(
+        Seq(Row(1L, ids.toSeq)).asJava,
+        StructType.fromDDL("doc_id BIGINT, ids ARRAY<INT>"))
+      val got = graft.pipeline.Packing
+        .tokenWindows(df, "doc_id", "ids", w, s)
+        .collect()
+        .map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq.sorted
+      got == want.sorted
+    })
+  }
 }
