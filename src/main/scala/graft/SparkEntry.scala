@@ -681,6 +681,46 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** C4 page filter ([[graft.pipeline.TextOps.c4Rules]]): docs fold
+    * into 25 multi-line pages (one doc = one line, `doc_id % 25`
+    * pages), with deterministic injections so every published rule
+    * fires — `% 3` drops the terminal punctuation (line cut),
+    * `% 7 == 3` mentions javascript (line cut), `% 19 == 0` shortens
+    * the line below 3 words (line cut), `% 199 == 5` adds a code
+    * brace, `% 211 == 7` "lorem ipsum", `% 223 == 11` a blocklisted
+    * word (page drops). DuckDB rebuilds the pages and the whole
+    * decision table, cleaned text compared byte-for-byte.
+    */
+  private def qC4Rules(s: SparkSession, dir: String): DataFrame = {
+    val line = concat(
+      when(col("doc_id") % 19 === 0, lit("too short"))
+        .otherwise(col("text")),
+      when(col("doc_id") % 7 === 3, lit(" see javascript console"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 199 === 5, lit(" { inline code }"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 211 === 7, lit(" lorem ipsum dolor"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 223 === 11, lit(" flaggedterm"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 3 === 0, lit("."))
+        .when(col("doc_id") % 3 === 1, lit("?"))
+        .otherwise(lit("")))
+    val pages = docs(s, dir)
+      .select((col("doc_id") % 25).as("page_id"), col("doc_id"),
+        line.as("line"))
+      .groupBy("page_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("doc_id"), col("line")))),
+          x => x.getField("line")),
+        "\n").as("text"))
+    TextOps.c4Rules(pages, "page_id", "text",
+        TextOps.C4Config(minSentences = 11,
+          badWords = Seq("flaggedterm")))
+      .orderBy("page_id")
+  }
+
   /** Near dedup: shingle → MinHash(8) → banded LSH(4×2) → exact-Jaccard
     * verify ≥ 0.8. No cartesian stage (see [[graft.pipeline.Dedup]]).
     */
@@ -1756,6 +1796,7 @@ object SparkEntry {
     "q_quality" -> (qQuality _),
     "q_gopher_rules" -> (qGopherRules _),
     "q_gopher_full" -> (qGopherFull _),
+    "q_c4_rules" -> (qC4Rules _),
     "q_repetition" -> (qRepetition _),
     "q_pii" -> (qPii _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -2935,6 +2976,70 @@ object SparkEntry {
          |    AND rep.dup_bigram_frac <= 0.05 AS keep
          |FROM feat JOIN rep ON rep.doc_id = feat.doc_id
          |ORDER BY feat.doc_id""".stripMargin,
+    // C4: pages rebuilt line-for-line with the same doc_id-keyed
+    // injections, then the full decision table — line keeps, cleaned
+    // text (byte-compared), sentence counts, page verdicts
+    "q_c4_rules" ->
+      """WITH lns AS (
+        |  SELECT doc_id % 25 AS page_id, doc_id,
+        |    (CASE WHEN doc_id % 19 = 0 THEN 'too short' ELSE text END)
+        |    || (CASE WHEN doc_id % 7 = 3 THEN ' see javascript console'
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 199 = 5 THEN ' { inline code }'
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 211 = 7 THEN ' lorem ipsum dolor'
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 223 = 11 THEN ' flaggedterm'
+        |        ELSE '' END)
+        |    || (CASE doc_id % 3 WHEN 0 THEN '.' WHEN 1 THEN '?'
+        |        ELSE '' END) AS line
+        |  FROM documents),
+        |pages AS (
+        |  SELECT page_id, string_agg(line, chr(10) ORDER BY doc_id)
+        |    AS text
+        |  FROM lns GROUP BY page_id),
+        |ls AS (
+        |  SELECT page_id, CAST(i AS INTEGER) AS ln,
+        |    list_extract(string_split(text, chr(10)),
+        |      CAST(i AS INTEGER)) AS line
+        |  FROM pages,
+        |    unnest(generate_series(1,
+        |      len(string_split(text, chr(10))))) AS u(i)),
+        |judged AS (
+        |  SELECT page_id, ln, line,
+        |    regexp_matches(line, '[.!?"]\s*$')
+        |      AND len(string_split_regex(trim(line), '\s+')) >= 3
+        |      AND NOT regexp_matches(lower(line), '\bjavascript\b')
+        |      AS keep_line
+        |  FROM ls),
+        |built AS (
+        |  SELECT page_id, COUNT(*) AS n_lines,
+        |    SUM(CASE WHEN keep_line THEN 1 ELSE 0 END) AS n_kept,
+        |    COALESCE(string_agg(CASE WHEN keep_line THEN line END,
+        |      chr(10) ORDER BY ln), '') AS clean_text
+        |  FROM judged GROUP BY page_id)
+        |SELECT p.page_id,
+        |  CAST(b.n_lines AS BIGINT) AS n_lines,
+        |  CAST(b.n_kept AS BIGINT) AS n_kept_lines,
+        |  b.clean_text,
+        |  CAST(len(b.clean_text)
+        |    - len(regexp_replace(b.clean_text, '[.!?]', '', 'g'))
+        |    AS BIGINT) AS n_sentences,
+        |  contains(p.text, '{') AS has_brace,
+        |  contains(lower(p.text), 'lorem ipsum') AS has_lorem,
+        |  regexp_matches(lower(p.text), '\b(flaggedterm)\b')
+        |    AS has_bad_word,
+        |  (len(b.clean_text)
+        |    - len(regexp_replace(b.clean_text, '[.!?]', '', 'g')))
+        |    >= 11 AS ok_sentences,
+        |  NOT contains(p.text, '{')
+        |    AND NOT contains(lower(p.text), 'lorem ipsum')
+        |    AND NOT regexp_matches(lower(p.text), '\b(flaggedterm)\b')
+        |    AND (len(b.clean_text)
+        |      - len(regexp_replace(b.clean_text, '[.!?]', '', 'g')))
+        |      >= 11 AS keep
+        |FROM pages p JOIN built b USING (page_id)
+        |ORDER BY p.page_id""".stripMargin,
     "q_pii" -> {
       import graft.pipeline.TextOps.{emailRe, urlRe, phoneRe, ccRe, ipv4Re}
       s"""WITH synth AS (SELECT c_custkey,

@@ -252,6 +252,78 @@ object TextOps {
       .withColumn("keep",
         col("keep") && col("ok_top_word") && col("ok_dup_bigram"))
 
+  /** C4 cleaning thresholds (Raffel et al. 2020 §2.2, "Exploring the
+    * Limits of Transfer Learning" — the published c4 heuristics).
+    * Published values: lines must end in terminal punctuation and carry
+    * ≥ 3 words; pages need ≥ 5 sentences; pages with code braces,
+    * "lorem ipsum", or a blocklisted word are dropped entirely.
+    * `badWords` entries must be plain `[A-Za-z0-9]+` words — they are
+    * interpolated into a word-boundary regex.
+    */
+  case class C4Config(
+      minLineWords: Int = 3,
+      minSentences: Int = 5,
+      badWords: Seq[String] = Seq.empty) {
+    require(badWords.forall(_.matches("[A-Za-z0-9]+")),
+      s"badWords must be plain alphanumeric words, got $badWords")
+  }
+
+  /** The C4 per-LINE keep predicate as a pure Column: ends in terminal
+    * punctuation (`.` `!` `?` or a closing double quote), has at least
+    * `minLineWords` whitespace words, and does not mention the word
+    * "javascript" (case-insensitive, word-bounded) — the three
+    * line-level rules of the published filter.
+    */
+  def c4LineKeep(line: Column, minLineWords: Int = 3): Column =
+    line.rlike("[.!?\"]\\s*$") &&
+      size(split(trim(line), "\\s+")) >= minLineWords &&
+      !lower(line).rlike("\\bjavascript\\b")
+
+  /** C4 page filter (Raffel et al. 2020 §2.2) as an auditable decision
+    * table, companion to [[gopherRules]]: one row per input page with
+    * every feature, every per-rule verdict, the cleaned text (only the
+    * kept lines, original order), and the final `keep`.
+    *
+    * Line rules ([[c4LineKeep]]) REWRITE the page: failing lines are
+    * cut. Page rules DROP it: a code brace anywhere, the phrase
+    * "lorem ipsum", any blocklisted word (all judged on the RAW text,
+    * as published), or fewer than `minSentences` sentences AFTER line
+    * cleaning — sentences counted as `.` `!` `?` occurrences in the
+    * cleaned text.
+    *
+    * 100 TB shape: every column is a narrow per-row expression over the
+    * page text — no shuffle, no join, no UDF; the filter runs at scan
+    * speed and composes with [[graft.pipeline.Dedup.dropDuplicateLines]]
+    * (CCNet line dedup) for the full public C4+CCNet cleaning recipe.
+    */
+  def c4Rules(pages: DataFrame, idCol: String, textCol: String,
+      cfg: C4Config = C4Config()): DataFrame = {
+    val text = col(textCol)
+    val lines = split(text, "\n")
+    val kept = filter(lines, l => c4LineKeep(l, cfg.minLineWords))
+    val cleaned = array_join(kept, "\n")
+    val nSentences =
+      (length(cleaned) - length(regexp_replace(cleaned, "[.!?]", "")))
+        .cast("bigint")
+    val hasBad =
+      if (cfg.badWords.isEmpty) lit(false)
+      else lower(text).rlike("\\b(" + cfg.badWords.mkString("|") + ")\\b")
+    pages.select(
+        col(idCol),
+        size(lines).cast("bigint").as("n_lines"),
+        size(kept).cast("bigint").as("n_kept_lines"),
+        cleaned.as("clean_text"),
+        nSentences.as("n_sentences"),
+        text.contains("{").as("has_brace"),
+        lower(text).contains("lorem ipsum").as("has_lorem"),
+        hasBad.as("has_bad_word"))
+      .withColumn("ok_sentences",
+        col("n_sentences") >= cfg.minSentences)
+      .withColumn("keep",
+        !col("has_brace") && !col("has_lorem") && !col("has_bad_word") &&
+          col("ok_sentences"))
+  }
+
   /** 16-bit SimHash over the token stream, md5-nibble variant (oracle-
     * portable). Per token t and bit b: the b-th bit of the first 4 nibbles
     * of md5(t); sum of (2·bit−1) over tokens; sign → bit of the signature.

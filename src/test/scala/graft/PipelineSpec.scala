@@ -314,6 +314,52 @@ class PipelineSpec extends SparkSpec {
     assert(fullIds == Set(1L, 9L), s"null-text doc dropped: $fullIds")
   }
 
+  test("c4 rules: line cuts rewrite the page, page rules drop it") {
+    val s = spark
+    import s.implicits._
+    val good = "this line has five good words."
+    val df = Seq(
+      (1L, s"$good\nanother fine sentence right here!\nis it a question?"),
+      (2L, s"no terminal punctuation here\n$good\n$good\n$good"),
+      (3L, s"too short.\n$good\n$good\n$good"),
+      (4L, s"enable JavaScript to continue.\n$good\n$good\n$good"),
+      (5L, s"$good\nfunction f() { return 1; }\n$good\n$good"),
+      (6L, s"$good\nLorem Ipsum dolor sit amet.\n$good"),
+      (7L, s"$good\nbuy cheappills online now.\n$good"),
+      (8L, "\"a quoted sentence keeps its line.\"\n" + good)
+    ).toDF("page_id", "text")
+    val got = TextOps.c4Rules(df, "page_id", "text",
+        TextOps.C4Config(minSentences = 3,
+          badWords = Seq("cheappills")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"), got(1L).toString)
+    assert(got(1L).getAs[Long]("n_sentences") == 3L)
+    // line cuts: the failing line vanishes, the page survives if
+    // enough sentences remain
+    assert(got(2L).getAs[Long]("n_kept_lines") == 3L &&
+      got(2L).getAs[Boolean]("keep"))
+    assert(!got(2L).getAs[String]("clean_text").contains("no terminal"))
+    assert(got(3L).getAs[Long]("n_kept_lines") == 3L,
+      "a 2-word line must be cut even with terminal punctuation")
+    assert(got(4L).getAs[Long]("n_kept_lines") == 3L,
+      "javascript match is case-insensitive")
+    // page drops: raw-text verdicts, independent of line cleaning
+    assert(got(5L).getAs[Boolean]("has_brace") &&
+      !got(5L).getAs[Boolean]("keep"))
+    assert(got(6L).getAs[Boolean]("has_lorem") &&
+      !got(6L).getAs[Boolean]("keep"))
+    assert(got(7L).getAs[Boolean]("has_bad_word") &&
+      !got(7L).getAs[Boolean]("keep"))
+    // a closing double quote counts as terminal punctuation
+    assert(got(8L).getAs[Long]("n_kept_lines") == 2L)
+    // default config has no blocklist; page 7 then keeps
+    val noList = TextOps.c4Rules(df, "page_id", "text",
+        TextOps.C4Config(minSentences = 1))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!noList(7L).getAs[Boolean]("has_bad_word") &&
+      noList(7L).getAs[Boolean]("keep"))
+  }
+
   test("line dedup drops every over-threshold line, keeps order, " +
       "matches on the normalized form") {
     val s = spark
