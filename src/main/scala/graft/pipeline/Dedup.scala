@@ -761,15 +761,23 @@ object Dedup {
     *
     * Scale shape (the suffix-array equivalent, relationally): the
     * occurrence table is O(total chars) thin rows — (doc, pos, md5) —
-    * exactly a suffix array's footprint; duplicate marking is ONE
-    * shuffle (window over the gram hash: partition count + canonical
-    * row_number share the partitioning, the second window reuses the
-    * first's exchange); interval merging shuffles only the REMOVAL
-    * occurrences (the small output side) by doc. No self-join on
-    * positions, no driver state. md5 keeps the oracle cross-engine;
-    * xxhash64(gram) is the production drop-in (same pattern as
-    * [[minHashSignatures64]]). Collisions: a 128-bit hash equating two
-    * distinct grams is ~2^-64-scale — documented, not guarded.
+    * exactly a suffix array's footprint; duplicate marking is a
+    * per-gram AGGREGATE — `groupBy(gram).agg(count,
+    * min(struct(doc, pos)))` — joined back to the occurrence stream,
+    * deliberately NOT a window over the gram hash. The difference is
+    * what survives skew: a real corpus has hot boilerplate grams
+    * (licence headers, whitespace runs) that can own a large fraction
+    * of all positions, and a window `partition by gram` sends every
+    * one of those occurrences to a single reducer's sort, while the
+    * aggregate absorbs them in map-side partials (one row per gram per
+    * input partition reaches the shuffle) and the join-back is a plain
+    * equi-join AQE can skew-split. Interval merging then shuffles only
+    * the REMOVAL occurrences (the small output side) by doc. No
+    * self-join on positions, no driver state. md5 keeps the oracle
+    * cross-engine; xxhash64(gram) is the production drop-in (same
+    * pattern as [[minHashSignatures64]]). Collisions: a 128-bit hash
+    * equating two distinct grams is ~2^-64-scale — documented, not
+    * guarded.
     */
   def substringRemovalIntervals(df: DataFrame, idCol: String,
       textCol: String, gramLen: Int): DataFrame =
@@ -803,12 +811,20 @@ object Dedup {
         col("__t"))
       .select(col("__doc"), col("pos"),
         gramHash(col("__t").substr(col("pos"), lit(gramLen))).as("__g"))
-    val byGram = Window.partitionBy("__g")
-    val marked = occ
-      .withColumn("__c", count(lit(1)).over(byGram))
-      .withColumn("__rn",
-        row_number().over(byGram.orderBy("__doc", "pos")))
-    val rem = marked.filter(col("__c") > 1 && col("__rn") > 1)
+    // duplicate marking WITHOUT a window on the gram hash: per-gram
+    // aggregate (map-side partials absorb hot boilerplate grams) +
+    // join-back (AQE-skew-splittable), keeping only non-canonical
+    // occurrences — see the scaladoc for why this survives skew that
+    // a `partition by __g` window would not
+    val dupCanon = occ
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("__doc"), col("pos"))).as("__canon"))
+      .filter(col("__c") > 1)
+      .select(col("__g"), col("__canon"))
+    val rem = occ.join(dupCanon, Seq("__g"))
+      .filter(col("__canon.__doc") =!= col("__doc") ||
+        col("__canon.pos") =!= col("pos"))
       .select(col("__doc"), col("pos"),
         (col("pos") + gramLen).as("__e"))
     val byDoc = Window.partitionBy("__doc").orderBy("pos")

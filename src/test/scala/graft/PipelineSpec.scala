@@ -42,18 +42,50 @@ class PipelineSpec extends SparkSpec {
     assert(clean(6L) == (("zzzzqqqqwwww", 0)))
   }
 
-  test("substring dedup occurrence marking shares ONE gram-hash " +
-      "exchange between its two windows") {
+  test("substring dedup occurrence marking is an aggregate + join — " +
+      "never a window partitioned by the gram hash") {
     val iv = Dedup.substringRemovalIntervals(docs, "doc_id", "text", 40)
+    // a `partition by __g` window would single-task a hot boilerplate
+    // gram's entire occurrence list; the marking must instead be a
+    // per-gram aggregate (map-side partials) + AQE-splittable join.
+    // The only windows allowed are the doc-keyed island merge.
+    val windows = iv.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "island merge still windows by doc")
+    windows.foreach { w =>
+      val parts = w.partitionSpec.map(_.toString)
+      assert(!parts.exists(_.contains("__g")),
+        s"window partitioned on the gram hash: $parts")
+      assert(parts.exists(_.contains("__doc")),
+        s"expected doc-keyed window, got: $parts")
+    }
     val plan = iv.queryExecution.executedPlan.toString
-    // count + canonical row_number both partition by the gram hash: the
-    // second window must reuse the first's exchange, so exactly one
-    // hashpartitioning on __g appears (plus the doc-keyed island merge)
-    val gramExchanges = "hashpartitioning\\(__g".r
-      .findAllIn(plan).length
-    assert(gramExchanges == 1,
-      s"expected one gram-hash exchange, got $gramExchanges in:\n$plan")
     assert(!plan.contains("Cartesian"))
+  }
+
+  test("substring dedup survives a pathologically hot gram (one gram " +
+      "owning nearly every position)") {
+    val s = spark
+    import s.implicits._
+    // doc 0: 100×'A' — positions 1..96 are all the SAME 5-gram, the
+    // worst-case hot key; docs 1..200 are identical copies of one text
+    // so every gram of every copy duplicates doc 1's
+    val hot = Seq(0L -> ("A" * 100)) ++
+      (1L to 200L).map(_ -> "the same boilerplate body")
+    val df = hot.toDF("doc_id", "text")
+    val clean = Dedup.dropDuplicateSubstrings(df, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2)))
+      .toMap
+    // canonical occurrence of the hot gram is (0, 1); removals at
+    // pos 2..96 merge into [2,101) -> one surviving 'A'
+    assert(clean(0L) == (("A", 99)), clean(0L).toString)
+    // doc 1 is the canonical home of the copied text — untouched
+    assert(clean(1L) == (("the same boilerplate body", 0)))
+    // every later copy is fully covered and cleans to ""
+    (2L to 200L).foreach { id =>
+      assert(clean(id) == (("", 25)), s"doc $id: ${clean(id)}")
+    }
   }
 
   test("span decontamination cuts benchmark quotes, not documents") {
