@@ -1177,6 +1177,35 @@ object SparkEntry {
           .as("n_match"))
   }
 
+  /** Production-path parity row for 64-bit exact substring dedup (the
+    * r12 verdict's ask): [[graft.pipeline.Dedup
+    * .substringRemovalIntervals64]] is the production xxhash64 hash
+    * path, but xxhash64 has no ANSI-SQL oracle, so the gate instead
+    * pins its removal intervals against the md5 path's — two hash
+    * families through the same marking + island merge, compared per
+    * document over the whole fixture (docs with NO intervals compare
+    * null-safely equal). Any family divergence — or a hash collision
+    * equating two distinct grams — turns n_match < n_docs and the row
+    * red.
+    */
+  private def qSubstringDedup64Parity(s: SparkSession, dir: String)
+      : DataFrame = {
+    def ivs(df: DataFrame, name: String) = df
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e"))))
+        .as(name))
+    val a = ivs(Dedup.substringRemovalIntervals(
+      docs(s, dir), "doc_id", "text", 40), "__md5")
+    val b = ivs(Dedup.substringRemovalIntervals64(
+      docs(s, dir), "doc_id", "text", 40), "__xx")
+    docs(s, dir).select("doc_id")
+      .join(a, Seq("doc_id"), "left")
+      .join(b, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__md5") <=> col("__xx"), 1L).otherwise(0L))
+          .as("n_match"))
+  }
+
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0)
@@ -1815,6 +1844,7 @@ object SparkEntry {
     "q_simhash_near" -> (qSimhashNear _),
     "q_winnow64_parity" -> (qWinnow64Parity _),
     "q_simhash64_parity" -> (qSimhash64Parity _),
+    "q_substring_dedup64_parity" -> (qSubstringDedup64Parity _),
     "q_sim_topk" -> (qSimTopk _),
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
@@ -3225,6 +3255,10 @@ object SparkEntry {
     "q_simhash64_parity" ->
       // same pattern for the 64-bit SimHash: aggregate-shaped vs
       // per-row Column re-derivations must agree on every document
+      "SELECT count(*) AS n_docs, count(*) AS n_match FROM documents",
+    "q_substring_dedup64_parity" ->
+      // same pattern for 64-bit substring dedup: md5 and xxhash64
+      // removal intervals must agree per document across the fixture
       "SELECT count(*) AS n_docs, count(*) AS n_match FROM documents",
     "q_sim_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

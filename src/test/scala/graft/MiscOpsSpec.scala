@@ -174,4 +174,25 @@ class MiscOpsSpec extends SparkSpec {
       .select(md5(col("w"))).distinct().count()
     assert(hashes == 1L, "NFC'd renderings must hash identically")
   }
+
+  test("README's documented query count matches SparkEntry.queries") {
+    // the count drifted twice across rounds (r10, r12 verdicts) — pin
+    // the doc to the code so a new gate row can't ship without the one
+    // README line that advertises it
+    val readme = scala.io.Source.fromFile("README.md", "UTF-8")
+    val line = try readme.getLines()
+        .find(_.contains("end-to-end queries"))
+        .getOrElse(fail("README no longer documents the query count"))
+      finally readme.close()
+    val documented = "(\\d+) end-to-end queries".r
+      .findFirstMatchIn(line).map(_.group(1).toInt)
+      .getOrElse(fail(s"no count in README line: $line"))
+    assert(documented == SparkEntry.queries.size,
+      s"README says $documented queries; SparkEntry has " +
+        s"${SparkEntry.queries.size} — update README.md")
+    // every oracle key must name a real query (a typo'd key silently
+    // weakens the gate to rows-only)
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL for unknown queries: $orphans")
+  }
 }
