@@ -313,7 +313,7 @@ object Dedup {
       .select("shingle").distinct()
     val n = math.max(shingles.count(), 1L)
     val bf = shingles.stat.bloomFilter("shingle", n, fpp)
-    bench.sparkSession.sparkContext.broadcast(bf)
+    trackBench(bench.sparkSession.sparkContext.broadcast(bf))
   }
 
   /** Per-corpus-doc count of distinct shingles that HIT the benchmark
@@ -891,8 +891,11 @@ object Dedup {
               struct(col("__ln"), col("__line")))),
             x => x.getField("__line")),
           delim).as("clean_text"))
+    // null text splits to a null array: coalesce its size to 0 so the
+    // row reports ('', 0) — consistent accounting, never a null count
     df.select(col(idCol),
-        size(split(col(textCol), pat)).as("__n_total"))
+        coalesce(size(split(col(textCol), pat)), lit(0))
+          .as("__n_total"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
@@ -948,6 +951,131 @@ object Dedup {
         (length(col("__t")) - length(clean)).as("n_removed_chars"))
   }
 
+  // benchmark-side broadcasts outstanding since the last
+  // [[releaseBenchBroadcasts]] drain — one entry per
+  // [[bloomContaminationHits]]/[[bloomDecontaminate]] filter and per
+  // [[removeBenchmarkSpansNarrow]] gram set. Weak references: a caller
+  // that never drains still gets the ContextCleaner's GC-driven cleanup
+  // once the frames built on them are dropped (the registry must not be
+  // what keeps the blocks alive); the drain is the EAGER path on top,
+  // mirroring [[Similarity.releaseQueryPins]].
+  private val benchBroadcasts =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      java.lang.ref.WeakReference[org.apache.spark.broadcast.Broadcast[_]]]
+
+  private def trackBench[T](b: org.apache.spark.broadcast.Broadcast[T])
+      : org.apache.spark.broadcast.Broadcast[T] = {
+    benchBroadcasts.add(
+      new java.lang.ref.WeakReference[
+        org.apache.spark.broadcast.Broadcast[_]](b))
+    b
+  }
+
+  /** Eagerly destroy every benchmark-side broadcast (Bloom filters,
+    * narrow-path gram sets) registered since the last drain — the
+    * explicit release for long-lived drivers that decontaminate many
+    * corpora, so broadcast blocks don't accumulate until GC. Call ONLY
+    * after every frame built from them has been fully consumed: a
+    * destroyed broadcast fails any still-lazy frame reading it.
+    * Returns the number destroyed (GC-collected entries drain
+    * silently).
+    */
+  def releaseBenchBroadcasts(): Int = {
+    var n = 0
+    var ref = benchBroadcasts.poll()
+    while (ref != null) {
+      val b = ref.get()
+      if (b != null) { b.destroy(); n += 1 }
+      ref = benchBroadcasts.poll()
+    }
+    n
+  }
+
+  /** [[removeBenchmarkSpans]] as ONE narrow per-row map — the serving /
+    * streaming shape: the benchmark's distinct gram hashes are
+    * collected once (benchmark suites are MBs; the set is
+    * broadcast-sized) and shipped to the executors as a SORTED primitive
+    * long array — the first 8 md5 bytes per gram, probed by binary
+    * search with no per-gram hex formatting and ~8 driver bytes per
+    * benchmark gram. Each corpus row marks, merges, and cuts its own
+    * spans inside a single UDF call — no occurrence explode, no
+    * shuffle, no window; attaches to a streaming corpus unchanged (same
+    * pattern as [[bloomContaminationHits]], but exact). Positions are
+    * CODEPOINT indices, matching the relational path's `substr`
+    * semantics on astral-plane text, and value equality with
+    * [[removeBenchmarkSpans]] is spec-pinned (including an astral
+    * fixture). Truncating md5 to 64 bits can in principle equate two
+    * distinct grams (~2^-64-scale per pair) — same documented
+    * non-guard as the 128-bit relational form.
+    */
+  def removeBenchmarkSpansNarrow(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, gramLen: Int): DataFrame = {
+    require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
+    // Spark-side hashing stays md5-hex (shared with the oracle path);
+    // only the 64-bit prefix crosses to the driver as a primitive long
+    val benchGrams: Array[Long] = bench
+      .select(col(textCol).as("__t"))
+      .filter(length(col("__t")) >= gramLen)
+      .select(explode(sequence(lit(1),
+        length(col("__t")) - gramLen + 1)).as("pos"), col("__t"))
+      .select(md5(col("__t").substr(col("pos"), lit(gramLen))).as("g"))
+      .distinct().collect()
+      .map(r => java.lang.Long.parseUnsignedLong(
+        r.getString(0).substring(0, 16), 16))
+      .distinct.sorted
+    val bc = trackBench(
+      corpus.sparkSession.sparkContext.broadcast(benchGrams))
+    val cut = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val grams = bc.value
+        val md = java.security.MessageDigest.getInstance("MD5")
+        // char offset of each codepoint start (off(nCp) = text.length),
+        // so gram slicing and span cutting both count CODEPOINTS —
+        // byte-identical to the relational path on astral text
+        val nChars = text.length
+        val off = new Array[Int](nChars + 1)
+        var nCp = 0
+        var ci = 0
+        while (ci < nChars) {
+          off(nCp) = ci
+          ci += Character.charCount(text.codePointAt(ci))
+          nCp += 1
+        }
+        off(nCp) = nChars
+        var spans = List.empty[(Int, Int)] // reversed merged, cp indices
+        var p = 0
+        while (p + gramLen <= nCp) {
+          val d = md.digest(text.substring(off(p), off(p + gramLen))
+            .getBytes("UTF-8"))
+          val h = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+            ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+            ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+            ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+          if (java.util.Arrays.binarySearch(grams, h) >= 0) {
+            spans = spans match {
+              case (s0, e0) :: tail if p <= e0 => (s0, p + gramLen) :: tail
+              case _ => (p, p + gramLen) :: spans
+            }
+          }
+          p += 1
+        }
+        val sb = new java.lang.StringBuilder
+        var cur = 0
+        spans.reverse.foreach { case (s0, e0) =>
+          sb.append(text, off(cur), off(s0)); cur = e0
+        }
+        sb.append(text, off(cur), nChars)
+        sb.toString
+      }
+    }
+    corpus.select(col(idCol), col(textCol).as("__t"))
+      .withColumn("clean_text", cut(col("__t")))
+      .select(col(idCol), col("clean_text"),
+        (length(col("__t")) - length(col("clean_text")))
+          .as("n_removed_chars"))
+  }
+
   /** TOKEN-LEVEL (span) decontamination: every corpus span that appears
     * VERBATIM in the benchmark — any `gramLen`-char gram of the corpus
     * equal to any gram of the benchmark — becomes a removal interval;
@@ -966,66 +1094,6 @@ object Dedup {
     * Compose with [[bloomContaminationHits]] as a prescreen to skip
     * exploding obviously-clean docs.
     */
-  /** [[removeBenchmarkSpans]] as ONE narrow per-row map — the serving /
-    * streaming shape: the benchmark's distinct gram hashes are
-    * collected once (benchmark suites are MBs; the set is
-    * broadcast-sized) and shipped to the executors, and each corpus
-    * row marks, merges, and cuts its own spans inside a single UDF
-    * call — no occurrence explode, no shuffle, no window; attaches to
-    * a streaming corpus unchanged (same pattern as
-    * [[bloomContaminationHits]], but exact). Value-identical to the
-    * relational path (spec-pinned) — gram hashing is the same md5.
-    * Caveat: positions here are JVM UTF-16 units while the relational
-    * path counts codepoints — identical on BMP text (all the fixture
-    * corpora); astral-plane corpora should stick to one path.
-    */
-  def removeBenchmarkSpansNarrow(corpus: DataFrame, bench: DataFrame,
-      idCol: String, textCol: String, gramLen: Int): DataFrame = {
-    require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
-    val benchGrams: Set[String] = bench
-      .select(col(textCol).as("__t"))
-      .filter(length(col("__t")) >= gramLen)
-      .select(explode(sequence(lit(1),
-        length(col("__t")) - gramLen + 1)).as("pos"), col("__t"))
-      .select(md5(col("__t").substr(col("pos"), lit(gramLen))).as("g"))
-      .distinct().collect().map(_.getString(0)).toSet
-    val bc = corpus.sparkSession.sparkContext.broadcast(benchGrams)
-    val cut = udf { (text: String) =>
-      if (text == null) null
-      else {
-        val grams = bc.value
-        val md = java.security.MessageDigest.getInstance("MD5")
-        def hex(s: String): String =
-          md.digest(s.getBytes("UTF-8"))
-            .map(b => f"$b%02x").mkString
-        val n = text.length
-        var spans = List.empty[(Int, Int)] // reversed merged intervals
-        var p = 0
-        while (p + gramLen <= n) {
-          if (grams.contains(hex(text.substring(p, p + gramLen)))) {
-            spans = spans match {
-              case (s0, e0) :: tail if p <= e0 => (s0, p + gramLen) :: tail
-              case _ => (p, p + gramLen) :: spans
-            }
-          }
-          p += 1
-        }
-        val sb = new StringBuilder
-        var cur = 0
-        spans.reverse.foreach { case (s0, e0) =>
-          sb.append(text.substring(cur, s0)); cur = e0
-        }
-        sb.append(text.substring(cur))
-        sb.toString
-      }
-    }
-    corpus.select(col(idCol), col(textCol).as("__t"))
-      .withColumn("clean_text", cut(col("__t")))
-      .select(col(idCol), col("clean_text"),
-        (length(col("__t")) - length(col("clean_text")))
-          .as("n_removed_chars"))
-  }
-
   def removeBenchmarkSpans(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, gramLen: Int): DataFrame = {
     require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")

@@ -133,6 +133,63 @@ class PipelineSpec extends SparkSpec {
       s"narrow path must not shuffle:\n$plan")
   }
 
+  test("narrow span decontamination counts codepoints: astral-plane " +
+      "parity with the relational path") {
+    val s = spark
+    import s.implicits._
+    // 𝕏 (U+1D54F) and 🦀 (U+1F980) are surrogate PAIRS in UTF-16 —
+    // any UTF-16-unit indexing would slice mid-pair and diverge from
+    // the relational path's codepoint substr
+    val bench = Seq((100L, "𝕏𝕏 secret answer 🦀🦀"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix 𝕏𝕏 secret answer 🦀🦀 suffix"),
+      (2L, "𝕏 unrelated 🦀 with no full gram overlap"),
+      (3L, "𝕏𝕏 secret answer 🦀🦀")
+    ).toDF("doc_id", "text")
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val rel = res(Dedup.removeBenchmarkSpans(corpus, bench,
+      "doc_id", "text", 8))
+    val nar = res(Dedup.removeBenchmarkSpansNarrow(corpus, bench,
+      "doc_id", "text", 8))
+    assert(rel == nar, s"astral parity:\nrel=$rel\nnar=$nar")
+    assert(rel.exists(_._3 > 0), "astral fixture must cut something")
+  }
+
+  test("releaseBenchBroadcasts destroys drained benchmark broadcasts " +
+      "once and only once") {
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0).limit(10)
+    Dedup.releaseBenchBroadcasts() // drain leftovers from other tests
+    // hold the frames: a dropped frame's broadcast may be GC-collected
+    // (weak registry) and then drains silently — also correct, but not
+    // what this test pins
+    val f1 = Dedup.removeBenchmarkSpansNarrow(corpus, bench, "doc_id",
+      "text", 25)
+    val f2 = Dedup.bloomContaminationHits(corpus, bench, "doc_id", "text")
+    f1.count(); f2.count()
+    val n = Dedup.releaseBenchBroadcasts()
+    assert((f1, f2) != null) // keep the frames strongly reachable
+    assert(n == 2, s"expected gram-set + bloom broadcasts, got $n")
+    assert(Dedup.releaseBenchBroadcasts() == 0, "second drain is empty")
+  }
+
+  test("line dedup accounts a null-text doc as ('', 0), not a null " +
+      "count") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Option("a\nb\na")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = Dedup.dropDuplicateLines(df, "doc_id", "text", 1)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.isNullAt(2),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got(1L) == (("a\nb\na", false, 0L)), got(1L).toString)
+    assert(got(2L) == (("", false, 0L)),
+      s"null text must report ('', 0): ${got(2L)}")
+  }
+
   test("substring dedup md5/xxhash64 families agree on the fixture " +
       "corpus") {
     def ivSet(f: => org.apache.spark.sql.DataFrame) = f.collect()
