@@ -691,24 +691,29 @@ object SparkEntry {
     * word (page drops). DuckDB rebuilds the pages and the whole
     * decision table, cleaned text compared byte-for-byte.
     */
+  // the shared C4-fixture line: one doc = one page line, with
+  // deterministic injections so every published rule fires (see
+  // [[qC4Rules]]'s doc) — also the corpus for the composed C4+CCNet
+  // recipe ([[qC4Ccnet]])
+  private def c4FixtureLine: Column = concat(
+    when(col("doc_id") % 19 === 0, lit("too short"))
+      .otherwise(col("text")),
+    when(col("doc_id") % 7 === 3, lit(" see javascript console"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 199 === 5, lit(" { inline code }"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 211 === 7, lit(" lorem ipsum dolor"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 223 === 11, lit(" flaggedterm"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 3 === 0, lit("."))
+      .when(col("doc_id") % 3 === 1, lit("?"))
+      .otherwise(lit("")))
+
   private def qC4Rules(s: SparkSession, dir: String): DataFrame = {
-    val line = concat(
-      when(col("doc_id") % 19 === 0, lit("too short"))
-        .otherwise(col("text")),
-      when(col("doc_id") % 7 === 3, lit(" see javascript console"))
-        .otherwise(lit("")),
-      when(col("doc_id") % 199 === 5, lit(" { inline code }"))
-        .otherwise(lit("")),
-      when(col("doc_id") % 211 === 7, lit(" lorem ipsum dolor"))
-        .otherwise(lit("")),
-      when(col("doc_id") % 223 === 11, lit(" flaggedterm"))
-        .otherwise(lit("")),
-      when(col("doc_id") % 3 === 0, lit("."))
-        .when(col("doc_id") % 3 === 1, lit("?"))
-        .otherwise(lit("")))
     val pages = docs(s, dir)
       .select((col("doc_id") % 25).as("page_id"), col("doc_id"),
-        line.as("line"))
+        c4FixtureLine.as("line"))
       .groupBy("page_id")
       .agg(array_join(
         transform(
@@ -718,6 +723,48 @@ object SparkEntry {
     TextOps.c4Rules(pages, "page_id", "text",
         TextOps.C4Config(minSentences = 11,
           badWords = Seq("flaggedterm")))
+      .orderBy("page_id")
+  }
+
+  /** The full published C4+CCNet cleaning recipe composed under ONE
+    * oracle: C4 page filtering ([[graft.pipeline.TextOps.c4Rules]] —
+    * line rules rewrite, page rules drop) feeds its SURVIVING pages'
+    * cleaned text into CCNet line-level dedup
+    * ([[graft.pipeline.Dedup.dropDuplicateLines]]), the way the
+    * published pipelines chain them. The fixture makes the composition
+    * bite both ways: a prose-shaped boilerplate header ("Subscribe to
+    * our newsletter today.") passes every C4 LINE rule on all 25 pages
+    * and only CCNet can drop it, while `doc_id % 10 == 3` docs guest on
+    * a second page so their lines become cross-page duplicates — and
+    * CCNet's doc frequencies are counted over the C4 SURVIVORS only (a
+    * guest whose other page was dropped by C4 stays unique). DuckDB
+    * re-derives both stages end to end; cleaned text compared
+    * byte-for-byte.
+    */
+  private def qC4Ccnet(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select((col("doc_id") % 25).as("page_id"), col("doc_id"),
+        c4FixtureLine.as("line"))
+    val guests = docs(s, dir).filter(col("doc_id") % 10 === 3)
+      .select(((col("doc_id") + 1) % 25).as("page_id"), col("doc_id"),
+        c4FixtureLine.as("line"))
+    val pages = base.unionAll(guests)
+      .groupBy("page_id")
+      .agg(concat(lit("Subscribe to our newsletter today.\n"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("line")))),
+            x => x.getField("line")),
+          "\n")).as("text"))
+    val surviving = TextOps.c4Rules(pages, "page_id", "text",
+        TextOps.C4Config(minSentences = 11,
+          badWords = Seq("flaggedterm")))
+      .filter(col("keep"))
+      .select(col("page_id"), col("clean_text").as("text"))
+    Dedup.dropDuplicateLines(surviving, "page_id", "text",
+        maxDocFreq = 1)
+      .select(col("page_id"), col("clean_text"),
+        col("n_dropped_lines").cast("bigint").as("n_dropped_lines"))
       .orderBy("page_id")
   }
 
@@ -1826,6 +1873,7 @@ object SparkEntry {
     "q_gopher_rules" -> (qGopherRules _),
     "q_gopher_full" -> (qGopherFull _),
     "q_c4_rules" -> (qC4Rules _),
+    "q_c4_ccnet" -> (qC4Ccnet _),
     "q_repetition" -> (qRepetition _),
     "q_pii" -> (qPii _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -3070,6 +3118,90 @@ object SparkEntry {
         |      >= 11 AS keep
         |FROM pages p JOIN built b USING (page_id)
         |ORDER BY p.page_id""".stripMargin,
+    // the composed C4 -> CCNet recipe: the q_c4_rules page build (plus
+    // the prose-shaped boilerplate header and % 10 = 3 guest lines),
+    // C4 line-rewrite + page-drop, then CCNet line dedup over the
+    // SURVIVORS' cleaned text — both stages re-derived end to end
+    "q_c4_ccnet" ->
+      """WITH lns AS (
+        |  SELECT doc_id % 25 AS page_id, doc_id,
+        |    (CASE WHEN doc_id % 19 = 0 THEN 'too short' ELSE text END)
+        |    || (CASE WHEN doc_id % 7 = 3 THEN ' see javascript console'
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 199 = 5 THEN ' { inline code }'
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 211 = 7 THEN ' lorem ipsum dolor'
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 223 = 11 THEN ' flaggedterm'
+        |        ELSE '' END)
+        |    || (CASE doc_id % 3 WHEN 0 THEN '.' WHEN 1 THEN '?'
+        |        ELSE '' END) AS line
+        |  FROM documents),
+        |members AS (
+        |  SELECT page_id, doc_id, line FROM lns
+        |  UNION ALL
+        |  SELECT (doc_id + 1) % 25, doc_id, line FROM lns
+        |  WHERE doc_id % 10 = 3),
+        |pages AS (
+        |  SELECT page_id,
+        |    'Subscribe to our newsletter today.' || chr(10) ||
+        |    string_agg(line, chr(10) ORDER BY doc_id) AS text
+        |  FROM members GROUP BY page_id),
+        |ls AS (
+        |  SELECT page_id, CAST(i AS INTEGER) AS ln,
+        |    list_extract(string_split(text, chr(10)),
+        |      CAST(i AS INTEGER)) AS line
+        |  FROM pages,
+        |    unnest(generate_series(1,
+        |      len(string_split(text, chr(10))))) AS u(i)),
+        |judged AS (
+        |  SELECT page_id, ln, line,
+        |    regexp_matches(line, '[.!?"]\s*$')
+        |      AND len(string_split_regex(trim(line), '\s+')) >= 3
+        |      AND NOT regexp_matches(lower(line), '\bjavascript\b')
+        |      AS keep_line
+        |  FROM ls),
+        |c4built AS (
+        |  SELECT page_id,
+        |    COALESCE(string_agg(CASE WHEN keep_line THEN line END,
+        |      chr(10) ORDER BY ln), '') AS clean_text
+        |  FROM judged GROUP BY page_id),
+        |c4kept AS (
+        |  SELECT p.page_id, b.clean_text AS text
+        |  FROM pages p JOIN c4built b USING (page_id)
+        |  WHERE NOT contains(p.text, '{')
+        |    AND NOT contains(lower(p.text), 'lorem ipsum')
+        |    AND NOT regexp_matches(lower(p.text), '\b(flaggedterm)\b')
+        |    AND (len(b.clean_text)
+        |      - len(regexp_replace(b.clean_text, '[.!?]', '', 'g')))
+        |      >= 11),
+        |ls2 AS (
+        |  SELECT page_id, CAST(i AS INTEGER) AS ln,
+        |    list_extract(string_split(text, chr(10)),
+        |      CAST(i AS INTEGER)) AS line
+        |  FROM c4kept,
+        |    unnest(generate_series(1,
+        |      len(string_split(text, chr(10))))) AS u(i)),
+        |keyed AS (
+        |  SELECT page_id, ln, line,
+        |    md5(lower(trim(regexp_replace(line, '\s+', ' ', 'g')))) AS k,
+        |    lower(trim(regexp_replace(line, '\s+', ' ', 'g'))) AS nrm
+        |  FROM ls2),
+        |freq AS (
+        |  SELECT k FROM keyed WHERE nrm <> ''
+        |  GROUP BY k HAVING COUNT(DISTINCT page_id) > 1),
+        |kept AS (
+        |  SELECT page_id, ln, line FROM keyed
+        |  WHERE k NOT IN (SELECT k FROM freq)),
+        |built AS (
+        |  SELECT page_id, COUNT(*) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY ln) AS clean_text
+        |  FROM kept GROUP BY page_id)
+        |SELECT c.page_id, COALESCE(b.clean_text, '') AS clean_text,
+        |  CAST(len(string_split(c.text, chr(10)))
+        |    - COALESCE(b.n_kept, 0) AS BIGINT) AS n_dropped_lines
+        |FROM c4kept c LEFT JOIN built b USING (page_id)
+        |ORDER BY c.page_id""".stripMargin,
     "q_pii" -> {
       import graft.pipeline.TextOps.{emailRe, urlRe, phoneRe, ccRe, ipv4Re}
       s"""WITH synth AS (SELECT c_custkey,
