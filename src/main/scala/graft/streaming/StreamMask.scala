@@ -516,6 +516,36 @@ object StreamMask {
       TextOps.piiCounts(col(textCol)): _*)
   }
 
+  /** Streaming span decontamination + Gopher quality gate — the two
+    * zero-shuffle curation operators attached to a document stream on
+    * its way into the lake: every benchmark-verbatim span is cut from
+    * the text ([[graft.pipeline.Dedup.removeBenchmarkSpansNarrow]] —
+    * the benchmark side is a BATCH frame collected once into a
+    * broadcast-sized gram set; each streamed row then marks, merges,
+    * and cuts its own spans in one narrow map), and the full
+    * seven-rule Gopher keep verdict
+    * ([[graft.pipeline.TextOps.gopherKeep]], pure Column) is judged on
+    * the CLEANED text, so a doc that is mostly benchmark quote fails
+    * quality as the published pipelines intend. Stateless and narrow
+    * end to end: any trigger/output mode works, state stores stay
+    * untouched, and batch equivalence is by construction (same
+    * expressions — verified in the spec). Output: (`idCol`,
+    * `clean_text`, `n_removed_chars`, `gopher_keep`).
+    *
+    * Long-lived drivers restarting many such queries should drain
+    * [[graft.pipeline.Dedup.releaseBenchBroadcasts]] between benchmark
+    * refreshes (a STOPPED query's gram broadcast is otherwise held
+    * until GC).
+    */
+  def decontaminateStream(docs: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, gramLen: Int,
+      gopherCfg: graft.pipeline.TextOps.GopherConfig =
+        graft.pipeline.TextOps.GopherConfig()): DataFrame =
+    graft.pipeline.Dedup
+      .removeBenchmarkSpansNarrow(docs, bench, idCol, textCol, gramLen)
+      .withColumn("gopher_keep",
+        graft.pipeline.TextOps.gopherKeep(col("clean_text"), gopherCfg))
+
   /** Streaming corpus heavy hitters: the Misra-Gries sketch
     * ([[graft.functions.TopFreq]]) as STREAMING aggregation state — the
     * running "which tokens dominate the ingest so far" monitor. The

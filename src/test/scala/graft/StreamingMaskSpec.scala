@@ -94,6 +94,42 @@ class StreamingMaskSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming span decontamination + gopher gate equals the batch " +
+      "path and stays shuffle-free") {
+    val dir = Files.createTempDirectory("graft_decon").toString
+    val docs = spark.read.parquet(s"$fixtures/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    docs.filter(col("doc_id") % 10 =!= 0)
+      .write.mode("overwrite").parquet(s"$dir/corpus")
+    val schema = spark.read.parquet(s"$dir/corpus").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/corpus")
+    val streamedDf = StreamMask.decontaminateStream(stream, bench,
+      "doc_id", "text", 25)
+    val streamed = runToMemory(streamedDf, "decon_stream", "append")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = StreamMask.decontaminateStream(
+        spark.read.parquet(s"$dir/corpus"), bench, "doc_id", "text", 25)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // the attachment must stay narrow: no Exchange, no stateful op in
+    // the batch plan (the property that lets it run under any trigger)
+    val plan = StreamMask.decontaminateStream(
+        spark.read.parquet(s"$dir/corpus"), bench, "doc_id", "text", 25)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"must not shuffle:\n$plan")
+    // and the cleaned-text gate actually bites on the fixture: some
+    // contaminated docs flip their gopher verdict vs the raw text
+    val flipped = StreamMask.decontaminateStream(
+        spark.read.parquet(s"$dir/corpus"), bench, "doc_id", "text", 25)
+      .join(spark.read.parquet(s"$dir/corpus"), "doc_id")
+      .filter(col("n_removed_chars") > 0 &&
+        col("gopher_keep") =!=
+          graft.pipeline.TextOps.gopherKeep(col("text")))
+      .count()
+    assert(flipped > 0, "no doc's verdict changed after span cutting")
+  }
+
   test("deterministic sampling on a stream equals the batch sample") {
     import graft.pipeline.Sampling
     val sampled = runToMemory(
