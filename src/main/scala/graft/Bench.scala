@@ -52,6 +52,25 @@ object Bench {
         TextOps.simHash64(w.toDF(), "id", "text"),
         w.select(TextOps.simHash64Expr(col("text"))))
         .foreach(_.write.format("noop").mode("overwrite").save())
+      // chained-pipeline JIT warmup: the curation / cleaning chains
+      // compile a LOT of generated stages (quality -> PII -> LSH dedup
+      // -> CC -> mix; C4 -> CCNet), and their first sample otherwise
+      // carries the codegen bring-up (BENCH_r12 q_curation raw
+      // [14.8, 4.9, 5.7] s) — run the same compositions over the tiny
+      // frame so timed samples start JIT-hot
+      val wd = w.selectExpr("id as doc_id",
+        "concat(text, '. more filler prose here.') as text",
+        "cast(id % 3 as string) as lang")
+      graft.pipeline.Curation.curate(wd, "doc_id", "text", "lang")
+        .write.format("noop").mode("overwrite").save()
+      graft.pipeline.Dedup.dropDuplicateLines(
+          TextOps.c4Rules(wd, "doc_id", "text").filter(col("keep"))
+            .select(col("doc_id"), col("clean_text").as("text")),
+          "doc_id", "text", 1)
+        .write.format("noop").mode("overwrite").save()
+      graft.pipeline.Dedup.dropDuplicateSubstrings(wd, "doc_id", "text",
+          20)
+        .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     // median-of-N per query, INTERLEAVED: the full query list runs N times
     // and each query takes its median across passes. Back-to-back repeats
@@ -108,7 +127,19 @@ object Bench {
       s"\"" + name + "\":" + samples.map(_(name)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.values.map(math.abs).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"samples":$raw,"repeats":$repeats,"wall_sec":$wallSec,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"samples":$raw,"repeats":$repeats,"wall_sec":$wallSec,"sf":"$sfDir"}"""
+    println(line)
+    // the driver captures only a truncated stdout tail (BENCH_r11/r12
+    // both landed with "parsed": null), so the full line ALSO lands in
+    // a file — round-over-round comparison should never depend on log
+    // truncation
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_latest.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -988,14 +988,18 @@ object SparkEntry {
     }
     val stale = "graft-gate-(\\d+)-.*".r
     Option(tmp.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
-      f.getName match {
-        case stale(p2) if p2.toLong != pid &&
-            !ProcessHandle.of(p2.toLong).map[Boolean](_.isAlive)
-              .orElse(false) &&
-            !java.nio.file.Files.isSymbolicLink(f.toPath) =>
-          wipe(f)
-        case _ => ()
+      val dead = f.getName match {
+        // toLongOption: a 20+-digit "pid" (unparseable) is skipped
+        // rather than thrown on — a weird name must never fail the
+        // gate query that happened to trigger the sweep
+        case stale(p2) => p2.toLongOption.exists(p =>
+          p != pid &&
+            !ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+        // legacy pre-PID layout (graft-gate-<name>): no owner process
+        // to check, accumulated by old builds — always sweepable
+        case n => n.startsWith("graft-gate-")
       }
+      if (dead && !java.nio.file.Files.isSymbolicLink(f.toPath)) wipe(f)
     }
     if (java.nio.file.Files.isSymbolicLink(p))
       throw new IllegalStateException(

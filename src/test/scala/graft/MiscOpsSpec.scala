@@ -175,6 +175,32 @@ class MiscOpsSpec extends SparkSpec {
     assert(hashes == 1L, "NFC'd renderings must hash identically")
   }
 
+  test("gate scratch sweep: legacy dirs removed, unparseable pids " +
+      "skipped, live-pid dirs kept") {
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val legacy = tmp.resolve("graft-gate-oldlayout")
+    val unparseable = tmp.resolve(
+      "graft-gate-99999999999999999999999-x")
+    val mine = tmp.resolve(
+      s"graft-gate-${ProcessHandle.current().pid()}-q-dedup-append")
+    java.nio.file.Files.createDirectories(legacy)
+    java.nio.file.Files.createDirectories(unparseable)
+    try {
+      // any scratch-using gate query triggers the sweep on entry —
+      // and must NOT throw on the unparseable name
+      SparkEntry.queries("q_dedup_append")(spark, fixtures).count()
+      assert(!java.nio.file.Files.exists(legacy),
+        "legacy graft-gate-<name> dir must be swept")
+      assert(java.nio.file.Files.exists(unparseable),
+        "unparseable pid is skipped, not wiped (and not thrown on)")
+      assert(java.nio.file.Files.exists(mine),
+        "the live process's own scratch dir survives")
+    } finally {
+      java.nio.file.Files.deleteIfExists(unparseable)
+      java.nio.file.Files.deleteIfExists(legacy)
+    }
+  }
+
   test("README's documented query count matches SparkEntry.queries") {
     // the count drifted twice across rounds (r10, r12 verdicts) — pin
     // the doc to the code so a new gate row can't ship without the one
