@@ -79,7 +79,14 @@ object Bench {
     // spreading a query's samples a full pass apart (~40 s at sf0.1) makes
     // that near-impossible while keeping the same total work.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
-    val names = SparkEntry.queries.keys.toSeq
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run for targeted
+    // iteration on one operator's plan; unset = the full gate set
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(f) =>
+        val want = f.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        SparkEntry.queries.keys.toSeq.filter(want)
+      case None => SparkEntry.queries.keys.toSeq
+    }
     val wall0 = System.nanoTime()
     val samples = (1 to repeats).map { _ =>
       names.map { name =>

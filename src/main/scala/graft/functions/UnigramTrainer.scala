@@ -359,6 +359,27 @@ object UnigramTrainer {
     out.result()
   }
 
+  /** The learned vocabulary as a `(id, piece, log_prob)` DataFrame —
+    * the persistable artifact a training run publishes next to its
+    * corpus (ids are the canonical (logProb desc, piece) rank, so a
+    * stored vocabulary round-trips bit-identically through
+    * [[loadVocab]]).
+    */
+  def vocabDf(spark: SparkSession, vocab: Seq[VocabEntry]): DataFrame = {
+    import spark.implicits._
+    vocab.zipWithIndex
+      .map { case (e, i) => (i, e.piece, e.logProb) }
+      .toDF("id", "piece", "log_prob")
+  }
+
+  /** Rebuild the vocabulary from a stored [[vocabDf]] frame, in stored
+    * id order.
+    */
+  def loadVocab(df: DataFrame): Seq[VocabEntry] =
+    df.select(col("id"), col("piece"), col("log_prob"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => VocabEntry(r.getString(1), r.getDouble(2))).toSeq
+
   /** [[viterbi]] as a UDF over the pre-token pieces array — vocab
     * broadcast once, narrow, stateless, streaming-safe (the serving
     * twin of [[train]], same pattern as
@@ -375,5 +396,26 @@ object UnigramTrainer {
     udf((pieces: Seq[String]) =>
       if (pieces == null) null
       else pieces.flatMap(p => viterbi(p, bc.value._1, mpl, bc.value._2)))
+  }
+
+  /** [[segmentUdf]] straight to vocabulary IDS ([[vocabDf]]'s canonical
+    * rank; pieces outside the vocabulary — unknown-codepoint fallbacks —
+    * encode as −1), the array [[graft.pipeline.Packing.tokenWindows]]
+    * and the bin packers consume: train → encode → pack closes for the
+    * unigram family exactly as it does for BPE.
+    */
+  def encodeIdsUdf(spark: SparkSession, vocab: Seq[VocabEntry],
+      maxPieceLen: Int = 8): UserDefinedFunction = {
+    require(vocab.nonEmpty, "vocab must be non-empty")
+    val logp = vocab.map(e => e.piece -> e.logProb).toMap
+    val ids = vocab.iterator.map(_.piece).zipWithIndex.toMap
+    val unk = vocab.iterator.map(_.logProb).min - 10.0
+    val bc = spark.sparkContext.broadcast((logp, ids, unk))
+    val mpl = maxPieceLen
+    udf((pieces: Seq[String]) =>
+      if (pieces == null) null
+      else pieces.flatMap(p =>
+        viterbi(p, bc.value._1, mpl, bc.value._3)
+          .map(bc.value._2.getOrElse(_, -1))))
   }
 }

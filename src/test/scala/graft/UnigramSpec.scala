@@ -135,6 +135,56 @@ class UnigramSpec extends SparkSpec {
     assert(v.size == 8, s"singles only: ${v.map(_.piece)}")
   }
 
+  test("vocab persists: vocabDf -> parquet -> loadVocab round-trips " +
+      "and the loaded vocab segments identically") {
+    val piecesCol = Bpe.preTokenize(TextOps.normalize(col("text")))
+    val vocab = UnigramTrainer.train(docs.limit(40), piecesCol,
+      vocabSize = 120, maxPieceLen = 5, seedSize = 300, emIters = 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_unigram_vocab").toString
+    UnigramTrainer.vocabDf(spark, vocab)
+      .write.mode("overwrite").parquet(dir)
+    val loaded = UnigramTrainer.loadVocab(spark.read.parquet(dir))
+    assert(loaded == vocab, "stored vocabulary must round-trip exactly")
+    val a = docs.limit(20)
+      .select(UnigramTrainer.segmentUdf(spark, vocab, 5)(piecesCol))
+      .collect().map(_.getSeq[String](0)).toSeq
+    val b = docs.limit(20)
+      .select(UnigramTrainer.segmentUdf(spark, loaded, 5)(piecesCol))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(a == b)
+  }
+
+  test("train -> encode-to-ids -> striding token windows closes for " +
+      "the unigram family") {
+    import graft.pipeline.Packing
+    val piecesCol = Bpe.preTokenize(TextOps.normalize(col("text")))
+    val vocab = UnigramTrainer.train(docs.limit(60), piecesCol,
+      vocabSize = 200, maxPieceLen = 5, seedSize = 400, emIters = 1)
+    val enc = UnigramTrainer.encodeIdsUdf(spark, vocab, 5)
+    val ids = docs.limit(60)
+      .select(col("doc_id"), enc(piecesCol).as("ids"))
+    // id -> piece decode restores the segment stream (unknowns = -1
+    // never appear here: training covered every corpus codepoint)
+    val pieceOf = vocab.map(_.piece).toArray
+    val decoded = ids.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Int](1).map(i => pieceOf(i)).mkString)
+      .toMap
+    val pre = docs.limit(60)
+      .select(col("doc_id"), concat_ws("", piecesCol).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(decoded == pre, "id decode must rebuild the pre-token stream")
+    // windows over the unigram ids: every window row's token_id matches
+    // the doc's id array at position win_no*stride + pos - 1
+    val win = Packing.tokenWindows(ids, "doc_id", "ids", 16, 8)
+    val bad = win.join(ids, "doc_id")
+      .filter(col("token_id") =!=
+        element_at(col("ids"), col("win_no") * 8 + col("pos")))
+      .count()
+    assert(bad == 0, s"$bad window rows disagree with the id arrays")
+    assert(win.count() > 0)
+  }
+
   test("end-to-end on the fixture corpus: train, segment, round-trip") {
     val piecesCol = Bpe.preTokenize(TextOps.normalize(col("text")))
     val vocab = UnigramTrainer.train(docs.limit(100), piecesCol,
