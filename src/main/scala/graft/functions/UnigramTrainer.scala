@@ -189,13 +189,12 @@ object UnigramTrainer {
       c * logMarginal(s, probs, maxPieceLen)
     }.sum
 
-  /** Log of the total probability of `s` summed over ALL segmentations
-    * into vocabulary pieces (the forward pass alone) — the quantity the
-    * spec pins against brute-force enumeration.
+  /** Forward pass over one piece's segmentation lattice: `alpha(i)` =
+    * log total probability of all segmentations of the first `i`
+    * codepoints. Shared by [[logMarginal]] and [[emStep]].
     */
-  private[graft] def logMarginal(s: String, probs: Map[String, Double],
-      maxPieceLen: Int): Double = {
-    val cps = toCps(s)
+  private def forwardAlpha(cps: Array[String],
+      probs: Map[String, Double], maxPieceLen: Int): Array[Double] = {
     val n = cps.length
     val alpha = Array.fill(n + 1)(NegInf)
     alpha(0) = 0.0
@@ -215,7 +214,17 @@ object UnigramTrainer {
       }
       i += 1
     }
-    alpha(n)
+    alpha
+  }
+
+  /** Log of the total probability of `s` summed over ALL segmentations
+    * into vocabulary pieces (the forward pass alone) — the quantity the
+    * spec pins against brute-force enumeration.
+    */
+  private[graft] def logMarginal(s: String, probs: Map[String, Double],
+      maxPieceLen: Int): Double = {
+    val cps = toCps(s)
+    forwardAlpha(cps, probs, maxPieceLen)(cps.length)
   }
 
   /** Probability floor applied at every re-estimation: EM drives
@@ -239,27 +248,10 @@ object UnigramTrainer {
     types.foreach { case (s, c) =>
       val cps = toCps(s)
       val n = cps.length
-      val alpha = Array.fill(n + 1)(NegInf)
+      val alpha = forwardAlpha(cps, probs, maxPieceLen)
       val beta = Array.fill(n + 1)(NegInf)
-      alpha(0) = 0.0
-      var i = 0
-      while (i < n) {
-        if (alpha(i) != NegInf) {
-          val maxL = math.min(maxPieceLen, n - i)
-          val sb = new java.lang.StringBuilder
-          var l = 1
-          while (l <= maxL) {
-            sb.append(cps(i + l - 1))
-            probs.get(sb.toString).foreach { pp =>
-              alpha(i + l) = logAdd(alpha(i + l), alpha(i) + math.log(pp))
-            }
-            l += 1
-          }
-        }
-        i += 1
-      }
       beta(n) = 0.0
-      i = n - 1
+      var i = n - 1
       while (i >= 0) {
         val maxL = math.min(maxPieceLen, n - i)
         val sb = new java.lang.StringBuilder

@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Bpe, UnigramTrainer}
-import graft.functions.UnigramTrainer.VocabEntry
 import graft.pipeline.TextOps
 
 /** Unigram-LM trainer checks: the forward marginal and the Viterbi
