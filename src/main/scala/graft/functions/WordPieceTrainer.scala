@@ -1,0 +1,283 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Distributed WordPiece tokenizer training + encoding — the third
+  * tokenizer family next to [[BpeTrainer]] and [[UnigramTrainer]],
+  * implementing the published WordPiece algorithm (Schuster & Nakajima
+  * 2012; the BERT variant per Wu et al. 2016 and the HuggingFace
+  * tokenizers documentation — all public), deliberately the SAME scale
+  * shape as its two siblings:
+  *
+  *  - the DISTRIBUTED stage is the piece-type reduction
+  *    ([[BpeTrainer.pieceTypeCounts]], shared): the corpus collapses to
+  *    a vocabulary-bounded `(piece, count)` table in ONE hash
+  *    aggregation — nothing else of the corpus ever reaches the driver;
+  *  - the join-selection loop then runs driver-side over that bounded
+  *    table (distributed word counting, local merge selection — how
+  *    production trainers work).
+  *
+  * WordPiece differs from BPE only in the merge objective: instead of
+  * the most FREQUENT adjacent pair, it joins the pair maximising the
+  * likelihood ratio `count(ab) / (count(a) · count(b))` over the
+  * CURRENT symbol counts — the pair whose join most increases corpus
+  * likelihood under a unigram model. Non-initial symbols carry the
+  * `##` continuation prefix (BERT convention): a word's first codepoint
+  * seeds bare, every later codepoint seeds as `##x`, and a join output
+  * is `left + strip##(right)` so continuation-ness propagates from the
+  * left side.
+  *
+  * Determinism contract (what the DuckDB oracle re-derives step by
+  * step): pair counts weight EVERY adjacent index; symbol counts weight
+  * every index; the score is evaluated EXACTLY as
+  * `c.toDouble / (la.toDouble * lb.toDouble)` — each conversion and
+  * both arithmetic ops are single correctly-rounded IEEE-754 steps, so
+  * any engine computing the same three integers produces the
+  * bit-identical double (no sum-order sensitivity anywhere) — and ties
+  * resolve to the codepoint-smallest (left, right), matching a binary
+  * UTF-8 collation. Joins rewrite leftmost-non-overlapping, exactly
+  * like [[BpeTrainer]].
+  *
+  * A literal `#` in corpus text is indistinguishable, once marked, from
+  * the continuation prefix (`'#'` at position 3 of a word seeds as
+  * `###`) — the standard representational ambiguity of the `##`
+  * convention; both the trainer and the oracle apply the same
+  * prefix-strip rule, so parity is unaffected.
+  */
+object WordPieceTrainer {
+
+  /** One learned join with its selection-time evidence: the adjacency
+    * count and both symbol counts that made `(left, right)` the score
+    * argmax at `rank` — the three integers the cross-engine oracle
+    * re-derives (the score itself is their deterministic function, so
+    * it is not materialised).
+    */
+  final case class LearnedJoin(rank: Int, left: String, right: String,
+      pairCount: Long, leftCount: Long, rightCount: Long) {
+    /** The selection score, evaluated exactly as specified in the
+      * object doc.
+      */
+    def score: Double =
+      pairCount.toDouble / (leftCount.toDouble * rightCount.toDouble)
+    /** The joined symbol: continuation-ness propagates from the left. */
+    def joined: String = left + stripCont(right)
+  }
+
+  private[graft] val ContPrefix = "##"
+
+  private[graft] def stripCont(s: String): String =
+    if (s.startsWith(ContPrefix)) s.substring(ContPrefix.length) else s
+
+  /** A word's initial WordPiece segmentation: first codepoint bare,
+    * every subsequent codepoint `##`-prefixed.
+    */
+  private[graft] def markedCps(s: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    var first = true
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val c = new String(Character.toChars(cp))
+      out += (if (first) c else ContPrefix + c)
+      first = false
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** Learn `numJoins` WordPiece joins from `corpus`. `pieces` is the
+    * pre-token column (e.g. `Bpe.preTokenize(TextOps.normalize(
+    * col("text")))`) — training runs INSIDE piece boundaries, like both
+    * sibling trainers. `maxPieceTypes` caps the collected type table
+    * with the identical contract as [[BpeTrainer.train]]. Stops early
+    * if no adjacent pair remains.
+    */
+  def train(corpus: DataFrame, pieces: Column, numJoins: Int,
+      maxPieceTypes: Option[Int] = None): Seq[LearnedJoin] = {
+    val base = BpeTrainer.pieceTypeCounts(corpus, pieces)
+    val capped = maxPieceTypes match {
+      case Some(n) => base.orderBy(col("cnt").desc, col("piece")).limit(n)
+      case None => base
+    }
+    // bounded driver state: the piece-TYPE table, same O(vocabulary)
+    // collect contract as BpeTrainer.train
+    val types = capped.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+    trainLocal(types, numJoins)
+  }
+
+  /** The join-selection loop over an in-memory `(piece, count)` type
+    * table — driver-side by design; package-visible so specs can drive
+    * it on hand-built fixtures.
+    */
+  private[graft] def trainLocal(types: Seq[(String, Long)],
+      numJoins: Int): Seq[LearnedJoin] = {
+    val segs: Array[Array[String]] =
+      types.map(t => markedCps(t._1)).toArray
+    val cnts: Array[Long] = types.map(_._2).toArray
+
+    val learned = Seq.newBuilder[LearnedJoin]
+    var rank = 0
+    var exhausted = false
+    while (rank < numJoins && !exhausted) {
+      val symCnt = scala.collection.mutable.HashMap.empty[String, Long]
+      val pairCnt =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var w = 0
+      while (w < segs.length) {
+        val s = segs(w)
+        val c = cnts(w)
+        var i = 0
+        while (i < s.length) {
+          symCnt.update(s(i), symCnt.getOrElse(s(i), 0L) + c)
+          if (i < s.length - 1) {
+            val k = (s(i), s(i + 1))
+            pairCnt.update(k, pairCnt.getOrElse(k, 0L) + c)
+          }
+          i += 1
+        }
+        w += 1
+      }
+      if (pairCnt.isEmpty) exhausted = true
+      else {
+        // argmax by (score DESC, left, right) — see the object doc's
+        // exactness argument for why the double compare is portable
+        var best: ((String, String), Long) = null
+        var bestScore = Double.NegativeInfinity
+        pairCnt.foreach { case (k @ (a, b), c) =>
+          val sc = c.toDouble /
+            (symCnt(a).toDouble * symCnt(b).toDouble)
+          val better = sc > bestScore || (sc == bestScore && {
+            val cmpA = BpeTrainer.codepointCompare(a, best._1._1)
+            cmpA < 0 || (cmpA == 0 &&
+              BpeTrainer.codepointCompare(b, best._1._2) < 0)
+          })
+          if (better) { best = (k, c); bestScore = sc }
+        }
+        val ((a, b), c) = best
+        learned += LearnedJoin(rank, a, b, c, symCnt(a), symCnt(b))
+        val joined = a + stripCont(b)
+        w = 0
+        while (w < segs.length) {
+          val s = segs(w)
+          var has = false
+          var i = 0
+          while (!has && i < s.length - 1) {
+            has = s(i) == a && s(i + 1) == b; i += 1
+          }
+          if (has) {
+            val out = Array.newBuilder[String]
+            i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+                out += joined; i += 2
+              } else { out += s(i); i += 1 }
+            }
+            segs(w) = out.result()
+          }
+          w += 1
+        }
+        rank += 1
+      }
+    }
+    learned.result()
+  }
+
+  /** The encoding vocabulary a training run publishes: the initial
+    * alphabet (every bare first codepoint and `##`-marked continuation
+    * codepoint of the type table) plus each join's output — the
+    * HuggingFace WordPiece convention (alphabet ∪ merge outputs).
+    */
+  final case class Vocab(pieces: Set[String], unkToken: String = "[UNK]") {
+    require(pieces.nonEmpty, "vocab must be non-empty")
+    /** Longest piece length in codepoints, the greedy matcher's probe
+      * bound (continuation prefix excluded).
+      */
+    val maxMatchCps: Int = pieces.iterator
+      .map(p => cpCount(stripCont(p))).max
+  }
+
+  private def cpCount(s: String): Int = s.codePointCount(0, s.length)
+
+  /** Build the encoding [[Vocab]] from a type table's alphabet plus the
+    * learned joins. The alphabet comes from the SAME distributed type
+    * reduction as training ([[BpeTrainer.pieceTypeCounts]]), collapsed
+    * to its distinct marked codepoints driver-side — bounded by the
+    * script inventory, thousands at web scale.
+    */
+  def toVocab(corpus: DataFrame, pieces: Column,
+      learned: Seq[LearnedJoin]): Vocab = {
+    val types = BpeTrainer.pieceTypeCounts(corpus, pieces)
+      .select("piece").collect().map(_.getString(0))
+    val alphabet = types.iterator.flatMap(markedCps).toSet
+    Vocab(alphabet ++ learned.map(_.joined))
+  }
+
+  /** Greedy longest-match-first WordPiece encoding of one pre-token
+    * word (the published BERT `WordpieceTokenizer` algorithm): at each
+    * position match the LONGEST vocabulary piece (bare form at the
+    * word start, `##`-form after); any position with no match collapses
+    * the WHOLE word to `[UNK]`. Empty words encode to nothing.
+    */
+  def encodeWord(word: String, vocab: Vocab): Array[String] = {
+    if (word.isEmpty) return Array.empty
+    // codepoint-indexed view so probes slice by codepoints, not chars
+    val cps = {
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.result()
+    }
+    val n = cps.length
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < n) {
+      val prefix = if (i == 0) "" else ContPrefix
+      var l = math.min(vocab.maxMatchCps, n - i)
+      var hit: String = null
+      while (hit == null && l >= 1) {
+        val sb = new java.lang.StringBuilder(prefix)
+        var k = 0
+        while (k < l) { sb.append(cps(i + k)); k += 1 }
+        val cand = sb.toString
+        if (vocab.pieces.contains(cand)) hit = cand
+        l -= 1
+      }
+      if (hit == null) return Array(vocab.unkToken)
+      out += hit
+      i += cpCount(stripCont(hit))
+    }
+    out.result()
+  }
+
+  /** [[encodeWord]] over the pre-token pieces array as a UDF — vocab
+    * broadcast once, narrow, stateless, streaming-safe (the serving
+    * twin of [[train]], same pattern as
+    * [[UnigramTrainer.segmentUdf]]).
+    */
+  def encodeUdf(spark: SparkSession, vocab: Vocab)
+      : UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(vocab)
+    udf((pieces: Seq[String]) =>
+      if (pieces == null) null
+      else pieces.flatMap(p => encodeWord(p, bc.value)))
+  }
+
+  /** Per-row WordPiece token count over the pre-token pieces array
+    * (`[UNK]` counts 1, the count a packing budget sees).
+    */
+  def tokenCountUdf(spark: SparkSession, vocab: Vocab)
+      : UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(vocab)
+    udf((pieces: Seq[String]) =>
+      if (pieces == null) 0L
+      else pieces.iterator.map(p => encodeWord(p, bc.value).length.toLong)
+        .sum)
+  }
+}
