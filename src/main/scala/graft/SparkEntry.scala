@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, StringType}
+import org.apache.spark.sql.types.{DecimalType, LongType, StringType,
+  TimestampNTZType, TimestampType}
 
 import graft.functions.Gen
 import graft.pipeline.{Dedup, Multimodal, Pq, Similarity, TextOps}
@@ -26,6 +27,28 @@ object SparkEntry {
     spark.read.parquet(s"$dir/$name.parquet")
 
   private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Microsecond epoch from a fixture timestamp column, whatever encoding
+    * it arrived in. A parquet lake mixes two standard encodings of the same
+    * data: TIMESTAMP(NANOS), which Spark reads as raw long nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong` (truncated to micros here —
+    * exactly DuckDB's own nanos→micros truncation), and
+    * TIMESTAMP(MICROS)/NTZ, which arrives as a timestamp column (the
+    * session is UTC, so the NTZ→zoned cast is instant-preserving and
+    * `unix_micros` reads the same value DuckDB's epoch_us sees). Anything
+    * else fails loudly with the column name and actual type, so fixture
+    * schema drift is one diagnosable error at first read instead of a
+    * scatter of DATATYPE_MISMATCH failures downstream.
+    */
+  private[graft] def tsMicros(df: DataFrame, name: String = "ts"): Column =
+    df.schema(name).dataType match {
+      case LongType => expr(s"$name DIV 1000")
+      case TimestampNTZType => unix_micros(col(name).cast(TimestampType))
+      case TimestampType => unix_micros(col(name))
+      case other => throw new IllegalArgumentException(
+        s"timestamp column '$name': expected raw long nanos or a " +
+          s"timestamp type, got $other")
+    }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -451,19 +474,19 @@ object SparkEntry {
   /** Sessionization (gaps-and-islands): per-user sessions split at >30 min
     * silence, with event counts and duration — the batch analog of
     * streaming `session_window` (graft.streaming.StreamMask.sessionStats).
-    * Computed on the raw nanosecond longs so the oracle arithmetic is
+    * Computed on epoch-micros longs so the oracle arithmetic is
     * integer-exact.
     */
   private def qSessionize(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gapUs = 30L * 60 * 1000000L
     val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
-    // truncate raw nanos to micros first: the oracle engine reads the
-    // nanosecond parquet column at microsecond precision, so arithmetic on
-    // full nanos would disagree by 1 whenever a duration straddles a
-    // boundary (same truncation as events())
-    t(s, dir, "events")
-      .withColumn("tsu", expr("ts DIV 1000"))
+    // work on epoch micros whatever the fixture encoding (see tsMicros):
+    // the oracle engine reads the column at microsecond precision, so
+    // arithmetic on full nanos would disagree by 1 whenever a duration
+    // straddles a boundary
+    val ev = t(s, dir, "events")
+    ev.withColumn("tsu", tsMicros(ev))
       .withColumn("prev_ts", lag(col("tsu"), 1).over(w))
       .withColumn("new_s",
         when(col("prev_ts").isNull || col("tsu") - col("prev_ts") > gapUs,
@@ -476,15 +499,16 @@ object SparkEntry {
       .orderBy("user_id", "session_id")
   }
 
-  /** Events with microsecond epoch timestamps (nanos truncated — see
-    * [[events]]) and orders with their date as epoch micros: the shared
+  /** Events with microsecond epoch timestamps (schema-adaptive — see
+    * [[tsMicros]]) and orders with their date as epoch micros: the shared
     * inputs of the as-of/range queries. o_orderdate arrives as
     * TIMESTAMP_NTZ; the session is UTC, so the zoned cast reads the same
     * instant DuckDB's epoch_us sees.
     */
-  private def eventsUs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+  private def eventsUs(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.select(col("event_id"), col("user_id"), tsMicros(ev).as("ts_us"))
+  }
   private def ordersUs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .select(col("o_custkey"),
@@ -526,17 +550,18 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; the session reads it as raw nanos (legacy flag set in
-    * Verify/Bench) and we truncate to micros — exactly DuckDB's own
-    * nanos→micros truncation. The result is kept timezone-naive
-    * (TIMESTAMP_NTZ) to match DuckDB's naive TIMESTAMP: a zoned Spark
-    * timestamp would write isAdjustedToUTC=true parquet and fail the strict
-    * schema compare.
+  /** events.parquet with `ts` normalized to TIMESTAMP_NTZ at microsecond
+    * precision, whichever of the two standard parquet encodings the fixture
+    * carries (raw TIMESTAMP(NANOS) longs under the legacy flag, or
+    * timestamp[us] — see [[tsMicros]]). Kept timezone-naive to match
+    * DuckDB's naive TIMESTAMP: a zoned Spark timestamp would write
+    * isAdjustedToUTC=true parquet and fail the strict schema compare.
     */
-  private[graft] def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts",
-      timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.withColumn("ts",
+      timestamp_micros(tsMicros(ev)).cast("timestamp_ntz"))
+  }
 
   /** R5 whole-row closure (reference src/Blueprint.php:211–216): the second
     * rule's closure sees the first rule's masked c_name — position

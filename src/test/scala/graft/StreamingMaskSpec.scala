@@ -16,11 +16,12 @@ import graft.streaming.{ExactlyOnceSink, StreamMask}
   */
 class StreamingMaskSpec extends SparkSpec {
 
-  // events.parquet carries TIMESTAMP(NANOS) read as raw long nanos (legacy
-  // flag in the shared session); convert once for both paths. Watermarks
-  // require a zoned TIMESTAMP event-time column (session tz is UTC).
+  // normalize the events `ts` column to a zoned TIMESTAMP at micros,
+  // whichever parquet encoding the fixture carries (raw nanos longs or
+  // timestamp[us] — see SparkEntry.tsMicros); convert once for both paths.
+  // Watermarks require a zoned event-time column (session tz is UTC).
   private def toTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    df.withColumn("ts", timestamp_micros(SparkEntry.tsMicros(df)))
 
   // the file stream source wants a directory of files, not a single file
   private lazy val eventsDir: String = {
