@@ -1730,6 +1730,148 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Joins learned by `q_wordpiece_train` (re-derived by its oracle). */
+  private val wpTrainJoins = 8
+
+  /** WordPiece training as a full cross-engine re-derivation (the same
+    * bar as [[qBpeTrain]], not a parity row): DuckDB replays the
+    * likelihood-ratio selection step by step — symbol counts over every
+    * index, adjacent-pair counts, argmax of
+    * `count(ab) / (count(a)·count(b))` under (score DESC, left, right),
+    * and the leftmost-non-overlapping `##`-propagating join — so a
+    * trainer that miscounted one index, picked one wrong pair, or
+    * propagated the continuation prefix wrongly diverges on that rank's
+    * row. The score is three exact int→double conversions and two
+    * single-rounded IEEE-754 ops on both engines, so the doubles the
+    * two engines rank by are bit-identical (WordPieceTrainer scaladoc).
+    */
+  private def qWordpieceTrain(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Bpe, WordPieceTrainer}
+    val pieces = Bpe.preTokenize(TextOps.normalize(col("text")))
+    val learned =
+      WordPieceTrainer.train(docs(s, dir), pieces, wpTrainJoins)
+    import s.implicits._
+    learned.map(j => (j.rank.toLong, j.left, j.right, j.pairCount,
+        j.leftCount, j.rightCount))
+      .toDF("join_rank", "lhs", "rhs", "pair_count", "lhs_count",
+        "rhs_count")
+      .orderBy("join_rank")
+  }
+
+  /** The WordPiece train→encode COMPOSITION: learn the joins, publish
+    * the vocabulary (alphabet ∪ join outputs), greedy-encode the SAME
+    * corpus with it. Unlike BPE — where rank-order merge application
+    * equals greedy encoding by construction — the WordPiece serving
+    * encoder is longest-match-first over the flat vocabulary, an
+    * algorithm the training chain does NOT replay; the oracle therefore
+    * re-derives the greedy matcher itself (a longest-vocabulary-hit
+    * table per (word type, position) — bare at word start,
+    * `##`-prefixed after — consumed by a pure-join recursive CTE) over
+    * every distinct pre-token and joins the per-type token counts back
+    * per document.
+    */
+  private def qWordpieceTrainEncode(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.functions.{Bpe, WordPieceTrainer}
+    val pieces = Bpe.preTokenize(TextOps.normalize(col("text")))
+    val d = docs(s, dir)
+    val learned = WordPieceTrainer.train(d, pieces, wpTrainJoins)
+    val vocab = WordPieceTrainer.toVocab(d, pieces, learned)
+    val cnt = WordPieceTrainer.tokenCountUdf(s, vocab)
+    d.select(col("doc_id"), cnt(pieces).cast("bigint").as("n_wp_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Length cap (codepoints) for `q_unigram_encode_parity`'s brute-force
+    * enumeration population — at 12 cps and maxPieceLen 8 a word type
+    * has at most a few thousand segmentations, so the check stays
+    * distributable; the oracle re-derives the SAME population.
+    */
+  private val unigramParityMaxCps = 12
+
+  /** Unigram train→Viterbi-encode gate. The EM training loop runs on
+    * transcendental doubles (log/exp), which NO other SQL engine
+    * reproduces bit-for-bit — so, exactly like the winnow64/simhash64
+    * families, the heavy check runs Spark-side and the oracle pins the
+    * CONTRACT plus the population: every distinct pre-token word type
+    * of the fixture corpus up to [[unigramParityMaxCps]] codepoints
+    * (the oracle re-derives that count independently) is Viterbi-
+    * segmented by the production lattice AND by an in-query brute-force
+    * enumeration of every segmentation (scores folded right-to-left,
+    * the trainer's documented exact-equality fold); the DP must hit the
+    * enumerator's max score exactly, with its documented tie-breaks
+    * (fewer pieces, then longest first piece), and every word type —
+    * capped or not — must reconstruct from its pieces byte-for-byte.
+    */
+  private def qUnigramEncodeParity(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.functions.{Bpe, UnigramTrainer}
+    val pieces = Bpe.preTokenize(TextOps.normalize(col("text")))
+    val d = docs(s, dir)
+    val maxPieceLen = 8
+    val vocab = UnigramTrainer.train(d, pieces, vocabSize = 400,
+      maxPieceLen = maxPieceLen)
+    val logp = vocab.map(e => e.piece -> e.logProb).toMap
+    val unk = vocab.iterator.map(_.logProb).min - 10.0
+    val bc = s.sparkContext.broadcast((logp, unk))
+    val cap = unigramParityMaxCps
+    def cps(w: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.result()
+    }
+    // (viterbi matches the enumerator, round-trips) per word TYPE
+    val checkUdf = udf { (w: String) =>
+      val (lp, u) = bc.value
+      val got = UnigramTrainer.viterbi(w, lp, maxPieceLen, u).toList
+      val roundTrip = got.mkString == w
+      val c = cps(w)
+      def enum(i: Int): Seq[(List[String], Double)] =
+        if (i == c.length) Seq((Nil, 0.0))
+        else (1 to math.min(maxPieceLen, c.length - i)).flatMap { l =>
+          val piece = c.slice(i, i + l).mkString
+          val sc = lp.getOrElse(piece,
+            if (l == 1) u else Double.NegativeInfinity)
+          if (sc == Double.NegativeInfinity) Seq.empty
+          else enum(i + l).map { case (r, acc) => (piece :: r, sc + acc) }
+        }
+      val viterbiOk = {
+        val all = enum(0)
+        val gotScore = got.foldRight(0.0) { (p, acc) =>
+          lp.getOrElse(p, u) + acc
+        }
+        val best = all.map(_._2).max
+        val coOpt = all.filter(_._2 == best)
+        val minPieces = coOpt.map(_._1.length).min
+        gotScore == best && got.length == minPieces &&
+          coOpt.filter(_._1.length == minPieces).map(_._1).contains(got)
+      }
+      (viterbiOk, roundTrip)
+    }
+    // round-trip alone is cheap (one DP, no enumeration) — checked on
+    // EVERY word type, including those past the enumeration cap
+    val roundTripUdf = udf { (w: String) =>
+      val (lp, u) = bc.value
+      UnigramTrainer.viterbi(w, lp, maxPieceLen, u).mkString == w
+    }
+    val words = d.select(explode(pieces).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val short = words.filter(length(col("w")) <= cap)
+      .select(checkUdf(col("w")).as("c"))
+    val shortAgg = short.agg(count(lit(1)).as("n_words"),
+      sum(when(col("c._1"), 1L).otherwise(0L)).as("n_viterbi_match"),
+      sum(when(col("c._2"), 1L).otherwise(0L)).as("n_round_trip"))
+    val allAgg = words.select(roundTripUdf(col("w")).as("rt"))
+      .agg(count(lit(1)).as("n_words_all"),
+        sum(when(col("rt"), 1L).otherwise(0L)).as("n_round_trip_all"))
+    shortAgg.crossJoin(allAgg)
+  }
+
   private def qBpe(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Bpe
     // production shape: the vocabulary is parsed from merges-FILE lines
@@ -1948,6 +2090,9 @@ object SparkEntry {
     "q_bpe" -> (qBpe _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_train_encode" -> (qBpeTrainEncode _),
+    "q_wordpiece_train" -> (qWordpieceTrain _),
+    "q_wordpiece_train_encode" -> (qWordpieceTrainEncode _),
+    "q_unigram_encode_parity" -> (qUnigramEncodeParity _),
     "q_unicode_nfc" -> (qUnicodeNfc _),
     "q_bpe_ids" -> (qBpeIds _),
     "q_token_windows" -> (qTokenWindows _),
@@ -2065,6 +2210,162 @@ object SparkEntry {
        |LEFT JOIN p ON p.doc_id = d.doc_id AND p.piece <> ''
        |LEFT JOIN lens ON lens.piece = p.piece
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  /** DuckDB re-derivation of WORDPIECE training — the [[bpeTrainCtes]]
+    * skeleton with two changes: `seg0` carries the `##` continuation
+    * marking (first codepoint bare, later ones prefixed) that then
+    * propagates through joins (`left || strip##(right)`), and each
+    * step's argmax ranks by the likelihood-ratio score
+    * `pair / (sym(a)·sym(b))` over a per-step symbol-count table `s$k`
+    * instead of raw pair frequency. The ranking double is the same
+    * three int→double conversions and two single-rounded ops the
+    * trainer computes, so the two engines sort identical bit patterns;
+    * ties fall to DuckDB's binary collation = codepoint order. Ends in
+    * `seg$k` plus `b1..bk`, each `b` carrying the pair count AND both
+    * symbol counts.
+    */
+  private def wpTrainCtes(k: Int): String = {
+    val pat = graft.functions.Bpe.preTokenizeRegex.replace("'", "''")
+    val sb = new StringBuilder
+    sb ++= s"""p AS (SELECT doc_id, unnest(regexp_extract_all($normSql, '$pat')) AS piece
+       |  FROM documents),
+       |pc AS MATERIALIZED (SELECT piece, CAST(COUNT(*) AS BIGINT) AS cnt FROM p
+       |  WHERE piece <> '' GROUP BY piece),
+       |seg0 AS MATERIALIZED (SELECT piece, cnt, pos,
+       |    CASE WHEN pos = 1 THEN sym ELSE '##' || sym END AS sym
+       |  FROM (SELECT piece, cnt,
+       |    unnest(generate_series(1, CAST(length(piece) AS INTEGER))) AS pos,
+       |    unnest(regexp_extract_all(piece, '.')) AS sym FROM pc))""".stripMargin
+    for (step <- 1 to k) {
+      val prev = s"seg${step - 1}"
+      sb ++= s""",
+         |s$step AS MATERIALIZED (SELECT sym, CAST(SUM(cnt) AS BIGINT) AS c
+         |  FROM $prev GROUP BY sym),
+         |g$step AS MATERIALIZED (SELECT sym AS a, nx AS b, CAST(SUM(cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, sym,
+         |          lead(sym) OVER (PARTITION BY piece ORDER BY pos) AS nx
+         |        FROM $prev)
+         |  WHERE nx IS NOT NULL GROUP BY sym, nx),
+         |b$step AS MATERIALIZED (SELECT g.a, g.b, g.c, sa.c AS ca, sb.c AS cb
+         |  FROM g$step g JOIN s$step sa ON sa.sym = g.a
+         |                JOIN s$step sb ON sb.sym = g.b
+         |  ORDER BY CAST(g.c AS DOUBLE) /
+         |    (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE)) DESC, g.a, g.b
+         |  LIMIT 1),
+         |c$step AS MATERIALIZED (SELECT s.piece, s.cnt, s.pos, s.sym,
+         |    lead(s.sym) OVER (PARTITION BY s.piece ORDER BY s.pos) AS nx,
+         |    COALESCE(s.sym = b.a AND
+         |      lead(s.sym) OVER (PARTITION BY s.piece ORDER BY s.pos) = b.b,
+         |      FALSE) AS cc
+         |  FROM $prev s LEFT JOIN b$step b ON TRUE),
+         |m$step AS MATERIALIZED (SELECT piece, cnt, pos, sym, nx,
+         |    CASE WHEN cc THEN
+         |      (ROW_NUMBER() OVER (PARTITION BY piece, cc, grp ORDER BY pos)
+         |        % 2 = 1)
+         |    ELSE FALSE END AS mg
+         |  FROM (SELECT *, pos -
+         |      ROW_NUMBER() OVER (PARTITION BY piece, cc ORDER BY pos) AS grp
+         |    FROM c$step)),
+         |seg$step AS MATERIALIZED (SELECT piece, cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY piece ORDER BY pos) AS pos,
+         |    CASE WHEN mg THEN sym ||
+         |      (CASE WHEN nx LIKE '##%' THEN substring(nx, 3) ELSE nx END)
+         |    ELSE sym END AS sym
+         |  FROM (SELECT *,
+         |      COALESCE(lag(mg) OVER (PARTITION BY piece ORDER BY pos),
+         |        FALSE) AS pm
+         |    FROM m$step)
+         |  WHERE NOT pm)""".stripMargin
+    }
+    sb.toString
+  }
+
+  private def wordpieceTrainOracleSql(k: Int): String =
+    s"WITH ${wpTrainCtes(k)}\n" +
+      (1 to k).map(s =>
+          s"SELECT CAST(${s - 1} AS BIGINT) AS join_rank, a AS lhs, " +
+            s"b AS rhs, c AS pair_count, ca AS lhs_count, " +
+            s"cb AS rhs_count FROM b$s")
+        .mkString("", "\nUNION ALL ", "\nORDER BY join_rank")
+
+  /** Per-doc token counts under the self-trained WordPiece vocabulary.
+    * Unlike BPE, the serving encoder is NOT the training chain replayed:
+    * it is greedy longest-match-first over the flat vocabulary (alphabet
+    * from `seg0` ∪ the `b$k` join outputs). `best` precomputes, for
+    * every (word type, codepoint position), the longest vocabulary hit's
+    * consumed length — bare at the word start (full piece length, which
+    * also covers pieces whose literal text begins with `##`),
+    * `##`-prefixed after (piece length − 2, pieces shorter than 3
+    * codepoints excluded since they'd consume nothing); the recursive
+    * `enc` CTE then just walks each word through that table (a plain
+    * join per step — DuckDB silently nulls correlated subqueries inside
+    * recursive members, and aggregation over the recursive reference is
+    * disallowed, so the matching must happen OUTSIDE the recursion). A
+    * position with no hit collapses the word to one [UNK] token.
+    * Per-type counts then join back per document.
+    */
+  private def wordpieceTrainEncodeOracleSql(k: Int): String = {
+    val joined = (1 to k).map(s =>
+        s"SELECT a || (CASE WHEN b LIKE '##%' THEN substring(b, 3) " +
+          s"ELSE b END) AS piece FROM b$s")
+      .mkString("\nUNION ")
+    s"""WITH RECURSIVE ${wpTrainCtes(k)},
+       |voc AS MATERIALIZED (SELECT DISTINCT sym AS piece FROM seg0
+       |UNION $joined),
+       |wpos AS (SELECT piece,
+       |    unnest(generate_series(1, CAST(length(piece) AS INTEGER)))
+       |      AS pos
+       |  FROM pc),
+       |best AS MATERIALIZED (
+       |  SELECT w.piece, CAST(w.pos AS BIGINT) AS pos,
+       |    MAX(CASE WHEN w.pos = 1 THEN length(v.piece)
+       |             ELSE length(v.piece) - 2 END) AS adv
+       |  FROM wpos w LEFT JOIN voc v
+       |    ON (w.pos = 1 AND
+       |        v.piece = substring(w.piece, 1, length(v.piece)))
+       |    OR (w.pos > 1 AND length(v.piece) >= 3 AND
+       |        v.piece = '##' ||
+       |          substring(w.piece, w.pos, length(v.piece) - 2))
+       |  GROUP BY w.piece, w.pos),
+       |enc AS (
+       |  SELECT piece, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS ntok,
+       |    FALSE AS unk
+       |  FROM pc
+       |  UNION ALL
+       |  SELECT e.piece,
+       |    CASE WHEN b.adv IS NULL THEN e.pos ELSE e.pos + b.adv END AS pos,
+       |    e.ntok + 1 AS ntok, b.adv IS NULL AS unk
+       |  FROM enc e JOIN best b ON b.piece = e.piece AND b.pos = e.pos
+       |  WHERE NOT e.unk AND e.pos <= length(e.piece)),
+       |wlens AS (SELECT piece,
+       |    CASE WHEN unk THEN CAST(1 AS BIGINT) ELSE ntok END AS n
+       |  FROM enc WHERE unk OR pos > length(piece))
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(SUM(w.n), 0) AS BIGINT) AS n_wp_tokens
+       |FROM documents d
+       |LEFT JOIN p ON p.doc_id = d.doc_id AND p.piece <> ''
+       |LEFT JOIN wlens w ON w.piece = p.piece
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** `q_unigram_encode_parity`'s oracle: the contract (all-true parity
+    * and round-trip flags) plus the POPULATION — the distinct pre-token
+    * word-type counts, capped and uncapped, re-derived independently so
+    * the engine cannot shrink the checked set.
+    */
+  private def unigramParityOracleSql: String = {
+    val pat = graft.functions.Bpe.preTokenizeRegex.replace("'", "''")
+    s"""WITH p AS (SELECT unnest(regexp_extract_all($normSql, '$pat')) AS piece
+       |  FROM documents),
+       |w AS (SELECT DISTINCT piece FROM p WHERE piece <> ''),
+       |sw AS (SELECT piece FROM w
+       |  WHERE length(piece) <= $unigramParityMaxCps)
+       |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sw) AS n_words,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sw) AS n_viterbi_match,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sw) AS n_round_trip,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_words_all,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_round_trip_all""".stripMargin
+  }
+
   private def bpeChainSql(rules: Seq[(String, String)],
       base: String): String =
     rules.foldLeft(base) { case (acc, (a, b)) =>
@@ -3757,6 +4058,10 @@ object SparkEntry {
     // train→encode composition: per-doc counts from the training
     // chain's final segmentation — see bpeTrainEncodeOracleSql
     "q_bpe_train_encode" -> bpeTrainEncodeOracleSql(bpeTrainMerges),
+    "q_wordpiece_train" -> wordpieceTrainOracleSql(wpTrainJoins),
+    "q_wordpiece_train_encode" ->
+      wordpieceTrainEncodeOracleSql(wpTrainJoins),
+    "q_unigram_encode_parity" -> unigramParityOracleSql,
     "q_bpe" -> {
       // the SAME tokenizers via the shared bpeChainSql rendering. The
       // gpt2-style path re-extracts the identical pre-token pieces with

@@ -192,27 +192,41 @@ object WordPieceTrainer {
     */
   final case class Vocab(pieces: Set[String], unkToken: String = "[UNK]") {
     require(pieces.nonEmpty, "vocab must be non-empty")
-    /** Longest piece length in codepoints, the greedy matcher's probe
-      * bound (continuation prefix excluded).
+    /** Greedy matcher's probe bound: the longest piece length in raw
+      * codepoints. A piece whose literal text begins with `##` can match
+      * BARE at a word start (consuming its full length), so the bound is
+      * the max over FULL lengths — stripping the continuation prefix
+      * here would undercount such pieces and make them unmatchable. For
+      * genuine continuation pieces this over-probes by at most the two
+      * prefix codepoints, which merely costs two extra hash lookups.
       */
-    val maxMatchCps: Int = pieces.iterator
-      .map(p => cpCount(stripCont(p))).max
+    val maxMatchCps: Int = pieces.iterator.map(cpCount).max
   }
 
   private def cpCount(s: String): Int = s.codePointCount(0, s.length)
 
   /** Build the encoding [[Vocab]] from a type table's alphabet plus the
     * learned joins. The alphabet comes from the SAME distributed type
-    * reduction as training ([[BpeTrainer.pieceTypeCounts]]), collapsed
-    * to its distinct marked codepoints driver-side — bounded by the
-    * script inventory, thousands at web scale.
+    * reduction as training ([[BpeTrainer.pieceTypeCounts]]), with the
+    * SAME `maxPieceTypes` cap (so the alphabet agrees with what a capped
+    * training run saw), then collapsed DISTRIBUTIVELY to its distinct
+    * marked codepoints (explode → distinct): only the alphabet — bounded
+    * by the script inventory, thousands at web scale — ever reaches the
+    * driver, never the full piece-type table.
     */
   def toVocab(corpus: DataFrame, pieces: Column,
-      learned: Seq[LearnedJoin]): Vocab = {
-    val types = BpeTrainer.pieceTypeCounts(corpus, pieces)
-      .select("piece").collect().map(_.getString(0))
-    val alphabet = types.iterator.flatMap(markedCps).toSet
-    Vocab(alphabet ++ learned.map(_.joined))
+      learned: Seq[LearnedJoin],
+      maxPieceTypes: Option[Int] = None): Vocab = {
+    val base = BpeTrainer.pieceTypeCounts(corpus, pieces)
+    val capped = maxPieceTypes match {
+      case Some(n) => base.orderBy(col("cnt").desc, col("piece")).limit(n)
+      case None => base
+    }
+    val markUdf = udf((p: String) => markedCps(p))
+    val alphabet = capped
+      .select(explode(markUdf(col("piece"))).as("sym"))
+      .distinct().collect().map(_.getString(0))
+    Vocab(alphabet.toSet ++ learned.map(_.joined))
   }
 
   /** Greedy longest-match-first WordPiece encoding of one pre-token
@@ -241,17 +255,24 @@ object WordPieceTrainer {
       val prefix = if (i == 0) "" else ContPrefix
       var l = math.min(vocab.maxMatchCps, n - i)
       var hit: String = null
+      var hitLen = 0
       while (hit == null && l >= 1) {
         val sb = new java.lang.StringBuilder(prefix)
         var k = 0
         while (k < l) { sb.append(cps(i + k)); k += 1 }
         val cand = sb.toString
-        if (vocab.pieces.contains(cand)) hit = cand
+        if (vocab.pieces.contains(cand)) { hit = cand; hitLen = l }
         l -= 1
       }
       if (hit == null) return Array(vocab.unkToken)
       out += hit
-      i += cpCount(stripCont(hit))
+      // advance by the codepoints actually CONSUMED from the word (the
+      // probe length at hit time) — deriving it from the hit string by
+      // stripping '##' is wrong for pieces whose literal text starts
+      // with '##': a bare '##' hit would advance 0 (infinite loop) and
+      // other bare '##…' hits would mis-advance vs the BERT greedy
+      // algorithm, which steps by the matched substring length
+      i += hitLen
     }
     out.result()
   }
