@@ -277,6 +277,39 @@ object WordPieceTrainer {
     out.result()
   }
 
+  /** Canonical piece ids: codepoint-sorted rank (binary UTF-8 order —
+    * the same total order every engine and the DuckDB oracle agree on),
+    * with the [UNK] token appended last. Shared by [[vocabDf]] and
+    * [[encodeIdsUdf]] so a stored vocabulary and a live encode always
+    * number identically.
+    */
+  private def canonicalPieces(vocab: Vocab): Seq[String] =
+    vocab.pieces.toSeq
+      .sortWith((a, b) => BpeTrainer.codepointCompare(a, b) < 0)
+
+  /** The learned vocabulary as a `(id, piece, is_unk)` DataFrame — the
+    * persistable artifact a training run publishes next to its corpus
+    * (ids are the canonical codepoint-sorted rank, [UNK] last, so a
+    * stored vocabulary round-trips bit-identically through
+    * [[loadVocab]]) — same pattern as [[UnigramTrainer.vocabDf]].
+    */
+  def vocabDf(spark: SparkSession, vocab: Vocab): DataFrame = {
+    import spark.implicits._
+    val sorted = canonicalPieces(vocab)
+    (sorted.zipWithIndex.map { case (p, i) => (i, p, false) } :+
+      ((sorted.size, vocab.unkToken, true)))
+      .toDF("id", "piece", "is_unk")
+  }
+
+  /** Rebuild the vocabulary from a stored [[vocabDf]] frame. */
+  def loadVocab(df: DataFrame): Vocab = {
+    val rows = df.select(col("id"), col("piece"), col("is_unk"))
+      .collect().sortBy(_.getInt(0))
+    val unk = rows.find(_.getBoolean(2)).map(_.getString(1))
+      .getOrElse("[UNK]")
+    Vocab(rows.filterNot(_.getBoolean(2)).map(_.getString(1)).toSet, unk)
+  }
+
   /** [[encodeWord]] over the pre-token pieces array as a UDF — vocab
     * broadcast once, narrow, stateless, streaming-safe (the serving
     * twin of [[train]], same pattern as
@@ -288,6 +321,24 @@ object WordPieceTrainer {
     udf((pieces: Seq[String]) =>
       if (pieces == null) null
       else pieces.flatMap(p => encodeWord(p, bc.value)))
+  }
+
+  /** [[encodeUdf]] straight to canonical vocabulary IDS ([[vocabDf]]'s
+    * codepoint-sorted rank; [UNK] encodes as its own trailing id), the
+    * array [[graft.pipeline.Packing.tokenWindows]] and the bin packers
+    * consume: train → encode → pack closes for the WordPiece family
+    * exactly as it does for BPE and unigram.
+    */
+  def encodeIdsUdf(spark: SparkSession, vocab: Vocab)
+      : UserDefinedFunction = {
+    val sorted = canonicalPieces(vocab)
+    val ids = sorted.iterator.zipWithIndex.map { case (p, i) => p -> i }
+      .toMap + (vocab.unkToken -> sorted.size)
+    val bc = spark.sparkContext.broadcast((vocab, ids))
+    udf((pieces: Seq[String]) =>
+      if (pieces == null) null
+      else pieces.flatMap(p => encodeWord(p, bc.value._1)
+        .map(t => bc.value._2(t))))
   }
 
   /** Per-row WordPiece token count over the pre-token pieces array

@@ -384,6 +384,58 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: distributed trainer loop == per-occurrence WordPiece " +
+      "reference on random corpora (incl. literal-# words)") {
+    import graft.functions.WordPieceTrainer
+    // '#' in the pool makes marked continuation symbols collide with
+    // literal text — the representational ambiguity the strip rule and
+    // both implementations must agree on
+    val wordGen = SGen.choose(1, 6).flatMap(l =>
+      SGen.listOfN(l, SGen.oneOf('a', 'b', '#')).map(_.mkString))
+    val gen = for {
+      n <- SGen.choose(1, 8)
+      words <- SGen.listOfN(n, wordGen)
+      cnts <- SGen.listOfN(n, SGen.choose(1, 3))
+      k <- SGen.choose(1, 5)
+    } yield (words.zip(cnts.map(_.toLong)), k)
+    check(Prop.forAll(gen) { case (raw, k) =>
+      val types = raw.groupBy(_._1).toSeq
+        .map { case (w, xs) => (w, xs.map(_._2).sum) }
+      val occurrences = types.flatMap { case (w, c) =>
+        Seq.fill(c.toInt)(w)
+      }
+      WordPieceTrainer.trainLocal(types, k)
+        .map(j => (j.left, j.right, j.pairCount, j.leftCount,
+          j.rightCount)) ==
+        WordPieceReference.train(occurrences, k)
+    })
+  }
+
+  test("property: WordPiece greedy encode round-trips or collapses to " +
+      "[UNK], and always terminates, under vocabularies with literal-# " +
+      "pieces") {
+    import graft.functions.WordPieceTrainer
+    import graft.functions.WordPieceTrainer.Vocab
+    val pieceGen = SGen.choose(1, 4).flatMap(l =>
+      SGen.listOfN(l, SGen.oneOf('a', 'b', '#')).map(_.mkString))
+    val gen = for {
+      np <- SGen.choose(1, 8)
+      ps <- SGen.listOfN(np, pieceGen)
+      extra <- SGen.someOf(Seq("##", "#", "##a", "##ab"))
+      w <- SGen.choose(0, 7).flatMap(l =>
+        SGen.listOfN(l, SGen.oneOf('a', 'b', '#')).map(_.mkString))
+    } yield (ps.toSet ++ extra, w)
+    check(Prop.forAll(gen) { case (pieces, w) =>
+      val v = Vocab(pieces)
+      val toks = WordPieceTrainer.encodeWord(w, v).toList
+      if (w.isEmpty) toks.isEmpty
+      else if (toks == List(v.unkToken)) true
+      else toks.zipWithIndex.map { case (t, i) =>
+        if (i == 0) t else WordPieceTrainer.stripCont(t)
+      }.mkString == w
+    })
+  }
+
   test("property: substring removal intervals == brute-force reference " +
       "on random corpora") {
     import scala.jdk.CollectionConverters._

@@ -220,6 +220,49 @@ class WordPieceSpec extends SparkSpec {
     assert(capped.pieces.size < localAlpha.size)
   }
 
+  test("vocab persists: vocabDf -> parquet -> loadVocab round-trips; " +
+      "encodeIdsUdf numbers by canonical codepoint rank, [UNK] last") {
+    import SparkSpec.spark.implicits._
+    val v = Vocab(Set("a", "ab", "##c", "b"))
+    val dir = java.nio.file.Files.createTempDirectory("wp_vocab").toString
+    WordPieceTrainer.vocabDf(spark, v).write.mode("overwrite").parquet(dir)
+    assert(WordPieceTrainer.loadVocab(spark.read.parquet(dir)) == v)
+    // custom unk token survives the round trip
+    val v2 = Vocab(Set("x"), "<unk>")
+    WordPieceTrainer.vocabDf(spark, v2).write.mode("overwrite").parquet(dir)
+    assert(WordPieceTrainer.loadVocab(spark.read.parquet(dir)) == v2)
+    // canonical ids: '##c'(0) < 'a'(1) < 'ab'(2) < 'b'(3), [UNK]=4;
+    // "abc" -> [ab, ##c], "zz" -> [UNK]
+    val ids = WordPieceTrainer.encodeIdsUdf(spark, v)
+    val out = Seq(Seq("abc", "b", "zz")).toDF("pieces")
+      .select(ids(col("pieces")).as("ids")).as[Seq[Int]].collect().head
+    assert(out == Seq(2, 0, 3, 4))
+  }
+
+  test("encodeUdf is streaming-safe: a file-stream encode lands the " +
+      "same tokens as the batch path") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("wp_stream").toString
+    val docs = spark.read.parquet(s"$fixtures/documents.parquet")
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    val schema = spark.read.parquet(s"$dir/docs").schema
+    val pieces = Bpe.preTokenize(TextOps.normalize(col("text")))
+    val learned = WordPieceTrainer.train(docs, pieces, 4)
+    val vocab = WordPieceTrainer.toVocab(docs, pieces, learned)
+    val enc = WordPieceTrainer.encodeUdf(spark, vocab)
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), enc(pieces).as("toks"))
+    val q = toks(spark.readStream.schema(schema).parquet(s"$dir/docs"))
+      .writeStream.format("memory").queryName("wp_stream_toks")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getSeq[String](1)))
+    assert(rows(spark.table("wp_stream_toks")).toSeq ==
+      rows(toks(spark.read.parquet(s"$dir/docs"))).toSeq)
+  }
+
   test("encodeUdf/tokenCountUdf: broadcast vocab over the pieces " +
       "column, null-safe") {
     import SparkSpec.spark.implicits._
