@@ -501,19 +501,21 @@ object SparkEntry {
 
   /** Events with microsecond epoch timestamps (schema-adaptive — see
     * [[tsMicros]]) and orders with their date as epoch micros: the shared
-    * inputs of the as-of/range queries. o_orderdate arrives as
-    * TIMESTAMP_NTZ; the session is UTC, so the zoned cast reads the same
-    * instant DuckDB's epoch_us sees.
+    * inputs of the as-of/range queries. Both time columns go through
+    * [[tsMicros]], so either standard parquet encoding (raw nanos longs
+    * or timestamp[us]) yields the same epoch micros DuckDB's epoch_us
+    * sees (the session is UTC, so the NTZ→zoned cast is
+    * instant-preserving).
     */
   private def eventsUs(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     ev.select(col("event_id"), col("user_id"), tsMicros(ev).as("ts_us"))
   }
-  private def ordersUs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .select(col("o_custkey"),
-        unix_micros(col("o_orderdate").cast("timestamp")).as("ot"),
-        col("o_orderkey"), col("o_totalprice"))
+  private def ordersUs(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.select(col("o_custkey"), tsMicros(o, "o_orderdate").as("ot"),
+      col("o_orderkey"), col("o_totalprice"))
+  }
 
   /** Backward as-of join (see [[graft.pipeline.AsOf]]): each event aligned
     * to the user's most recent order at-or-before the event time — the
