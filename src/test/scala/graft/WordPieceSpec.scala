@@ -239,6 +239,25 @@ class WordPieceSpec extends SparkSpec {
     assert(out == Seq(2, 0, 3, 4))
   }
 
+  test("plan shape: encode is zero-shuffle narrow; the type-table " +
+      "reduction is exactly ONE exchange") {
+    val docs = spark.read.parquet(s"$fixtures/documents.parquet")
+    val pieces = Bpe.preTokenize(TextOps.normalize(col("text")))
+    val enc = WordPieceTrainer.encodeUdf(spark,
+      Vocab(Set("a", "b", "##a", "##b")))
+    val encPlan = docs.select(col("doc_id"), enc(pieces).as("toks"))
+      .queryExecution.executedPlan.toString
+    assert(!encPlan.contains("Exchange"),
+      s"wordpiece encode must run at scan speed on 100 TB:\n$encPlan")
+    val typesPlan = graft.functions.BpeTrainer
+      .pieceTypeCounts(docs, pieces)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange".r.findAllIn(typesPlan).length -
+      "BroadcastExchange".r.findAllIn(typesPlan).length
+    assert(shuffles == 1,
+      s"type reduction must be ONE hash agg, has $shuffles:\n$typesPlan")
+  }
+
   test("encodeUdf is streaming-safe: a file-stream encode lands the " +
       "same tokens as the batch path") {
     import org.apache.spark.sql.streaming.Trigger
