@@ -926,6 +926,15 @@ object Dedup {
   /** Cut a set of merged `(idCol, s, e)` character intervals out of
     * each doc's text — the shared reassembly half of
     * [[dropDuplicateSubstrings]] and [[removeBenchmarkSpans]].
+    *
+    * The intervals aggregate to a per-doc sorted array BEFORE touching
+    * the corpus, so the only rows that shuffle are the (small) interval
+    * rows; the text column then meets that array in a single left join
+    * AQE is free to broadcast — on an interval side proportional to the
+    * REMOVALS, not the corpus — and the cut itself is narrow. (The
+    * previous join-then-groupBy order re-aggregated with the full text
+    * along for the ride.) Docs with no intervals pass through verbatim
+    * via the null guard.
     */
   private def cutIntervals(df: DataFrame, idCol: String,
       textCol: String, iv: DataFrame): DataFrame = {
@@ -941,14 +950,17 @@ object Dedup {
       acc => concat(acc.getField("acc"),
         col("__t").substr(acc.getField("cur"),
           length(col("__t")) - acc.getField("cur") + 1)))
+    val ivAgg = iv.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("s"), col("e"))))
+        .as("__ivs"))
     df.select(col(idCol), col(textCol).as("__t"))
-      .join(iv, Seq(idCol), "left")
-      .groupBy(col(idCol))
-      .agg(first(col("__t")).as("__t"),
-        sort_array(collect_list(when(col("s").isNotNull,
-          struct(col("s"), col("e"))))).as("__ivs"))
-      .select(col(idCol), clean.as("clean_text"),
-        (length(col("__t")) - length(clean)).as("n_removed_chars"))
+      .join(ivAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__ivs").isNull, col("__t")).otherwise(clean)
+          .as("clean_text"),
+        when(col("__ivs").isNull, lit(0))
+          .otherwise(length(col("__t")) - length(clean))
+          .as("n_removed_chars"))
   }
 
   // benchmark-side broadcasts outstanding since the last
