@@ -1784,6 +1784,29 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The WordPiece serving encoder at TOKEN granularity: the trained
+    * vocabulary greedy-encodes the corpus and every (doc, position,
+    * token) row is value-oracled — the oracle re-derives the whole
+    * ordered sequence from the recursive matcher, so a single
+    * mis-matched, mis-ordered, or mis-advanced token anywhere in the
+    * corpus diverges (stronger than [[qWordpieceTrainEncode]]'s
+    * per-doc counts, which catch length but not content drift).
+    */
+  private def qWordpieceEncodeTokens(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.functions.{Bpe, WordPieceTrainer}
+    val pieces = Bpe.preTokenize(TextOps.normalize(col("text")))
+    val d = docs(s, dir)
+    val learned = WordPieceTrainer.train(d, pieces, wpTrainJoins)
+    val vocab = WordPieceTrainer.toVocab(d, pieces, learned)
+    val enc = WordPieceTrainer.encodeUdf(s, vocab)
+    d.select(col("doc_id"),
+        posexplode(enc(pieces)).as(Seq("__p", "token")))
+      .select(col("doc_id"),
+        (col("__p") + 1).cast("bigint").as("pos"), col("token"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** Length cap (codepoints) for `q_unigram_encode_parity`'s brute-force
     * enumeration population — at 12 cps and maxPieceLen 8 a word type
     * has at most a few thousand segmentations, so the check stays
@@ -2094,6 +2117,7 @@ object SparkEntry {
     "q_bpe_train_encode" -> (qBpeTrainEncode _),
     "q_wordpiece_train" -> (qWordpieceTrain _),
     "q_wordpiece_train_encode" -> (qWordpieceTrainEncode _),
+    "q_wordpiece_encode_tokens" -> (qWordpieceEncodeTokens _),
     "q_unigram_encode_parity" -> (qUnigramEncodeParity _),
     "q_unicode_nfc" -> (qUnicodeNfc _),
     "q_bpe_ids" -> (qBpeIds _),
@@ -2305,12 +2329,20 @@ object SparkEntry {
     * position with no hit collapses the word to one [UNK] token.
     * Per-type counts then join back per document.
     */
-  private def wordpieceTrainEncodeOracleSql(k: Int): String = {
+  /** The greedy-matcher CTE chain shared by `q_wordpiece_train_encode`
+    * and `q_wordpiece_encode_tokens`: the training CTEs, the vocabulary,
+    * the per-(word type, position) longest-hit table, the recursive walk
+    * (each step ALSO records the emitted vocabulary piece — the slice
+    * itself at a word start, its `##`-prefixed form after, `[UNK]` on a
+    * miss), and the per-type token counts. Must run under
+    * `WITH RECURSIVE`.
+    */
+  private def wpEncodeCtes(k: Int): String = {
     val joined = (1 to k).map(s =>
         s"SELECT a || (CASE WHEN b LIKE '##%' THEN substring(b, 3) " +
           s"ELSE b END) AS piece FROM b$s")
       .mkString("\nUNION ")
-    s"""WITH RECURSIVE ${wpTrainCtes(k)},
+    s"""${wpTrainCtes(k)},
        |voc AS MATERIALIZED (SELECT DISTINCT sym AS piece FROM seg0
        |UNION $joined),
        |wpos AS (SELECT piece,
@@ -2330,23 +2362,62 @@ object SparkEntry {
        |  GROUP BY w.piece, w.pos),
        |enc AS (
        |  SELECT piece, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS ntok,
-       |    FALSE AS unk
+       |    FALSE AS unk, CAST(NULL AS VARCHAR) AS tok
        |  FROM pc
        |  UNION ALL
        |  SELECT e.piece,
        |    CASE WHEN b.adv IS NULL THEN e.pos ELSE e.pos + b.adv END AS pos,
-       |    e.ntok + 1 AS ntok, b.adv IS NULL AS unk
+       |    e.ntok + 1 AS ntok, b.adv IS NULL AS unk,
+       |    CASE WHEN b.adv IS NULL THEN '[UNK]'
+       |         WHEN e.pos = 1 THEN
+       |           substring(e.piece, 1, CAST(b.adv AS INTEGER))
+       |         ELSE '##' || substring(e.piece, CAST(e.pos AS INTEGER),
+       |           CAST(b.adv AS INTEGER)) END AS tok
        |  FROM enc e JOIN best b ON b.piece = e.piece AND b.pos = e.pos
        |  WHERE NOT e.unk AND e.pos <= length(e.piece)),
        |wlens AS (SELECT piece,
        |    CASE WHEN unk THEN CAST(1 AS BIGINT) ELSE ntok END AS n
-       |  FROM enc WHERE unk OR pos > length(piece))
+       |  FROM enc WHERE unk OR pos > length(piece))""".stripMargin
+  }
+
+  private def wordpieceTrainEncodeOracleSql(k: Int): String =
+    s"""WITH RECURSIVE ${wpEncodeCtes(k)}
        |SELECT d.doc_id,
        |  CAST(COALESCE(SUM(w.n), 0) AS BIGINT) AS n_wp_tokens
        |FROM documents d
        |LEFT JOIN p ON p.doc_id = d.doc_id AND p.piece <> ''
        |LEFT JOIN wlens w ON w.piece = p.piece
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** `q_wordpiece_encode_tokens`' oracle: the full per-document TOKEN
+    * SEQUENCE re-derived cross-engine — each word type's ordered tokens
+    * come straight off the recursive walk (a word that hit [UNK]
+    * anywhere contributes exactly the one [UNK] token, discarding its
+    * earlier matches, like the published algorithm), stitched back into
+    * corpus order by (word index, token index).
+    */
+  private def wordpieceEncodeTokensOracleSql(k: Int): String = {
+    val pat = graft.functions.Bpe.preTokenizeRegex.replace("'", "''")
+    s"""WITH RECURSIVE ${wpEncodeCtes(k)},
+       |tt AS (
+       |  SELECT piece, ntok AS ti, tok FROM enc
+       |  WHERE tok IS NOT NULL
+       |    AND piece NOT IN (SELECT piece FROM enc WHERE unk)
+       |  UNION ALL
+       |  SELECT DISTINCT piece, CAST(1 AS BIGINT) AS ti, '[UNK]' AS tok
+       |  FROM enc WHERE unk),
+       |pw AS (SELECT doc_id,
+       |    unnest(regexp_extract_all($normSql, '$pat')) AS piece,
+       |    unnest(generate_series(1,
+       |      len(regexp_extract_all($normSql, '$pat')))) AS wi
+       |  FROM documents)
+       |SELECT pw.doc_id,
+       |  row_number() OVER (PARTITION BY pw.doc_id ORDER BY pw.wi, tt.ti)
+       |    AS pos,
+       |  tt.tok AS token
+       |FROM pw JOIN tt ON tt.piece = pw.piece
+       |WHERE pw.piece <> ''
+       |ORDER BY pw.doc_id, pos""".stripMargin
   }
 
   /** `q_unigram_encode_parity`'s oracle: the contract (all-true parity
@@ -4063,6 +4134,8 @@ object SparkEntry {
     "q_wordpiece_train" -> wordpieceTrainOracleSql(wpTrainJoins),
     "q_wordpiece_train_encode" ->
       wordpieceTrainEncodeOracleSql(wpTrainJoins),
+    "q_wordpiece_encode_tokens" ->
+      wordpieceEncodeTokensOracleSql(wpTrainJoins),
     "q_unigram_encode_parity" -> unigramParityOracleSql,
     "q_bpe" -> {
       // the SAME tokenizers via the shared bpeChainSql rendering. The
