@@ -1792,6 +1792,31 @@ object SparkEntry {
     * corpus diverges (stronger than [[qWordpieceTrainEncode]]'s
     * per-doc counts, which catch length but not content drift).
     */
+  /** The BPE twin of [[qWordpieceEncodeTokens]]: the corpus tokenized
+    * under its own freshly-learned merges, value-oracled at TOKEN
+    * granularity. The oracle needs no extra matcher machinery — under
+    * the BpeMerges construction invariant, greedy encoding equals
+    * rank-order application, so the training chain's final positional
+    * segmentation table IS each word type's ordered token list; the
+    * oracle just stitches it back into corpus order by (word index,
+    * symbol position).
+    */
+  private def qBpeTrainTokens(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Bpe, BpeTrainer}
+    val pieces = Bpe.preTokenize(TextOps.normalize(col("text")))
+    val learned = BpeTrainer.train(docs(s, dir), pieces, bpeTrainMerges)
+    val vocab = BpeTrainer.toMerges(learned)
+    val enc = udf((ws: Seq[String]) =>
+      if (ws == null) null
+      else ws.filter(_.nonEmpty).flatMap(vocab.encode))
+    docs(s, dir)
+      .select(col("doc_id"),
+        posexplode(enc(pieces)).as(Seq("__p", "token")))
+      .select(col("doc_id"),
+        (col("__p") + 1).cast("bigint").as("pos"), col("token"))
+      .orderBy("doc_id", "pos")
+  }
+
   private def qWordpieceEncodeTokens(s: SparkSession, dir: String)
       : DataFrame = {
     import graft.functions.{Bpe, WordPieceTrainer}
@@ -2115,6 +2140,7 @@ object SparkEntry {
     "q_bpe" -> (qBpe _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_train_encode" -> (qBpeTrainEncode _),
+    "q_bpe_train_tokens" -> (qBpeTrainTokens _),
     "q_wordpiece_train" -> (qWordpieceTrain _),
     "q_wordpiece_train_encode" -> (qWordpieceTrainEncode _),
     "q_wordpiece_encode_tokens" -> (qWordpieceEncodeTokens _),
@@ -2172,27 +2198,27 @@ object SparkEntry {
     val sb = new StringBuilder
     sb ++= s"""p AS (SELECT doc_id, unnest(regexp_extract_all($normSql, '$pat')) AS piece
        |  FROM documents),
-       |pc AS (SELECT piece, CAST(COUNT(*) AS BIGINT) AS cnt FROM p
+       |pc AS MATERIALIZED (SELECT piece, CAST(COUNT(*) AS BIGINT) AS cnt FROM p
        |  WHERE piece <> '' GROUP BY piece),
-       |seg0 AS (SELECT piece, cnt,
+       |seg0 AS MATERIALIZED (SELECT piece, cnt,
        |  unnest(generate_series(1, CAST(length(piece) AS INTEGER))) AS pos,
        |  unnest(regexp_extract_all(piece, '.')) AS sym FROM pc)""".stripMargin
     for (step <- 1 to k) {
       val prev = s"seg${step - 1}"
       sb ++= s""",
-         |g$step AS (SELECT sym AS a, nx AS b, CAST(SUM(cnt) AS BIGINT) AS c
+         |g$step AS MATERIALIZED (SELECT sym AS a, nx AS b, CAST(SUM(cnt) AS BIGINT) AS c
          |  FROM (SELECT cnt, sym,
          |          lead(sym) OVER (PARTITION BY piece ORDER BY pos) AS nx
          |        FROM $prev)
          |  WHERE nx IS NOT NULL GROUP BY sym, nx),
-         |b$step AS (SELECT a, b, c FROM g$step ORDER BY c DESC, a, b LIMIT 1),
-         |c$step AS (SELECT s.piece, s.cnt, s.pos, s.sym,
+         |b$step AS MATERIALIZED (SELECT a, b, c FROM g$step ORDER BY c DESC, a, b LIMIT 1),
+         |c$step AS MATERIALIZED (SELECT s.piece, s.cnt, s.pos, s.sym,
          |    lead(s.sym) OVER (PARTITION BY s.piece ORDER BY s.pos) AS nx,
          |    COALESCE(s.sym = b.a AND
          |      lead(s.sym) OVER (PARTITION BY s.piece ORDER BY s.pos) = b.b,
          |      FALSE) AS cc
          |  FROM $prev s LEFT JOIN b$step b ON TRUE),
-         |m$step AS (SELECT piece, cnt, pos, sym, nx,
+         |m$step AS MATERIALIZED (SELECT piece, cnt, pos, sym, nx,
          |    CASE WHEN cc THEN
          |      (ROW_NUMBER() OVER (PARTITION BY piece, cc, grp ORDER BY pos)
          |        % 2 = 1)
@@ -2200,7 +2226,7 @@ object SparkEntry {
          |  FROM (SELECT *, pos -
          |      ROW_NUMBER() OVER (PARTITION BY piece, cc ORDER BY pos) AS grp
          |    FROM c$step)),
-         |seg$step AS (SELECT piece, cnt,
+         |seg$step AS MATERIALIZED (SELECT piece, cnt,
          |    ROW_NUMBER() OVER (PARTITION BY piece ORDER BY pos) AS pos,
          |    CASE WHEN mg THEN sym || nx ELSE sym END AS sym
          |  FROM (SELECT *,
@@ -2388,6 +2414,27 @@ object SparkEntry {
        |LEFT JOIN p ON p.doc_id = d.doc_id AND p.piece <> ''
        |LEFT JOIN wlens w ON w.piece = p.piece
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** `q_bpe_train_tokens`' oracle: corpus-order token sequences straight
+    * off the training chain's final segmentation (see the query doc for
+    * why no separate matcher is needed).
+    */
+  private def bpeTrainTokensOracleSql(k: Int): String = {
+    val pat = graft.functions.Bpe.preTokenizeRegex.replace("'", "''")
+    s"""WITH ${bpeTrainCtes(k)},
+       |pw AS (SELECT doc_id,
+       |    unnest(regexp_extract_all($normSql, '$pat')) AS piece,
+       |    unnest(generate_series(1,
+       |      len(regexp_extract_all($normSql, '$pat')))) AS wi
+       |  FROM documents)
+       |SELECT pw.doc_id,
+       |  row_number() OVER (PARTITION BY pw.doc_id ORDER BY pw.wi, s.pos)
+       |    AS pos,
+       |  s.sym AS token
+       |FROM pw JOIN seg$k s ON s.piece = pw.piece
+       |WHERE pw.piece <> ''
+       |ORDER BY pw.doc_id, pos""".stripMargin
+  }
 
   /** `q_wordpiece_encode_tokens`' oracle: the full per-document TOKEN
     * SEQUENCE re-derived cross-engine — each word type's ordered tokens
@@ -4131,6 +4178,7 @@ object SparkEntry {
     // train→encode composition: per-doc counts from the training
     // chain's final segmentation — see bpeTrainEncodeOracleSql
     "q_bpe_train_encode" -> bpeTrainEncodeOracleSql(bpeTrainMerges),
+    "q_bpe_train_tokens" -> bpeTrainTokensOracleSql(bpeTrainMerges),
     "q_wordpiece_train" -> wordpieceTrainOracleSql(wpTrainJoins),
     "q_wordpiece_train_encode" ->
       wordpieceTrainEncodeOracleSql(wpTrainJoins),
