@@ -101,6 +101,32 @@ final case class BpeMerges(rules: Seq[(String, String)])
     words.foreach(w => if (w.nonEmpty) n += encode(w).length)
     n
   }
+
+  /** The standard `merges.txt` rendering of this vocabulary — one
+    * whitespace-separated `A B` pair per line in rank order, with
+    * `gpt2Spaces = true` printing the space byte as `Ġ` (U+0120) per
+    * the GPT-2 release convention. Round-trips bit-identically through
+    * [[BpeMerges.fromLines]] with matching flags — the WRITE half of a
+    * trained vocabulary's persistence (the other tokenizer families'
+    * `vocabDf` analog, in the format real releases ship). The file
+    * format splits on whitespace, so a rule side containing a space
+    * requires the Ġ encoding and any other whitespace is rejected
+    * eagerly rather than producing a file that re-loads differently.
+    */
+  def toLines(gpt2Spaces: Boolean = false,
+      header: String = "#version: 0.2"): Iterator[String] = {
+    def enc(s: String) = if (gpt2Spaces) s.replace(' ', 'Ġ') else s
+    rules.foreach { case (a, b) =>
+      require(!(enc(a) + enc(b)).exists(_.isWhitespace),
+        s"rule ('$a', '$b') contains whitespace the merges-file layout " +
+          "cannot carry; pass gpt2Spaces = true for spaces")
+      require(!gpt2Spaces || !(a + b).contains('Ġ'),
+        s"rule ('$a', '$b') contains a literal Ġ, which the gpt2Spaces " +
+          "round trip would decode to a space")
+    }
+    Iterator(header) ++
+      rules.iterator.map { case (a, b) => s"${enc(a)} ${enc(b)}" }
+  }
 }
 
 /** One emitted token with its vocabulary id — [[Bpe.encodeWithIds]]'s

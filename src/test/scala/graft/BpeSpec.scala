@@ -95,6 +95,29 @@ class BpeSpec extends SparkSpec {
       BpeMerges.fromLines(Seq("th e").iterator))
   }
 
+  test("toLines renders the merges-file layout and round-trips " +
+      "fromLines, including Ġ space encoding and a trained vocabulary") {
+    val v = Bpe.demoEnglish
+    assert(BpeMerges.fromLines(v.toLines()).rules == v.rules)
+    // space-carrying rules need the Ġ convention — and get it back
+    val g = Bpe.demoGpt2
+    assert(BpeMerges.fromLines(g.toLines(gpt2Spaces = true),
+      gpt2Spaces = true).rules == g.rules)
+    // without it, a space rule would write a file that re-loads
+    // differently — rejected at write time
+    intercept[IllegalArgumentException](g.toLines())
+    // a freshly-trained vocabulary persists through the same format
+    import graft.functions.BpeTrainer
+    val docs = spark.read.parquet(s"$fixtures/documents.parquet")
+    val piecesCol = Bpe.preTokenize(TextOps.normalize(col("text")))
+    val trained = BpeTrainer.toMerges(
+      BpeTrainer.train(docs, piecesCol, 6))
+    val back = BpeMerges.fromLines(trained.toLines(gpt2Spaces = true),
+      gpt2Spaces = true)
+    assert(back.rules == trained.rules)
+    assert(back.encode("the anding") == trained.encode("the anding"))
+  }
+
   test("fromLines loads a realistic-size merges file fast") {
     // a real release's merges.txt carries tens of thousands of rules; the
     // load-time invariant check must stay linear. Synthesize ~1.6k valid
