@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType, StringType,
-  TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DecimalType, LongType,
+  StringType, TimestampNTZType, TimestampType}
 
 import graft.functions.Gen
 import graft.pipeline.{Dedup, Multimodal, Pq, Similarity, TextOps}
@@ -45,9 +45,12 @@ object SparkEntry {
       case LongType => expr(s"$name DIV 1000")
       case TimestampNTZType => unix_micros(col(name).cast(TimestampType))
       case TimestampType => unix_micros(col(name))
+      // a parquet DATE (o_orderdate's canonical TPC-H type) reads as
+      // midnight UTC, the same instant DuckDB's epoch_us(DATE) derives
+      case DateType => unix_micros(col(name).cast(TimestampType))
       case other => throw new IllegalArgumentException(
-        s"timestamp column '$name': expected raw long nanos or a " +
-          s"timestamp type, got $other")
+        s"timestamp column '$name': expected raw long nanos, a " +
+          s"timestamp type, or a date, got $other")
     }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -1784,14 +1787,6 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  /** The WordPiece serving encoder at TOKEN granularity: the trained
-    * vocabulary greedy-encodes the corpus and every (doc, position,
-    * token) row is value-oracled — the oracle re-derives the whole
-    * ordered sequence from the recursive matcher, so a single
-    * mis-matched, mis-ordered, or mis-advanced token anywhere in the
-    * corpus diverges (stronger than [[qWordpieceTrainEncode]]'s
-    * per-doc counts, which catch length but not content drift).
-    */
   /** The BPE twin of [[qWordpieceEncodeTokens]]: the corpus tokenized
     * under its own freshly-learned merges, value-oracled at TOKEN
     * granularity. The oracle needs no extra matcher machinery — under
@@ -1817,6 +1812,14 @@ object SparkEntry {
       .orderBy("doc_id", "pos")
   }
 
+  /** The WordPiece serving encoder at TOKEN granularity: the trained
+    * vocabulary greedy-encodes the corpus and every (doc, position,
+    * token) row is value-oracled — the oracle re-derives the whole
+    * ordered sequence from the recursive matcher, so a single
+    * mis-matched, mis-ordered, or mis-advanced token anywhere in the
+    * corpus diverges (stronger than [[qWordpieceTrainEncode]]'s
+    * per-doc counts, which catch length but not content drift).
+    */
   private def qWordpieceEncodeTokens(s: SparkSession, dir: String)
       : DataFrame = {
     import graft.functions.{Bpe, WordPieceTrainer}
@@ -1875,23 +1878,33 @@ object SparkEntry {
       }
       out.result()
     }
-    // (viterbi matches the enumerator, round-trips) per word TYPE
+    // ONE pass over the distinct word types: every type is
+    // Viterbi-segmented exactly once (round-trip checked on all of
+    // them), and the brute-force enumeration parity runs only under
+    // the codepoint cap — (isShort, viterbiOk, roundTrip) per type,
+    // folded into all five contract counts by a single aggregation
+    // (the earlier two-branch crossJoin re-ran the explode+distinct
+    // shuffle and the DP per branch). Sums are coalesced so an empty
+    // population yields the oracle's 0s, not NULLs.
     val checkUdf = udf { (w: String) =>
       val (lp, u) = bc.value
       val got = UnigramTrainer.viterbi(w, lp, maxPieceLen, u).toList
       val roundTrip = got.mkString == w
       val c = cps(w)
-      def enum(i: Int): Seq[(List[String], Double)] =
+      val isShort = c.length <= cap
+      def enumerate(i: Int): Seq[(List[String], Double)] =
         if (i == c.length) Seq((Nil, 0.0))
         else (1 to math.min(maxPieceLen, c.length - i)).flatMap { l =>
           val piece = c.slice(i, i + l).mkString
           val sc = lp.getOrElse(piece,
             if (l == 1) u else Double.NegativeInfinity)
           if (sc == Double.NegativeInfinity) Seq.empty
-          else enum(i + l).map { case (r, acc) => (piece :: r, sc + acc) }
+          else enumerate(i + l).map { case (r, acc) =>
+            (piece :: r, sc + acc)
+          }
         }
-      val viterbiOk = {
-        val all = enum(0)
+      val viterbiOk = isShort && {
+        val all = enumerate(0)
         val gotScore = got.foldRight(0.0) { (p, acc) =>
           lp.getOrElse(p, u) + acc
         }
@@ -1901,25 +1914,18 @@ object SparkEntry {
         gotScore == best && got.length == minPieces &&
           coOpt.filter(_._1.length == minPieces).map(_._1).contains(got)
       }
-      (viterbiOk, roundTrip)
+      (isShort, viterbiOk, roundTrip)
     }
-    // round-trip alone is cheap (one DP, no enumeration) — checked on
-    // EVERY word type, including those past the enumeration cap
-    val roundTripUdf = udf { (w: String) =>
-      val (lp, u) = bc.value
-      UnigramTrainer.viterbi(w, lp, maxPieceLen, u).mkString == w
-    }
-    val words = d.select(explode(pieces).as("w"))
+    def n(c: Column): Column =
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    d.select(explode(pieces).as("w"))
       .filter(col("w") =!= "").distinct()
-    val short = words.filter(length(col("w")) <= cap)
       .select(checkUdf(col("w")).as("c"))
-    val shortAgg = short.agg(count(lit(1)).as("n_words"),
-      sum(when(col("c._1"), 1L).otherwise(0L)).as("n_viterbi_match"),
-      sum(when(col("c._2"), 1L).otherwise(0L)).as("n_round_trip"))
-    val allAgg = words.select(roundTripUdf(col("w")).as("rt"))
-      .agg(count(lit(1)).as("n_words_all"),
-        sum(when(col("rt"), 1L).otherwise(0L)).as("n_round_trip_all"))
-    shortAgg.crossJoin(allAgg)
+      .agg(n(col("c._1")).as("n_words"),
+        n(col("c._1") && col("c._2")).as("n_viterbi_match"),
+        n(col("c._1") && col("c._3")).as("n_round_trip"),
+        count(lit(1)).as("n_words_all"),
+        n(col("c._3")).as("n_round_trip_all"))
   }
 
   private def qBpe(s: SparkSession, dir: String): DataFrame = {
@@ -2339,29 +2345,25 @@ object SparkEntry {
             s"cb AS rhs_count FROM b$s")
         .mkString("", "\nUNION ALL ", "\nORDER BY join_rank")
 
-  /** Per-doc token counts under the self-trained WordPiece vocabulary.
-    * Unlike BPE, the serving encoder is NOT the training chain replayed:
-    * it is greedy longest-match-first over the flat vocabulary (alphabet
-    * from `seg0` ∪ the `b$k` join outputs). `best` precomputes, for
-    * every (word type, codepoint position), the longest vocabulary hit's
-    * consumed length — bare at the word start (full piece length, which
-    * also covers pieces whose literal text begins with `##`),
-    * `##`-prefixed after (piece length − 2, pieces shorter than 3
-    * codepoints excluded since they'd consume nothing); the recursive
-    * `enc` CTE then just walks each word through that table (a plain
-    * join per step — DuckDB silently nulls correlated subqueries inside
-    * recursive members, and aggregation over the recursive reference is
-    * disallowed, so the matching must happen OUTSIDE the recursion). A
-    * position with no hit collapses the word to one [UNK] token.
-    * Per-type counts then join back per document.
-    */
   /** The greedy-matcher CTE chain shared by `q_wordpiece_train_encode`
-    * and `q_wordpiece_encode_tokens`: the training CTEs, the vocabulary,
-    * the per-(word type, position) longest-hit table, the recursive walk
-    * (each step ALSO records the emitted vocabulary piece — the slice
-    * itself at a word start, its `##`-prefixed form after, `[UNK]` on a
-    * miss), and the per-type token counts. Must run under
-    * `WITH RECURSIVE`.
+    * and `q_wordpiece_encode_tokens`. Unlike BPE, the WordPiece serving
+    * encoder is NOT the training chain replayed: it is greedy
+    * longest-match-first over the flat vocabulary (alphabet from `seg0`
+    * ∪ the `b$k` join outputs), so this chain re-derives the matcher
+    * itself. `best` precomputes, for every (word type, codepoint
+    * position), the longest vocabulary hit's consumed length — bare at
+    * the word start (full piece length, which also covers pieces whose
+    * literal text begins with `##`), `##`-prefixed after (piece length
+    * − 2, pieces shorter than 3 codepoints excluded since they'd
+    * consume nothing); the recursive `enc` CTE then just walks each
+    * word through that table, one plain join per step — DuckDB silently
+    * nulls correlated subqueries inside recursive members, and
+    * aggregation over the recursive reference is disallowed, so the
+    * matching must happen OUTSIDE the recursion. Each step ALSO records
+    * the emitted vocabulary piece (the slice itself at a word start,
+    * its `##`-prefixed form after, `[UNK]` on a miss — a position with
+    * no hit collapses the word to one `[UNK]` token); `wlens` closes
+    * with per-type token counts. Must run under `WITH RECURSIVE`.
     */
   private def wpEncodeCtes(k: Int): String = {
     val joined = (1 to k).map(s =>
@@ -2406,6 +2408,10 @@ object SparkEntry {
        |  FROM enc WHERE unk OR pos > length(piece))""".stripMargin
   }
 
+  /** `q_wordpiece_train_encode`'s oracle: per-doc token counts under
+    * the self-trained vocabulary — the matcher chain's per-type counts
+    * ([[wpEncodeCtes]]' `wlens`) joined back per document.
+    */
   private def wordpieceTrainEncodeOracleSql(k: Int): String =
     s"""WITH RECURSIVE ${wpEncodeCtes(k)}
        |SELECT d.doc_id,

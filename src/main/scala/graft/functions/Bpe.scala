@@ -110,8 +110,10 @@ final case class BpeMerges(rules: Seq[(String, String)])
     * trained vocabulary's persistence (the other tokenizer families'
     * `vocabDf` analog, in the format real releases ship). The file
     * format splits on whitespace, so a rule side containing a space
-    * requires the Ġ encoding and any other whitespace is rejected
-    * eagerly rather than producing a file that re-loads differently.
+    * requires the Ġ encoding; any other whitespace — and a left side
+    * starting with `#`, which would write a line the reader skips as a
+    * comment — is rejected eagerly rather than producing a file that
+    * re-loads differently.
     */
   def toLines(gpt2Spaces: Boolean = false,
       header: String = "#version: 0.2"): Iterator[String] = {
@@ -123,6 +125,10 @@ final case class BpeMerges(rules: Seq[(String, String)])
       require(!gpt2Spaces || !(a + b).contains('Ġ'),
         s"rule ('$a', '$b') contains a literal Ġ, which the gpt2Spaces " +
           "round trip would decode to a space")
+      require(!enc(a).startsWith("#"),
+        s"rule ('$a', '$b'): a left side starting with '#' would write " +
+          "a line fromLines skips as a comment, silently dropping the " +
+          "rule on reload")
     }
     Iterator(header) ++
       rules.iterator.map { case (a, b) => s"${enc(a)} ${enc(b)}" }

@@ -64,6 +64,21 @@ object BpeTrainer {
       .filter(length(col("piece")) > 0)
       .groupBy("piece").agg(count(lit(1)).as("cnt"))
 
+  /** [[pieceTypeCounts]] under the shared `maxPieceTypes` contract —
+    * top-N by (count DESC, piece), the deterministic codepoint
+    * tie-break; `None` keeps every type. THE single definition of the
+    * cap all three trainer families (and [[WordPieceTrainer.toVocab]])
+    * use, so the documented "identical contract" cannot drift.
+    */
+  def cappedTypeCounts(corpus: DataFrame, pieces: Column,
+      maxPieceTypes: Option[Int]): DataFrame = {
+    val base = pieceTypeCounts(corpus, pieces)
+    maxPieceTypes match {
+      case Some(n) => base.orderBy(col("cnt").desc, col("piece")).limit(n)
+      case None => base
+    }
+  }
+
   /** Learn `numMerges` rules from `corpus`. `pieces` is the pre-token
     * column (e.g. `Bpe.preTokenize(TextOps.normalize(col("text")))`) —
     * training runs INSIDE piece boundaries, like the encoder.
@@ -80,14 +95,9 @@ object BpeTrainer {
     */
   def train(corpus: DataFrame, pieces: Column, numMerges: Int,
       maxPieceTypes: Option[Int] = None): Seq[LearnedMerge] = {
-    val base = pieceTypeCounts(corpus, pieces)
-    val capped = maxPieceTypes match {
-      case Some(n) => base.orderBy(col("cnt").desc, col("piece")).limit(n)
-      case None => base
-    }
     // bounded driver state: the piece-TYPE table (see object doc), the
     // same O(vocabulary) collect contract as TextOps.vocabulary
-    val types = capped.collect()
+    val types = cappedTypeCounts(corpus, pieces, maxPieceTypes).collect()
       .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
     trainLocal(types, numMerges)
   }

@@ -85,12 +85,8 @@ object UnigramTrainer {
       maxPieceLen: Int = 8, seedSize: Int = 4000, emIters: Int = 2,
       pruneFrac: Double = 0.25,
       maxPieceTypes: Option[Int] = None): Seq[VocabEntry] = {
-    val base = BpeTrainer.pieceTypeCounts(corpus, pieces)
-    val capped = maxPieceTypes match {
-      case Some(n) => base.orderBy(col("cnt").desc, col("piece")).limit(n)
-      case None => base
-    }
-    val types = capped.collect()
+    val types = BpeTrainer.cappedTypeCounts(corpus, pieces, maxPieceTypes)
+      .collect()
       .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
     trainLocal(types, vocabSize, maxPieceLen, seedSize, emIters,
       pruneFrac)

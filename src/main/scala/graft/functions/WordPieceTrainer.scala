@@ -96,14 +96,10 @@ object WordPieceTrainer {
     */
   def train(corpus: DataFrame, pieces: Column, numJoins: Int,
       maxPieceTypes: Option[Int] = None): Seq[LearnedJoin] = {
-    val base = BpeTrainer.pieceTypeCounts(corpus, pieces)
-    val capped = maxPieceTypes match {
-      case Some(n) => base.orderBy(col("cnt").desc, col("piece")).limit(n)
-      case None => base
-    }
     // bounded driver state: the piece-TYPE table, same O(vocabulary)
     // collect contract as BpeTrainer.train
-    val types = capped.collect()
+    val types = BpeTrainer.cappedTypeCounts(corpus, pieces, maxPieceTypes)
+      .collect()
       .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
     trainLocal(types, numJoins)
   }
@@ -192,6 +188,12 @@ object WordPieceTrainer {
     */
   final case class Vocab(pieces: Set[String], unkToken: String = "[UNK]") {
     require(pieces.nonEmpty, "vocab must be non-empty")
+    // an unk token that is ALSO a vocabulary piece would make an
+    // emitted unk indistinguishable from a genuine match and split its
+    // identity across two vocabDf rows (encodeIdsUdf could then only
+    // ever emit one of the two ids) — reject loudly instead
+    require(!pieces.contains(unkToken),
+      s"unk token '$unkToken' collides with a vocabulary piece")
     /** Greedy matcher's probe bound: the longest piece length in raw
       * codepoints. A piece whose literal text begins with `##` can match
       * BARE at a word start (consuming its full length), so the bound is
@@ -217,15 +219,11 @@ object WordPieceTrainer {
   def toVocab(corpus: DataFrame, pieces: Column,
       learned: Seq[LearnedJoin],
       maxPieceTypes: Option[Int] = None): Vocab = {
-    val base = BpeTrainer.pieceTypeCounts(corpus, pieces)
-    val capped = maxPieceTypes match {
-      case Some(n) => base.orderBy(col("cnt").desc, col("piece")).limit(n)
-      case None => base
-    }
     val markUdf = udf((p: String) => markedCps(p))
-    val alphabet = capped
-      .select(explode(markUdf(col("piece"))).as("sym"))
-      .distinct().collect().map(_.getString(0))
+    val alphabet =
+      BpeTrainer.cappedTypeCounts(corpus, pieces, maxPieceTypes)
+        .select(explode(markUdf(col("piece"))).as("sym"))
+        .distinct().collect().map(_.getString(0))
     Vocab(alphabet.toSet ++ learned.map(_.joined))
   }
 

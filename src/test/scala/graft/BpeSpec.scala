@@ -106,6 +106,10 @@ class BpeSpec extends SparkSpec {
     // without it, a space rule would write a file that re-loads
     // differently — rejected at write time
     intercept[IllegalArgumentException](g.toLines())
+    // a left side starting with '#' would write a line the reader
+    // skips as a comment, silently dropping the rule — also rejected
+    intercept[IllegalArgumentException](
+      BpeMerges(Seq(("#", "#"))).toLines())
     // a freshly-trained vocabulary persists through the same format
     import graft.functions.BpeTrainer
     val docs = spark.read.parquet(s"$fixtures/documents.parquet")

@@ -227,6 +227,9 @@ class WordPieceSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("wp_vocab").toString
     WordPieceTrainer.vocabDf(spark, v).write.mode("overwrite").parquet(dir)
     assert(WordPieceTrainer.loadVocab(spark.read.parquet(dir)) == v)
+    // an unk token colliding with a vocabulary piece would make ids
+    // ambiguous — rejected at construction
+    intercept[IllegalArgumentException](Vocab(Set("a", "[UNK]")))
     // custom unk token survives the round trip
     val v2 = Vocab(Set("x"), "<unk>")
     WordPieceTrainer.vocabDf(spark, v2).write.mode("overwrite").parquet(dir)
