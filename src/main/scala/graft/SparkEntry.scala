@@ -45,9 +45,12 @@ object SparkEntry {
       case LongType => expr(s"$name DIV 1000")
       case TimestampNTZType => unix_micros(col(name).cast(TimestampType))
       case TimestampType => unix_micros(col(name))
-      // a parquet DATE (o_orderdate's canonical TPC-H type) reads as
-      // midnight UTC, the same instant DuckDB's epoch_us(DATE) derives
-      case DateType => unix_micros(col(name).cast(TimestampType))
+      // a parquet DATE (o_orderdate's canonical TPC-H type) converts as
+      // midnight UTC — via the tz-independent day count, NOT a cast
+      // through TIMESTAMP (which would shift by the session timezone on
+      // an externally-built session) — the same instant DuckDB's
+      // epoch_us(DATE) derives
+      case DateType => unix_date(col(name)).cast("long") * 86400000000L
       case other => throw new IllegalArgumentException(
         s"timestamp column '$name': expected raw long nanos, a " +
           s"timestamp type, or a date, got $other")

@@ -218,13 +218,17 @@ object WordPieceTrainer {
     */
   def toVocab(corpus: DataFrame, pieces: Column,
       learned: Seq[LearnedJoin],
-      maxPieceTypes: Option[Int] = None): Vocab = {
+      maxPieceTypes: Option[Int] = None,
+      unkToken: String = "[UNK]"): Vocab = {
     val markUdf = udf((p: String) => markedCps(p))
     val alphabet =
       BpeTrainer.cappedTypeCounts(corpus, pieces, maxPieceTypes)
         .select(explode(markUdf(col("piece"))).as("sym"))
         .distinct().collect().map(_.getString(0))
-    Vocab(alphabet.toSet ++ learned.map(_.joined))
+    // a corpus that legitimately learns a piece spelling the default
+    // unk string (e.g. logs embedding tokenizer output) trips Vocab's
+    // collision guard — the unkToken parameter is the caller's out
+    Vocab(alphabet.toSet ++ learned.map(_.joined), unkToken)
   }
 
   /** Greedy longest-match-first WordPiece encoding of one pre-token

@@ -221,4 +221,21 @@ class MiscOpsSpec extends SparkSpec {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL for unknown queries: $orphans")
   }
+
+  test("tsMicros: DATE converts via a tz-independent day count (same " +
+      "epoch micros whatever the session timezone)") {
+    import SparkSpec.spark.implicits._
+    val df = Seq(java.sql.Date.valueOf("1995-01-01")).toDF("ts")
+    def us(): Long = df.select(SparkEntry.tsMicros(df).as("us"))
+      .collect().head.getLong(0)
+    // 1970-01-01 -> 1995-01-01 is 9131 days (6 leap years)
+    val expect = 9131L * 86400000000L
+    val key = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(key)
+    try {
+      assert(us() == expect)
+      spark.conf.set(key, "America/New_York")
+      assert(us() == expect, "DATE->micros must not shift with the tz")
+    } finally spark.conf.set(key, prev)
+  }
 }
