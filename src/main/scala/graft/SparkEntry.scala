@@ -33,17 +33,25 @@ object SparkEntry {
     * data: TIMESTAMP(NANOS), which Spark reads as raw long nanos under
     * `spark.sql.legacy.parquet.nanosAsLong` (truncated to micros here —
     * exactly DuckDB's own nanos→micros truncation), and
-    * TIMESTAMP(MICROS)/NTZ, which arrives as a timestamp column (the
-    * session is UTC, so the NTZ→zoned cast is instant-preserving and
-    * `unix_micros` reads the same value DuckDB's epoch_us sees). Anything
+    * TIMESTAMP(MICROS)/NTZ, which arrives as a timestamp column (NTZ is
+    * decomposed into wall-clock fields, so the micros match DuckDB's
+    * epoch_us in ANY session timezone, not just UTC). Anything
     * else fails loudly with the column name and actual type, so fixture
     * schema drift is one diagnosable error at first read instead of a
     * scatter of DATATYPE_MISMATCH failures downstream.
     */
   private[graft] def tsMicros(df: DataFrame, name: String = "ts"): Column =
     df.schema(name).dataType match {
-      case LongType => expr(s"$name DIV 1000")
-      case TimestampNTZType => unix_micros(col(name).cast(TimestampType))
+      case LongType => expr(s"`$name` DIV 1000")
+      // NTZ decomposed into wall-clock fields (all tz-independent on an
+      // NTZ input) rather than cast through zoned TIMESTAMP, so the value
+      // no longer rides on the Verify/Bench UTC-session contract — an
+      // externally-built session in any timezone reads the same micros
+      case TimestampNTZType =>
+        unix_date(col(name).cast(DateType)).cast("long") * 86400000000L +
+          hour(col(name)).cast("long") * 3600000000L +
+          minute(col(name)).cast("long") * 60000000L +
+          (expr(s"extract(SECOND FROM `$name`)") * 1000000).cast("long")
       case TimestampType => unix_micros(col(name))
       // a parquet DATE (o_orderdate's canonical TPC-H type) converts as
       // midnight UTC — via the tz-independent day count, NOT a cast
@@ -1783,8 +1791,11 @@ object SparkEntry {
     import graft.functions.{Bpe, WordPieceTrainer}
     val pieces = Bpe.preTokenize(TextOps.normalize(col("text")))
     val d = docs(s, dir)
-    val learned = WordPieceTrainer.train(d, pieces, wpTrainJoins)
-    val vocab = WordPieceTrainer.toVocab(d, pieces, learned)
+    // trainFull + toVocabLocal: the alphabet comes off the type table
+    // training already collected, so the corpus is scanned exactly
+    // twice (training aggregation + this encode), not three times
+    val trained = WordPieceTrainer.trainFull(d, pieces, wpTrainJoins)
+    val vocab = WordPieceTrainer.toVocabLocal(trained)
     val cnt = WordPieceTrainer.tokenCountUdf(s, vocab)
     d.select(col("doc_id"), cnt(pieces).cast("bigint").as("n_wp_tokens"))
       .orderBy("doc_id")
@@ -1828,13 +1839,38 @@ object SparkEntry {
     import graft.functions.{Bpe, WordPieceTrainer}
     val pieces = Bpe.preTokenize(TextOps.normalize(col("text")))
     val d = docs(s, dir)
-    val learned = WordPieceTrainer.train(d, pieces, wpTrainJoins)
-    val vocab = WordPieceTrainer.toVocab(d, pieces, learned)
+    val trained = WordPieceTrainer.trainFull(d, pieces, wpTrainJoins)
+    val vocab = WordPieceTrainer.toVocabLocal(trained)
     val enc = WordPieceTrainer.encodeUdf(s, vocab)
     d.select(col("doc_id"),
         posexplode(enc(pieces)).as(Seq("__p", "token")))
       .select(col("doc_id"),
         (col("__p") + 1).cast("bigint").as("pos"), col("token"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** The WordPiece serving encoder at ID granularity — the canonical
+    * codepoint-sorted-rank numbering ([[graft.functions.WordPieceTrainer
+    * .vocabDf]]'s ids, `[UNK]` as the trailing id) value-oracled at
+    * every (doc, position): DuckDB re-ranks the SAME vocabulary it
+    * re-derived for the matcher (binary UTF-8 ORDER BY is codepoint
+    * order, exactly `BpeTrainer.codepointCompare`) and numbers the
+    * recursive walk's token stream through it. Catches the id-assignment
+    * off-by-ones that survive token-STRING parity
+    * ([[qWordpieceEncodeTokens]]) — the BPE twin is `q_bpe_ids`.
+    */
+  private def qWordpieceIds(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Bpe, WordPieceTrainer}
+    val pieces = Bpe.preTokenize(TextOps.normalize(col("text")))
+    val d = docs(s, dir)
+    val trained = WordPieceTrainer.trainFull(d, pieces, wpTrainJoins)
+    val vocab = WordPieceTrainer.toVocabLocal(trained)
+    val enc = WordPieceTrainer.encodeIdsUdf(s, vocab)
+    d.select(col("doc_id"),
+        posexplode(enc(pieces)).as(Seq("__p", "id")))
+      .select(col("doc_id"),
+        (col("__p") + 1).cast("bigint").as("pos"),
+        col("id").cast("bigint").as("token_id"))
       .orderBy("doc_id", "pos")
   }
 
@@ -2153,6 +2189,7 @@ object SparkEntry {
     "q_wordpiece_train" -> (qWordpieceTrain _),
     "q_wordpiece_train_encode" -> (qWordpieceTrainEncode _),
     "q_wordpiece_encode_tokens" -> (qWordpieceEncodeTokens _),
+    "q_wordpiece_ids" -> (qWordpieceIds _),
     "q_unigram_encode_parity" -> (qUnigramEncodeParity _),
     "q_unicode_nfc" -> (qUnicodeNfc _),
     "q_bpe_ids" -> (qBpeIds _),
@@ -2472,6 +2509,43 @@ object SparkEntry {
        |    AS pos,
        |  tt.tok AS token
        |FROM pw JOIN tt ON tt.piece = pw.piece
+       |WHERE pw.piece <> ''
+       |ORDER BY pw.doc_id, pos""".stripMargin
+  }
+
+  /** `q_wordpiece_ids`' oracle: [[wordpieceEncodeTokensOracleSql]]'s
+    * token stream pushed through the canonical numbering — `ids` ranks
+    * the re-derived vocabulary by DuckDB's default binary (UTF-8 byte
+    * order = codepoint order, i.e. `BpeTrainer.codepointCompare`)
+    * collation, zero-based; `[UNK]` — which the collision guard keeps
+    * out of the vocabulary — numbers as the trailing id, COUNT(voc).
+    */
+  private def wordpieceIdsOracleSql(k: Int): String = {
+    val pat = graft.functions.Bpe.preTokenizeRegex.replace("'", "''")
+    s"""WITH RECURSIVE ${wpEncodeCtes(k)},
+       |tt AS (
+       |  SELECT piece, ntok AS ti, tok FROM enc
+       |  WHERE tok IS NOT NULL
+       |    AND piece NOT IN (SELECT piece FROM enc WHERE unk)
+       |  UNION ALL
+       |  SELECT DISTINCT piece, CAST(1 AS BIGINT) AS ti, '[UNK]' AS tok
+       |  FROM enc WHERE unk),
+       |ids AS (SELECT piece,
+       |    CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS id
+       |  FROM voc),
+       |pw AS (SELECT doc_id,
+       |    unnest(regexp_extract_all($normSql, '$pat')) AS piece,
+       |    unnest(generate_series(1,
+       |      len(regexp_extract_all($normSql, '$pat')))) AS wi
+       |  FROM documents)
+       |SELECT pw.doc_id,
+       |  row_number() OVER (PARTITION BY pw.doc_id ORDER BY pw.wi, tt.ti)
+       |    AS pos,
+       |  CASE WHEN tt.tok = '[UNK]'
+       |    THEN (SELECT CAST(COUNT(*) AS BIGINT) FROM voc)
+       |    ELSE i.id END AS token_id
+       |FROM pw JOIN tt ON tt.piece = pw.piece
+       |LEFT JOIN ids i ON i.piece = tt.tok
        |WHERE pw.piece <> ''
        |ORDER BY pw.doc_id, pos""".stripMargin
   }
@@ -4193,6 +4267,7 @@ object SparkEntry {
       wordpieceTrainEncodeOracleSql(wpTrainJoins),
     "q_wordpiece_encode_tokens" ->
       wordpieceEncodeTokensOracleSql(wpTrainJoins),
+    "q_wordpiece_ids" -> wordpieceIdsOracleSql(wpTrainJoins),
     "q_unigram_encode_parity" -> unigramParityOracleSql,
     "q_bpe" -> {
       // the SAME tokenizers via the shared bpeChainSql rendering. The

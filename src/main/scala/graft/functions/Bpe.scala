@@ -130,6 +130,9 @@ final case class BpeMerges(rules: Seq[(String, String)])
           "a line fromLines skips as a comment, silently dropping the " +
           "rule on reload")
     }
+    require(header.isEmpty || header.startsWith("#"),
+      s"header '$header' does not start with '#': fromLines would parse " +
+        "it as a merge rule instead of skipping it as a comment")
     Iterator(header) ++
       rules.iterator.map { case (a, b) => s"${enc(a)} ${enc(b)}" }
   }

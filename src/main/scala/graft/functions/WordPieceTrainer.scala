@@ -95,13 +95,30 @@ object WordPieceTrainer {
     * if no adjacent pair remains.
     */
   def train(corpus: DataFrame, pieces: Column, numJoins: Int,
-      maxPieceTypes: Option[Int] = None): Seq[LearnedJoin] = {
+      maxPieceTypes: Option[Int] = None): Seq[LearnedJoin] =
+    trainFull(corpus, pieces, numJoins, maxPieceTypes).joins
+
+  /** A completed training run WITH the type table it reduced the corpus
+    * to — the handle that makes train→vocab→encode a SINGLE corpus
+    * scan: [[toVocabLocal]] derives the alphabet from `types` instead
+    * of re-scanning the corpus the way [[toVocab]] must.
+    */
+  final case class TrainedWordPiece(types: Seq[(String, Long)],
+      joins: Seq[LearnedJoin])
+
+  /** [[train]], returning the collected `(piece, count)` type table
+    * alongside the joins. Same bounded-driver-state contract — the type
+    * table is O(vocabulary), and it is ALREADY on the driver when
+    * training ends, so keeping it is free.
+    */
+  def trainFull(corpus: DataFrame, pieces: Column, numJoins: Int,
+      maxPieceTypes: Option[Int] = None): TrainedWordPiece = {
     // bounded driver state: the piece-TYPE table, same O(vocabulary)
     // collect contract as BpeTrainer.train
     val types = BpeTrainer.cappedTypeCounts(corpus, pieces, maxPieceTypes)
       .collect()
       .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
-    trainLocal(types, numJoins)
+    TrainedWordPiece(types, trainLocal(types, numJoins))
   }
 
   /** The join-selection loop over an in-memory `(piece, count)` type
@@ -229,6 +246,24 @@ object WordPieceTrainer {
     // unk string (e.g. logs embedding tokenizer output) trips Vocab's
     // collision guard — the unkToken parameter is the caller's out
     Vocab(alphabet.toSet ++ learned.map(_.joined), unkToken)
+  }
+
+  /** [[toVocab]] from an ALREADY-COLLECTED type table (a
+    * [[trainFull]] result) — no corpus scan at all. The type table
+    * contains every piece type training saw, so its distinct marked
+    * codepoints ARE the alphabet `toVocab` re-derives distributively;
+    * train→vocab→encode then touches the corpus exactly twice (the
+    * training aggregation and the encode itself) instead of three
+    * times. Use this whenever vocab construction follows training in
+    * the same job; `toVocab` remains for building a vocabulary against
+    * a corpus whose type table was never collected (e.g. joins loaded
+    * from a store).
+    */
+  def toVocabLocal(trained: TrainedWordPiece,
+      unkToken: String = "[UNK]"): Vocab = {
+    val alphabet =
+      trained.types.iterator.flatMap(t => markedCps(t._1)).toSet
+    Vocab(alphabet ++ trained.joins.map(_.joined), unkToken)
   }
 
   /** Greedy longest-match-first WordPiece encoding of one pre-token

@@ -927,6 +927,12 @@ object Dedup {
     * each doc's text — the shared reassembly half of
     * [[dropDuplicateSubstrings]] and [[removeBenchmarkSpans]].
     *
+    * PRECONDITION: `idCol` is unique in `df`. A duplicated id emits one
+    * output row per input row, each with the id's full interval set
+    * applied (the left join fans out; nothing collapses the corpus side,
+    * by design — collapsing would drag the text column through a
+    * shuffle).
+    *
     * The intervals aggregate to a per-doc sorted array BEFORE touching
     * the corpus, so the only rows that shuffle are the (small) interval
     * rows; the text column then meets that array in a single left join

@@ -546,6 +546,63 @@ object StreamMask {
       .withColumn("gopher_keep",
         graft.pipeline.TextOps.gopherKeep(col("clean_text"), gopherCfg))
 
+  /** Streaming tokenizer-encode attach — the batch curation pipeline's
+    * tokenize step on a document stream: every arriving doc is
+    * pre-tokenized (the shared GPT-2-style regex over NFC-normalized
+    * text, [[graft.functions.Bpe.preTokenize]] — the EXACT pieces the
+    * batch gate rows `q_bpe_ids`/`q_wordpiece_ids` encode) and encoded
+    * straight to its vocabulary-id array on ingest. `encodeIds` is any
+    * pieces-array→id-array Column function; the three overloads below
+    * wire the three trained families' broadcast-vocab encoders. Narrow
+    * and stateless like [[curateStream]] (the vocabulary is
+    * batch-trained state riding in as a broadcast, never a state-store
+    * row), so any trigger/output mode works, throughput scales with
+    * input partitions, and batch equivalence is by construction — the
+    * spec proves stream output == the same encoder run as a batch
+    * query. Output: (`idCol`, `ids` array<int>, `n_tokens` long).
+    */
+  def tokenizeStream(docs: DataFrame, idCol: String, textCol: String,
+      encodeIds: Column => Column): DataFrame = {
+    import graft.functions.Bpe
+    import graft.pipeline.TextOps
+    val pieces = Bpe.preTokenize(TextOps.normalize(col(textCol)))
+    docs.select(col(idCol), encodeIds(pieces).as("ids"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+  }
+
+  /** [[tokenizeStream]] under a trained BPE vocabulary
+    * ([[graft.functions.BpeTrainer]] output packaged as a
+    * [[graft.functions.BpeVocab]]): ids are the alphabet-then-rank
+    * numbering `q_bpe_ids` oracles.
+    */
+  def tokenizeStream(docs: DataFrame, idCol: String, textCol: String,
+      vocab: graft.functions.BpeVocab): DataFrame =
+    tokenizeStream(docs, idCol, textCol,
+      graft.functions.Bpe.tokenIds(vocab)(_))
+
+  /** [[tokenizeStream]] under a trained WordPiece vocabulary: ids are
+    * the canonical codepoint-sorted rank `q_wordpiece_ids` oracles
+    * (`[UNK]` as the trailing id).
+    */
+  def tokenizeStream(docs: DataFrame, idCol: String, textCol: String,
+      vocab: graft.functions.WordPieceTrainer.Vocab): DataFrame = {
+    val u = graft.functions.WordPieceTrainer
+      .encodeIdsUdf(docs.sparkSession, vocab)
+    tokenizeStream(docs, idCol, textCol, (c: Column) => u(c))
+  }
+
+  /** [[tokenizeStream]] under a trained unigram-LM vocabulary
+    * ([[graft.functions.UnigramTrainer]] output): ids are the stored
+    * vocab ranks; unknown-codepoint fallback pieces encode as −1.
+    */
+  def tokenizeStream(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[graft.functions.UnigramTrainer.VocabEntry],
+      maxPieceLen: Int): DataFrame = {
+    val u = graft.functions.UnigramTrainer
+      .encodeIdsUdf(docs.sparkSession, vocab, maxPieceLen)
+    tokenizeStream(docs, idCol, textCol, (c: Column) => u(c))
+  }
+
   /** Streaming corpus heavy hitters: the Misra-Gries sketch
     * ([[graft.functions.TopFreq]]) as STREAMING aggregation state — the
     * running "which tokens dominate the ingest so far" monitor. The

@@ -238,4 +238,22 @@ class MiscOpsSpec extends SparkSpec {
       assert(us() == expect, "DATE->micros must not shift with the tz")
     } finally spark.conf.set(key, prev)
   }
+
+  test("tsMicros: TIMESTAMP_NTZ decomposes into wall-clock fields (same " +
+      "epoch micros whatever the session timezone)") {
+    import SparkSpec.spark.implicits._
+    val df = Seq("1995-01-01 12:34:56.789012").toDF("raw")
+      .select(col("raw").cast("timestamp_ntz").as("ts"))
+    def us(): Long = df.select(SparkEntry.tsMicros(df).as("us"))
+      .collect().head.getLong(0)
+    val expect = 9131L * 86400000000L + 12L * 3600000000L +
+      34L * 60000000L + 56789012L
+    val key = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(key)
+    try {
+      assert(us() == expect)
+      spark.conf.set(key, "America/New_York")
+      assert(us() == expect, "NTZ->micros must not shift with the tz")
+    } finally spark.conf.set(key, prev)
+  }
 }

@@ -131,6 +131,48 @@ class StreamingMaskSpec extends SparkSpec {
     assert(flipped > 0, "no doc's verdict changed after span cutting")
   }
 
+  test("streaming tokenizer encode equals the batch encoders for all " +
+      "three trained families and stays shuffle-free") {
+    import graft.functions.{Bpe, BpeTrainer, BpeVocab, UnigramTrainer,
+      WordPieceTrainer}
+    import graft.pipeline.TextOps
+    val dir = Files.createTempDirectory("graft_tok").toString
+    val batchDocs = spark.read.parquet(s"$fixtures/documents.parquet")
+    batchDocs.write.mode("overwrite").parquet(s"$dir/docs")
+    val schema = spark.read.parquet(s"$dir/docs").schema
+    def stream = spark.readStream.schema(schema).parquet(s"$dir/docs")
+    def batch = spark.read.parquet(s"$dir/docs")
+    val pieces = Bpe.preTokenize(TextOps.normalize(col("text")))
+
+    // one trained vocabulary per family, all on the same fixture corpus
+    val bpeVocab =
+      BpeVocab(BpeTrainer.toMerges(BpeTrainer.train(batchDocs, pieces, 8)),
+        BpeVocab.asciiPrintable)
+    val wpVocab = WordPieceTrainer.toVocabLocal(
+      WordPieceTrainer.trainFull(batchDocs, pieces, 8))
+    val ugVocab = UnigramTrainer.train(batchDocs, pieces, vocabSize = 200)
+
+    def check(name: String, attach: DataFrame => DataFrame): Unit = {
+      val streamed = runToMemory(attach(stream), s"tok_$name", "append")
+        .collect().map(_.toString).sorted.toSeq
+      val got = attach(batch).collect().map(_.toString).sorted.toSeq
+      assert(streamed == got, s"$name stream != batch")
+      assert(streamed.nonEmpty, s"$name produced nothing")
+      // a non-empty id sequence must exist (the vocab actually encodes)
+      assert(attach(batch).filter(col("n_tokens") > 0).count() > 0,
+        s"$name never emitted a token")
+      // broadcast-vocab narrow attach: no Exchange, any trigger works
+      val plan = attach(batch).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$name must not shuffle:\n$plan")
+    }
+    check("bpe",
+      StreamMask.tokenizeStream(_, "doc_id", "text", bpeVocab))
+    check("wordpiece",
+      StreamMask.tokenizeStream(_, "doc_id", "text", wpVocab))
+    check("unigram",
+      StreamMask.tokenizeStream(_, "doc_id", "text", ugVocab, 8))
+  }
+
   test("deterministic sampling on a stream equals the batch sample") {
     import graft.pipeline.Sampling
     val sampled = runToMemory(
