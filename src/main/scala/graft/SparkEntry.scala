@@ -1874,6 +1874,86 @@ object SparkEntry {
       .orderBy("doc_id", "pos")
   }
 
+  /** The shared piece-TYPE reduction all three tokenizer trainers (and
+    * `WordPieceTrainer.toVocab`) consume — ONE hash aggregation of the
+    * pre-tokenized corpus plus the `maxPieceTypes` cap contract (top-N
+    * by count DESC, codepoint-order tie-break) — value-oracled row by
+    * row. Every training gate row implicitly rests on this table being
+    * right; this row pins it (and the cap's deterministic tie-break)
+    * directly, so type-table drift shows up here first instead of as an
+    * opaque divergence three derivations later. The cap (40) is BELOW
+    * the fixture corpus's 61-type vocabulary on purpose — the top-N cut
+    * and its (count DESC, piece) tie-break actually execute, they are
+    * not a no-op LIMIT.
+    */
+  private def qTokenizerTypes(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Bpe, BpeTrainer}
+    val pieces = Bpe.preTokenize(TextOps.normalize(col("text")))
+    BpeTrainer.cappedTypeCounts(docs(s, dir), pieces, Some(40))
+      .select(col("piece"), col("cnt").cast("bigint").as("cnt"))
+      .orderBy(col("cnt").desc, col("piece"))
+  }
+
+  /** The JDBC sink a reference user actually runs, at fixture scale and
+    * under the full staged-publish orchestration: lineitem (minus the
+    * nanos-encoded ship date — the JDBC round trip is about the SINK,
+    * not timestamp codecs) staged into embedded Derby through
+    * [[JdbcIO]]'s parallel write and published with
+    * [[JdbcCommitMode.RenameSwap]] (Derby's clone-DDL + two renames, as
+    * the RenameSwap scaladoc prescribes for engines without MySQL's
+    * multi-rename), then read BACK over JDBC and aggregated. The oracle
+    * aggregates the parquet source directly, so one row lost,
+    * duplicated, or mangled anywhere in stage → clone → publish → read
+    * diverges. Also the bench row that puts a number on the sink (the
+    * Derby specs are toy-sized). Idempotent per JVM: leftover tables
+    * from a previous sample are dropped/reused by the commit path.
+    */
+  private def qJdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.{JdbcCommitMode, JdbcIO}
+    System.setProperty("derby.system.home", "/tmp")
+    val url = "jdbc:derby:memory:graftrt;create=true"
+    val io = new JdbcIO(s, url,
+      // Spark's Derby dialect maps StringType to CLOB, which Derby
+      // won't implicitly assign into the VARCHAR clone in
+      // INSERT..SELECT — pin the staging DDL to the target's types.
+      // numPartitions bounds the concurrent embedded-Derby writers.
+      options = Map(
+        "createTableColumnTypes" ->
+          "L_RETURNFLAG VARCHAR(1), L_LINESTATUS VARCHAR(1)",
+        "numPartitions" -> "8"),
+      sessionInit = None,
+      commitMode = JdbcCommitMode.RenameSwap(
+        cloneDdl = (c, t) => s"CREATE TABLE $c AS SELECT * FROM $t " +
+          "WITH NO DATA",
+        renames = (t, c, r) =>
+          Seq(s"RENAME TABLE $t TO $r", s"RENAME TABLE $c TO $t")))
+    val li = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"),
+      col("l_linestatus"))
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("CREATE TABLE LINEITEM_RT (L_ORDERKEY BIGINT, " +
+        "L_PARTKEY BIGINT, L_SUPPKEY BIGINT, L_LINENUMBER INTEGER, " +
+        "L_QUANTITY DOUBLE, L_EXTENDEDPRICE DOUBLE, L_DISCOUNT DOUBLE, " +
+        "L_TAX DOUBLE, L_RETURNFLAG VARCHAR(1), L_LINESTATUS VARCHAR(1))")
+      catch { case _: java.sql.SQLException => () } // exists from a prior run
+      finally st.close()
+    } finally conn.close()
+    io.write("LINEITEM_RT", li)
+    io.read("LINEITEM_RT")
+      .groupBy(col("L_RETURNFLAG").as("l_returnflag"),
+        col("L_LINESTATUS").as("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("L_QUANTITY").cast(DecimalType(12, 2)))
+          .cast("double").as("sum_qty"),
+        sum(col("L_EXTENDEDPRICE").cast(DecimalType(12, 2)))
+          .cast("double").as("sum_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** Length cap (codepoints) for `q_unigram_encode_parity`'s brute-force
     * enumeration population — at 12 cps and maxPieceLen 8 a word type
     * has at most a few thousand segmentations, so the check stays
@@ -2190,6 +2270,8 @@ object SparkEntry {
     "q_wordpiece_train_encode" -> (qWordpieceTrainEncode _),
     "q_wordpiece_encode_tokens" -> (qWordpieceEncodeTokens _),
     "q_wordpiece_ids" -> (qWordpieceIds _),
+    "q_tokenizer_types" -> (qTokenizerTypes _),
+    "q_jdbc_roundtrip" -> (qJdbcRoundtrip _),
     "q_unigram_encode_parity" -> (qUnigramEncodeParity _),
     "q_unicode_nfc" -> (qUnicodeNfc _),
     "q_bpe_ids" -> (qBpeIds _),
@@ -4268,7 +4350,26 @@ object SparkEntry {
     "q_wordpiece_encode_tokens" ->
       wordpieceEncodeTokensOracleSql(wpTrainJoins),
     "q_wordpiece_ids" -> wordpieceIdsOracleSql(wpTrainJoins),
+    "q_tokenizer_types" -> {
+      val pat = graft.functions.Bpe.preTokenizeRegex.replace("'", "''")
+      s"""WITH p AS (SELECT
+         |    unnest(regexp_extract_all($normSql, '$pat')) AS piece
+         |  FROM documents),
+         |t AS (SELECT piece, CAST(COUNT(*) AS BIGINT) AS cnt FROM p
+         |  WHERE piece <> '' GROUP BY piece)
+         |SELECT piece, cnt FROM t
+         |ORDER BY cnt DESC, piece LIMIT 40""".stripMargin
+    },
     "q_unigram_encode_parity" -> unigramParityOracleSql,
+    "q_jdbc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_bpe" -> {
       // the SAME tokenizers via the shared bpeChainSql rendering. The
       // gpt2-style path re-extracts the identical pre-token pieces with
