@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-shot scale rehearsal (dev-run evidence for SCALING.md, not a
+  * driver gate): inflate the documents/embeddings fixtures N× with
+  * re-keyed ids and time the bench cost leaders at 1× vs N× in the same
+  * JVM, under TWO inflation modes:
+  *
+  *  - `distinct` — every copy's words carry a per-copy marker, so
+  *    copies share no shingles/grams and the piece-type vocabulary
+  *    grows ~N× with the corpus (how a real bigger crawl behaves).
+  *    The claim under test: runtimes grow ~linearly in corpus size
+  *    (global sorts slightly worse), driver state stays bounded by the
+  *    (now larger) vocabulary, no single task blows up.
+  *  - `clone` — verbatim copies: every LSH bucket, duplicate gram and
+  *    near-dup clique is hot at once, and pair-emitting queries'
+  *    OUTPUT grows ~N² by construction (each clone group emits
+  *    N·(N−1)/2 pairs where 1× emits none). The claim under test is
+  *    survival: the skew guards hold, nothing OOMs or stalls on one
+  *    task — ratios here measure the adversarial output growth, not
+  *    plan quality.
+  *
+  * Usage: `runMain graft.ScaleRehearsal <sfDir> <workDir> [factor]
+  * [modes]` (factor defaults 10; modes a comma list, default
+  * `distinct,clone`; SPARK_GRAFT_CPUS as in Bench). Run it ALONE — a
+  * concurrent Spark JVM skews the base pass. Prints one JSON line per
+  * (mode, query) — ratio = scaled/base — then a summary per mode.
+  */
+object ScaleRehearsal {
+
+  /** Bench cost leaders at sf0.1 (BENCH_r14), one per heavy family:
+    * substring dedup (gram agg + interval cut), winnowing overlap,
+    * MinHash LSH pairs, near-dup clustering (pointer jumping), index
+    * append probe, span decontamination, the composed curation chain,
+    * the WordPiece train→encode gate, and the two batch ANN serving
+    * layouts.
+    */
+  private val Queries = Seq(
+    "q_substring_dedup", "q_winnow_overlap", "q_dedup_near",
+    "q_dedup_clusters", "q_dedup_append", "q_decontaminate_spans",
+    "q_curation", "q_wordpiece_encode_tokens", "q_ivf_pq_batch",
+    "q_sim_ivf_batch")
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, workDir) = args.take(2)
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val modes = args.lift(3).getOrElse("distinct,clone")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    modes.foreach { mode =>
+      val dst = s"$workDir/$mode"
+      new java.io.File(dst).mkdirs()
+      inflate(spark, s"$sfDir/documents.parquet",
+        s"$dst/documents.parquet", "doc_id", factor, cpus.toInt,
+        markWords = mode == "distinct")
+      inflate(spark, s"$sfDir/embeddings.parquet",
+        s"$dst/embeddings.parquet", "vec_id", factor, cpus.toInt,
+        markWords = false)
+    }
+
+    def timeOne(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      val ok =
+        try {
+          SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[scale] FAILED $name@$dir: ${e.getMessage}")
+          false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      if (ok) sec else -sec
+    }
+
+    // one full 1× pass first as JVM/codegen warmup (discarded), then the
+    // timed 1× pass and each mode's N× pass — all JIT-hot, so the ratio
+    // is data-driven
+    Queries.foreach(timeOne(_, sfDir))
+    val base = Queries.map(q => q -> timeOne(q, sfDir)).toMap
+    modes.foreach { mode =>
+      val scaled = Queries.map(q => q -> timeOne(q, s"$workDir/$mode")).toMap
+      var geo = 0.0
+      var n = 0
+      Queries.foreach { q =>
+        val b = base(q)
+        val sAbs = scaled(q)
+        val r = if (b > 0 && sAbs > 0) sAbs / b else Double.NaN
+        if (!r.isNaN) { geo += math.log(r / factor); n += 1 }
+        println(s"""{"mode":"$mode","query":"$q","base_sec":$b,""" +
+          s""""scaled_sec":$sAbs,"factor":$factor,"ratio":$r}""")
+      }
+      // per-factor exponent proxy: geometric mean of ratio/factor — 1.0
+      // is perfectly linear, >1 superlinear (the global sorts), <1 means
+      // the 1× run was dominated by fixed overheads
+      println(s"""{"metric":"scale_rehearsal","mode":"$mode",""" +
+        s""""factor":$factor,""" +
+        s""""geomean_ratio_over_factor":${math.exp(geo / math.max(n, 1))},""" +
+        s""""queries_ok":$n,"queries_total":${Queries.size}}""")
+    }
+    spark.stop()
+  }
+
+  /** N copies of `src` with ids re-keyed into disjoint ranges (copy i
+    * shifts by i·(max+1)); `markWords` prefixes every word of copy
+    * i ≥ 1 with `zi` so copies share no word types (copy 0 keeps the
+    * original text — the 1× corpus is a subset of the N× one).
+    * Repartitioned so the scaled input has real parallelism rather
+    * than N files of clones back to back.
+    */
+  private def inflate(spark: SparkSession, src: String, dst: String,
+      idCol: String, factor: Int, cpus: Int,
+      markWords: Boolean): Unit = {
+    val d = spark.read.parquet(src)
+    val shift = d.agg(max(col(idCol))).head.getLong(0) + 1
+    (0 until factor)
+      .map { i =>
+        val keyed = d.withColumn(idCol, col(idCol) + lit(i * shift))
+        if (markWords && i > 0)
+          keyed.withColumn("text",
+            regexp_replace(col("text"), "(\\p{L}+)", "z" + i + "$1"))
+        else keyed
+      }
+      .reduce(_ unionAll _)
+      .repartition(cpus)
+      .write.mode("overwrite").parquet(dst)
+  }
+}

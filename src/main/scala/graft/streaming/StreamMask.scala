@@ -559,14 +559,18 @@ object StreamMask {
     * row), so any trigger/output mode works, throughput scales with
     * input partitions, and batch equivalence is by construction — the
     * spec proves stream output == the same encoder run as a batch
-    * query. Output: (`idCol`, `ids` array<int>, `n_tokens` long).
+    * query. APPENDS `ids` (array<int>) and `n_tokens` (long) to the
+    * input columns rather than projecting them away, so the stage
+    * composes: [[decontaminateStream]] → tokenize the `clean_text` →
+    * [[packBinsStream]] on the emitted `ids` is one streaming query
+    * (spec-pinned end to end).
     */
-  def tokenizeStream(docs: DataFrame, idCol: String, textCol: String,
+  def tokenizeStream(docs: DataFrame, textCol: String,
       encodeIds: Column => Column): DataFrame = {
     import graft.functions.Bpe
     import graft.pipeline.TextOps
     val pieces = Bpe.preTokenize(TextOps.normalize(col(textCol)))
-    docs.select(col(idCol), encodeIds(pieces).as("ids"))
+    docs.withColumn("ids", encodeIds(pieces))
       .withColumn("n_tokens", size(col("ids")).cast("long"))
   }
 
@@ -575,32 +579,32 @@ object StreamMask {
     * [[graft.functions.BpeVocab]]): ids are the alphabet-then-rank
     * numbering `q_bpe_ids` oracles.
     */
-  def tokenizeStream(docs: DataFrame, idCol: String, textCol: String,
+  def tokenizeStream(docs: DataFrame, textCol: String,
       vocab: graft.functions.BpeVocab): DataFrame =
-    tokenizeStream(docs, idCol, textCol,
+    tokenizeStream(docs, textCol,
       graft.functions.Bpe.tokenIds(vocab)(_))
 
   /** [[tokenizeStream]] under a trained WordPiece vocabulary: ids are
     * the canonical codepoint-sorted rank `q_wordpiece_ids` oracles
     * (`[UNK]` as the trailing id).
     */
-  def tokenizeStream(docs: DataFrame, idCol: String, textCol: String,
+  def tokenizeStream(docs: DataFrame, textCol: String,
       vocab: graft.functions.WordPieceTrainer.Vocab): DataFrame = {
     val u = graft.functions.WordPieceTrainer
       .encodeIdsUdf(docs.sparkSession, vocab)
-    tokenizeStream(docs, idCol, textCol, (c: Column) => u(c))
+    tokenizeStream(docs, textCol, (c: Column) => u(c))
   }
 
   /** [[tokenizeStream]] under a trained unigram-LM vocabulary
     * ([[graft.functions.UnigramTrainer]] output): ids are the stored
     * vocab ranks; unknown-codepoint fallback pieces encode as −1.
     */
-  def tokenizeStream(docs: DataFrame, idCol: String, textCol: String,
+  def tokenizeStream(docs: DataFrame, textCol: String,
       vocab: Seq[graft.functions.UnigramTrainer.VocabEntry],
       maxPieceLen: Int): DataFrame = {
     val u = graft.functions.UnigramTrainer
       .encodeIdsUdf(docs.sparkSession, vocab, maxPieceLen)
-    tokenizeStream(docs, idCol, textCol, (c: Column) => u(c))
+    tokenizeStream(docs, textCol, (c: Column) => u(c))
   }
 
   /** Streaming corpus heavy hitters: the Misra-Gries sketch

@@ -166,11 +166,76 @@ class StreamingMaskSpec extends SparkSpec {
       assert(!plan.contains("Exchange"), s"$name must not shuffle:\n$plan")
     }
     check("bpe",
-      StreamMask.tokenizeStream(_, "doc_id", "text", bpeVocab))
+      StreamMask.tokenizeStream(_, "text", bpeVocab))
     check("wordpiece",
-      StreamMask.tokenizeStream(_, "doc_id", "text", wpVocab))
+      StreamMask.tokenizeStream(_, "text", wpVocab))
     check("unigram",
-      StreamMask.tokenizeStream(_, "doc_id", "text", ugVocab, 8))
+      StreamMask.tokenizeStream(_, "text", ugVocab, 8))
+  }
+
+  test("streaming curation composition: decontaminate -> enrich -> " +
+      "tokenize -> pack bins equals the batch pipeline end to end") {
+    import graft.functions.WordPieceTrainer
+    import graft.functions.Bpe
+    import graft.pipeline.{Packing, TextOps}
+    val base = Files.createTempDirectory("graft_compose").toString
+    val in = s"$base/in"
+    val budget = 64
+    val all = spark.read.parquet(s"$fixtures/documents.parquet")
+    val bench = all.filter(col("doc_id") % 10 === 0)
+    val docs = all.filter(col("doc_id") % 10 =!= 0)
+      .select("doc_id", "lang", "text")
+    val pieces = Bpe.preTokenize(TextOps.normalize(col("text")))
+    val wpVocab = WordPieceTrainer.toVocabLocal(
+      WordPieceTrainer.trainFull(docs, pieces, 8))
+    // the shard dimension decontaminateStream's projection drops —
+    // joined back stream-static (the enrichStream pattern)
+    val langDim = docs.select("doc_id", "lang")
+    // id-ordered files so bins span micro-batch boundaries (the
+    // arrival-order contract's batch-equivalent regime)
+    val n = all.count()
+    docs.filter(col("doc_id") < n / 2).write.parquet(s"$in/f0")
+    docs.filter(col("doc_id") >= n / 2).write.parquet(s"$in/f1")
+    val schema = spark.read.parquet(s"$in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+
+    def attach(d: DataFrame): DataFrame =
+      StreamMask.packBinsStream(
+        StreamMask.tokenizeStream(
+          StreamMask.enrichStream(
+            StreamMask.decontaminateStream(d, bench, "doc_id", "text", 25)
+              .filter(col("gopher_keep")),
+            langDim, Seq("doc_id")),
+          "clean_text", wpVocab),
+        "lang", "doc_id", col("ids"), budget)
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getSeq[Int](6).toList)
+    val streamed = withRocksDbStateStore(runToMemory(
+        attach(stream), "compose_stream", "append").collect())
+      .map(key).toSeq.sortBy(b => (b._1, b._2))
+    // reference: the same stages as batch operators, full bins only
+    // (the stream's open partial bin per shard stays in state)
+    val cleaned = StreamMask.decontaminateStream(
+        docs, bench, "doc_id", "text", 25)
+      .filter(col("gopher_keep")).join(langDim, Seq("doc_id"))
+    val enc = WordPieceTrainer.encodeIdsUdf(spark, wpVocab)
+    val withIds = cleaned.withColumn("ids",
+      enc(Bpe.preTokenize(TextOps.normalize(col("clean_text")))))
+    val batch = Packing.assembleBins(
+        Packing.chunkSpans(
+          Packing.packByOffset(withIds, "lang", "doc_id",
+            size(col("ids")).cast("long"), budget), budget),
+        "lang", "doc_id", "ids")
+      .collect().map(key)
+      .filter(_._4 == budget.toLong)
+      .toSeq.sortBy(b => (b._1, b._2))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"composed streaming pipeline (${streamed.length} bins) diverged " +
+        s"from the batch pipeline (${batch.length} full bins)")
   }
 
   test("deterministic sampling on a stream equals the batch sample") {
