@@ -623,6 +623,46 @@ object StreamMask {
       k: Int = 20): DataFrame =
     graft.pipeline.TextOps.heavyHitterAgg(docs, textCol, k)
 
+  /** Streaming ANN serving — the online twin of the batch IVF probe:
+    * a query-VECTOR stream is probed per micro-batch against a
+    * persisted [[graft.pipeline.Similarity.writeIvfIndex]] layout
+    * through the SAME batch operator
+    * ([[graft.pipeline.Similarity.queryIvfBatch]] — one definition of
+    * probe selection, scoring and tie rules, so serving cannot drift
+    * from the audited batch path), and results land exactly-once via
+    * [[ExactlyOnceSink.writeBatch]] (idempotent on batchId under
+    * replays; results gain its `__batch_id` column). The index is
+    * loaded ONCE at query start — centroids on the driver, the
+    * cell-partitioned corpus as a lazy static frame whose partition
+    * pruning fires per micro-batch, so each trigger reads only the
+    * cells its queries probe, regardless of corpus size. Query pins
+    * ([[graft.pipeline.Similarity.releaseQueryPins]]) drain after each
+    * batch lands, so long-running serving never accumulates
+    * checkpointed query frames. Spec pins landed stream results ==
+    * the batch probe over the same query set, across micro-batches.
+    */
+  def ivfServeStream(queries: DataFrame, indexPath: String,
+      qIdCol: String, qVecCol: String, k: Int, outPath: String,
+      checkpoint: String, nProbe: Int = 2,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.pipeline.Similarity
+    val idx = Similarity.loadIvfIndex(queries.sparkSession, indexPath)
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ExactlyOnceSink.writeBatch(outPath)(
+          Similarity.queryIvfBatch(idx, batch, qIdCol, qVecCol, k,
+            nProbe),
+          batchId)
+        Similarity.releaseQueryPins()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Watermarked stream-stream interval join — the impression↔click
     * correlation shape: each left event pairs with right events of the
     * same key whose timestamp lands in `[leftTs, leftTs + maxDelay]`.

@@ -238,6 +238,47 @@ class StreamingMaskSpec extends SparkSpec {
         s"from the batch pipeline (${batch.length} full bins)")
   }
 
+  test("streaming ANN serving lands exactly the batch probe's results " +
+      "across micro-batches") {
+    import graft.pipeline.Similarity
+    import graft.streaming.ExactlyOnceSink
+    val base = Files.createTempDirectory("graft_serve").toString
+    val emb = spark.read.parquet(s"$fixtures/embeddings.parquet")
+    // index over the even ids; the odd ids arrive as the query stream
+    val idxDir = s"$base/index"
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding"),
+      idxDir)
+    val queries = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val in = s"$base/in"
+    val n = emb.count()
+    queries.filter(col("q_id") < n / 2).write.parquet(s"$in/f0")
+    queries.filter(col("q_id") >= n / 2).write.parquet(s"$in/f1")
+    val schema = spark.read.parquet(s"$in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val out = s"$base/out"
+    val q = StreamMask.ivfServeStream(stream, idxDir, "q_id", "q_vec",
+      k = 5, outPath = out, checkpoint = s"$base/ckpt")
+    q.awaitTermination(120000)
+    def key(df: DataFrame) = df
+      .select(col("q_id"), col("vec_id"), round(col("cosine"), 6))
+      .collect().map(_.toString).sorted.toSeq
+    val landed = spark.read.parquet(out)
+    // multiple micro-batches actually served
+    assert(landed.select(ExactlyOnceSink.BatchIdCol).distinct().count()
+      > 1, "expected more than one served micro-batch")
+    val batch = Similarity.queryIvfBatch(
+      Similarity.loadIvfIndex(spark, idxDir), queries, "q_id", "q_vec",
+      k = 5, nProbe = 2)
+    val streamedKeys = key(landed)
+    assert(streamedKeys.nonEmpty && streamedKeys == key(batch),
+      "streamed ANN results diverged from the batch probe")
+  }
+
   test("deterministic sampling on a stream equals the batch sample") {
     import graft.pipeline.Sampling
     val sampled = runToMemory(
