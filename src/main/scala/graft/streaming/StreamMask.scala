@@ -638,23 +638,41 @@ object StreamMask {
     * cells its queries probe, regardless of corpus size. Query pins
     * ([[graft.pipeline.Similarity.releaseQueryPins]]) drain after each
     * batch lands, so long-running serving never accumulates
-    * checkpointed query frames. Spec pins landed stream results ==
-    * the batch probe over the same query set, across micro-batches.
+    * checkpointed query frames. All three persisted layouts serve
+    * through their own batch operator, detected from the corpus schema
+    * exactly like `appendToIvfIndex` does — float
+    * ([[graft.pipeline.Similarity.queryIvfBatch]]), int8
+    * dequantize-on-read (`queryIvfInt8Batch`), and IVF×PQ ADC + exact
+    * rerank (`queryIvfPqBatch`, `rerank` applies only there). Spec pins
+    * landed stream results == the batch probe over the same query set,
+    * across micro-batches, for every layout.
     */
   def ivfServeStream(queries: DataFrame, indexPath: String,
       qIdCol: String, qVecCol: String, k: Int, outPath: String,
-      checkpoint: String, nProbe: Int = 2,
+      checkpoint: String, nProbe: Int = 2, rerank: Int = 100,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.pipeline.Similarity
-    val idx = Similarity.loadIvfIndex(queries.sparkSession, indexPath)
+    val spark = queries.sparkSession
+    val corpusFields =
+      spark.read.parquet(s"$indexPath/corpus").schema.fieldNames
+    val probe: DataFrame => DataFrame =
+      if (corpusFields.contains(Similarity.PqCodesCol)) {
+        val (idx, cb) = Similarity.loadIvfPqIndex(spark, indexPath)
+        b => Similarity.queryIvfPqBatch(idx, cb, b, qIdCol, qVecCol, k,
+          nProbe, rerank)
+      } else if (corpusFields.contains(Similarity.Int8CodesCol)) {
+        val idx = Similarity.loadIvfIndex(spark, indexPath)
+        b => Similarity.queryIvfInt8Batch(idx, b, qIdCol, qVecCol, k,
+          nProbe)
+      } else {
+        val idx = Similarity.loadIvfIndex(spark, indexPath)
+        b => Similarity.queryIvfBatch(idx, b, qIdCol, qVecCol, k, nProbe)
+      }
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ExactlyOnceSink.writeBatch(outPath)(
-          Similarity.queryIvfBatch(idx, batch, qIdCol, qVecCol, k,
-            nProbe),
-          batchId)
+        ExactlyOnceSink.writeBatch(outPath)(probe(batch), batchId)
         Similarity.releaseQueryPins()
         ()
       }

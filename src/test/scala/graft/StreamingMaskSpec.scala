@@ -239,17 +239,16 @@ class StreamingMaskSpec extends SparkSpec {
   }
 
   test("streaming ANN serving lands exactly the batch probe's results " +
-      "across micro-batches") {
-    import graft.pipeline.Similarity
+      "across micro-batches, for all three persisted layouts") {
+    import graft.pipeline.{Pq, Similarity}
     import graft.streaming.ExactlyOnceSink
     val base = Files.createTempDirectory("graft_serve").toString
     val emb = spark.read.parquet(s"$fixtures/embeddings.parquet")
     // index over the even ids; the odd ids arrive as the query stream
-    val idxDir = s"$base/index"
-    Similarity.writeIvfIndex(
-      Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
-        "vec_id", "embedding"),
-      idxDir)
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val idx0 = Similarity.buildIvfIndex(corpus, "vec_id", "embedding")
+    val cb = Pq.train(corpus, "vec_id", "embedding", m = 8, k = 16,
+      iters = 0)
     val queries = emb.filter(col("vec_id") % 2 === 1)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val in = s"$base/in"
@@ -257,26 +256,47 @@ class StreamingMaskSpec extends SparkSpec {
     queries.filter(col("q_id") < n / 2).write.parquet(s"$in/f0")
     queries.filter(col("q_id") >= n / 2).write.parquet(s"$in/f1")
     val schema = spark.read.parquet(s"$in/f0").schema
-    val stream = spark.readStream.schema(schema)
+    def stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .option("recursiveFileLookup", "true").parquet(in)
-    val out = s"$base/out"
-    val q = StreamMask.ivfServeStream(stream, idxDir, "q_id", "q_vec",
-      k = 5, outPath = out, checkpoint = s"$base/ckpt")
-    q.awaitTermination(120000)
     def key(df: DataFrame) = df
       .select(col("q_id"), col("vec_id"), round(col("cosine"), 6))
       .collect().map(_.toString).sorted.toSeq
-    val landed = spark.read.parquet(out)
-    // multiple micro-batches actually served
-    assert(landed.select(ExactlyOnceSink.BatchIdCol).distinct().count()
-      > 1, "expected more than one served micro-batch")
-    val batch = Similarity.queryIvfBatch(
-      Similarity.loadIvfIndex(spark, idxDir), queries, "q_id", "q_vec",
-      k = 5, nProbe = 2)
-    val streamedKeys = key(landed)
-    assert(streamedKeys.nonEmpty && streamedKeys == key(batch),
-      "streamed ANN results diverged from the batch probe")
+
+    val layouts: Seq[(String, String => Unit, String => DataFrame)] = Seq(
+      ("float",
+        dir => Similarity.writeIvfIndex(idx0, dir),
+        dir => Similarity.queryIvfBatch(
+          Similarity.loadIvfIndex(spark, dir), queries, "q_id", "q_vec",
+          k = 5, nProbe = 2)),
+      ("int8",
+        dir => Similarity.writeIvfIndex(Similarity.int8Index(idx0), dir),
+        dir => Similarity.queryIvfInt8Batch(
+          Similarity.loadIvfIndex(spark, dir), queries, "q_id", "q_vec",
+          k = 5, nProbe = 2)),
+      ("pq",
+        dir => Similarity.writeIvfPqIndex(idx0, cb, dir),
+        dir => {
+          val (idx, lcb) = Similarity.loadIvfPqIndex(spark, dir)
+          Similarity.queryIvfPqBatch(idx, lcb, queries, "q_id", "q_vec",
+            k = 5, nProbe = 2, rerank = 50)
+        }))
+    layouts.foreach { case (name, writeIdx, batchProbe) =>
+      val dir = s"$base/$name/index"
+      writeIdx(dir)
+      val out = s"$base/$name/out"
+      val q = StreamMask.ivfServeStream(stream, dir, "q_id", "q_vec",
+        k = 5, outPath = out, checkpoint = s"$base/$name/ckpt",
+        nProbe = 2, rerank = 50)
+      q.awaitTermination(120000)
+      val landed = spark.read.parquet(out)
+      // multiple micro-batches actually served
+      assert(landed.select(ExactlyOnceSink.BatchIdCol).distinct().count()
+        > 1, s"$name: expected more than one served micro-batch")
+      val streamedKeys = key(landed)
+      assert(streamedKeys.nonEmpty && streamedKeys == key(batchProbe(dir)),
+        s"$name: streamed ANN results diverged from the batch probe")
+    }
   }
 
   test("deterministic sampling on a stream equals the batch sample") {
