@@ -43,10 +43,20 @@ object ScaleRehearsal {
     "q_curation", "q_wordpiece_encode_tokens", "q_ivf_pq_batch",
     "q_sim_ivf_batch")
 
+  /** The reference masking core + relational leaders, rehearsed over an
+    * FK-CONSISTENT inflation: facts (lineitem/orders/customer) grow N×
+    * with re-keyed orderkey/custkey chains, dims (region/nation/
+    * supplier/part) stay fixed — how a real warehouse grows. Exercises
+    * the distributed `#row#` numbering, the FK value-cascade join and
+    * the multijoin at N× fact volume.
+    */
+  private val RelQueries = Seq("mask_blueprint_full", "mask_rownum",
+    "fk_sync", "q1_agg", "q5_multijoin")
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, workDir) = args.take(2)
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
-    val modes = args.lift(3).getOrElse("distinct,clone")
+    val modes = args.lift(3).getOrElse("distinct,clone,relational")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -59,7 +69,7 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    modes.foreach { mode =>
+    modes.filterNot(_ == "relational").foreach { mode =>
       val dst = s"$workDir/$mode"
       new java.io.File(dst).mkdirs()
       inflate(spark, s"$sfDir/documents.parquet",
@@ -69,6 +79,9 @@ object ScaleRehearsal {
         s"$dst/embeddings.parquet", "vec_id", factor, cpus.toInt,
         markWords = false)
     }
+    if (modes.contains("relational"))
+      inflateRelational(spark, sfDir, s"$workDir/relational", factor,
+        cpus.toInt)
 
     def timeOne(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -91,13 +104,13 @@ object ScaleRehearsal {
     // one full 1× pass first as JVM/codegen warmup (discarded), then the
     // timed 1× pass and each mode's N× pass — all JIT-hot, so the ratio
     // is data-driven
-    Queries.foreach(timeOne(_, sfDir))
-    val base = Queries.map(q => q -> timeOne(q, sfDir)).toMap
-    modes.foreach { mode =>
-      val scaled = Queries.map(q => q -> timeOne(q, s"$workDir/$mode")).toMap
+    def runMode(mode: String, qs: Seq[String]): Unit = {
+      qs.foreach(timeOne(_, sfDir))
+      val base = qs.map(q => q -> timeOne(q, sfDir)).toMap
+      val scaled = qs.map(q => q -> timeOne(q, s"$workDir/$mode")).toMap
       var geo = 0.0
       var n = 0
-      Queries.foreach { q =>
+      qs.foreach { q =>
         val b = base(q)
         val sAbs = scaled(q)
         val r = if (b > 0 && sAbs > 0) sAbs / b else Double.NaN
@@ -111,9 +124,45 @@ object ScaleRehearsal {
       println(s"""{"metric":"scale_rehearsal","mode":"$mode",""" +
         s""""factor":$factor,""" +
         s""""geomean_ratio_over_factor":${math.exp(geo / math.max(n, 1))},""" +
-        s""""queries_ok":$n,"queries_total":${Queries.size}}""")
+        s""""queries_ok":$n,"queries_total":${qs.size}}""")
+    }
+    modes.foreach { mode =>
+      runMode(mode, if (mode == "relational") RelQueries else Queries)
     }
     spark.stop()
+  }
+
+  /** FK-consistent N× inflation of the TPC-H-ish core: orderkey and
+    * custkey chains re-key together (copy i shifts both sides by the
+    * same amount, so every FK still resolves and every copy's join
+    * fan-out matches the original); dim tables and the fact's dim FKs
+    * (supplier/part keys) are left as-is — dims stay fixed while facts
+    * grow, like a real warehouse.
+    */
+  private def inflateRelational(spark: SparkSession, sfDir: String,
+      dst: String, factor: Int, cpus: Int): Unit = {
+    new java.io.File(dst).mkdirs()
+    def rd(t: String) = spark.read.parquet(s"$sfDir/$t.parquet")
+    val shiftC = rd("customer").agg(max(col("c_custkey")))
+      .head.getLong(0) + 1
+    val shiftO = rd("orders").agg(max(col("o_orderkey")))
+      .head.getLong(0) + 1
+    def blow(t: String, shifts: Map[String, Long]): Unit =
+      (0 until factor)
+        .map { i =>
+          shifts.foldLeft(rd(t)) { case (df, (c, sh)) =>
+            df.withColumn(c, col(c) + lit(i * sh))
+          }
+        }
+        .reduce(_ unionAll _)
+        .repartition(cpus)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    blow("customer", Map("c_custkey" -> shiftC))
+    blow("orders", Map("o_orderkey" -> shiftO, "o_custkey" -> shiftC))
+    blow("lineitem", Map("l_orderkey" -> shiftO))
+    Seq("region", "nation", "supplier", "part").foreach { t =>
+      rd(t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
   }
 
   /** N copies of `src` with ids re-keyed into disjoint ranges (copy i
