@@ -24,9 +24,12 @@ import org.apache.spark.sql.functions._
   *
   * Usage: `runMain graft.ScaleRehearsal <sfDir> <workDir> [factor]
   * [modes]` (factor defaults 10; modes a comma list, default
-  * `distinct,clone`; SPARK_GRAFT_CPUS as in Bench). Run it ALONE — a
+  * `distinct,clone,relational` — the third rehearses the reference
+  * masking core over an FK-consistent TPC-H inflation, see
+  * [[RelQueries]]; SPARK_GRAFT_CPUS as in Bench). Run it ALONE — a
   * concurrent Spark JVM skews the base pass. Prints one JSON line per
-  * (mode, query) — ratio = scaled/base — then a summary per mode.
+  * (mode, query) — ratio = scaled/base, `null` (with a negative
+  * elapsed-seconds sentinel) on failure — then a summary per mode.
   */
 object ScaleRehearsal {
 
@@ -113,8 +116,11 @@ object ScaleRehearsal {
       qs.foreach { q =>
         val b = base(q)
         val sAbs = scaled(q)
-        val r = if (b > 0 && sAbs > 0) sAbs / b else Double.NaN
-        if (!r.isNaN) { geo += math.log(r / factor); n += 1 }
+        val ok = b > 0 && sAbs > 0
+        if (ok) { geo += math.log(sAbs / b / factor); n += 1 }
+        // a failed pass keeps its negative elapsed-seconds sentinel and
+        // a null ratio — bare NaN would make the line unparseable JSON
+        val r = if (ok) (sAbs / b).toString else "null"
         println(s"""{"mode":"$mode","query":"$q","base_sec":$b,""" +
           s""""scaled_sec":$sAbs,"factor":$factor,"ratio":$r}""")
       }
@@ -167,22 +173,34 @@ object ScaleRehearsal {
 
   /** N copies of `src` with ids re-keyed into disjoint ranges (copy i
     * shifts by i·(max+1)); `markWords` prefixes every word of copy
-    * i ≥ 1 with `zi` so copies share no word types (copy 0 keeps the
-    * original text — the 1× corpus is a subset of the N× one).
-    * Repartitioned so the scaled input has real parallelism rather
-    * than N files of clones back to back.
+    * i ≥ 1 with a per-copy CYRILLIC marker (`ж` + the copy index with
+    * each digit mapped to а..к) so copies share no word types. The
+    * marker must be letters — a digit inside would make the GPT-2
+    * pre-tokenizer split the word back into (marker, digits, ORIGINAL
+    * word) and quietly undo the distinctness for the tokenizer type
+    * table — and its script must be absent from the corpus so no
+    * marked word can collide with an original (asserted, not assumed).
+    * Copy 0 keeps the original text — the 1× corpus is a subset of the
+    * N× one. Repartitioned so the scaled input has real parallelism
+    * rather than N files of clones back to back.
     */
   private def inflate(spark: SparkSession, src: String, dst: String,
       idCol: String, factor: Int, cpus: Int,
       markWords: Boolean): Unit = {
     val d = spark.read.parquet(src)
     val shift = d.agg(max(col(idCol))).head.getLong(0) + 1
+    if (markWords)
+      require(d.filter(col("text").rlike("[Ѐ-ӿ]")).isEmpty,
+        s"$src contains Cyrillic text — the distinct-mode marker would " +
+          "collide; pick a script absent from the corpus")
+    def marker(i: Int): String =
+      "ж" + i.toString.map(c => ('а' + (c - '0')).toChar)
     (0 until factor)
       .map { i =>
         val keyed = d.withColumn(idCol, col(idCol) + lit(i * shift))
         if (markWords && i > 0)
           keyed.withColumn("text",
-            regexp_replace(col("text"), "(\\p{L}+)", "z" + i + "$1"))
+            regexp_replace(col("text"), "(\\p{L}+)", marker(i) + "$1"))
         else keyed
       }
       .reduce(_ unionAll _)

@@ -1939,7 +1939,13 @@ object SparkEntry {
         "L_PARTKEY BIGINT, L_SUPPKEY BIGINT, L_LINENUMBER INTEGER, " +
         "L_QUANTITY DOUBLE, L_EXTENDEDPRICE DOUBLE, L_DISCOUNT DOUBLE, " +
         "L_TAX DOUBLE, L_RETURNFLAG VARCHAR(1), L_LINESTATUS VARCHAR(1))")
-      catch { case _: java.sql.SQLException => () } // exists from a prior run
+      catch {
+        // idempotence means tolerating exactly "already exists" (Derby
+        // SQLState X0Y32, a prior sample's table) — any other create
+        // failure must surface here, not as a confusing missing-table
+        // error deep inside the RenameSwap publish
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+      }
       finally st.close()
     } finally conn.close()
     io.write("LINEITEM_RT", li)
@@ -2564,16 +2570,18 @@ object SparkEntry {
        |ORDER BY pw.doc_id, pos""".stripMargin
   }
 
-  /** `q_wordpiece_encode_tokens`' oracle: the full per-document TOKEN
-    * SEQUENCE re-derived cross-engine — each word type's ordered tokens
-    * come straight off the recursive walk (a word that hit [UNK]
-    * anywhere contributes exactly the one [UNK] token, discarding its
-    * earlier matches, like the published algorithm), stitched back into
-    * corpus order by (word index, token index).
+  /** The per-(word type, token index) token table + per-(doc, word
+    * index) word stream shared by `q_wordpiece_encode_tokens` and
+    * `q_wordpiece_ids` — ONE definition of the unk-collapse rule (a
+    * word that hit [UNK] anywhere contributes exactly the one [UNK]
+    * token, discarding its earlier matches, like the published
+    * algorithm) and of the corpus-order stitch, so the token- and
+    * id-granularity gates cannot desynchronize. Extends
+    * [[wpEncodeCtes]]; must run under `WITH RECURSIVE`.
     */
-  private def wordpieceEncodeTokensOracleSql(k: Int): String = {
+  private def wpTokenStreamCtes(k: Int): String = {
     val pat = graft.functions.Bpe.preTokenizeRegex.replace("'", "''")
-    s"""WITH RECURSIVE ${wpEncodeCtes(k)},
+    s"""${wpEncodeCtes(k)},
        |tt AS (
        |  SELECT piece, ntok AS ti, tok FROM enc
        |  WHERE tok IS NOT NULL
@@ -2585,7 +2593,16 @@ object SparkEntry {
        |    unnest(regexp_extract_all($normSql, '$pat')) AS piece,
        |    unnest(generate_series(1,
        |      len(regexp_extract_all($normSql, '$pat')))) AS wi
-       |  FROM documents)
+       |  FROM documents)""".stripMargin
+  }
+
+  /** `q_wordpiece_encode_tokens`' oracle: the full per-document TOKEN
+    * SEQUENCE re-derived cross-engine — each word type's ordered tokens
+    * come straight off the recursive walk, stitched back into corpus
+    * order by (word index, token index) ([[wpTokenStreamCtes]]).
+    */
+  private def wordpieceEncodeTokensOracleSql(k: Int): String =
+    s"""WITH RECURSIVE ${wpTokenStreamCtes(k)}
        |SELECT pw.doc_id,
        |  row_number() OVER (PARTITION BY pw.doc_id ORDER BY pw.wi, tt.ti)
        |    AS pos,
@@ -2593,7 +2610,6 @@ object SparkEntry {
        |FROM pw JOIN tt ON tt.piece = pw.piece
        |WHERE pw.piece <> ''
        |ORDER BY pw.doc_id, pos""".stripMargin
-  }
 
   /** `q_wordpiece_ids`' oracle: [[wordpieceEncodeTokensOracleSql]]'s
     * token stream pushed through the canonical numbering — `ids` ranks
@@ -2602,24 +2618,11 @@ object SparkEntry {
     * collation, zero-based; `[UNK]` — which the collision guard keeps
     * out of the vocabulary — numbers as the trailing id, COUNT(voc).
     */
-  private def wordpieceIdsOracleSql(k: Int): String = {
-    val pat = graft.functions.Bpe.preTokenizeRegex.replace("'", "''")
-    s"""WITH RECURSIVE ${wpEncodeCtes(k)},
-       |tt AS (
-       |  SELECT piece, ntok AS ti, tok FROM enc
-       |  WHERE tok IS NOT NULL
-       |    AND piece NOT IN (SELECT piece FROM enc WHERE unk)
-       |  UNION ALL
-       |  SELECT DISTINCT piece, CAST(1 AS BIGINT) AS ti, '[UNK]' AS tok
-       |  FROM enc WHERE unk),
+  private def wordpieceIdsOracleSql(k: Int): String =
+    s"""WITH RECURSIVE ${wpTokenStreamCtes(k)},
        |ids AS (SELECT piece,
        |    CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS id
-       |  FROM voc),
-       |pw AS (SELECT doc_id,
-       |    unnest(regexp_extract_all($normSql, '$pat')) AS piece,
-       |    unnest(generate_series(1,
-       |      len(regexp_extract_all($normSql, '$pat')))) AS wi
-       |  FROM documents)
+       |  FROM voc)
        |SELECT pw.doc_id,
        |  row_number() OVER (PARTITION BY pw.doc_id ORDER BY pw.wi, tt.ti)
        |    AS pos,
@@ -2630,7 +2633,6 @@ object SparkEntry {
        |LEFT JOIN ids i ON i.piece = tt.tok
        |WHERE pw.piece <> ''
        |ORDER BY pw.doc_id, pos""".stripMargin
-  }
 
   /** `q_unigram_encode_parity`'s oracle: the contract (all-true parity
     * and round-trip flags) plus the POPULATION — the distinct pre-token

@@ -442,10 +442,38 @@ object Similarity {
       .localCheckpoint()
     cp.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        queryPins.add(new java.lang.ref.WeakReference(lr.rdd))
+        val scope = pinScope.get()
+        if (scope != null) scope.add(lr.rdd)
+        else queryPins.add(new java.lang.ref.WeakReference(lr.rdd))
       case _ => ()
     }
     cp
+  }
+
+  private val pinScope =
+    new ThreadLocal[java.util.ArrayList[org.apache.spark.rdd.RDD[_]]]()
+
+  /** Run `body` under its OWN query-pin scope: batch-ANN calls issued
+    * inside `body` ON THIS THREAD pin into the scope instead of the
+    * global registry, and the scope unpersists exactly those pins when
+    * `body` returns — the per-batch drain a long-running consumer
+    * (e.g. a serving stream's foreachBatch) needs WITHOUT touching
+    * other concurrent consumers' pins, which a global
+    * [[releaseQueryPins]] would tear out from under them mid-write.
+    * `body`'s results must be fully consumed before it returns (the
+    * pinned frames are lineage-truncated — same contract as
+    * [[releaseQueryPins]]); threads spawned inside `body` pin globally
+    * as usual.
+    */
+  def withQueryPinScope[A](body: => A): A = {
+    val outer = pinScope.get()
+    val scope = new java.util.ArrayList[org.apache.spark.rdd.RDD[_]]()
+    pinScope.set(scope)
+    try body
+    finally {
+      if (outer != null) pinScope.set(outer) else pinScope.remove()
+      scope.forEach(r => r.unpersist(blocking = false))
+    }
   }
 
   // pins outstanding since the last releaseQueryPins drain — bounded by
@@ -579,17 +607,18 @@ object Similarity {
     val corpusFields =
       spark.read.parquet(s"$path/corpus").schema.fieldNames
     val assigned = newVectors.withColumn("__cell", cellOf(vecCol, centroids))
-    val shaped =
-      if (corpusFields.contains(PqCodesCol)) {
+    val shaped = detectIvfLayout(spark, path) match {
+      case IvfLayout.Pq =>
         val (_, cb) = loadIvfPqIndex(spark, path)
         assigned.withColumn(PqCodesCol, Pq.encode(cb)(col(vecCol)))
-      } else if (corpusFields.contains(Int8CodesCol))
+      case IvfLayout.Int8 =>
         assigned
           .withColumn(Int8ScaleCol, int8Scale(col(vecCol)))
           .withColumn(Int8CodesCol,
             int8Codes(col(vecCol), col(Int8ScaleCol)))
           .drop(vecCol)
-      else assigned
+      case IvfLayout.Float => assigned
+    }
     require(shaped.columns.sorted.sameElements(corpusFields.sorted),
       s"batch columns [${shaped.columns.sorted.mkString(", ")}] do not " +
         s"match the persisted corpus [${corpusFields.sorted.mkString(", ")}]")
@@ -629,6 +658,30 @@ object Similarity {
       .write.partitionBy("__cell")
       .parquet(IndexMaintenance.stagingOf(live).toString)
     IndexMaintenance.swap(fs, live)
+  }
+
+  /** The three persisted IVF corpus layouts ([[writeIvfIndex]] float,
+    * [[writeIvfInt8Index]], [[writeIvfPqIndex]]) as a closed type, so
+    * every consumer that must pick a code path per layout dispatches on
+    * ONE definition instead of re-sniffing columns.
+    */
+  sealed trait IvfLayout
+  object IvfLayout {
+    case object Float extends IvfLayout
+    case object Int8 extends IvfLayout
+    case object Pq extends IvfLayout
+  }
+
+  /** Which layout lives at `path` — THE single column-sniff
+    * ([[appendToIvfIndex]] and the streaming server both dispatch on
+    * it): PQ codes beat int8 codes beat plain floats, mirroring what
+    * the writers can actually produce.
+    */
+  def detectIvfLayout(spark: SparkSession, path: String): IvfLayout = {
+    val fields = spark.read.parquet(s"$path/corpus").schema.fieldNames
+    if (fields.contains(PqCodesCol)) IvfLayout.Pq
+    else if (fields.contains(Int8CodesCol)) IvfLayout.Int8
+    else IvfLayout.Float
   }
 
   /** PQ codes column name in a composed IVF×PQ index. */

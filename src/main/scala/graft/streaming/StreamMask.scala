@@ -636,8 +636,12 @@ object StreamMask {
     * cell-partitioned corpus as a lazy static frame whose partition
     * pruning fires per micro-batch, so each trigger reads only the
     * cells its queries probe, regardless of corpus size. Query pins
-    * ([[graft.pipeline.Similarity.releaseQueryPins]]) drain after each
-    * batch lands, so long-running serving never accumulates
+    * drain after each batch lands through a PER-BATCH pin scope
+    * ([[graft.pipeline.Similarity.withQueryPinScope]] — scoped, so a
+    * second serving stream or a concurrent batch probe in the same JVM
+    * keeps its own pins; a global
+    * [[graft.pipeline.Similarity.releaseQueryPins]] here would tear
+    * those out mid-write), so long-running serving never accumulates
     * checkpointed query frames. All three persisted layouts serve
     * through their own batch operator, detected from the corpus schema
     * exactly like `appendToIvfIndex` does — float
@@ -654,26 +658,28 @@ object StreamMask {
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.pipeline.Similarity
+    import graft.pipeline.Similarity.IvfLayout
     val spark = queries.sparkSession
-    val corpusFields =
-      spark.read.parquet(s"$indexPath/corpus").schema.fieldNames
     val probe: DataFrame => DataFrame =
-      if (corpusFields.contains(Similarity.PqCodesCol)) {
-        val (idx, cb) = Similarity.loadIvfPqIndex(spark, indexPath)
-        b => Similarity.queryIvfPqBatch(idx, cb, b, qIdCol, qVecCol, k,
-          nProbe, rerank)
-      } else if (corpusFields.contains(Similarity.Int8CodesCol)) {
-        val idx = Similarity.loadIvfIndex(spark, indexPath)
-        b => Similarity.queryIvfInt8Batch(idx, b, qIdCol, qVecCol, k,
-          nProbe)
-      } else {
-        val idx = Similarity.loadIvfIndex(spark, indexPath)
-        b => Similarity.queryIvfBatch(idx, b, qIdCol, qVecCol, k, nProbe)
+      Similarity.detectIvfLayout(spark, indexPath) match {
+        case IvfLayout.Pq =>
+          val (idx, cb) = Similarity.loadIvfPqIndex(spark, indexPath)
+          b => Similarity.queryIvfPqBatch(idx, cb, b, qIdCol, qVecCol, k,
+            nProbe, rerank)
+        case IvfLayout.Int8 =>
+          val idx = Similarity.loadIvfIndex(spark, indexPath)
+          b => Similarity.queryIvfInt8Batch(idx, b, qIdCol, qVecCol, k,
+            nProbe)
+        case IvfLayout.Float =>
+          val idx = Similarity.loadIvfIndex(spark, indexPath)
+          b => Similarity.queryIvfBatch(idx, b, qIdCol, qVecCol, k,
+            nProbe)
       }
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ExactlyOnceSink.writeBatch(outPath)(probe(batch), batchId)
-        Similarity.releaseQueryPins()
+        Similarity.withQueryPinScope {
+          ExactlyOnceSink.writeBatch(outPath)(probe(batch), batchId)
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)
