@@ -299,6 +299,64 @@ class StreamingMaskSpec extends SparkSpec {
     }
   }
 
+  test("ANN serving stream resumes from its checkpoint: late queries " +
+      "served on restart, earlier results untouched") {
+    import graft.pipeline.Similarity
+    val base = Files.createTempDirectory("graft_serve_rs").toString
+    val emb = spark.read.parquet(s"$fixtures/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val idxDir = s"$base/index"
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(corpus, "vec_id", "embedding"), idxDir)
+    val queries = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val n = emb.count()
+    val early = queries.filter(col("q_id") < n / 2)
+    val late = queries.filter(col("q_id") >= n / 2)
+    val in = s"$base/in"
+    early.write.parquet(s"$in/f0")
+    val schema = spark.read.parquet(s"$in/f0").schema
+    def stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(in)
+    val out = s"$base/out"
+    def serve() = {
+      val q = StreamMask.ivfServeStream(stream, idxDir, "q_id", "q_vec",
+        k = 5, outPath = out, checkpoint = s"$base/ckpt")
+      q.awaitTermination(120000)
+    }
+    serve()
+    // snapshot BEFORE the restart (batch-id column dropped: the row
+    // content is what must survive, whatever batch numbering resumes at)
+    val firstRun = spark.read.parquet(out)
+      .drop(graft.streaming.ExactlyOnceSink.BatchIdCol)
+      .collect().map(_.toString).sorted.toSeq
+    // restart the SAME checkpoint after new queries arrive: only the
+    // late file is served, the first run's landed results are untouched
+    late.write.parquet(s"$in/f1")
+    serve()
+    val all = spark.read.parquet(out)
+    val served = all.select("q_id").distinct().count()
+    assert(served == queries.count(),
+      s"expected every query served exactly once, got $served ids")
+    val batch = Similarity.queryIvfBatch(
+      Similarity.loadIvfIndex(spark, idxDir), queries, "q_id", "q_vec",
+      k = 5, nProbe = 2)
+    def key(df: DataFrame) = df
+      .select(col("q_id"), col("vec_id"), round(col("cosine"), 6))
+      .collect().map(_.toString).sorted.toSeq
+    assert(key(all) == key(batch),
+      "post-restart landed results diverged from the batch probe")
+    // the first run's rows are untouched by the restart (the late file
+    // landed as a NEW batch; nothing re-served or overwrote the early
+    // results)
+    val earlyAfter = all
+      .filter(col("q_id") < n / 2)
+      .drop(graft.streaming.ExactlyOnceSink.BatchIdCol)
+      .collect().map(_.toString).sorted.toSeq
+    assert(firstRun.nonEmpty && earlyAfter == firstRun,
+      "restart disturbed the first run's landed results")
+  }
+
   test("deterministic sampling on a stream equals the batch sample") {
     import graft.pipeline.Sampling
     val sampled = runToMemory(
