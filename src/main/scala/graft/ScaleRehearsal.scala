@@ -150,9 +150,9 @@ object ScaleRehearsal {
     new java.io.File(dst).mkdirs()
     def rd(t: String) = spark.read.parquet(s"$sfDir/$t.parquet")
     val shiftC = rd("customer").agg(max(col("c_custkey")))
-      .head.getLong(0) + 1
+      .head().getLong(0) + 1
     val shiftO = rd("orders").agg(max(col("o_orderkey")))
-      .head.getLong(0) + 1
+      .head().getLong(0) + 1
     def blow(t: String, shifts: Map[String, Long]): Unit =
       (0 until factor)
         .map { i =>
@@ -160,7 +160,7 @@ object ScaleRehearsal {
             df.withColumn(c, col(c) + lit(i * sh))
           }
         }
-        .reduce(_ unionAll _)
+        .reduce(_ union _)
         .repartition(cpus)
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     blow("customer", Map("c_custkey" -> shiftC))
@@ -188,7 +188,7 @@ object ScaleRehearsal {
       idCol: String, factor: Int, cpus: Int,
       markWords: Boolean): Unit = {
     val d = spark.read.parquet(src)
-    val shift = d.agg(max(col(idCol))).head.getLong(0) + 1
+    val shift = d.agg(max(col(idCol))).head().getLong(0) + 1
     if (markWords)
       require(d.filter(col("text").rlike("[Ѐ-ӿ]")).isEmpty,
         s"$src contains Cyrillic text — the distinct-mode marker would " +
@@ -203,7 +203,7 @@ object ScaleRehearsal {
             regexp_replace(col("text"), "(\\p{L}+)", marker(i) + "$1"))
         else keyed
       }
-      .reduce(_ unionAll _)
+      .reduce(_ union _)
       .repartition(cpus)
       .write.mode("overwrite").parquet(dst)
   }
