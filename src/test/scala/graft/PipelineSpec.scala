@@ -1151,6 +1151,37 @@ class PipelineSpec extends SparkSpec {
     assert(Similarity.releaseQueryPins() == 0, "drain must be idempotent")
   }
 
+  test("withQueryPinScope isolates and drains its own pins, leaving " +
+      "the global registry and concurrent consumers untouched") {
+    val idx = Similarity.buildIvfIndex(embeddings, "vec_id", "embedding")
+    Similarity.releaseQueryPins() // drain pins left by earlier tests
+    val queries = embeddings.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // a GLOBAL consumer's pin, created before the scope opens — the
+    // bug class under test is a scoped drain tearing this out
+    val globalBatch = Similarity.queryIvfBatch(idx, queries, "query_id",
+      "embedding", k = 5)
+    assert(globalBatch.count() > 0)
+    val beforeScope = spark.sparkContext.getPersistentRDDs.keySet
+    Similarity.withQueryPinScope {
+      val scoped = Similarity.queryIvfBatch(idx, queries, "query_id",
+        "embedding", k = 5)
+      assert(scoped.count() > 0) // fully consumed inside the scope
+    }
+    // the scope unpersisted ITS pin on close...
+    val afterScope = spark.sparkContext.getPersistentRDDs.keySet
+    assert((afterScope -- beforeScope).isEmpty,
+      "the scope must unpersist the pins it captured")
+    // ...and the global consumer's pinned frame is still materialised —
+    // its lineage-truncated RDD remains readable after the scope closes
+    assert(globalBatch.count() > 0,
+      "a scoped drain must not break a concurrent global consumer")
+    // the scoped pin never reached the global registry: the only drain
+    // left is the global consumer's own pin
+    assert(Similarity.releaseQueryPins() == 1,
+      "exactly the pre-scope global pin should remain registered")
+  }
+
   test("int8 IVF layout drops the floats, prunes cells, and serves " +
       "near-exact results") {
     val idx = Similarity.buildIvfIndex(embeddings, "vec_id", "embedding")
