@@ -1874,6 +1874,126 @@ object SparkEntry {
       .orderBy("doc_id", "pos")
   }
 
+  /** The DECODE half of the BPE id flow, value-oracled per document:
+    * the corpus is encoded to ids under the demo GPT-2-style vocabulary
+    * ([[graft.functions.Bpe.tokenIds]]) and decoded back through the
+    * inverse numbering ([[graft.functions.Bpe.decodeIds]]) — exactly
+    * what a training-bin audit does to an id payload. The oracle
+    * re-derives the decoded string itself (merge chain → token stream →
+    * reverse vocabulary join → ordered `string_agg`, unknowns as
+    * U+FFFD), so a wrong inverse id, a dropped token, or a mis-ordered
+    * concat diverges on the text; `round_trip` additionally pins that
+    * decode∘encode is the identity wherever the alphabet covers the
+    * document (pre-token pieces carry their own leading spaces, so
+    * concatenation IS reconstruction).
+    */
+  private def qBpeDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Bpe, BpeVocab}
+    val v = BpeVocab(Bpe.demoGpt2, BpeVocab.asciiPrintable)
+    val pieces = Bpe.preTokenize(TextOps.normalize(col("text")))
+    docs(s, dir)
+      .select(col("doc_id"), TextOps.normalize(col("text")).as("__n"),
+        Bpe.decodeIds(v)(Bpe.tokenIds(v)(pieces)).as("decoded"))
+      .select(col("doc_id"), col("decoded"),
+        when(col("decoded") === col("__n"), 1L).otherwise(0L)
+          .cast("bigint").as("round_trip"))
+      .orderBy("doc_id")
+  }
+
+  /** The WordPiece decode twin of [[qBpeDecode]]: the trained
+    * vocabulary's greedy token stream decoded back to text by the
+    * published strip-`##`-and-concatenate convention
+    * ([[graft.functions.WordPieceTrainer.decodeTokens]]). The oracle
+    * re-derives the decoded string from the same recursive-CTE matcher
+    * walk that gates the encoder, so both halves of the round trip are
+    * independently recomputed; `round_trip` pins identity on every
+    * document no word of which collapsed to `[UNK]`.
+    */
+  private def qWordpieceDecode(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.functions.{Bpe, WordPieceTrainer}
+    val pieces = Bpe.preTokenize(TextOps.normalize(col("text")))
+    val d = docs(s, dir)
+    val trained = WordPieceTrainer.trainFull(d, pieces, wpTrainJoins)
+    val vocab = WordPieceTrainer.toVocabLocal(trained)
+    val enc = WordPieceTrainer.encodeUdf(s, vocab)
+    val dec = WordPieceTrainer.decodeUdf()
+    d.select(col("doc_id"), TextOps.normalize(col("text")).as("__n"),
+        dec(enc(pieces)).as("decoded"))
+      .select(col("doc_id"), col("decoded"),
+        when(col("decoded") === col("__n"), 1L).otherwise(0L)
+          .cast("bigint").as("round_trip"))
+      .orderBy("doc_id")
+  }
+
+  /** The unigram family's ID gate, in the parity style its EM-trained
+    * doubles force (`q_unigram_encode_parity`'s pattern — no other
+    * engine reproduces transcendental logProbs bit-for-bit, so the
+    * heavy check crosses two INDEPENDENT Spark paths and the oracle
+    * pins the contract plus the population): the numbering
+    * [[graft.functions.UnigramTrainer.encodeIdsUdf]] bakes into its
+    * closure map is re-derived through the DataFrame engine — a
+    * `row_number` window over [[graft.functions.UnigramTrainer
+    * .vocabDf]] in the documented (logProb desc, piece) canonical
+    * order — and every (doc, pos) id must equal the re-ranked lookup of
+    * the segment stream's token at that position, with `-1` exactly on
+    * out-of-vocabulary pieces and ids→text decode
+    * ([[graft.functions.UnigramTrainer.decodeIdsUdf]]) reconstructing
+    * the segment concat. The oracle re-derives the document population,
+    * so the engine cannot shrink the checked set; `vocab_rank_ok`
+    * asserts the stored-artifact ids ARE the canonical rank.
+    */
+  private def qUnigramIds(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{Bpe, UnigramTrainer}
+    val pieces = Bpe.preTokenize(TextOps.normalize(col("text")))
+    val d = docs(s, dir)
+    val vocab = UnigramTrainer.train(d, pieces, vocabSize = 400,
+      maxPieceLen = 8)
+    val seg = UnigramTrainer.segmentUdf(s, vocab, 8)
+    val enc = UnigramTrainer.encodeIdsUdf(s, vocab, 8)
+    val decU = UnigramTrainer.decodeIdsUdf(s, vocab)
+    // the SECOND path to the numbering: rank the persistable vocabDf
+    // artifact with a window over the documented canonical order and
+    // collect the (piece → rank) map — |vocab| rows, bounded by the
+    // vocabSize cap, never the corpus
+    val ranked = UnigramTrainer.vocabDf(s, vocab)
+      .select(col("piece"), col("id"),
+        (row_number().over(
+          Window.orderBy(col("log_prob").desc, col("piece"))) - 1)
+          .as("rid"))
+      .collect()
+    val vocabRankOk = ranked.forall(r => r.getInt(1) == r.getInt(2))
+    val rankMap = ranked.map(r => r.getString(0) -> r.getInt(2)).toMap
+    val bc = s.sparkContext.broadcast(rankMap)
+    val unkAs = "�"
+    val check = udf { (toks: Seq[String], ids: Seq[Int], dec: String) =>
+      val m = bc.value
+      val lenOk = toks != null && ids != null &&
+        toks.length == ids.length
+      val idOk = lenOk && toks.indices.forall(i =>
+        ids(i) == m.getOrElse(toks(i), -1))
+      val unkOk = lenOk && toks.indices.forall(i =>
+        (ids(i) == -1) == !m.contains(toks(i)))
+      val decOk = lenOk && dec != null && dec == toks.indices.iterator
+        .map(i => if (ids(i) == -1) unkAs else toks(i)).mkString
+      (lenOk, idOk, unkOk, decOk)
+    }
+    def n(c: Column): Column =
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    d.select(seg(pieces).as("t"), enc(pieces).as("i"))
+      .select(col("t"), col("i"), decU(col("i")).as("d"))
+      .select(check(col("t"), col("i"), col("d")).as("c"))
+      .agg(count(lit(1)).as("n_docs"),
+        n(col("c._1")).as("n_len_match"),
+        n(col("c._2")).as("n_id_match"),
+        n(col("c._3")).as("n_unk_contract"),
+        n(col("c._4")).as("n_decode_match"))
+      .select(col("n_docs"), col("n_len_match"), col("n_id_match"),
+        col("n_unk_contract"), col("n_decode_match"),
+        lit(if (vocabRankOk) 1L else 0L).as("vocab_rank_ok"))
+  }
+
   /** The shared piece-TYPE reduction all three tokenizer trainers (and
     * `WordPieceTrainer.toVocab`) consume — ONE hash aggregation of the
     * pre-tokenized corpus plus the `maxPieceTypes` cap contract (top-N
@@ -2276,6 +2396,9 @@ object SparkEntry {
     "q_wordpiece_train_encode" -> (qWordpieceTrainEncode _),
     "q_wordpiece_encode_tokens" -> (qWordpieceEncodeTokens _),
     "q_wordpiece_ids" -> (qWordpieceIds _),
+    "q_wordpiece_decode" -> (qWordpieceDecode _),
+    "q_bpe_decode" -> (qBpeDecode _),
+    "q_unigram_ids" -> (qUnigramIds _),
     "q_tokenizer_types" -> (qTokenizerTypes _),
     "q_jdbc_roundtrip" -> (qJdbcRoundtrip _),
     "q_unigram_encode_parity" -> (qUnigramEncodeParity _),
@@ -2673,6 +2796,16 @@ object SparkEntry {
     */
   private lazy val bpeVocabValuesSql: String =
     graft.functions.BpeVocab(graft.functions.Bpe.demoEnglish,
+        graft.functions.BpeVocab.asciiPrintable)
+      .idOf.toSeq.sortBy(_._2)
+      .map { case (t, i) => s"('${t.replace("'", "''")}', $i)" }
+      .mkString(", ")
+  /** The GPT-2-style demo numbering as a `(token, token_id)` VALUES
+    * list — [[bpeVocabValuesSql]]'s twin over [[graft.functions.Bpe
+    * .demoGpt2]], the vocabulary `q_bpe_decode` inverts.
+    */
+  private lazy val bpeGpt2VocabValuesSql: String =
+    graft.functions.BpeVocab(graft.functions.Bpe.demoGpt2,
         graft.functions.BpeVocab.asciiPrintable)
       .idOf.toSeq.sortBy(_._2)
       .map { case (t, i) => s"('${t.replace("'", "''")}', $i)" }
@@ -4352,6 +4485,70 @@ object SparkEntry {
     "q_wordpiece_encode_tokens" ->
       wordpieceEncodeTokensOracleSql(wpTrainJoins),
     "q_wordpiece_ids" -> wordpieceIdsOracleSql(wpTrainJoins),
+    "q_wordpiece_decode" -> {
+      // the decoded string re-derived from the SAME recursive matcher
+      // walk that gates the encoder: strip-##-and-concatenate over the
+      // (word index, token index)-ordered stream, identity vs the
+      // normalized text wherever no word collapsed to [UNK]
+      s"""WITH RECURSIVE ${wpTokenStreamCtes(wpTrainJoins)},
+         |dec AS (SELECT pw.doc_id,
+         |    string_agg(CASE WHEN tt.tok LIKE '##%'
+         |      THEN substr(tt.tok, 3) ELSE tt.tok END,
+         |      '' ORDER BY pw.wi, tt.ti) AS decoded
+         |  FROM pw JOIN tt ON tt.piece = pw.piece
+         |  WHERE pw.piece <> '' GROUP BY pw.doc_id)
+         |SELECT d.doc_id, COALESCE(dec.decoded, '') AS decoded,
+         |  CAST(CASE WHEN COALESCE(dec.decoded, '') = $normSql
+         |    THEN 1 ELSE 0 END AS BIGINT) AS round_trip
+         |FROM documents d LEFT JOIN dec USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q_bpe_decode" -> {
+      // decode∘encode re-derived end to end: the gpt2-piece merge
+      // chain's token stream joined BACK through the vocabulary (a
+      // missing id decodes as U+FFFD, Spark's unkAs) and re-concatenated
+      // in (word index, token index) order
+      val pmerged = bpeChainSql(graft.functions.Bpe.demoGpt2.rules,
+        s"rtrim(regexp_replace(piece, '(.)', '\\1' || $bpeSepSql, 'g'), " +
+          s"$bpeSepSql)")
+      val pat = graft.functions.Bpe.preTokenizeRegex.replace("'", "''")
+      s"""WITH p AS (SELECT doc_id,
+         |    unnest(regexp_extract_all($normSql, '$pat')) AS piece,
+         |    unnest(generate_series(1,
+         |      len(regexp_extract_all($normSql, '$pat')))) AS wi
+         |  FROM documents),
+         |penc AS (SELECT doc_id, wi, $pmerged AS m FROM p
+         |         WHERE piece <> ''),
+         |tt AS (SELECT doc_id, wi,
+         |  unnest(string_split(m, $bpeSepSql)) AS token,
+         |  unnest(generate_series(1, len(string_split(m, $bpeSepSql))))
+         |    AS ti FROM penc),
+         |voc(token, token_id) AS (VALUES $bpeGpt2VocabValuesSql),
+         |dec AS (SELECT t.doc_id,
+         |    string_agg(CASE WHEN v.token_id IS NULL THEN chr(65533)
+         |      ELSE t.token END, '' ORDER BY t.wi, t.ti) AS decoded
+         |  FROM tt t LEFT JOIN voc v USING (token)
+         |  GROUP BY t.doc_id)
+         |SELECT d.doc_id, COALESCE(dec.decoded, '') AS decoded,
+         |  CAST(CASE WHEN COALESCE(dec.decoded, '') = $normSql
+         |    THEN 1 ELSE 0 END AS BIGINT) AS round_trip
+         |FROM documents d LEFT JOIN dec USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q_unigram_ids" ->
+      // parity-contract oracle (the unigram EM's transcendental doubles
+      // are not cross-engine reproducible): the POPULATION — every
+      // document checked — is re-derived independently, and every
+      // contract flag must hold on all of them; vocab_rank_ok pins the
+      // stored artifact's ids to the canonical (logProb desc, piece)
+      // rank re-derived through the DataFrame engine
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_len_match,
+         |  CAST(COUNT(*) AS BIGINT) AS n_id_match,
+         |  CAST(COUNT(*) AS BIGINT) AS n_unk_contract,
+         |  CAST(COUNT(*) AS BIGINT) AS n_decode_match,
+         |  CAST(1 AS BIGINT) AS vocab_rank_ok
+         |FROM documents""".stripMargin,
     "q_tokenizer_types" -> {
       val pat = graft.functions.Bpe.preTokenizeRegex.replace("'", "''")
       s"""WITH p AS (SELECT

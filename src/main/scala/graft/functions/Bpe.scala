@@ -177,6 +177,28 @@ final case class BpeVocab(merges: BpeMerges, alphabet: Seq[String],
   /** Greedy-encode `word` and number each token. */
   def encodeIds(word: String): Seq[Int] =
     merges.encode(word).map(idOf.getOrElse(_, unkId))
+
+  /** Inverse numbering: id → token. Total over the id space because
+    * [[idOf]] is a bijection — alphabet entries are distinct single
+    * codepoints, merge outputs are distinct ≥2-codepoint strings, so
+    * the two ranges can never collide.
+    */
+  @transient lazy val tokenOf: Map[Int, String] = idOf.map(_.swap)
+
+  /** Decode an id sequence back to text — the inverse of [[encodeIds]]
+    * over a [[graft.functions.Bpe.preTokenize]] piece stream, whose
+    * pieces carry their own leading spaces and concatenate to the
+    * original (normalized) text: `decodeIds(encodeIds(...))` is the
+    * identity on any text the alphabet covers. An id outside the
+    * vocabulary (the unknown marker, or garbage) renders as `unkAs`
+    * (U+FFFD by default) rather than failing — a bin audit wants to SEE
+    * the hole, not die on it.
+    */
+  def decodeIds(ids: Seq[Int], unkAs: String = "�"): String = {
+    val sb = new java.lang.StringBuilder
+    ids.foreach(i => sb.append(tokenOf.getOrElse(i, unkAs)))
+    sb.toString
+  }
 }
 
 object BpeVocab {
@@ -251,6 +273,19 @@ object Bpe {
     val f = udf((ws: Seq[String]) =>
       ws.iterator.filter(_.nonEmpty).flatMap(vocab.encodeIds).toSeq)
     f(words)
+  }
+
+  /** Column function: decode an `array<int>` id column back to text
+    * ([[BpeVocab.decodeIds]]) — the audit/inspection half of the
+    * tokenize→pack flow: an assembled training bin's id payload decodes
+    * straight back to readable corpus text. Vocabulary broadcast in the
+    * UDF closure, narrow, stateless, streaming-safe.
+    */
+  def decodeIds(vocab: BpeVocab, unkAs: String = "�")(ids: Column)
+      : Column = {
+    val f = udf((xs: Seq[Int]) =>
+      if (xs == null) null else vocab.decodeIds(xs, unkAs))
+    f(ids)
   }
 
   /** GPT-2-style pre-tokenization pattern, restricted to the Java∩RE2

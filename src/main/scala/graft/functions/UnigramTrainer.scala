@@ -406,4 +406,28 @@ object UnigramTrainer {
         viterbi(p, bc.value._1, mpl, bc.value._3)
           .map(bc.value._2.getOrElse(_, -1))))
   }
+
+  /** Decode an id sequence back to text — the inverse of
+    * [[encodeIdsUdf]]: each id indexes [[vocabDf]]'s canonical rank
+    * order and the pieces concatenate (Viterbi segmentations tile the
+    * word, so decode(encode(text)) is the identity wherever every
+    * piece landed in-vocabulary). `-1` — the unknown-codepoint fallback
+    * — and any out-of-range id render as `unkAs` rather than failing.
+    * Vocabulary broadcast once, narrow, stateless, streaming-safe.
+    */
+  def decodeIdsUdf(spark: SparkSession, vocab: Seq[VocabEntry],
+      unkAs: String = "�"): UserDefinedFunction = {
+    require(vocab.nonEmpty, "vocab must be non-empty")
+    val pieces = vocab.iterator.map(_.piece).toArray
+    val bc = spark.sparkContext.broadcast(pieces)
+    udf((ids: Seq[Int]) =>
+      if (ids == null) null
+      else {
+        val arr = bc.value
+        val sb = new java.lang.StringBuilder
+        ids.foreach(i =>
+          sb.append(if (i >= 0 && i < arr.length) arr(i) else unkAs))
+        sb.toString
+      })
+  }
 }

@@ -389,4 +389,29 @@ object WordPieceTrainer {
       else pieces.iterator.map(p => encodeWord(p, bc.value).length.toLong)
         .sum)
   }
+
+  /** Decode a token stream back to text: strip the `##` continuation
+    * prefix from every token that carries one and concatenate (the
+    * published `convert_tokens_to_string` convention, minus the
+    * space-join — our pre-tokens carry their OWN leading spaces, so
+    * plain concatenation reconstructs the normalized text exactly
+    * wherever no word collapsed to `[UNK]`). Convention-based by
+    * design: the flat stream no longer knows word boundaries, so a
+    * BARE vocabulary piece whose literal text starts with `##` (a word
+    * type beginning with two hashes) decodes as its stripped form —
+    * the same information loss every flat-stream WordPiece decoder
+    * accepts. `[UNK]` stays literal so the audit sees the hole.
+    */
+  def decodeTokens(tokens: Seq[String]): String = {
+    val sb = new java.lang.StringBuilder
+    tokens.foreach(t => sb.append(stripCont(t)))
+    sb.toString
+  }
+
+  /** [[decodeTokens]] as a column function over an `array<string>`
+    * token column — vocabulary-free, narrow, streaming-safe.
+    */
+  def decodeUdf(): UserDefinedFunction =
+    udf((toks: Seq[String]) =>
+      if (toks == null) null else decodeTokens(toks))
 }

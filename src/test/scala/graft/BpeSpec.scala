@@ -270,6 +270,41 @@ class BpeSpec extends SparkSpec {
     assert(toks.forall { case (t, id) => v.idOf(t) == id })
   }
 
+  test("decodeIds inverts encodeIds; unknowns render as the unk marker") {
+    import graft.functions.BpeVocab
+    val v = BpeVocab(Bpe.demoGpt2, BpeVocab.asciiPrintable)
+    // tokenOf is the exact inverse of idOf (bijection both ways)
+    assert(v.tokenOf.size == v.idOf.size)
+    assert(v.idOf.forall { case (t, i) => v.tokenOf(i) == t })
+    // round trip: gpt2-style pieces carry their leading spaces, so the
+    // decoded concat IS the original normalized text
+    val text = "the cat, and the 3rd dog's hat"
+    val pieces = Seq("the", " cat", ",", " and", " the", " 3", "rd",
+      " dog", "'s", " hat")
+    assert(v.decodeIds(pieces.flatMap(v.encodeIds)) == text)
+    // an unknown codepoint's id (-1) decodes as the marker, in place
+    val ids = v.encodeIds("naïve")
+    assert(v.decodeIds(ids).contains("�"))
+    assert(v.decodeIds(ids, unkAs = "?") == "na?ve")
+    // garbage ids never throw
+    assert(v.decodeIds(Seq(-7, Int.MaxValue), unkAs = "!") == "!!")
+  }
+
+  test("decodeIds column path: ids decode back to the document text") {
+    import graft.functions.BpeVocab
+    val s = spark
+    import s.implicits._
+    val v = BpeVocab(Bpe.demoGpt2, BpeVocab.asciiPrintable)
+    val df = Seq((1L, "The cat AND the   dog"), (2L, "")).toDF("doc_id", "text")
+    val pieces = Bpe.preTokenize(TextOps.normalize(col("text")))
+    val got = df.select(col("doc_id"),
+        Bpe.decodeIds(v)(Bpe.tokenIds(v)(pieces)).as("d"),
+        TextOps.normalize(col("text")).as("n"))
+      .orderBy("doc_id").collect()
+    assert(got.forall(r => r.getString(1) == r.getString(2)))
+    assert(got(1).getString(1) == "")
+  }
+
   // ------------------------------------------------------------- training
 
   test("trainLocal: hand-computed merges, counts, and tie-breaks") {

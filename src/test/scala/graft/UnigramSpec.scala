@@ -184,6 +184,29 @@ class UnigramSpec extends SparkSpec {
     assert(win.count() > 0)
   }
 
+  test("decodeIdsUdf inverts encodeIdsUdf: canonical-rank lookup, " +
+      "unknown and out-of-range ids render as the unk marker") {
+    val s = spark
+    import s.implicits._
+    val piecesCol = Bpe.preTokenize(TextOps.normalize(col("text")))
+    val vocab = UnigramTrainer.train(docs.limit(60), piecesCol,
+      vocabSize = 200, maxPieceLen = 5, seedSize = 400, emIters = 1)
+    val enc = UnigramTrainer.encodeIdsUdf(spark, vocab, 5)
+    val dec = UnigramTrainer.decodeIdsUdf(spark, vocab)
+    // decode(encode(text)) == the pre-token stream concat on a corpus
+    // whose training covered every codepoint (no -1s)
+    val rows = docs.limit(60)
+      .select(dec(enc(piecesCol)).as("d"),
+        concat_ws("", piecesCol).as("t"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // -1 (unknown) and garbage ids render as the marker, in place
+    val odd = Seq(Seq(0, -1, vocab.size, 1)).toDF("ids")
+    val got = odd.select(dec(col("ids"))).collect().head.getString(0)
+    assert(got == vocab(0).piece + "��" + vocab(1).piece)
+  }
+
   test("end-to-end on the fixture corpus: train, segment, round-trip") {
     val piecesCol = Bpe.preTokenize(TextOps.normalize(col("text")))
     val vocab = UnigramTrainer.train(docs.limit(100), piecesCol,

@@ -202,6 +202,35 @@ class WordPieceSpec extends SparkSpec {
     }
   }
 
+  test("decodeTokens/decodeUdf: strip-##-and-concatenate inverts the " +
+      "flat encode stream; [UNK] stays literal") {
+    // local rule: every ##-prefixed token loses the prefix, everything
+    // else (including [UNK]) passes through, plain concat
+    assert(WordPieceTrainer.decodeTokens(
+      Seq("he", "##llo", " ", "##wo", "##rld")) == "hello world")
+    assert(WordPieceTrainer.decodeTokens(Seq("[UNK]", "##x")) == "[UNK]x")
+    assert(WordPieceTrainer.decodeTokens(Nil) == "")
+    // column path: decode(encode(pieces)) == the normalized text on
+    // every fixture document with no [UNK] collapse (pieces carry
+    // their own leading spaces, so concat IS reconstruction)
+    val docs = spark.read.parquet(s"$fixtures/documents.parquet")
+    val piecesCol = Bpe.preTokenize(TextOps.normalize(col("text")))
+    val learned = WordPieceTrainer.train(docs, piecesCol, 8)
+    val v = WordPieceTrainer.toVocab(docs, piecesCol, learned)
+    val enc = WordPieceTrainer.encodeUdf(spark, v)
+    val dec = WordPieceTrainer.decodeUdf()
+    val rows = docs.select(
+        dec(enc(piecesCol)).as("d"),
+        TextOps.normalize(col("text")).as("n"),
+        array_contains(enc(piecesCol), v.unkToken).as("unk"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.getBoolean(2)).foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"decode broke on '${r.getString(1).take(60)}…'")
+    }
+  }
+
   test("toVocab: distributed alphabet == local derivation; cap " +
       "restricts to the capped type table; vocab ends bounded") {
     val docs = spark.read.parquet(s"$fixtures/documents.parquet")
