@@ -56,11 +56,21 @@ object ScaleRehearsal {
   private val RelQueries = Seq("mask_blueprint_full", "mask_rownum",
     "fk_sync", "q1_agg", "q5_multijoin")
 
+  private val KnownModes = Set("distinct", "clone", "relational")
+
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: ScaleRehearsal <sfDir> <workDir> [factor] [modes]")
     val Array(sfDir, workDir) = args.take(2)
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    require(factor >= 1, s"factor must be >= 1, got $factor")
     val modes = args.lift(3).getOrElse("distinct,clone,relational")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // an unrecognized mode would otherwise silently inflate and measure
+    // as clone mode (markWords = false) under a mislabeled name
+    val badModes = modes.filterNot(KnownModes)
+    require(badModes.isEmpty, s"unknown mode(s) " +
+      s"${badModes.mkString(", ")} — valid: ${KnownModes.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -93,7 +103,9 @@ object ScaleRehearsal {
           SparkEntry.queries(name)(spark, dir)
             .write.format("noop").mode("overwrite").save()
           true
-        } catch { case e: Throwable =>
+        } catch { case scala.util.control.NonFatal(e) =>
+          // NonFatal only: an OOM or linkage error must kill the
+          // rehearsal — timings taken after one are garbage
           System.err.println(s"[scale] FAILED $name@$dir: ${e.getMessage}")
           false
         }
@@ -106,10 +118,15 @@ object ScaleRehearsal {
 
     // one full 1× pass first as JVM/codegen warmup (discarded), then the
     // timed 1× pass and each mode's N× pass — all JIT-hot, so the ratio
-    // is data-driven
+    // is data-driven. Warmup and base are per (query, sfDir) and cached:
+    // distinct and clone share the identical 1× work, so a default run
+    // times the heavy base queries once, not once per corpus mode
+    val warmed = scala.collection.mutable.Set.empty[String]
+    val baseCache = scala.collection.mutable.Map.empty[String, Double]
     def runMode(mode: String, qs: Seq[String]): Unit = {
-      qs.foreach(timeOne(_, sfDir))
-      val base = qs.map(q => q -> timeOne(q, sfDir)).toMap
+      qs.filterNot(warmed).foreach { q => timeOne(q, sfDir); warmed += q }
+      val base = qs.map(q =>
+        q -> baseCache.getOrElseUpdate(q, timeOne(q, sfDir))).toMap
       val scaled = qs.map(q => q -> timeOne(q, s"$workDir/$mode")).toMap
       var geo = 0.0
       var n = 0

@@ -607,7 +607,7 @@ object Similarity {
     val corpusFields =
       spark.read.parquet(s"$path/corpus").schema.fieldNames
     val assigned = newVectors.withColumn("__cell", cellOf(vecCol, centroids))
-    val shaped = detectIvfLayout(spark, path) match {
+    val shaped = detectIvfLayout(corpusFields.toSeq) match {
       case IvfLayout.Pq =>
         val (_, cb) = loadIvfPqIndex(spark, path)
         assigned.withColumn(PqCodesCol, Pq.encode(cb)(col(vecCol)))
@@ -677,12 +677,18 @@ object Similarity {
     * it): PQ codes beat int8 codes beat plain floats, mirroring what
     * the writers can actually produce.
     */
-  def detectIvfLayout(spark: SparkSession, path: String): IvfLayout = {
-    val fields = spark.read.parquet(s"$path/corpus").schema.fieldNames
+  def detectIvfLayout(spark: SparkSession, path: String): IvfLayout =
+    detectIvfLayout(
+      spark.read.parquet(s"$path/corpus").schema.fieldNames)
+
+  /** [[detectIvfLayout]] from already-read corpus field names — no
+    * second footer/listing round trip when the caller has the schema
+    * in hand (an object-store append pays real latency per read).
+    */
+  def detectIvfLayout(fields: Seq[String]): IvfLayout =
     if (fields.contains(PqCodesCol)) IvfLayout.Pq
     else if (fields.contains(Int8CodesCol)) IvfLayout.Int8
     else IvfLayout.Float
-  }
 
   /** PQ codes column name in a composed IVF×PQ index. */
   val PqCodesCol = "__codes"

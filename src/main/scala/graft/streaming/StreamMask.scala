@@ -569,8 +569,13 @@ object StreamMask {
       encodeIds: Column => Column): DataFrame = {
     import graft.functions.Bpe
     import graft.pipeline.TextOps
-    val pieces = Bpe.preTokenize(TextOps.normalize(col(textCol)))
-    docs.withColumn("ids", encodeIds(pieces))
+    // a NULL text row tokenizes as empty — without the coalesce it
+    // would ride through as ids = null / n_tokens = -1 (size-of-null)
+    // and feed the downstream stateful bin packer a null id array
+    val pieces = Bpe.preTokenize(
+      TextOps.normalize(coalesce(col(textCol), lit(""))))
+    docs.withColumn("ids",
+        coalesce(encodeIds(pieces), array().cast("array<int>")))
       .withColumn("n_tokens", size(col("ids")).cast("long"))
   }
 
