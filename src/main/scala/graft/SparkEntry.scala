@@ -1186,7 +1186,12 @@ object SparkEntry {
     * q_bpe_ids already pins every id per position, so together the
     * assembled sequences are fully determined).
     */
-  private def qPackBins(s: SparkSession, dir: String): DataFrame = {
+  /** The shared tokenize→pack→assemble chain of `q_pack_bins` and
+    * `q_pack_decode`: demo-vocabulary ids per document, offset-packed
+    * into 256-token bins per `lang` shard, assembled to one id array
+    * per (shard, bin).
+    */
+  private def assembledBins(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{Bpe, BpeVocab}
     import graft.pipeline.Packing
     val v = BpeVocab(Bpe.demoEnglish, BpeVocab.asciiPrintable)
@@ -1195,13 +1200,36 @@ object SparkEntry {
     val packed = Packing.packByOffset(withIds, "lang", "doc_id",
       size(col("ids")).cast("long"), 256)
     Packing.assembleBins(Packing.chunkSpans(packed, 256),
-        "lang", "doc_id", "ids")
+      "lang", "doc_id", "ids")
+  }
+
+  private def qPackBins(s: SparkSession, dir: String): DataFrame =
+    assembledBins(s, dir)
       .select(col("lang"), col("bin"), col("n_pieces"), col("bin_tokens"),
         col("first_piece").as("first_doc"),
         col("last_piece").as("last_doc"),
         size(col("token_ids")).cast("bigint").as("n_ids"),
         aggregate(col("token_ids"), lit(0L),
           (a, x) => a + x.cast("long")).as("id_sum"))
+      .orderBy("lang", "bin")
+
+  /** The end of the tokenize→pack→assemble→AUDIT flow: every assembled
+    * training bin's id payload decoded back to text
+    * ([[graft.functions.Bpe.decodeIds]]) — the readable-corpus check a
+    * pipeline runs before shipping bins to a trainer. Full value
+    * oracle: DuckDB re-derives each bin's decoded string from its own
+    * re-derivation of the token stream (offset cut → per-bin token
+    * rows → ordered `string_agg`, unknown ids as U+FFFD), so a wrong
+    * inverse id, a mis-sliced piece, or a mis-ordered concat anywhere
+    * in pack OR decode diverges on the text itself.
+    */
+  private def qPackDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Bpe, BpeVocab}
+    val v = BpeVocab(Bpe.demoEnglish, BpeVocab.asciiPrintable)
+    assembledBins(s, dir)
+      .select(col("lang"), col("bin"),
+        size(col("token_ids")).cast("bigint").as("n_ids"),
+        Bpe.decodeIds(v)(col("token_ids")).as("decoded"))
       .orderBy("lang", "bin")
   }
 
@@ -2407,6 +2435,7 @@ object SparkEntry {
     "q_token_windows" -> (qTokenWindows _),
     "q_pack_bpe" -> (qPackBpe _),
     "q_pack_bins" -> (qPackBins _),
+    "q_pack_decode" -> (qPackDecode _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
   )
 
@@ -2829,6 +2858,34 @@ object SparkEntry {
        |  row_number() OVER (PARTITION BY t.doc_id ORDER BY wi, ti) AS pos,
        |  CAST(COALESCE(voc.token_id, -1) AS BIGINT) AS token_id
        |  FROM tt t LEFT JOIN voc USING (token))""".stripMargin
+
+  /** The offset-pack CTE chain shared by `q_pack_bins` and
+    * `q_pack_decode` — per-doc token counts off `seq` (so it must
+    * follow [[bpeSeqCtes]]), per-shard running offsets in doc_id
+    * order, and the 256-budget boundary cut into per-(doc, bin)
+    * pieces; `pc` carries each piece's `"offset"` forward so a
+    * consumer can reconstruct global stream positions.
+    */
+  private lazy val packBinCtes: String =
+    s"""cnt AS (SELECT d.doc_id, d.lang,
+       |  CAST(COALESCE(c.n, 0) AS BIGINT) AS tokens
+       |  FROM documents d LEFT JOIN (SELECT doc_id, COUNT(*) AS n
+       |    FROM seq GROUP BY doc_id) c USING (doc_id)),
+       |ofs AS (SELECT doc_id, lang, tokens,
+       |  CAST(COALESCE(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS "offset"
+       |  FROM cnt),
+       |pieces AS (SELECT doc_id, lang, tokens, "offset",
+       |  unnest(generate_series(CAST(floor("offset" / 256) AS BIGINT),
+       |    CAST(floor(("offset" + tokens - 1) / 256) AS BIGINT)))
+       |    AS piece_bin
+       |  FROM ofs WHERE tokens > 0),
+       |pc AS (SELECT doc_id, lang, piece_bin, "offset",
+       |  GREATEST("offset", piece_bin * 256) - "offset" AS doc_from,
+       |  LEAST("offset" + tokens, (piece_bin + 1) * 256)
+       |    - GREATEST("offset", piece_bin * 256) AS piece_tokens
+       |  FROM pieces)""".stripMargin
 
   /** The curation pipeline's CTE chain (synthesized PII → quality gate
     * over the PRE-scrub text, as curate() computes it → redaction →
@@ -4636,25 +4693,7 @@ object SparkEntry {
       // content (count + sum of the ids landing in the bin — combined
       // with q_bpe_ids' per-position check this pins the assembly)
       s"""WITH $bpeSeqCtes,
-         |cnt AS (SELECT d.doc_id, d.lang,
-         |  CAST(COALESCE(c.n, 0) AS BIGINT) AS tokens
-         |  FROM documents d LEFT JOIN (SELECT doc_id, COUNT(*) AS n
-         |    FROM seq GROUP BY doc_id) c USING (doc_id)),
-         |ofs AS (SELECT doc_id, lang, tokens,
-         |  CAST(COALESCE(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |    AS BIGINT) AS "offset"
-         |  FROM cnt),
-         |pieces AS (SELECT doc_id, lang, tokens, "offset",
-         |  unnest(generate_series(CAST(floor("offset" / 256) AS BIGINT),
-         |    CAST(floor(("offset" + tokens - 1) / 256) AS BIGINT)))
-         |    AS piece_bin
-         |  FROM ofs WHERE tokens > 0),
-         |pc AS (SELECT doc_id, lang, piece_bin,
-         |  GREATEST("offset", piece_bin * 256) - "offset" AS doc_from,
-         |  LEAST("offset" + tokens, (piece_bin + 1) * 256)
-         |    - GREATEST("offset", piece_bin * 256) AS piece_tokens
-         |  FROM pieces),
+         |$packBinCtes,
          |ids AS (SELECT p.lang, p.piece_bin, s.token_id
          |  FROM pc p JOIN seq s ON s.doc_id = p.doc_id
          |   AND s.pos > p.doc_from AND s.pos <= p.doc_from + p.piece_tokens),
@@ -4670,6 +4709,24 @@ object SparkEntry {
          |SELECT a.lang, a.bin, a.n_pieces, a.bin_tokens, a.first_doc,
          |  a.last_doc, b.n_ids, b.id_sum
          |FROM agg1 a JOIN agg2 b USING (lang, bin)
+         |ORDER BY lang, bin""".stripMargin,
+    "q_pack_decode" ->
+      // each assembled bin's decoded TEXT re-derived end to end: the
+      // bin's token rows (same offset cut as q_pack_bins) concatenate
+      // in global stream order through the vocabulary's inverse —
+      // token strings where the id resolves, U+FFFD where it is -1 —
+      // so pack and decode are pinned jointly on the readable output
+      s"""WITH $bpeSeqCtes,
+         |$packBinCtes,
+         |ids AS (SELECT p.lang, p.piece_bin, s.token, s.token_id,
+         |    p."offset" + s.pos AS gpos
+         |  FROM pc p JOIN seq s ON s.doc_id = p.doc_id
+         |   AND s.pos > p.doc_from AND s.pos <= p.doc_from + p.piece_tokens)
+         |SELECT lang, piece_bin AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n_ids,
+         |  string_agg(CASE WHEN token_id = -1 THEN chr(65533)
+         |    ELSE token END, '' ORDER BY gpos) AS decoded
+         |FROM ids GROUP BY 1, 2
          |ORDER BY lang, bin""".stripMargin,
     "q_pack_bpe" ->
       // q_pack's window sum, budgeted by the re-derived BPE token count
