@@ -178,6 +178,21 @@ final case class BpeVocab(merges: BpeMerges, alphabet: Seq[String],
   def encodeIds(word: String): Seq[Int] =
     merges.encode(word).map(idOf.getOrElse(_, unkId))
 
+  /** The numbering as a persistable `(id, token)` DataFrame — the
+    * `vocab.json` analog next to [[BpeMerges.toLines]]' merges file,
+    * and the same shape the WordPiece/unigram families publish via
+    * their `vocabDf`. Round-trips through [[BpeVocab.fromVocabDf]]
+    * (which re-validates it against the merges table).
+    */
+  def vocabDf(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (alphabet.zipWithIndex.map { case (t, i) => (i, t) } ++
+      merges.rules.zipWithIndex.map { case ((a, b), i) =>
+        (alphabet.size + i, a + b)
+      }).toDF("id", "token")
+  }
+
   /** Inverse numbering: id → token. Total over the id space because
     * [[idOf]] is a bijection — alphabet entries are distinct single
     * codepoints, merge outputs are distinct ≥2-codepoint strings, so
@@ -208,6 +223,37 @@ object BpeVocab {
     * byte alphabet in its published order.
     */
   val asciiPrintable: Seq[String] = (32 to 126).map(_.toChar.toString)
+
+  /** Rebuild a vocabulary from a stored [[BpeVocab.vocabDf]] frame plus
+    * its merges table (the pairing real releases ship as `vocab.json` +
+    * `merges.txt` — the numbering alone cannot encode; the rules alone
+    * cannot number). The alphabet is the id-order prefix before the
+    * merge outputs, and every stored (id, token) row is validated
+    * against the canonical derivation, so a truncated or reordered file
+    * fails fast instead of silently renumbering.
+    */
+  def fromVocabDf(df: org.apache.spark.sql.DataFrame, merges: BpeMerges,
+      unkId: Int = -1): BpeVocab = {
+    val rows = df.select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("token"))
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, "stored vocabulary is empty")
+    require(rows.map(_.getInt(0)).sameElements(rows.indices),
+      "stored vocabulary ids must be exactly 0..n-1")
+    val tokens = rows.map(_.getString(1))
+    val nAlpha = tokens.length - merges.rules.size
+    require(nAlpha > 0,
+      s"stored vocabulary has ${tokens.length} entries but the merges " +
+        s"table alone implies ${merges.rules.size} outputs — alphabet " +
+        "missing or merges mismatched")
+    val v = BpeVocab(merges, tokens.take(nAlpha).toSeq, unkId)
+    merges.rules.zipWithIndex.foreach { case ((a, b), i) =>
+      require(tokens(nAlpha + i) == a + b,
+        s"stored id ${nAlpha + i} is '${tokens(nAlpha + i)}' but the " +
+          s"merges table derives '${a + b}' — vocab/merges mismatch")
+    }
+    v
+  }
 }
 
 object BpeMerges {

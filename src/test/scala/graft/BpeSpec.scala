@@ -290,6 +290,26 @@ class BpeSpec extends SparkSpec {
     assert(v.decodeIds(Seq(-7, Int.MaxValue), unkAs = "!") == "!!")
   }
 
+  test("vocab persists: vocabDf -> parquet -> fromVocabDf round-trips; " +
+      "mismatched or truncated stores are rejected") {
+    import graft.functions.BpeVocab
+    import java.nio.file.Files
+    val v = BpeVocab(Bpe.demoGpt2, BpeVocab.asciiPrintable)
+    val dir = Files.createTempDirectory("graft_bpevocab").toString
+    v.vocabDf(spark).write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val back = BpeVocab.fromVocabDf(stored, Bpe.demoGpt2)
+    assert(back.idOf == v.idOf)
+    assert(back.alphabet == v.alphabet)
+    assert(back.encodeIds(" the cat") == v.encodeIds(" the cat"))
+    // a vocabulary stored against the WRONG merges table fails loudly
+    intercept[IllegalArgumentException](
+      BpeVocab.fromVocabDf(stored, Bpe.demoEnglish))
+    // a truncated store (lost rows) fails the 0..n-1 id check
+    intercept[IllegalArgumentException](
+      BpeVocab.fromVocabDf(stored.filter(col("id") =!= 3), Bpe.demoGpt2))
+  }
+
   test("decodeIds column path: ids decode back to the document text") {
     import graft.functions.BpeVocab
     val s = spark

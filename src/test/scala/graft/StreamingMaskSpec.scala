@@ -171,6 +171,18 @@ class StreamingMaskSpec extends SparkSpec {
       StreamMask.tokenizeStream(_, "text", wpVocab))
     check("unigram",
       StreamMask.tokenizeStream(_, "text", ugVocab, 8))
+
+    // a NULL text row tokenizes as empty (ids = [], n_tokens = 0),
+    // never as ids = null / n_tokens = -1 into a downstream bin packer
+    val s = spark
+    import s.implicits._
+    val withNull = Seq((1L, "the cat"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val tok = StreamMask.tokenizeStream(withNull, "text", bpeVocab)
+      .orderBy("doc_id").collect()
+    assert(tok(0).getLong(tok(0).fieldIndex("n_tokens")) > 0)
+    assert(tok(1).getSeq[Int](tok(1).fieldIndex("ids")) == Seq.empty)
+    assert(tok(1).getLong(tok(1).fieldIndex("n_tokens")) == 0L)
   }
 
   test("streaming curation composition: decontaminate -> enrich -> " +
