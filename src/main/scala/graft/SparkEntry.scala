@@ -1203,6 +1203,26 @@ object SparkEntry {
       "lang", "doc_id", "ids")
   }
 
+  /** Deterministic epoch shuffle over the assembled bins
+    * ([[graft.pipeline.Packing.epochShuffle]]): two epochs of the same
+    * seed, each a seeded md5 permutation of the (shard, bin) set. The
+    * oracle replays the 48-bit hash fraction nibble by nibble and
+    * re-sorts — the driver's compare is row-order-sensitive, so the
+    * PERMUTATIONS themselves (and that epoch 1 ≠ epoch 2 while both
+    * contain exactly the q_pack_bins bin set) are what is checked.
+    */
+  private def qEpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Packing
+    val bins = assembledBins(s, dir).select(col("lang"), col("bin"))
+    Seq(1, 2).map { ep =>
+      Packing.epochShuffle(bins, "lang", "bin", seed = 42L, epoch = ep)
+        .withColumn("epoch", lit(ep).cast("bigint"))
+    }.reduce(_ unionAll _)
+      .select(col("epoch"), col("lang"), col("bin"),
+        col("epoch_key").cast("bigint").as("epoch_key"))
+      .orderBy(col("epoch"), col("epoch_key"), col("lang"), col("bin"))
+  }
+
   private def qPackBins(s: SparkSession, dir: String): DataFrame =
     assembledBins(s, dir)
       .select(col("lang"), col("bin"), col("n_pieces"), col("bin_tokens"),
@@ -2436,6 +2456,7 @@ object SparkEntry {
     "q_pack_bpe" -> (qPackBpe _),
     "q_pack_bins" -> (qPackBins _),
     "q_pack_decode" -> (qPackDecode _),
+    "q_epoch_shuffle" -> (qEpochShuffle _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
   )
 
@@ -2938,11 +2959,16 @@ object SparkEntry {
     * mirror of [[graft.pipeline.Sampling.hashBucket48]], shared by
     * `q_sample_weighted` and `q_curation_weighted`.
     */
-  private lazy val bucket48Sql: String = {
-    val h = "md5(CAST(doc_id AS VARCHAR))"
+  private lazy val bucket48Sql: String =
+    bucket48OfSql("md5(CAST(doc_id AS VARCHAR))")
+
+  /** The 48-bit hash-fraction numerator of an arbitrary md5 SQL
+    * expression — [[bucket48Sql]] generalized (also the
+    * `q_epoch_shuffle` ordering-key mirror).
+    */
+  private def bucket48OfSql(h: String): String =
     (1 to 12).map(i => s"${nibSql(h, i)} * ${1L << ((12 - i) * 4)}")
       .mkString("(", " + ", ")")
-  }
 
   /** The curation keep predicate over `scrub`: near-dup survivors only,
     * then the md5-bucket stratified mix (en 0.5, es 1.0, de 0.25,
@@ -4710,6 +4736,23 @@ object SparkEntry {
          |  a.last_doc, b.n_ids, b.id_sum
          |FROM agg1 a JOIN agg2 b USING (lang, bin)
          |ORDER BY lang, bin""".stripMargin,
+    "q_epoch_shuffle" ->
+      // both epochs' permutations re-derived: the md5 48-bit ordering
+      // key nibble by nibble over the same seed:epoch:shard:bin
+      // composite, re-sorted — row order is part of the compare, so a
+      // single transposition anywhere diverges
+      s"""WITH $bpeSeqCtes,
+         |$packBinCtes,
+         |bins AS (SELECT DISTINCT lang, piece_bin AS bin FROM pc),
+         |keys AS (SELECT e.epoch, b.lang, b.bin,
+         |  ${bucket48OfSql("md5('42:' || CAST(e.epoch AS VARCHAR) || " +
+           "':' || b.lang || ':' || CAST(b.bin AS VARCHAR))")}
+         |    AS epoch_key
+         |  FROM bins b, (VALUES (1), (2)) e(epoch))
+         |SELECT CAST(epoch AS BIGINT) AS epoch, lang, bin,
+         |  CAST(epoch_key AS BIGINT) AS epoch_key
+         |FROM keys
+         |ORDER BY epoch, epoch_key, lang, bin""".stripMargin,
     "q_pack_decode" ->
       // each assembled bin's decoded TEXT re-derived end to end: the
       // bin's token rows (same offset cut as q_pack_bins) concatenate

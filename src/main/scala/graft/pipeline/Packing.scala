@@ -162,6 +162,44 @@ object Packing {
             col("__piece_ids").as("__ids")))),
           s => s("__ids"))).as("token_ids"))
 
+  /** The seeded epoch-ordering key of a (shard, bin) pair — the md5
+    * 48-bit hash fraction ([[Sampling.hashBucket48]], so any engine
+    * replays it bit-for-bit) over the `seed:epoch:shard:bin` composite.
+    * Exposed separately from [[epochShuffle]] so a writer can
+    * `repartitionByRange` on it directly.
+    */
+  def epochKey(shard: Column, bin: Column, seed: Long,
+      epoch: Int): Column =
+    Sampling.hashBucket48(concat_ws(":", lit(seed), lit(epoch),
+      shard.cast("string"), bin.cast("string")))
+
+  /** Deterministic EPOCH SHUFFLE over assembled training bins: each
+    * training epoch visits the bins in a fresh pseudo-random order, and
+    * that order is a pure function of (seed, epoch, shard, bin) — no
+    * RNG state, so retries, re-runs and any engine reproduce the same
+    * permutation ([[Sampling.hashSample]]'s determinism discipline
+    * applied to ordering instead of inclusion). Appends `epoch_key` and
+    * returns the frame globally ordered by (key, shard, bin — the
+    * tie-break making the order total even on hash collisions).
+    *
+    * Scale shape: ONE range-partitioned distributed sort — the
+    * standard epoch shuffle — never a single-partition window; there
+    * is deliberately no materialised global position column, because
+    * computing one (`row_number` over everything) would serialize.
+    * Downstream a writer lands the sorted frame and readers consume
+    * files in order; a per-partition position is `monotonically
+    * _increasing_id` on the sorted result if needed.
+    */
+  def epochShuffle(bins: DataFrame, shardCol: String, binCol: String,
+      seed: Long, epoch: Int): DataFrame = {
+    require(!bins.columns.contains("epoch_key"),
+      "input already has an epoch_key column — rename it before " +
+        "shuffling (the output claims that name)")
+    bins.withColumn("epoch_key",
+        epochKey(col(shardCol), col(binCol), seed, epoch))
+      .orderBy(col("epoch_key"), col(shardCol), col(binCol))
+  }
+
   /** Overlapping STRIDING windows over a per-doc token-id array — the
     * long-document counterpart to bin packing (tokenizer "overflow
     * with stride": window `j` covers ids `[j·stride, j·stride+window)`,

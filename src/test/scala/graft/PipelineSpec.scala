@@ -852,6 +852,37 @@ class PipelineSpec extends SparkSpec {
       .exists(t => Option(t.getMessage).exists(_.contains("assembleBins"))))
   }
 
+  test("epoch shuffle: a seeded permutation — deterministic, epoch-" +
+      "sensitive, set-preserving, distributed sort not a global window") {
+    import graft.pipeline.Packing
+    import SparkSpec.spark.implicits._
+    val bins = (0L until 40L).map(b => (if (b % 3 == 0) "en" else "es", b))
+      .toDF("lang", "bin")
+    def run(seed: Long, epoch: Int) =
+      Packing.epochShuffle(bins, "lang", "bin", seed, epoch)
+        .select("lang", "bin").collect().map(r => (r.getString(0),
+          r.getLong(1))).toSeq
+    val e1 = run(42L, 1)
+    // deterministic: same (seed, epoch) reproduces the exact order
+    assert(e1 == run(42L, 1))
+    // a permutation: same set, and genuinely reordered
+    assert(e1.toSet == bins.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet)
+    assert(e1 != e1.sortBy(_._2).sortBy(_._1))
+    // epoch- and seed-sensitive: different keys, different permutations
+    assert(e1 != run(42L, 2))
+    assert(e1 != run(7L, 1))
+    // scale shape: the sort is a range-partitioned Exchange, never a
+    // single-partition Window
+    val plan = Packing.epochShuffle(bins, "lang", "bin", 42L, 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("Window"), plan)
+    // claimed output column collisions fail fast
+    intercept[IllegalArgumentException](Packing.epochShuffle(
+      bins.withColumn("epoch_key", lit(1L)), "lang", "bin", 1L, 1))
+  }
+
   test("per-row simHash64Expr is bit-identical to the aggregate simHash64") {
     import SparkSpec.spark.implicits._
     // fixture docs plus adversarial shapes: empty, whitespace-only,
