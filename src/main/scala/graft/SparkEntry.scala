@@ -1631,6 +1631,26 @@ object SparkEntry {
         key = col("doc_id"), weight = col("n_tokens"), c = 0.01)
       .orderBy("doc_id")
 
+  /** The corpus splits `q_split` assigns — named here once so the
+    * query and its oracle share the exact fractions (and the exact
+    * LONG cut points via [[graft.pipeline.Sampling.splitCuts]]).
+    */
+  private val splitSpec =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** Deterministic train/validation/test assignment
+    * ([[graft.pipeline.Sampling.splitAssign]]): every document lands in
+    * exactly one split as a pure function of its id — consecutive
+    * 48-bit hash ranges, integer-literal cut points, so the oracle
+    * replays every assignment bit-for-bit (and growing one split only
+    * moves rows across its adjacent boundary; the nesting argument in
+    * the scaladoc).
+    */
+  private def qSplit(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.splitAssign(
+        docs(s, dir).select("doc_id", "lang"), col("doc_id"), splitSpec)
+      .orderBy("doc_id")
+
   /** The FULL Gopher filter ([[graft.pipeline.TextOps
     * .gopherRulesFull]]): the narrow rule table joined with the two
     * repetition caps (top-word share ≤ 0.11, duplicate-bigram fraction
@@ -2430,6 +2450,7 @@ object SparkEntry {
     "q_quantize" -> (qQuantize _),
     "q_sample" -> (qSample _),
     "q_sample_weighted" -> (qSampleWeighted _),
+    "q_split" -> (qSplit _),
     "q_mix_plan" -> (qMixPlan _),
     "q_mix_domains" -> (qMixDomains _),
     "q_data_card" -> (qDataCard _),
@@ -4492,6 +4513,18 @@ object SparkEntry {
          |WHERE CAST($bucket48Sql AS DOUBLE) <
          |  (CAST(n_tokens AS DOUBLE) * 0.01) * 281474976710656.0
          |ORDER BY doc_id""".stripMargin,
+    "q_split" -> {
+      // every assignment replayed: the 48-bit bucket against the SAME
+      // integer cut points (splitCuts), consecutive half-open ranges,
+      // last split absorbs the tail
+      val cuts = graft.pipeline.Sampling.splitCuts(splitSpec)
+      val cases = splitSpec.init.zip(cuts)
+        .map { case ((n, _), c) => s"WHEN $bucket48Sql < $c THEN '$n'" }
+        .mkString(" ")
+      s"""SELECT doc_id, lang,
+         |  CASE $cases ELSE '${splitSpec.last._1}' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     // the mix plan: rate = min(1, frac·budget / avail), saturation and
     // shortfall included; arithmetic mirrors domainMixPlan op for op
     "q_mix_plan" ->

@@ -58,6 +58,55 @@ object Sampling {
     * set bit-for-bit (no `pow`/`ln` in sight; contrast
     * [[weightedReservoir]]).
     */
+  /** Deterministic, exhaustive, mutually-exclusive SPLIT assignment —
+    * the train/validation/test cut of a corpus as a pure function of
+    * the key: the 48-bit hash fraction falls into consecutive
+    * half-open ranges sized by the requested fractions, so every row
+    * lands in exactly one split, retries/repartitions/any engine
+    * reproduce the assignment, and because ranges are CONSECUTIVE the
+    * splits nest the way [[hashSample]]'s rates do — growing one
+    * split's fraction only moves rows across the adjacent boundary,
+    * never re-deals the whole corpus (a new validation cut leaves the
+    * train/test frontier untouched). Thresholds are precomputed LONG
+    * cut points (`floor(cum · 2^48)`), so the per-row work is integer
+    * compares against literals — codegen-trivial, and bit-exactly
+    * replayable (the `q_split` oracle). Fractions must be positive and
+    * sum to 1 (±1e-9); the LAST split absorbs the rounding tail so the
+    * assignment is total regardless.
+    *
+    * Appends `split` (the assigned name) to the input columns.
+    */
+  def splitAssign(df: DataFrame, key: Column,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.map(_._1).distinct == splits.map(_._1),
+      "split names must be distinct")
+    splits.foreach { case (n, f) =>
+      require(f > 0.0, s"split '$n' fraction must be > 0, got $f") }
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got $total")
+    require(!df.columns.contains("split"),
+      "input already has a split column — rename it before assigning")
+    val cuts = splitCuts(splits)
+    val b = hashBucket48(key)
+    val assigned = splits.init.zip(cuts)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), cut), els) => when(b < cut, name).otherwise(els)
+      }
+    df.withColumn("split", assigned)
+  }
+
+  /** The LONG cut points [[splitAssign]] compares against (one per
+    * split boundary, cumulative-fraction · 2^48 floored) — exposed so
+    * an external oracle replays the exact integer thresholds instead of
+    * re-deriving the floating cumulative sum and risking last-ulp
+    * drift.
+    */
+  def splitCuts(splits: Seq[(String, Double)]): Seq[Long] =
+    splits.init.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(c => (c * Two48).toLong)
+
   def weightedHashSample(df: DataFrame, key: Column, weight: Column,
       c: Double): DataFrame = {
     require(c >= 0.0, s"c must be >= 0, got $c")

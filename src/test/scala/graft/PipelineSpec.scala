@@ -1701,6 +1701,43 @@ class PipelineSpec extends SparkSpec {
     assert(strat == Seq("en"), "default rate 0 must drop other strata")
   }
 
+  test("split assignment: exhaustive, exclusive, deterministic, and " +
+      "boundary-stable as fractions grow") {
+    import graft.pipeline.Sampling
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 4000L).toDF("id")
+    val spec = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def assign(sp: Seq[(String, Double)]) =
+      Sampling.splitAssign(rows, col("id"), sp)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = assign(spec)
+    // exhaustive + exclusive: every row exactly one split
+    assert(a.size == 4000 && a.values.toSet == Set("train", "val", "test"))
+    // deterministic across runs
+    assert(a == assign(spec))
+    // fractions approximately honored
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 4000.0)
+    assert(math.abs(frac("train") - 0.8) < 0.03, frac.toMap.toString)
+    assert(math.abs(frac("val") - 0.1) < 0.03, frac.toMap.toString)
+    // boundary stability: growing train (at val's expense) never evicts
+    // an existing train member, and test is untouched entirely
+    val b = assign(Seq("train" -> 0.85, "val" -> 0.05, "test" -> 0.1))
+    a.foreach { case (id, sp) =>
+      if (sp == "train") assert(b(id) == "train")
+      if (sp == "test") assert(b(id) == "test")
+    }
+    // guards: bad fractions, duplicate names, claimed column
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(rows, col("id"), Seq("a" -> 0.5, "b" -> 0.4)))
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(rows, col("id"), Seq("a" -> 0.5, "a" -> 0.5)))
+    intercept[IllegalArgumentException](Sampling.splitAssign(
+      rows.withColumn("split", lit("x")), col("id"), spec))
+    // single split: everything lands there
+    assert(assign(Seq("all" -> 1.0)).values.toSet == Set("all"))
+  }
+
   test("weighted hash sampling: weight-proportional, nested in c, " +
       "partition-stable") {
     import graft.pipeline.Sampling
