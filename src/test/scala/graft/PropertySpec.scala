@@ -503,4 +503,56 @@ class PropertySpec extends SparkSpec {
       got == want.sorted
     })
   }
+
+  test("property: BPE decode inverts encode on any alphabet-covered " +
+      "text, and flags exactly the uncovered codepoints") {
+    import graft.functions.{Bpe, BpeVocab}
+    val v = BpeVocab(Bpe.demoGpt2, BpeVocab.asciiPrintable)
+    // words over the covered alphabet, with occasional uncovered chars
+    val coveredChar = SGen.choose(32, 126).map(_.toChar)
+    val anyChar = SGen.frequency(9 -> coveredChar,
+      1 -> SGen.oneOf('é', 'ß', '漢'))
+    val word = SGen.choose(0, 10).flatMap(l =>
+      SGen.listOfN(l, anyChar).map(_.mkString))
+    val gen = SGen.choose(0, 6).flatMap(n => SGen.listOfN(n, word))
+    check(Prop.forAll(gen) { words =>
+      val ids = words.filter(_.nonEmpty).flatMap(v.encodeIds)
+      val decoded = v.decodeIds(ids, unkAs = " ")
+      // reference: each uncovered codepoint becomes the marker; covered
+      // text passes through verbatim (concat of non-empty words)
+      val want = words.filter(_.nonEmpty).mkString.map(c =>
+        if (c >= 32 && c <= 126) c else ' ').mkString
+      decoded == want
+    })
+  }
+
+  test("property: unigram id decode rebuilds the segment stream for " +
+      "arbitrary vocabularies") {
+    import graft.functions.UnigramTrainer
+    import graft.functions.UnigramTrainer.VocabEntry
+    // random vocab: all single chars of {a,b} (mandatory singles) plus
+    // random longer pieces, random distinct logProbs
+    val pieceGen = SGen.choose(2, 4).flatMap(l =>
+      SGen.listOfN(l, SGen.oneOf('a', 'b')).map(_.mkString))
+    val gen = for {
+      extra <- SGen.choose(0, 4).flatMap(n => SGen.listOfN(n, pieceGen))
+      lps <- SGen.listOfN(2 + extra.distinct.size,
+        SGen.choose(-80, -1).map(_.toDouble / 8.0))
+      wordLen <- SGen.choose(0, 12)
+      word <- SGen.listOfN(wordLen, SGen.oneOf('a', 'b')).map(_.mkString)
+    } yield (("a" :: "b" :: extra.distinct).zip(lps), word)
+    check(Prop.forAll(gen) { case (entries, word) =>
+      // canonical order: logProb desc then piece (ties possible in the
+      // random logProbs — sort exactly as vocabDf documents)
+      val vocab = entries.map { case (p, lp) => VocabEntry(p, lp) }
+        .sortBy(e => (-e.logProb, e.piece))
+      val logp = vocab.map(e => e.piece -> e.logProb).toMap
+      val unk = vocab.map(_.logProb).min - 10.0
+      val segs = UnigramTrainer.viterbi(word, logp, 4, unk)
+      val idOf = vocab.map(_.piece).zipWithIndex.toMap
+      val ids = segs.map(idOf(_)) // singles guaranteed in-vocab
+      val decoded = ids.map(i => vocab(i).piece).mkString
+      decoded == word && segs.mkString == word
+    })
+  }
 }
