@@ -1651,6 +1651,71 @@ object SparkEntry {
         docs(s, dir).select("doc_id", "lang"), col("doc_id"), splitSpec)
       .orderBy("doc_id")
 
+  /** `q_lm_model`'s cap — below the fixture corpus's trigram-type
+    * inventory on purpose, so the top-N cut and its (count DESC, gram)
+    * tie-break actually execute.
+    */
+  private val lmMaxTypes = 300
+
+  /** Character-trigram LM TRAINING ([[graft.pipeline.TextOps
+    * .charNgramCounts]]): the capped count table every smoothed
+    * probability rests on, value-oracled row by row — DuckDB re-slides
+    * the grams (same codepoint `substr` semantics), re-counts,
+    * re-ranks and re-cuts with the identical tie-break.
+    */
+  private def qLmModel(s: SparkSession, dir: String): DataFrame =
+    TextOps.charNgramCounts(docs(s, dir), "text", 3, Some(lmMaxTypes))
+      .select(col("gram"), col("cnt").cast("bigint").as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+
+  /** The LM SCORING contract, in the parity style (the mean of
+    * `log`-smoothed probabilities is transcendental — no cross-engine
+    * SQL replays it bit-for-bit): every document's score from the
+    * production broadcast-model UDF ([[graft.pipeline.TextOps
+    * .lmScoreUdf]]) must EXACTLY equal a second independent Spark
+    * derivation — explode the grams, broadcast-join the model frame,
+    * re-derive each log-probability, fold in position order (the
+    * UDF's documented left-to-right sum), divide by the gram count —
+    * with short/empty docs scoring 0.0 on both paths. The oracle
+    * re-derives the population AND the short-doc count, so neither can
+    * shrink.
+    */
+  private def qLmScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val lm = TextOps.charLm(d, "text", 3, lmMaxTypes)
+    val scoreU = TextOps.lmScoreUdf(s, lm)
+    val norm = TextOps.normalize(col("text"))
+    // the same Math.log the UDF uses — Catalyst's `log` may bind
+    // StrictMath on some versions, and the parity here is bit-exact
+    val logU = udf((x: Double) => math.log(x))
+    val modelDf = lm.counts.toSeq.toDF("gram", "cnt")
+    val pathB = d
+      .select(col("doc_id"),
+        posexplode(TextOps.charNgrams(norm, 3)).as(Seq("p", "gram")))
+      .join(broadcast(modelDf), Seq("gram"), "left")
+      .select(col("doc_id"), col("p"),
+        logU((coalesce(col("cnt"), lit(0L)).cast("double") +
+          lit(lm.alpha)) / lit(lm.denom)).as("lp"))
+      .groupBy("doc_id")
+      .agg((aggregate(
+        transform(
+          array_sort(collect_list(struct(col("p"), col("lp")))),
+          x => x.getField("lp")),
+        lit(0.0), (a, x) => a + x) /
+          count(lit(1)).cast("double")).as("score_b"))
+    d.select(col("doc_id"), length(norm).as("len"),
+        scoreU(norm).as("score_a"))
+      .join(pathB, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(
+          (col("score_b").isNull && col("score_a") === 0.0) ||
+            col("score_a") === col("score_b"), 1L).otherwise(0L)),
+          lit(0L)).as("n_score_match"),
+        coalesce(sum(when(col("len") < 3, 1L).otherwise(0L)), lit(0L))
+          .as("n_short"))
+  }
+
   /** The FULL Gopher filter ([[graft.pipeline.TextOps
     * .gopherRulesFull]]): the narrow rule table joined with the two
     * repetition caps (top-word share ≤ 0.11, duplicate-bigram fraction
@@ -2451,6 +2516,8 @@ object SparkEntry {
     "q_sample" -> (qSample _),
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_split" -> (qSplit _),
+    "q_lm_model" -> (qLmModel _),
+    "q_lm_score" -> (qLmScore _),
     "q_mix_plan" -> (qMixPlan _),
     "q_mix_domains" -> (qMixDomains _),
     "q_data_card" -> (qDataCard _),
@@ -4513,6 +4580,25 @@ object SparkEntry {
          |WHERE CAST($bucket48Sql AS DOUBLE) <
          |  (CAST(n_tokens AS DOUBLE) * 0.01) * 281474976710656.0
          |ORDER BY doc_id""".stripMargin,
+    "q_lm_model" ->
+      // the trigram count table re-derived: same codepoint substr
+      // slide, same counts, same (cnt DESC, gram) ranked cut
+      s"""WITH p AS (SELECT $normSql AS t FROM documents),
+         |g AS (SELECT substr(t, CAST(i AS INTEGER), 3) AS gram
+         |  FROM p, unnest(generate_series(1, length(t) - 2)) AS u(i)
+         |  WHERE length(t) >= 3)
+         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g
+         |GROUP BY gram
+         |ORDER BY cnt DESC, gram LIMIT $lmMaxTypes""".stripMargin,
+    "q_lm_score" ->
+      // parity contract: population and short-doc count re-derived
+      // independently; every document's two independently-derived
+      // scores must have matched exactly
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_score_match,
+         |  CAST(COUNT(*) FILTER (WHERE length($normSql) < 3) AS BIGINT)
+         |    AS n_short
+         |FROM documents""".stripMargin,
     "q_split" -> {
       // every assignment replayed: the 48-bit bucket against the SAME
       // integer cut points (splitCuts), consecutive half-open ranges,

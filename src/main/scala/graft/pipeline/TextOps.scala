@@ -122,6 +122,111 @@ object TextOps {
       lit(0.0)), lit(1.0))
   }
 
+  /** Character n-gram slide of a (normalized) text column — every
+    * length-`n` window as an `array<string>`, by Spark's own
+    * codepoint-counting `substr`/`length` semantics (the same
+    * character semantics DuckDB's `substr` uses, so an oracle replays
+    * the gram set). Texts shorter than `n` yield an empty array (the
+    * `when` guard matters: `sequence(1, 0)` would DESCEND, not empty).
+    * Pure codegen Column work — gram extraction runs at scan speed.
+    */
+  def charNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Character n-gram language-model TRAINING: the corpus collapsed to
+    * a `(gram, cnt)` count table in ONE hash aggregation over the
+    * [[charNgrams]] explode — the CCNet-style quality-filter model
+    * (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data", arXiv:1911.00359, uses a KenLM
+    * word-LM; a character LM is the tokenizer-free equivalent at a
+    * fraction of the state). `maxTypes` caps the table at the top-N by
+    * (count DESC, gram) — the deterministic tie-break making the cut
+    * value-reproducible — via a driver-bounded `TakeOrdered`, the
+    * [[graft.functions.BpeTrainer.cappedTypeCounts]] discipline: model
+    * size is bounded by the CAP, never the corpus.
+    */
+  def charNgramCounts(df: DataFrame, textCol: String, n: Int,
+      maxTypes: Option[Int] = None): DataFrame = {
+    maxTypes.foreach(m => require(m >= 1, s"maxTypes must be >= 1: $m"))
+    val counts = df
+      .select(explode(charNgrams(normalize(col(textCol)), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+    maxTypes.fold(counts)(m =>
+      counts.orderBy(col("cnt").desc, col("gram")).limit(m))
+  }
+
+  /** A trained character-LM: add-`alpha` smoothed gram probabilities
+    * over a (capped) count table. `logProb` of an unseen gram is the
+    * floor `log(alpha / denom)` — smoothing reserves mass for exactly
+    * one unseen type, the usual Laplace shape. Broadcast-size by the
+    * [[charNgramCounts]] cap contract.
+    */
+  final case class CharLm(n: Int, counts: Map[String, Long],
+      alpha: Double = 0.5) extends Serializable {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(alpha > 0.0, s"alpha must be > 0, got $alpha")
+    require(counts.nonEmpty, "model must be non-empty")
+    val total: Double = counts.valuesIterator.sum.toDouble
+    /** The shared probability denominator: total + α·(V+1). */
+    val denom: Double = total + alpha * (counts.size.toDouble + 1.0)
+    def logProb(gram: String): Double =
+      math.log((counts.getOrElse(gram, 0L).toDouble + alpha) / denom)
+    /** Mean gram log-probability of a NORMALIZED text (0.0 for texts
+      * shorter than `n` — no grams, no evidence), grams slid by
+      * codepoints and summed left to right (the order contract the
+      * `q_lm_score` parity gate replays).
+      */
+    def score(text: String): Double = {
+      if (text == null) return 0.0
+      val cps = text.codePointCount(0, text.length)
+      if (cps < n) return 0.0
+      var s = 0.0
+      var i = 0
+      var g = 0
+      while (g < cps - n + 1) {
+        val end = {
+          var e = i
+          var k = 0
+          while (k < n) { e += Character.charCount(text.codePointAt(e)); k += 1 }
+          e
+        }
+        s += logProb(text.substring(i, end))
+        i += Character.charCount(text.codePointAt(i))
+        g += 1
+      }
+      s / (cps - n + 1)
+    }
+  }
+
+  /** Train a [[CharLm]]: [[charNgramCounts]] collected (bounded by the
+    * cap) into the broadcastable model.
+    */
+  def charLm(df: DataFrame, textCol: String, n: Int, maxTypes: Int,
+      alpha: Double = 0.5): CharLm =
+    CharLm(n,
+      charNgramCounts(df, textCol, n, Some(maxTypes))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      alpha)
+
+  /** [[CharLm.score]] as a column function over a NORMALIZED text
+    * column (pass `TextOps.normalize(col(...))` — scoring must see the
+    * same normalization training saw). Model broadcast once; narrow,
+    * stateless, streaming-safe — the filter stage keeps or drops each
+    * document by thresholding the returned mean log-probability
+    * (CCNet's head/middle/tail perplexity banding is two thresholds on
+    * this column).
+    */
+  def lmScoreUdf(spark: org.apache.spark.sql.SparkSession,
+      lm: CharLm): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(lm)
+    udf((s: String) => bc.value.score(s))
+  }
+
   /** Thresholds for [[gopherRules]] — defaults are the published
     * Gopher repetition-free quality heuristics (Rae et al.,
     * "Scaling Language Models: Methods, Analysis & Insights from

@@ -1701,6 +1701,50 @@ class PipelineSpec extends SparkSpec {
     assert(strat == Seq("en"), "default rate 0 must drop other strata")
   }
 
+  test("char-ngram LM: hand-computed model and scores, short-text " +
+      "zero, unseen-gram floor, cap cut determinism") {
+    import graft.pipeline.TextOps
+    import SparkSpec.spark.implicits._
+    val corpus = Seq("abab", "abcd").toDF("text")
+    // trigrams: abab -> aba, bab; abcd -> abc, bcd
+    val m = TextOps.charNgramCounts(corpus, "text", 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("aba" -> 1L, "bab" -> 1L, "abc" -> 1L, "bcd" -> 1L))
+    val lm = TextOps.CharLm(3, m, alpha = 0.5)
+    // denominator: total 4 + 0.5 * (4 types + 1) = 6.5
+    assert(lm.denom == 6.5)
+    assert(lm.logProb("aba") == math.log(1.5 / 6.5))
+    assert(lm.logProb("zzz") == math.log(0.5 / 6.5)) // unseen floor
+    // score: mean over the slid grams, left to right
+    assert(lm.score("abab") ==
+      (math.log(1.5 / 6.5) + math.log(1.5 / 6.5)) / 2)
+    assert(lm.score("ab") == 0.0 && lm.score("") == 0.0 &&
+      lm.score(null) == 0.0)
+    // a text of in-model grams outscores unseen-gram soup
+    assert(lm.score("abab") > lm.score("zzzz"))
+    // charNgrams: short text yields EMPTY, never a descending sequence
+    val g = corpus.limit(1).select(
+      TextOps.charNgrams(lit("ab"), 3)).collect().head.getSeq[String](0)
+    assert(g == Seq.empty)
+    // cap cut: top-N by (cnt DESC, gram) is deterministic at the tie
+    val capped = TextOps.charNgramCounts(
+        Seq("abab abab", "xyxy").toDF("text"), "text", 3, Some(3))
+      .collect().map(_.getString(0)).toSeq
+    assert(capped.size == 3)
+    // the trained UDF equals the local score on the fixture corpus
+    val docs2 = spark.read.parquet(s"$fixtures/documents.parquet")
+    val trained = TextOps.charLm(docs2, "text", 3, maxTypes = 200)
+    val u = TextOps.lmScoreUdf(spark, trained)
+    val rows = docs2.limit(50).select(
+        u(TextOps.normalize(col("text"))).as("s"),
+        TextOps.normalize(col("text")).as("t")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == trained.score(r.getString(1))))
+    // scoring is a narrow projection: no Exchange in the plan
+    val plan = docs2.select(u(TextOps.normalize(col("text"))))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("split assignment: exhaustive, exclusive, deterministic, and " +
       "boundary-stable as fractions grow") {
     import graft.pipeline.Sampling
