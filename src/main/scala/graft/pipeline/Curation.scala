@@ -32,14 +32,27 @@ object Curation {
     *                      [[Sampling.stratifiedHashSample]]); pass
     *                      `Map.empty` with `defaultRate = 1.0` to skip
     *                      mixing
+    * @param lmBand        optional CCNet-style LM banding: keep only
+    *                      documents whose [[TextOps.CharLm.score]] over
+    *                      the normalized text falls in `[lo, hi)` —
+    *                      another narrow filter in the cheap stage,
+    *                      BEFORE the shuffling dedup (the model rides as
+    *                      a broadcast; `None` leaves behavior untouched)
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       stratumCol: String, minQuality: Double = 0.3,
       dedupThreshold: Double = 0.8, mixRates: Map[String, Double] = Map.empty,
-      defaultRate: Double = 1.0): DataFrame = {
-    val quality = docs
+      defaultRate: Double = 1.0,
+      lmBand: Option[(TextOps.CharLm, Double, Double)] = None): DataFrame = {
+    val heuristic = docs
       .withColumn("quality", TextOps.qualityScore(col(textCol)))
       .filter(col("quality") >= minQuality)
+    val quality = lmBand.fold(heuristic) { case (lm, lo, hi) =>
+      val u = TextOps.lmScoreUdf(docs.sparkSession, lm)
+      heuristic
+        .withColumn("lm_score", u(TextOps.normalize(col(textCol))))
+        .filter(col("lm_score") >= lo && col("lm_score") < hi)
+    }
     val scrubbed = quality
       .withColumn(textCol, TextOps.redactPii(col(textCol)))
     // Deliberately NOT persisted into the dedup stage: the pair pipeline

@@ -1632,6 +1632,28 @@ class PipelineSpec extends SparkSpec {
       mixRates = Map("en" -> 1.0), defaultRate = 0.0)
       .select("lang").distinct().collect().map(_.getString(0)).toSeq
     assert(onlyEn == Seq("en"))
+    // optional LM banding: equals the manual band filter applied to the
+    // same pipeline, appends lm_score, and None leaves behavior as-is
+    val lm = TextOps.charLm(docs, "text", 3, maxTypes = 200)
+    val scores = docs.select(
+        col("doc_id"),
+        TextOps.lmScoreUdf(spark, lm)(TextOps.normalize(col("text"))))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (lo, hi) = {
+      val xs = scores.values.toSeq.sorted
+      (xs(xs.size / 4), xs(3 * xs.size / 4)) // middle band, CCNet-style
+    }
+    val banded = Curation.curate(docs, "doc_id", "text", "lang",
+      mixRates = Map("en" -> 1.0, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0,
+        "zh" -> 1.0), lmBand = Some((lm, lo, hi)))
+    val bandedRows = banded.collect()
+    assert(bandedRows.nonEmpty && bandedRows.length < rows.length)
+    bandedRows.foreach { r =>
+      val sc = r.getAs[Double]("lm_score")
+      assert(sc >= lo && sc < hi)
+      assert(sc == scores(r.getAs[Long]("doc_id")),
+        "lm_score must be the pre-scrub score the band filtered on")
+    }
   }
 
   test("degenerate inputs: empty corpus, empty pair set, zero vector") {
