@@ -516,6 +516,27 @@ object StreamMask {
       TextOps.piiCounts(col(textCol)): _*)
   }
 
+  /** [[curateStream]] with the CCNet-style LM score attached
+    * ([[graft.pipeline.TextOps.lmScoreUdf]] over the normalized
+    * ORIGINAL text — the same model and normalization the batch band
+    * filter sees in [[graft.pipeline.Curation.curate]]'s `lmBand`):
+    * still narrow and stateless (the model rides as a broadcast), so
+    * batch equivalence and trigger freedom carry over; thresholding
+    * `lm_score` downstream is the streaming twin of the batch
+    * middle-band keep.
+    */
+  def curateStream(docs: DataFrame, idCol: String, textCol: String,
+      lm: graft.pipeline.TextOps.CharLm): DataFrame = {
+    import graft.pipeline.TextOps
+    val u = TextOps.lmScoreUdf(docs.sparkSession, lm)
+    docs.select(col(idCol) +:
+      TextOps.qualityScore(col(textCol)).as("quality") +:
+      u(TextOps.normalize(col(textCol))).as("lm_score") +:
+      TextOps.langId(col(textCol)).as("lang_pred") +:
+      TextOps.redactPii(col(textCol)).as("redacted") +:
+      TextOps.piiCounts(col(textCol)): _*)
+  }
+
   /** Streaming span decontamination + Gopher quality gate — the two
     * zero-shuffle curation operators attached to a document stream on
     * its way into the lake: every benchmark-verbatim span is cut from

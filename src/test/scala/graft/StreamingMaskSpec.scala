@@ -93,6 +93,21 @@ class StreamingMaskSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+    // the LM-scored overload: stream == batch, and lm_score is exactly
+    // the broadcast model's local score (the batch band-filter input)
+    val lm = graft.pipeline.TextOps.charLm(
+      spark.read.parquet(s"$dir/docs"), "text", 3, maxTypes = 200)
+    val streamedLm = runToMemory(
+      StreamMask.curateStream(stream, "doc_id", "text", lm),
+      "curate_stream_lm", "append")
+      .collect().map(_.toString).sorted.toSeq
+    val batchLm = StreamMask.curateStream(
+        spark.read.parquet(s"$dir/docs"), "doc_id", "text", lm)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamedLm == batchLm)
+    assert(StreamMask.curateStream(
+        spark.read.parquet(s"$dir/docs"), "doc_id", "text", lm)
+      .filter(col("lm_score") =!= 0.0).count() > 0)
   }
 
   test("streaming span decontamination + gopher gate equals the batch " +
