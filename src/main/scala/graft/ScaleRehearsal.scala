@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   *
   *  - `distinct` — every copy's words carry a per-copy marker, so
   *    copies share no shingles/grams and the piece-type vocabulary
-  *    grows ~N× with the corpus (how a real bigger crawl behaves).
+  *    grows ~N× with the corpus, and every copy's embedding is rotated
+  *    so vectors spread across IVF cells instead of stacking (how a
+  *    real bigger crawl behaves).
   *    The claim under test: runtimes grow ~linearly in corpus size
   *    (global sorts slightly worse), driver state stays bounded by the
   *    (now larger) vocabulary, no single task blows up.
@@ -87,10 +89,10 @@ object ScaleRehearsal {
       new java.io.File(dst).mkdirs()
       inflate(spark, s"$sfDir/documents.parquet",
         s"$dst/documents.parquet", "doc_id", factor, cpus.toInt,
-        markWords = mode == "distinct")
+        distinctCopies = mode == "distinct")
       inflate(spark, s"$sfDir/embeddings.parquet",
         s"$dst/embeddings.parquet", "vec_id", factor, cpus.toInt,
-        markWords = false)
+        distinctCopies = mode == "distinct")
     }
     if (modes.contains("relational"))
       inflateRelational(spark, sfDir, s"$workDir/relational", factor,
@@ -189,24 +191,37 @@ object ScaleRehearsal {
   }
 
   /** N copies of `src` with ids re-keyed into disjoint ranges (copy i
-    * shifts by i·(max+1)); `markWords` prefixes every word of copy
-    * i ≥ 1 with a per-copy CYRILLIC marker (`ж` + the copy index with
-    * each digit mapped to а..к) so copies share no word types. The
-    * marker must be letters — a digit inside would make the GPT-2
-    * pre-tokenizer split the word back into (marker, digits, ORIGINAL
-    * word) and quietly undo the distinctness for the tokenizer type
-    * table — and its script must be absent from the corpus so no
-    * marked word can collide with an original (asserted, not assumed).
-    * Copy 0 keeps the original text — the 1× corpus is a subset of the
-    * N× one. Repartitioned so the scaled input has real parallelism
+    * shifts by i·(max+1)). With `distinctCopies`, copy i ≥ 1's payload
+    * is made genuinely distinct per column kind:
+    *
+    *  - a `text` column has every word prefixed with a per-copy
+    *    CYRILLIC marker (`ж` + the copy index with each digit mapped to
+    *    а..к) so copies share no word types. The marker must be
+    *    letters — a digit inside would make the GPT-2 pre-tokenizer
+    *    split the word back into (marker, digits, ORIGINAL word) and
+    *    quietly undo the distinctness for the tokenizer type table —
+    *    and its script must be absent from the corpus so no marked word
+    *    can collide with an original (asserted, not assumed);
+    *  - an `embedding` column is ROTATED by `1 + (i−1) mod (dim−1)`
+    *    positions — norm-preserving but direction-changing, so copies
+    *    spread across IVF cells / LSH buckets the way a genuinely
+    *    bigger crawl's vectors would, instead of N-fold verbatim
+    *    duplicate vectors piling into the same cell (which is exactly
+    *    the CLONE regime, and was what both modes measured before this
+    *    guard — the two ANN columns in a rehearsal table were pure
+    *    noise).
+    *
+    * Copy 0 keeps the original payload — the 1× corpus is a subset of
+    * the N× one. Repartitioned so the scaled input has real parallelism
     * rather than N files of clones back to back.
     */
   private def inflate(spark: SparkSession, src: String, dst: String,
       idCol: String, factor: Int, cpus: Int,
-      markWords: Boolean): Unit = {
+      distinctCopies: Boolean): Unit = {
     val d = spark.read.parquet(src)
+    val cols = d.columns.toSet
     val shift = d.agg(max(col(idCol))).head().getLong(0) + 1
-    if (markWords)
+    if (distinctCopies && cols("text"))
       require(d.filter(col("text").rlike("[Ѐ-ӿ]")).isEmpty,
         s"$src contains Cyrillic text — the distinct-mode marker would " +
           "collide; pick a script absent from the corpus")
@@ -215,10 +230,23 @@ object ScaleRehearsal {
     (0 until factor)
       .map { i =>
         val keyed = d.withColumn(idCol, col(idCol) + lit(i * shift))
-        if (markWords && i > 0)
-          keyed.withColumn("text",
-            regexp_replace(col("text"), "(\\p{L}+)", marker(i) + "$1"))
-        else keyed
+        if (!distinctCopies || i == 0) keyed
+        else {
+          val marked =
+            if (cols("text"))
+              keyed.withColumn("text",
+                regexp_replace(col("text"), "(\\p{L}+)", marker(i) + "$1"))
+            else keyed
+          if (cols("embedding")) {
+            val e = col("embedding")
+            // dim can vary per row in principle; compute the rotation
+            // per row so it is always in [1, dim-1] — never 0, so every
+            // copy's vector differs from the original's direction
+            val r = lit(1) + pmod(lit(i - 1), size(e) - lit(1))
+            marked.withColumn("embedding",
+              concat(slice(e, r + lit(1), size(e) - r), slice(e, lit(1), r)))
+          } else marked
+        }
       }
       .reduce(_ union _)
       .repartition(cpus)

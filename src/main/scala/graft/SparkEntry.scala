@@ -1203,23 +1203,29 @@ object SparkEntry {
       "lang", "doc_id", "ids")
   }
 
-  /** Deterministic epoch shuffle over the assembled bins
-    * ([[graft.pipeline.Packing.epochShuffle]]): two epochs of the same
-    * seed, each a seeded md5 permutation of the (shard, bin) set. The
-    * oracle replays the 48-bit hash fraction nibble by nibble and
-    * re-sorts — the driver's compare is row-order-sensitive, so the
-    * PERMUTATIONS themselves (and that epoch 1 ≠ epoch 2 while both
-    * contain exactly the q_pack_bins bin set) are what is checked.
+  /** Deterministic epoch shuffle over the assembled bins: two epochs of
+    * the same seed, each a seeded md5 permutation of the (shard, bin)
+    * set, via [[graft.pipeline.Packing.epochKey]] — the key column
+    * alone, NOT two [[graft.pipeline.Packing.epochShuffle]] calls,
+    * because each of those ends in its own range-partitioned sort that
+    * the union would destroy and the final orderBy re-do (three
+    * Exchanges where one suffices; epochShuffle's own ordering contract
+    * is spec-pinned in PipelineSpec). The oracle replays the 48-bit
+    * hash fraction nibble by nibble and re-sorts — the driver's compare
+    * is row-order-sensitive, so the PERMUTATIONS themselves (and that
+    * epoch 1 ≠ epoch 2 while both contain exactly the q_pack_bins bin
+    * set) are what is checked.
     */
   private def qEpochShuffle(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.Packing
     val bins = assembledBins(s, dir).select(col("lang"), col("bin"))
     Seq(1, 2).map { ep =>
-      Packing.epochShuffle(bins, "lang", "bin", seed = 42L, epoch = ep)
-        .withColumn("epoch", lit(ep).cast("bigint"))
+      bins.withColumn("epoch", lit(ep).cast("bigint"))
+        .withColumn("epoch_key",
+          Packing.epochKey(col("lang"), col("bin"), seed = 42L, epoch = ep)
+            .cast("bigint"))
     }.reduce(_ unionAll _)
-      .select(col("epoch"), col("lang"), col("bin"),
-        col("epoch_key").cast("bigint").as("epoch_key"))
+      .select(col("epoch"), col("lang"), col("bin"), col("epoch_key"))
       .orderBy(col("epoch"), col("epoch_key"), col("lang"), col("bin"))
   }
 

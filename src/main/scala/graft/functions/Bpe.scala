@@ -228,12 +228,21 @@ object BpeVocab {
     * its merges table (the pairing real releases ship as `vocab.json` +
     * `merges.txt` — the numbering alone cannot encode; the rules alone
     * cannot number). The alphabet is the id-order prefix before the
-    * merge outputs, and every stored (id, token) row is validated
-    * against the canonical derivation, so a truncated or reordered file
-    * fails fast instead of silently renumbering.
+    * merge outputs; every stored merge-output row is validated against
+    * the canonical derivation, so a truncated or reordered file fails
+    * fast instead of silently renumbering THAT region. The alphabet
+    * prefix, by contrast, is AUTHORITATIVE — its order is the caller's
+    * choice at training time and nothing in the merges table constrains
+    * it — so a rewrite that permutes only the alphabet rows (and
+    * regenerates ids) is undetectable from the file pair alone. Callers
+    * holding the expected order (a trainer's codepoint-sorted alphabet,
+    * a release's byte table) pass it as `expectedAlphabet` to close
+    * that hole: decoding bins packed under the OLD numbering with a
+    * permuted alphabet yields wrong text with no error otherwise.
     */
   def fromVocabDf(df: org.apache.spark.sql.DataFrame, merges: BpeMerges,
-      unkId: Int = -1): BpeVocab = {
+      unkId: Int = -1,
+      expectedAlphabet: Option[Seq[String]] = None): BpeVocab = {
     val rows = df.select(org.apache.spark.sql.functions.col("id"),
         org.apache.spark.sql.functions.col("token"))
       .collect().sortBy(_.getInt(0))
@@ -246,7 +255,15 @@ object BpeVocab {
       s"stored vocabulary has ${tokens.length} entries but the merges " +
         s"table alone implies ${merges.rules.size} outputs — alphabet " +
         "missing or merges mismatched")
-    val v = BpeVocab(merges, tokens.take(nAlpha).toSeq, unkId)
+    val alpha = tokens.take(nAlpha).toSeq
+    expectedAlphabet.foreach { exp =>
+      require(alpha == exp,
+        s"stored alphabet prefix (${alpha.take(8).mkString(",")}…) does " +
+          s"not match the expected alphabet " +
+          s"(${exp.take(8).mkString(",")}…) — the file was reordered or " +
+          "truncated; ids no longer mean what they did at pack time")
+    }
+    val v = BpeVocab(merges, alpha, unkId)
     merges.rules.zipWithIndex.foreach { case ((a, b), i) =>
       require(tokens(nAlpha + i) == a + b,
         s"stored id ${nAlpha + i} is '${tokens(nAlpha + i)}' but the " +

@@ -171,7 +171,12 @@ object UnigramTrainer {
       probs = emStep(types, probs, maxPieceLen)
       it += 1
     }
-    probs.toSeq.sortBy { case (p, lp) => (-lp, p) }
+    // tie-break explicitly in CODEPOINT order (not UTF-16 code-unit
+    // order): the canonical-id oracle replays this sort under Spark /
+    // DuckDB binary collation, which compares codepoints — the two
+    // orders diverge between [U+E000, U+FFFF] and astral pieces
+    probs.toSeq.sortBy { case (p, lp) => (-lp, p) }(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, cpOrdering))
       .map { case (p, pr) => VocabEntry(p, math.log(pr)) }
   }
 

@@ -44,6 +44,12 @@ object Curation {
       dedupThreshold: Double = 0.8, mixRates: Map[String, Double] = Map.empty,
       defaultRate: Double = 1.0,
       lmBand: Option[(TextOps.CharLm, Double, Double)] = None): DataFrame = {
+    require(!docs.columns.contains("quality"),
+      "input already has a quality column — rename it before curating")
+    require(lmBand.isEmpty || !docs.columns.contains("lm_score"),
+      "input already has an lm_score column — rename it before curating " +
+        "with an LM band, or the pre-existing scores would be " +
+        "silently overwritten and re-filtered under the new model")
     val heuristic = docs
       .withColumn("quality", TextOps.qualityScore(col(textCol)))
       .filter(col("quality") >= minQuality)

@@ -74,6 +74,14 @@ object Sampling {
     * sum to 1 (±1e-9); the LAST split absorbs the rounding tail so the
     * assignment is total regardless.
     *
+    * A null key raises rather than assigning: the null hash would make
+    * every range compare null and the otherwise-chain would silently
+    * concentrate ALL null-key rows in the last split (typically the
+    * held-out test set — the worst place for junk rows to pool). A
+    * corpus id good enough to split on must be non-null; mirroring
+    * [[weightedHashSample]]'s null-weight guard, the job fails at the
+    * first such row instead.
+    *
     * Appends `split` (the assigned name) to the input columns.
     */
   def splitAssign(df: DataFrame, key: Column,
@@ -89,7 +97,9 @@ object Sampling {
     require(!df.columns.contains("split"),
       "input already has a split column — rename it before assigning")
     val cuts = splitCuts(splits)
-    val b = hashBucket48(key)
+    val b = when(key.isNull, raise_error(lit("splitAssign: null split " +
+        "key — a null hash would pool every such row in the last split")))
+      .otherwise(hashBucket48(key))
     val assigned = splits.init.zip(cuts)
       .foldRight(lit(splits.last._1): Column) {
         case (((name, _), cut), els) => when(b < cut, name).otherwise(els)

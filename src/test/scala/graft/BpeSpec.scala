@@ -308,6 +308,22 @@ class BpeSpec extends SparkSpec {
     // a truncated store (lost rows) fails the 0..n-1 id check
     intercept[IllegalArgumentException](
       BpeVocab.fromVocabDf(stored.filter(col("id") =!= 3), Bpe.demoGpt2))
+    // the alphabet prefix is authoritative from the file — a permuted
+    // prefix is undetectable from the merges table alone, so a caller
+    // holding the expected order passes it to close the hole
+    val swapped = stored.withColumn("token",
+      when(col("id") === 0, v.alphabet(1))
+        .when(col("id") === 1, v.alphabet(0))
+        .otherwise(col("token")))
+    // silently renumbers without the expectation…
+    assert(BpeVocab.fromVocabDf(swapped, Bpe.demoGpt2)
+      .alphabet.take(2) == Seq(v.alphabet(1), v.alphabet(0)))
+    // …and fails loudly with it
+    intercept[IllegalArgumentException](BpeVocab.fromVocabDf(
+      swapped, Bpe.demoGpt2,
+      expectedAlphabet = Some(BpeVocab.asciiPrintable)))
+    assert(BpeVocab.fromVocabDf(stored, Bpe.demoGpt2,
+      expectedAlphabet = Some(BpeVocab.asciiPrintable)).idOf == v.idOf)
   }
 
   test("decodeIds column path: ids decode back to the document text") {

@@ -1654,6 +1654,16 @@ class PipelineSpec extends SparkSpec {
       assert(sc == scores(r.getAs[Long]("doc_id")),
         "lm_score must be the pre-scrub score the band filtered on")
     }
+    // column-collision guards: an input already carrying quality or
+    // lm_score would be silently overwritten — refuse instead
+    intercept[IllegalArgumentException](Curation.curate(
+      docs.withColumn("quality", lit(0.9)), "doc_id", "text", "lang"))
+    intercept[IllegalArgumentException](Curation.curate(
+      docs.withColumn("lm_score", lit(0.5)), "doc_id", "text", "lang",
+      lmBand = Some((lm, lo, hi))))
+    // …but a pre-existing lm_score is fine when no band re-scores it
+    assert(Curation.curate(docs.withColumn("lm_score", lit(0.5)),
+      "doc_id", "text", "lang").columns.contains("lm_score"))
   }
 
   test("degenerate inputs: empty corpus, empty pair set, zero vector") {
@@ -1802,6 +1812,18 @@ class PipelineSpec extends SparkSpec {
       rows.withColumn("split", lit("x")), col("id"), spec))
     // single split: everything lands there
     assert(assign(Seq("all" -> 1.0)).values.toSet == Set("all"))
+    // a null key fails the job instead of silently pooling every
+    // null-id row in the last (held-out) split
+    val withNull = rows.select(
+      when(col("id") === 7L, lit(null).cast("long"))
+        .otherwise(col("id")).as("id"))
+    val ex = intercept[Throwable] {
+      Sampling.splitAssign(withNull, col("id"), spec).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ chain(e.getCause))
+    assert(chain(ex).exists(_.contains("null split key")), chain(ex))
   }
 
   test("weighted hash sampling: weight-proportional, nested in c, " +
