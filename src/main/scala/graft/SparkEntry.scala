@@ -1607,6 +1607,35 @@ object SparkEntry {
         "embedding", 0.45)
       .orderBy("id_a", "id_b")
 
+  /** SemDeDup pair set ([[graft.pipeline.Dedup.semDeDupPairs]]):
+    * within-IVF-cell cosine pairs ≥ 0.3 over the raw-seed quantizer
+    * (kmeansIters = 0, the bit-reproducible oracle path) — every
+    * (cell, id_a, id_b, cosine) value-oracled, so a wrong assignment,
+    * a pair crossing cells, or one ulp of cosine drift reds a row.
+    */
+  private def qSemdedupPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.semDeDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3)
+      .select(col("cell").cast("bigint").as("cell"), col("id_a"),
+        col("id_b"), col("cosine"))
+      .orderBy("cell", "id_a", "id_b")
+
+  /** The SemDeDup TRANSFORM's survivors ([[graft.pipeline.Dedup
+    * .semDeDup]]): components over the q_semdedup_pairs graph, each
+    * keeping its LEAST-prototypical member (lowest cosine to its own
+    * cell centroid, ties to the lower id). The oracle re-derives the
+    * assignment, the pair graph, the recursive-CTE components, the
+    * per-member centroid cosine (= its MAX over centroids, because
+    * assignment is argmax) and the survivor rule — at threshold 0.3
+    * the fixture drops ~200 of 500 vectors, so both keep and drop
+    * paths execute.
+    */
+  private def qSemdedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.semDeDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3)
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+
   /** Deterministic stratified sample — the data-mixing pass of a training
     * pipeline ([[graft.pipeline.Sampling.stratifiedHashSample]]): keep
     * half of English, all of Spanish, a quarter of German, a tenth of
@@ -2518,6 +2547,8 @@ object SparkEntry {
     "q_ivf_int8_append" -> (qIvfInt8Append _),
     "q_ivf_int8_batch" -> (qIvfInt8Batch _),
     "q_embed_dedup" -> (qEmbedDedup _),
+    "q_semdedup_pairs" -> (qSemdedupPairs _),
+    "q_semdedup" -> (qSemdedup _),
     "q_quantize" -> (qQuantize _),
     "q_sample" -> (qSample _),
     "q_sample_weighted" -> (qSampleWeighted _),
@@ -3146,6 +3177,45 @@ object SparkEntry {
          |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
          |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
          |  FROM fx GROUP BY qid, vec_id, label)""".stripMargin
+
+  /** The shared SemDeDup oracle chain (`q_semdedup_pairs` /
+    * `q_semdedup`): the q_sim_ivf assignment CTEs over the WHOLE
+    * embeddings table (no held-out query vector — dedup has none;
+    * centroids = the 16 lowest-vec_id vectors, the kmeansIters = 0
+    * reproducible path), then the within-cell pair set with exact
+    * cosines at threshold 0.3. `ad`/`pairs` are MATERIALIZED so the
+    * survivor row's recursive closure cannot re-inline the unnest
+    * chains (q_bpe_train's lesson).
+    */
+  private val semDedupCtes =
+    s"""corpus AS (SELECT vec_id, embedding FROM embeddings),
+       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+       |         embedding AS ce FROM corpus ORDER BY vec_id LIMIT 16),
+       |ax AS (SELECT e.vec_id, c.cell, unnest(e.embedding) AS v,
+       |         unnest(generate_series(1, len(e.embedding))) AS i, c.ce AS ce
+       |       FROM corpus e CROSS JOIN cent c),
+       |ad AS MATERIALIZED (SELECT vec_id, cell,
+       |    SUM(CAST(v AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS dp,
+       |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+       |    SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS nc
+       |  FROM ax GROUP BY vec_id, cell),
+       |assign AS (SELECT vec_id, cell FROM ad
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cell DESC) = 1),
+       |px AS (SELECT a.cell, ea.vec_id AS id_a, eb.vec_id AS id_b,
+       |         unnest(ea.embedding) AS va, unnest(eb.embedding) AS vb,
+       |         unnest(generate_series(1, len(ea.embedding))) AS i
+       |       FROM assign a JOIN corpus ea ON ea.vec_id = a.vec_id
+       |       JOIN assign b ON b.cell = a.cell AND b.vec_id > a.vec_id
+       |       JOIN corpus eb ON eb.vec_id = b.vec_id),
+       |dots AS (SELECT cell, id_a, id_b,
+       |    SUM(CAST(va AS DOUBLE) * CAST(vb AS DOUBLE) ORDER BY i) AS dp,
+       |    SUM(CAST(va AS DOUBLE) * CAST(va AS DOUBLE) ORDER BY i) AS na,
+       |    SUM(CAST(vb AS DOUBLE) * CAST(vb AS DOUBLE) ORDER BY i) AS nb
+       |  FROM px GROUP BY cell, id_a, id_b),
+       |pairs AS MATERIALIZED (SELECT cell, id_a, id_b,
+       |    dp / (sqrt(na) * sqrt(nb)) AS cosine
+       |  FROM dots WHERE dp / (sqrt(na) * sqrt(nb)) >= 0.3)""".stripMargin
 
   private def simIvfOracleSql(centPred: String): String =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -4951,6 +5021,37 @@ object SparkEntry {
          |  len(list_filter(embedding, x ->
          |    abs(CAST(round(CAST(x AS DOUBLE) / scale) AS TINYINT)) = 127)) AS n_sat
          |FROM q ORDER BY vec_id""".stripMargin,
+    "q_semdedup_pairs" ->
+      s"""WITH $semDedupCtes
+         |SELECT cell, id_a, id_b, cosine FROM pairs
+         |ORDER BY cell, id_a, id_b""".stripMargin,
+    "q_semdedup" ->
+      // components over the pair graph (recursive min-reachable closure,
+      // as q_dedup_clusters), then the paper's survivor: per component
+      // keep the member LEAST similar to its own cell centroid — that
+      // cosine is the member's MAX over all centroids, because the
+      // assignment is argmax — ties to the lower id. MATERIALIZED CTEs:
+      // the recursion would otherwise re-inline the unnest chains and
+      // blow the oracle's memory.
+      s"""WITH RECURSIVE $semDedupCtes,
+         |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (SELECT DISTINCT src AS id, src AS r FROM edges
+         |          UNION
+         |          SELECT rc.id, e.dst FROM reach rc JOIN edges e ON e.src = rc.r),
+         |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |own AS (SELECT vec_id, MAX(dp / (sqrt(nv) * sqrt(nc))) AS c
+         |        FROM ad GROUP BY vec_id),
+         |members AS MATERIALIZED (SELECT comp.id, comp.cluster_id, own.c
+         |            FROM comp JOIN own ON own.vec_id = comp.id),
+         |bottom AS (SELECT cluster_id, MIN(c) AS m FROM members GROUP BY cluster_id),
+         |keep AS (SELECT b.cluster_id, MIN(mm.id) AS id
+         |         FROM members mm JOIN bottom b ON b.cluster_id = mm.cluster_id
+         |         WHERE mm.c = b.m GROUP BY b.cluster_id),
+         |dropped AS (SELECT id FROM members WHERE id NOT IN (SELECT id FROM keep))
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY e.vec_id""".stripMargin,
     "q_embed_dedup" -> {
       val bandSel = (0 until 8)
         .map(b => s"SELECT vec_id, $b AS band, ${bandSql("embedding", b, 8)} AS sig FROM embeddings")

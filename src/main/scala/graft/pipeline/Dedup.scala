@@ -248,6 +248,99 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC near-dup
+    * pairs over an embedding column — duplicates by MEANING (template
+    * variants, paraphrases, re-renderings) that can share no n-grams at
+    * all and therefore slip every text-hash family above. The published
+    * recipe: cluster the embeddings into cells, compare pairs only
+    * WITHIN a cell, and flag pairs whose cosine clears `threshold`.
+    *
+    * The cell pass reuses [[Similarity.buildIvfIndex]]'s coarse
+    * quantizer (deterministic lowest-id seeds; `kmeansIters` rounds of
+    * spherical k-means when cell balance matters more than
+    * bit-reproducibility), so the SAME quantizer serves ANN queries and
+    * semantic dedup. Returns (`cell`, `id_a`, `id_b`, `cosine`),
+    * id_a < id_b, each pair once (cells partition the corpus, so a
+    * pair can only meet in one cell).
+    *
+    * Scale shape: ONE equi-join on the cell id — pair work is
+    * Σ(cellᵢ²)/2, and the paper's operating regime (nCells grown with
+    * the corpus so cells stay ~constant-sized) keeps that LINEAR in
+    * corpus size; never an all-pairs join. `maxCell` fails LOUDLY when
+    * a cell exceeds the bound: silently skipping an oversized cell (the
+    * LSH `maxBucket` convention) would under-dedup the densest region,
+    * which is exactly where semantic duplicates concentrate — the fix
+    * is more cells or more k-means rounds, and the error says so.
+    */
+  def semDeDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 16, kmeansIters: Int = 0,
+      maxCell: Option[Int] = None): DataFrame =
+    semPairsFromIndex(Similarity.buildIvfIndex(
+      df.select(col(idCol), col(vecCol)), idCol, vecCol, nCells,
+      kmeansIters), threshold, maxCell)
+
+  private def semPairsFromIndex(idx: Similarity.IvfIndex,
+      threshold: Double, maxCell: Option[Int]): DataFrame = {
+    maxCell.foreach { m =>
+      idx.assigned.groupBy("__cell").agg(count(lit(1)).as("n"))
+        .filter(col("n") > m).orderBy(col("n").desc).head(1)
+        .foreach(r => throw new IllegalArgumentException(
+          s"semDeDup cell ${r.getInt(0)} holds ${r.getLong(1)} vectors " +
+            s"(> maxCell = $m) — the within-cell pair work would " +
+            "explode quadratically there; raise nCells (or kmeansIters) " +
+            "until cells are bounded"))
+    }
+    val a = idx.assigned.select(col("__cell").as("cell"),
+      col(idx.idCol).as("id_a"), col(idx.vecCol).as("__va"))
+    val b = idx.assigned.select(col("__cell").as("cell"),
+      col(idx.idCol).as("id_b"), col(idx.vecCol).as("__vb"))
+    a.join(b, "cell")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("cell", "id_a", "id_b", "cosine")
+  }
+
+  /** The SemDeDup TRANSFORM: [[semDeDupPairs]] → connected components →
+    * per component keep the member with the LOWEST cosine to its own
+    * cell centroid (the paper's diversity-preserving survivor: the
+    * LEAST prototypical copy carries the most information the cluster
+    * doesn't already have; ties toward the lower id), every other
+    * member dropped. Returns the kept rows of `df` unchanged.
+    *
+    * A member's cosine to its own (argmax-assigned) centroid is the
+    * MAXIMUM of its cosines over all centroids — recomputed as one
+    * narrow `array_max` projection, the same per-row work the
+    * assignment pass already did, rather than threading a score column
+    * through the index. Components never span cells (pairs are
+    * within-cell), so the survivor rule needs no cross-cell tie story.
+    * Cost over the pair scan: [[connectedComponents]] on the (thin)
+    * pair set + two aggregates over component members — corpus-scale
+    * work stays the one cell equi-join.
+    */
+  def semDeDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 16, kmeansIters: Int = 0,
+      maxCell: Option[Int] = None): DataFrame = {
+    val idx = Similarity.buildIvfIndex(
+      df.select(col(idCol), col(vecCol)), idCol, vecCol, nCells,
+      kmeansIters)
+    val pairs = semPairsFromIndex(idx, threshold, maxCell)
+      .select("id_a", "id_b")
+    val centCos = array_max(array(idx.centroids.toIndexedSeq.map(c =>
+      Similarity.cosine(col(idx.vecCol), Similarity.vecLit(c))): _*))
+    val scored = idx.assigned
+      .select(col(idx.idCol).as("id"), centCos.as("__c"))
+    val members = connectedComponents(pairs).join(scored, "id")
+    val bottom = members.groupBy("cluster_id").agg(min("__c").as("__m"))
+    val keep = members.join(bottom, "cluster_id")
+      .filter(col("__c") === col("__m"))
+      .groupBy("cluster_id").agg(min("id").as("id"))
+      .select("id")
+    val drop = members.select("id").join(keep, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** SimHash-based near-dup candidate groups: documents sharing an exact
     * 64-bit SimHash (Hamming distance 0). For distance ≤ k see
     * [[simHashNearPairs]].

@@ -1666,6 +1666,61 @@ class PipelineSpec extends SparkSpec {
       "doc_id", "text", "lang").columns.contains("lm_score"))
   }
 
+  test("semDeDup: within-cell pairs only, least-prototypical survivor, " +
+      "tie to lower id, loud maxCell guard") {
+    import graft.pipeline.{Dedup, Similarity}
+    val s = spark
+    import s.implicits._
+    // dim 4, nCells = 2: centroids seed from ids 0 and 1, so cell 0 is
+    // the x-axis family, cell 1 the y-axis family
+    val vecs = Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),      // centroid 0; most prototypical
+      1L -> Seq(0f, 1f, 0f, 0f),      // centroid 1
+      2L -> Seq(1f, 0.1f, 0f, 0f),    // cell 0, near 0
+      3L -> Seq(0.9f, 0.2f, 0f, 0f),  // cell 0, LEAST central of {0,2,3}
+      4L -> Seq(0f, 1f, 0.05f, 0f),   // cell 1, near 1
+      5L -> Seq(0f, 0f, 0f, 1f),      // orthogonal: no pair anywhere
+      6L -> Seq(0.6f, 0.8f, 0f, 0f),  // cell 1; exact-dup pair with 7
+      7L -> Seq(0.6f, 0.8f, 0f, 0f)
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.semDeDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.9, nCells = 2)
+    val got = pairs.collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    // pairs never cross cells: {0,2,3} chain in cell 0, (1,4) and the
+    // exact duplicate (6,7) in cell 1 — (1,6) at cosine 0.8 stays out
+    assert(got == Set((0L, 2L), (0L, 3L), (2L, 3L), (1L, 4L), (6L, 7L)))
+    // the pair generation is an equi-join on the cell id, never cartesian
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), plan)
+    // survivors: each component keeps its LOWEST-centroid-cosine member
+    // — {0,2,3} keeps 3 (the centroid itself, id 0, is the MOST
+    // prototypical and dies), {1,4} keeps 4, {6,7} ties at equal
+    // centroid cosine and keeps the lower id 6 — and the pairless id 5
+    // passes through untouched
+    val kept = Dedup.semDeDup(vecs, "vec_id", "embedding",
+      threshold = 0.9, nCells = 2).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L, 6L))
+    // oversized cells fail loudly instead of silently under-deduping
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.semDeDupPairs(vecs, "vec_id", "embedding", threshold = 0.9,
+        nCells = 2, maxCell = Some(3))
+    }
+    assert(ex.getMessage.contains("maxCell"))
+    // ...and a bound that holds passes
+    assert(Dedup.semDeDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.9, nCells = 2, maxCell = Some(5)).count() == 5)
+    // the quantizer is the SAME one ANN serving builds: pair cells match
+    // buildIvfIndex's assignment
+    val idx = Similarity.buildIvfIndex(vecs, "vec_id", "embedding", 2)
+    val cellOf = idx.assigned.collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    pairs.collect().foreach { r =>
+      assert(cellOf(r.getLong(1)) == r.getInt(0) &&
+        cellOf(r.getLong(2)) == r.getInt(0))
+    }
+  }
+
   test("degenerate inputs: empty corpus, empty pair set, zero vector") {
     val s = spark
     import s.implicits._
