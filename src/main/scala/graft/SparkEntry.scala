@@ -1636,6 +1636,27 @@ object SparkEntry {
       .select("vec_id", "label")
       .orderBy("vec_id")
 
+  /** Incremental SemDeDup ([[graft.pipeline.Dedup
+    * .semDeDupPairsAgainstIndex]]): the odd-vec_id half arrives as an
+    * ingest batch and probes the even-half index under its FROZEN
+    * centroids (seeded from the 16 lowest even ids) — every
+    * (cell, corpus id, batch id, cosine) pair ≥ 0.3 value-oracled, so
+    * a drifted batch-side assignment, a probe into the wrong cell, or
+    * a cosine ulp reds a row. The q_dedup_incr story for embeddings.
+    */
+  private def qSemdedupIncr(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = Similarity.buildIvfIndex(
+      e.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding"),
+      "vec_id", "embedding", 16)
+    Dedup.semDeDupPairsAgainstIndex(idx,
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        threshold = 0.3)
+      .select(col("cell").cast("bigint").as("cell"), col("id_a"),
+        col("id_b"), col("cosine"))
+      .orderBy("cell", "id_a", "id_b")
+  }
+
   /** Deterministic stratified sample — the data-mixing pass of a training
     * pipeline ([[graft.pipeline.Sampling.stratifiedHashSample]]): keep
     * half of English, all of Spanish, a quarter of German, a tenth of
@@ -2549,6 +2570,7 @@ object SparkEntry {
     "q_embed_dedup" -> (qEmbedDedup _),
     "q_semdedup_pairs" -> (qSemdedupPairs _),
     "q_semdedup" -> (qSemdedup _),
+    "q_semdedup_incr" -> (qSemdedupIncr _),
     "q_quantize" -> (qQuantize _),
     "q_sample" -> (qSample _),
     "q_sample_weighted" -> (qSampleWeighted _),
@@ -3187,27 +3209,39 @@ object SparkEntry {
     * survivor row's recursive closure cannot re-inline the unnest
     * chains (q_bpe_train's lesson).
     */
-  private val semDedupCtes =
-    s"""corpus AS (SELECT vec_id, embedding FROM embeddings),
-       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-       |         embedding AS ce FROM corpus ORDER BY vec_id LIMIT 16),
-       |ax AS (SELECT e.vec_id, c.cell, unnest(e.embedding) AS v,
+  /** One argmax-cell assignment CTE chain over `src`, CTE names
+    * prefixed with `p` — the corpus/batch building block both SemDeDup
+    * oracle shapes share (the batch side of `q_semdedup_incr` runs the
+    * SAME chain under the corpus-seeded `cent`, exactly as
+    * `assignCells` freezes the index's centroids).
+    */
+  private def semAssignCtes(src: String, p: String): String =
+    s"""${p}ax AS (SELECT e.vec_id, c.cell, unnest(e.embedding) AS v,
        |         unnest(generate_series(1, len(e.embedding))) AS i, c.ce AS ce
-       |       FROM corpus e CROSS JOIN cent c),
-       |ad AS MATERIALIZED (SELECT vec_id, cell,
+       |       FROM $src e CROSS JOIN cent c),
+       |${p}ad AS MATERIALIZED (SELECT vec_id, cell,
        |    SUM(CAST(v AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS dp,
        |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
        |    SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS nc
-       |  FROM ax GROUP BY vec_id, cell),
-       |assign AS (SELECT vec_id, cell FROM ad
+       |  FROM ${p}ax GROUP BY vec_id, cell),
+       |${p}assign AS (SELECT vec_id, cell FROM ${p}ad
        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-       |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cell DESC) = 1),
-       |px AS (SELECT a.cell, ea.vec_id AS id_a, eb.vec_id AS id_b,
+       |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cell DESC) = 1)""".stripMargin
+
+  /** The final within-cell cosine pair block of the SemDeDup oracles:
+    * left side `(aAssign, aSrc)` vs right side `(bAssign, bSrc)` with
+    * `pred` restricting which (a, b) combinations pair (self mode:
+    * `b.vec_id > a.vec_id`; incremental: TRUE — the sides are already
+    * disjoint).
+    */
+  private def semPairCtes(aAssign: String, aSrc: String, bAssign: String,
+      bSrc: String, pred: String): String =
+    s"""px AS (SELECT a.cell, ea.vec_id AS id_a, eb.vec_id AS id_b,
        |         unnest(ea.embedding) AS va, unnest(eb.embedding) AS vb,
        |         unnest(generate_series(1, len(ea.embedding))) AS i
-       |       FROM assign a JOIN corpus ea ON ea.vec_id = a.vec_id
-       |       JOIN assign b ON b.cell = a.cell AND b.vec_id > a.vec_id
-       |       JOIN corpus eb ON eb.vec_id = b.vec_id),
+       |       FROM $aAssign a JOIN $aSrc ea ON ea.vec_id = a.vec_id
+       |       JOIN $bAssign b ON b.cell = a.cell AND ($pred)
+       |       JOIN $bSrc eb ON eb.vec_id = b.vec_id),
        |dots AS (SELECT cell, id_a, id_b,
        |    SUM(CAST(va AS DOUBLE) * CAST(vb AS DOUBLE) ORDER BY i) AS dp,
        |    SUM(CAST(va AS DOUBLE) * CAST(va AS DOUBLE) ORDER BY i) AS na,
@@ -3216,6 +3250,14 @@ object SparkEntry {
        |pairs AS MATERIALIZED (SELECT cell, id_a, id_b,
        |    dp / (sqrt(na) * sqrt(nb)) AS cosine
        |  FROM dots WHERE dp / (sqrt(na) * sqrt(nb)) >= 0.3)""".stripMargin
+
+  private val semDedupCtes =
+    s"""corpus AS (SELECT vec_id, embedding FROM embeddings),
+       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+       |         embedding AS ce FROM corpus ORDER BY vec_id LIMIT 16),
+       |${semAssignCtes("corpus", "")},
+       |${semPairCtes("assign", "corpus", "assign", "corpus",
+          "b.vec_id > a.vec_id")}""".stripMargin
 
   private def simIvfOracleSql(centPred: String): String =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -5023,6 +5065,21 @@ object SparkEntry {
          |FROM q ORDER BY vec_id""".stripMargin,
     "q_semdedup_pairs" ->
       s"""WITH $semDedupCtes
+         |SELECT cell, id_a, id_b, cosine FROM pairs
+         |ORDER BY cell, id_a, id_b""".stripMargin,
+    "q_semdedup_incr" ->
+      // the odd half probes the even-half index: centroids come from the
+      // EVEN corpus only (frozen at build, as assignCells), the batch
+      // side runs the same assignment chain under them, and pairs cross
+      // the two sides within a cell — the sides are disjoint, so no
+      // ordering predicate is needed
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+         |batch AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |         embedding AS ce FROM corpus ORDER BY vec_id LIMIT 16),
+         |${semAssignCtes("corpus", "")},
+         |${semAssignCtes("batch", "b")},
+         |${semPairCtes("assign", "corpus", "bassign", "batch", "TRUE")}
          |SELECT cell, id_a, id_b, cosine FROM pairs
          |ORDER BY cell, id_a, id_b""".stripMargin,
     "q_semdedup" ->

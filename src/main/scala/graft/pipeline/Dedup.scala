@@ -301,6 +301,60 @@ object Dedup {
       .select("cell", "id_a", "id_b", "cosine")
   }
 
+  /** Incremental SemDeDup — [[semDeDupPairs]]'s AGAINST-INDEX form, the
+    * ingest-time question "is this new document semantically a
+    * duplicate of anything already landed?" answered without
+    * recomputing the corpus (the [[nearDupPairsAgainstIndex]] pattern
+    * for embeddings): batch vectors take argmax cells under the
+    * index's FROZEN centroids ([[Similarity.assignCells]], the same
+    * rule `appendToIvfIndex` lands rows with, so probe cells always
+    * match landed cells), and each batch vector scores only against
+    * the corpus rows of its own cell. Returns (`cell`, `id_a` corpus,
+    * `id_b` batch, `cosine`), cosine ≥ `threshold`.
+    *
+    * Scale shape: the batch side collapses to its distinct probed
+    * cells (≤ nCentroids, collected once from the checkpointed thin
+    * batch projection — the batch frame may be non-deterministic and
+    * is materialised exactly once) and the corpus scan FILTERS on
+    * those cells first — on a [[Similarity.loadIvfIndex]] layout that
+    * is parquet partition pruning, so an ingest probe reads only the
+    * cells its batch touches regardless of corpus size. The join is
+    * the cell equi-join again, never corpus-wide.
+    */
+  def semDeDupPairsAgainstIndex(idx: Similarity.IvfIndex,
+      batch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val b = Similarity.assignCells(idx,
+        batch.select(col(idCol), col(vecCol)), vecCol)
+      .select(col("__cell").as("cell"), col(idCol).as("id_b"),
+        col(vecCol).as("__vb"))
+      .localCheckpoint()
+    val cells = b.select("cell").distinct().collect().map(_.getInt(0))
+    val a = idx.assigned
+      .filter(col("__cell").isin(cells.toIndexedSeq: _*))
+      .select(col("__cell").as("cell"), col(idx.idCol).as("id_a"),
+        col(idx.vecCol).as("__va"))
+    a.join(b, "cell")
+      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("cell", "id_a", "id_b", "cosine")
+  }
+
+  /** The ingest DECISION over [[semDeDupPairsAgainstIndex]]: the batch
+    * with every semantic duplicate of the landed corpus REMOVED — the
+    * keep-the-corpus policy (the landed copy always wins; ingest
+    * filtering must not destabilise what previous runs already
+    * published, mirroring the text-side incremental dedup contract).
+    * Survivors are then safe to [[Similarity.appendToIvfIndex]].
+    */
+  def semDeDupFilterBatch(idx: Similarity.IvfIndex, batch: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val dup = semDeDupPairsAgainstIndex(idx, batch, idCol, vecCol,
+        threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    batch.join(dup, Seq(idCol), "left_anti")
+  }
+
   /** The SemDeDup TRANSFORM: [[semDeDupPairs]] → connected components →
     * per component keep the member with the LOWEST cosine to its own
     * cell centroid (the paper's diversity-preserving survivor: the

@@ -594,6 +594,16 @@ object Similarity {
     * ids are not checked: an ANN index tolerates them (the id would
     * surface twice in results) — pre-dedup batches upstream.
     */
+  /** Assign `df`'s `vecCol` vectors to their argmax-cosine cell under
+    * this index's (frozen) centroids, appending `__cell` — the
+    * batch-side half of every against-index operation (append, serving,
+    * incremental semantic dedup), exposed so they all share ONE
+    * assignment rule (ties toward the higher cell, as the build).
+    * Narrow: the centroids ride as plan literals, no shuffle.
+    */
+  def assignCells(idx: IvfIndex, df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__cell", cellOf(vecCol, idx.centroids))
+
   def appendToIvfIndex(spark: SparkSession, path: String,
       newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
     val meta = spark.read.parquet(s"$path/centroids")

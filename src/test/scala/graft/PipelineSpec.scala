@@ -1721,6 +1721,53 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("incremental semDeDup: batch probes the landed index under " +
+      "frozen centroids, keep-the-corpus filter, pruned loaded probe") {
+    import graft.pipeline.{Dedup, Similarity}
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0f, 1f, 0f, 0f),
+      4L -> Seq(0f, 1f, 0.05f, 0f), 5L -> Seq(0f, 0f, 0f, 1f)
+    ).toDF("vec_id", "embedding")
+    val batch = Seq(
+      6L -> Seq(0.6f, 0.8f, 0f, 0f),  // cell 1; cos .8/.799 to ids 1/4
+      7L -> Seq(0.6f, 0.8f, 0f, 0f),
+      8L -> Seq(1f, 0.02f, 0f, 0f)    // cell 0; cos ~1 to id 0
+    ).toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvfIndex(corpus, "vec_id", "embedding", 2)
+    val got = Dedup.semDeDupPairsAgainstIndex(idx, batch, "vec_id",
+        "embedding", threshold = 0.75).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    // batch rows pair ONLY against corpus rows of their frozen cell:
+    // 6/7 meet 1 and 4 (cell 1, cosine .8/.799), never 0; 8 meets 0
+    // (cell 0); the orthogonal id 5 pairs with nothing
+    assert(got == Set((1L, 6L), (1L, 7L), (4L, 6L), (4L, 7L), (0L, 8L)))
+    // keep-the-corpus ingest filter: every batch dup dies, corpus wins
+    assert(Dedup.semDeDupFilterBatch(idx, batch, "vec_id", "embedding",
+      0.75).collect().isEmpty)
+    // ...and a threshold nothing clears keeps the whole batch
+    assert(Dedup.semDeDupFilterBatch(idx, batch, "vec_id", "embedding",
+      0.999999).count() == 3)
+    // the persisted layout probes identically AND prunes: only the
+    // batch's probed cells' partitions are read
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_semdedup_idx").toString
+    Similarity.writeIvfIndex(idx, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    val viaLoad = Dedup.semDeDupPairsAgainstIndex(loaded, batch,
+      "vec_id", "embedding", threshold = 0.75)
+    assert(viaLoad.collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet == got)
+    val oneCell = Dedup.semDeDupPairsAgainstIndex(loaded,
+      batch.filter(col("vec_id") === 8L), "vec_id", "embedding", 0.75)
+    // a single probed cell prunes to an equality partition filter (IN
+    // for multi-cell batches, as the other layout specs assert)
+    assert("PartitionFilters: \\[[^\\]]*__cell[^\\]]*(IN|=)".r
+      .findFirstIn(oneCell.queryExecution.executedPlan.toString)
+      .isDefined, oneCell.queryExecution.executedPlan.toString)
+  }
+
   test("degenerate inputs: empty corpus, empty pair set, zero vector") {
     val s = spark
     import s.implicits._
