@@ -324,11 +324,14 @@ object Dedup {
   def semDeDupPairsAgainstIndex(idx: Similarity.IvfIndex,
       batch: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val b = Similarity.assignCells(idx,
+    // pinned (not a bare localCheckpoint): the blocks register in the
+    // shared query-pin machinery, so a long-running consumer drains
+    // each batch's pins via Similarity.withQueryPinScope exactly as the
+    // batch-ANN probes do
+    val b = Similarity.pinnedFrame(Similarity.assignCells(idx,
         batch.select(col(idCol), col(vecCol)), vecCol)
       .select(col("__cell").as("cell"), col(idCol).as("id_b"),
-        col(vecCol).as("__vb"))
-      .localCheckpoint()
+        col(vecCol).as("__vb")))
     val cells = b.select("cell").distinct().collect().map(_.getInt(0))
     val a = idx.assigned
       .filter(col("__cell").isin(cells.toIndexedSeq: _*))

@@ -436,10 +436,19 @@ object Similarity {
     * batch's results are consumed.
     */
   private def pinnedQueryFrame(queries: DataFrame, qIdCol: String,
-      qVecCol: String): DataFrame = {
-    val cp = queries
-      .select(col(qIdCol).as("__qid"), col(qVecCol).as("__qv"))
-      .localCheckpoint()
+      qVecCol: String): DataFrame =
+    pinnedFrame(queries
+      .select(col(qIdCol).as("__qid"), col(qVecCol).as("__qv")))
+
+  /** Eagerly materialise `df` via localCheckpoint and REGISTER the
+    * blocks in the query-pin machinery (the active thread scope when
+    * inside [[withQueryPinScope]], else the global weak registry) —
+    * the registration half of the batch-probe checkpoint, shared with
+    * the other against-index probes (incremental semantic dedup), so
+    * one drain discipline covers every probe family.
+    */
+  private[pipeline] def pinnedFrame(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
     cp.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         val scope = pinScope.get()

@@ -713,6 +713,59 @@ object StreamMask {
       .start()
   }
 
+  /** Streaming incremental semantic dedup — the ingest twin of
+    * [[graft.pipeline.Dedup.semDeDupFilterBatch]]: each micro-batch of
+    * arriving vectors is scored against a persisted FLOAT
+    * [[graft.pipeline.Similarity.writeIvfIndex]] layout under its
+    * frozen centroids, semantic duplicates of the landed corpus are
+    * dropped (keep-the-corpus policy — the landed copy always wins),
+    * and the survivors land exactly-once via
+    * [[ExactlyOnceSink.writeBatch]] (gaining its `__batch_id` column),
+    * ready to [[graft.pipeline.Similarity.appendToIvfIndex]] in the
+    * same maintenance window. The index loads ONCE at query start;
+    * each trigger's probe partition-prunes to the cells its batch
+    * touches, so per-trigger reads stay proportional to the BATCH, not
+    * the corpus. The probe's pinned batch frame drains per trigger
+    * through the scoped pin discipline
+    * ([[graft.pipeline.Similarity.withQueryPinScope]]), as
+    * [[ivfServeStream]] does.
+    *
+    * Stateless per micro-batch — the decision is against the STATIC
+    * landed corpus, never across stream batches (duplicates WITHIN the
+    * arriving stream are [[graft.pipeline.Dedup.semDeDup]]'s job after
+    * landing), so any trigger works and no state store is involved.
+    * Int8/PQ layouts are rejected loudly: dedup scores exact cosines
+    * against the landed floats, and a quantized layout would silently
+    * change which documents survive.
+    */
+  def semDeDupStream(vectors: DataFrame, indexPath: String,
+      idCol: String, vecCol: String, threshold: Double, outPath: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.pipeline.{Dedup, Similarity}
+    val spark = vectors.sparkSession
+    val layout = Similarity.detectIvfLayout(spark, indexPath)
+    require(layout == Similarity.IvfLayout.Float,
+      s"semDeDupStream scores exact cosines against landed float " +
+        s"vectors; the index at $indexPath is the $layout layout — " +
+        "build the dedup index with writeIvfIndex (float)")
+    val idx = Similarity.loadIvfIndex(spark, indexPath)
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Similarity.withQueryPinScope {
+          ExactlyOnceSink.writeBatch(outPath)(
+            Dedup.semDeDupFilterBatch(idx, batch, idCol, vecCol,
+              threshold), batchId)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Watermarked stream-stream interval join — the impression↔click
     * correlation shape: each left event pairs with right events of the
     * same key whose timestamp lands in `[leftTs, leftTs + maxDelay]`.

@@ -384,6 +384,60 @@ class StreamingMaskSpec extends SparkSpec {
       "restart disturbed the first run's landed results")
   }
 
+  test("streaming semantic dedup: ingest batches filter against the " +
+      "landed index, union of micro-batch survivors == batch filter") {
+    import graft.pipeline.{Dedup, Similarity}
+    import graft.streaming.ExactlyOnceSink
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_semstream").toString
+    val emb = spark.read.parquet(s"$fixtures/embeddings.parquet")
+    // landed corpus = even ids; the odd ids arrive as the ingest stream
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+      .select("vec_id", "embedding")
+    val idxDir = s"$base/index"
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(corpus, "vec_id", "embedding"), idxDir)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+    val n = emb.count()
+    val in = s"$base/in"
+    batch.filter(col("vec_id") < n / 2).write.parquet(s"$in/f0")
+    batch.filter(col("vec_id") >= n / 2).write.parquet(s"$in/f1")
+    val schema = spark.read.parquet(s"$in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val out = s"$base/out"
+    val q = StreamMask.semDeDupStream(stream, idxDir, "vec_id",
+      "embedding", threshold = 0.3, outPath = out,
+      checkpoint = s"$base/ckpt")
+    q.awaitTermination(120000)
+    val landed = spark.read.parquet(out)
+    assert(landed.select(ExactlyOnceSink.BatchIdCol).distinct().count()
+      > 1, "expected more than one ingest micro-batch")
+    // per-row decisions are against the STATIC corpus only, so the
+    // union of micro-batch survivors equals the one-shot batch filter
+    val streamed = landed.select("vec_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val expected = Dedup.semDeDupFilterBatch(
+        Similarity.loadIvfIndex(spark, idxDir), batch, "vec_id",
+        "embedding", threshold = 0.3)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed.nonEmpty && streamed.size < batch.count(),
+      s"fixture should both keep and drop (kept ${streamed.size})")
+    assert(streamed == expected,
+      "streamed survivors diverged from the batch keep-the-corpus filter")
+    // a quantized layout is rejected loudly at stream construction
+    val int8Dir = s"$base/int8"
+    Similarity.writeIvfIndex(Similarity.int8Index(
+      Similarity.buildIvfIndex(corpus, "vec_id", "embedding")), int8Dir)
+    val ex = intercept[IllegalArgumentException] {
+      StreamMask.semDeDupStream(stream, int8Dir, "vec_id", "embedding",
+        0.3, s"$base/out2", s"$base/ckpt2")
+    }
+    assert(ex.getMessage.contains("float"))
+  }
+
   test("deterministic sampling on a stream equals the batch sample") {
     import graft.pipeline.Sampling
     val sampled = runToMemory(
