@@ -1657,6 +1657,28 @@ object SparkEntry {
       .orderBy("cell", "id_a", "id_b")
   }
 
+  /** Curation composed WITH the semantic-dedup stage: the quality
+    * gate's survivors (the q_quality formula at ≥ 0.3) restrict the
+    * embedding corpus, [[graft.pipeline.Dedup.semDeDup]] then prunes
+    * semantic duplicates among them — quantizer seeded from the
+    * SURVIVING subset, exactly what a pipeline would build after its
+    * cheap narrow filters thinned the corpus (dedup the rows that
+    * matter, not the ones quality already killed). Output: the final
+    * kept (doc_id, lang), both stages' decisions riding one oracle.
+    */
+  private def qCurationSem(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val kept = d
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .filter(col("quality") >= 0.3)
+    val emb = t(s, dir, "embeddings")
+      .join(kept.select(col("doc_id").as("vec_id")), "vec_id")
+    Dedup.semDeDup(emb, "vec_id", "embedding", threshold = 0.3)
+      .select(col("vec_id").as("doc_id"))
+      .join(d.select("doc_id", "lang"), "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified sample — the data-mixing pass of a training
     * pipeline ([[graft.pipeline.Sampling.stratifiedHashSample]]): keep
     * half of English, all of Spanish, a quarter of German, a tenth of
@@ -2571,6 +2593,7 @@ object SparkEntry {
     "q_semdedup_pairs" -> (qSemdedupPairs _),
     "q_semdedup" -> (qSemdedup _),
     "q_semdedup_incr" -> (qSemdedupIncr _),
+    "q_curation_sem" -> (qCurationSem _),
     "q_quantize" -> (qQuantize _),
     "q_sample" -> (qSample _),
     "q_sample_weighted" -> (qSampleWeighted _),
@@ -3258,6 +3281,52 @@ object SparkEntry {
        |${semAssignCtes("corpus", "")},
        |${semPairCtes("assign", "corpus", "assign", "corpus",
           "b.vec_id > a.vec_id")}""".stripMargin
+
+  /** The SemDeDup SURVIVOR derivation over a `pairs`/`ad` chain:
+    * recursive min-reachable components (q_dedup_clusters' closure),
+    * each member's own-centroid cosine (= its MAX over centroids,
+    * because assignment is argmax), per-component minimum with the
+    * lower-id tie — `dropped` is everyone else. MATERIALIZED where the
+    * recursion would otherwise re-inline the unnest chains and blow
+    * the oracle's memory. Requires `WITH RECURSIVE` at the head.
+    */
+  private val semSurvivorCtes =
+    s"""edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (SELECT DISTINCT src AS id, src AS r FROM edges
+       |          UNION
+       |          SELECT rc.id, e.dst FROM reach rc JOIN edges e ON e.src = rc.r),
+       |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |own AS (SELECT vec_id, MAX(dp / (sqrt(nv) * sqrt(nc))) AS c
+       |        FROM ad GROUP BY vec_id),
+       |members AS MATERIALIZED (SELECT comp.id, comp.cluster_id, own.c
+       |            FROM comp JOIN own ON own.vec_id = comp.id),
+       |bottom AS (SELECT cluster_id, MIN(c) AS m FROM members GROUP BY cluster_id),
+       |keep AS (SELECT b.cluster_id, MIN(mm.id) AS id
+       |         FROM members mm JOIN bottom b ON b.cluster_id = mm.cluster_id
+       |         WHERE mm.c = b.m GROUP BY b.cluster_id),
+       |dropped AS (SELECT id FROM members WHERE id NOT IN (SELECT id FROM keep))""".stripMargin
+
+  /** The q_quality score formula as a keep-set CTE (`qkept` = doc_ids
+    * scoring ≥ 0.3) — the quality-gate half `q_curation_sem` chains in
+    * front of its semantic-dedup stage, same arithmetic as q_quality's
+    * full row oracle (int/double ops in the same order, so the kept
+    * set is bit-identical cross-engine).
+    */
+  private val qualityKeptCtes = {
+    val stop = s"len(list_filter($toksSql, x -> x IN (${inList(TextOps.langProfiles("en"))})))"
+    s"""qf AS (SELECT doc_id,
+       |  CAST(len($toksSql) AS DOUBLE) AS n,
+       |  $stop AS stop_hits,
+       |  length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+       |  length(text) AS len_raw
+       |FROM documents),
+       |qkept AS (SELECT doc_id FROM qf WHERE least(greatest(
+       |    least(n / 64.0, 1.0) * 0.5
+       |    + least(CAST(stop_hits AS DOUBLE) / greatest(n, 1.0) * 5.0, 1.0) * 0.3
+       |    + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(CAST(len_raw AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2,
+       |    0.0), 1.0) >= 0.3)""".stripMargin
+  }
 
   private def simIvfOracleSql(centPred: String): String =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -5084,31 +5153,32 @@ object SparkEntry {
          |ORDER BY cell, id_a, id_b""".stripMargin,
     "q_semdedup" ->
       // components over the pair graph (recursive min-reachable closure,
-      // as q_dedup_clusters), then the paper's survivor: per component
-      // keep the member LEAST similar to its own cell centroid — that
-      // cosine is the member's MAX over all centroids, because the
-      // assignment is argmax — ties to the lower id. MATERIALIZED CTEs:
-      // the recursion would otherwise re-inline the unnest chains and
-      // blow the oracle's memory.
+      // as q_dedup_clusters), then the paper's survivor rule — shared
+      // with q_curation_sem via semSurvivorCtes
       s"""WITH RECURSIVE $semDedupCtes,
-         |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |reach AS (SELECT DISTINCT src AS id, src AS r FROM edges
-         |          UNION
-         |          SELECT rc.id, e.dst FROM reach rc JOIN edges e ON e.src = rc.r),
-         |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
-         |own AS (SELECT vec_id, MAX(dp / (sqrt(nv) * sqrt(nc))) AS c
-         |        FROM ad GROUP BY vec_id),
-         |members AS MATERIALIZED (SELECT comp.id, comp.cluster_id, own.c
-         |            FROM comp JOIN own ON own.vec_id = comp.id),
-         |bottom AS (SELECT cluster_id, MIN(c) AS m FROM members GROUP BY cluster_id),
-         |keep AS (SELECT b.cluster_id, MIN(mm.id) AS id
-         |         FROM members mm JOIN bottom b ON b.cluster_id = mm.cluster_id
-         |         WHERE mm.c = b.m GROUP BY b.cluster_id),
-         |dropped AS (SELECT id FROM members WHERE id NOT IN (SELECT id FROM keep))
+         |$semSurvivorCtes
          |SELECT e.vec_id, e.label FROM embeddings e
          |WHERE e.vec_id NOT IN (SELECT id FROM dropped)
          |ORDER BY e.vec_id""".stripMargin,
+    "q_curation_sem" ->
+      // the composed curation-with-semantic-dedup chain: the quality
+      // gate's survivors (same formula as q_quality) restrict BOTH the
+      // dedup corpus and the centroid seeds (lowest 16 SURVIVING ids,
+      // exactly as buildIvfIndex seeds from the filtered frame), then
+      // the full SemDeDup survivor derivation runs over that subset
+      s"""WITH RECURSIVE $qualityKeptCtes,
+         |corpus AS (SELECT e.vec_id, e.embedding FROM embeddings e
+         |           JOIN qkept k ON k.doc_id = e.vec_id),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |         embedding AS ce FROM corpus ORDER BY vec_id LIMIT 16),
+         |${semAssignCtes("corpus", "")},
+         |${semPairCtes("assign", "corpus", "assign", "corpus",
+          "b.vec_id > a.vec_id")},
+         |$semSurvivorCtes
+         |SELECT d.doc_id, d.lang FROM documents d
+         |JOIN qkept k ON k.doc_id = d.doc_id
+         |WHERE d.doc_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY d.doc_id""".stripMargin,
     "q_embed_dedup" -> {
       val bandSel = (0 until 8)
         .map(b => s"SELECT vec_id, $b AS band, ${bandSql("embedding", b, 8)} AS sig FROM embeddings")
