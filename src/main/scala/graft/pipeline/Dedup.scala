@@ -366,10 +366,10 @@ object Dedup {
     * member dropped. Returns the kept rows of `df` unchanged.
     *
     * A member's cosine to its own (argmax-assigned) centroid is the
-    * MAXIMUM of its cosines over all centroids — recomputed as one
-    * narrow `array_max` projection, the same per-row work the
-    * assignment pass already did, rather than threading a score column
-    * through the index. Components never span cells (pairs are
+    * MAXIMUM of its cosines over all centroids — recomputed by the
+    * same one-pass centroid scan the assignment uses
+    * ([[Similarity.maxCentroidCos]]), rather than threading a score
+    * column through the index. Components never span cells (pairs are
     * within-cell), so the survivor rule needs no cross-cell tie story.
     * Cost over the pair scan: [[connectedComponents]] on the (thin)
     * pair set + two aggregates over component members — corpus-scale
@@ -383,10 +383,9 @@ object Dedup {
       kmeansIters)
     val pairs = semPairsFromIndex(idx, threshold, maxCell)
       .select("id_a", "id_b")
-    val centCos = array_max(array(idx.centroids.toIndexedSeq.map(c =>
-      Similarity.cosine(col(idx.vecCol), Similarity.vecLit(c))): _*))
     val scored = idx.assigned
-      .select(col(idx.idCol).as("id"), centCos.as("__c"))
+      .select(col(idx.idCol).as("id"),
+        Similarity.maxCentroidCos(idx.vecCol, idx.centroids).as("__c"))
     val members = connectedComponents(pairs).join(scored, "id")
     val bottom = members.groupBy("cluster_id").agg(min("__c").as("__m"))
     val keep = members.join(bottom, "cluster_id")

@@ -224,15 +224,73 @@ object Similarity {
     dp / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Argmax-cosine cell assignment column; struct max is lexicographic
-    * (cosine first), so ties break toward the higher cell index —
-    * deterministic and pinned for both build and k-means passes.
+  /** The full centroid scan as ONE jitted closure over the centroid
+    * matrix — (argmax cell, its cosine) as a struct. This was
+    * previously an `array_max` over nCentroids inline vector LITERALS;
+    * that generates code linear in nCentroids·dim, and at 16 centroids
+    * × 64 dims the fused whole-stage method already blows past
+    * HotSpot's JIT bytecode limit, silently running the whole stage in
+    * the bytecode INTERPRETER — measured 46 s vs 1.7 s on the 10×
+    * rehearsal corpus when the assignment fused with a join loop — and
+    * a production quantizer has thousands of centroids, where the
+    * literal form is not even compilable. The closure loop is small,
+    * JITs, and breaks the over-fused stage at a narrow boundary.
+    *
+    * Arithmetic is bit-identical to the literal form's
+    * `cosine_sim`/fold (same element order, same single-rounded ops —
+    * the ANN value oracles pin this); ties break toward the HIGHER
+    * cell (`>=` under ascending scan), and a NaN cosine (zero vector)
+    * outranks everything — exactly the struct-max ordering. A null
+    * vector assigns null.
+    */
+  private def centroidScan(vecCol: String,
+      centroids: Array[Seq[Float]]): Column = {
+    val cents: Array[Array[Float]] = centroids.map(_.toArray)
+    val f = udf { (v: Seq[Float]) =>
+      if (v == null) None
+      else {
+        var best = -1
+        var bestKey = Double.NegativeInfinity
+        var bestCos = Double.NaN
+        var c = 0
+        while (c < cents.length) {
+          val ce = cents(c)
+          var dp = 0.0; var nv = 0.0; var nc = 0.0
+          var i = 0
+          val d = math.min(v.length, ce.length)
+          while (i < d) {
+            val x = v(i).toDouble; val y = ce(i).toDouble
+            dp += x * y; nv += x * x; nc += y * y
+            i += 1
+          }
+          val cos = dp / (math.sqrt(nv) * math.sqrt(nc))
+          val key = if (cos.isNaN) Double.PositiveInfinity else cos
+          if (best < 0 || key >= bestKey) {
+            bestKey = key; bestCos = cos; best = c
+          }
+          c += 1
+        }
+        Some((best, bestCos))
+      }
+    }
+    f(col(vecCol))
+  }
+
+  /** Argmax-cosine cell assignment column; ties break toward the
+    * higher cell index — deterministic and pinned for both build and
+    * k-means passes. See [[centroidScan]] for why this is a closure
+    * UDF rather than inline centroid literals.
     */
   private def cellOf(vecCol: String, centroids: Array[Seq[Float]]): Column =
-    array_max(array(centroids.zipWithIndex.toIndexedSeq.map {
-      case (c, i) =>
-        struct(cosine(col(vecCol), vecLit(c)).as("cos"), lit(i).as("cell"))
-    }: _*))("cell")
+    centroidScan(vecCol, centroids)("_1")
+
+  /** Each vector's cosine to its OWN (argmax-assigned) centroid — the
+    * prototypicality score SemDeDup's survivor rule ranks on, from the
+    * same single centroid scan as [[cellOf]].
+    */
+  private[pipeline] def maxCentroidCos(vecCol: String,
+      centroids: Array[Seq[Float]]): Column =
+    centroidScan(vecCol, centroids)("_2")
 
   /** Build the IVF index: coarse quantizer seeded from the `nCentroids`
     * lowest-id vectors, optionally refined by `kmeansIters` rounds of
