@@ -46,7 +46,7 @@ object ScaleRehearsal {
     "q_substring_dedup", "q_winnow_overlap", "q_dedup_near",
     "q_dedup_clusters", "q_dedup_append", "q_decontaminate_spans",
     "q_curation", "q_wordpiece_encode_tokens", "q_ivf_pq_batch",
-    "q_sim_ivf_batch")
+    "q_sim_ivf_batch", "q_semdedup", "q_semdedup_incr")
 
   /** The reference masking core + relational leaders, rehearsed over an
     * FK-CONSISTENT inflation: facts (lineitem/orders/customer) grow N×
