@@ -337,15 +337,20 @@ object Similarity {
       idCol, vecCol)
   }
 
-  /** The query's `nProbe` highest-cosine cells (driver-side,
-    * O(nCentroids · dim)); ties toward the lower cell id via the stable
-    * sort — the probe rule shared by every query path over an index.
+  /** The query's `nProbe` highest-cosine cells over a centroid table
+    * (O(nCentroids · dim)); ties toward the lower cell id via the
+    * stable sort — THE probe rule, shared verbatim by the driver-side
+    * single-query path and the per-row batch expression so the two can
+    * never drift.
     */
-  private def probeCells(idx: IvfIndex, query: Seq[Float],
-      nProbe: Int): Seq[Int] =
-    idx.centroids.zipWithIndex
+  private def probeCellsOf(centroids: Array[Seq[Float]],
+      query: Seq[Float], nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex
       .map { case (c, i) => i -> cosScalar(query, c) }
       .sortBy(-_._2).take(nProbe).map(_._1).toSeq
+
+  private def probeCells(idx: IvfIndex, query: Seq[Float],
+      nProbe: Int): Seq[Int] = probeCellsOf(idx.centroids, query, nProbe)
 
   /** Query a built index: rank the query's `nProbe` nearest cells on the
     * driver (O(nCentroids) work), scan only those cells, exact cosine +
@@ -440,20 +445,21 @@ object Similarity {
     * window (ties toward the lower corpus id).
     */
   /** The per-row probe-cell array for a `__qv` query-vector column —
-    * [[probeCells]]' rule as a Column expression: negated cell id inside
-    * the sort struct, so sort_array desc orders by (cos desc, -cell
-    * desc) = (cos desc, cell ASC), ties toward the lower cell. The ONE
-    * definition every batch path shares.
+    * LITERALLY [[probeCellsOf]] as a closure UDF over the centroid
+    * matrix (only the centroids are captured; the index's frames are
+    * not serializable and not needed), so the batch paths and the
+    * driver-side single-query path share one definition that cannot
+    * drift. Previously this was a sort_array over nCentroids inline
+    * struct literals — the same JIT-cliff shape [[centroidScan]]
+    * replaced: code linear in nCentroids·dim that de-JITs the fused
+    * stage and caps the quantizer size.
     */
   private def probeCellsExpr(idx: IvfIndex, nProbe: Int): Column = {
-    val scoredCells = array(idx.centroids.zipWithIndex.toIndexedSeq.map {
-      case (c, i) =>
-        struct(cosine(col("__qv"), vecLit(c)).as("cos"),
-          lit(-i).as("negcell"))
-    }: _*)
-    transform(
-      slice(sort_array(scoredCells, asc = false), 1, nProbe),
-      s => -s("negcell"))
+    val cents = idx.centroids
+    val f = udf { (v: Seq[Float]) =>
+      if (v == null) None else Some(probeCellsOf(cents, v, nProbe))
+    }
+    f(col("__qv"))
   }
 
   /** The union of cells any query probes — a TINY eager job over the
@@ -958,17 +964,35 @@ object Similarity {
     // probe tie rule, so the 'equals queryIvfBatch at full rerank'
     // invariant cannot silently drift
     val probes = probeCellsExpr(idx, nProbe)
-    // the query's ADC lookup table: lut[j][c] = ⟨query_j, centroid_{j,c}⟩,
-    // an element-order fold — bit-identical to Pq.approxDot's driver-side
-    // LUT (same ops, same order) so single-query results match queryIvfPq
-    val lut = array((0 until cb.m).map { j =>
-      array(cb.codebooks(j).toIndexedSeq.map { c =>
-        aggregate(zip_with(
-            slice(col("__qv"), j * cb.subDim + 1, cb.subDim), vecLit(c),
-            (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (a, x) => a + x)
-      }: _*)
-    }: _*)
+    // the query's ADC lookup table: lut[j][c] = ⟨query_j, centroid_{j,c}⟩
+    // as ONE jitted closure over the codebook matrix — bit-identical to
+    // Pq.approxDot's driver-side LUT (same ops, same left-to-right
+    // order from 0.0) so single-query results match queryIvfPq. This
+    // was m·k inline HOF folds with literal centroids — the same
+    // JIT-cliff shape centroidScan/probeCellsExpr replaced: generated
+    // code linear in m·k·subDim that de-JITs whatever stage it fuses
+    // into and caps the codebook size.
+    val lut = {
+      val m = cb.m; val subDim = cb.subDim
+      val books: Array[Array[Array[Float]]] =
+        cb.codebooks.map(_.map(_.toArray).toArray)
+      val f = udf { (v: Seq[Float]) =>
+        if (v == null) None
+        else Some((0 until m).map { j =>
+          books(j).toIndexedSeq.map { c =>
+            var dp = 0.0
+            var i = 0
+            val d = math.min(c.length, v.length - j * subDim)
+            while (i < d) {
+              dp += v(j * subDim + i).toDouble * c(i).toDouble
+              i += 1
+            }
+            dp
+          }
+        })
+      }
+      f(col("__qv"))
+    }
     val probed = q
       .withColumn("__lut", lut)
       .withColumn("__probe", explode(probes))
