@@ -319,11 +319,15 @@ object Dedup {
     * those cells first — on a [[Similarity.loadIvfIndex]] layout that
     * is parquet partition pruning, so an ingest probe reads only the
     * cells its batch touches regardless of corpus size. The join is
-    * the cell equi-join again, never corpus-wide.
+    * the cell equi-join again, never corpus-wide. `maxCell` bounds the
+    * CORPUS side of the probed cells, as [[semDeDupPairs]]' guard does
+    * — a batch probing a runaway-hot landed cell fails loudly (the
+    * remedy is re-clustering / compaction with more cells) instead of
+    * silently stalling every ingest trigger on a quadratic cell.
     */
   def semDeDupPairsAgainstIndex(idx: Similarity.IvfIndex,
       batch: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxCell: Option[Int] = None): DataFrame = {
     // pinned (not a bare localCheckpoint): the blocks register in the
     // shared query-pin machinery, so a long-running consumer drains
     // each batch's pins via Similarity.withQueryPinScope exactly as the
@@ -333,6 +337,16 @@ object Dedup {
       .select(col("__cell").as("cell"), col(idCol).as("id_b"),
         col(vecCol).as("__vb")))
     val cells = b.select("cell").distinct().collect().map(_.getInt(0))
+    maxCell.foreach { m =>
+      idx.assigned.filter(col("__cell").isin(cells.toIndexedSeq: _*))
+        .groupBy("__cell").agg(count(lit(1)).as("n"))
+        .filter(col("n") > m).orderBy(col("n").desc).head(1)
+        .foreach(r => throw new IllegalArgumentException(
+          s"semDeDup probed cell ${r.getInt(0)} holds ${r.getLong(1)} " +
+            s"landed vectors (> maxCell = $m) — every ingest batch " +
+            "probing it would pay a quadratic cell; re-cluster the " +
+            "index with more cells"))
+    }
     val a = idx.assigned
       .filter(col("__cell").isin(cells.toIndexedSeq: _*))
       .select(col("__cell").as("cell"), col(idx.idCol).as("id_a"),
@@ -351,9 +365,10 @@ object Dedup {
     * Survivors are then safe to [[Similarity.appendToIvfIndex]].
     */
   def semDeDupFilterBatch(idx: Similarity.IvfIndex, batch: DataFrame,
-      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+      idCol: String, vecCol: String, threshold: Double,
+      maxCell: Option[Int] = None): DataFrame = {
     val dup = semDeDupPairsAgainstIndex(idx, batch, idCol, vecCol,
-        threshold)
+        threshold, maxCell)
       .select(col("id_b").as(idCol)).distinct()
     batch.join(dup, Seq(idCol), "left_anti")
   }

@@ -742,7 +742,8 @@ object StreamMask {
       idCol: String, vecCol: String, threshold: Double, outPath: String,
       checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maxCell: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.pipeline.{Dedup, Similarity}
     val spark = vectors.sparkSession
@@ -757,7 +758,7 @@ object StreamMask {
         Similarity.withQueryPinScope {
           ExactlyOnceSink.writeBatch(outPath)(
             Dedup.semDeDupFilterBatch(idx, batch, idCol, vecCol,
-              threshold), batchId)
+              threshold, maxCell), batchId)
         }
         ()
       }

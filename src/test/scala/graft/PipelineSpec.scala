@@ -1749,6 +1749,16 @@ class PipelineSpec extends SparkSpec {
     // ...and a threshold nothing clears keeps the whole batch
     assert(Dedup.semDeDupFilterBatch(idx, batch, "vec_id", "embedding",
       0.999999).count() == 3)
+    // the probed-cell guard bounds the CORPUS side: cell 1 holds three
+    // landed vectors {1,4,5}, so maxCell = 2 refuses and 3 passes
+    val exCell = intercept[IllegalArgumentException] {
+      Dedup.semDeDupPairsAgainstIndex(idx, batch, "vec_id", "embedding",
+        0.75, maxCell = Some(2))
+    }
+    assert(exCell.getMessage.contains("maxCell"))
+    assert(Dedup.semDeDupPairsAgainstIndex(idx, batch, "vec_id",
+      "embedding", 0.75, maxCell = Some(3)).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet == got)
     // the persisted layout probes identically AND prunes: only the
     // batch's probed cells' partitions are read
     val dir = java.nio.file.Files
