@@ -963,18 +963,17 @@ object Dedup {
       gramHash: Column => Column): DataFrame = {
     require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
     import org.apache.spark.sql.expressions.Window
-    // sequence(1, n) with n < 1 would DESCEND in Spark — the length
-    // filter keeps the stop >= 1 (docs shorter than the gram have no
-    // occurrences and are untouched by construction)
+    // grams slide LINEARLY per doc (TextOps.charNgrams) and positions
+    // come from the posexplode — the old explode-positions-then-substr
+    // shape walked the string from the start per position (O(len²) per
+    // doc), and dragged the full text through the explode besides
     val occ = df
       .select(col(idCol).as("__doc"), col(textCol).as("__t"))
-      .filter(length(col("__t")) >= gramLen)
       .select(col("__doc"),
-        explode(sequence(lit(1), length(col("__t")) - gramLen + 1))
-          .as("pos"),
-        col("__t"))
-      .select(col("__doc"), col("pos"),
-        gramHash(col("__t").substr(col("pos"), lit(gramLen))).as("__g"))
+        posexplode(TextOps.charNgrams(col("__t"), gramLen))
+          .as(Seq("__p0", "__gram")))
+      .select(col("__doc"), (col("__p0") + 1).as("pos"),
+        gramHash(col("__gram")).as("__g"))
     // duplicate marking WITHOUT a window on the gram hash: per-gram
     // aggregate (map-side partials absorb hot boilerplate grams) +
     // join-back (AQE-skew-splittable), keeping only non-canonical
@@ -1196,11 +1195,9 @@ object Dedup {
     // Spark-side hashing stays md5-hex (shared with the oracle path);
     // only the 64-bit prefix crosses to the driver as a primitive long
     val benchGrams: Array[Long] = bench
-      .select(col(textCol).as("__t"))
-      .filter(length(col("__t")) >= gramLen)
-      .select(explode(sequence(lit(1),
-        length(col("__t")) - gramLen + 1)).as("pos"), col("__t"))
-      .select(md5(col("__t").substr(col("pos"), lit(gramLen))).as("g"))
+      .select(explode(TextOps.charNgrams(col(textCol), gramLen))
+        .as("__gram"))
+      .select(md5(col("__gram")).as("g"))
       .distinct().collect()
       .map(r => java.lang.Long.parseUnsignedLong(
         r.getString(0).substring(0, 16), 16))
@@ -1280,15 +1277,14 @@ object Dedup {
       idCol: String, textCol: String, gramLen: Int): DataFrame = {
     require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
     import org.apache.spark.sql.expressions.Window
+    // linear gram slide + posexplode — see substringRemovalIntervalsBy
     def occ(df: DataFrame) = df
       .select(col(idCol).as("__doc"), col(textCol).as("__t"))
-      .filter(length(col("__t")) >= gramLen)
       .select(col("__doc"),
-        explode(sequence(lit(1), length(col("__t")) - gramLen + 1))
-          .as("pos"),
-        col("__t"))
-      .select(col("__doc"), col("pos"),
-        md5(col("__t").substr(col("pos"), lit(gramLen))).as("__g"))
+        posexplode(TextOps.charNgrams(col("__t"), gramLen))
+          .as(Seq("__p0", "__gram")))
+      .select(col("__doc"), (col("__p0") + 1).as("pos"),
+        md5(col("__gram")).as("__g"))
     val benchGrams = occ(bench).select("__g").distinct()
     val rem = occ(corpus)
       .join(benchGrams, Seq("__g"), "left_semi")

@@ -123,19 +123,51 @@ object TextOps {
   }
 
   /** Character n-gram slide of a (normalized) text column — every
-    * length-`n` window as an `array<string>`, by Spark's own
-    * codepoint-counting `substr`/`length` semantics (the same
-    * character semantics DuckDB's `substr` uses, so an oracle replays
-    * the gram set). Texts shorter than `n` yield an empty array (the
-    * `when` guard matters: `sequence(1, 0)` would DESCEND, not empty).
-    * Pure codegen Column work — gram extraction runs at scan speed.
+    * length-`n` window as an `array<string>`, counting CODEPOINTS (the
+    * same character semantics Spark's `substr`/`length` and DuckDB's
+    * `substr` use, so an oracle replays the gram set). Texts shorter
+    * than `n` — and null texts, matching the old `when` guard's
+    * null-condition fall-through — yield an empty array.
+    *
+    * ONE linear left-to-right pass as a jitted closure. This was
+    * `transform(sequence(1, len−n+1), i => substr(i, n))` — but
+    * Spark's codepoint `substr` WALKS THE STRING FROM THE START on
+    * every call to locate position `i`, making the slide O(len²) PER
+    * DOCUMENT (measured: 14 s to slide 1.5M trigrams out of 5k ~1.5KB
+    * docs; a 100 KB web document would pay ~10¹⁰ steps). The closure
+    * keeps two running UTF-16 indices (window start and end) and
+    * advances each by one codepoint per emitted gram — O(len), astral
+    * pair exact.
     */
   def charNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
-    when(length(text) >= n,
-      transform(sequence(lit(1), length(text) - (n - 1)),
-        i => text.substr(i, lit(n))))
-      .otherwise(array().cast("array<string>"))
+    val f = udf { (s: String) =>
+      if (s == null) Seq.empty[String]
+      else {
+        val L = s.length
+        var e = 0
+        var k = 0
+        while (k < n && e < L) {
+          e += Character.charCount(s.codePointAt(e)); k += 1
+        }
+        if (k < n) Seq.empty[String]
+        else {
+          val out = Seq.newBuilder[String]
+          var i = 0
+          var done = false
+          while (!done) {
+            out += s.substring(i, e)
+            if (e >= L) done = true
+            else {
+              e += Character.charCount(s.codePointAt(e))
+              i += Character.charCount(s.codePointAt(i))
+            }
+          }
+          out.result()
+        }
+      }
+    }
+    f(text)
   }
 
   /** Character n-gram language-model TRAINING: the corpus collapsed to
@@ -804,11 +836,11 @@ object TextOps {
     val empty = array().cast(arrType)
     df.select(col(idCol), normalize(col(textCol)).as("__t"))
       .select(col(idCol),
-        // __t is referenced twice (bound + lambda) — stays materialised
-        when(length(col("__t")) - (k - 1) >= 1,
-            transform(sequence(lit(1), length(col("__t")) - (k - 1)),
-              i => hash(col("__t").substr(i, lit(k)))))
-          .otherwise(empty).as("__grams"))
+        // gram strings come from the LINEAR charNgrams slide (empty for
+        // short docs); only the per-element hash stays Column work —
+        // the old per-position substr was O(len²) per doc
+        transform(charNgrams(col("__t"), k), g => hash(g))
+          .cast(arrType).as("__grams"))
       .select(col(idCol),
         // __grams referenced three times — stays materialised
         when(size(col("__grams")) >= 1,

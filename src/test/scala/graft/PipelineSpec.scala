@@ -1721,6 +1721,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("centroid assignment edges: exact cosine ties break to the " +
+      "higher cell, zero vectors (NaN cosines) outrank, nulls assign null") {
+    import graft.pipeline.Similarity
+    val s = spark
+    import s.implicits._
+    // seeds: ids 0,1 -> centroids [1,0] (cell 0) and [0,1] (cell 1)
+    val base = Seq(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f))
+    val probes = Seq(
+      10L -> Seq(1f, 1f),   // cos = 1/sqrt(2) to BOTH -> tie -> cell 1
+      11L -> Seq(2f, 2f),   // same direction, scaled -> same tie -> cell 1
+      12L -> Seq(0f, 0f),   // zero vector: NaN cosines outrank -> cell 1
+      13L -> Seq(3f, 1f))   // clearly cell 0
+    val idx = Similarity.buildIvfIndex((base ++ probes)
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", 2)
+    val cells = idx.assigned.collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(cells == Map(0L -> 0, 1L -> 1, 10L -> 1, 11L -> 1,
+      12L -> 1, 13L -> 0), cells.toString)
+    // a null vector assigns a null cell rather than throwing
+    val withNull = (base :+ (99L -> null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val nullCell = Similarity.assignCells(idx, withNull, "embedding")
+      .filter(col("vec_id") === 99L).select("__cell").collect()
+    assert(nullCell.length == 1 && nullCell.head.isNullAt(0))
+  }
+
   test("incremental semDeDup: batch probes the landed index under " +
       "frozen centroids, keep-the-corpus filter, pruned loaded probe") {
     import graft.pipeline.{Dedup, Similarity}
