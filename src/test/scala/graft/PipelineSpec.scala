@@ -1896,6 +1896,16 @@ class PipelineSpec extends SparkSpec {
     val g = corpus.limit(1).select(
       TextOps.charNgrams(lit("ab"), 3)).collect().head.getSeq[String](0)
     assert(g == Seq.empty)
+    // …the linear walk is astral-exact: a surrogate pair is ONE
+    // codepoint per window position
+    val astral = corpus.limit(1).select(
+        TextOps.charNgrams(lit("a😀b😁"), 2))
+      .collect().head.getSeq[String](0)
+    assert(astral == Seq("a😀", "😀b", "b😁"),
+      astral.toString)
+    // …and a null text yields empty, matching the old when-guard
+    assert(corpus.limit(1).select(TextOps.charNgrams(
+      lit(null).cast("string"), 3)).collect().head.getSeq[String](0).isEmpty)
     // cap cut: top-N by (cnt DESC, gram) is deterministic at the tie
     val capped = TextOps.charNgramCounts(
         Seq("abab abab", "xyxy").toDF("text"), "text", 3, Some(3))
