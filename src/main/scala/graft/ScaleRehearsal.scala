@@ -46,7 +46,8 @@ object ScaleRehearsal {
     "q_substring_dedup", "q_winnow_overlap", "q_dedup_near",
     "q_dedup_clusters", "q_dedup_append", "q_decontaminate_spans",
     "q_curation", "q_wordpiece_encode_tokens", "q_ivf_pq_batch",
-    "q_sim_ivf_batch", "q_semdedup", "q_semdedup_incr")
+    "q_sim_ivf_batch", "q_semdedup", "q_semdedup_pairs",
+    "q_semdedup_incr")
 
   /** The reference masking core + relational leaders, rehearsed over an
     * FK-CONSISTENT inflation: facts (lineitem/orders/customer) grow N×
@@ -203,13 +204,14 @@ object ScaleRehearsal {
     *    and its script must be absent from the corpus so no marked word
     *    can collide with an original (asserted, not assumed);
     *  - an `embedding` column is ROTATED by `1 + (i−1) mod (dim−1)`
-    *    positions — norm-preserving but direction-changing, so copies
-    *    spread across IVF cells / LSH buckets the way a genuinely
-    *    bigger crawl's vectors would, instead of N-fold verbatim
-    *    duplicate vectors piling into the same cell (which is exactly
-    *    the CLONE regime, and was what both modes measured before this
-    *    guard — the two ANN columns in a rehearsal table were pure
-    *    noise).
+    *    positions, with a SIGN FLIP on every wrap — norm-preserving
+    *    but direction-changing (2·(dim−1) distinct directions,
+    *    factor-bounds validated loudly), so copies spread across IVF
+    *    cells / LSH buckets the way a genuinely bigger crawl's vectors
+    *    would, instead of N-fold verbatim duplicate vectors piling
+    *    into the same cell (which is exactly the CLONE regime, and was
+    *    what both modes measured before this guard — the two ANN
+    *    columns in a rehearsal table were pure noise).
     *
     * Copy 0 keeps the original payload — the 1× corpus is a subset of
     * the N× one. Repartitioned so the scaled input has real parallelism
@@ -225,6 +227,21 @@ object ScaleRehearsal {
       require(d.filter(col("text").rlike("[Ѐ-ӿ]")).isEmpty,
         s"$src contains Cyrillic text — the distinct-mode marker would " +
           "collide; pick a script absent from the corpus")
+    // embedding rotation bounds, validated LOUDLY (head row's dim; the
+    // fixtures are uniform-dim): dim 1 has no distinct rotation at all
+    // (and pmod-by-zero would silently null every copy), and a factor
+    // beyond the 2·(dim−1) rotate+flip directions would collide copies
+    // back into verbatim clones under the distinct label
+    val embDim: Int =
+      if (distinctCopies && cols("embedding")) {
+        val d0 = d.select(size(col("embedding"))).head().getInt(0)
+        require(d0 >= 2, s"$src embeddings are $d0-dimensional — " +
+          "per-copy rotation needs dim >= 2")
+        require(factor - 1 <= 2 * (d0 - 1),
+          s"factor $factor exceeds the ${2 * (d0 - 1)} distinct " +
+            s"rotate+flip directions a $d0-dim embedding supports")
+        d0
+      } else 0
     def marker(i: Int): String =
       "ж" + i.toString.map(c => ('а' + (c - '0')).toChar)
     (0 until factor)
@@ -239,12 +256,16 @@ object ScaleRehearsal {
             else keyed
           if (cols("embedding")) {
             val e = col("embedding")
-            // dim can vary per row in principle; compute the rotation
-            // per row so it is always in [1, dim-1] — never 0, so every
-            // copy's vector differs from the original's direction
-            val r = lit(1) + pmod(lit(i - 1), size(e) - lit(1))
+            // rotation r ∈ [1, dim-1] plus a sign flip on every wrap:
+            // 2·(dim−1) genuinely distinct directions per vector. dim
+            // and the factor bound are validated loudly below — a
+            // silent rotation collision would re-measure clone mode
+            // under the distinct label
+            val r = 1 + (i - 1) % (embDim - 1)
+            val sign = if (((i - 1) / (embDim - 1)) % 2 == 1) -1f else 1f
+            val rot = concat(slice(e, r + 1, embDim - r), slice(e, 1, r))
             marked.withColumn("embedding",
-              concat(slice(e, r + lit(1), size(e) - r), slice(e, lit(1), r)))
+              if (sign == 1f) rot else transform(rot, x => x * lit(sign)))
           } else marked
         }
       }

@@ -332,8 +332,15 @@ object Dedup {
     // shared query-pin machinery, so a long-running consumer drains
     // each batch's pins via Similarity.withQueryPinScope exactly as the
     // batch-ANN probes do
+    // null-embedding batch rows assign a null cell (centroidScan's
+    // contract): they can be semantic duplicates of nothing, so they
+    // drop out of the pair probe here — and survive semDeDupFilterBatch
+    // untouched, matching the self-join form's tolerance — instead of
+    // NPE-ing the cell collect (which would kill a long-running
+    // semDeDupStream on one malformed row)
     val b = Similarity.pinnedFrame(Similarity.assignCells(idx,
         batch.select(col(idCol), col(vecCol)), vecCol)
+      .filter(col("__cell").isNotNull)
       .select(col("__cell").as("cell"), col(idCol).as("id_b"),
         col(vecCol).as("__vb")))
     val cells = b.select("cell").distinct().collect().map(_.getInt(0))
@@ -398,10 +405,15 @@ object Dedup {
       kmeansIters)
     val pairs = semPairsFromIndex(idx, threshold, maxCell)
       .select("id_a", "id_b")
-    val scored = idx.assigned
-      .select(col(idx.idCol).as("id"),
-        Similarity.maxCentroidCos(idx.vecCol, idx.centroids).as("__c"))
-    val members = connectedComponents(pairs).join(scored, "id")
+    // join components (thin — duplicate candidates only) to the corpus
+    // FIRST, then score: the prototypicality scan runs over member rows
+    // rather than the whole corpus a second time
+    val members = connectedComponents(pairs)
+      .join(idx.assigned
+        .select(col(idx.idCol).as("id"), col(idx.vecCol)), "id")
+      .withColumn("__c",
+        Similarity.maxCentroidCos(idx.vecCol, idx.centroids))
+      .select("id", "cluster_id", "__c")
     val bottom = members.groupBy("cluster_id").agg(min("__c").as("__m"))
     val keep = members.join(bottom, "cluster_id")
       .filter(col("__c") === col("__m"))

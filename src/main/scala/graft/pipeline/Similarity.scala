@@ -241,7 +241,9 @@ object Similarity {
     * the ANN value oracles pin this); ties break toward the HIGHER
     * cell (`>=` under ascending scan), and a NaN cosine (zero vector)
     * outranks everything — exactly the struct-max ordering. A null
-    * vector assigns null.
+    * vector assigns null; a dimension MISMATCH raises (a truncated dot
+    * product would land the row in a plausible wrong cell silently —
+    * the [[requireDim]] fail-fast posture).
     */
   private def centroidScan(vecCol: String,
       centroids: Array[Seq[Float]]): Column = {
@@ -249,6 +251,13 @@ object Similarity {
     val f = udf { (v: Seq[Float]) =>
       if (v == null) None
       else {
+        // fail FAST on a dimension mismatch (the requireDim posture):
+        // a truncated dot product would assign a plausible-looking
+        // wrong cell with a real-looking score and no error anywhere
+        require(cents.isEmpty || v.length == cents(0).length,
+          s"vector dim ${v.length} != centroid dim " +
+            s"${cents(0).length} — mismatched embedding landed in the " +
+            "assignment scan")
         var best = -1
         var bestKey = Double.NegativeInfinity
         var bestCos = Double.NaN
@@ -257,8 +266,7 @@ object Similarity {
           val ce = cents(c)
           var dp = 0.0; var nv = 0.0; var nc = 0.0
           var i = 0
-          val d = math.min(v.length, ce.length)
-          while (i < d) {
+          while (i < ce.length) {
             val x = v(i).toDouble; val y = ce(i).toDouble
             dp += x * y; nv += x * x; nc += y * y
             i += 1
@@ -456,8 +464,17 @@ object Similarity {
     */
   private def probeCellsExpr(idx: IvfIndex, nProbe: Int): Column = {
     val cents = idx.centroids
+    val dim = cents.headOption.map(_.length).getOrElse(0)
     val f = udf { (v: Seq[Float]) =>
-      if (v == null) None else Some(probeCellsOf(cents, v, nProbe))
+      // fail LOUDLY: a None here would be exploded away and the query
+      // row silently vanish from every batch/serving result — breaking
+      // the 'every query served exactly once' contract — and a
+      // mismatched dim would probe a prefix-cosine's wrong cells
+      require(v != null, "ANN query with a null vector — every query " +
+        "must carry an embedding")
+      require(v.length == dim,
+        s"ANN query dim ${v.length} != index dim $dim")
+      probeCellsOf(cents, v, nProbe)
     }
     f(col("__qv"))
   }
