@@ -35,12 +35,13 @@ import org.apache.spark.sql.functions._
   */
 object ScaleRehearsal {
 
-  /** Bench cost leaders at sf0.1 (BENCH_r14), one per heavy family:
-    * substring dedup (gram agg + interval cut), winnowing overlap,
-    * MinHash LSH pairs, near-dup clustering (pointer jumping), index
-    * append probe, span decontamination, the composed curation chain,
-    * the WordPiece train→encode gate, and the two batch ANN serving
-    * layouts.
+  /** The thirteen bench cost leaders at sf0.1 (BENCH_r14), one per
+    * heavy family: substring dedup (gram agg + interval cut), winnowing
+    * overlap, MinHash LSH pairs, near-dup clustering (pointer jumping),
+    * index append probe, span decontamination, the composed curation
+    * chain, the WordPiece train→encode gate, the two batch ANN serving
+    * layouts, and the three SemDeDup forms (transform, pair scan,
+    * against-index ingest probe).
     */
   private val Queries = Seq(
     "q_substring_dedup", "q_winnow_overlap", "q_dedup_near",

@@ -3307,26 +3307,42 @@ object SparkEntry {
        |         WHERE mm.c = b.m GROUP BY b.cluster_id),
        |dropped AS (SELECT id FROM members WHERE id NOT IN (SELECT id FROM keep))""".stripMargin
 
-  /** The q_quality score formula as a keep-set CTE (`qkept` = doc_ids
-    * scoring ≥ 0.3) — the quality-gate half `q_curation_sem` chains in
-    * front of its semantic-dedup stage, same arithmetic as q_quality's
-    * full row oracle (int/double ops in the same order, so the kept
-    * set is bit-identical cross-engine).
+  /** The q_quality feature projection — ONE rendering shared by the
+    * q_quality row oracle and [[qualityKeptCtes]], so a feature tweak
+    * cannot leave the two gates computing from different inputs.
     */
-  private val qualityKeptCtes = {
+  private val qualityFeatSelect = {
     val stop = s"len(list_filter($toksSql, x -> x IN (${inList(TextOps.langProfiles("en"))})))"
-    s"""qf AS (SELECT doc_id,
+    s"""doc_id,
        |  CAST(len($toksSql) AS DOUBLE) AS n,
+       |  len($toksSql) AS n_tokens,
        |  $stop AS stop_hits,
        |  length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
-       |  length(text) AS len_raw
-       |FROM documents),
-       |qkept AS (SELECT doc_id FROM qf WHERE least(greatest(
-       |    least(n / 64.0, 1.0) * 0.5
-       |    + least(CAST(stop_hits AS DOUBLE) / greatest(n, 1.0) * 5.0, 1.0) * 0.3
-       |    + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(CAST(len_raw AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2,
-       |    0.0), 1.0) >= 0.3)""".stripMargin
+       |  length(text) AS len_raw""".stripMargin
   }
+
+  /** The q_quality score formula over [[qualityFeatSelect]]'s columns —
+    * the SINGLE copy (int/double ops in a pinned order) both the
+    * q_quality row oracle and the `q_curation_sem` keep-set CTE render,
+    * so a formula edit can never gate the two with different keep sets.
+    */
+  private val qualityScoreSql =
+    """least(greatest(
+      |    least(n / 64.0, 1.0) * 0.5
+      |    + least(CAST(stop_hits AS DOUBLE) / greatest(n, 1.0) * 5.0, 1.0) * 0.3
+      |    + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(CAST(len_raw AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2,
+      |    0.0), 1.0)""".stripMargin
+
+  /** The q_quality score formula as a keep-set CTE (`qkept` = doc_ids
+    * scoring ≥ 0.3) — the quality-gate half `q_curation_sem` chains in
+    * front of its semantic-dedup stage; renders [[qualityScoreSql]], the
+    * same arithmetic as q_quality's full row oracle, so the kept set is
+    * bit-identical cross-engine.
+    */
+  private val qualityKeptCtes =
+    s"""qf AS (SELECT $qualityFeatSelect
+       |FROM documents),
+       |qkept AS (SELECT doc_id FROM qf WHERE $qualityScoreSql >= 0.3)""".stripMargin
 
   private def simIvfOracleSql(centPred: String): String =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -4067,23 +4083,15 @@ object SparkEntry {
          |     ELSE 'und' END AS lang_pred
          |FROM documents ORDER BY doc_id""".stripMargin
     },
-    "q_quality" -> {
-      val stop = s"len(list_filter($toksSql, x -> x IN (${inList(TextOps.langProfiles("en"))})))"
-      s"""WITH f AS (SELECT doc_id,
-         |  CAST(len($toksSql) AS DOUBLE) AS n,
-         |  len($toksSql) AS n_tokens,
-         |  $stop AS stop_hits,
-         |  length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
-         |  length(text) AS len_raw
+    // feature projection + score formula are the SHARED renderings
+    // (qualityFeatSelect / qualityScoreSql) q_curation_sem's keep-set
+    // CTE also uses — one copy, no drift
+    "q_quality" ->
+      s"""WITH f AS (SELECT $qualityFeatSelect
          |FROM documents)
          |SELECT doc_id, n_tokens, stop_hits, n_punct,
-         |  least(greatest(
-         |    least(n / 64.0, 1.0) * 0.5
-         |    + least(CAST(stop_hits AS DOUBLE) / greatest(n, 1.0) * 5.0, 1.0) * 0.3
-         |    + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(CAST(len_raw AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2,
-         |    0.0), 1.0) AS quality
-         |FROM f ORDER BY doc_id""".stripMargin
-    },
+         |  $qualityScoreSql AS quality
+         |FROM f ORDER BY doc_id""".stripMargin,
     // Gopher rule filter: int/int double divisions only, so every
     // feature bit-matches; the stop-hit list is the en profile
     "q_gopher_rules" ->

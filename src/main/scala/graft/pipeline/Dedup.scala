@@ -370,14 +370,23 @@ object Dedup {
     * filtering must not destabilise what previous runs already
     * published, mirroring the text-side incremental dedup contract).
     * Survivors are then safe to [[Similarity.appendToIvfIndex]].
+    *
+    * The batch is pinned ONCE up front ([[Similarity.pinnedFrame]],
+    * full rows — the survivors carry every column) and both the pair
+    * probe and the anti-join read that snapshot: a non-deterministic
+    * batch frame (sample(), rand(), an unstable view) scores and
+    * filters the SAME rows, and the batch source is read once, not
+    * twice. The probe's internal thin pin re-reads the snapshot's
+    * blocks, not the source.
     */
   def semDeDupFilterBatch(idx: Similarity.IvfIndex, batch: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
       maxCell: Option[Int] = None): DataFrame = {
-    val dup = semDeDupPairsAgainstIndex(idx, batch, idCol, vecCol,
+    val pinned = Similarity.pinnedFrame(batch)
+    val dup = semDeDupPairsAgainstIndex(idx, pinned, idCol, vecCol,
         threshold, maxCell)
       .select(col("id_b").as(idCol)).distinct()
-    batch.join(dup, Seq(idCol), "left_anti")
+    pinned.join(dup, Seq(idCol), "left_anti")
   }
 
   /** The SemDeDup TRANSFORM: [[semDeDupPairs]] → connected components →

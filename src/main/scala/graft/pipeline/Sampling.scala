@@ -97,14 +97,18 @@ object Sampling {
     require(!df.columns.contains("split"),
       "input already has a split column — rename it before assigning")
     val cuts = splitCuts(splits)
-    val b = when(key.isNull, raise_error(lit("splitAssign: null split " +
-        "key — a null hash would pool every such row in the last split")))
-      .otherwise(hashBucket48(key))
+    val b = hashBucket48(key)
     val assigned = splits.init.zip(cuts)
       .foldRight(lit(splits.last._1): Column) {
         case (((name, _), cut), els) => when(b < cut, name).otherwise(els)
       }
-    df.withColumn("split", assigned)
+    // the null guard wraps the WHOLE assignment (not the bucket) so it
+    // stays live even with a single split, where the fold never
+    // references the bucket and a bucket-level guard would be dead code
+    df.withColumn("split", when(key.isNull,
+        raise_error(lit("splitAssign: null split key — a null hash " +
+          "would pool every such row in the last split")))
+      .otherwise(assigned))
   }
 
   /** The LONG cut points [[splitAssign]] compares against (one per

@@ -650,12 +650,20 @@ object Similarity {
     * [[queryIvf]]/[[queryIvfBatch]] cell predicates prune partitions at
     * the source (asserted on `PartitionFilters` in PipelineSpec).
     */
-  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
+  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex =
+    loadIvfIndex(spark, path, spark.read.parquet(s"$path/corpus"))
+
+  /** [[loadIvfIndex]] with the corpus frame already in hand — pairs
+    * with `detectIvfLayout(fields)` so a caller that sniffed the layout
+    * from the corpus schema (the streaming servers) pays ONE footer
+    * read, not a second for the load.
+    */
+  def loadIvfIndex(spark: SparkSession, path: String,
+      corpus: DataFrame): IvfIndex = {
     val meta = spark.read.parquet(s"$path/centroids")
       .orderBy("cell").collect()
     require(meta.nonEmpty, s"no centroids found under $path/centroids")
-    IvfIndex(meta.map(_.getSeq[Float](1)),
-      spark.read.parquet(s"$path/corpus"),
+    IvfIndex(meta.map(_.getSeq[Float](1)), corpus,
       meta.head.getString(2), meta.head.getString(3))
   }
 
@@ -709,7 +717,9 @@ object Similarity {
     val assigned = newVectors.withColumn("__cell", cellOf(vecCol, centroids))
     val shaped = detectIvfLayout(corpusFields.toSeq) match {
       case IvfLayout.Pq =>
-        val (_, cb) = loadIvfPqIndex(spark, path)
+        // sidecar-only load: the append needs the encoder, not a second
+        // read of the corpus footers it already sniffed
+        val cb = loadPqCodebooks(spark, path)
         assigned.withColumn(PqCodesCol, Pq.encode(cb)(col(vecCol)))
       case IvfLayout.Int8 =>
         assigned
@@ -824,8 +834,22 @@ object Similarity {
     * reconstructed codebooks.
     */
   def loadIvfPqIndex(spark: SparkSession,
-      path: String): (IvfIndex, Pq.PqCodebooks) = {
-    val idx = loadIvfIndex(spark, path)
+      path: String): (IvfIndex, Pq.PqCodebooks) =
+    (loadIvfIndex(spark, path), loadPqCodebooks(spark, path))
+
+  /** [[loadIvfPqIndex]] with the corpus frame already in hand — see
+    * the [[loadIvfIndex]] overload.
+    */
+  def loadIvfPqIndex(spark: SparkSession, path: String,
+      corpus: DataFrame): (IvfIndex, Pq.PqCodebooks) =
+    (loadIvfIndex(spark, path, corpus), loadPqCodebooks(spark, path))
+
+  /** Just the PQ codebook sidecar of a [[writeIvfPqIndex]] layout —
+    * for callers that need the encoder but not the corpus (the append
+    * path), sparing the corpus footer read [[loadIvfPqIndex]] pays.
+    */
+  def loadPqCodebooks(spark: SparkSession,
+      path: String): Pq.PqCodebooks = {
     val rows = spark.read.parquet(s"$path/pq").orderBy("j", "code")
       .collect()
     require(rows.nonEmpty, s"no PQ codebooks found under $path/pq")
@@ -836,7 +860,7 @@ object Similarity {
     val byJc = rows.map(r =>
       (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
     val cbs = Array.tabulate(m)(j => Array.tabulate(k)(c => byJc((j, c))))
-    (idx, Pq.PqCodebooks(cbs.head.head.length, cbs))
+    Pq.PqCodebooks(cbs.head.head.length, cbs)
   }
 
   /** ANN through a composed IVF×PQ index: prune to the `nProbe` probed
@@ -995,18 +1019,26 @@ object Similarity {
         cb.codebooks.map(_.map(_.toArray).toArray)
       val f = udf { (v: Seq[Float]) =>
         if (v == null) None
-        else Some((0 until m).map { j =>
-          books(j).toIndexedSeq.map { c =>
-            var dp = 0.0
-            var i = 0
-            val d = math.min(c.length, v.length - j * subDim)
-            while (i < d) {
-              dp += v(j * subDim + i).toDouble * c(i).toDouble
-              i += 1
+        else {
+          // fail-fast on a codebook/query dim mismatch, matching
+          // Pq.approxDot's require — a silent min() truncation here
+          // would rank candidates by prefix/zero dots and return
+          // plausible-looking wrong neighbors
+          require(v.length == m * subDim,
+            s"query dim ${v.length} != codebook dim ${m * subDim} " +
+              s"(m=$m x subDim=$subDim)")
+          Some((0 until m).map { j =>
+            books(j).toIndexedSeq.map { c =>
+              var dp = 0.0
+              var i = 0
+              while (i < c.length) {
+                dp += v(j * subDim + i).toDouble * c(i).toDouble
+                i += 1
+              }
+              dp
             }
-            dp
-          }
-        })
+          })
+        }
       }
       f(col("__qv"))
     }

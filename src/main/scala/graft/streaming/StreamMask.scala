@@ -686,18 +686,23 @@ object StreamMask {
     import graft.pipeline.Similarity
     import graft.pipeline.Similarity.IvfLayout
     val spark = queries.sparkSession
+    // ONE corpus footer read: the layout sniff and the index load share
+    // the same frame (the detectIvfLayout(fields) overload exists for
+    // exactly this — an object-store index pays real latency per read)
+    val corpus = spark.read.parquet(s"$indexPath/corpus")
     val probe: DataFrame => DataFrame =
-      Similarity.detectIvfLayout(spark, indexPath) match {
+      Similarity.detectIvfLayout(corpus.schema.fieldNames.toSeq) match {
         case IvfLayout.Pq =>
-          val (idx, cb) = Similarity.loadIvfPqIndex(spark, indexPath)
+          val (idx, cb) =
+            Similarity.loadIvfPqIndex(spark, indexPath, corpus)
           b => Similarity.queryIvfPqBatch(idx, cb, b, qIdCol, qVecCol, k,
             nProbe, rerank)
         case IvfLayout.Int8 =>
-          val idx = Similarity.loadIvfIndex(spark, indexPath)
+          val idx = Similarity.loadIvfIndex(spark, indexPath, corpus)
           b => Similarity.queryIvfInt8Batch(idx, b, qIdCol, qVecCol, k,
             nProbe)
         case IvfLayout.Float =>
-          val idx = Similarity.loadIvfIndex(spark, indexPath)
+          val idx = Similarity.loadIvfIndex(spark, indexPath, corpus)
           b => Similarity.queryIvfBatch(idx, b, qIdCol, qVecCol, k,
             nProbe)
       }
@@ -747,12 +752,15 @@ object StreamMask {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.pipeline.{Dedup, Similarity}
     val spark = vectors.sparkSession
-    val layout = Similarity.detectIvfLayout(spark, indexPath)
+    // one corpus footer read for sniff + load, as ivfServeStream
+    val corpus = spark.read.parquet(s"$indexPath/corpus")
+    val layout =
+      Similarity.detectIvfLayout(corpus.schema.fieldNames.toSeq)
     require(layout == Similarity.IvfLayout.Float,
       s"semDeDupStream scores exact cosines against landed float " +
         s"vectors; the index at $indexPath is the $layout layout — " +
         "build the dedup index with writeIvfIndex (float)")
-    val idx = Similarity.loadIvfIndex(spark, indexPath)
+    val idx = Similarity.loadIvfIndex(spark, indexPath, corpus)
     vectors.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Similarity.withQueryPinScope {

@@ -1345,6 +1345,17 @@ class PipelineSpec extends SparkSpec {
     val plain = Similarity.queryIvfBatch(idx, queries, "query_id",
       "embedding", k = 10, nProbe = 2)
     assert(rows(full) == rows(plain))
+    // a codebook whose m·subDim disagrees with the query dim fails
+    // loudly (Pq.approxDot's posture, shared by the batch LUT) instead
+    // of silently ranking candidates by prefix/zero dots
+    val badCb = Pq.PqCodebooks(lcb.subDim * 2, lcb.codebooks)
+    val exDim = intercept[Throwable] {
+      Similarity.queryIvfPqBatch(idx, badCb, queries, "query_id",
+        "embedding", k = 10, nProbe = 2, rerank = 50).collect()
+    }
+    def msgs(t: Throwable): Seq[String] = Option(t).toSeq.flatMap(e =>
+      Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(exDim).exists(_.contains("codebook dim")), msgs(exDim))
   }
 
   test("k-means-trained IVF recall >= untrained at the same probe budget") {
@@ -1804,6 +1815,31 @@ class PipelineSpec extends SparkSpec {
       .isDefined, oneCell.queryExecution.executedPlan.toString)
   }
 
+  test("semDeDupFilterBatch pins a non-deterministic batch once: the " +
+      "probe and the anti-join see the SAME rows") {
+    import graft.pipeline.{Dedup, Similarity}
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0f, 1f, 0f, 0f)
+    ).toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvfIndex(corpus, "vec_id", "embedding", 2)
+    // every candidate row IS a semantic duplicate of corpus id 1
+    // (cosine 0.8 >= 0.75), and the batch keeps a GENUINELY random
+    // subset per evaluation — under the pre-pin bug the anti-join
+    // re-evaluated the batch, so rows absent from the scored snapshot
+    // survived unscored (w.h.p. ~50 of 200 here); pinned, the filter
+    // must drop everything it kept in its one snapshot
+    val flip = udf(() => scala.util.Random.nextBoolean())
+      .asNondeterministic()
+    val wild = Seq.tabulate(200)(i =>
+        (100L + i, Seq(0.6f, 0.8f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+      .filter(flip())
+    assert(Dedup.semDeDupFilterBatch(idx, wild, "vec_id", "embedding",
+      0.75).collect().isEmpty)
+  }
+
   test("degenerate inputs: empty corpus, empty pair set, zero vector") {
     val s = spark
     import s.implicits._
@@ -1972,6 +2008,15 @@ class PipelineSpec extends SparkSpec {
       Option(t).toSeq.flatMap(e =>
         Option(e.getMessage).toSeq ++ chain(e.getCause))
     assert(chain(ex).exists(_.contains("null split key")), chain(ex))
+    // ... including with a SINGLE split, where the fold never touches
+    // the bucket — the guard wraps the whole assignment, so it cannot
+    // be folded away as dead code
+    val exSingle = intercept[Throwable] {
+      Sampling.splitAssign(withNull, col("id"), Seq("all" -> 1.0))
+        .collect()
+    }
+    assert(chain(exSingle).exists(_.contains("null split key")),
+      chain(exSingle))
   }
 
   test("weighted hash sampling: weight-proportional, nested in c, " +
