@@ -1102,6 +1102,26 @@ object SparkEntry {
       .select("doc_id", "lang", "piece_bin", "doc_from", "piece_tokens")
       .orderBy("lang", "doc_id", "piece_bin")
 
+  /** The per-bin document-boundary table over the [[qPackChunks]]
+    * pieces ([[graft.pipeline.Packing.binBoundaries]]): each piece's
+    * start position inside its assembled bin, in the same offset order
+    * [[qPackBins]] concatenates by — the attention-mask artifact.
+    * Every (shard, bin, doc, doc_from, piece_tokens, bin_from) row is
+    * value-oracled: DuckDB re-derives the pieces and replays the
+    * in-bin prefix sum.
+    */
+  private def qPackBoundaries(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Packing.binBoundaries(
+        graft.pipeline.Packing.chunkSpans(
+          graft.pipeline.Packing.packByOffset(
+            docs(s, dir).select("doc_id", "lang", "text"),
+            "lang", "doc_id", TextOps.tokenCount(col("text")), 256),
+          256),
+        "lang", "doc_id")
+      .select("doc_id", "lang", "bin", "doc_from", "piece_tokens",
+        "bin_from")
+      .orderBy("lang", "bin", "bin_from", "doc_id")
+
   /** [[qPack]] budgeted in REAL tokenizer tokens instead of whitespace
     * words: [[graft.functions.Bpe.tokenCount]] under the demo vocabulary
     * supplies `tokens`, so the bin assignment reflects what a trainer's
@@ -2571,6 +2591,7 @@ object SparkEntry {
     "q_heavy" -> (qHeavy _),
     "q_pack" -> (qPack _),
     "q_pack_chunks" -> (qPackChunks _),
+    "q_pack_boundaries" -> (qPackBoundaries _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_near" -> (qSimhashNear _),
     "q_winnow64_parity" -> (qWinnow64Parity _),
@@ -4481,6 +4502,30 @@ object SparkEntry {
          |  LEAST("offset" + tokens, (piece_bin + 1) * 256)
          |    - GREATEST("offset", piece_bin * 256) AS piece_tokens
          |FROM pieces ORDER BY lang, doc_id, piece_bin""".stripMargin,
+    "q_pack_boundaries" ->
+      // the chunk pieces again, plus the in-bin prefix sum: bin_from =
+      // tokens of earlier pieces in the SAME (lang, bin), ordered by
+      // offset + doc_from — the order the bin's ids concatenate in
+      s"""WITH tok AS (SELECT doc_id, lang,
+         |  CAST(len($toksSql) AS BIGINT) AS tokens FROM documents),
+         |ofs AS (SELECT doc_id, lang, tokens,
+         |  CAST(COALESCE(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+         |  FROM tok),
+         |pieces AS (SELECT doc_id, lang, tokens, "offset",
+         |  unnest(generate_series(CAST(floor("offset" / 256) AS BIGINT),
+         |    CAST(floor(("offset" + tokens - 1) / 256) AS BIGINT))) AS piece_bin
+         |  FROM ofs WHERE tokens > 0),
+         |cut AS (SELECT doc_id, lang, "offset", piece_bin AS bin,
+         |  GREATEST("offset", piece_bin * 256) - "offset" AS doc_from,
+         |  LEAST("offset" + tokens, (piece_bin + 1) * 256)
+         |    - GREATEST("offset", piece_bin * 256) AS piece_tokens
+         |  FROM pieces)
+         |SELECT doc_id, lang, bin, doc_from, piece_tokens,
+         |  CAST(COALESCE(SUM(piece_tokens) OVER (PARTITION BY lang, bin
+         |    ORDER BY "offset" + doc_from
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bin_from
+         |FROM cut ORDER BY lang, bin, bin_from, doc_id""".stripMargin,
     "q_simhash" ->
       s"""WITH $simhash16Cte
          |SELECT doc_id, simhash FROM sh16 ORDER BY doc_id""".stripMargin,

@@ -162,6 +162,43 @@ object Packing {
             col("__piece_ids").as("__ids")))),
           s => s("__ids"))).as("token_ids"))
 
+  /** The per-bin DOCUMENT-BOUNDARY table of a packed corpus — the
+    * attention-mask artifact a trainer consumes next to
+    * [[assembleBins]]' token payload: one row per (shard, bin, piece)
+    * with the piece's start position INSIDE the assembled bin
+    * (`bin_from`, 0-based) alongside its document id, in-document start
+    * and length, in the same offset order the ids concatenated in. A
+    * training consumer resets position ids and masks cross-document
+    * attention exactly at these boundaries without re-deriving the cut;
+    * by [[chunkSpans]]' construction consecutive pieces abut
+    * (`bin_from` + `piece_tokens` = the next piece's `bin_from`) and
+    * each bin's first piece starts at 0.
+    *
+    * Scale shape: one window per (shard, bin) partition — per-group
+    * state is the bin's own piece list, bounded by the CONTEXT LENGTH
+    * worth of documents, never the corpus; same shuffle key as
+    * [[assembleBins]], so the two artifacts co-partition when derived
+    * in one job.
+    *
+    * Output: `shardCol`, `bin`, `orderCol` (the document), `doc_from`,
+    * `piece_tokens`, `bin_from`.
+    */
+  def binBoundaries(pieces: DataFrame, shardCol: String,
+      orderCol: String): DataFrame = {
+    // offset + doc_from orders split pieces of one doc too (they share
+    // the doc's offset but cut at increasing doc_from) — the SAME
+    // in-bin order assembleBins concatenates by, so boundaries and
+    // payload can never disagree
+    val w = Window.partitionBy(col(shardCol), col("piece_bin"))
+      .orderBy(col("offset") + col("doc_from"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pieces
+      .withColumn("bin_from",
+        coalesce(sum(col("piece_tokens")).over(w), lit(0L)))
+      .select(col(shardCol), col("piece_bin").as("bin"), col(orderCol),
+        col("doc_from"), col("piece_tokens"), col("bin_from"))
+  }
+
   /** The seeded epoch-ordering key of a (shard, bin) pair — the md5
     * 48-bit hash fraction ([[Sampling.hashBucket48]], so any engine
     * replays it bit-for-bit) over the `seed:epoch:shard:bin` composite.

@@ -852,6 +852,48 @@ class PipelineSpec extends SparkSpec {
       .exists(t => Option(t.getMessage).exists(_.contains("assembleBins"))))
   }
 
+  test("bin boundaries: each bin's pieces abut from 0 in assembly " +
+      "order, and the positions index the assembled payload exactly") {
+    import graft.pipeline.Packing
+    import graft.functions.{Bpe, BpeVocab}
+    val budget = 64
+    val vocab = BpeVocab(Bpe.demoEnglish, BpeVocab.asciiPrintable)
+    val withIds = docs.select("doc_id", "lang", "text")
+      .withColumn("ids", Bpe.tokenIds(vocab)(TextOps.tokens(col("text"))))
+    val pieces = Packing.chunkSpans(Packing.packByOffset(withIds,
+      "lang", "doc_id", size(col("ids")).cast("long"), budget), budget)
+    val bounds = Packing.binBoundaries(pieces, "lang", "doc_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val payload = Packing.assembleBins(pieces, "lang", "doc_id", "ids")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), r.getSeq[Int](6))).toMap
+    val idsOf = withIds.select("lang", "doc_id", "ids").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Int](2)).toMap
+    assert(bounds.nonEmpty)
+    bounds.groupBy(b => (b._1, b._2)).foreach { case ((lang, bin), ps) =>
+      val inOrder = ps.sortBy(_._6)
+      // pieces start at 0 inside the bin and abut exactly
+      var pos = 0L
+      inOrder.foreach { p => assert(p._6 == pos,
+        s"$lang/$bin: piece at ${p._6}, expected $pos"); pos += p._5 }
+      val (binTokens, ids) = payload((lang, bin))
+      assert(pos == binTokens,
+        s"$lang/$bin: boundaries sum $pos != payload $binTokens")
+      // bin_from positions index the assembled ids to each doc's slice
+      inOrder.foreach { case (_, _, doc, docFrom, n, binFrom) =>
+        assert(ids.slice(binFrom.toInt, (binFrom + n).toInt) ==
+          idsOf((lang, doc)).slice(docFrom.toInt, (docFrom + n).toInt),
+          s"$lang/$bin: boundary ($doc, $binFrom, $n) mis-indexes")
+      }
+    }
+    // at least one bin carries a mid-document boundary (the case the
+    // table exists for)
+    assert(bounds.exists(b => b._4 > 0), "fixture should split a doc")
+  }
+
   test("epoch shuffle: a seeded permutation — deterministic, epoch-" +
       "sensitive, set-preserving, distributed sort not a global window") {
     import graft.pipeline.Packing
