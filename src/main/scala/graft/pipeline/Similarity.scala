@@ -789,7 +789,7 @@ object Similarity {
     */
   def detectIvfLayout(spark: SparkSession, path: String): IvfLayout =
     detectIvfLayout(
-      spark.read.parquet(s"$path/corpus").schema.fieldNames)
+      spark.read.parquet(s"$path/corpus").schema.fieldNames.toSeq)
 
   /** [[detectIvfLayout]] from already-read corpus field names — no
     * second footer/listing round trip when the caller has the schema
