@@ -1237,8 +1237,19 @@ object SparkEntry {
     * set) are what is checked.
     */
   private def qEpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Bpe, BpeVocab}
     import graft.pipeline.Packing
-    val bins = assembledBins(s, dir).select(col("lang"), col("bin"))
+    // the (shard, bin) KEY set straight off the chunk pieces — the same
+    // keys assembleBins groups by (same pieces frame), without leaning
+    // on the optimizer to prune the payload aggregate out of the two
+    // epoch arms (the oracle derives its bin set the same way)
+    val v = BpeVocab(Bpe.demoEnglish, BpeVocab.asciiPrintable)
+    val withIds = docs(s, dir).select("doc_id", "lang", "text")
+      .withColumn("ids", Bpe.tokenIds(v)(TextOps.tokens(col("text"))))
+    val bins = Packing.chunkSpans(
+        Packing.packByOffset(withIds, "lang", "doc_id",
+          size(col("ids")).cast("long"), 256), 256)
+      .select(col("lang"), col("piece_bin").as("bin")).distinct()
     Seq(1, 2).map { ep =>
       bins.withColumn("epoch", lit(ep).cast("bigint"))
         .withColumn("epoch_key",

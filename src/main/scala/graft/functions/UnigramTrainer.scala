@@ -174,10 +174,17 @@ object UnigramTrainer {
     // tie-break explicitly in CODEPOINT order (not UTF-16 code-unit
     // order): the canonical-id oracle replays this sort under Spark /
     // DuckDB binary collation, which compares codepoints — the two
-    // orders diverge between [U+E000, U+FFFF] and astral pieces
-    probs.toSeq.sortBy { case (p, lp) => (-lp, p) }(
+    // orders diverge between [U+E000, U+FFFF] and astral pieces.
+    // Sort by the STORED key (log prob), not the raw probability: log
+    // loses ~2 bits in the typical 1e-3..1e-5 range, so distinct
+    // probabilities can collapse to equal log doubles — ranking by the
+    // raw value here would then disagree with every downstream
+    // re-derivation of the canonical (log_prob desc, piece) order
+    // (vocabDf consumers, the q_unigram_ids gate)
+    probs.toSeq.map { case (p, pr) => (p, math.log(pr)) }
+      .sortBy { case (p, lp) => (-lp, p) }(
         Ordering.Tuple2(Ordering.Double.TotalOrdering, cpOrdering))
-      .map { case (p, pr) => VocabEntry(p, math.log(pr)) }
+      .map { case (p, lp) => VocabEntry(p, lp) }
   }
 
   /** Corpus log-likelihood of a type table under a vocabulary — the EM

@@ -507,14 +507,8 @@ object StreamMask {
     * by construction (same expressions, verified in the spec).
     */
   def curateStream(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    import graft.pipeline.TextOps
-    docs.select(col(idCol) +:
-      TextOps.qualityScore(col(textCol)).as("quality") +:
-      TextOps.langId(col(textCol)).as("lang_pred") +:
-      TextOps.redactPii(col(textCol)).as("redacted") +:
-      TextOps.piiCounts(col(textCol)): _*)
-  }
+      textCol: String): DataFrame =
+    curateProjection(docs, idCol, textCol, Nil)
 
   /** [[curateStream]] with the CCNet-style LM score attached
     * ([[graft.pipeline.TextOps.lmScoreUdf]] over the normalized
@@ -529,12 +523,24 @@ object StreamMask {
       lm: graft.pipeline.TextOps.CharLm): DataFrame = {
     import graft.pipeline.TextOps
     val u = TextOps.lmScoreUdf(docs.sparkSession, lm)
-    docs.select(col(idCol) +:
+    curateProjection(docs, idCol, textCol,
+      Seq(u(TextOps.normalize(col(textCol))).as("lm_score")))
+  }
+
+  /** The ONE curation projection both [[curateStream]] overloads
+    * render (`scoreCols` slots extra score columns after `quality`) —
+    * a base-projection edit cannot desynchronize the plain and
+    * LM-scored paths, which are documented batch/stream equivalents.
+    */
+  private def curateProjection(docs: DataFrame, idCol: String,
+      textCol: String, scoreCols: Seq[Column]): DataFrame = {
+    import graft.pipeline.TextOps
+    docs.select((col(idCol) +:
       TextOps.qualityScore(col(textCol)).as("quality") +:
-      u(TextOps.normalize(col(textCol))).as("lm_score") +:
+      scoreCols) ++ (
       TextOps.langId(col(textCol)).as("lang_pred") +:
       TextOps.redactPii(col(textCol)).as("redacted") +:
-      TextOps.piiCounts(col(textCol)): _*)
+      TextOps.piiCounts(col(textCol))): _*)
   }
 
   /** Streaming span decontamination + Gopher quality gate — the two
@@ -676,12 +682,24 @@ object StreamMask {
     * rerank (`queryIvfPqBatch`, `rerank` applies only there). Spec pins
     * landed stream results == the batch probe over the same query set,
     * across micro-batches, for every layout.
+    *
+    * Malformed queries (null vector, or a dimension that disagrees
+    * with the index) are DROPPED per micro-batch by default
+    * (`dropMalformed = true`): the batch operators fail loudly on them
+    * — the right posture for a batch job — but inside `foreachBatch`
+    * that throw fails the stream, and a restart replays the same
+    * micro-batch from the checkpoint and throws again, forever; one
+    * poisoned row must not wedge serving (the posture
+    * `semDeDupStream`'s null tolerance already takes). Set it false to
+    * keep the fail-fast batch contract — every query served or the
+    * stream stops.
     */
   def ivfServeStream(queries: DataFrame, indexPath: String,
       qIdCol: String, qVecCol: String, k: Int, outPath: String,
       checkpoint: String, nProbe: Int = 2, rerank: Int = 100,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      dropMalformed: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.pipeline.Similarity
     import graft.pipeline.Similarity.IvfLayout
@@ -690,26 +708,31 @@ object StreamMask {
     // the same frame (the detectIvfLayout(fields) overload exists for
     // exactly this — an object-store index pays real latency per read)
     val corpus = spark.read.parquet(s"$indexPath/corpus")
-    val probe: DataFrame => DataFrame =
+    val (probe, dim): (DataFrame => DataFrame, Int) =
       Similarity.detectIvfLayout(corpus.schema.fieldNames.toSeq) match {
         case IvfLayout.Pq =>
           val (idx, cb) =
             Similarity.loadIvfPqIndex(spark, indexPath, corpus)
-          b => Similarity.queryIvfPqBatch(idx, cb, b, qIdCol, qVecCol, k,
-            nProbe, rerank)
+          ((b: DataFrame) => Similarity.queryIvfPqBatch(idx, cb, b,
+            qIdCol, qVecCol, k, nProbe, rerank),
+            idx.centroids.head.length)
         case IvfLayout.Int8 =>
           val idx = Similarity.loadIvfIndex(spark, indexPath, corpus)
-          b => Similarity.queryIvfInt8Batch(idx, b, qIdCol, qVecCol, k,
-            nProbe)
+          ((b: DataFrame) => Similarity.queryIvfInt8Batch(idx, b, qIdCol,
+            qVecCol, k, nProbe), idx.centroids.head.length)
         case IvfLayout.Float =>
           val idx = Similarity.loadIvfIndex(spark, indexPath, corpus)
-          b => Similarity.queryIvfBatch(idx, b, qIdCol, qVecCol, k,
-            nProbe)
+          ((b: DataFrame) => Similarity.queryIvfBatch(idx, b, qIdCol,
+            qVecCol, k, nProbe), idx.centroids.head.length)
       }
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = if (dropMalformed)
+          batch.filter(col(qVecCol).isNotNull
+            .and(size(col(qVecCol)) === dim))
+        else batch
         Similarity.withQueryPinScope {
-          ExactlyOnceSink.writeBatch(outPath)(probe(batch), batchId)
+          ExactlyOnceSink.writeBatch(outPath)(probe(b), batchId)
         }
         ()
       }

@@ -326,6 +326,54 @@ class StreamingMaskSpec extends SparkSpec {
     }
   }
 
+  test("ANN serving stream survives malformed query rows: null/wrong-" +
+      "dim vectors dropped per batch, valid queries still served") {
+    import graft.pipeline.Similarity
+    val base = Files.createTempDirectory("graft_serve_bad").toString
+    val emb = spark.read.parquet(s"$fixtures/embeddings.parquet")
+    val idxDir = s"$base/index"
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding"), idxDir)
+    val valid = emb.filter(col("vec_id") % 2 === 1)
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // one null vector and one wrong-dimension vector ride along —
+    // without the drop these are checkpoint-replayed poison (the probe
+    // UDF fail-fasts, foreachBatch throws, restart replays, forever)
+    val poisoned = valid
+      .unionAll(valid.limit(1).select(lit(90001L).as("q_id"),
+        lit(null).cast("array<float>").as("q_vec")))
+      .unionAll(valid.limit(1).select(lit(90002L).as("q_id"),
+        slice(col("q_vec"), 1, 3).as("q_vec")))
+    val in = s"$base/in"
+    poisoned.write.parquet(s"$in/f0")
+    val schema = spark.read.parquet(s"$in/f0").schema
+    def stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(in)
+    val out = s"$base/out"
+    val q = StreamMask.ivfServeStream(stream, idxDir, "q_id", "q_vec",
+      k = 5, outPath = out, checkpoint = s"$base/ckpt")
+    q.awaitTermination(120000)
+    val landed = spark.read.parquet(out)
+    val servedIds = landed.select("q_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val validIds = valid.select("q_id").collect().map(_.getLong(0)).toSet
+    assert(servedIds == validIds,
+      s"expected exactly the valid queries served, got $servedIds")
+    // the batch fail-fast posture stays available behind the opt-out
+    val ex = intercept[Throwable] {
+      StreamMask.ivfServeStream(stream, idxDir, "q_id", "q_vec",
+        k = 5, outPath = s"$base/out2", checkpoint = s"$base/ckpt2",
+        dropMalformed = false).awaitTermination(120000)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ chain(e.getCause))
+    assert(chain(ex).exists(m => m.contains("null vector") ||
+      m.contains("ANN query dim")), chain(ex))
+  }
+
   test("ANN serving stream resumes from its checkpoint: late queries " +
       "served on restart, earlier results untouched") {
     import graft.pipeline.Similarity
