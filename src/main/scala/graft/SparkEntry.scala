@@ -1825,6 +1825,99 @@ object SparkEntry {
           .as("n_short"))
   }
 
+  /** `q_nb_model`'s vocabulary cap — below the fixture corpus's
+    * ~31 distinct whitespace tokens on purpose, so the top-N cut and
+    * its (count DESC, token) tie-break actually execute.
+    */
+  private val nbMaxVocab = 24
+
+  /** Naive Bayes classifier TRAINING ([[graft.pipeline.Classify
+    * .pairCounts]]/[[graft.pipeline.Classify.docCounts]] — the
+    * distributed stage `train` collects): the (label, in-vocab token)
+    * count table plus per-label doc counts, every integer the model's
+    * probabilities derive from, value-oracled row by row — DuckDB
+    * re-tokenizes, re-caps the vocabulary with the identical
+    * (count DESC, token) tie-break, and re-counts per label.
+    */
+  private def qNbModel(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Classify
+    val d = docs(s, dir)
+    Classify.pairCounts(d, "lang", "text", Some(nbMaxVocab))
+      .join(Classify.docCounts(d, "lang")
+        .select(col("label"), col("docs").as("label_docs")), "label")
+      .select(col("label"), col("token"),
+        col("cnt").cast("bigint").as("cnt"),
+        col("label_docs").cast("bigint").as("label_docs"))
+      .orderBy("label", "token")
+  }
+
+  /** The NB CLASSIFICATION contract, in the `q_lm_score` parity style
+    * (per-label scores are sums of `math.log` doubles — no cross-engine
+    * SQL replays them bit-for-bit): every document's per-label score
+    * from the production broadcast-model closure
+    * ([[graft.pipeline.Classify.scoreUdf]]) must EXACTLY equal a second
+    * independent Spark derivation — posexplode the tokens, cross the
+    * label table, broadcast-join the model's STORED doubles
+    * ([[graft.pipeline.Classify.likDf]], OOV via coalesce), fold from
+    * the label's prior in position order (the scorer's documented
+    * left-to-right sum) — and the argmax labels (window: score desc,
+    * label asc = the scorer's strict-greater ascending scan) must agree
+    * with [[graft.pipeline.Classify.classifyUdf]] on every document.
+    * The oracle re-derives the doc and (doc × label) populations, so
+    * neither comparison can shrink.
+    */
+  private def qNbClassify(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Classify
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val model = Classify.train(d, "lang", "text", alpha = 1.0,
+      maxVocab = Some(nbMaxVocab))
+    val toks = TextOps.tokens(col("text"))
+    // production path: the serving closures
+    val prodPred = d.select(col("doc_id"),
+      Classify.classifyUdf(model)(toks).as("pred"))
+    val prodScores = model.labels.map { l =>
+      d.select(col("doc_id"), lit(l).as("label"),
+        Classify.scoreUdf(model, l)(toks).as("pscore"))
+    }.reduce(_ unionAll _)
+    // independent path: stored doubles joined + position-ordered fold;
+    // empty/no-token docs ride through posexplode_outer as a single
+    // null-token row whose 0.0 term leaves the prior untouched
+    val tokRows = d.select(col("doc_id"),
+      posexplode_outer(filter(toks, t => length(t) > 0))
+        .as(Seq("pos", "token")))
+    val lik = Classify.likDf(s, model)
+    val lab = Classify.labelDf(s, model)
+    val perLabel = tokRows.crossJoin(broadcast(lab))
+      .join(broadcast(lik), Seq("label", "token"), "left")
+      .withColumn("term", when(col("token").isNull, lit(0.0))
+        .otherwise(coalesce(col("log_lik"), col("log_oov"))))
+      .groupBy("doc_id", "label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("term"))))
+          .as("terms"),
+        first(col("log_prior")).as("lp"))
+      .select(col("doc_id"), col("label"),
+        aggregate(col("terms"), col("lp"),
+          (a, x) => a + x.getField("term")).as("score"))
+    val wp = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("label"))
+    val parityPred = perLabel
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("label").as("pred2"))
+    val predCmp = prodPred.join(parityPred, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === col("pred2"), 1L).otherwise(0L))
+          .as("n_pred_match"))
+    val scoreCmp = perLabel.join(prodScores, Seq("doc_id", "label"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("score") === col("pscore"), 1L).otherwise(0L))
+          .as("n_score_match"))
+    predCmp.crossJoin(scoreCmp)
+      .select(col("n_docs"), col("n_pred_match"), col("n_pairs"),
+        col("n_score_match"))
+  }
+
   /** The FULL Gopher filter ([[graft.pipeline.TextOps
     * .gopherRulesFull]]): the narrow rule table joined with the two
     * repetition caps (top-word share ≤ 0.11, duplicate-bigram fraction
@@ -2632,6 +2725,8 @@ object SparkEntry {
     "q_split" -> (qSplit _),
     "q_lm_model" -> (qLmModel _),
     "q_lm_score" -> (qLmScore _),
+    "q_nb_model" -> (qNbModel _),
+    "q_nb_classify" -> (qNbClassify _),
     "q_mix_plan" -> (qMixPlan _),
     "q_mix_domains" -> (qMixDomains _),
     "q_data_card" -> (qDataCard _),
@@ -4850,6 +4945,38 @@ object SparkEntry {
          |  CAST(COUNT(*) FILTER (WHERE length($normSql) < 3) AS BIGINT)
          |    AS n_short
          |FROM documents""".stripMargin,
+    "q_nb_model" ->
+      // every integer the NB probabilities derive from: re-tokenize,
+      // re-cap the vocabulary (count DESC, token — the shared trainer
+      // contract), re-count per (label, token), per-label doc counts
+      s"""WITH tok AS (SELECT lang AS label, unnest($toksSql) AS token
+         |  FROM documents),
+         |tf AS (SELECT label, token FROM tok WHERE length(token) > 0),
+         |vocab AS (SELECT token FROM tf GROUP BY token
+         |  ORDER BY COUNT(*) DESC, token LIMIT $nbMaxVocab),
+         |pc AS (SELECT label, token, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM tf WHERE token IN (SELECT token FROM vocab)
+         |  GROUP BY label, token),
+         |dc AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT)
+         |  AS label_docs FROM documents GROUP BY lang)
+         |SELECT pc.label, pc.token, pc.cnt, dc.label_docs
+         |FROM pc JOIN dc ON dc.label = pc.label
+         |ORDER BY pc.label, pc.token""".stripMargin,
+    "q_nb_classify" ->
+      // parity contract (the q_lm_score pattern): DuckDB re-derives the
+      // doc and doc×label populations; every per-label score and every
+      // argmax label from the two independent Spark paths must have
+      // matched exactly
+      s"""SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+         |    AS n_docs,
+         |  CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+         |    AS n_pred_match,
+         |  CAST((SELECT COUNT(*) FROM documents) *
+         |    (SELECT COUNT(DISTINCT lang) FROM documents) AS BIGINT)
+         |    AS n_pairs,
+         |  CAST((SELECT COUNT(*) FROM documents) *
+         |    (SELECT COUNT(DISTINCT lang) FROM documents) AS BIGINT)
+         |    AS n_score_match""".stripMargin,
     "q_split" -> {
       // every assignment replayed: the 48-bit bucket against the SAME
       // integer cut points (splitCuts), consecutive half-open ranges,

@@ -1,0 +1,202 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained document classification for curation pipelines — the
+  * "quality / domain classifier" slot the public LLM-data recipes fill
+  * with a linear bag-of-words model (fastText in CCNet, Joulin et al.
+  * 2016; a logistic classifier over reference-vs-crawl text in GPT-3's
+  * CommonCrawl filtering, Brown et al. 2020 appendix A): train on
+  * labeled documents, score every corpus document, gate or route on the
+  * predicted label. The model here is multinomial Naive Bayes with
+  * Laplace smoothing (McCallum & Nigam 1998) — the classical counted
+  * form of that slot, chosen because training IS one hash aggregation
+  * (label × token counts), so it distributes exactly like the tokenizer
+  * trainers: the corpus collapses to a vocabulary-bounded count table,
+  * only that reaches the driver, and serving is a narrow broadcast-model
+  * closure, stateless and streaming-safe.
+  *
+  * Every stored probability derives from exact integer counts via a
+  * pinned op order (int→double divide, then one `math.log`), so the
+  * whole model is reproducible from the count table — the `q_nb_model`
+  * gate value-checks those integers cross-engine, and `q_nb_classify`
+  * re-derives every document's per-label score through an independent
+  * in-query path (join + position-ordered fold over the SAME stored
+  * doubles) that must match the production closure bit-for-bit.
+  */
+object Classify {
+
+  /** A trained multinomial NB model. `labels` ascending (binary
+    * collation); `logLik(label)(token)` = ln((cnt + α) / (tot_label +
+    * α·|V|)); `logOov(label)` the same with cnt = 0 — any token outside
+    * the (possibly capped) vocabulary scores the smoothed floor, so
+    * serving never throws on unseen text. Driver/executor state is
+    * O(|labels|·|V|) doubles — vocabulary-bounded, never corpus-bounded.
+    */
+  final case class NbModel(labels: IndexedSeq[String],
+      logPrior: Map[String, Double],
+      logLik: Map[String, Map[String, Double]],
+      logOov: Map[String, Double]) {
+    require(labels.nonEmpty, "NbModel needs at least one label")
+
+    /** Position-ordered score of a tokenized document under one label —
+      * THE scoring definition (prior, then one add per non-empty token
+      * in document order). Exposed so the parity gate's independent
+      * fold provably replays the same sequence of IEEE adds.
+      */
+    def score(label: String, toks: Seq[String]): Double = {
+      val lik = logLik(label); val oov = logOov(label)
+      var s = logPrior(label)
+      toks.foreach { t =>
+        if (t.nonEmpty) s += lik.getOrElse(t, oov)
+      }
+      s
+    }
+
+    /** Predicted label: argmax score, ties to the SMALLER label (the
+      * ascending scan only replaces on a strictly greater score).
+      */
+    def classify(toks: Seq[String]): String = {
+      var best = labels.head
+      var bestScore = score(labels.head, toks)
+      var i = 1
+      while (i < labels.length) {
+        val s = score(labels(i), toks)
+        if (s > bestScore) { best = labels(i); bestScore = s }
+        i += 1
+      }
+      best
+    }
+  }
+
+  /** The distributed half of training, exposed as THE single
+    * definition the `q_nb_model` gate also renders: (label, in-vocab
+    * token) counts over `df`'s (`labelCol`, whitespace-tokenized
+    * `textCol`). The vocabulary is global, under the SAME deterministic
+    * cap contract every tokenizer family uses
+    * ([[graft.functions.BpeTrainer.cappedTypeCounts]] — top-`maxVocab`
+    * by (count DESC, token), codepoint ties) and rides into the count
+    * scan as a broadcast semi-join (a literal `isin` of the whole
+    * vocabulary would be the inline-literal JIT-cliff shape). Null
+    * labels raise loudly — a null routing class would silently absorb
+    * mass.
+    */
+  def pairCounts(df: DataFrame, labelCol: String, textCol: String,
+      maxVocab: Option[Int] = None): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val vocabDf = graft.functions.BpeTrainer
+      .cappedTypeCounts(df, toks, maxVocab)
+      .select(col("piece"))
+    df.select(labelGuard(labelCol).as("label"),
+        explode(toks).as("token"))
+      .filter(length(col("token")) > 0)
+      .join(broadcast(vocabDf), col("token") === col("piece"),
+        "left_semi")
+      .groupBy("label", "token").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-label document counts — the prior's integers. */
+  def docCounts(df: DataFrame, labelCol: String): DataFrame =
+    df.groupBy(labelGuard(labelCol).as("label"))
+      .agg(count(lit(1)).as("docs"))
+
+  private def labelGuard(labelCol: String): Column =
+    when(col(labelCol).isNull,
+        raise_error(lit("Classify: null label")))
+      .otherwise(col(labelCol).cast("string"))
+
+  /** Train on `df`'s (`labelCol`, tokenized `textCol`): collect the
+    * vocabulary-bounded [[pairCounts]] and [[docCounts]] tables (the
+    * cap bounds driver state on any corpus — the tokenizer trainers'
+    * collect contract) and assemble the model's doubles driver-side.
+    * Null/empty texts train as zero tokens and classify to the
+    * max-prior label, matching serving.
+    */
+  def train(df: DataFrame, labelCol: String, textCol: String,
+      alpha: Double = 1.0, maxVocab: Option[Int] = None): NbModel = {
+    require(alpha > 0.0, s"alpha must be > 0, got $alpha")
+    val pairs = pairCounts(df, labelCol, textCol, maxVocab).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toIndexedSeq
+    val dc = docCounts(df, labelCol).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every vocabulary token has corpus count >= 1, so it appears under
+    // at least one label: |V| = the pair table's distinct tokens
+    buildModel(dc, pairs, pairs.map(_._2).distinct.length.toLong, alpha)
+  }
+
+  /** The driver-side model assembly over exact integer counts —
+    * package-visible so specs can drive it on hand-built tables. Op
+    * order pinned: every log likelihood is
+    * `math.log((cnt + α) / (tot + α·V))` over int→double conversions.
+    */
+  private[graft] def buildModel(docCounts: Map[String, Long],
+      pairCounts: Seq[(String, String, Long)], vocabSize: Long,
+      alpha: Double): NbModel = {
+    require(docCounts.nonEmpty, "Classify.train: empty training frame")
+    val labels = docCounts.keysIterator.toIndexedSeq.sorted
+    val nDocs = docCounts.valuesIterator.sum
+    val logPrior = docCounts.map { case (l, n) =>
+      l -> math.log(n.toDouble / nDocs) }
+    val byLabel = pairCounts.groupBy(_._1)
+    val tokTotals = byLabel.view.mapValues(_.map(_._3).sum).toMap
+    def lik(label: String, cnt: Long): Double = {
+      val tot = tokTotals.getOrElse(label, 0L)
+      math.log((cnt + alpha) / (tot + alpha * vocabSize))
+    }
+    val logLik = labels.map { l =>
+      l -> byLabel.getOrElse(l, Seq.empty)
+        .map { case (_, t, c) => t -> lik(l, c) }.toMap
+    }.toMap
+    val logOov = labels.map(l => l -> lik(l, 0L)).toMap
+    NbModel(labels, logPrior, logLik, logOov)
+  }
+
+  /** The serving classifier as a narrow broadcast-model closure over
+    * the tokenized text (null array → null label, degrade-never-throw
+    * like the other serving UDFs) — stateless, so it attaches to a
+    * stream exactly like the tokenizer encode UDFs.
+    */
+  def classifyUdf(model: NbModel): Column => Column = {
+    val f = udf { (toks: Seq[String]) =>
+      if (toks == null) None else Some(model.classify(toks))
+    }
+    c => f(c)
+  }
+
+  /** Per-label document score as a closure UDF — the production half
+    * the parity gate compares against its independent in-query fold.
+    */
+  def scoreUdf(model: NbModel, label: String): Column => Column = {
+    require(model.labels.contains(label), s"unknown label $label")
+    val f = udf { (toks: Seq[String]) =>
+      if (toks == null) None else Some(model.score(label, toks))
+    }
+    c => f(c)
+  }
+
+  /** The model's stored per-token doubles as a frame — (`label`,
+    * `token`, `log_lik`) — so an INDEPENDENT query path can re-score
+    * documents by joining these very values (no re-derivation of the
+    * transcendentals) and folding them in position order. Pairs with
+    * [[labelDf]].
+    */
+  def likDf(spark: org.apache.spark.sql.SparkSession,
+      model: NbModel): DataFrame = {
+    import spark.implicits._
+    model.labels.flatMap { l =>
+      model.logLik(l).toSeq.sortBy(_._1).map { case (t, v) => (l, t, v) }
+    }.toDF("label", "token", "log_lik")
+  }
+
+  /** The model's per-label doubles — (`label`, `log_prior`,
+    * `log_oov`) — the other half of the parity join.
+    */
+  def labelDf(spark: org.apache.spark.sql.SparkSession,
+      model: NbModel): DataFrame = {
+    import spark.implicits._
+    model.labels.map(l => (l, model.logPrior(l), model.logOov(l)))
+      .toDF("label", "log_prior", "log_oov")
+  }
+}

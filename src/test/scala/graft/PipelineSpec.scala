@@ -2003,6 +2003,69 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("naive Bayes classifier: hand-computed model, OOV floor, argmax " +
+      "tie rule, vocab cap, null guards, narrow serving") {
+    import graft.pipeline.Classify
+    val s = spark
+    import s.implicits._
+    val labeled = Seq(
+      (1L, "a", "x y x"), (2L, "a", "x z"), (3L, "b", "z z y")
+    ).toDF("doc_id", "lab", "text")
+    val m = Classify.train(labeled, "lab", "text")
+    // counts: a -> x:3 y:1 z:1 (tot 5), b -> y:1 z:2 (tot 3), V = 3
+    assert(m.labels == IndexedSeq("a", "b"))
+    assert(m.logPrior("a") == math.log(2.0 / 3) &&
+      m.logPrior("b") == math.log(1.0 / 3))
+    assert(m.logLik("a") == Map("x" -> math.log(4.0 / 8),
+      "y" -> math.log(2.0 / 8), "z" -> math.log(2.0 / 8)))
+    assert(m.logLik("b") == Map("y" -> math.log(2.0 / 6),
+      "z" -> math.log(3.0 / 6)))
+    assert(m.logOov("a") == math.log(1.0 / 8) &&
+      m.logOov("b") == math.log(1.0 / 6))
+    // argmax: x-heavy text -> a, z-heavy -> b, OOV-only -> the floor
+    // comparison (a: ln(2/3)+ln(1/8) > b: ln(1/3)+ln(1/6) is false —
+    // both ln(1/12) and ln(1/18): a wins)
+    assert(m.classify(Seq("x", "x")) == "a")
+    assert(m.classify(Seq("z", "z")) == "b")
+    assert(m.classify(Seq("w")) == "a")
+    // empty docs score the prior alone -> max-prior label
+    assert(m.classify(Seq.empty) == "a")
+    assert(m.score("a", Seq.empty) == m.logPrior("a"))
+    // exact tie -> the SMALLER label (symmetric corpus, OOV query)
+    val sym = Classify.train(
+      Seq((1L, "b", "x"), (2L, "a", "y")).toDF("doc_id", "lab", "text"),
+      "lab", "text")
+    assert(sym.score("a", Seq("q")) == sym.score("b", Seq("q")))
+    assert(sym.classify(Seq("q")) == "a")
+    // vocab cap executes with the (count DESC, token) tie-break: top-2
+    // of x(3) z(3) y(2) keeps {x, z}; y becomes OOV everywhere
+    val capped = Classify.train(labeled, "lab", "text",
+      maxVocab = Some(2))
+    assert(capped.logLik("a").keySet == Set("x", "z") &&
+      capped.logLik("b").keySet == Set("z"))
+    // determinism
+    assert(Classify.train(labeled, "lab", "text") == m)
+    // null label raises; null text serves a null prediction
+    val exNull = intercept[Exception] {
+      Classify.train(Seq((1L, null.asInstanceOf[String], "x"))
+        .toDF("doc_id", "lab", "text"), "lab", "text")
+    }
+    assert(Iterator.iterate(exNull: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(5)
+      .exists(t => Option(t.getMessage).exists(_.contains("null label"))))
+    val preds = Seq((1L, "x y"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Classify.classifyUdf(m)(TextOps.tokens(col("text"))).as("pred"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(preds(1L).contains("a") && preds(2L).isEmpty)
+    // serving is a narrow projection: no Exchange in the plan
+    val plan = docs.select(
+        Classify.classifyUdf(m)(TextOps.tokens(col("text"))))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("split assignment: exhaustive, exclusive, deterministic, and " +
       "boundary-stable as fractions grow") {
     import graft.pipeline.Sampling
