@@ -527,10 +527,28 @@ object StreamMask {
       Seq(u(TextOps.normalize(col(textCol))).as("lm_score")))
   }
 
-  /** The ONE curation projection both [[curateStream]] overloads
-    * render (`scoreCols` slots extra score columns after `quality`) —
-    * a base-projection edit cannot desynchronize the plain and
-    * LM-scored paths, which are documented batch/stream equivalents.
+  /** [[curateStream]] with a trained classifier's routing label
+    * attached ([[graft.pipeline.Classify.classifyUdf]] over the same
+    * whitespace tokens training saw): `nb_label` rides next to
+    * `quality` — the streaming half of classifier-routed curation
+    * (filter or route on the predicted label downstream, the CCNet /
+    * GPT-3 quality-classifier slot). Narrow and stateless (the model
+    * rides as a broadcast closure), so batch equivalence and trigger
+    * freedom carry over.
+    */
+  def curateStream(docs: DataFrame, idCol: String, textCol: String,
+      nb: graft.pipeline.Classify.NbModel): DataFrame = {
+    import graft.pipeline.{Classify, TextOps}
+    curateProjection(docs, idCol, textCol,
+      Seq(Classify.classifyUdf(nb)(TextOps.tokens(col(textCol)))
+        .as("nb_label")))
+  }
+
+  /** The ONE curation projection every [[curateStream]] overload
+    * renders (`scoreCols` slots extra score columns after `quality`) —
+    * a base-projection edit cannot desynchronize the plain, LM-scored
+    * and classifier-routed paths, which are documented batch/stream
+    * equivalents.
     */
   private def curateProjection(docs: DataFrame, idCol: String,
       textCol: String, scoreCols: Seq[Column]): DataFrame = {

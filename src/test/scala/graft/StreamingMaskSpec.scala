@@ -108,6 +108,30 @@ class StreamingMaskSpec extends SparkSpec {
     assert(StreamMask.curateStream(
         spark.read.parquet(s"$dir/docs"), "doc_id", "text", lm)
       .filter(col("lm_score") =!= 0.0).count() > 0)
+    // the classifier-routed overload: stream == batch, and nb_label is
+    // exactly the broadcast model's own local verdict per document
+    val nb = graft.pipeline.Classify.train(
+      spark.read.parquet(s"$dir/docs"), "lang", "text")
+    val streamedNb = runToMemory(
+      StreamMask.curateStream(stream, "doc_id", "text", nb),
+      "curate_stream_nb", "append")
+      .collect().map(_.toString).sorted.toSeq
+    val batchNb = StreamMask.curateStream(
+        spark.read.parquet(s"$dir/docs"), "doc_id", "text", nb)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamedNb == batchNb)
+    val gotLabels = StreamMask.curateStream(
+        spark.read.parquet(s"$dir/docs"), "doc_id", "text", nb)
+      .select("doc_id", "nb_label").limit(50).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val toks = spark.read.parquet(s"$dir/docs")
+      .filter(col("doc_id").isInCollection(gotLabels.keys.toSeq))
+      .select(col("doc_id"),
+        graft.pipeline.TextOps.tokens(col("text")).as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    assert(toks.nonEmpty)
+    toks.foreach { case (id, tk) =>
+      assert(gotLabels(id) == nb.classify(tk), s"doc $id") }
   }
 
   test("streaming span decontamination + gopher gate equals the batch " +
