@@ -38,26 +38,51 @@ object Curation {
     *                      another narrow filter in the cheap stage,
     *                      BEFORE the shuffling dedup (the model rides as
     *                      a broadcast; `None` leaves behavior untouched)
+    * @param nbRoute       optional classifier routing (the CCNet /
+    *                      GPT-3 quality-classifier slot): keep only
+    *                      documents whose [[Classify.classifyUdf]]
+    *                      predicted label is in the kept set — a third
+    *                      narrow broadcast-model filter in the cheap
+    *                      stage; the label lands as `nb_label` (the
+    *                      streaming attach's column), so survivors can
+    *                      still be routed downstream
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       stratumCol: String, minQuality: Double = 0.3,
       dedupThreshold: Double = 0.8, mixRates: Map[String, Double] = Map.empty,
       defaultRate: Double = 1.0,
-      lmBand: Option[(TextOps.CharLm, Double, Double)] = None): DataFrame = {
+      lmBand: Option[(TextOps.CharLm, Double, Double)] = None,
+      nbRoute: Option[(Classify.NbModel, Set[String])] = None): DataFrame = {
     require(!docs.columns.contains("quality"),
       "input already has a quality column — rename it before curating")
     require(lmBand.isEmpty || !docs.columns.contains("lm_score"),
       "input already has an lm_score column — rename it before curating " +
         "with an LM band, or the pre-existing scores would be " +
         "silently overwritten and re-filtered under the new model")
+    require(nbRoute.isEmpty || !docs.columns.contains("nb_label"),
+      "input already has an nb_label column — rename it before curating " +
+        "with classifier routing, or the pre-existing labels would be " +
+        "silently overwritten and re-filtered under the new model")
+    nbRoute.foreach { case (model, keep) =>
+      val unknown = keep -- model.labels
+      require(unknown.isEmpty, s"nbRoute keeps label(s) " +
+        s"${unknown.mkString(", ")} the model cannot predict — " +
+        "that filter would silently drop every document")
+    }
     val heuristic = docs
       .withColumn("quality", TextOps.qualityScore(col(textCol)))
       .filter(col("quality") >= minQuality)
-    val quality = lmBand.fold(heuristic) { case (lm, lo, hi) =>
+    val banded = lmBand.fold(heuristic) { case (lm, lo, hi) =>
       val u = TextOps.lmScoreUdf(docs.sparkSession, lm)
       heuristic
         .withColumn("lm_score", u(TextOps.normalize(col(textCol))))
         .filter(col("lm_score") >= lo && col("lm_score") < hi)
+    }
+    val quality = nbRoute.fold(banded) { case (model, keep) =>
+      banded
+        .withColumn("nb_label",
+          Classify.classifyUdf(model)(TextOps.tokens(col(textCol))))
+        .filter(col("nb_label").isInCollection(keep.toSeq.sorted))
     }
     val scrubbed = quality
       .withColumn(textCol, TextOps.redactPii(col(textCol)))

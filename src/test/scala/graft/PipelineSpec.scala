@@ -1717,6 +1717,31 @@ class PipelineSpec extends SparkSpec {
     // …but a pre-existing lm_score is fine when no band re-scores it
     assert(Curation.curate(docs.withColumn("lm_score", lit(0.5)),
       "doc_id", "text", "lang").columns.contains("lm_score"))
+    // optional classifier routing: keeps exactly the docs the model
+    // labels into the kept set, lands the label for downstream routing
+    val nb = graft.pipeline.Classify.train(docs, "lang", "text")
+    val preds = docs.select(col("doc_id"),
+        graft.pipeline.Classify.classifyUdf(nb)(
+          TextOps.tokens(col("text"))).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keepLabels = Set("en", "de")
+    val routed = Curation.curate(docs, "doc_id", "text", "lang",
+      mixRates = Map("en" -> 1.0, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0,
+        "zh" -> 1.0), nbRoute = Some((nb, keepLabels)))
+      .collect()
+    assert(routed.nonEmpty && routed.length < rows.length)
+    routed.foreach { r =>
+      val label = r.getAs[String]("nb_label")
+      assert(keepLabels(label) &&
+        label == preds(r.getAs[Long]("doc_id")),
+        "nb_label must be the model's own pre-scrub verdict")
+    }
+    // guards: a label the model can't predict, a claimed column
+    intercept[IllegalArgumentException](Curation.curate(docs, "doc_id",
+      "text", "lang", nbRoute = Some((nb, Set("nope")))))
+    intercept[IllegalArgumentException](Curation.curate(
+      docs.withColumn("nb_label", lit("x")), "doc_id", "text", "lang",
+      nbRoute = Some((nb, keepLabels))))
   }
 
   test("semDeDup: within-cell pairs only, least-prototypical survivor, " +
