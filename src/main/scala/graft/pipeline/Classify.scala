@@ -199,4 +199,37 @@ object Classify {
     model.labels.map(l => (l, model.logPrior(l), model.logOov(l)))
       .toDF("label", "log_prior", "log_oov")
   }
+
+  /** Persist a trained model as two parquet sidecars (`$path/labels`,
+    * `$path/lik`) — the tokenizer families' vocab-persistence pattern:
+    * train once, serve from the artifact later. The stored doubles ARE
+    * the model (no retraining on load), so [[loadModel]] round-trips
+    * bit-exactly — spec-pinned.
+    */
+  def writeModel(spark: org.apache.spark.sql.SparkSession,
+      model: NbModel, path: String): Unit = {
+    labelDf(spark, model).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/labels")
+    likDf(spark, model).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/lik")
+  }
+
+  /** Load a model written by [[writeModel]]. Both sidecars are
+    * label/vocabulary-bounded — the collect contract every model load
+    * in this package shares.
+    */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): NbModel = {
+    val lab = spark.read.parquet(s"$path/labels").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    require(lab.nonEmpty, s"no labels found under $path/labels")
+    val lik = spark.read.parquet(s"$path/lik").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1)
+    NbModel(lab.map(_._1).toIndexedSeq.sorted,
+      lab.map(t => t._1 -> t._2).toMap,
+      lab.map(t => t._1 -> lik.getOrElse(t._1, Array.empty)
+        .map(x => x._2 -> x._3).toMap).toMap,
+      lab.map(t => t._1 -> t._3).toMap)
+  }
 }

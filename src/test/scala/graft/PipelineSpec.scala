@@ -2089,6 +2089,12 @@ class PipelineSpec extends SparkSpec {
         Classify.classifyUdf(m)(TextOps.tokens(col("text"))))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+    // persistence round-trips bit-exactly (the stored doubles ARE the
+    // model), including a label with an empty in-vocab row set
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_nb_model").toString
+    Classify.writeModel(spark, m, dir)
+    assert(Classify.loadModel(spark, dir) == m)
   }
 
   test("split assignment: exhaustive, exclusive, deterministic, and " +
