@@ -1206,22 +1206,28 @@ object SparkEntry {
     * q_bpe_ids already pins every id per position, so together the
     * assembled sequences are fully determined).
     */
-  /** The shared tokenize→pack→assemble chain of `q_pack_bins` and
-    * `q_pack_decode`: demo-vocabulary ids per document, offset-packed
-    * into 256-token bins per `lang` shard, assembled to one id array
-    * per (shard, bin).
+  /** The shared tokenize→pack→chunk PIECES frame (demo-vocabulary ids,
+    * 256-token budget per `lang` shard) behind every bin-assembly gate —
+    * ONE definition, so `q_epoch_shuffle`'s bin set cannot drift from
+    * `q_pack_bins`' when the vocabulary or budget changes.
     */
-  private def assembledBins(s: SparkSession, dir: String): DataFrame = {
+  private def chunkPieces(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{Bpe, BpeVocab}
     import graft.pipeline.Packing
     val v = BpeVocab(Bpe.demoEnglish, BpeVocab.asciiPrintable)
     val withIds = docs(s, dir).select("doc_id", "lang", "text")
       .withColumn("ids", Bpe.tokenIds(v)(TextOps.tokens(col("text"))))
-    val packed = Packing.packByOffset(withIds, "lang", "doc_id",
-      size(col("ids")).cast("long"), 256)
-    Packing.assembleBins(Packing.chunkSpans(packed, 256),
-      "lang", "doc_id", "ids")
+    Packing.chunkSpans(Packing.packByOffset(withIds, "lang", "doc_id",
+      size(col("ids")).cast("long"), 256), 256)
   }
+
+  /** The shared tokenize→pack→assemble chain of `q_pack_bins` and
+    * `q_pack_decode`: [[chunkPieces]] assembled to one id array per
+    * (shard, bin).
+    */
+  private def assembledBins(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Packing.assembleBins(chunkPieces(s, dir),
+      "lang", "doc_id", "ids")
 
   /** Deterministic epoch shuffle over the assembled bins: two epochs of
     * the same seed, each a seeded md5 permutation of the (shard, bin)
@@ -1237,18 +1243,12 @@ object SparkEntry {
     * set) are what is checked.
     */
   private def qEpochShuffle(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{Bpe, BpeVocab}
     import graft.pipeline.Packing
-    // the (shard, bin) KEY set straight off the chunk pieces — the same
-    // keys assembleBins groups by (same pieces frame), without leaning
+    // the (shard, bin) KEY set straight off the SHARED chunk-pieces
+    // frame — exactly the keys assembleBins groups by, without leaning
     // on the optimizer to prune the payload aggregate out of the two
     // epoch arms (the oracle derives its bin set the same way)
-    val v = BpeVocab(Bpe.demoEnglish, BpeVocab.asciiPrintable)
-    val withIds = docs(s, dir).select("doc_id", "lang", "text")
-      .withColumn("ids", Bpe.tokenIds(v)(TextOps.tokens(col("text"))))
-    val bins = Packing.chunkSpans(
-        Packing.packByOffset(withIds, "lang", "doc_id",
-          size(col("ids")).cast("long"), 256), 256)
+    val bins = chunkPieces(s, dir)
       .select(col("lang"), col("piece_bin").as("bin")).distinct()
     Seq(1, 2).map { ep =>
       bins.withColumn("epoch", lit(ep).cast("bigint"))

@@ -85,15 +85,21 @@ object Classify {
   def pairCounts(df: DataFrame, labelCol: String, textCol: String,
       maxVocab: Option[Int] = None): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
-    val vocabDf = graft.functions.BpeTrainer
-      .cappedTypeCounts(df, toks, maxVocab)
-      .select(col("piece"))
-    df.select(labelGuard(labelCol).as("label"),
+    val exploded = df
+      .select(labelGuard(labelCol).as("label"),
         explode(toks).as("token"))
       .filter(length(col("token")) > 0)
-      .join(broadcast(vocabDf), col("token") === col("piece"),
+    // uncapped, the vocabulary IS every non-empty token — the semi-join
+    // would filter nothing while broadcasting a corpus-bounded type
+    // table to the driver; only a real cap pays for the join
+    val inVocab = maxVocab.fold(exploded) { n =>
+      val vocabDf = graft.functions.BpeTrainer
+        .cappedTypeCounts(df, toks, Some(n))
+        .select(col("piece"))
+      exploded.join(broadcast(vocabDf), col("token") === col("piece"),
         "left_semi")
-      .groupBy("label", "token").agg(count(lit(1)).as("cnt"))
+    }
+    inVocab.groupBy("label", "token").agg(count(lit(1)).as("cnt"))
   }
 
   /** Per-label document counts — the prior's integers. */
@@ -131,11 +137,24 @@ object Classify {
     * order pinned: every log likelihood is
     * `math.log((cnt + α) / (tot + α·V))` over int→double conversions.
     */
+  /** Labels and vocabulary sort in CODEPOINT order (= Spark/DuckDB
+    * binary collation), NOT Java's UTF-16 code-unit order — the same
+    * divergence every trainer family pins (it matters only between
+    * [U+E000, U+FFFF] and astral labels, but the q_nb_classify argmax
+    * window ties under binary collation, so the scan order must match).
+    */
+  private val cpOrdering: Ordering[String] =
+    (a, b) => graft.functions.BpeTrainer.codepointCompare(a, b)
+
   private[graft] def buildModel(docCounts: Map[String, Long],
       pairCounts: Seq[(String, String, Long)], vocabSize: Long,
       alpha: Double): NbModel = {
     require(docCounts.nonEmpty, "Classify.train: empty training frame")
-    val labels = docCounts.keysIterator.toIndexedSeq.sorted
+    require(vocabSize > 0,
+      "Classify.train: empty vocabulary (all texts empty, or maxVocab " +
+        "= 0) — every likelihood denominator would be 0 and serving " +
+        "would silently route every document to the first label")
+    val labels = docCounts.keysIterator.toIndexedSeq.sorted(cpOrdering)
     val nDocs = docCounts.valuesIterator.sum
     val logPrior = docCounts.map { case (l, n) =>
       l -> math.log(n.toDouble / nDocs) }
@@ -226,7 +245,7 @@ object Classify {
     val lik = spark.read.parquet(s"$path/lik").collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
       .groupBy(_._1)
-    NbModel(lab.map(_._1).toIndexedSeq.sorted,
+    NbModel(lab.map(_._1).toIndexedSeq.sorted(cpOrdering),
       lab.map(t => t._1 -> t._2).toMap,
       lab.map(t => t._1 -> lik.getOrElse(t._1, Array.empty)
         .map(x => x._2 -> x._3).toMap).toMap,

@@ -745,9 +745,13 @@ object StreamMask {
       }
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // null elements INSIDE the vector are as poisonous as a null
+        // vector: the probe UDF takes Seq[Float], and the converter
+        // throws on a null element of a primitive-typed array
         val b = if (dropMalformed)
           batch.filter(col(qVecCol).isNotNull
-            .and(size(col(qVecCol)) === dim))
+            .and(size(col(qVecCol)) === dim)
+            .and(!exists(col(qVecCol), e => e.isNull)))
         else batch
         Similarity.withQueryPinScope {
           ExactlyOnceSink.writeBatch(outPath)(probe(b), batchId)

@@ -2095,6 +2095,28 @@ class PipelineSpec extends SparkSpec {
       .createTempDirectory("graft_nb_model").toString
     Classify.writeModel(spark, m, dir)
     assert(Classify.loadModel(spark, dir) == m)
+    // labels order in CODEPOINT order (the q_nb_classify argmax window
+    // ties under binary collation): U+E000 before U+1F600, though
+    // Java's UTF-16 compareTo says the opposite
+    val cpm = Classify.train(Seq(
+        (1L, "\uD83D\uDE00", "x"), (2L, "\uE000", "y"))
+      .toDF("doc_id", "lab", "text"), "lab", "text")
+    assert(cpm.labels == IndexedSeq("\uE000", "\uD83D\uDE00"))
+    // an empty vocabulary (all-blank texts) fails loudly instead of
+    // silently routing every document to the first label via +Inf
+    val exEmpty = intercept[Exception] {
+      Classify.train(Seq((1L, "a", " "), (2L, "b", ""))
+        .toDF("doc_id", "lab", "text"), "lab", "text")
+    }
+    assert(Iterator.iterate(exEmpty: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(5)
+      .exists(t => Option(t.getMessage)
+        .exists(_.contains("empty vocabulary"))))
+    // uncapped training skips the vocabulary semi-join entirely (it
+    // would broadcast a corpus-bounded type table to filter nothing)
+    val uncappedPlan = Classify.pairCounts(labeled, "lab", "text", None)
+      .queryExecution.executedPlan.toString
+    assert(!uncappedPlan.contains("BroadcastHashJoin"), uncappedPlan)
   }
 
   test("split assignment: exhaustive, exclusive, deterministic, and " +

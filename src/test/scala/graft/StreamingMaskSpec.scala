@@ -370,6 +370,12 @@ class StreamingMaskSpec extends SparkSpec {
         lit(null).cast("array<float>").as("q_vec")))
       .unionAll(valid.limit(1).select(lit(90002L).as("q_id"),
         slice(col("q_vec"), 1, 3).as("q_vec")))
+      // right length, null ELEMENT: the Seq[Float] converter throws on
+      // these too, so the drop filter must catch them as well
+      .unionAll(valid.limit(1).select(lit(90003L).as("q_id"),
+        transform(col("q_vec"), (e, i) =>
+          when(i === 0, lit(null).cast("float")).otherwise(e))
+          .as("q_vec")))
     val in = s"$base/in"
     poisoned.write.parquet(s"$in/f0")
     val schema = spark.read.parquet(s"$in/f0").schema
@@ -394,8 +400,12 @@ class StreamingMaskSpec extends SparkSpec {
     def chain(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e =>
         Option(e.getMessage).toSeq ++ chain(e.getCause))
+    // whichever poisoned row the scheduler hits first fails the stream:
+    // the probe's own requires (null vector / dim) or the Seq[Float]
+    // converter's null-element assert — all equally loud
     assert(chain(ex).exists(m => m.contains("null vector") ||
-      m.contains("ANN query dim")), chain(ex))
+      m.contains("ANN query dim") ||
+      m.contains("NOT_NULL_ASSERT_VIOLATION")), chain(ex))
   }
 
   test("ANN serving stream resumes from its checkpoint: late queries " +
