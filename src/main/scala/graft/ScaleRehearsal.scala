@@ -198,12 +198,17 @@ object ScaleRehearsal {
     *
     *  - a `text` column has every word prefixed with a per-copy
     *    CYRILLIC marker (`ж` + the copy index with each digit mapped to
-    *    а..к) so copies share no word types. The marker must be
-    *    letters — a digit inside would make the GPT-2 pre-tokenizer
-    *    split the word back into (marker, digits, ORIGINAL word) and
-    *    quietly undo the distinctness for the tokenizer type table —
-    *    and its script must be absent from the corpus so no marked word
-    *    can collide with an original (asserted, not assumed);
+    *    а..к) so copies share no LETTER word types, and ASCII digit
+    *    runs TRANSLATE to a per-copy decimal-digit block (Devanagari,
+    *    Bengali, … — still `\p{N}+` to the GPT-2 pre-tokenizer) so
+    *    numeric tokens and the grams/shingles spanning them are
+    *    distinct per copy too. The letter marker must be letters — a
+    *    digit inside would make the pre-tokenizer split the word back
+    *    into (marker, digits, ORIGINAL word) and quietly undo the
+    *    distinctness for the tokenizer type table — and both the
+    *    marker script and the used digit blocks must be absent from
+    *    the corpus so nothing marked collides with an original
+    *    (asserted, not assumed);
     *  - an `embedding` column is ROTATED by `1 + (i−1) mod (dim−1)`
     *    positions, with a SIGN FLIP on every wrap — norm-preserving
     *    but direction-changing (2·(dim−1) distinct directions,
@@ -218,16 +223,41 @@ object ScaleRehearsal {
     * the N× one. Repartitioned so the scaled input has real parallelism
     * rather than N files of clones back to back.
     */
+  /** Per-copy decimal-digit blocks (all BMP, Unicode category Nd, so
+    * the GPT-2 pre-tokenizer still sees one `\p{N}+` run): copy `i`'s
+    * ASCII digits translate to block `i−1`'s digits, making numeric
+    * tokens — and every gram/shingle spanning them — distinct per copy
+    * too. Letter marking alone left digit-heavy text byte-identical
+    * across copies, i.e. partially clone mode under the distinct label.
+    */
+  private val DigitBlocks: IndexedSeq[Char] = IndexedSeq(
+    '०', '০', '੦', '૦', '୦', '௦',
+    '౦', '೦', '൦', '๐', '໐', '༠',
+    '၀', '០', '᠐')
+
+  private def copyDigits(i: Int): String =
+    (0 until 10).map(dd => (DigitBlocks(i - 1) + dd).toChar).mkString
+
   private def inflate(spark: SparkSession, src: String, dst: String,
       idCol: String, factor: Int, cpus: Int,
       distinctCopies: Boolean): Unit = {
     val d = spark.read.parquet(src)
     val cols = d.columns.toSet
     val shift = d.agg(max(col(idCol))).head().getLong(0) + 1
-    if (distinctCopies && cols("text"))
+    if (distinctCopies && cols("text")) {
       require(d.filter(col("text").rlike("[Ѐ-ӿ]")).isEmpty,
         s"$src contains Cyrillic text — the distinct-mode marker would " +
           "collide; pick a script absent from the corpus")
+      require(factor - 1 <= DigitBlocks.length,
+        s"factor $factor exceeds the ${DigitBlocks.length} per-copy " +
+          "digit blocks — copies would share numeric tokens again")
+      val usedBlocks = (1 until factor)
+        .map(i => { val b = DigitBlocks(i - 1); s"$b-${(b + 9).toChar}" })
+        .mkString("[", "", "]")
+      require(d.filter(col("text").rlike(usedBlocks)).isEmpty,
+        s"$src contains digits from a per-copy block ($usedBlocks) — " +
+          "translated numeric tokens would collide with originals")
+    }
     // embedding rotation bounds, validated LOUDLY (head row's dim; the
     // fixtures are uniform-dim): dim 1 has no distinct rotation at all
     // (and pmod-by-zero would silently null every copy), and a factor
@@ -253,7 +283,9 @@ object ScaleRehearsal {
           val marked =
             if (cols("text"))
               keyed.withColumn("text",
-                regexp_replace(col("text"), "(\\p{L}+)", marker(i) + "$1"))
+                regexp_replace(
+                  translate(col("text"), "0123456789", copyDigits(i)),
+                  "(\\p{L}+)", marker(i) + "$1"))
             else keyed
           if (cols("embedding")) {
             val e = col("embedding")
