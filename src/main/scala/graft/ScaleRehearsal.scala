@@ -245,18 +245,22 @@ object ScaleRehearsal {
     val cols = d.columns.toSet
     val shift = d.agg(max(col(idCol))).head().getLong(0) + 1
     if (distinctCopies && cols("text")) {
-      require(d.filter(col("text").rlike("[Ѐ-ӿ]")).isEmpty,
-        s"$src contains Cyrillic text — the distinct-mode marker would " +
-          "collide; pick a script absent from the corpus")
       require(factor - 1 <= DigitBlocks.length,
         s"factor $factor exceeds the ${DigitBlocks.length} per-copy " +
           "digit blocks — copies would share numeric tokens again")
-      val usedBlocks = (1 until factor)
-        .map(i => { val b = DigitBlocks(i - 1); s"$b-${(b + 9).toChar}" })
-        .mkString("[", "", "]")
-      require(d.filter(col("text").rlike(usedBlocks)).isEmpty,
-        s"$src contains digits from a per-copy block ($usedBlocks) — " +
-          "translated numeric tokens would collide with originals")
+      // ONE precondition scan: the Cyrillic marker script AND every
+      // non-ASCII decimal digit must be absent — the latter subsumes
+      // the per-copy target blocks (translated tokens can't collide
+      // with originals) and catches source digits `translate` cannot
+      // remap (an Arabic-Indic or fullwidth numeral would stay
+      // byte-identical across copies: partially clone mode under the
+      // distinct label)
+      require(d.filter(col("text")
+          .rlike("[Ѐ-ӿ]|[\\p{Nd}&&[^0-9]]")).isEmpty,
+        s"$src contains Cyrillic text or non-ASCII decimal digits — " +
+          "the distinct-mode letter marker would collide, or numeric " +
+          "tokens outside the ASCII translation would stay shared " +
+          "across copies")
     }
     // embedding rotation bounds, validated LOUDLY (head row's dim; the
     // fixtures are uniform-dim): dim 1 has no distinct rotation at all

@@ -205,7 +205,8 @@ object Classify {
       model: NbModel): DataFrame = {
     import spark.implicits._
     model.labels.flatMap { l =>
-      model.logLik(l).toSeq.sortBy(_._1).map { case (t, v) => (l, t, v) }
+      model.logLik(l).toSeq.sortBy(_._1)(cpOrdering)
+        .map { case (t, v) => (l, t, v) }
     }.toDF("label", "token", "log_lik")
   }
 
