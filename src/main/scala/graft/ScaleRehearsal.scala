@@ -238,8 +238,8 @@ object ScaleRehearsal {
   private def copyDigits(i: Int): String =
     (0 until 10).map(dd => (DigitBlocks(i - 1) + dd).toChar).mkString
 
-  private def inflate(spark: SparkSession, src: String, dst: String,
-      idCol: String, factor: Int, cpus: Int,
+  private[graft] def inflate(spark: SparkSession, src: String,
+      dst: String, idCol: String, factor: Int, cpus: Int,
       distinctCopies: Boolean): Unit = {
     val d = spark.read.parquet(src)
     val cols = d.columns.toSet
