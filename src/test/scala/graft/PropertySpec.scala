@@ -555,4 +555,44 @@ class PropertySpec extends SparkSpec {
       decoded == word && segs.mkString == word
     })
   }
+
+  test("property: NB classifier — priors and per-label likelihoods " +
+      "normalize, OOV is the floor, training is partitioning-invariant") {
+    import graft.pipeline.Classify
+    val s = spark
+    import s.implicits._
+    val wordGen = SGen.choose(1, 3).flatMap(l =>
+      SGen.listOfN(l, SGen.oneOf('x', 'y', 'z', 'w')).map(_.mkString))
+    val docGen = for {
+      label <- SGen.oneOf("a", "b", "c")
+      n <- SGen.choose(1, 6)
+      ws <- SGen.listOfN(n, wordGen)
+    } yield (label, ws.mkString(" "))
+    val gen = SGen.choose(3, 12).flatMap(n => SGen.listOfN(n, docGen))
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((l, t), i) => (i.toLong, l, t) }
+        .toDF("doc_id", "lab", "text")
+      val m = Classify.train(df, "lab", "text")
+      // exp(priors) sum to 1 (exact integer ratios through one log/exp)
+      val priorSum = m.labels.map(l => math.exp(m.logPrior(l))).sum
+      val priorsOk = math.abs(priorSum - 1.0) < 1e-9
+      // per label: seen likelihoods + (V - seen)·oov normalize to 1 —
+      // the multinomial mass over the shared vocabulary
+      val vocab = m.logLik.values.flatMap(_.keys).toSet
+      val likOk = m.labels.forall { l =>
+        val seen = m.logLik(l)
+        val mass = seen.values.map(math.exp).sum +
+          (vocab.size - seen.size) * math.exp(m.logOov(l))
+        math.abs(mass - 1.0) < 1e-9
+      }
+      // OOV floor: no in-vocab likelihood is below the label's OOV
+      // (every counted token has cnt >= 1 > 0)
+      val floorOk = m.labels.forall(l =>
+        m.logLik(l).values.forall(_ > m.logOov(l)))
+      // exact integer counts make training invariant to partitioning
+      val repart = Classify.train(df.repartition(7), "lab", "text")
+      priorsOk && likOk && floorOk && repart == m
+    })
+  }
 }
