@@ -751,6 +751,40 @@ object SparkEntry {
       .when(col("doc_id") % 3 === 1, lit("?"))
       .otherwise(lit("")))
 
+  // the synthetic page shell `q_html_extract` wraps each document in —
+  // head with a title, a script whose body holds stray < > operators, a
+  // style block, a comment, a nav list, a heading, and an entity-laden
+  // footer incl. a double-escaped entity. Shared VERBATIM by the Spark
+  // construction and the oracle rendering, so shell edits cannot drift
+  private val htmlShellA = "<html><head><title>Doc "
+  private val htmlShellB = "</title><script type=\"text/javascript\">" +
+    "var n = 1 < 2 && 2 > 1;</script><style>p { color: #333 }</style>" +
+    "</head><body><!-- header boilerplate --><div class=\"nav\"><ul>" +
+    "<li>Home</li><li><a href=\"/about?x=1&amp;y=2\">About</a></li>" +
+    "</ul></div><h1>Doc "
+  private val htmlShellC = "</h1><p>"
+  private val htmlShellD = "</p><div class=\"footer\">Contact " +
+    "&quot;Sales&quot; &amp; &lt;Support&gt;&nbsp;&#39;24/7&#39; " +
+    "&amp;lt;raw&amp;gt;</div></body></html>"
+
+  /** HTML → text extraction ([[graft.pipeline.TextOps.stripHtml]] —
+    * the WET-style step 0 before the C4/CCNet line operators): each
+    * fixture document is wrapped in the realistic page shell IN-QUERY,
+    * then extracted. DuckDB rebuilds the same shell and replays the
+    * shared [[graft.pipeline.TextOps.htmlStripChain]] pattern for
+    * pattern, so the extracted text — head/script/style/comment
+    * removal, block-boundary line breaks, entity decode incl. the
+    * double-escape rule, whitespace normalization — is value-oracled
+    * byte-for-byte.
+    */
+  private def qHtmlExtract(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        TextOps.stripHtml(concat(lit(htmlShellA),
+          col("doc_id").cast("string"), lit(htmlShellB),
+          col("doc_id").cast("string"), lit(htmlShellC), col("text"),
+          lit(htmlShellD))).as("extracted"))
+      .orderBy("doc_id")
+
   private def qC4Rules(s: SparkSession, dir: String): DataFrame = {
     val pages = docs(s, dir)
       .select((col("doc_id") % 25).as("page_id"), col("doc_id"),
@@ -2680,6 +2714,7 @@ object SparkEntry {
     "q_gopher_rules" -> (qGopherRules _),
     "q_gopher_full" -> (qGopherFull _),
     "q_c4_rules" -> (qC4Rules _),
+    "q_html_extract" -> (qHtmlExtract _),
     "q_c4_ccnet" -> (qC4Ccnet _),
     "q_repetition" -> (qRepetition _),
     "q_pii" -> (qPii _),
@@ -4298,6 +4333,21 @@ object SparkEntry {
          |FROM feat JOIN rep ON rep.doc_id = feat.doc_id
          |ORDER BY feat.doc_id""".stripMargin,
     // C4: pages rebuilt line-for-line with the same doc_id-keyed
+    "q_html_extract" -> {
+      // rebuild the SAME shell, replay the SAME strip chain pattern by
+      // pattern (the shared htmlStripChain constants rendered as RE2 —
+      // the chain is written in the Java∩RE2 subset for exactly this)
+      def lit(x: String) = s"'${x.replace("'", "''")}'"
+      val html = s"${lit(htmlShellA)} || CAST(doc_id AS VARCHAR) || " +
+        s"${lit(htmlShellB)} || CAST(doc_id AS VARCHAR) || " +
+        s"${lit(htmlShellC)} || text || ${lit(htmlShellD)}"
+      val stripped = TextOps.htmlStripChain.foldLeft(html) {
+        case (e, (p, r)) =>
+          s"regexp_replace($e, ${lit(p)}, ${lit(r)}, 'g')"
+      }
+      s"""SELECT doc_id, $stripped AS extracted
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     // injections, then the full decision table — line keeps, cleaned
     // text (byte-compared), sentence counts, page verdicts
     "q_c4_rules" ->

@@ -619,6 +619,60 @@ object TextOps {
     regexp_count(text, lit(ipv4Re)).cast("bigint").as("n_ips"),
     regexp_count(text, lit(phoneRe)).cast("bigint").as("n_phones"))
 
+  /** HTML → text extraction as an IN-ORDER (pattern, replacement)
+    * chain, written in the Java∩RE2 subset (non-greedy dotall blocks,
+    * character classes, `\b` — no lookaround, no backreferences) so
+    * [[stripHtml]] and the `q_html_extract` oracle render the
+    * byte-identical chain. The shape is the classic regex extractor
+    * every crawl pipeline starts from (the WET-style step 0 BEFORE
+    * C4/CCNet line rules):
+    *
+    *  1. `<head>`, `<script>`, `<style>` blocks drop WITH their content
+    *     (titles/metadata/code are not corpus text);
+    *  2. comments drop;
+    *  3. block-level boundaries (`p`, `br`, `div`, `li`, headings,
+    *     table rows, blockquote — `\b`-anchored so `<pre>` is not a
+    *     `<p>`) become line breaks, so downstream LINE operators (C4
+    *     rules, CCNet line dedup) see real lines;
+    *  4. every remaining tag drops (an attribute `>` inside quotes is
+    *     the documented regex-extractor limitation);
+    *  5. the named entities real boilerplate uses decode, `&amp;` LAST
+    *     so double-escaped entities render as their literal text
+    *     (`&amp;lt;` → `&lt;`, never `<`);
+    *  6. whitespace normalizes: space runs collapse, spaces trim around
+    *     line breaks, blank-line runs collapse, ends trim.
+    */
+  val htmlStripChain: Seq[(String, String)] = Seq(
+    "(?is)<head[^>]*>.*?</head>" -> " ",
+    "(?is)<script[^>]*>.*?</script>" -> " ",
+    "(?is)<style[^>]*>.*?</style>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    "(?i)</?(p|br|div|li|ul|ol|h[1-6]|tr|table|blockquote)\\b[^>]*>" ->
+      "\n",
+    "<[^>]*>" -> " ",
+    "&nbsp;" -> " ",
+    "&quot;" -> "\"",
+    "&#39;" -> "'",
+    "&apos;" -> "'",
+    "&lt;" -> "<",
+    "&gt;" -> ">",
+    "&amp;" -> "&",
+    "[ \\t]+" -> " ",
+    " ?\\n ?" -> "\n",
+    "\\n{2,}" -> "\n",
+    "^\\s+|\\s+$" -> "")
+
+  /** Extract readable text from an HTML column — the [[htmlStripChain]]
+    * folded as a pure `regexp_replace` chain: codegen'd, narrow,
+    * scan-speed, streaming-safe; value-oracled byte-for-byte by
+    * `q_html_extract`. Plain non-HTML text passes through with only
+    * whitespace normalization.
+    */
+  def stripHtml(html: Column): Column =
+    htmlStripChain.foldLeft(html) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
+
   /** Repetition statistics per document — the classic corpus-curation
     * repetition signals (high duplicate-n-gram or single-word dominance
     * marks generated/boilerplate text): token count, distinct-token count,
