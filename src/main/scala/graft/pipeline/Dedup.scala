@@ -23,6 +23,36 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** What an against-index probe does when a probed cell's LANDED
+    * population exceeds `maxCell` (the quadratic-cell guard of the
+    * SemDeDup family).
+    *
+    *  - [[HotCellPolicy.Fail]] — throw. The batch posture: a job stops,
+    *    the operator re-runs after the index is re-clustered; nothing
+    *    lands under-deduplicated.
+    *  - [[HotCellPolicy.Skip]] — skip the dedup CHECK for rows probing
+    *    a hot cell: they pass through unfiltered and the skipped cells
+    *    are logged loudly with their populations. The STREAMING
+    *    posture (mirroring `ivfServeStream`'s `dropMalformed`): a
+    *    throw inside `foreachBatch` replays the same micro-batch from
+    *    the checkpoint and throws again, forever, and the remedy —
+    *    re-clustering the index — cannot be performed from inside a
+    *    wedged stream. Under-dedup of a few rows, surfaced and
+    *    repairable by the next batch re-cluster, beats wedged ingest.
+    */
+  sealed trait HotCellPolicy
+  object HotCellPolicy {
+    /** Throw on a hot probed cell (the batch default). */
+    case object Fail extends HotCellPolicy
+    /** Pass rows probing a hot cell through unchecked, log the cells
+      * (the streaming default — see [[graft.streaming.StreamMask
+      * .semDeDupStream]]).
+      */
+    case object Skip extends HotCellPolicy
+  }
+
   /** Content hash of the normalized document text. */
   def contentHash(text: Column): Column = md5(TextOps.normalize(text))
 
@@ -321,13 +351,16 @@ object Dedup {
     * cells its batch touches regardless of corpus size. The join is
     * the cell equi-join again, never corpus-wide. `maxCell` bounds the
     * CORPUS side of the probed cells, as [[semDeDupPairs]]' guard does
-    * — a batch probing a runaway-hot landed cell fails loudly (the
-    * remedy is re-clustering / compaction with more cells) instead of
-    * silently stalling every ingest trigger on a quadratic cell.
+    * — a batch probing a runaway-hot landed cell fails loudly by
+    * default (the remedy is re-clustering / compaction with more
+    * cells) instead of silently stalling every ingest trigger on a
+    * quadratic cell; `onHotCell` picks the posture ([[HotCellPolicy]])
+    * when failing is worse than under-checking, i.e. inside a stream.
     */
   def semDeDupPairsAgainstIndex(idx: Similarity.IvfIndex,
       batch: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, maxCell: Option[Int] = None): DataFrame = {
+      threshold: Double, maxCell: Option[Int] = None,
+      onHotCell: HotCellPolicy = HotCellPolicy.Fail): DataFrame = {
     // pinned (not a bare localCheckpoint): the blocks register in the
     // shared query-pin machinery, so a long-running consumer drains
     // each batch's pins via Similarity.withQueryPinScope exactly as the
@@ -336,26 +369,55 @@ object Dedup {
     // contract): they can be semantic duplicates of nothing, so they
     // drop out of the pair probe here — and survive semDeDupFilterBatch
     // untouched, matching the self-join form's tolerance — instead of
-    // NPE-ing the cell collect (which would kill a long-running
+    // NPE-ing the cell scan (which would kill a long-running
     // semDeDupStream on one malformed row)
     val b = Similarity.pinnedFrame(Similarity.assignCells(idx,
         batch.select(col(idCol), col(vecCol)), vecCol)
       .filter(col("__cell").isNotNull)
       .select(col("__cell").as("cell"), col(idCol).as("id_b"),
         col(vecCol).as("__vb")))
-    val cells = b.select("cell").distinct().collect().map(_.getInt(0))
-    maxCell.foreach { m =>
-      idx.assigned.filter(col("__cell").isin(cells.toIndexedSeq: _*))
-        .groupBy("__cell").agg(count(lit(1)).as("n"))
-        .filter(col("n") > m).orderBy(col("n").desc).head(1)
-        .foreach(r => throw new IllegalArgumentException(
-          s"semDeDup probed cell ${r.getInt(0)} holds ${r.getLong(1)} " +
-            s"landed vectors (> maxCell = $m) — every ingest batch " +
-            "probing it would pay a quadratic cell; re-cluster the " +
-            "index with more cells"))
+    // the corpus restricted to the batch's probed cells — a broadcast
+    // semi-join on the pinned batch's distinct cells, partition-pruned
+    // at runtime on a loadIvfIndex layout (probedCellScan), replacing
+    // the collected inline-literal IN whose tree grew with the probed
+    // set under the "nCells ∝ corpus" contract
+    val probedCorpus =
+      Similarity.probedCellScan(idx.assigned, b.select("cell"))
+    // hot-cell guard (opt-in): the probed cells whose LANDED population
+    // exceeds maxCell — each would make every batch probing it pay a
+    // quadratic cell. Eager and bounded: only over-threshold cells (a
+    // pathology, not a population) come back to the driver.
+    val hot: Array[(Int, Long)] = maxCell match {
+      case Some(m) =>
+        probedCorpus.groupBy("__cell").agg(count(lit(1)).as("n"))
+          .filter(col("n") > m).orderBy(col("n").desc)
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+      case None => Array.empty
     }
-    val a = idx.assigned
-      .filter(col("__cell").isin(cells.toIndexedSeq: _*))
+    if (hot.nonEmpty) onHotCell match {
+      case HotCellPolicy.Fail =>
+        val (c, n) = hot.head
+        throw new IllegalArgumentException(
+          s"semDeDup probed cell $c holds $n landed vectors " +
+            s"(> maxCell = ${maxCell.get}) — every ingest batch " +
+            "probing it would pay a quadratic cell; re-cluster the " +
+            "index with more cells")
+      case HotCellPolicy.Skip =>
+        log.warn("semDeDup: SKIPPING the dedup check for {} hot " +
+          "cell(s) over maxCell = {} — {}; batch rows probing them " +
+          "pass through UNCHECKED (possible under-dedup) until the " +
+          "index is re-clustered with more cells",
+          hot.length, maxCell.get,
+          hot.map { case (c, n) => s"cell $c: $n landed" }
+            .mkString(", "))
+    }
+    val checked =
+      if (hot.isEmpty) probedCorpus
+      // hot set: a handful of pathological cells, never a population —
+      // the literal stays bounded
+      else probedCorpus
+        .filter(!col("__cell").isInCollection(hot.map(_._1).toSeq))
+    val a = checked
       .select(col("__cell").as("cell"), col(idx.idCol).as("id_a"),
         col(idx.vecCol).as("__va"))
     a.join(b, "cell")
@@ -381,10 +443,14 @@ object Dedup {
     */
   def semDeDupFilterBatch(idx: Similarity.IvfIndex, batch: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
-      maxCell: Option[Int] = None): DataFrame = {
+      maxCell: Option[Int] = None,
+      onHotCell: HotCellPolicy = HotCellPolicy.Fail): DataFrame = {
     val pinned = Similarity.pinnedFrame(batch)
+    // under HotCellPolicy.Skip, rows probing a hot cell form no pairs
+    // (their cell is excluded from the corpus side), so they survive
+    // this anti-join untouched — pass-through-and-log, never a wedge
     val dup = semDeDupPairsAgainstIndex(idx, pinned, idCol, vecCol,
-        threshold, maxCell)
+        threshold, maxCell, onHotCell)
       .select(col("id_b").as(idCol)).distinct()
     pinned.join(dup, Seq(idCol), "left_anti")
   }

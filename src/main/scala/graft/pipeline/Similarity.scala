@@ -360,6 +360,20 @@ object Similarity {
   private def probeCells(idx: IvfIndex, query: Seq[Float],
       nProbe: Int): Seq[Int] = probeCellsOf(idx.centroids, query, nProbe)
 
+  /** The SINGLE-query probe predicate: a literal `IN` over the
+    * driver-ranked probe cells. Deliberately NOT the [[probedCellScan]]
+    * semi-join the batch/against-index paths use: here the list is
+    * bounded by the caller's `nProbe` (a per-query constant — the
+    * corpus-proportional nCells never reaches this site outside an
+    * explicit full-probe parity call, which is a deliberate full scan),
+    * a planning-time literal gives STATIC partition pruning with no
+    * runtime subquery, and past the optimizer's In→InSet threshold the
+    * executed form is one set probe — never generated code linear in
+    * the list.
+    */
+  private def probeFilter(probes: Seq[Int]): Column =
+    col("__cell").isInCollection(probes)
+
   /** Query a built index: rank the query's `nProbe` nearest cells on the
     * driver (O(nCentroids) work), scan only those cells, exact cosine +
     * TakeOrdered inside them.
@@ -368,7 +382,7 @@ object Similarity {
       nProbe: Int = 2): DataFrame = {
     val probes = probeCells(idx, query, nProbe)
     idx.assigned
-      .filter(col("__cell").isin(probes: _*))
+      .filter(probeFilter(probes))
       .withColumn("cosine", cosine(col(idx.vecCol), vecLit(query)))
       .orderBy(col("cosine").desc, col(idx.idCol))
       .limit(k)
@@ -395,10 +409,10 @@ object Similarity {
     * cell id, result ties toward the lower corpus id.
     *
     * NOTE: the call itself runs a small eager job (it checkpoints the
-    * thin query projection and collects the probed-cell union used to
-    * prune the corpus scan) — the returned frame is lazy, the probe-set
-    * derivation is not. The query frame may be non-deterministic; it is
-    * materialised exactly once.
+    * thin query projection) — the returned frame is lazy, the corpus
+    * pruning happens inside it ([[probedCellScan]]: one broadcast of
+    * the distinct probed cells, partition-pruned at runtime). The query
+    * frame may be non-deterministic; it is materialised exactly once.
     *
     * Output: query id (as `qIdCol`), all corpus columns, `cosine`.
     */
@@ -479,31 +493,51 @@ object Similarity {
     f(col("__qv"))
   }
 
-  /** The union of cells any query probes — a TINY eager job over the
-    * query frame (result ≤ min(|queries|·nProbe, nCentroids) ints).
-    * Joining the corpus on `__cell` alone cannot prune partitions at
-    * the source (a filter can't cross a join without runtime pruning);
-    * materialising the probed-cell set and filtering the corpus with a
-    * literal `isin` BEFORE the join turns the candidate scan into a
-    * partition-pruned read of exactly the probed cells' files on a
-    * [[writeIvfIndex]]-family layout — the difference between reading
-    * `|probed cells|` and the whole corpus per batch.
+  /** Restrict a `__cell`-carrying corpus to the cells of `cells` (any
+    * thin one-column frame of cell ids) by a BROADCAST left-semi join —
+    * THE probed-cell prefilter of every against-index plan (batch ANN,
+    * incremental semantic dedup). Joining the corpus on `__cell` alone
+    * cannot prune partitions at the source (a filter can't cross a join
+    * without runtime pruning), and the previous form — collect the cell
+    * set, filter with an inline-literal `IN` — re-created the
+    * JIT-cliff / giant-analysis-tree shape under the "nCells grows with
+    * the corpus" contract: a worst-case batch probes millions of cells
+    * and the literal list becomes the plan. The semi-join broadcasts
+    * the distinct cell ids (ints — a few MB even at millions of cells,
+    * never the query vectors) and keeps the file skip through DYNAMIC
+    * partition pruning: on a [[writeIvfIndex]]-family layout Spark
+    * derives the `__cell` partition filter from the reused broadcast at
+    * runtime (`dynamicpruningexpression` in the scan, spec-asserted),
+    * so a probe still reads exactly the probed cells' files — the
+    * difference between `|probed cells|` and the whole corpus per
+    * batch — with no driver round-trip and no literal tree.
     *
-    * Callers MUST pass an already-materialised query frame (see
-    * [[pinnedQueryFrame]]): this union and the downstream lazy plan read
-    * the frame independently, and if a non-deterministic source
-    * (sampling, rand, a re-read of changing data) re-evaluated between
-    * the two, a query could probe a cell the `isin` prefilter excluded —
-    * silently dropping its candidates.
+    * The `>= 0` guard is load-bearing, not defensive: cell ids are
+    * centroid indices (non-negative by construction), and the
+    * comparison predicate is what marks the broadcast side "selective"
+    * to the optimizer's partition-pruning rule — a bare distinct
+    * projection would not qualify and the scan would read every cell.
+    *
+    * Callers MUST pass cells derived from an already-materialised query
+    * frame (see [[pinnedQueryFrame]]): the semi-join build and the
+    * downstream candidate plan read the frame independently, and if a
+    * non-deterministic source re-evaluated between the two, a query
+    * could probe a cell the prefilter excluded — silently dropping its
+    * candidates.
     */
-  private def probedCellUnion(q: DataFrame, idx: IvfIndex,
-      nProbe: Int): Seq[Int] =
-    q.select(explode(probeCellsExpr(idx, nProbe)).as("__probe"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+  private[pipeline] def probedCellScan(corpus: DataFrame,
+      cells: DataFrame): DataFrame = {
+    val c = cells
+      .select(col(cells.columns.head).cast("int").as("__probe_cell"))
+      .filter(col("__probe_cell") >= 0)
+      .distinct()
+    corpus.join(broadcast(c), col("__cell") === col("__probe_cell"),
+      "left_semi")
+  }
 
   /** The internal (`__qid`, `__qv`) query projection, pinned with an
-    * eager localCheckpoint so every consumer — the probed-cell union's
-    * collect, the candidate explode, the rerank join — reads the SAME
+    * eager localCheckpoint so every consumer — the probed-cell
+    * semi-join's build, the candidate explode, the rerank join — reads the SAME
     * materialised rows. The checkpoint is what makes the batch paths
     * safe on non-deterministic query frames; it is thin (id + vector)
     * and batch-sized by construction, so the eager job is cheap.
@@ -602,10 +636,10 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     // internal names so query columns can never collide with corpus ones
     val q = pinnedQueryFrame(queries, qIdCol, qVecCol)
-    val cells = probedCellUnion(q, idx, nProbe)
+    val cellsDf = q.select(explode(probeCellsExpr(idx, nProbe)).as("__probe"))
     val candidates = q
       .withColumn("__probe", explode(probeCellsExpr(idx, nProbe)))
-      .join(idx.assigned.filter(col("__cell").isInCollection(cells)),
+      .join(probedCellScan(idx.assigned, cellsDf),
         col("__probe") === col("__cell"))
       .withColumn("cosine", score)
     val w = Window.partitionBy("__qid")
@@ -887,7 +921,7 @@ object Similarity {
   def queryIvfPq(idx: IvfIndex, cb: Pq.PqCodebooks, query: Seq[Float],
       k: Int, nProbe: Int = 2, rerank: Int = 100): DataFrame = {
     val probes = probeCells(idx, query, nProbe)
-    val cells = idx.assigned.filter(col("__cell").isin(probes: _*))
+    val cells = idx.assigned.filter(probeFilter(probes))
     val surviving = cells
       .select(col(idx.idCol),
         Pq.approxDot(cb, query)(col(PqCodesCol)).as("pq_score"))
@@ -950,7 +984,7 @@ object Similarity {
     // array<double>, the query literal array<float> — the codegen'd
     // cosine_sim widens per element exactly like the portable fold
     idx.assigned
-      .filter(col("__cell").isin(probes: _*))
+      .filter(probeFilter(probes))
       .withColumn("cosine",
         cosine(dequantize(col(Int8CodesCol), col(Int8ScaleCol)),
           vecLit(query)))
@@ -989,9 +1023,9 @@ object Similarity {
     * so on a single query this EQUALS [[queryIvfPq]], and with `rerank`
     * ≥ the probed cells' row count it equals [[queryIvfBatch]].
     *
-    * NOTE: like [[queryIvfBatch]], the call runs a small eager job
-    * (query-projection checkpoint + probed-cell union collect) before
-    * returning the lazy result frame.
+    * NOTE: like [[queryIvfBatch]], the call runs a small eager job (the
+    * query-projection checkpoint) before returning the lazy result
+    * frame; corpus pruning rides inside it via [[probedCellScan]].
     *
     * Output: query id (as `qIdCol`), all corpus columns except the
     * internals (`__cell`, codes), `pq_score` of the survivor, `cosine`.
@@ -1046,12 +1080,13 @@ object Similarity {
       .withColumn("__lut", lut)
       .withColumn("__probe", explode(probes))
       .select("__qid", "__lut", "__probe")
-    // the probed-cell union (tiny eager job) prunes BOTH corpus scans
-    // at the source — see probedCellUnion
-    val cells = probedCellUnion(q, idx, nProbe)
+    // the probed-cell semi-join prunes BOTH corpus scans at the source
+    // (one broadcast of the distinct cell ids, reused by the exchange
+    // reuse rule and by dynamic partition pruning) — see probedCellScan
+    val cellsDf = q.select(explode(probes).as("__probe"))
     // candidate scan: (id, cell, codes) only — floats stay on disk
     val candidates = probed.join(
-      idx.assigned.filter(col("__cell").isInCollection(cells))
+      probedCellScan(idx.assigned, cellsDf)
         .select(col(idx.idCol), col("__cell"), col(PqCodesCol)),
       col("__probe") === col("__cell"))
     val adc = (0 until cb.m).map { j =>
@@ -1073,7 +1108,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idx.idCol))
     survivors
       .join(q, "__qid")
-      .join(idx.assigned.filter(col("__cell").isInCollection(cells))
+      .join(probedCellScan(idx.assigned, cellsDf)
         .drop(PqCodesCol), Seq("__cell", idx.idCol))
       .withColumn("cosine", cosine(col(idx.vecCol), col("__qv")))
       .withColumn("__rnk", row_number().over(wK))

@@ -787,13 +787,27 @@ object StreamMask {
     * Int8/PQ layouts are rejected loudly: dedup scores exact cosines
     * against the landed floats, and a quantized layout would silently
     * change which documents survive.
+    *
+    * A probed cell over `maxCell` follows `onHotCell`
+    * ([[graft.pipeline.Dedup.HotCellPolicy]]) — default SKIP here,
+    * inverting the batch operator's Fail default for the same reason
+    * [[ivfServeStream]] defaults `dropMalformed = true`: the guard's
+    * throw inside `foreachBatch` would replay the same micro-batch
+    * from the checkpoint and throw again, forever, and the remedy
+    * (re-cluster the index) cannot run from inside a wedged stream.
+    * Under Skip, rows probing a hot cell land UNCHECKED (the cells and
+    * their populations are logged loudly each affected batch); set
+    * `HotCellPolicy.Fail` to keep the batch contract — every landed
+    * row dedup-checked or the stream stops. Spec-pinned both ways.
     */
   def semDeDupStream(vectors: DataFrame, indexPath: String,
       idCol: String, vecCol: String, threshold: Double, outPath: String,
       checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      maxCell: Option[Int] = None)
+      maxCell: Option[Int] = None,
+      onHotCell: graft.pipeline.Dedup.HotCellPolicy =
+        graft.pipeline.Dedup.HotCellPolicy.Skip)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.pipeline.{Dedup, Similarity}
     val spark = vectors.sparkSession
@@ -811,7 +825,7 @@ object StreamMask {
         Similarity.withQueryPinScope {
           ExactlyOnceSink.writeBatch(outPath)(
             Dedup.semDeDupFilterBatch(idx, batch, idCol, vecCol,
-              threshold, maxCell), batchId)
+              threshold, maxCell, onHotCell), batchId)
         }
         ()
       }

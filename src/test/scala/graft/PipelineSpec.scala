@@ -1321,6 +1321,8 @@ class PipelineSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*__cell[^\\]]*IN".r
       .findFirstIn(plan).isDefined,
       s"no __cell partition filter in the int8 batch plan:\n$plan")
+    assert(plan.contains("dynamicpruning"),
+      s"probed-cell file skip must ride dynamic partition pruning:\n$plan")
     val batch = batchDf
       .select("query_id", "vec_id", "cosine").collect()
       .groupBy(_.getLong(0))
@@ -1356,11 +1358,15 @@ class PipelineSpec extends SparkSpec {
     assert("ReadSchema: struct<vec_id:[^,]+,__codes".r
       .findFirstIn(plan).isDefined,
       s"candidate scan did not prune to id+codes:\n$plan")
-    // and the probed-cell union prunes the corpus scans at the SOURCE
-    // (an equi-join alone cannot push partition filters)
+    // and the probed-cell semi-join prunes the corpus scans at the
+    // SOURCE via DYNAMIC partition pruning (an equi-join alone cannot
+    // push partition filters; the broadcast cell set is reused as the
+    // runtime filter — no inline-literal cell list anywhere)
     assert("PartitionFilters: \\[[^\\]]*__cell[^\\]]*IN".r
       .findFirstIn(plan).isDefined,
       s"no __cell partition filter in the batch plan:\n$plan")
+    assert(plan.contains("dynamicpruning"),
+      s"probed-cell file skip must ride dynamic partition pruning:\n$plan")
     // tight rerank: per-query equality with the single-query composed path
     val batch = batchDf
       .select("query_id", "vec_id", "cosine").collect()
@@ -1875,11 +1881,14 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2))).toSet == got)
     val oneCell = Dedup.semDeDupPairsAgainstIndex(loaded,
       batch.filter(col("vec_id") === 8L), "vec_id", "embedding", 0.75)
-    // a single probed cell prunes to an equality partition filter (IN
-    // for multi-cell batches, as the other layout specs assert)
-    assert("PartitionFilters: \\[[^\\]]*__cell[^\\]]*(IN|=)".r
-      .findFirstIn(oneCell.queryExecution.executedPlan.toString)
-      .isDefined, oneCell.queryExecution.executedPlan.toString)
+    // the probed-cell semi-join reaches the scan as a DYNAMIC partition
+    // filter (the broadcast cell set reused as the runtime filter) —
+    // the file skip survives with no inline-literal cell list
+    val oneCellPlan = oneCell.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*__cell[^\\]]*IN".r
+      .findFirstIn(oneCellPlan).isDefined, oneCellPlan)
+    assert(oneCellPlan.contains("dynamicpruning"),
+      s"probe file skip must ride dynamic partition pruning:\n$oneCellPlan")
   }
 
   test("semDeDupFilterBatch pins a non-deterministic batch once: the " +

@@ -520,6 +520,74 @@ class StreamingMaskSpec extends SparkSpec {
     assert(ex.getMessage.contains("float"))
   }
 
+  test("streaming semantic dedup hot-cell posture: Skip passes hot-cell " +
+      "rows through and keeps serving across a checkpoint restart; Fail " +
+      "keeps the batch contract and stops the stream") {
+    import graft.pipeline.{Dedup, Similarity}
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_semhot").toString
+    // nCells = 2, seeds from ids 0/1: cell 0 = the x-axis family (ONE
+    // landed vector), cell 1 = the y-axis family (FIVE landed vectors)
+    // — maxCell = 3 makes cell 1 the poisoned hot cell
+    val corpus = (Seq(
+        0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0f, 1f, 0f, 0f)) ++
+      (2L to 5L).map(i => i -> Seq(0f, 1f, i * 0.01f, 0f)))
+      .toDF("vec_id", "embedding")
+    val idxDir = s"$base/index"
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(corpus, "vec_id", "embedding", 2), idxDir)
+    // f0: 100 is an EXACT duplicate probing the hot cell (unchecked
+    // under Skip — passes through), 101 a near-dup of the cold cell
+    // (checked — dropped), 102 a cold-cell non-dup (checked — kept)
+    val f0 = Seq(
+      100L -> Seq(0f, 1f, 0f, 0f),
+      101L -> Seq(1f, 0.01f, 0f, 0f),
+      102L -> Seq(0.8f, -0.6f, 0f, 0f)).toDF("vec_id", "embedding")
+    // f1 (arrives after a restart): same three outcomes again
+    val f1 = Seq(
+      103L -> Seq(1f, -0.01f, 0f, 0f),
+      104L -> Seq(0f, 1f, 0.02f, 0f)).toDF("vec_id", "embedding")
+    val in = s"$base/in"
+    f0.write.parquet(s"$in/f0")
+    val schema = spark.read.parquet(s"$in/f0").schema
+    def stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(in)
+    val out = s"$base/out"
+    def serve(): Unit =
+      StreamMask.semDeDupStream(stream, idxDir, "vec_id", "embedding",
+        threshold = 0.9, outPath = out, checkpoint = s"$base/ckpt",
+        maxCell = Some(3)).awaitTermination(120000)
+    // default posture is Skip: the poisoned cell must NOT wedge the run
+    serve()
+    def landedIds = spark.read.parquet(out).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(landedIds == Set(100L, 102L),
+      s"Skip: hot-cell row passes UNCHECKED, cold dup drops, " +
+        s"cold non-dup keeps — got $landedIds")
+    // a restart from the same checkpoint serves the late file — the
+    // wedge (replay → throw → replay) is exactly what must not happen
+    f1.write.parquet(s"$in/f1")
+    serve()
+    assert(landedIds == Set(100L, 102L, 104L),
+      s"restart must keep serving under Skip — got $landedIds")
+    // Fail keeps the batch operator's contract: the guard stops the
+    // stream loudly (every landed row dedup-checked, or nothing lands)
+    val ex = intercept[Throwable] {
+      StreamMask.semDeDupStream(stream, idxDir, "vec_id", "embedding",
+        threshold = 0.9, outPath = s"$base/out2",
+        checkpoint = s"$base/ckpt2", maxCell = Some(3),
+        onHotCell = Dedup.HotCellPolicy.Fail).awaitTermination(120000)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ chain(e.getCause))
+    assert(chain(ex).exists(_.contains("maxCell")), chain(ex))
+    // and nothing landed under Fail — no partial unchecked batch
+    assert(!new java.io.File(s"$base/out2").exists() ||
+      spark.read.parquet(s"$base/out2").isEmpty)
+  }
+
   test("deterministic sampling on a stream equals the batch sample") {
     import graft.pipeline.Sampling
     val sampled = runToMemory(
