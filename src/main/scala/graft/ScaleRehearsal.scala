@@ -25,30 +25,38 @@ import org.apache.spark.sql.functions._
   *    plan quality.
   *
   * Usage: `runMain graft.ScaleRehearsal <sfDir> <workDir> [factor]
-  * [modes]` (factor defaults 10; modes a comma list, default
+  * [modes] [queries]` (factor defaults 10; modes a comma list, default
   * `distinct,clone,relational` — the third rehearses the reference
   * masking core over an FK-consistent TPC-H inflation, see
-  * [[RelQueries]]; SPARK_GRAFT_CPUS as in Bench). Run it ALONE — a
-  * concurrent Spark JVM skews the base pass. Prints one JSON line per
-  * (mode, query) — ratio = scaled/base, `null` (with a negative
-  * elapsed-seconds sentinel) on failure — then a summary per mode.
+  * [[RelQueries]]; `queries` an optional comma list restricting the
+  * run to a subset of a mode's query set, for iterating on one row
+  * without re-timing the whole board; SPARK_GRAFT_CPUS as in Bench).
+  * Run it ALONE — a concurrent Spark JVM skews the base pass. Prints
+  * one JSON line per (mode, query) — ratio = scaled/base, `null` (with
+  * a negative elapsed-seconds sentinel) on failure — then a summary
+  * per mode.
   */
 object ScaleRehearsal {
 
-  /** The thirteen bench cost leaders at sf0.1 (BENCH_r14), one per
-    * heavy family: substring dedup (gram agg + interval cut), winnowing
-    * overlap, MinHash LSH pairs, near-dup clustering (pointer jumping),
-    * index append probe, span decontamination, the composed curation
-    * chain, the WordPiece train→encode gate, the two batch ANN serving
-    * layouts, and the three SemDeDup forms (transform, pair scan,
-    * against-index ingest probe).
+  /** The bench cost leaders at sf0.1, one per heavy family: substring
+    * dedup (gram agg + interval cut), winnowing overlap, MinHash LSH
+    * pairs, near-dup clustering (pointer jumping), index append probe,
+    * span decontamination, the composed curation chain, the WordPiece
+    * train→encode gate, the two batch ANN serving layouts, the
+    * SemDeDup forms (transform — fixed and AUTO-SIZED quantizer — pair
+    * scan, against-index ingest probe), and the next cost tier
+    * (BENCH_r16 1–3 s band): BPE/WordPiece id encoding, token windows,
+    * the epoch shuffle's corpus-wide sort, and first-fit-decreasing
+    * bin packing.
     */
   private val Queries = Seq(
     "q_substring_dedup", "q_winnow_overlap", "q_dedup_near",
     "q_dedup_clusters", "q_dedup_append", "q_decontaminate_spans",
     "q_curation", "q_wordpiece_encode_tokens", "q_ivf_pq_batch",
-    "q_sim_ivf_batch", "q_semdedup", "q_semdedup_pairs",
-    "q_semdedup_incr")
+    "q_sim_ivf_batch", "q_semdedup", "q_semdedup_auto",
+    "q_semdedup_pairs", "q_semdedup_incr",
+    "q_bpe_ids", "q_wordpiece_ids", "q_token_windows",
+    "q_epoch_shuffle", "q_pack_bins")
 
   /** The reference masking core + relational leaders, rehearsed over an
     * FK-CONSISTENT inflation: facts (lineitem/orders/customer) grow N×
@@ -153,8 +161,16 @@ object ScaleRehearsal {
         s""""geomean_ratio_over_factor":${math.exp(geo / math.max(n, 1))},""" +
         s""""queries_ok":$n,"queries_total":${qs.size}}""")
     }
+    val only = args.lift(4)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- Queries.toSet -- RelQueries.toSet
+      require(unknown.isEmpty, s"unknown rehearsal queries: " +
+        s"${unknown.mkString(", ")}")
+    }
     modes.foreach { mode =>
-      runMode(mode, if (mode == "relational") RelQueries else Queries)
+      val qs = if (mode == "relational") RelQueries else Queries
+      runMode(mode, only.fold(qs)(o => qs.filter(o)))
     }
     spark.stop()
   }

@@ -1701,6 +1701,23 @@ object SparkEntry {
       .select("vec_id", "label")
       .orderBy("vec_id")
 
+  /** [[qSemdedup]] under the PRODUCTION quantizer sizing
+    * ([[graft.pipeline.Dedup.semDeDupAuto]]): nCells = ⌈n / 24⌉ from
+    * the corpus COUNT instead of a hand-picked constant — the helper
+    * that closes the "nCells grows with the corpus" contract, so at
+    * 100× the corpus the cell count grows 100× and per-cell pair work
+    * stays flat. The oracle re-derives the count, the ceiling divide,
+    * the seed cut at that size and the whole survivor chain, so a
+    * drifted sizing rule reds the row. `kmeansIters` pinned 0 here
+    * (the bit-reproducible oracle path; the API default is > 0, where
+    * cell balance outranks seed reproducibility).
+    */
+  private def qSemdedupAuto(s: SparkSession, dir: String): DataFrame =
+    Dedup.semDeDupAuto(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, targetCell = 24, kmeansIters = 0)
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+
   /** Incremental SemDeDup ([[graft.pipeline.Dedup
     * .semDeDupPairsAgainstIndex]]): the odd-vec_id half arrives as an
     * ingest batch and probes the even-half index under its FROZEN
@@ -2752,6 +2769,7 @@ object SparkEntry {
     "q_embed_dedup" -> (qEmbedDedup _),
     "q_semdedup_pairs" -> (qSemdedupPairs _),
     "q_semdedup" -> (qSemdedup _),
+    "q_semdedup_auto" -> (qSemdedupAuto _),
     "q_semdedup_incr" -> (qSemdedupIncr _),
     "q_curation_sem" -> (qCurationSem _),
     "q_quantize" -> (qQuantize _),
@@ -3436,13 +3454,21 @@ object SparkEntry {
        |    dp / (sqrt(na) * sqrt(nb)) AS cosine
        |  FROM dots WHERE dp / (sqrt(na) * sqrt(nb)) >= 0.3)""".stripMargin
 
-  private val semDedupCtes =
+  /** [[semDedupCtes]] with the quantizer SIZE pluggable — `centLimit`
+    * lands in the seed cut's LIMIT, so the `q_semdedup_auto` oracle can
+    * re-derive the production sizing rule (⌈count/target⌉ as a scalar
+    * subquery) while `q_semdedup` keeps the fixed 16.
+    */
+  private def semDedupCtesWith(centLimit: String): String =
     s"""corpus AS (SELECT vec_id, embedding FROM embeddings),
        |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-       |         embedding AS ce FROM corpus ORDER BY vec_id LIMIT 16),
+       |         embedding AS ce FROM corpus ORDER BY vec_id
+       |         LIMIT $centLimit),
        |${semAssignCtes("corpus", "")},
        |${semPairCtes("assign", "corpus", "assign", "corpus",
           "b.vec_id > a.vec_id")}""".stripMargin
+
+  private val semDedupCtes = semDedupCtesWith("16")
 
   /** The SemDeDup SURVIVOR derivation over a `pairs`/`ad` chain:
     * recursive min-reachable components (q_dedup_clusters' closure),
@@ -5397,6 +5423,16 @@ object SparkEntry {
       // as q_dedup_clusters), then the paper's survivor rule — shared
       // with q_curation_sem via semSurvivorCtes
       s"""WITH RECURSIVE $semDedupCtes,
+         |$semSurvivorCtes
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY e.vec_id""".stripMargin,
+    "q_semdedup_auto" ->
+      // the q_semdedup chain under the PRODUCTION sizing rule: the seed
+      // cut's LIMIT is ⌈count/24⌉ re-derived from the corpus itself —
+      // the same integer the Spark side computes in semDeDupAutoCells
+      s"""WITH RECURSIVE ${semDedupCtesWith(
+           "(SELECT CAST(CEIL(COUNT(*) / 24.0) AS BIGINT) FROM embeddings)")},
          |$semSurvivorCtes
          |SELECT e.vec_id, e.label FROM embeddings e
          |WHERE e.vec_id NOT IN (SELECT id FROM dropped)

@@ -331,6 +331,42 @@ object Dedup {
       .select("cell", "id_a", "id_b", "cosine")
   }
 
+  /** Production sizing for the SemDeDup quantizer — the helper that
+    * closes the "nCells grows with the corpus" scale contract (the
+    * pair work is Σcellᵢ²/2, linear only while cells stay
+    * ~constant-sized): nCells = ⌈n / targetCell⌉ from ONE count
+    * aggregate over `df`. A plain `count()` rather than an approximate
+    * sketch on purpose: on a raw parquet scan Spark answers it from
+    * footer metadata, on a derived frame it is one narrow pass — and
+    * the result is DETERMINISTIC, so a sized run (and its oracle) is
+    * reproducible, which a sampled estimate would break; any nCells
+    * within a small factor of the target keeps the pair work linear,
+    * so there is nothing for an approximation to buy.
+    */
+  def semDeDupAutoCells(df: DataFrame, targetCell: Int = 4096): Int = {
+    require(targetCell > 0, s"targetCell must be > 0, got $targetCell")
+    val n = df.count()
+    math.max(1, ((n + targetCell - 1) / targetCell).toInt)
+  }
+
+  /** [[semDeDup]] with the quantizer SIZED from the corpus
+    * ([[semDeDupAutoCells]]) instead of a hand-picked nCells — the
+    * entry point a production run should use: at 100× the corpus the
+    * cell count grows 100×, per-cell pair work stays ~flat, and
+    * `kmeansIters` defaults > 0 because at auto-sized cell counts cell
+    * BALANCE (what bounds the worst cell, and with it `maxCell`
+    * headroom) matters more than the bit-reproducibility of the raw
+    * lowest-id seeds — pass 0 to pin the oracle path. Pairs naturally
+    * with a `maxCell` of a small multiple of `targetCell`: under
+    * auto-sizing an over-target cell is genuine skew, not mis-sizing.
+    */
+  def semDeDupAuto(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, targetCell: Int = 4096, kmeansIters: Int = 2,
+      maxCell: Option[Int] = None): DataFrame =
+    semDeDup(df, idCol, vecCol, threshold,
+      nCells = semDeDupAutoCells(df, targetCell), kmeansIters = kmeansIters,
+      maxCell = maxCell)
+
   /** Incremental SemDeDup — [[semDeDupPairs]]'s AGAINST-INDEX form, the
     * ingest-time question "is this new document semantically a
     * duplicate of anything already landed?" answered without

@@ -1805,6 +1805,44 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("semDeDupAuto sizes the quantizer from the corpus: " +
+      "nCells = ceil(n/target), growth tracks the corpus, " +
+      "and the sized run equals the hand-sized one") {
+    import graft.pipeline.Dedup
+    val s = spark
+    import s.implicits._
+    val vecs = embeddings.select("vec_id", "embedding")
+    val n = vecs.count()
+    // the sizing rule is the exact integer ceiling
+    assert(Dedup.semDeDupAutoCells(vecs, 24) ==
+      ((n + 23) / 24).toInt)
+    assert(Dedup.semDeDupAutoCells(vecs, Int.MaxValue) == 1,
+      "a target beyond the corpus floors at one cell")
+    intercept[IllegalArgumentException](
+      Dedup.semDeDupAutoCells(vecs, 0))
+    // nCells grows WITH the corpus — the scale contract the manual
+    // parameter could not enforce: 10x the rows, ~10x the cells
+    val tenX = (0 until 10).map(i =>
+        vecs.withColumn("vec_id", col("vec_id") + lit(i * 100000L)))
+      .reduce(_ unionAll _)
+    assert(Dedup.semDeDupAutoCells(tenX, 24) ==
+      ((10 * n + 23) / 24).toInt)
+    // the sized entry point IS semDeDup at the derived nCells (same
+    // seeds, same survivor rule) — auto-sizing changes no semantics
+    val auto = Dedup.semDeDupAuto(embeddings, "vec_id", "embedding",
+        threshold = 0.3, targetCell = 24, kmeansIters = 0)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val manual = Dedup.semDeDup(embeddings, "vec_id", "embedding",
+        threshold = 0.3, nCells = Dedup.semDeDupAutoCells(vecs, 24))
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(auto.nonEmpty && auto == manual)
+    // and the default posture trains the quantizer (kmeansIters > 0):
+    // balance over seed reproducibility in production
+    val sized = Dedup.semDeDupAuto(embeddings, "vec_id", "embedding",
+      threshold = 0.3, targetCell = 240)
+    assert(sized.count() > 0)
+  }
+
   test("centroid assignment edges: exact cosine ties break to the " +
       "higher cell, zero vectors (NaN cosines) outrank, nulls assign null") {
     import graft.pipeline.Similarity
