@@ -1969,6 +1969,52 @@ object SparkEntry {
         col("n_score_match"))
   }
 
+  /** The half/half cut `q_nb_eval` trains and evaluates across — named
+    * once so the query and its oracle share the exact 48-bit integer
+    * cut point (the q_split contract).
+    */
+  private val nbEvalSplit = Seq("train" -> 0.5, "eval" -> 0.5)
+
+  /** The NB classifier's HELD-OUT evaluation — the `q_ann_recall` twin
+    * for the classifier slot: the parity gates prove the math, this
+    * row measures whether the trained model actually routes documents.
+    * Train on the deterministic `train` half of a [[nbEvalSplit]] cut
+    * ([[graft.pipeline.Sampling.splitAssign]] — pure function of
+    * doc_id, integer cut points), serve the held-out half through the
+    * production closure ([[graft.pipeline.Classify.classifyUdf]]), and
+    * report the confusion matrix (true label × predicted label ×
+    * document count). DuckDB re-derives EVERYTHING independently: the
+    * split, the capped train-half vocabulary, every count/prior/
+    * likelihood/OOV floor, each held-out document's position-ordered
+    * score fold (list_reduce seeded with the prior — the scorer's
+    * documented left-to-right sum), the argmax (score DESC, label ASC
+    * = the scorer's strict-greater ascending scan) and the matrix
+    * counts.
+    *
+    * Cross-engine float note: the scores are sums of `ln` doubles, and
+    * the two engines' `ln` may differ in the last ulp — the gate rests
+    * on argmax MARGINS dwarfing that drift, which the
+    * "NB eval argmax margins" spec audits on the fixtures (smallest
+    * top-2 gap ≈ 7e-3, ~10⁹× the accumulated drift bound at fixture
+    * score magnitudes). Exact ties (labels with identical priors and
+    * identical per-token terms) fold to bit-equal scores in EACH
+    * engine independently and break to the lower label in both.
+    */
+  private def qNbEval(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{Classify, Sampling}
+    val d = docs(s, dir)
+    val cut = Sampling.splitAssign(d, col("doc_id"), nbEvalSplit)
+    val model = Classify.train(cut.filter(col("split") === "train"),
+      "lang", "text", alpha = 1.0, maxVocab = Some(nbMaxVocab))
+    cut.filter(col("split") === "eval")
+      .select(col("lang").as("label"),
+        Classify.classifyUdf(model)(TextOps.tokens(col("text")))
+          .as("pred"))
+      .groupBy("label", "pred")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"))
+      .orderBy("label", "pred")
+  }
+
   /** The FULL Gopher filter ([[graft.pipeline.TextOps
     * .gopherRulesFull]]): the narrow rule table joined with the two
     * repetition caps (top-word share ≤ 0.11, duplicate-bigram fraction
@@ -2780,6 +2826,7 @@ object SparkEntry {
     "q_lm_score" -> (qLmScore _),
     "q_nb_model" -> (qNbModel _),
     "q_nb_classify" -> (qNbClassify _),
+    "q_nb_eval" -> (qNbEval _),
     "q_mix_plan" -> (qMixPlan _),
     "q_mix_domains" -> (qMixDomains _),
     "q_data_card" -> (qDataCard _),
@@ -5053,6 +5100,66 @@ object SparkEntry {
          |  CAST((SELECT COUNT(*) FROM documents) *
          |    (SELECT COUNT(DISTINCT lang) FROM documents) AS BIGINT)
          |    AS n_score_match""".stripMargin,
+    "q_nb_eval" -> {
+      // full independent re-derivation: the 48-bit half/half split, the
+      // capped train-half vocabulary (count DESC, token — the shared
+      // trainer contract), counts → priors/likelihoods/OOV floor, each
+      // held-out doc's position-ordered score fold seeded with the
+      // prior (list_reduce = the scorer's left-to-right sum), the
+      // argmax (score DESC, label ASC) and the confusion counts
+      val cut = graft.pipeline.Sampling.splitCuts(nbEvalSplit).head
+      s"""WITH tr AS (SELECT * FROM documents WHERE $bucket48Sql < $cut),
+         |ev AS (SELECT * FROM documents
+         |       WHERE NOT ($bucket48Sql < $cut)),
+         |ttok AS (SELECT lang AS label, unnest($toksSql) AS token
+         |         FROM tr),
+         |tf AS (SELECT label, token FROM ttok WHERE length(token) > 0),
+         |vocab AS (SELECT token FROM tf GROUP BY token
+         |  ORDER BY COUNT(*) DESC, token LIMIT $nbMaxVocab),
+         |pc AS (SELECT label, token, COUNT(*) AS cnt FROM tf
+         |  WHERE token IN (SELECT token FROM vocab)
+         |  GROUP BY label, token),
+         |dc AS (SELECT lang AS label, COUNT(*) AS docs FROM tr
+         |  GROUP BY lang),
+         |tot AS (SELECT label, SUM(cnt) AS tot FROM pc GROUP BY label),
+         |vs AS (SELECT COUNT(DISTINCT token) AS v FROM pc),
+         |lab AS (SELECT dc.label,
+         |    ln(CAST(dc.docs AS DOUBLE) /
+         |       CAST((SELECT SUM(docs) FROM dc) AS DOUBLE)) AS lp,
+         |    ln(1.0 / (COALESCE(t.tot, 0) + 1.0 * (SELECT v FROM vs)))
+         |      AS oov
+         |  FROM dc LEFT JOIN tot t ON t.label = dc.label),
+         |lik AS (SELECT pc.label, pc.token,
+         |    ln((pc.cnt + 1.0) / (t.tot + 1.0 * (SELECT v FROM vs)))
+         |      AS ll
+         |  FROM pc JOIN tot t ON t.label = pc.label),
+         |et AS (SELECT doc_id,
+         |    unnest(list_filter($toksSql, x -> length(x) > 0)) AS token,
+         |    unnest(generate_series(1,
+         |      len(list_filter($toksSql, x -> length(x) > 0)))) AS pos
+         |  FROM ev),
+         |terms AS (SELECT e.doc_id, l.label, e.pos,
+         |    COALESCE(k.ll, l.oov) AS term
+         |  FROM et e CROSS JOIN lab l
+         |  LEFT JOIN lik k ON k.label = l.label AND k.token = e.token),
+         |scores AS (SELECT d.doc_id, l.label,
+         |    list_reduce(list_prepend(l.lp,
+         |      COALESCE(list(t.term ORDER BY t.pos)
+         |        FILTER (WHERE t.term IS NOT NULL), [])),
+         |      (a, x) -> a + x) AS score
+         |  FROM ev d CROSS JOIN lab l
+         |  LEFT JOIN terms t ON t.doc_id = d.doc_id
+         |    AND t.label = l.label
+         |  GROUP BY d.doc_id, l.label, l.lp),
+         |pred AS (SELECT doc_id, label AS pred FROM scores
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, label) = 1)
+         |SELECT d.lang AS label, p.pred,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM ev d JOIN pred p ON p.doc_id = d.doc_id
+         |GROUP BY d.lang, p.pred
+         |ORDER BY label, pred""".stripMargin
+    },
     "q_split" -> {
       // every assignment replayed: the 48-bit bucket against the SAME
       // integer cut points (splitCuts), consecutive half-open ranges,

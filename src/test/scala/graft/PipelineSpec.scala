@@ -1805,6 +1805,42 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("NB eval argmax margins dwarf cross-engine ln ulp drift " +
+      "(the q_nb_eval float-robustness contract)") {
+    // q_nb_eval's oracle re-derives held-out predictions with DuckDB's
+    // ln, which may differ from Math.log in the last ulp. The gate is
+    // sound iff non-tie argmax margins dwarf the accumulated drift
+    // (~n_tokens · |term| · 1 ulp ≈ 1e-11 at fixture scale); exact
+    // ties fold bit-equal scores in EACH engine independently and
+    // break to the lower label in both, so only near-ties threaten.
+    // Audit BOTH fixture scales the driver gates on.
+    import graft.pipeline.{Classify, Sampling}
+    Seq(fixtures, "/root/testdata/sf0.01").foreach { dir =>
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val cut = Sampling.splitAssign(d, col("doc_id"),
+        Seq("train" -> 0.5, "eval" -> 0.5))
+      // 24 = SparkEntry's nbMaxVocab (the q_nb_model cap)
+      val model = Classify.train(cut.filter(col("split") === "train"),
+        "lang", "text", alpha = 1.0, maxVocab = Some(24))
+      val evalToks = cut.filter(col("split") === "eval")
+        .select(TextOps.tokens(col("text")).as("t"))
+        .collect().map(_.getSeq[String](0))
+      assert(evalToks.nonEmpty)
+      var minGap = Double.MaxValue
+      var ties = 0
+      evalToks.foreach { toks =>
+        val ss = model.labels.map(l => model.score(l, toks))
+          .sorted(Ordering[Double].reverse)
+        val gap = ss(0) - ss(1)
+        if (gap == 0.0) ties += 1 else minGap = math.min(minGap, gap)
+      }
+      info(f"$dir: min non-tie argmax margin $minGap%.3e, $ties exact ties")
+      assert(minGap > 1e-6,
+        s"$dir: margin $minGap — cross-engine ln drift could flip a " +
+          "borderline argmax; q_nb_eval's oracle is no longer sound")
+    }
+  }
+
   test("semDeDupAuto sizes the quantizer from the corpus: " +
       "nCells = ceil(n/target), growth tracks the corpus, " +
       "and the sized run equals the hand-sized one") {
