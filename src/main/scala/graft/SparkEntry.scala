@@ -1877,23 +1877,36 @@ object SparkEntry {
   }
 
   /** `q_nb_model`'s vocabulary cap — below the fixture corpus's
-    * ~31 distinct whitespace tokens on purpose, so the top-N cut and
-    * its (count DESC, token) tie-break actually execute.
+    * combined feature-type inventory (~31 distinct whitespace tokens +
+    * [[nbBigramBuckets]] hashed-bigram buckets) on purpose, so the
+    * top-N cut and its (count DESC, token) tie-break actually execute
+    * across BOTH feature kinds.
     */
   private val nbMaxVocab = 24
 
+  /** The classifier gates' hashed-bigram bucket count
+    * ([[graft.pipeline.Classify.bigramFeatures]]) — small enough that
+    * several buckets survive the [[nbMaxVocab]] cap at fixture scale,
+    * so the bigram features genuinely participate in every gated
+    * count, score and prediction.
+    */
+  private val nbBigramBuckets = 16
+
   /** Naive Bayes classifier TRAINING ([[graft.pipeline.Classify
     * .pairCounts]]/[[graft.pipeline.Classify.docCounts]] — the
-    * distributed stage `train` collects): the (label, in-vocab token)
-    * count table plus per-label doc counts, every integer the model's
-    * probabilities derive from, value-oracled row by row — DuckDB
-    * re-tokenizes, re-caps the vocabulary with the identical
-    * (count DESC, token) tie-break, and re-counts per label.
+    * distributed stage `train` collects), with hashed-bigram features
+    * ACTIVE: the (label, in-vocab feature) count table plus per-label
+    * doc counts, every integer the model's probabilities derive from,
+    * value-oracled row by row — DuckDB re-tokenizes, re-derives every
+    * bigram bucket (md5-48bit nibble arithmetic mod
+    * [[nbBigramBuckets]]), re-caps the joint vocabulary with the
+    * identical (count DESC, token) tie-break, and re-counts per label.
     */
   private def qNbModel(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.Classify
     val d = docs(s, dir)
-    Classify.pairCounts(d, "lang", "text", Some(nbMaxVocab))
+    Classify.pairCounts(d, "lang", "text", Some(nbMaxVocab),
+        Some(nbBigramBuckets))
       .join(Classify.docCounts(d, "lang")
         .select(col("label"), col("docs").as("label_docs")), "label")
       .select(col("label"), col("token"),
@@ -1904,7 +1917,9 @@ object SparkEntry {
 
   /** The NB CLASSIFICATION contract, in the `q_lm_score` parity style
     * (per-label scores are sums of `math.log` doubles — no cross-engine
-    * SQL replays them bit-for-bit): every document's per-label score
+    * SQL replays them bit-for-bit), with hashed-bigram features ACTIVE
+    * (the feature stream is [[graft.pipeline.Classify.features]] on
+    * both paths): every document's per-label score
     * from the production broadcast-model closure
     * ([[graft.pipeline.Classify.scoreUdf]]) must EXACTLY equal a second
     * independent Spark derivation — posexplode the tokens, cross the
@@ -1922,8 +1937,11 @@ object SparkEntry {
     import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
     val model = Classify.train(d, "lang", "text", alpha = 1.0,
-      maxVocab = Some(nbMaxVocab))
-    val toks = TextOps.tokens(col("text"))
+      maxVocab = Some(nbMaxVocab), bigramBuckets = Some(nbBigramBuckets))
+    // bigram features ACTIVE: the shared feature stream (training and
+    // serving must featurize identically — Classify.features is the
+    // one definition both sides use)
+    val toks = Classify.features(col("text"), Some(nbBigramBuckets))
     // production path: the serving closures
     val prodPred = d.select(col("doc_id"),
       Classify.classifyUdf(model)(toks).as("pred"))
@@ -2000,16 +2018,35 @@ object SparkEntry {
     * identical per-token terms) fold to bit-equal scores in EACH
     * engine independently and break to the lower label in both.
     */
-  private def qNbEval(s: SparkSession, dir: String): DataFrame = {
+  private def qNbEval(s: SparkSession, dir: String): DataFrame =
+    nbEvalConfusion(s, dir, bigramBuckets = None)
+
+  /** [[qNbEval]] with hashed-bigram features ACTIVE
+    * ([[graft.pipeline.Classify.bigramFeatures]], the fastText
+    * accuracy lever): same split, same cap, same derivation — the
+    * difference between this row's diagonal and `q_nb_eval`'s IS the
+    * measured gain (or cost) of the bigram features on the held-out
+    * half, with the oracle re-deriving every hashed bucket. (At sf0.01
+    * under the deliberately starved [[nbMaxVocab]] cap, bigrams lift
+    * held-out accuracy 0.156 → 0.172 — the fixture's tiny shared
+    * vocabulary keeps absolute numbers low by construction; the row
+    * gates the measurement machinery, not a benchmark score.)
+    */
+  private def qNbEvalBigram(s: SparkSession, dir: String): DataFrame =
+    nbEvalConfusion(s, dir, bigramBuckets = Some(nbBigramBuckets))
+
+  private def nbEvalConfusion(s: SparkSession, dir: String,
+      bigramBuckets: Option[Int]): DataFrame = {
     import graft.pipeline.{Classify, Sampling}
     val d = docs(s, dir)
     val cut = Sampling.splitAssign(d, col("doc_id"), nbEvalSplit)
     val model = Classify.train(cut.filter(col("split") === "train"),
-      "lang", "text", alpha = 1.0, maxVocab = Some(nbMaxVocab))
+      "lang", "text", alpha = 1.0, maxVocab = Some(nbMaxVocab),
+      bigramBuckets = bigramBuckets)
     cut.filter(col("split") === "eval")
       .select(col("lang").as("label"),
-        Classify.classifyUdf(model)(TextOps.tokens(col("text")))
-          .as("pred"))
+        Classify.classifyUdf(model)(
+          Classify.features(col("text"), bigramBuckets)).as("pred"))
       .groupBy("label", "pred")
       .agg(count(lit(1)).cast("bigint").as("n_docs"))
       .orderBy("label", "pred")
@@ -2827,6 +2864,7 @@ object SparkEntry {
     "q_nb_model" -> (qNbModel _),
     "q_nb_classify" -> (qNbClassify _),
     "q_nb_eval" -> (qNbEval _),
+    "q_nb_eval_bigram" -> (qNbEvalBigram _),
     "q_mix_plan" -> (qMixPlan _),
     "q_mix_domains" -> (qMixDomains _),
     "q_data_card" -> (qDataCard _),
@@ -3366,6 +3404,87 @@ object SparkEntry {
   private def bucket48OfSql(h: String): String =
     (1 to 12).map(i => s"${nibSql(h, i)} * ${1L << ((12 - i) * 4)}")
       .mkString("(", " + ", ")")
+
+  /** The DuckDB mirror of [[graft.pipeline.Classify.features]] over a
+    * CTE exposing `f` (the non-empty whitespace tokens as a list):
+    * `f` itself unigram-only, or `f` followed by one `'bg <bucket>'`
+    * pseudo-token per adjacent pair — 48-bit md5 nibble arithmetic
+    * ([[bucket48OfSql]], the hashBucket48 mirror) mod the bucket
+    * count, exactly [[graft.pipeline.Classify.bigramFeatures]]'
+    * hash and order (unigrams first, bigrams after).
+    */
+  private def nbFeatListSql(bigramBuckets: Option[Int]): String =
+    bigramBuckets.fold("f") { b =>
+      s"""list_concat(f, list_transform(generate_series(1, len(f) - 1),
+         |      i -> 'bg ' || CAST(${bucket48OfSql(
+                  "md5(f[i] || ' ' || f[i + 1])")} % $b AS VARCHAR)))"""
+        .stripMargin
+    }
+
+  /** The `q_nb_eval` / `q_nb_eval_bigram` oracle: a FULL independent
+    * re-derivation of the held-out confusion matrix — the 48-bit
+    * half/half split, the capped train-half vocabulary (count DESC,
+    * token — the shared trainer contract, over the featurized stream
+    * when bigrams are on), counts → priors/likelihoods/OOV floor, each
+    * held-out doc's position-ordered score fold seeded with the prior
+    * (list_reduce = the scorer's left-to-right sum), the argmax
+    * (score DESC, label ASC) and the matrix counts.
+    */
+  private def nbEvalOracleSql(bigramBuckets: Option[Int]): String = {
+    val cut = graft.pipeline.Sampling.splitCuts(nbEvalSplit).head
+    val feat = nbFeatListSql(bigramBuckets)
+    s"""WITH tr AS (SELECT * FROM documents WHERE $bucket48Sql < $cut),
+       |ev AS (SELECT * FROM documents
+       |       WHERE NOT ($bucket48Sql < $cut)),
+       |trf AS (SELECT lang,
+       |    list_filter($toksSql, x -> length(x) > 0) AS f FROM tr),
+       |tf AS (SELECT lang AS label, unnest($feat) AS token FROM trf),
+       |vocab AS (SELECT token FROM tf GROUP BY token
+       |  ORDER BY COUNT(*) DESC, token LIMIT $nbMaxVocab),
+       |pc AS (SELECT label, token, COUNT(*) AS cnt FROM tf
+       |  WHERE token IN (SELECT token FROM vocab)
+       |  GROUP BY label, token),
+       |dc AS (SELECT lang AS label, COUNT(*) AS docs FROM tr
+       |  GROUP BY lang),
+       |tot AS (SELECT label, SUM(cnt) AS tot FROM pc GROUP BY label),
+       |vs AS (SELECT COUNT(DISTINCT token) AS v FROM pc),
+       |lab AS (SELECT dc.label,
+       |    ln(CAST(dc.docs AS DOUBLE) /
+       |       CAST((SELECT SUM(docs) FROM dc) AS DOUBLE)) AS lp,
+       |    ln(1.0 / (COALESCE(t.tot, 0) + 1.0 * (SELECT v FROM vs)))
+       |      AS oov
+       |  FROM dc LEFT JOIN tot t ON t.label = dc.label),
+       |lik AS (SELECT pc.label, pc.token,
+       |    ln((pc.cnt + 1.0) / (t.tot + 1.0 * (SELECT v FROM vs)))
+       |      AS ll
+       |  FROM pc JOIN tot t ON t.label = pc.label),
+       |evf AS (SELECT doc_id, $feat AS feats
+       |  FROM (SELECT doc_id,
+       |    list_filter($toksSql, x -> length(x) > 0) AS f FROM ev)),
+       |et AS (SELECT doc_id, unnest(feats) AS token,
+       |    unnest(generate_series(1, len(feats))) AS pos FROM evf),
+       |terms AS (SELECT e.doc_id, l.label, e.pos,
+       |    COALESCE(k.ll, l.oov) AS term
+       |  FROM et e CROSS JOIN lab l
+       |  LEFT JOIN lik k ON k.label = l.label AND k.token = e.token),
+       |scores AS (SELECT d.doc_id, l.label,
+       |    list_reduce(list_prepend(l.lp,
+       |      COALESCE(list(t.term ORDER BY t.pos)
+       |        FILTER (WHERE t.term IS NOT NULL), [])),
+       |      (a, x) -> a + x) AS score
+       |  FROM ev d CROSS JOIN lab l
+       |  LEFT JOIN terms t ON t.doc_id = d.doc_id
+       |    AND t.label = l.label
+       |  GROUP BY d.doc_id, l.label, l.lp),
+       |pred AS (SELECT doc_id, label AS pred FROM scores
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, label) = 1)
+       |SELECT d.lang AS label, p.pred,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM ev d JOIN pred p ON p.doc_id = d.doc_id
+       |GROUP BY d.lang, p.pred
+       |ORDER BY label, pred""".stripMargin
+  }
 
   /** The curation keep predicate over `scrub`: near-dup survivors only,
     * then the md5-bucket stratified mix (en 0.5, es 1.0, de 0.25,
@@ -5069,12 +5188,17 @@ object SparkEntry {
          |    AS n_short
          |FROM documents""".stripMargin,
     "q_nb_model" ->
-      // every integer the NB probabilities derive from: re-tokenize,
-      // re-cap the vocabulary (count DESC, token — the shared trainer
-      // contract), re-count per (label, token), per-label doc counts
-      s"""WITH tok AS (SELECT lang AS label, unnest($toksSql) AS token
+      // every integer the NB probabilities derive from, bigram features
+      // active: re-tokenize, re-derive every hashed bigram bucket
+      // (md5-48bit nibbles mod nbBigramBuckets), re-cap the JOINT
+      // vocabulary (count DESC, token — the shared trainer contract),
+      // re-count per (label, feature), per-label doc counts
+      s"""WITH ftab AS (SELECT lang,
+         |    list_filter($toksSql, x -> length(x) > 0) AS f
          |  FROM documents),
-         |tf AS (SELECT label, token FROM tok WHERE length(token) > 0),
+         |tf AS (SELECT lang AS label,
+         |    unnest(${nbFeatListSql(Some(nbBigramBuckets))}) AS token
+         |  FROM ftab),
          |vocab AS (SELECT token FROM tf GROUP BY token
          |  ORDER BY COUNT(*) DESC, token LIMIT $nbMaxVocab),
          |pc AS (SELECT label, token, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -5100,66 +5224,8 @@ object SparkEntry {
          |  CAST((SELECT COUNT(*) FROM documents) *
          |    (SELECT COUNT(DISTINCT lang) FROM documents) AS BIGINT)
          |    AS n_score_match""".stripMargin,
-    "q_nb_eval" -> {
-      // full independent re-derivation: the 48-bit half/half split, the
-      // capped train-half vocabulary (count DESC, token — the shared
-      // trainer contract), counts → priors/likelihoods/OOV floor, each
-      // held-out doc's position-ordered score fold seeded with the
-      // prior (list_reduce = the scorer's left-to-right sum), the
-      // argmax (score DESC, label ASC) and the confusion counts
-      val cut = graft.pipeline.Sampling.splitCuts(nbEvalSplit).head
-      s"""WITH tr AS (SELECT * FROM documents WHERE $bucket48Sql < $cut),
-         |ev AS (SELECT * FROM documents
-         |       WHERE NOT ($bucket48Sql < $cut)),
-         |ttok AS (SELECT lang AS label, unnest($toksSql) AS token
-         |         FROM tr),
-         |tf AS (SELECT label, token FROM ttok WHERE length(token) > 0),
-         |vocab AS (SELECT token FROM tf GROUP BY token
-         |  ORDER BY COUNT(*) DESC, token LIMIT $nbMaxVocab),
-         |pc AS (SELECT label, token, COUNT(*) AS cnt FROM tf
-         |  WHERE token IN (SELECT token FROM vocab)
-         |  GROUP BY label, token),
-         |dc AS (SELECT lang AS label, COUNT(*) AS docs FROM tr
-         |  GROUP BY lang),
-         |tot AS (SELECT label, SUM(cnt) AS tot FROM pc GROUP BY label),
-         |vs AS (SELECT COUNT(DISTINCT token) AS v FROM pc),
-         |lab AS (SELECT dc.label,
-         |    ln(CAST(dc.docs AS DOUBLE) /
-         |       CAST((SELECT SUM(docs) FROM dc) AS DOUBLE)) AS lp,
-         |    ln(1.0 / (COALESCE(t.tot, 0) + 1.0 * (SELECT v FROM vs)))
-         |      AS oov
-         |  FROM dc LEFT JOIN tot t ON t.label = dc.label),
-         |lik AS (SELECT pc.label, pc.token,
-         |    ln((pc.cnt + 1.0) / (t.tot + 1.0 * (SELECT v FROM vs)))
-         |      AS ll
-         |  FROM pc JOIN tot t ON t.label = pc.label),
-         |et AS (SELECT doc_id,
-         |    unnest(list_filter($toksSql, x -> length(x) > 0)) AS token,
-         |    unnest(generate_series(1,
-         |      len(list_filter($toksSql, x -> length(x) > 0)))) AS pos
-         |  FROM ev),
-         |terms AS (SELECT e.doc_id, l.label, e.pos,
-         |    COALESCE(k.ll, l.oov) AS term
-         |  FROM et e CROSS JOIN lab l
-         |  LEFT JOIN lik k ON k.label = l.label AND k.token = e.token),
-         |scores AS (SELECT d.doc_id, l.label,
-         |    list_reduce(list_prepend(l.lp,
-         |      COALESCE(list(t.term ORDER BY t.pos)
-         |        FILTER (WHERE t.term IS NOT NULL), [])),
-         |      (a, x) -> a + x) AS score
-         |  FROM ev d CROSS JOIN lab l
-         |  LEFT JOIN terms t ON t.doc_id = d.doc_id
-         |    AND t.label = l.label
-         |  GROUP BY d.doc_id, l.label, l.lp),
-         |pred AS (SELECT doc_id, label AS pred FROM scores
-         |  QUALIFY row_number() OVER (PARTITION BY doc_id
-         |    ORDER BY score DESC, label) = 1)
-         |SELECT d.lang AS label, p.pred,
-         |  CAST(COUNT(*) AS BIGINT) AS n_docs
-         |FROM ev d JOIN pred p ON p.doc_id = d.doc_id
-         |GROUP BY d.lang, p.pred
-         |ORDER BY label, pred""".stripMargin
-    },
+    "q_nb_eval" -> nbEvalOracleSql(None),
+    "q_nb_eval_bigram" -> nbEvalOracleSql(Some(nbBigramBuckets)),
     "q_split" -> {
       // every assignment replayed: the 48-bit bucket against the SAME
       // integer cut points (splitCuts), consecutive half-open ranges,

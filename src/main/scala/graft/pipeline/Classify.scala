@@ -70,11 +70,50 @@ object Classify {
     }
   }
 
+  /** fastText-style hashed-bigram feature stream (Joulin et al. 2016
+    * §2.1 — subword/word n-grams hashed into a bounded bucket space,
+    * the published accuracy lever for linear bag-of-words
+    * classifiers): the NON-EMPTY tokens of `toks` in order, followed
+    * by one pseudo-token per ADJACENT token pair — `"bg <bucket>"`,
+    * bucket = 48-bit md5 of `"<a> <b>"` mod `buckets` (the
+    * [[Sampling.hashBucket48]] hash, so an external oracle replays
+    * every bucket with the same nibble arithmetic). The embedded SPACE
+    * in the pseudo-token makes collision with a real token impossible
+    * (whitespace-split tokens cannot contain one), and the bucket
+    * count bounds the bigram vocabulary regardless of corpus size —
+    * the features ride the SAME capped type-table contract as the
+    * unigrams. A null token array stays null (the serving UDFs'
+    * degrade-never-throw posture).
+    */
+  def bigramFeatures(toks: Column, buckets: Int): Column = {
+    require(buckets > 0, s"bigramBuckets must be > 0, got $buckets")
+    val ft = filter(toks, t => length(t) > 0)
+    val n = size(ft)
+    val bg = zip_with(slice(ft, lit(1), n - 1), slice(ft, lit(2), n - 1),
+      (a, b) => concat(lit("bg "),
+        (conv(substring(md5(concat(a, lit(" "), b)), 1, 12), 16, 10)
+          .cast("long") % buckets).cast("string")))
+    when(toks.isNull, lit(null).cast("array<string>"))
+      .otherwise(concat(ft,
+        when(n <= 1, array().cast("array<string>")).otherwise(bg)))
+  }
+
+  /** The feature stream training and serving must SHARE: whitespace
+    * tokens, plus [[bigramFeatures]] when `bigramBuckets` is set —
+    * one definition, so a featurized model can never be served
+    * unigram-only (or vice versa) by accident.
+    */
+  def features(text: Column, bigramBuckets: Option[Int]): Column = {
+    val t = TextOps.tokens(text)
+    bigramBuckets.fold(t)(b => bigramFeatures(t, b))
+  }
+
   /** The distributed half of training, exposed as THE single
     * definition the `q_nb_model` gate also renders: (label, in-vocab
-    * token) counts over `df`'s (`labelCol`, whitespace-tokenized
-    * `textCol`). The vocabulary is global, under the SAME deterministic
-    * cap contract every tokenizer family uses
+    * feature) counts over `df`'s (`labelCol`, whitespace-tokenized
+    * `textCol` — plus hashed bigrams when `bigramBuckets` is set, see
+    * [[bigramFeatures]]). The vocabulary is global, under the SAME
+    * deterministic cap contract every tokenizer family uses
     * ([[graft.functions.BpeTrainer.cappedTypeCounts]] — top-`maxVocab`
     * by (count DESC, token), codepoint ties) and rides into the count
     * scan as a broadcast semi-join (a literal `isin` of the whole
@@ -83,8 +122,9 @@ object Classify {
     * mass.
     */
   def pairCounts(df: DataFrame, labelCol: String, textCol: String,
-      maxVocab: Option[Int] = None): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
+      maxVocab: Option[Int] = None,
+      bigramBuckets: Option[Int] = None): DataFrame = {
+    val toks = features(col(textCol), bigramBuckets)
     val exploded = df
       .select(labelGuard(labelCol).as("label"),
         explode(toks).as("token"))
@@ -120,9 +160,11 @@ object Classify {
     * max-prior label, matching serving.
     */
   def train(df: DataFrame, labelCol: String, textCol: String,
-      alpha: Double = 1.0, maxVocab: Option[Int] = None): NbModel = {
+      alpha: Double = 1.0, maxVocab: Option[Int] = None,
+      bigramBuckets: Option[Int] = None): NbModel = {
     require(alpha > 0.0, s"alpha must be > 0, got $alpha")
-    val pairs = pairCounts(df, labelCol, textCol, maxVocab).collect()
+    val pairs = pairCounts(df, labelCol, textCol, maxVocab, bigramBuckets)
+      .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .toIndexedSeq
     val dc = docCounts(df, labelCol).collect()

@@ -1815,15 +1815,20 @@ class PipelineSpec extends SparkSpec {
     // break to the lower label in both, so only near-ties threaten.
     // Audit BOTH fixture scales the driver gates on.
     import graft.pipeline.{Classify, Sampling}
-    Seq(fixtures, "/root/testdata/sf0.01").foreach { dir =>
+    for {
+      dir <- Seq(fixtures, "/root/testdata/sf0.01")
+      // 16 = SparkEntry's nbBigramBuckets (the q_nb_eval_bigram config)
+      bg <- Seq(None, Some(16))
+    } {
       val d = spark.read.parquet(s"$dir/documents.parquet")
       val cut = Sampling.splitAssign(d, col("doc_id"),
         Seq("train" -> 0.5, "eval" -> 0.5))
       // 24 = SparkEntry's nbMaxVocab (the q_nb_model cap)
       val model = Classify.train(cut.filter(col("split") === "train"),
-        "lang", "text", alpha = 1.0, maxVocab = Some(24))
+        "lang", "text", alpha = 1.0, maxVocab = Some(24),
+        bigramBuckets = bg)
       val evalToks = cut.filter(col("split") === "eval")
-        .select(TextOps.tokens(col("text")).as("t"))
+        .select(Classify.features(col("text"), bg).as("t"))
         .collect().map(_.getSeq[String](0))
       assert(evalToks.nonEmpty)
       var minGap = Double.MaxValue
@@ -1834,11 +1839,59 @@ class PipelineSpec extends SparkSpec {
         val gap = ss(0) - ss(1)
         if (gap == 0.0) ties += 1 else minGap = math.min(minGap, gap)
       }
-      info(f"$dir: min non-tie argmax margin $minGap%.3e, $ties exact ties")
+      info(f"$dir bigrams=$bg: min non-tie argmax margin $minGap%.3e, " +
+        s"$ties exact ties")
       assert(minGap > 1e-6,
-        s"$dir: margin $minGap — cross-engine ln drift could flip a " +
-          "borderline argmax; q_nb_eval's oracle is no longer sound")
+        s"$dir bigrams=$bg: margin $minGap — cross-engine ln drift " +
+          "could flip a borderline argmax; the eval oracle is unsound")
     }
+  }
+
+  test("bigramFeatures: unigrams then hashed adjacent-pair buckets, " +
+      "collision-free marker, degenerate arrays, exact md5-48 buckets") {
+    import graft.pipeline.Classify
+    val s = spark
+    import s.implicits._
+    val b = 16
+    // the driver-side mirror of the column hash: md5 hex, first 12
+    // nibbles as a long, mod buckets — hashBucket48's definition
+    def bucket(a: String, bb: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$a $bb".getBytes("UTF-8"))
+      val hex = md.map(x => f"$x%02x").mkString.take(12)
+      java.lang.Long.parseLong(hex, 16) % b
+    }
+    val got = Seq(
+      (1L, Seq("alpha", "", "beta", "gamma")),
+      (2L, Seq("solo")),
+      (3L, Seq.empty[String]),
+      (4L, null.asInstanceOf[Seq[String]]))
+      .toDF("id", "toks")
+      .select(col("id"), Classify.bigramFeatures(col("toks"), b).as("f"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[String](1))).toMap
+    // empties dropped BEFORE pairing: (alpha,beta) and (beta,gamma)
+    // are the adjacent pairs of the filtered sequence
+    assert(got(1L).get == Seq("alpha", "beta", "gamma",
+      s"bg ${bucket("alpha", "beta")}", s"bg ${bucket("beta", "gamma")}"))
+    assert(got(2L).get == Seq("solo"), "one token -> no bigrams")
+    assert(got(3L).get == Seq.empty, "empty stays empty")
+    assert(got(4L).isEmpty, "null array stays null (serving posture)")
+    // the embedded space makes a pseudo-token unmistakable: no
+    // whitespace-split token can collide with one
+    assert(got(1L).get.drop(3).forall(_.startsWith("bg ")))
+    intercept[IllegalArgumentException](
+      Classify.bigramFeatures(col("toks"), 0))
+    // bucket range [0, b)
+    val docs01 = spark.read.parquet(s"$fixtures/documents.parquet")
+    val buckets = docs01
+      .select(explode(Classify.bigramFeatures(
+        TextOps.tokens(col("text")), b)).as("t"))
+      .filter(col("t").startsWith("bg "))
+      .select(expr("CAST(substring(t, 4) AS INT)").as("k"))
+      .agg(min("k"), max("k"), count(lit(1))).head()
+    assert(buckets.getInt(0) >= 0 && buckets.getInt(1) < b &&
+      buckets.getLong(2) > 0)
   }
 
   test("semDeDupAuto sizes the quantizer from the corpus: " +
