@@ -1472,6 +1472,33 @@ object SparkEntry {
       .select("vec_id", "label", "cosine")
   }
 
+  /** [[qSimIvf]] THROUGH THE RE-CLUSTERING MAINTENANCE PATH
+    * ([[graft.pipeline.Similarity.reclusterIvfIndex]] — the remedy the
+    * hot-cell guards prescribe): the index lands at the default 16
+    * cells, is re-clustered IN PLACE to the production sizing
+    * ⌈n/24⌉ cells ([[graft.pipeline.Dedup.semDeDupAutoCells]], the
+    * `q_semdedup_auto` rule) behind the crash-safe whole-root swap,
+    * and the query probes the re-published layout. The oracle
+    * re-derives the NEW quantizer from scratch — the count, the
+    * ceiling divide, the seed cut at that size, every row's
+    * re-assignment and the probe — so a recluster that kept stale
+    * cells, dropped a row, or mismatched the sidecar reds the row.
+    * `kmeansIters` pinned 0 (the bit-reproducible oracle path; the API
+    * default is > 0, since a re-cluster run exists to fix balance).
+    */
+  private def qIvfRecluster(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val path = scratchDir("q-ivf-recluster")
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(e, "vec_id", "embedding"), path)
+    Similarity.reclusterIvfIndex(s, path,
+      nCells = graft.pipeline.Dedup.semDeDupAutoCells(e, 24),
+      kmeansIters = 0)
+    Similarity.queryIvf(Similarity.loadIvfIndex(s, path),
+        queryVec(s, dir), 10)
+      .select("vec_id", "label", "cosine")
+  }
+
   /** Product-quantized ADC top-10 ([[graft.pipeline.Pq]]): train at
     * `iters = 0` (codebooks = the 16 lowest-id corpus vectors' 8-dim
     * subvectors — bit-reproducible), encode every corpus vector to 8
@@ -2509,7 +2536,11 @@ object SparkEntry {
       options = Map(
         "createTableColumnTypes" ->
           "L_RETURNFLAG VARCHAR(1), L_LINESTATUS VARCHAR(1)",
-        "numPartitions" -> "8"),
+        "numPartitions" -> "8",
+        // the bench row's cost is embedded-Derby insert throughput, not
+        // the Spark plan — 10× the default JDBC batch amortises the
+        // per-executeBatch round trip (measured ~15% off the sf0.1 row)
+        "batchsize" -> "10000"),
       sessionInit = None,
       commitMode = JdbcCommitMode.RenameSwap(
         cloneDdl = (c, t) => s"CREATE TABLE $c AS SELECT * FROM $t " +
@@ -2839,6 +2870,7 @@ object SparkEntry {
     "q_sim_topk" -> (qSimTopk _),
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
+    "q_ivf_recluster" -> (qIvfRecluster _),
     "q_sim_ivf_append" -> (qSimIvfAppend _),
     "q_sim_ivf_batch" -> (qSimIvfBatch _),
     "q_ann_recall" -> (qAnnRecall _),
@@ -3698,12 +3730,13 @@ object SparkEntry {
        |FROM documents),
        |qkept AS (SELECT doc_id FROM qf WHERE $qualityScoreSql >= 0.3)""".stripMargin
 
-  private def simIvfOracleSql(centPred: String): String =
+  private def simIvfOracleSql(centPred: String,
+      centLimit: String = "16"): String =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0),
        |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
        |         embedding AS ce FROM corpus WHERE $centPred
-       |         ORDER BY vec_id LIMIT 16),
+       |         ORDER BY vec_id LIMIT $centLimit),
        |ax AS (SELECT e.vec_id, c.cell, unnest(e.embedding) AS v,
        |         unnest(generate_series(1, len(e.embedding))) AS i, c.ce AS ce
        |       FROM corpus e CROSS JOIN cent c),
@@ -4935,6 +4968,12 @@ object SparkEntry {
     // initial build), assignment/scoring cover the full corpus — the
     // rest of the pipeline SQL is shared verbatim with q_sim_ivf
     "q_sim_ivf_append" -> simIvfOracleSql(centPred = "vec_id % 2 = 0"),
+    // the re-clustered quantizer from scratch: seed cut = the
+    // production ceiling ⌈count/24⌉ over the full corpus (the
+    // q_semdedup_auto sizing rule), assignment + probe re-derived
+    "q_ivf_recluster" -> simIvfOracleSql(centPred = "TRUE",
+      centLimit = "(SELECT CAST(CEIL(COUNT(*) / 24.0) AS BIGINT) " +
+        "FROM embeddings WHERE vec_id <> 0)"),
     "q_ivf_int8" -> ivfInt8OracleSql(centPred = "TRUE"),
     // the int8 append row: centroids frozen at the even half, every
     // appended row's quantization re-derived — shares the pipeline SQL

@@ -437,12 +437,14 @@ object Dedup {
           s"semDeDup probed cell $c holds $n landed vectors " +
             s"(> maxCell = ${maxCell.get}) — every ingest batch " +
             "probing it would pay a quadratic cell; re-cluster the " +
-            "index with more cells")
+            "index with more cells (Similarity.reclusterIvfIndex, " +
+            "nCells from Dedup.semDeDupAutoCells)")
       case HotCellPolicy.Skip =>
         log.warn("semDeDup: SKIPPING the dedup check for {} hot " +
           "cell(s) over maxCell = {} — {}; batch rows probing them " +
           "pass through UNCHECKED (possible under-dedup) until the " +
-          "index is re-clustered with more cells",
+          "index is re-clustered with more cells " +
+          "(Similarity.reclusterIvfIndex)",
           hot.length, maxCell.get,
           hot.map { case (c, n) => s"cell $c: $n landed" }
             .mkString(", "))

@@ -804,6 +804,77 @@ object Similarity {
     IndexMaintenance.swap(fs, live)
   }
 
+  /** Re-derive the coarse quantizer of a persisted IVF-family index at
+    * a NEW cell count and re-assign every row — THE remedy the
+    * hot-cell guards prescribe ("re-cluster the index with more
+    * cells"): appends land under FROZEN centroids, so corpus growth
+    * eventually leaves cells oversized or drifted, and neither
+    * compaction (same cells, fewer files) nor append (sidecar never
+    * rewritten) can fix that. `nCells` typically comes from
+    * [[Dedup.semDeDupAutoCells]] over the grown corpus (nCells =
+    * ⌈n/targetCell⌉); `kmeansIters` defaults > 0 — a re-cluster run
+    * exists to fix BALANCE, which trained centroids serve better than
+    * raw lowest-id seeds (pass 0 for the bit-reproducible oracle
+    * path, which `q_ivf_recluster` gates).
+    *
+    * Float and PQ layouts re-cluster in place (PQ codes are per-vector
+    * and cell-independent — ADC scoring never reads the cell id, so
+    * the codebook sidecar and every row's codes ride along verbatim);
+    * the int8 layout is REJECTED loudly: it dropped the float vectors
+    * at write time, and re-clustering from dequantized codes would
+    * silently move near-boundary vectors between cells under
+    * quantization error — rebuild from the source corpus instead.
+    *
+    * Crash-safe via the [[IndexMaintenance]] pending-marker swap over
+    * the whole index ROOT: corpus and sidecars publish TOGETHER —
+    * swapping only the corpus directory would open a window where rows
+    * sit in cells the old centroid sidecar does not describe, which
+    * every probe would silently mis-prune. MUST NOT run concurrently
+    * with readers or appends (the compaction contract).
+    */
+  def reclusterIvfIndex(spark: SparkSession, path: String, nCells: Int,
+      kmeansIters: Int = 2, filesPerCell: Int = 1): Unit = {
+    require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    require(filesPerCell >= 1, "filesPerCell must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexMaintenance.recoverOrSweep(fs, root)
+    // also heal a corpus-level compaction interrupted before this call
+    IndexMaintenance.recoverOrSweep(fs,
+      new org.apache.hadoop.fs.Path(root, "corpus"))
+    val corpus = spark.read.parquet(s"$path/corpus")
+    val layout = detectIvfLayout(corpus.schema.fieldNames.toSeq)
+    require(layout != IvfLayout.Int8,
+      "reclusterIvfIndex needs the float vectors; the int8 layout " +
+        "dropped them at write time, and re-clustering from " +
+        "dequantized codes would silently move near-boundary vectors " +
+        "between cells — rebuild the index from the source corpus " +
+        "instead")
+    val old = loadIvfIndex(spark, path, corpus)
+    // every eager step (seed collect, k-means rounds, the staged
+    // writes) reads the LIVE layout; nothing touches it until the swap
+    val idx = buildIvfIndex(corpus.drop("__cell"), old.idCol,
+      old.vecCol, nCells, kmeansIters)
+    val stg = IndexMaintenance.stagingOf(root)
+    idx.assigned
+      .repartitionByRange(nCells * filesPerCell, col("__cell"),
+        col(old.idCol))
+      .sortWithinPartitions(col("__cell"), col(old.idCol))
+      .write.partitionBy("__cell")
+      .parquet(new org.apache.hadoop.fs.Path(stg, "corpus").toString)
+    val session = spark
+    import session.implicits._
+    idx.centroids.zipWithIndex
+      .map { case (c, i) => (i, c, old.idCol, old.vecCol) }.toSeq
+      .toDF("cell", "centroid", "id_col", "vec_col")
+      .coalesce(1).write
+      .parquet(new org.apache.hadoop.fs.Path(stg, "centroids").toString)
+    if (layout == IvfLayout.Pq)
+      spark.read.parquet(s"$path/pq").coalesce(1).write
+        .parquet(new org.apache.hadoop.fs.Path(stg, "pq").toString)
+    IndexMaintenance.swap(fs, root)
+  }
+
   /** The three persisted IVF corpus layouts ([[writeIvfIndex]] float,
     * [[writeIvfInt8Index]], [[writeIvfPqIndex]]) as a closed type, so
     * every consumer that must pick a code path per layout dispatches on

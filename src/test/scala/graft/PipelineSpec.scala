@@ -1107,6 +1107,107 @@ class PipelineSpec extends SparkSpec {
     assert(after == before, "compaction changed query results")
   }
 
+  test("reclusterIvfIndex: re-derives the quantizer at a new cell " +
+      "count in place, preserves rows and PQ codes, rejects int8, " +
+      "heals interrupted swaps") {
+    import graft.pipeline.Pq
+    val q = (0 until 64).map(i => (i % 7 - 3) * 0.2f)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // float layout: recluster 16 -> 25 cells equals a fresh 25-cell
+    // build, row set preserved exactly
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-recluster").toString + "/idx"
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(embeddings, "vec_id", "embedding"), dir)
+    Similarity.reclusterIvfIndex(spark, dir, nCells = 25,
+      kmeansIters = 0)
+    val re = Similarity.loadIvfIndex(spark, dir)
+    val fresh = Similarity.buildIvfIndex(embeddings, "vec_id",
+      "embedding", 25)
+    assert(re.centroids.length == 25 &&
+      re.centroids.toSeq == fresh.centroids.toSeq)
+    assert(re.assigned.select("vec_id").collect().map(_.getLong(0))
+        .sorted.toSeq ==
+      embeddings.select("vec_id").collect().map(_.getLong(0))
+        .sorted.toSeq, "recluster must preserve the row set exactly")
+    assert(re.assigned.select("vec_id", "__cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap ==
+      fresh.assigned.select("vec_id", "__cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap,
+      "re-assignment must equal a fresh build at the new cell count")
+    assert(rows(Similarity.queryIvf(re, q, 10)) ==
+      rows(Similarity.queryIvf(fresh, q, 10)))
+    // PQ layout: codes and codebook sidecar ride along verbatim
+    val dirPq = java.nio.file.Files
+      .createTempDirectory("graft-recluster-pq").toString + "/idx"
+    val cb = Pq.train(embeddings, "vec_id", "embedding", m = 8, k = 16,
+      iters = 0)
+    Similarity.writeIvfPqIndex(
+      Similarity.buildIvfIndex(embeddings, "vec_id", "embedding"), cb,
+      dirPq)
+    val codesBefore = spark.read.parquet(s"$dirPq/corpus")
+      .select(col("vec_id"), col(Similarity.PqCodesCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    Similarity.reclusterIvfIndex(spark, dirPq, nCells = 25,
+      kmeansIters = 0)
+    val (rePq, reCb) = Similarity.loadIvfPqIndex(spark, dirPq)
+    assert(reCb.codebooks.flatten.toSeq == cb.codebooks.flatten.toSeq,
+      "the codebook sidecar must survive the re-cluster untouched")
+    assert(rePq.centroids.length == 25)
+    assert(rePq.assigned
+        .select(col("vec_id"), col(Similarity.PqCodesCol)).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap ==
+      codesBefore, "per-row PQ codes must ride along verbatim")
+    // at rerank >= probed rows the composed probe equals plain IVF on
+    // the re-clustered cells (the queryIvfPq contract, unchanged)
+    assert(rows(Similarity.queryIvfPq(rePq, reCb, q, 10,
+        rerank = 1000)) ==
+      rows(Similarity.queryIvf(rePq, q, 10)))
+    // int8 rejected loudly: the floats are gone
+    val dir8 = java.nio.file.Files
+      .createTempDirectory("graft-recluster-8").toString + "/idx"
+    Similarity.writeIvfInt8Index(
+      Similarity.buildIvfIndex(embeddings, "vec_id", "embedding"), dir8)
+    val ex = intercept[IllegalArgumentException](
+      Similarity.reclusterIvfIndex(spark, dir8, nCells = 25))
+    assert(ex.getMessage.contains("float"))
+    // crash windows heal on the next call (the IndexMaintenance
+    // discipline over the index ROOT): an orphan staging dir with no
+    // marker is swept; a marker proves staging complete, so recovery
+    // PUBLISHES it before re-clustering
+    val root = new java.io.File(dir)
+    val stg = new java.io.File(root.getParent,
+      s".__graft_idxcompact_${root.getName}")
+    val mk = new java.io.File(root.getParent,
+      s".__graft_idxcompact_${root.getName}.pending")
+    // (a) no marker: orphan swept, recluster proceeds from live
+    assert(stg.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(stg, "junk").toPath, "orphan")
+    Similarity.reclusterIvfIndex(spark, dir, nCells = 20,
+      kmeansIters = 0)
+    assert(!stg.exists(), "an unmarked orphan staging dir must be swept")
+    assert(Similarity.loadIvfIndex(spark, dir).centroids.length == 20)
+    // (b) marker present: the staged index IS the commit point — the
+    // next maintenance call publishes it, then re-clusters THAT
+    val half = embeddings.filter(col("vec_id") % 2 === 0)
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(half, "vec_id", "embedding"),
+      stg.toString)
+    assert(mk.createNewFile())
+    Similarity.reclusterIvfIndex(spark, dir, nCells = 5,
+      kmeansIters = 0)
+    assert(!mk.exists() && !stg.exists())
+    val healed = Similarity.loadIvfIndex(spark, dir)
+    assert(healed.centroids.length == 5)
+    assert(healed.assigned.select("vec_id").collect().map(_.getLong(0))
+        .sorted.toSeq ==
+      half.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq,
+      "recovery must publish the marker-committed staging index first")
+  }
+
   test("composed IVF×PQ index prunes partitions, pushes the rerank " +
       "fetch, and reranks to the exact IVF answer") {
     import graft.pipeline.Pq
