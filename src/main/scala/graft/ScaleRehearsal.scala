@@ -54,7 +54,7 @@ object ScaleRehearsal {
     "q_dedup_clusters", "q_dedup_append", "q_decontaminate_spans",
     "q_curation", "q_wordpiece_encode_tokens", "q_ivf_pq_batch",
     "q_sim_ivf_batch", "q_semdedup", "q_semdedup_auto",
-    "q_semdedup_pairs", "q_semdedup_incr",
+    "q_semdedup_2l", "q_semdedup_pairs", "q_semdedup_incr",
     "q_bpe_ids", "q_wordpiece_ids", "q_token_windows",
     "q_epoch_shuffle", "q_pack_bins")
 

@@ -1745,6 +1745,27 @@ object SparkEntry {
       .select("vec_id", "label")
       .orderBy("vec_id")
 
+  /** [[qSemdedupAuto]] through the TWO-LEVEL quantizer
+    * ([[graft.pipeline.Dedup.semDeDupTwoLevel]]) — the assignment
+    * shape that keeps the auto-sized transform LINEAR (the flat auto
+    * row measured 14.8× under the 10× rehearsal; this one holds with
+    * the linear families). The oracle replays the full two-level
+    * chain: level-1 seeds = the ⌈√nCells⌉ lowest ids, per-vector
+    * argmax level-1 group (ties high), level-2 seeds = each group's
+    * ⌈nCells/c1⌉ lowest-id members globally numbered in (group, id)
+    * order, final cell = argmax level-2 seed WITHIN the own group
+    * (ties toward the higher global cell), then the within-cell pair
+    * graph, components, and the least-prototypical survivor rule
+    * scored against the ASSIGNED cell's centroid — a drifted seed
+    * cut, a cross-group assignment, or one ulp of cosine drift reds
+    * the row.
+    */
+  private def qSemdedup2l(s: SparkSession, dir: String): DataFrame =
+    Dedup.semDeDupTwoLevel(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.3, targetCell = 24)
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+
   /** Incremental SemDeDup ([[graft.pipeline.Dedup
     * .semDeDupPairsAgainstIndex]]): the odd-vec_id half arrives as an
     * ingest batch and probes the even-half index under its FROZEN
@@ -2885,6 +2906,7 @@ object SparkEntry {
     "q_semdedup_pairs" -> (qSemdedupPairs _),
     "q_semdedup" -> (qSemdedup _),
     "q_semdedup_auto" -> (qSemdedupAuto _),
+    "q_semdedup_2l" -> (qSemdedup2l _),
     "q_semdedup_incr" -> (qSemdedupIncr _),
     "q_curation_sem" -> (qCurationSem _),
     "q_quantize" -> (qQuantize _),
@@ -3667,6 +3689,63 @@ object SparkEntry {
           "b.vec_id > a.vec_id")}""".stripMargin
 
   private val semDedupCtes = semDedupCtesWith("16")
+
+  /** The TWO-LEVEL SemDeDup chain (`q_semdedup_2l`), replaying
+    * [[graft.pipeline.Similarity.buildIvfIndexTwoLevel]] end to end:
+    * production sizing (nCells = ⌈count/targetCell⌉), c1 = ⌈√nCells⌉
+    * level-1 seeds cut at the lowest ids, per-vector argmax level-1
+    * group (same ties-high/NaN-first rule as the flat chain), level-2
+    * seeds = each group's ⌈nCells/c1⌉ lowest-id MEMBERS numbered
+    * globally in (group, id) order, and the final cell = the argmax
+    * level-2 seed WITHIN the own group (ties toward the higher global
+    * cell). `ad` is group-restricted, so [[semSurvivorCtes]]' own-cosine
+    * MAX over it is exactly the ASSIGNED cell's cosine — the
+    * [[graft.pipeline.Similarity.centroidCosAt]] rule — and the shared
+    * pair/survivor CTEs compose unchanged.
+    */
+  private def semDedup2lCtes(targetCell: Int): String =
+    s"""corpus AS (SELECT vec_id, embedding FROM embeddings),
+       |prm AS (SELECT ncells,
+       |    CAST(CEIL(SQRT(CAST(ncells AS DOUBLE))) AS BIGINT) AS c1,
+       |    CAST(CEIL(CAST(ncells AS DOUBLE) /
+       |      CEIL(SQRT(CAST(ncells AS DOUBLE)))) AS BIGINT) AS m
+       |  FROM (SELECT CAST(CEIL(COUNT(*) / $targetCell.0) AS BIGINT)
+       |        AS ncells FROM corpus)),
+       |l1cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS g,
+       |         embedding AS ce FROM corpus ORDER BY vec_id
+       |         LIMIT (SELECT c1 FROM prm)),
+       |l1x AS (SELECT e.vec_id, c.g, unnest(e.embedding) AS v,
+       |         unnest(generate_series(1, len(e.embedding))) AS i, c.ce AS ce
+       |       FROM corpus e CROSS JOIN l1cent c),
+       |l1d AS MATERIALIZED (SELECT vec_id, g,
+       |    SUM(CAST(v AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS dp,
+       |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+       |    SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS nc
+       |  FROM l1x GROUP BY vec_id, g),
+       |l1assign AS MATERIALIZED (SELECT vec_id, g FROM l1d
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, g DESC) = 1),
+       |cent AS MATERIALIZED (SELECT g,
+       |    row_number() OVER (ORDER BY g, vec_id) - 1 AS cell,
+       |    embedding AS ce
+       |  FROM (SELECT a.g, e.vec_id, e.embedding
+       |        FROM l1assign a JOIN corpus e ON e.vec_id = a.vec_id
+       |        QUALIFY row_number() OVER (PARTITION BY a.g
+       |          ORDER BY e.vec_id) <= (SELECT m FROM prm))),
+       |ax AS (SELECT e.vec_id, c.cell, unnest(e.embedding) AS v,
+       |         unnest(generate_series(1, len(e.embedding))) AS i, c.ce AS ce
+       |       FROM l1assign a JOIN corpus e ON e.vec_id = a.vec_id
+       |       JOIN cent c ON c.g = a.g),
+       |ad AS MATERIALIZED (SELECT vec_id, cell,
+       |    SUM(CAST(v AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS dp,
+       |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+       |    SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS nc
+       |  FROM ax GROUP BY vec_id, cell),
+       |assign AS (SELECT vec_id, cell FROM ad
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cell DESC) = 1),
+       |${semPairCtes("assign", "corpus", "assign", "corpus",
+          "b.vec_id > a.vec_id")}""".stripMargin
 
   /** The SemDeDup SURVIVOR derivation over a `pairs`/`ad` chain:
     * recursive min-reachable components (q_dedup_clusters' closure),
@@ -5645,6 +5724,14 @@ object SparkEntry {
       // the same integer the Spark side computes in semDeDupAutoCells
       s"""WITH RECURSIVE ${semDedupCtesWith(
            "(SELECT CAST(CEIL(COUNT(*) / 24.0) AS BIGINT) FROM embeddings)")},
+         |$semSurvivorCtes
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY e.vec_id""".stripMargin,
+    "q_semdedup_2l" ->
+      // the two-level quantizer chain under the production sizing —
+      // see semDedup2lCtes; pair + survivor CTEs shared with q_semdedup
+      s"""WITH RECURSIVE ${semDedup2lCtes(24)},
          |$semSurvivorCtes
          |SELECT e.vec_id, e.label FROM embeddings e
          |WHERE e.vec_id NOT IN (SELECT id FROM dropped)

@@ -367,6 +367,53 @@ object Dedup {
       nCells = semDeDupAutoCells(df, targetCell), kmeansIters = kmeansIters,
       maxCell = maxCell)
 
+  /** [[semDeDup]] over the TWO-LEVEL quantizer
+    * ([[Similarity.buildIvfIndexTwoLevel]]) — the assignment shape that
+    * keeps the AUTO-SIZED transform linear. [[semDeDupAuto]]'s flat
+    * assignment is O(n · nCells · dim); with nCells ∝ n that is
+    * QUADRATIC — the 10× rehearsal measured the flat auto row at
+    * 14.8×, assignment-bound, while every linear family held 2–3×.
+    * Routing assignment through ⌈√nCells⌉ level-1 groups cuts per-row
+    * work to O(√nCells · dim), restoring linear total work at any
+    * corpus-proportional cell count.
+    *
+    * The trade (the reason BOTH entry points exist): two-level
+    * assignment is approximate near group boundaries, so a
+    * near-boundary duplicate pair can land in different cells and be
+    * missed — acceptable for dedup (SemDeDup is itself a
+    * recall/cost trade via nCells) and measured small at fixture
+    * scale; [[semDeDupAuto]] remains the exact-assignment form for
+    * hand-sized cell counts. Survivors rank on the cosine to the
+    * ASSIGNED cell's centroid ([[Similarity.centroidCosAt]]) — under
+    * group-restricted assignment the global [[Similarity
+    * .maxCentroidCos]] could score a cell the row doesn't live in.
+    * Deterministic end to end (seed cuts and tie rules pinned), so
+    * `q_semdedup_2l` replays the whole chain in DuckDB.
+    */
+  def semDeDupTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, targetCell: Int = 4096,
+      maxCell: Option[Int] = None): DataFrame = {
+    val idx = Similarity.buildIvfIndexTwoLevel(
+      df.select(col(idCol), col(vecCol)), idCol, vecCol,
+      semDeDupAutoCells(df, targetCell))
+    val pairs = semPairsFromIndex(idx, threshold, maxCell)
+      .select("id_a", "id_b")
+    val members = connectedComponents(pairs)
+      .join(idx.assigned.select(col(idx.idCol).as("id"),
+        col(idx.vecCol), col("__cell")), "id")
+      .withColumn("__c",
+        Similarity.centroidCosAt(idx.vecCol, "__cell", idx.centroids))
+      .select("id", "cluster_id", "__c")
+    val bottom = members.groupBy("cluster_id").agg(min("__c").as("__m"))
+    val keep = members.join(bottom, "cluster_id")
+      .filter(col("__c") === col("__m"))
+      .groupBy("cluster_id").agg(min("id").as("id"))
+      .select("id")
+    val drop = members.select("id").join(keep, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Incremental SemDeDup — [[semDeDupPairs]]'s AGAINST-INDEX form, the
     * ingest-time question "is this new document semantically a
     * duplicate of anything already landed?" answered without

@@ -345,6 +345,115 @@ object Similarity {
       idCol, vecCol)
   }
 
+  /** TWO-LEVEL coarse quantizer build — the assignment shape that
+    * survives auto-sized cell counts. The flat [[buildIvfIndex]] scan
+    * is O(n · nCells · dim) per corpus pass; under the "nCells grows
+    * with the corpus" contract (nCells = n/targetCell) that is
+    * QUADRATIC in n — the 10× rehearsal measured the auto-sized flat
+    * transform at 14.8× (assignment-bound), vs ~2–3× for every linear
+    * family. The published fix (IMI / hierarchical coarse quantizers)
+    * is to route assignment through a first level of ~√nCells
+    * centroids: level-1 seeds are the ⌈√nCells⌉ lowest-id vectors;
+    * each vector takes its argmax level-1 group (the [[cellOf]] rule —
+    * ties high, NaN outranks, null stays null, dim mismatch raises);
+    * each level-1 group contributes its ⌈nCells/c1⌉ lowest-id MEMBERS
+    * as level-2 seeds (globally numbered in (group, id) order — these
+    * are the index's `centroids`); and the final cell is the argmax
+    * level-2 seed WITHIN the vector's own group (ties toward the
+    * higher global cell). Per-row work is O((√nCells + nCells/√nCells)
+    * · dim) ≈ 2√nCells·dim — linear-in-n total at any auto-sized cell
+    * count.
+    *
+    * The trade vs flat: assignment is approximate (a vector near a
+    * group boundary may sit closer to another group's seed), which for
+    * the SemDeDup consumer means a near-boundary pair can be missed —
+    * the same recall trade `nProbe` makes on the query side, and the
+    * reason the flat build remains the default at hand-sized cell
+    * counts. Deterministic end to end (every rule pinned above), so
+    * `q_semdedup_2l` replays the full two-level chain in DuckDB.
+    * Returned as an ordinary [[IvfIndex]] (centroids = the level-2
+    * seeds): persistence, probing and the SemDeDup machinery compose
+    * unchanged. Centroid count can land under `nCells` when small
+    * level-1 groups hold fewer than ⌈nCells/c1⌉ members.
+    */
+  def buildIvfIndexTwoLevel(df: DataFrame, idCol: String,
+      vecCol: String, nCells: Int): IvfIndex = {
+    import org.apache.spark.sql.expressions.Window
+    require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    val c1 = math.ceil(math.sqrt(nCells.toDouble)).toInt
+    val m = math.ceil(nCells.toDouble / c1).toInt
+    val l1: Array[Seq[Float]] = df.orderBy(col(idCol)).limit(c1)
+      .select(vecCol).collect().map(_.getSeq[Float](0))
+    val withL1 = df.withColumn("__l1", cellOf(vecCol, l1))
+    val w = Window.partitionBy("__l1").orderBy(col(idCol))
+    // the level-2 seed table: O(nCells) rows to the driver — the same
+    // driver-state bound as the flat build's centroid collect
+    val seeds = withL1.filter(col("__l1").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= m)
+      .select(col("__l1"), col(idCol), col(vecCol))
+      .orderBy("__l1", idCol)
+      .collect()
+    val centroids: Array[Seq[Float]] = seeds.map(_.getSeq[Float](2))
+    val byGroup: Map[Int, Array[(Int, Array[Float])]] = seeds.zipWithIndex
+      .map { case (r, i) => (r.getInt(0), i, r.getSeq[Float](2).toArray) }
+      .groupBy(_._1)
+      .map { case (g, xs) => g -> xs.map(x => (x._2, x._3)) }
+    // the level-2 argmax over the row's OWN group's seeds — the
+    // centroidScan rule restricted to the group (same tie/NaN/null
+    // posture), as one jitted closure
+    val assignU = udf { (v: Seq[Float], g: java.lang.Integer) =>
+      if (v == null || g == null) None
+      else {
+        var best = -1
+        var bestKey = Double.NegativeInfinity
+        byGroup(g.intValue()).foreach { case (cell, ce) =>
+          var dp = 0.0; var nv = 0.0; var nc = 0.0
+          var i = 0
+          while (i < ce.length) {
+            val x = v(i).toDouble; val y = ce(i).toDouble
+            dp += x * y; nv += x * x; nc += y * y
+            i += 1
+          }
+          val cos = dp / (math.sqrt(nv) * math.sqrt(nc))
+          val key = if (cos.isNaN) Double.PositiveInfinity else cos
+          if (best < 0 || key >= bestKey) { bestKey = key; best = cell }
+        }
+        Some(best)
+      }
+    }
+    IvfIndex(centroids,
+      withL1.withColumn("__cell", assignU(col(vecCol), col("__l1")))
+        .drop("__l1"),
+      idCol, vecCol)
+  }
+
+  /** Each row's cosine to the centroid of its ASSIGNED cell — the
+    * own-centroid prototypicality score for indexes whose assignment
+    * is NOT a global argmax (the two-level build), where
+    * [[maxCentroidCos]] would score against a cell the row doesn't
+    * live in. Same fold arithmetic as [[centroidScan]].
+    */
+  private[pipeline] def centroidCosAt(vecCol: String, cellCol: String,
+      centroids: Array[Seq[Float]]): Column = {
+    val cents: Array[Array[Float]] = centroids.map(_.toArray)
+    val f = udf { (v: Seq[Float], cell: java.lang.Integer) =>
+      if (v == null || cell == null) None
+      else {
+        val ce = cents(cell.intValue())
+        var dp = 0.0; var nv = 0.0; var nc = 0.0
+        var i = 0
+        while (i < ce.length) {
+          val x = v(i).toDouble; val y = ce(i).toDouble
+          dp += x * y; nv += x * x; nc += y * y
+          i += 1
+        }
+        Some(dp / (math.sqrt(nv) * math.sqrt(nc)))
+      }
+    }
+    f(col(vecCol), col(cellCol))
+  }
+
   /** The query's `nProbe` highest-cosine cells over a centroid table
     * (O(nCentroids · dim)); ties toward the lower cell id via the
     * stable sort — THE probe rule, shared verbatim by the driver-side

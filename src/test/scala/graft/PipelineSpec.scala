@@ -1208,6 +1208,76 @@ class PipelineSpec extends SparkSpec {
       "recovery must publish the marker-committed staging index first")
   }
 
+  test("buildIvfIndexTwoLevel: group-restricted argmax assignment with " +
+      "(group, id) seed numbering; nCells = 1 degenerates to the flat " +
+      "transform exactly") {
+    val nCells = 25
+    val idx = Similarity.buildIvfIndexTwoLevel(
+      embeddings.select("vec_id", "embedding"), "vec_id", "embedding",
+      nCells)
+    val rows = embeddings.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    assert(idx.assigned.count() == rows.length,
+      "two-level build must preserve the row set")
+    // brute-force replay of every pinned rule on the collected corpus
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < b.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dp += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def argmaxHigh(v: Array[Float],
+        cs: Seq[(Int, Array[Float])]): Int = {
+      var best = -1; var bk = Double.NegativeInfinity
+      cs.foreach { case (c, ce) =>
+        val cc = cos(v, ce)
+        val k = if (cc.isNaN) Double.PositiveInfinity else cc
+        if (best < 0 || k >= bk) { bk = k; best = c }
+      }
+      best
+    }
+    val c1 = math.ceil(math.sqrt(nCells.toDouble)).toInt
+    val m = math.ceil(nCells.toDouble / c1).toInt
+    val l1 = rows.take(c1).map(_._2).zipWithIndex.map(_.swap).toSeq
+    val grp = rows.map { case (id, v) => id -> argmaxHigh(v, l1) }.toMap
+    val seeds = rows.groupBy(r => grp(r._1)).toSeq
+      .flatMap { case (g, mem) =>
+        mem.sortBy(_._1).take(m).map(r => (g, r._1, r._2))
+      }
+      .sortBy(s => (s._1, s._2)).zipWithIndex
+      .map { case ((g, id, v), cell) => (g, cell, id, v) }
+    assert(idx.centroids.length == seeds.length &&
+      idx.centroids.map(_.toSeq).toSeq == seeds.map(_._4.toSeq).toSeq,
+      "level-2 seeds must be each group's lowest-id members, " +
+        "globally numbered in (group, id) order")
+    val expected = rows.map { case (id, v) =>
+      id -> argmaxHigh(v,
+        seeds.filter(_._1 == grp(id)).map(s => (s._2, s._4)))
+    }.toMap
+    val got = idx.assigned.select("vec_id", "__cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expected,
+      "assignment must be the argmax seed WITHIN the own level-1 group")
+    // per-row work is bounded by the two seed scans, never all cells:
+    // a cell only ever holds members of the group that seeded it
+    val cellGroup = seeds.map(s => s._2 -> s._1).toMap
+    got.foreach { case (id, cell) =>
+      assert(cellGroup(cell) == grp(id),
+        s"row $id landed in cell $cell of a foreign group")
+    }
+    // degenerate equality: targetCell >= n means nCells = 1 — one
+    // group, one seed, and the transform must equal the flat one
+    val two = Dedup.semDeDupTwoLevel(embeddings, "vec_id", "embedding",
+      threshold = 0.3, targetCell = rows.length)
+    val flat = Dedup.semDeDup(embeddings, "vec_id", "embedding",
+      threshold = 0.3, nCells = 1)
+    assert(two.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+        == flat.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq,
+      "nCells = 1 two-level must equal the flat transform")
+  }
+
   test("composed IVF×PQ index prunes partitions, pushes the rerank " +
       "fetch, and reranks to the exact IVF answer") {
     import graft.pipeline.Pq
