@@ -1766,6 +1766,39 @@ object SparkEntry {
       .select("vec_id", "label")
       .orderBy("vec_id")
 
+  /** [[qSemdedupIncr]] against a PERSISTED TWO-LEVEL index — the
+    * ingest probe a production (auto-sized) corpus actually runs: the
+    * even-half index is built two-level
+    * ([[graft.pipeline.Similarity.buildIvfIndexTwoLevel]], nCells =
+    * ⌈|even|/24⌉), WRITTEN (the grouped sidecars: `grp` column +
+    * `l1` table) and RELOADED, and the odd half probes it through
+    * [[graft.pipeline.Dedup.semDeDupPairsAgainstIndex]] — whose
+    * `assignCells` must re-derive the batch side's GROUP-RESTRICTED
+    * assignment from the persisted grouping, or probed cells would
+    * diverge from landed cells and pairs would silently vanish. The
+    * oracle replays both sides' two-level chains (the corpus's from
+    * its own seed cuts; the batch's under the corpus's FROZEN
+    * level-1 + level-2 seeds, own-group-first with the pinned
+    * global-argmax fallback ordering) and every cross-side pair —
+    * a probe that global-argmaxed, a dropped sidecar, or one ulp of
+    * cosine drift reds the row.
+    */
+  private def qSemdedup2lIncr(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val even = e.filter(col("vec_id") % 2 === 0)
+      .select("vec_id", "embedding")
+    val path = scratchDir("q-semdedup-2l-incr")
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndexTwoLevel(even, "vec_id", "embedding",
+        graft.pipeline.Dedup.semDeDupAutoCells(even, 24)), path)
+    Dedup.semDeDupPairsAgainstIndex(Similarity.loadIvfIndex(s, path),
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        threshold = 0.3)
+      .select(col("cell").cast("bigint").as("cell"), col("id_a"),
+        col("id_b"), col("cosine"))
+      .orderBy("cell", "id_a", "id_b")
+  }
+
   /** Incremental SemDeDup ([[graft.pipeline.Dedup
     * .semDeDupPairsAgainstIndex]]): the odd-vec_id half arrives as an
     * ingest batch and probes the even-half index under its FROZEN
@@ -2907,6 +2940,7 @@ object SparkEntry {
     "q_semdedup" -> (qSemdedup _),
     "q_semdedup_auto" -> (qSemdedupAuto _),
     "q_semdedup_2l" -> (qSemdedup2l _),
+    "q_semdedup_2l_incr" -> (qSemdedup2lIncr _),
     "q_semdedup_incr" -> (qSemdedupIncr _),
     "q_curation_sem" -> (qCurationSem _),
     "q_quantize" -> (qQuantize _),
@@ -3703,8 +3737,10 @@ object SparkEntry {
     * [[graft.pipeline.Similarity.centroidCosAt]] rule — and the shared
     * pair/survivor CTEs compose unchanged.
     */
-  private def semDedup2lCtes(targetCell: Int): String =
-    s"""corpus AS (SELECT vec_id, embedding FROM embeddings),
+  private def semDedup2lCtes(targetCell: Int,
+      corpusPred: String = "TRUE"): String =
+    s"""corpus AS (SELECT vec_id, embedding FROM embeddings
+       |           WHERE $corpusPred),
        |prm AS (SELECT ncells,
        |    CAST(CEIL(SQRT(CAST(ncells AS DOUBLE))) AS BIGINT) AS c1,
        |    CAST(CEIL(CAST(ncells AS DOUBLE) /
@@ -3743,9 +3779,7 @@ object SparkEntry {
        |  FROM ax GROUP BY vec_id, cell),
        |assign AS (SELECT vec_id, cell FROM ad
        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-       |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cell DESC) = 1),
-       |${semPairCtes("assign", "corpus", "assign", "corpus",
-          "b.vec_id > a.vec_id")}""".stripMargin
+       |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cell DESC) = 1)""".stripMargin
 
   /** The SemDeDup SURVIVOR derivation over a `pairs`/`ad` chain:
     * recursive min-reachable components (q_dedup_clusters' closure),
@@ -5732,10 +5766,52 @@ object SparkEntry {
       // the two-level quantizer chain under the production sizing —
       // see semDedup2lCtes; pair + survivor CTEs shared with q_semdedup
       s"""WITH RECURSIVE ${semDedup2lCtes(24)},
+         |${semPairCtes("assign", "corpus", "assign", "corpus",
+            "b.vec_id > a.vec_id")},
          |$semSurvivorCtes
          |SELECT e.vec_id, e.label FROM embeddings e
          |WHERE e.vec_id NOT IN (SELECT id FROM dropped)
          |ORDER BY e.vec_id""".stripMargin,
+    "q_semdedup_2l_incr" ->
+      // the odd half probes the PERSISTED even-half two-level index:
+      // the corpus side runs its own two-level chain (semDedup2lCtes
+      // over the even half), the batch side re-derives the
+      // group-restricted assignment under the corpus's FROZEN level-1
+      // and level-2 seeds — own-group cells ranked first (the
+      // twoLevelCellOf rule: in-group argmax, ties to the higher
+      // global cell, with the defensive global-argmax fallback
+      // expressed by the inGroup-first ordering) — and pairs cross the
+      // two sides within a cell
+      s"""WITH ${semDedup2lCtes(24, "vec_id % 2 = 0")},
+         |batch AS (SELECT vec_id, embedding FROM embeddings
+         |          WHERE vec_id % 2 = 1),
+         |bl1x AS (SELECT e.vec_id, c.g, unnest(e.embedding) AS v,
+         |         unnest(generate_series(1, len(e.embedding))) AS i, c.ce AS ce
+         |       FROM batch e CROSS JOIN l1cent c),
+         |bl1d AS MATERIALIZED (SELECT vec_id, g,
+         |    SUM(CAST(v AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+         |    SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS nc
+         |  FROM bl1x GROUP BY vec_id, g),
+         |bl1assign AS MATERIALIZED (SELECT vec_id, g FROM bl1d
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, g DESC) = 1),
+         |bax AS (SELECT e.vec_id, c.cell, c.g, unnest(e.embedding) AS v,
+         |         unnest(generate_series(1, len(e.embedding))) AS i, c.ce AS ce
+         |       FROM batch e CROSS JOIN cent c),
+         |bad AS MATERIALIZED (SELECT vec_id, cell, g,
+         |    SUM(CAST(v AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+         |    SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS nc
+         |  FROM bax GROUP BY vec_id, cell, g),
+         |bassign AS (SELECT b.vec_id, b.cell
+         |  FROM bad b JOIN bl1assign a ON a.vec_id = b.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY b.vec_id
+         |    ORDER BY CASE WHEN b.g = a.g THEN 1 ELSE 0 END DESC,
+         |      b.dp / (sqrt(b.nv) * sqrt(b.nc)) DESC, b.cell DESC) = 1),
+         |${semPairCtes("assign", "corpus", "bassign", "batch", "TRUE")}
+         |SELECT cell, id_a, id_b, cosine FROM pairs
+         |ORDER BY cell, id_a, id_b""".stripMargin,
     "q_curation_sem" ->
       // the composed curation-with-semantic-dedup chain: the quality
       // gate's survivors (same formula as q_quality) restrict BOTH the

@@ -350,15 +350,23 @@ object Dedup {
   }
 
   /** [[semDeDup]] with the quantizer SIZED from the corpus
-    * ([[semDeDupAutoCells]]) instead of a hand-picked nCells — the
-    * entry point a production run should use: at 100× the corpus the
-    * cell count grows 100×, per-cell pair work stays ~flat, and
-    * `kmeansIters` defaults > 0 because at auto-sized cell counts cell
-    * BALANCE (what bounds the worst cell, and with it `maxCell`
-    * headroom) matters more than the bit-reproducibility of the raw
-    * lowest-id seeds — pass 0 to pin the oracle path. Pairs naturally
-    * with a `maxCell` of a small multiple of `targetCell`: under
-    * auto-sizing an over-target cell is genuine skew, not mis-sizing.
+    * ([[semDeDupAutoCells]]) instead of a hand-picked nCells: at 100×
+    * the corpus the cell count grows 100×, per-cell pair work stays
+    * ~flat, and `kmeansIters` defaults > 0 because at auto-sized cell
+    * counts cell BALANCE (what bounds the worst cell, and with it
+    * `maxCell` headroom) matters more than the bit-reproducibility of
+    * the raw lowest-id seeds — pass 0 to pin the oracle path. Pairs
+    * naturally with a `maxCell` of a small multiple of `targetCell`:
+    * under auto-sizing an over-target cell is genuine skew, not
+    * mis-sizing.
+    *
+    * SCALE CAVEAT (the 10× rehearsal's find): this form keeps the
+    * FLAT argmax assignment, O(n · nCells · dim) — with nCells ∝ n
+    * that is quadratic in the corpus (measured 14.8× at 10×). It is
+    * the exact-assignment choice for corpora where nCells stays in
+    * the hundreds; at genuinely corpus-proportional cell counts use
+    * [[semDeDupTwoLevel]], whose grouped assignment is linear
+    * (measured 1.7× at the same 10×).
     */
   def semDeDupAuto(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, targetCell: Int = 4096, kmeansIters: Int = 2,

@@ -212,8 +212,21 @@ object Similarity {
     * full scan — demonstrated by the PartitionFilters plan assertion in
     * PipelineSpec.
     */
+  /** The grouping sidecar of a TWO-LEVEL index
+    * ([[buildIvfIndexTwoLevel]]): the level-1 centroids and, for each
+    * level-2 cell, the level-1 group it belongs to. Persisted with the
+    * index so every against-index operation (append, incremental
+    * semantic dedup, streaming ingest) re-derives the SAME
+    * group-restricted assignment the landed corpus was built with —
+    * without it a probe would global-argmax into cells the landed rows
+    * were never assigned by.
+    */
+  final case class TwoLevelMeta(l1: Array[Seq[Float]],
+      cellGroup: Array[Int])
+
   final case class IvfIndex(centroids: Array[Seq[Float]],
-      assigned: DataFrame, idCol: String, vecCol: String)
+      assigned: DataFrame, idCol: String, vecCol: String,
+      twoLevel: Option[TwoLevelMeta] = None)
 
   private def cosScalar(a: Seq[Float], b: Seq[Float]): Double = {
     var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -371,10 +384,16 @@ object Similarity {
     * reason the flat build remains the default at hand-sized cell
     * counts. Deterministic end to end (every rule pinned above), so
     * `q_semdedup_2l` replays the full two-level chain in DuckDB.
-    * Returned as an ordinary [[IvfIndex]] (centroids = the level-2
-    * seeds): persistence, probing and the SemDeDup machinery compose
-    * unchanged. Centroid count can land under `nCells` when small
-    * level-1 groups hold fewer than ⌈nCells/c1⌉ members.
+    * Returned as an [[IvfIndex]] carrying its [[TwoLevelMeta]]
+    * (centroids = the level-2 seeds): [[writeIvfIndex]] persists the
+    * grouping (a `grp` column in the centroid sidecar + an `l1`
+    * sidecar), [[assignCells]] and [[appendToIvfIndex]] re-derive the
+    * SAME group-restricted assignment from it, and the SemDeDup
+    * machinery composes unchanged — probed cells always match landed
+    * cells, exactly the flat layout's contract ([[reclusterIvfIndex]]
+    * deliberately restores the flat exact-assignment form). Centroid
+    * count can land under `nCells` when small level-1 groups hold
+    * fewer than ⌈nCells/c1⌉ members.
     */
   def buildIvfIndexTwoLevel(df: DataFrame, idCol: String,
       vecCol: String, nCells: Int): IvfIndex = {
@@ -395,19 +414,43 @@ object Similarity {
       .orderBy("__l1", idCol)
       .collect()
     val centroids: Array[Seq[Float]] = seeds.map(_.getSeq[Float](2))
-    val byGroup: Map[Int, Array[(Int, Array[Float])]] = seeds.zipWithIndex
-      .map { case (r, i) => (r.getInt(0), i, r.getSeq[Float](2).toArray) }
-      .groupBy(_._1)
-      .map { case (g, xs) => g -> xs.map(x => (x._2, x._3)) }
-    // the level-2 argmax over the row's OWN group's seeds — the
-    // centroidScan rule restricted to the group (same tie/NaN/null
-    // posture), as one jitted closure
-    val assignU = udf { (v: Seq[Float], g: java.lang.Integer) =>
-      if (v == null || g == null) None
+    val meta = TwoLevelMeta(l1, seeds.map(_.getInt(0)))
+    // assignment through the SAME closure every against-index probe
+    // uses (one definition of both levels' scans — build and probe
+    // cannot drift); the extra level-1 re-scan inside it is O(√nCells)
+    IvfIndex(centroids,
+      withL1.drop("__l1")
+        .withColumn("__cell", twoLevelCellOf(vecCol, meta, centroids)),
+      idCol, vecCol, Some(meta))
+  }
+
+  /** The composed two-level assignment as ONE jitted closure — the
+    * probe/build rule of a [[buildIvfIndexTwoLevel]] index: level-1
+    * argmax group over `meta.l1` (the [[centroidScan]] contract —
+    * ties toward the higher group, NaN outranks, null stays null, dim
+    * mismatch raises), then argmax over the cells OF THAT GROUP (ties
+    * toward the higher global cell). Defensively, a vector whose
+    * level-1 group holds no cells falls back to the global argmax —
+    * under the pinned tie rules every group is anchored by its own
+    * seed (a seed's self-cosine is maximal), so the branch is
+    * unreachable for any corpus-built index, but a total rule beats a
+    * null cell on the append path. Shared by the build, [[assignCells]]
+    * and [[appendToIvfIndex]], so landed cells and probed cells can
+    * never disagree.
+    */
+  private def twoLevelCellOf(vecCol: String, meta: TwoLevelMeta,
+      centroids: Array[Seq[Float]]): Column = {
+    val l1a: Array[Array[Float]] = meta.l1.map(_.toArray)
+    val cents: Array[Array[Float]] = centroids.map(_.toArray)
+    val byGroup: Map[Int, Array[Int]] = cents.indices
+      .groupBy(meta.cellGroup).map { case (g, xs) => g -> xs.toArray }
+    val f = udf { (v: Seq[Float]) =>
+      if (v == null) None
       else {
-        var best = -1
-        var bestKey = Double.NegativeInfinity
-        byGroup(g.intValue()).foreach { case (cell, ce) =>
+        require(l1a.isEmpty || v.length == l1a(0).length,
+          s"vector dim ${v.length} != centroid dim ${l1a(0).length} " +
+            "— mismatched embedding landed in the assignment scan")
+        def cosKey(ce: Array[Float]): Double = {
           var dp = 0.0; var nv = 0.0; var nc = 0.0
           var i = 0
           while (i < ce.length) {
@@ -416,16 +459,28 @@ object Similarity {
             i += 1
           }
           val cos = dp / (math.sqrt(nv) * math.sqrt(nc))
-          val key = if (cos.isNaN) Double.PositiveInfinity else cos
-          if (best < 0 || key >= bestKey) { bestKey = key; best = cell }
+          if (cos.isNaN) Double.PositiveInfinity else cos
+        }
+        var g = -1
+        var gk = Double.NegativeInfinity
+        var c = 0
+        while (c < l1a.length) {
+          val k = cosKey(l1a(c))
+          if (g < 0 || k >= gk) { gk = k; g = c }
+          c += 1
+        }
+        val pool: Array[Int] =
+          byGroup.getOrElse(g, cents.indices.toArray)
+        var best = -1
+        var bk = Double.NegativeInfinity
+        pool.foreach { cell =>
+          val k = cosKey(cents(cell))
+          if (best < 0 || k >= bk) { bk = k; best = cell }
         }
         Some(best)
       }
     }
-    IvfIndex(centroids,
-      withL1.withColumn("__cell", assignU(col(vecCol), col("__l1")))
-        .drop("__l1"),
-      idCol, vecCol)
+    f(col(vecCol))
   }
 
   /** Each row's cosine to the centroid of its ASSIGNED cell — the
@@ -781,11 +836,31 @@ object Similarity {
       .partitionBy("__cell").parquet(s"$path/corpus")
     val spark = idx.assigned.sparkSession
     import spark.implicits._
-    idx.centroids.zipWithIndex
-      .map { case (c, i) => (i, c, idx.idCol, idx.vecCol) }.toSeq
-      .toDF("cell", "centroid", "id_col", "vec_col")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
+    idx.twoLevel match {
+      case None =>
+        idx.centroids.zipWithIndex
+          .map { case (c, i) => (i, c, idx.idCol, idx.vecCol) }.toSeq
+          .toDF("cell", "centroid", "id_col", "vec_col")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/centroids")
+      case Some(tl) =>
+        // two-level layout: each cell records its level-1 group, and
+        // the level-1 centroids ride as a second sidecar — an
+        // against-index probe must re-derive the GROUP-RESTRICTED
+        // assignment the landed rows were built with, which the plain
+        // sidecar cannot express
+        idx.centroids.zipWithIndex
+          .map { case (c, i) =>
+            (i, c, idx.idCol, idx.vecCol, tl.cellGroup(i))
+          }.toSeq
+          .toDF("cell", "centroid", "id_col", "vec_col", "grp")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/centroids")
+        tl.l1.zipWithIndex.map { case (c, g) => (g, c) }.toSeq
+          .toDF("g", "centroid")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/l1")
+    }
   }
 
   /** Load an index written by [[writeIvfIndex]]. The returned index's
@@ -803,11 +878,33 @@ object Similarity {
     */
   def loadIvfIndex(spark: SparkSession, path: String,
       corpus: DataFrame): IvfIndex = {
-    val meta = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
+    val (centroids, idCol, vecCol, tl) = loadCentroidMeta(spark, path)
+    IvfIndex(centroids, corpus, idCol, vecCol, tl)
+  }
+
+  /** The centroid sidecar(s) of a persisted index — shared by
+    * [[loadIvfIndex]] and [[appendToIvfIndex]] so both see the same
+    * (flat vs two-level) assignment geometry. A `grp` column in the
+    * sidecar marks a [[buildIvfIndexTwoLevel]] layout, whose level-1
+    * centroids are read from the `l1` sidecar.
+    */
+  private def loadCentroidMeta(spark: SparkSession, path: String)
+      : (Array[Seq[Float]], String, String, Option[TwoLevelMeta]) = {
+    val df = spark.read.parquet(s"$path/centroids")
+    val meta = df.orderBy("cell").collect()
     require(meta.nonEmpty, s"no centroids found under $path/centroids")
-    IvfIndex(meta.map(_.getSeq[Float](1)), corpus,
-      meta.head.getString(2), meta.head.getString(3))
+    val centroids = meta.map(_.getSeq[Float](1))
+    val tl =
+      if (!df.schema.fieldNames.contains("grp")) None
+      else {
+        val grpIdx = df.schema.fieldIndex("grp")
+        val l1 = spark.read.parquet(s"$path/l1").orderBy("g").collect()
+          .map(_.getSeq[Float](1))
+        require(l1.nonEmpty, s"two-level index at $path has no l1 " +
+          "sidecar — the centroid table carries a grp column")
+        Some(TwoLevelMeta(l1, meta.map(_.getInt(grpIdx))))
+      }
+    (centroids, meta.head.getString(2), meta.head.getString(3), tl)
   }
 
   /** Fold newly-ingested vectors INTO a persisted IVF-family index at
@@ -843,21 +940,25 @@ object Similarity {
     * Narrow: the centroids ride as plan literals, no shuffle.
     */
   def assignCells(idx: IvfIndex, df: DataFrame, vecCol: String): DataFrame =
-    df.withColumn("__cell", cellOf(vecCol, idx.centroids))
+    idx.twoLevel match {
+      case None => df.withColumn("__cell", cellOf(vecCol, idx.centroids))
+      case Some(tl) =>
+        df.withColumn("__cell", twoLevelCellOf(vecCol, tl, idx.centroids))
+    }
 
   def appendToIvfIndex(spark: SparkSession, path: String,
       newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
-    val meta = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
-    require(meta.nonEmpty, s"no centroids found under $path/centroids")
-    require(meta.head.getString(2) == idCol &&
-        meta.head.getString(3) == vecCol,
-      s"index at $path keys on (${meta.head.getString(2)}, " +
-        s"${meta.head.getString(3)}), not ($idCol, $vecCol)")
-    val centroids: Array[Seq[Float]] = meta.map(_.getSeq[Float](1))
+    val (centroids, metaIdCol, metaVecCol, tl) =
+      loadCentroidMeta(spark, path)
+    require(metaIdCol == idCol && metaVecCol == vecCol,
+      s"index at $path keys on ($metaIdCol, $metaVecCol), " +
+        s"not ($idCol, $vecCol)")
     val corpusFields =
       spark.read.parquet(s"$path/corpus").schema.fieldNames
-    val assigned = newVectors.withColumn("__cell", cellOf(vecCol, centroids))
+    val assigned = newVectors.withColumn("__cell", tl match {
+      case None => cellOf(vecCol, centroids)
+      case Some(m) => twoLevelCellOf(vecCol, m, centroids)
+    })
     val shaped = detectIvfLayout(corpusFields.toSeq) match {
       case IvfLayout.Pq =>
         // sidecar-only load: the append needs the encoder, not a second
@@ -929,6 +1030,10 @@ object Similarity {
     * Float and PQ layouts re-cluster in place (PQ codes are per-vector
     * and cell-independent — ADC scoring never reads the cell id, so
     * the codebook sidecar and every row's codes ride along verbatim);
+    * a TWO-LEVEL layout ([[buildIvfIndexTwoLevel]]) re-clusters to the
+    * FLAT exact-assignment form — the whole-root swap replaces the
+    * grouped sidecars with the plain one, so probes and the landed
+    * corpus stay consistent either side of the swap;
     * the int8 layout is REJECTED loudly: it dropped the float vectors
     * at write time, and re-clustering from dequantized codes would
     * silently move near-boundary vectors between cells under
@@ -1032,8 +1137,7 @@ object Similarity {
       path: String): Unit = {
     val coded = idx.assigned
       .withColumn(PqCodesCol, Pq.encode(cb)(col(idx.vecCol)))
-    writeIvfIndex(IvfIndex(idx.centroids, coded, idx.idCol, idx.vecCol),
-      path)
+    writeIvfIndex(idx.copy(assigned = coded), path)
     val spark = idx.assigned.sparkSession
     import spark.implicits._
     cb.codebooks.zipWithIndex.flatMap { case (cents, j) =>
@@ -1136,7 +1240,7 @@ object Similarity {
       .withColumn(Int8CodesCol,
         int8Codes(col(idx.vecCol), col(Int8ScaleCol)))
       .drop(idx.vecCol)
-    IvfIndex(idx.centroids, coded, idx.idCol, idx.vecCol)
+    idx.copy(assigned = coded)
   }
 
   /** Persist an IVF index in the int8 serving layout: the

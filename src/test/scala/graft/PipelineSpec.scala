@@ -1278,6 +1278,62 @@ class PipelineSpec extends SparkSpec {
       "nCells = 1 two-level must equal the flat transform")
   }
 
+  test("two-level index persists its grouping: load/assignCells/append " +
+      "re-derive the group-restricted cells, and the against-index " +
+      "probe matches the in-memory one exactly") {
+    val even = embeddings.filter(col("vec_id") % 2 === 0)
+      .select("vec_id", "embedding")
+    val odd = embeddings.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+    val idx = Similarity.buildIvfIndexTwoLevel(even, "vec_id",
+      "embedding", Dedup.semDeDupAutoCells(even, 24))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-2l-persist").toString + "/idx"
+    Similarity.writeIvfIndex(idx, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    val tl = loaded.twoLevel.getOrElse(
+      fail("loaded index lost its TwoLevelMeta"))
+    assert(tl.l1.map(_.toSeq).toSeq ==
+        idx.twoLevel.get.l1.map(_.toSeq).toSeq &&
+      tl.cellGroup.toSeq == idx.twoLevel.get.cellGroup.toSeq &&
+      loaded.centroids.map(_.toSeq).toSeq ==
+        idx.centroids.map(_.toSeq).toSeq,
+      "grouping sidecars must round-trip bit-exactly")
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "__cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val built = cells(idx.assigned)
+    assert(cells(Similarity.assignCells(loaded, even, "embedding"))
+        == built,
+      "probe-side assignment from the persisted grouping must equal " +
+        "the build's")
+    // the hazard is real on this fixture: a FLAT global argmax over
+    // the same centroids disagrees with the landed cells somewhere
+    val flat = Similarity.IvfIndex(loaded.centroids, loaded.assigned,
+      "vec_id", "embedding")
+    assert(cells(Similarity.assignCells(flat, even, "embedding"))
+        != built,
+      "fixture must exercise the group restriction (flat == grouped " +
+        "would make this spec vacuous)")
+    // against-index pairs through the persisted layout == in-memory
+    def pairs(i: Similarity.IvfIndex) =
+      Dedup.semDeDupPairsAgainstIndex(i, odd, "vec_id", "embedding",
+          threshold = 0.3)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+        .sortBy(p => (p._1, p._2, p._3)).toSeq
+    assert(pairs(loaded) == pairs(idx),
+      "persisted-layout probe must equal the in-memory probe")
+    // append lands odd rows in the cells the SHARED closure assigns
+    val expectOdd = cells(Similarity.assignCells(loaded, odd,
+      "embedding"))
+    Similarity.appendToIvfIndex(spark, dir, odd, "vec_id", "embedding")
+    assert(cells(spark.read.parquet(s"$dir/corpus")) ==
+        built ++ expectOdd,
+      "append must use the group-restricted assignment")
+  }
+
   test("composed IVF×PQ index prunes partitions, pushes the rerank " +
       "fetch, and reranks to the exact IVF answer") {
     import graft.pipeline.Pq
