@@ -54,9 +54,20 @@ object ScaleRehearsal {
     "q_dedup_clusters", "q_dedup_append", "q_decontaminate_spans",
     "q_curation", "q_wordpiece_encode_tokens", "q_ivf_pq_batch",
     "q_sim_ivf_batch", "q_semdedup", "q_semdedup_auto",
-    "q_semdedup_2l", "q_semdedup_pairs", "q_semdedup_incr",
+    "q_semdedup_2l", "q_semdedup_2l_incr", "q_semdedup_pairs",
+    "q_semdedup_incr",
     "q_bpe_ids", "q_wordpiece_ids", "q_token_windows",
-    "q_epoch_shuffle", "q_pack_bins")
+    "q_epoch_shuffle", "q_pack_bins",
+    // the round-17 widening — the remaining 1.5–6.5 s bench band:
+    // the composed curation variants (incl. the cross-table
+    // semantic-dedup join, meaningful only under the shared-shift
+    // inflation), the featurized NB train/parity/eval rows, index
+    // re-clustering, winnowing fingerprints, Bloom decontamination,
+    // LM scoring and the full Gopher rule set
+    "q_curation_weighted", "q_curation_pack", "q_curation_sem",
+    "q_nb_model", "q_nb_classify", "q_nb_eval_bigram",
+    "q_ivf_recluster", "q_winnow", "q_decontaminate_bloom",
+    "q_lm_score", "q_gopher_full")
 
   /** The reference masking core + relational leaders, rehearsed over an
     * FK-CONSISTENT inflation: facts (lineitem/orders/customer) grow N×
@@ -97,12 +108,21 @@ object ScaleRehearsal {
     modes.filterNot(_ == "relational").foreach { mode =>
       val dst = s"$workDir/$mode"
       new java.io.File(dst).mkdirs()
+      // ONE shift across both tables: doc_id and vec_id are the SAME
+      // key space (q_curation_sem joins them), so per-table shifts
+      // would misalign every copy's cross-table join — copy i of a
+      // document must keep copy i of its embedding
+      val shared = Some(math.max(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .agg(max(col("doc_id"))).head().getLong(0),
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .agg(max(col("vec_id"))).head().getLong(0)) + 1)
       inflate(spark, s"$sfDir/documents.parquet",
         s"$dst/documents.parquet", "doc_id", factor, cpus.toInt,
-        distinctCopies = mode == "distinct")
+        distinctCopies = mode == "distinct", shiftOverride = shared)
       inflate(spark, s"$sfDir/embeddings.parquet",
         s"$dst/embeddings.parquet", "vec_id", factor, cpus.toInt,
-        distinctCopies = mode == "distinct")
+        distinctCopies = mode == "distinct", shiftOverride = shared)
     }
     if (modes.contains("relational"))
       inflateRelational(spark, sfDir, s"$workDir/relational", factor,
@@ -256,10 +276,12 @@ object ScaleRehearsal {
 
   private[graft] def inflate(spark: SparkSession, src: String,
       dst: String, idCol: String, factor: Int, cpus: Int,
-      distinctCopies: Boolean): Unit = {
+      distinctCopies: Boolean, shiftOverride: Option[Long] = None)
+      : Unit = {
     val d = spark.read.parquet(src)
     val cols = d.columns.toSet
-    val shift = d.agg(max(col(idCol))).head().getLong(0) + 1
+    val shift = shiftOverride.getOrElse(
+      d.agg(max(col(idCol))).head().getLong(0) + 1)
     if (distinctCopies && cols("text")) {
       require(factor - 1 <= DigitBlocks.length,
         s"factor $factor exceeds the ${DigitBlocks.length} per-copy " +

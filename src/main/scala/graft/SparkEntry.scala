@@ -2026,10 +2026,17 @@ object SparkEntry {
     // production path: the serving closures
     val prodPred = d.select(col("doc_id"),
       Classify.classifyUdf(model)(toks).as("pred"))
-    val prodScores = model.labels.map { l =>
-      d.select(col("doc_id"), lit(l).as("label"),
-        Classify.scoreUdf(model, l)(toks).as("pscore"))
-    }.reduce(_ unionAll _)
+    // all labels' scores in ONE corpus scan (featurization — the md5
+    // bigram hashing — runs once per document, not once per label):
+    // score each label as a struct field off the same projected token
+    // array, then explode the label axis
+    val prodScores = d
+      .select(col("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), explode(array(model.labels.map(l =>
+          struct(lit(l).as("label"),
+            Classify.scoreUdf(model, l)(col("__toks")).as("pscore")))
+        .toIndexedSeq: _*)).as("__s"))
+      .select(col("doc_id"), col("__s.label"), col("__s.pscore"))
     // independent path: stored doubles joined + position-ordered fold;
     // empty/no-token docs ride through posexplode_outer as a single
     // null-token row whose 0.0 term leaves the prior untouched

@@ -520,6 +520,51 @@ class StreamingMaskSpec extends SparkSpec {
     assert(ex.getMessage.contains("float"))
   }
 
+  test("streaming semantic dedup serves a persisted TWO-LEVEL index: " +
+      "survivors == the batch filter under the group-restricted " +
+      "assignment") {
+    import graft.pipeline.{Dedup, Similarity}
+    import graft.streaming.ExactlyOnceSink
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_semstream2l").toString
+    val emb = spark.read.parquet(s"$fixtures/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+      .select("vec_id", "embedding")
+    val idxDir = s"$base/index"
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndexTwoLevel(corpus, "vec_id", "embedding",
+        Dedup.semDeDupAutoCells(corpus, 24)), idxDir)
+    // the stream must see the grouped sidecars, not the flat geometry
+    assert(Similarity.loadIvfIndex(spark, idxDir).twoLevel.isDefined)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+    val n = emb.count()
+    val in = s"$base/in"
+    batch.filter(col("vec_id") < n / 2).write.parquet(s"$in/f0")
+    batch.filter(col("vec_id") >= n / 2).write.parquet(s"$in/f1")
+    val schema = spark.read.parquet(s"$in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val out = s"$base/out"
+    StreamMask.semDeDupStream(stream, idxDir, "vec_id", "embedding",
+        threshold = 0.3, outPath = out, checkpoint = s"$base/ckpt")
+      .awaitTermination(120000)
+    val landed = spark.read.parquet(out)
+    assert(landed.select(ExactlyOnceSink.BatchIdCol).distinct().count()
+      > 1, "expected more than one ingest micro-batch")
+    val streamed = landed.select("vec_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val expected = Dedup.semDeDupFilterBatch(
+        Similarity.loadIvfIndex(spark, idxDir), batch, "vec_id",
+        "embedding", threshold = 0.3)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed.nonEmpty && streamed.size < batch.count(),
+      s"fixture should both keep and drop (kept ${streamed.size})")
+    assert(streamed == expected,
+      "streamed survivors diverged from the two-level batch filter")
+  }
+
   test("streaming semantic dedup hot-cell posture: Skip passes hot-cell " +
       "rows through and keeps serving across a checkpoint restart; Fail " +
       "keeps the batch contract and stops the stream") {
