@@ -66,7 +66,8 @@ object ScaleRehearsal {
     // LM scoring and the full Gopher rule set
     "q_curation_weighted", "q_curation_pack", "q_curation_sem",
     "q_nb_model", "q_nb_classify", "q_nb_eval_bigram",
-    "q_ivf_recluster", "q_winnow", "q_decontaminate_bloom",
+    "q_ivf_recluster", "q_ivf_recluster_2l", "q_winnow",
+    "q_decontaminate_bloom",
     "q_lm_score", "q_gopher_full")
 
   /** The reference masking core + relational leaders, rehearsed over an

@@ -1499,6 +1499,33 @@ object SparkEntry {
       .select("vec_id", "label", "cosine")
   }
 
+  /** [[qIvfRecluster]] re-clustered to the TWO-LEVEL form
+    * (`twoLevel = true` — the linear-assignment target the operator
+    * should re-size INTO at corpus-proportional cell counts, where
+    * the flat rebuild's O(n·nCells) assignment is quadratic: the 10×
+    * rehearsal measured the flat re-cluster at 4.7–17×). The index
+    * lands flat at the default 16 cells, re-clusters in place to
+    * ⌈n/24⌉ two-level cells behind the same crash-safe whole-root
+    * swap (grouped sidecars staged and published with the corpus),
+    * and the query probes the re-published layout. The oracle
+    * re-derives the ENTIRE two-level quantizer from scratch — both
+    * seed cuts, both assignment levels — and runs the shared nProbe=2
+    * probe tail over it, so a recluster that kept flat sidecars,
+    * dropped the grouping, or drifted one assignment reds the row.
+    */
+  private def qIvfRecluster2l(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val path = scratchDir("q-ivf-recluster-2l")
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(e, "vec_id", "embedding"), path)
+    Similarity.reclusterIvfIndex(s, path,
+      nCells = graft.pipeline.Dedup.semDeDupAutoCells(e, 24),
+      kmeansIters = 0, twoLevel = true)
+    Similarity.queryIvf(Similarity.loadIvfIndex(s, path),
+        queryVec(s, dir), 10)
+      .select("vec_id", "label", "cosine")
+  }
+
   /** Product-quantized ADC top-10 ([[graft.pipeline.Pq]]): train at
     * `iters = 0` (codebooks = the 16 lowest-id corpus vectors' 8-dim
     * subvectors — bit-reproducible), encode every corpus vector to 8
@@ -2932,6 +2959,7 @@ object SparkEntry {
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_ivf_recluster" -> (qIvfRecluster _),
+    "q_ivf_recluster_2l" -> (qIvfRecluster2l _),
     "q_sim_ivf_append" -> (qSimIvfAppend _),
     "q_sim_ivf_batch" -> (qSimIvfBatch _),
     "q_ann_recall" -> (qAnnRecall _),
@@ -3868,7 +3896,17 @@ object SparkEntry {
        |assign AS (SELECT vec_id, cell FROM ad
        |  QUALIFY row_number() OVER (PARTITION BY vec_id
        |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cell DESC) = 1),
-       |qx AS (SELECT c.cell, unnest(c.ce) AS v,
+       |${simIvfProbeTail("corpus")}""".stripMargin
+
+  /** The nProbe=2 probe + exact-scoring tail every IVF value oracle
+    * shares: rank cells by query-to-centroid cosine over `cent`, score
+    * only the rows `assign` places in the top-2 cells, top-10 by
+    * cosine. Factored out so the two-level variants (whose `cent` /
+    * `assign` chains differ) reuse the IDENTICAL probe SQL.
+    * `corpusSrc` must expose (vec_id, label, embedding).
+    */
+  private def simIvfProbeTail(corpusSrc: String): String =
+    s"""qx AS (SELECT c.cell, unnest(c.ce) AS v,
        |         unnest(generate_series(1, len(c.ce))) AS i, q.qe AS qe
        |       FROM cent c, q),
        |qd AS (SELECT cell,
@@ -3881,7 +3919,7 @@ object SparkEntry {
        |    ORDER BY dp / (sqrt(nc) * sqrt(nq)) DESC, cell ASC) <= 2),
        |fx AS (SELECT e.vec_id, e.label, unnest(e.embedding) AS v,
        |         unnest(generate_series(1, len(e.embedding))) AS i, q.qe AS qe
-       |       FROM corpus e
+       |       FROM $corpusSrc e
        |       JOIN assign a ON a.vec_id = e.vec_id
        |       JOIN probes p ON p.cell = a.cell, q),
        |fd AS (SELECT vec_id, label,
@@ -5094,6 +5132,15 @@ object SparkEntry {
     "q_ivf_recluster" -> simIvfOracleSql(centPred = "TRUE",
       centLimit = "(SELECT CAST(CEIL(COUNT(*) / 24.0) AS BIGINT) " +
         "FROM embeddings WHERE vec_id <> 0)"),
+    // the TWO-LEVEL re-cluster: the whole grouped quantizer re-derived
+    // from scratch (semDedup2lCtes over the query-less corpus), then
+    // the shared nProbe=2 probe tail over the two-level assignment
+    "q_ivf_recluster_2l" ->
+      s"""WITH ${semDedup2lCtes(24, "vec_id <> 0")},
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |corpusl AS (SELECT vec_id, label, embedding FROM embeddings
+         |            WHERE vec_id <> 0),
+         |${simIvfProbeTail("corpusl")}""".stripMargin,
     "q_ivf_int8" -> ivfInt8OracleSql(centPred = "TRUE"),
     // the int8 append row: centroids frozen at the even half, every
     // appended row's quantization re-derived — shares the pipeline SQL

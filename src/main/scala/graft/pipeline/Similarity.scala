@@ -391,7 +391,7 @@ object Similarity {
     * SAME group-restricted assignment from it, and the SemDeDup
     * machinery composes unchanged — probed cells always match landed
     * cells, exactly the flat layout's contract ([[reclusterIvfIndex]]
-    * deliberately restores the flat exact-assignment form). Centroid
+    * re-sizes either form; its `twoLevel` flag picks the target). Centroid
     * count can land under `nCells` when small level-1 groups hold
     * fewer than ⌈nCells/c1⌉ members.
     */
@@ -834,6 +834,19 @@ object Similarity {
     idx.assigned.sortWithinPartitions(col("__cell"), col(idx.idCol))
       .write.mode("overwrite")
       .partitionBy("__cell").parquet(s"$path/corpus")
+    writeSidecars(idx, s"$path/centroids", s"$path/l1")
+  }
+
+  /** The centroid sidecar write — shared by [[writeIvfIndex]] and the
+    * [[reclusterIvfIndex]] staging path so both persist the same
+    * (flat vs two-level) geometry. A two-level index records each
+    * cell's level-1 group in a `grp` column and the level-1 centroids
+    * as a second sidecar at `l1Path` — an against-index probe must
+    * re-derive the GROUP-RESTRICTED assignment the landed rows were
+    * built with, which the plain sidecar cannot express.
+    */
+  private def writeSidecars(idx: IvfIndex, centPath: String,
+      l1Path: String): Unit = {
     val spark = idx.assigned.sparkSession
     import spark.implicits._
     idx.twoLevel match {
@@ -842,24 +855,19 @@ object Similarity {
           .map { case (c, i) => (i, c, idx.idCol, idx.vecCol) }.toSeq
           .toDF("cell", "centroid", "id_col", "vec_col")
           .coalesce(1)
-          .write.mode("overwrite").parquet(s"$path/centroids")
+          .write.mode("overwrite").parquet(centPath)
       case Some(tl) =>
-        // two-level layout: each cell records its level-1 group, and
-        // the level-1 centroids ride as a second sidecar — an
-        // against-index probe must re-derive the GROUP-RESTRICTED
-        // assignment the landed rows were built with, which the plain
-        // sidecar cannot express
         idx.centroids.zipWithIndex
           .map { case (c, i) =>
             (i, c, idx.idCol, idx.vecCol, tl.cellGroup(i))
           }.toSeq
           .toDF("cell", "centroid", "id_col", "vec_col", "grp")
           .coalesce(1)
-          .write.mode("overwrite").parquet(s"$path/centroids")
+          .write.mode("overwrite").parquet(centPath)
         tl.l1.zipWithIndex.map { case (c, g) => (g, c) }.toSeq
           .toDF("g", "centroid")
           .coalesce(1)
-          .write.mode("overwrite").parquet(s"$path/l1")
+          .write.mode("overwrite").parquet(l1Path)
     }
   }
 
@@ -1030,10 +1038,14 @@ object Similarity {
     * Float and PQ layouts re-cluster in place (PQ codes are per-vector
     * and cell-independent — ADC scoring never reads the cell id, so
     * the codebook sidecar and every row's codes ride along verbatim);
-    * a TWO-LEVEL layout ([[buildIvfIndexTwoLevel]]) re-clusters to the
-    * FLAT exact-assignment form — the whole-root swap replaces the
-    * grouped sidecars with the plain one, so probes and the landed
-    * corpus stay consistent either side of the swap;
+    * `twoLevel` picks the TARGET form independently of the source
+    * form: `false` (default) rebuilds the flat exact-assignment
+    * quantizer, `true` rebuilds through [[buildIvfIndexTwoLevel]] —
+    * the linear-assignment shape for corpus-proportional `nCells`,
+    * which is exactly the regime a re-cluster run is sizing into. The
+    * whole-root swap replaces ALL sidecars (grouped or plain), so
+    * probes and the landed corpus stay consistent either side of the
+    * swap in every source→target combination;
     * the int8 layout is REJECTED loudly: it dropped the float vectors
     * at write time, and re-clustering from dequantized codes would
     * silently move near-boundary vectors between cells under
@@ -1047,9 +1059,23 @@ object Similarity {
     * with readers or appends (the compaction contract).
     */
   def reclusterIvfIndex(spark: SparkSession, path: String, nCells: Int,
-      kmeansIters: Int = 2, filesPerCell: Int = 1): Unit = {
+      kmeansIters: Int = 2, filesPerCell: Int = 1,
+      twoLevel: Boolean = false): Unit = {
     require(nCells >= 1, s"nCells must be >= 1, got $nCells")
     require(filesPerCell >= 1, "filesPerCell must be >= 1")
+    // the flat rebuild's assignment is O(n · nCells) — at the
+    // corpus-proportional cell counts this operator exists for (the
+    // hot-cell remedy re-sizes with semDeDupAutoCells), that is
+    // QUADRATIC, the very shape the 10× rehearsal flagged at 4.7–17×.
+    // twoLevel = true rebuilds through buildIvfIndexTwoLevel instead:
+    // linear assignment, grouped sidecars staged and swapped like the
+    // flat ones. The two-level build has no k-means refinement (its
+    // balance comes from corpus-proportional sizing), so the caller
+    // must pin kmeansIters = 0 rather than have a default silently
+    // ignored.
+    require(!twoLevel || kmeansIters == 0,
+      "twoLevel reclustering has no k-means refinement — pass " +
+        "kmeansIters = 0")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     IndexMaintenance.recoverOrSweep(fs, root)
@@ -1067,8 +1093,12 @@ object Similarity {
     val old = loadIvfIndex(spark, path, corpus)
     // every eager step (seed collect, k-means rounds, the staged
     // writes) reads the LIVE layout; nothing touches it until the swap
-    val idx = buildIvfIndex(corpus.drop("__cell"), old.idCol,
-      old.vecCol, nCells, kmeansIters)
+    val idx =
+      if (twoLevel)
+        buildIvfIndexTwoLevel(corpus.drop("__cell"), old.idCol,
+          old.vecCol, nCells)
+      else buildIvfIndex(corpus.drop("__cell"), old.idCol,
+        old.vecCol, nCells, kmeansIters)
     val stg = IndexMaintenance.stagingOf(root)
     idx.assigned
       .repartitionByRange(nCells * filesPerCell, col("__cell"),
@@ -1076,13 +1106,9 @@ object Similarity {
       .sortWithinPartitions(col("__cell"), col(old.idCol))
       .write.partitionBy("__cell")
       .parquet(new org.apache.hadoop.fs.Path(stg, "corpus").toString)
-    val session = spark
-    import session.implicits._
-    idx.centroids.zipWithIndex
-      .map { case (c, i) => (i, c, old.idCol, old.vecCol) }.toSeq
-      .toDF("cell", "centroid", "id_col", "vec_col")
-      .coalesce(1).write
-      .parquet(new org.apache.hadoop.fs.Path(stg, "centroids").toString)
+    writeSidecars(idx,
+      new org.apache.hadoop.fs.Path(stg, "centroids").toString,
+      new org.apache.hadoop.fs.Path(stg, "l1").toString)
     if (layout == IvfLayout.Pq)
       spark.read.parquet(s"$path/pq").coalesce(1).write
         .parquet(new org.apache.hadoop.fs.Path(stg, "pq").toString)

@@ -1278,6 +1278,45 @@ class PipelineSpec extends SparkSpec {
       "nCells = 1 two-level must equal the flat transform")
   }
 
+  test("reclusterIvfIndex twoLevel: re-sizes a flat index into the " +
+      "grouped form (== fresh two-level build), and back to flat") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-recluster-2l").toString + "/idx"
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(embeddings, "vec_id", "embedding"), dir)
+    // the two-level build has no k-means; a silently-ignored default
+    // would lie, so the guard is loud
+    val ex = intercept[IllegalArgumentException](
+      Similarity.reclusterIvfIndex(spark, dir, nCells = 25,
+        twoLevel = true))
+    assert(ex.getMessage.contains("kmeansIters"))
+    Similarity.reclusterIvfIndex(spark, dir, nCells = 25,
+      kmeansIters = 0, twoLevel = true)
+    val re = Similarity.loadIvfIndex(spark, dir)
+    val fresh = Similarity.buildIvfIndexTwoLevel(
+      embeddings.select("vec_id", "embedding"), "vec_id", "embedding",
+      25)
+    val tl = re.twoLevel.getOrElse(
+      fail("two-level recluster lost the grouping sidecars"))
+    assert(tl.l1.map(_.toSeq).toSeq ==
+        fresh.twoLevel.get.l1.map(_.toSeq).toSeq &&
+      tl.cellGroup.toSeq == fresh.twoLevel.get.cellGroup.toSeq &&
+      re.centroids.map(_.toSeq).toSeq ==
+        fresh.centroids.map(_.toSeq).toSeq,
+      "re-clustered grouped quantizer must equal a fresh build")
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "__cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(re.assigned) == cells(fresh.assigned),
+      "re-assignment must equal the fresh two-level build's")
+    // and the reverse direction drops the grouping cleanly (the
+    // whole-root swap replaces ALL sidecars)
+    Similarity.reclusterIvfIndex(spark, dir, nCells = 16,
+      kmeansIters = 0)
+    assert(Similarity.loadIvfIndex(spark, dir).twoLevel.isEmpty,
+      "flat recluster must not leave stale grouped sidecars behind")
+  }
+
   test("two-level index persists its grouping: load/assignCells/append " +
       "re-derive the group-restricted cells, and the against-index " +
       "probe matches the in-memory one exactly") {
