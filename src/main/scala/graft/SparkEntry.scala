@@ -1630,6 +1630,45 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** The GROUPING-COST audit for the two-level quantizer — the number
+    * behind the documented trade (the reason the flat build stays the
+    * exact-assignment default at hand-sized cell counts): the
+    * auto-sized TWO-LEVEL index and a FLAT index at the SAME cell
+    * count, probed with the SAME nProbe=2 budget, each scored against
+    * one shared brute-force exact top-5 — the recall DELTA isolates
+    * the group-restricted assignment's near-boundary loss from
+    * probe-budget effects. The oracle re-derives both quantizers, both
+    * probe chains and the brute-force side independently, so the
+    * recall VALUES — not just the result sets — are pinned
+    * cross-engine.
+    */
+  private def qAnnRecall2l(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 3)
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val idx = Similarity.buildIvfIndexTwoLevel(corpus, "vec_id",
+      "embedding", graft.pipeline.Dedup.semDeDupAutoCells(corpus, 24))
+    val flat = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      idx.centroids.length)
+    // exact = the flat index probed on EVERY cell: all rows live in
+    // some cell, so the whole corpus is scored under the same tie
+    // rules — brute force without a second scoring path
+    val exact = Similarity.queryIvfBatch(flat, queries, "query_id",
+      "embedding", k = 5, nProbe = idx.centroids.length)
+    val a2l = Similarity.queryIvfBatch(idx, queries, "query_id",
+      "embedding", k = 5, nProbe = 2)
+    val aflat = Similarity.queryIvfBatch(flat, queries, "query_id",
+      "embedding", k = 5, nProbe = 2)
+    Similarity.recallAtK(exact, a2l, "query_id", "vec_id")
+      .select(col("query_id"), col("n_exact"),
+        col("recall").as("recall_2l"))
+      .join(Similarity.recallAtK(exact, aflat, "query_id", "vec_id")
+        .select(col("query_id"), col("recall").as("recall_flat")),
+        "query_id")
+      .orderBy("query_id")
+  }
+
   /** Batch serving through the composed IVF×PQ index
     * ([[graft.pipeline.Similarity.queryIvfPqBatch]]) — the r9 verdict's
     * top ask: the three vec_id<3 query vectors answered through one
@@ -2963,6 +3002,7 @@ object SparkEntry {
     "q_sim_ivf_append" -> (qSimIvfAppend _),
     "q_sim_ivf_batch" -> (qSimIvfBatch _),
     "q_ann_recall" -> (qAnnRecall _),
+    "q_ann_recall_2l" -> (qAnnRecall2l _),
     "q_pq" -> (qPq _),
     "q_ivf_pq" -> (qIvfPq _),
     "q_ivf_pq_append" -> (qIvfPqAppend _),
@@ -3669,28 +3709,73 @@ object SparkEntry {
          |assign AS (SELECT vec_id, cell FROM ad
          |  QUALIFY row_number() OVER (PARTITION BY vec_id
          |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cell DESC) = 1),
-         |qx AS (SELECT q.qid, c.cell, unnest(c.ce) AS v,
-         |         unnest(generate_series(1, len(c.ce))) AS i, q.qe AS qe
-         |       FROM cent c CROSS JOIN qs q),
-         |qd AS (SELECT qid, cell,
-         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
-         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nc,
-         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
-         |  FROM qx GROUP BY qid, cell),
-         |probes AS (SELECT qid, cell FROM qd
-         |  QUALIFY row_number() OVER (PARTITION BY qid
-         |    ORDER BY dp / (sqrt(nc) * sqrt(nq)) DESC, cell ASC) <= 2),
-         |fx AS (SELECT q.qid, e.vec_id, e.label, unnest(e.embedding) AS v,
-         |         unnest(generate_series(1, len(e.embedding))) AS i, q.qe AS qe
-         |       FROM corpus e
-         |       JOIN assign a ON a.vec_id = e.vec_id
-         |       JOIN probes p ON p.cell = a.cell
-         |       JOIN qs q ON q.qid = p.qid),
-         |fd AS (SELECT qid, vec_id, label,
-         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
-         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
-         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
-         |  FROM fx GROUP BY qid, vec_id, label)""".stripMargin
+         |${simIvfBatchProbeCtes("corpus")}""".stripMargin
+
+  /** The per-query probe + scoring chunk of the batch-IVF oracles
+    * (nProbe=2 per query, ties to the LOWER cell; candidates = the
+    * rows `assign` places in the probed cells; element-order cosine
+    * folds), ending in `fd(qid, vec_id, label, dp, nv, nq)`. Factored
+    * on `corpusSrc` so the two-level recall audit (whose `cent` /
+    * `assign` chain is the grouped one, and whose corpus CTE carries
+    * no label) can reuse the IDENTICAL probe SQL over a labelled
+    * projection.
+    */
+  private def simIvfBatchProbeCtes(corpusSrc: String, p: String = "",
+      centSrc: String = "cent", assignSrc: String = "assign"): String =
+    s"""${p}qx AS (SELECT q.qid, c.cell, unnest(c.ce) AS v,
+       |         unnest(generate_series(1, len(c.ce))) AS i, q.qe AS qe
+       |       FROM $centSrc c CROSS JOIN qs q),
+       |${p}qd AS (SELECT qid, cell,
+       |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+       |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nc,
+       |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+       |  FROM ${p}qx GROUP BY qid, cell),
+       |${p}probes AS (SELECT qid, cell FROM ${p}qd
+       |  QUALIFY row_number() OVER (PARTITION BY qid
+       |    ORDER BY dp / (sqrt(nc) * sqrt(nq)) DESC, cell ASC) <= 2),
+       |${p}fx AS (SELECT q.qid, e.vec_id, e.label, unnest(e.embedding) AS v,
+       |         unnest(generate_series(1, len(e.embedding))) AS i, q.qe AS qe
+       |       FROM $corpusSrc e
+       |       JOIN $assignSrc a ON a.vec_id = e.vec_id
+       |       JOIN ${p}probes p ON p.cell = a.cell
+       |       JOIN qs q ON q.qid = p.qid),
+       |${p}fd AS (SELECT qid, vec_id, label,
+       |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+       |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+       |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+       |  FROM ${p}fx GROUP BY qid, vec_id, label)""".stripMargin
+
+  /** The recall computation every ANN recall oracle shares: the
+    * approximate top-5 cut from `fd`, a brute-force exact top-5
+    * derived independently over `corpusSrc` × `qs` with the same tie
+    * rules, and the per-query intersection ratio.
+    */
+  private def annExactCtes(corpusSrc: String): String =
+    s"""bx AS (SELECT q.qid, e.vec_id, unnest(e.embedding) AS v,
+       |         unnest(generate_series(1, len(e.embedding))) AS i, q.qe AS qe
+       |       FROM $corpusSrc e CROSS JOIN qs q),
+       |bd AS (SELECT qid, vec_id,
+       |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+       |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+       |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+       |  FROM bx GROUP BY qid, vec_id),
+       |exact AS (SELECT qid, vec_id FROM bd
+       |  QUALIFY row_number() OVER (PARTITION BY qid
+       |    ORDER BY dp / (sqrt(nv) * sqrt(nq)) DESC, vec_id ASC) <= 5)""".stripMargin
+
+  private def annRecallTail(corpusSrc: String): String =
+    s"""approx AS (SELECT qid, vec_id FROM fd
+       |  QUALIFY row_number() OVER (PARTITION BY qid
+       |    ORDER BY dp / (sqrt(nv) * sqrt(nq)) DESC, vec_id ASC) <= 5),
+       |${annExactCtes(corpusSrc)}
+       |SELECT e.qid AS query_id,
+       |  CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+       |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(COUNT(a.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON a.qid = e.qid AND a.vec_id = e.vec_id
+       |GROUP BY e.qid ORDER BY query_id""".stripMargin
 
   /** The shared SemDeDup oracle chain (`q_semdedup_pairs` /
     * `q_semdedup`): the q_sim_ivf assignment CTEs over the WHOLE
@@ -5214,27 +5299,52 @@ object SparkEntry {
       // batch chain) with a BRUTE-FORCE exact top-5 derived
       // independently over the full corpus — same tie rules
       s"""WITH $simIvfBatchCtes,
+         |${annRecallTail("corpus")}""".stripMargin,
+    "q_ann_recall_2l" ->
+      // the grouping-cost audit: the TWO-LEVEL quantizer and a FLAT
+      // quantizer at the SAME cell count (LIMIT = the landed 2l
+      // centroid count) probed with the SAME nProbe=2 budget against
+      // one shared brute-force exact top-5 — the recall DELTA is the
+      // group-restricted assignment's near-boundary trade, isolated
+      // from probe-budget effects, every value pinned cross-engine
+      s"""WITH ${semDedup2lCtes(24, "vec_id >= 3")},
+         |qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |       WHERE vec_id < 3),
+         |corpusl AS (SELECT vec_id, label, embedding FROM embeddings
+         |            WHERE vec_id >= 3),
+         |centf AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |         embedding AS ce FROM corpus ORDER BY vec_id
+         |         LIMIT (SELECT COUNT(*) FROM cent)),
+         |zax AS (SELECT e.vec_id, c.cell, unnest(e.embedding) AS v,
+         |         unnest(generate_series(1, len(e.embedding))) AS i, c.ce AS ce
+         |       FROM corpus e CROSS JOIN centf c),
+         |zad AS (SELECT vec_id, cell,
+         |    SUM(CAST(v AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+         |    SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) ORDER BY i) AS nc
+         |  FROM zax GROUP BY vec_id, cell),
+         |zassign AS (SELECT vec_id, cell FROM zad
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cell DESC) = 1),
+         |${simIvfBatchProbeCtes("corpusl")},
+         |${simIvfBatchProbeCtes("corpusl", p = "z", centSrc = "centf",
+            assignSrc = "zassign")},
          |approx AS (SELECT qid, vec_id FROM fd
          |  QUALIFY row_number() OVER (PARTITION BY qid
          |    ORDER BY dp / (sqrt(nv) * sqrt(nq)) DESC, vec_id ASC) <= 5),
-         |bx AS (SELECT q.qid, e.vec_id, unnest(e.embedding) AS v,
-         |         unnest(generate_series(1, len(e.embedding))) AS i, q.qe AS qe
-         |       FROM corpus e CROSS JOIN qs q),
-         |bd AS (SELECT qid, vec_id,
-         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
-         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
-         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
-         |  FROM bx GROUP BY qid, vec_id),
-         |exact AS (SELECT qid, vec_id FROM bd
+         |zapprox AS (SELECT qid, vec_id FROM zfd
          |  QUALIFY row_number() OVER (PARTITION BY qid
-         |    ORDER BY dp / (sqrt(nv) * sqrt(nq)) DESC, vec_id ASC) <= 5)
+         |    ORDER BY dp / (sqrt(nv) * sqrt(nq)) DESC, vec_id ASC) <= 5),
+         |${annExactCtes("corpusl")}
          |SELECT e.qid AS query_id,
-         |  CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
          |  CAST(COUNT(*) AS BIGINT) AS n_exact,
-         |  CAST(COUNT(a.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-         |    AS recall
-         |FROM exact e LEFT JOIN approx a
-         |  ON a.qid = e.qid AND a.vec_id = e.vec_id
+         |  CAST(COUNT(a2.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS recall_2l,
+         |  CAST(COUNT(af.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS recall_flat
+         |FROM exact e
+         |LEFT JOIN approx a2 ON a2.qid = e.qid AND a2.vec_id = e.vec_id
+         |LEFT JOIN zapprox af ON af.qid = e.qid AND af.vec_id = e.vec_id
          |GROUP BY e.qid ORDER BY query_id""".stripMargin,
 
     "q_pq" ->

@@ -389,9 +389,11 @@ object Dedup {
     * assignment is approximate near group boundaries, so a
     * near-boundary duplicate pair can land in different cells and be
     * missed — acceptable for dedup (SemDeDup is itself a
-    * recall/cost trade via nCells) and measured small at fixture
-    * scale; [[semDeDupAuto]] remains the exact-assignment form for
-    * hand-sized cell counts. Survivors rank on the cosine to the
+    * recall/cost trade via nCells) and QUANTIFIED by the
+    * `q_ann_recall_2l` audit (grouped vs flat at the same cell count
+    * and probe budget against one brute-force exact side; ~0–0.2
+    * recall@5 delta per query on the fixtures); [[semDeDupAuto]]
+    * remains the exact-assignment form for hand-sized cell counts. Survivors rank on the cosine to the
     * ASSIGNED cell's centroid ([[Similarity.centroidCosAt]]) — under
     * group-restricted assignment the global [[Similarity
     * .maxCentroidCos]] could score a cell the row doesn't live in.
