@@ -84,7 +84,8 @@ object ScaleRehearsal {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: ScaleRehearsal <sfDir> <workDir> [factor] [modes]")
+      "usage: ScaleRehearsal <sfDir> <workDir> [factor] [modes] " +
+        "[queries]")
     val Array(sfDir, workDir) = args.take(2)
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     require(factor >= 1, s"factor must be >= 1, got $factor")
@@ -106,18 +107,22 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    modes.filterNot(_ == "relational").foreach { mode =>
-      val dst = s"$workDir/$mode"
-      new java.io.File(dst).mkdirs()
-      // ONE shift across both tables: doc_id and vec_id are the SAME
-      // key space (q_curation_sem joins them), so per-table shifts
-      // would misalign every copy's cross-table join — copy i of a
-      // document must keep copy i of its embedding
-      val shared = Some(math.max(
+    val corpusModes = modes.filterNot(_ == "relational")
+    // ONE shift across both tables: doc_id and vec_id are the SAME
+    // key space (q_curation_sem joins them), so per-table shifts
+    // would misalign every copy's cross-table join — copy i of a
+    // document must keep copy i of its embedding. Computed once; it
+    // depends only on the source fixtures, not the mode.
+    val shared =
+      if (corpusModes.isEmpty) None
+      else Some(math.max(
         spark.read.parquet(s"$sfDir/documents.parquet")
           .agg(max(col("doc_id"))).head().getLong(0),
         spark.read.parquet(s"$sfDir/embeddings.parquet")
           .agg(max(col("vec_id"))).head().getLong(0)) + 1)
+    corpusModes.foreach { mode =>
+      val dst = s"$workDir/$mode"
+      new java.io.File(dst).mkdirs()
       inflate(spark, s"$sfDir/documents.parquet",
         s"$dst/documents.parquet", "doc_id", factor, cpus.toInt,
         distinctCopies = mode == "distinct", shiftOverride = shared)

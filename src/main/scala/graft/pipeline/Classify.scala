@@ -91,8 +91,8 @@ object Classify {
     val n = size(ft)
     val bg = zip_with(slice(ft, lit(1), n - 1), slice(ft, lit(2), n - 1),
       (a, b) => concat(lit("bg "),
-        (conv(substring(md5(concat(a, lit(" "), b)), 1, 12), 16, 10)
-          .cast("long") % buckets).cast("string")))
+        (Sampling.hashBucket48(concat(a, lit(" "), b)) % buckets)
+          .cast("string")))
     when(toks.isNull, lit(null).cast("array<string>"))
       .otherwise(concat(ft,
         when(n <= 1, array().cast("array<string>")).otherwise(bg)))

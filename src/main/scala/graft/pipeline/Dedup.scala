@@ -406,13 +406,31 @@ object Dedup {
     val idx = Similarity.buildIvfIndexTwoLevel(
       df.select(col(idCol), col(vecCol)), idCol, vecCol,
       semDeDupAutoCells(df, targetCell))
-    val pairs = semPairsFromIndex(idx, threshold, maxCell)
-      .select("id_a", "id_b")
-    val members = connectedComponents(pairs)
-      .join(idx.assigned.select(col(idx.idCol).as("id"),
-        col(idx.vecCol), col("__cell")), "id")
-      .withColumn("__c",
-        Similarity.centroidCosAt(idx.vecCol, "__cell", idx.centroids))
+    semSurvivors(df, idCol,
+      semPairsFromIndex(idx, threshold, maxCell),
+      idx.assigned.select(col(idx.idCol).as("id"),
+        col(idx.vecCol), col("__cell")),
+      Similarity.centroidCosAt(idx.vecCol, "__cell", idx.centroids))
+  }
+
+  /** The SemDeDup SURVIVOR rule over a pair graph — ONE definition
+    * shared by [[semDeDup]] and [[semDeDupTwoLevel]] (which differ
+    * only in the quantizer and the prototypicality `score`), and the
+    * single Scala mirror of the oracle's `semSurvivorCtes`: connected
+    * components over the pairs, each component keeping its
+    * LOWEST-score member (ties to the lower id — the
+    * least-prototypical copy carries the most information), everyone
+    * else anti-joined out of `df`. `memberSrc` must expose `id` plus
+    * whatever columns `score` reads; components join it THIN (duplicate
+    * candidates only), so the scoring scan runs over member rows, not
+    * the corpus a second time.
+    */
+  private def semSurvivors(df: DataFrame, idCol: String,
+      pairGraph: DataFrame, memberSrc: DataFrame,
+      score: Column): DataFrame = {
+    val members = connectedComponents(pairGraph.select("id_a", "id_b"))
+      .join(memberSrc, "id")
+      .withColumn("__c", score)
       .select("id", "cluster_id", "__c")
     val bottom = members.groupBy("cluster_id").agg(min("__c").as("__m"))
     val keep = members.join(bottom, "cluster_id")
@@ -573,25 +591,11 @@ object Dedup {
     val idx = Similarity.buildIvfIndex(
       df.select(col(idCol), col(vecCol)), idCol, vecCol, nCells,
       kmeansIters)
-    val pairs = semPairsFromIndex(idx, threshold, maxCell)
-      .select("id_a", "id_b")
-    // join components (thin — duplicate candidates only) to the corpus
-    // FIRST, then score: the prototypicality scan runs over member rows
-    // rather than the whole corpus a second time
-    val members = connectedComponents(pairs)
-      .join(idx.assigned
-        .select(col(idx.idCol).as("id"), col(idx.vecCol)), "id")
-      .withColumn("__c",
-        Similarity.maxCentroidCos(idx.vecCol, idx.centroids))
-      .select("id", "cluster_id", "__c")
-    val bottom = members.groupBy("cluster_id").agg(min("__c").as("__m"))
-    val keep = members.join(bottom, "cluster_id")
-      .filter(col("__c") === col("__m"))
-      .groupBy("cluster_id").agg(min("id").as("id"))
-      .select("id")
-    val drop = members.select("id").join(keep, Seq("id"), "left_anti")
-      .select(col("id").as(idCol))
-    df.join(drop, Seq(idCol), "left_anti")
+    semSurvivors(df, idCol,
+      semPairsFromIndex(idx, threshold, maxCell),
+      idx.assigned
+        .select(col(idx.idCol).as("id"), col(idx.vecCol)),
+      Similarity.maxCentroidCos(idx.vecCol, idx.centroids))
   }
 
   /** SimHash-based near-dup candidate groups: documents sharing an exact

@@ -391,9 +391,12 @@ object Similarity {
     * SAME group-restricted assignment from it, and the SemDeDup
     * machinery composes unchanged — probed cells always match landed
     * cells, exactly the flat layout's contract ([[reclusterIvfIndex]]
-    * re-sizes either form; its `twoLevel` flag picks the target). Centroid
-    * count can land under `nCells` when small level-1 groups hold
-    * fewer than ⌈nCells/c1⌉ members.
+    * re-sizes either form; its `twoLevel` flag picks the target). The
+    * landed centroid count is Σ min(|groupᵢ|, ⌈nCells/c1⌉) — it can
+    * land UNDER `nCells` (small groups contribute fewer seeds) or
+    * OVER it (c1·⌈nCells/c1⌉ ≥ nCells; e.g. nCells = 5 → c1 = 3,
+    * m = 2 → up to 6 cells): size downstream state from
+    * `centroids.length`, not the request.
     */
   def buildIvfIndexTwoLevel(df: DataFrame, idCol: String,
       vecCol: String, nCells: Int): IvfIndex = {
