@@ -1865,6 +1865,26 @@ object SparkEntry {
       .orderBy("cell", "id_a", "id_b")
   }
 
+  /** [[qSemdedup]] under the QUALITY-aware survivor policy
+    * ([[graft.pipeline.Dedup.semDeDupKeepBest]]): the same fixed-16
+    * quantizer and 0.3 pair graph, but each semantic cluster keeps its
+    * highest-quality member (the shared q_quality formula, joined from
+    * `documents` on doc_id = vec_id) with ties to the lower id —
+    * instead of the paper's least-prototypical survivor. The oracle
+    * re-derives the pair graph, the recursive components, every
+    * member's quality score (the SINGLE `qualityScoreSql` rendering
+    * q_quality pins bit-exactly) and the argmax survivor rule, so the
+    * two policies' divergence itself is value-gated.
+    */
+  private def qSemdedupBest(s: SparkSession, dir: String): DataFrame = {
+    val q = docs(s, dir).select(col("doc_id").as("vec_id"),
+      TextOps.qualityScore(col("text")).as("quality"))
+    Dedup.semDeDupKeepBest(t(s, dir, "embeddings").join(q, "vec_id"),
+        "vec_id", "embedding", "quality", threshold = 0.3)
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+  }
+
   /** Incremental SemDeDup ([[graft.pipeline.Dedup
     * .semDeDupPairsAgainstIndex]]): the odd-vec_id half arrives as an
     * ingest batch and probes the even-half index under its FROZEN
@@ -3013,6 +3033,7 @@ object SparkEntry {
     "q_embed_dedup" -> (qEmbedDedup _),
     "q_semdedup_pairs" -> (qSemdedupPairs _),
     "q_semdedup" -> (qSemdedup _),
+    "q_semdedup_best" -> (qSemdedupBest _),
     "q_semdedup_auto" -> (qSemdedupAuto _),
     "q_semdedup_2l" -> (qSemdedup2l _),
     "q_semdedup_2l_incr" -> (qSemdedup2lIncr _),
@@ -3909,13 +3930,21 @@ object SparkEntry {
     * recursion would otherwise re-inline the unnest chains and blow
     * the oracle's memory. Requires `WITH RECURSIVE` at the head.
     */
-  private val semSurvivorCtes =
+  /** Just the recursive component closure over a `pairs` CTE —
+    * shared by [[semSurvivorCtes]] and the keep-best survivor variant
+    * (which ranks members by an external quality score instead of the
+    * own-centroid cosine).
+    */
+  private val semComponentCtes =
     s"""edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
        |          UNION SELECT id_b, id_a FROM pairs),
        |reach AS (SELECT DISTINCT src AS id, src AS r FROM edges
        |          UNION
        |          SELECT rc.id, e.dst FROM reach rc JOIN edges e ON e.src = rc.r),
-       |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  private val semSurvivorCtes =
+    s"""$semComponentCtes,
        |own AS (SELECT vec_id, MAX(dp / (sqrt(nv) * sqrt(nc))) AS c
        |        FROM ad GROUP BY vec_id),
        |members AS MATERIALIZED (SELECT comp.id, comp.cluster_id, own.c
@@ -5923,6 +5952,27 @@ object SparkEntry {
       s"""WITH RECURSIVE ${semDedupCtesWith(
            "(SELECT CAST(CEIL(COUNT(*) / 24.0) AS BIGINT) FROM embeddings)")},
          |$semSurvivorCtes
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY e.vec_id""".stripMargin,
+    "q_semdedup_best" ->
+      // the keep-best survivor policy: same pair graph + components as
+      // q_semdedup, survivor = the cluster's MAX quality (the single
+      // qualityScoreSql rendering, bit-pinned by q_quality), ties to
+      // the lower id
+      s"""WITH RECURSIVE $semDedupCtes,
+         |$semComponentCtes,
+         |qf AS (SELECT $qualityFeatSelect FROM documents),
+         |qsc AS (SELECT doc_id, $qualityScoreSql AS q FROM qf),
+         |members AS MATERIALIZED (SELECT comp.id, comp.cluster_id, s.q
+         |            FROM comp JOIN qsc s ON s.doc_id = comp.id),
+         |top AS (SELECT cluster_id, MAX(q) AS m FROM members
+         |        GROUP BY cluster_id),
+         |keep AS (SELECT t.cluster_id, MIN(mm.id) AS id
+         |         FROM members mm JOIN top t ON t.cluster_id = mm.cluster_id
+         |         WHERE mm.q = t.m GROUP BY t.cluster_id),
+         |dropped AS (SELECT id FROM members
+         |            WHERE id NOT IN (SELECT id FROM keep))
          |SELECT e.vec_id, e.label FROM embeddings e
          |WHERE e.vec_id NOT IN (SELECT id FROM dropped)
          |ORDER BY e.vec_id""".stripMargin,

@@ -426,20 +426,47 @@ object Dedup {
     * the corpus a second time.
     */
   private def semSurvivors(df: DataFrame, idCol: String,
-      pairGraph: DataFrame, memberSrc: DataFrame,
-      score: Column): DataFrame = {
+      pairGraph: DataFrame, memberSrc: DataFrame, score: Column,
+      keepHighest: Boolean = false): DataFrame = {
     val members = connectedComponents(pairGraph.select("id_a", "id_b"))
       .join(memberSrc, "id")
       .withColumn("__c", score)
       .select("id", "cluster_id", "__c")
-    val bottom = members.groupBy("cluster_id").agg(min("__c").as("__m"))
-    val keep = members.join(bottom, "cluster_id")
+    val goal = members.groupBy("cluster_id")
+      .agg((if (keepHighest) max("__c") else min("__c")).as("__m"))
+    val keep = members.join(goal, "cluster_id")
       .filter(col("__c") === col("__m"))
       .groupBy("cluster_id").agg(min("id").as("id"))
       .select("id")
     val drop = members.select("id").join(keep, Seq("id"), "left_anti")
       .select(col("id").as(idCol))
     df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** [[semDeDup]] with the QUALITY-aware survivor policy — the
+    * [[dropNearDuplicatesKeepBest]] analog for SEMANTIC clusters: each
+    * component keeps its highest-`scoreCol` member (ties toward the
+    * lower id) instead of the paper's least-prototypical one. The
+    * paper's rule optimises for DIVERSITY of the retained set; when a
+    * quality signal exists, production dedup usually wants the
+    * CLEANEST copy of each meaning instead (keep the well-formatted
+    * original, drop the boilerplate-wrapped re-render) — same pair
+    * graph, same component machinery, opposite survivor goal. As in
+    * [[dropNearDuplicatesKeepBest]], a null score never wins (the max
+    * ignores it); documents in no pair pass through untouched. Cost
+    * over [[semDeDup]]: nothing — the prototypicality scan is replaced
+    * by a thin (id, score) projection of `df` itself.
+    */
+  def semDeDupKeepBest(df: DataFrame, idCol: String, vecCol: String,
+      scoreCol: String, threshold: Double, nCells: Int = 16,
+      kmeansIters: Int = 0, maxCell: Option[Int] = None): DataFrame = {
+    val idx = Similarity.buildIvfIndex(
+      df.select(col(idCol), col(vecCol)), idCol, vecCol, nCells,
+      kmeansIters)
+    semSurvivors(df, idCol,
+      semPairsFromIndex(idx, threshold, maxCell),
+      df.select(col(idCol).as("id"), col(scoreCol)),
+      col(scoreCol), keepHighest = true)
   }
 
   /** Incremental SemDeDup — [[semDeDupPairs]]'s AGAINST-INDEX form, the

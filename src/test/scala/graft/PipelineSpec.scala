@@ -1278,6 +1278,46 @@ class PipelineSpec extends SparkSpec {
       "nCells = 1 two-level must equal the flat transform")
   }
 
+  test("semDeDupKeepBest keeps each semantic cluster's best-scored " +
+      "member; null scores never win") {
+    // score = the id itself: keep-best must keep each cluster's MAX id,
+    // the exact opposite end from nothing the least-prototypical rule
+    // looks at — so the two policies genuinely diverge on the fixture
+    val e = embeddings.withColumn("score", col("vec_id").cast("double"))
+    val best = Dedup.semDeDupKeepBest(e, "vec_id", "embedding", "score",
+        threshold = 0.3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val least = Dedup.semDeDup(embeddings, "vec_id", "embedding",
+        threshold = 0.3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(best.size == least.size,
+      "both policies keep exactly one survivor per cluster")
+    assert(best != least, "fixture must distinguish the two policies")
+    val clusters = Dedup.connectedComponents(
+        Dedup.semDeDupPairs(embeddings, "vec_id", "embedding",
+          threshold = 0.3).select("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._2).values.map(_.map(_._1).toSet)
+    val expectDrop = clusters.flatMap(m => m - m.max).toSet
+    val all = embeddings.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(best == all -- expectDrop,
+      "keep-best with score = id must keep each cluster's max id")
+    // a null score never wins (max ignores nulls), matching
+    // dropNearDuplicatesKeepBest's behavior
+    val s = spark
+    import s.implicits._
+    val tiny = Seq(
+      (1L, Seq(1f, 0f), Option.empty[Double]),
+      (2L, Seq(1f, 0f), Some(0.5))
+    ).toDF("vec_id", "embedding", "score")
+    val kept = Dedup.semDeDupKeepBest(tiny, "vec_id", "embedding",
+        "score", threshold = 0.9, nCells = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L),
+      "the null-scored duplicate must lose to the scored one")
+  }
+
   test("reclusterIvfIndex twoLevel: re-sizes a flat index into the " +
       "grouped form (== fresh two-level build), and back to flat") {
     val dir = java.nio.file.Files
