@@ -2226,6 +2226,121 @@ object SparkEntry {
       .orderBy("label", "pred")
   }
 
+  /** The DSIR gates' hashed-feature bucket count
+    * ([[graft.pipeline.Dsir.featureBuckets]]) — small enough that
+    * buckets genuinely collide across unigrams and bigrams at fixture
+    * scale, so the hashed-feature-space semantics (Xie et al. §3.1)
+    * execute rather than degenerating to a plain vocabulary.
+    */
+  private val dsirBuckets = 32
+
+  /** `q_dsir_select`'s cut — deep enough that both the kept and the
+    * dropped side are populated at every gated scale factor.
+    */
+  private val dsirSelectK = 150
+
+  /** The DSIR target/raw fit every `q_dsir_*` row shares: target =
+    * the English documents, raw = the whole corpus — "select the
+    * raw-crawl documents that look like the high-quality reference",
+    * the paper's setting, with the target replayable by any engine as
+    * `WHERE lang = 'en'`.
+    */
+  private def dsirModelOf(s: SparkSession, dir: String)
+      : graft.pipeline.Dsir.DsirModel = {
+    val d = docs(s, dir)
+    graft.pipeline.Dsir.fit(d.filter(col("lang") === "en"), d, "text",
+      dsirBuckets)
+  }
+
+  /** DSIR model FIT ([[graft.pipeline.Dsir.bucketCounts]] — the
+    * distributed stage [[graft.pipeline.Dsir.fit]] collects): the
+    * target and raw hashed-bucket count tables, every integer the log
+    * importance ratios derive from, value-oracled row by row — DuckDB
+    * re-tokenizes, re-derives every unigram AND bigram bucket (md5-48
+    * bit nibble arithmetic mod [[dsirBuckets]]) and re-counts both
+    * corpora. Target buckets ⊆ raw buckets (the target is a subset of
+    * the raw corpus), so the raw side anchors the join.
+    */
+  private def qDsirModel(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Dsir
+    val d = docs(s, dir)
+    val tc = Dsir.bucketCounts(d.filter(col("lang") === "en"), "text",
+        dsirBuckets)
+      .select(col("bucket"), col("cnt").as("target_cnt"))
+    val rc = Dsir.bucketCounts(d, "text", dsirBuckets)
+      .select(col("bucket"), col("cnt").as("raw_cnt"))
+    rc.join(tc, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("target_cnt"), lit(0L)).cast("bigint")
+          .as("target_cnt"),
+        col("raw_cnt").cast("bigint").as("raw_cnt"))
+      .orderBy("bucket")
+  }
+
+  /** The DSIR SCORING contract, in the `q_nb_classify` parity style
+    * (log importance weights are sums of `math.log` doubles): every
+    * document's log weight from the production broadcast-model closure
+    * ([[graft.pipeline.Dsir.scoreUdf]]) must EXACTLY equal a second
+    * independent Spark derivation — posexplode the feature buckets,
+    * broadcast-join the model's STORED doubles
+    * ([[graft.pipeline.Dsir.logRatioDf]]), fold from 0.0 in position
+    * order (the scorer's documented left-to-right sum). The oracle
+    * re-derives the document population, so the comparison cannot
+    * shrink.
+    */
+  private def qDsirScore(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Dsir
+    val d = docs(s, dir)
+    val model = dsirModelOf(s, dir)
+    val feats = Dsir.featureBuckets(col("text"), dsirBuckets)
+    val prod = d.select(col("doc_id"),
+      Dsir.scoreUdf(model)(feats).as("pscore"))
+    // independent path: stored doubles joined + position-ordered fold;
+    // zero-feature docs ride through posexplode_outer as a single
+    // null-bucket row whose 0.0 term matches the closure's empty fold
+    val tokRows = d.select(col("doc_id"),
+      posexplode_outer(feats).as(Seq("pos", "bucket")))
+    val lr = Dsir.logRatioDf(s, model)
+    val indep = tokRows
+      .join(broadcast(lr), Seq("bucket"), "left")
+      .withColumn("term", when(col("bucket").isNull, lit(0.0))
+        .otherwise(col("log_ratio")))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("term"))))
+        .as("terms"))
+      .select(col("doc_id"),
+        aggregate(col("terms"), lit(0.0),
+          (a, x) => a + x.getField("term")).as("score"))
+    prod.join(indep, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pscore") === col("score"), 1L).otherwise(0L))
+          .as("n_score_match"))
+  }
+
+  /** The DSIR SELECTION ([[graft.pipeline.Dsir.selectTopK]] — the
+    * paper's deterministic top-k rule): the [[dsirSelectK]] documents
+    * with the largest log importance weights under the shared
+    * target/raw fit, ties to the lower doc_id. DuckDB re-derives the
+    * ENTIRE chain independently: tokenization, every hashed bucket,
+    * both count tables, the Laplace-smoothed ln ratios, each
+    * document's position-ordered score fold (list_reduce seeded with
+    * 0.0) and the (score DESC, doc_id) cut.
+    *
+    * Cross-engine float note: the scores are sums of `ln` doubles —
+    * the gate rests on the k-boundary margin dwarfing last-ulp drift,
+    * which the "DSIR selection boundary margin" spec audits on both
+    * gated fixture scales (same contract as `q_nb_eval`). Documents
+    * with identical text fold to bit-equal scores in EACH engine
+    * independently and cut on doc_id in both.
+    */
+  private def qDsirSelect(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Dsir
+    Dsir.selectTopK(docs(s, dir), "doc_id", "text",
+        dsirModelOf(s, dir), dsirSelectK)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
   /** The FULL Gopher filter ([[graft.pipeline.TextOps
     * .gopherRulesFull]]): the narrow rule table joined with the two
     * repetition caps (top-word share ≤ 0.11, duplicate-bigram fraction
@@ -3049,6 +3164,9 @@ object SparkEntry {
     "q_nb_classify" -> (qNbClassify _),
     "q_nb_eval" -> (qNbEval _),
     "q_nb_eval_bigram" -> (qNbEvalBigram _),
+    "q_dsir_model" -> (qDsirModel _),
+    "q_dsir_score" -> (qDsirScore _),
+    "q_dsir_select" -> (qDsirSelect _),
     "q_mix_plan" -> (qMixPlan _),
     "q_mix_domains" -> (qMixDomains _),
     "q_data_card" -> (qDataCard _),
@@ -3604,6 +3722,38 @@ object SparkEntry {
                   "md5(f[i] || ' ' || f[i + 1])")} % $b AS VARCHAR)))"""
         .stripMargin
     }
+
+  /** The DuckDB mirror of [[graft.pipeline.Dsir.featureBuckets]] over
+    * a relation exposing `f` (the non-empty whitespace tokens as a
+    * list): unigram buckets in order, then one bucket per adjacent
+    * pair — 48-bit md5 nibble arithmetic ([[bucket48OfSql]], the
+    * hashBucket48 mirror) mod [[dsirBuckets]], exactly the shared
+    * feature stream's hash and order.
+    */
+  private lazy val dsirFeatListSql: String =
+    s"""list_concat(
+       |    list_transform(f, t ->
+       |      CAST(${bucket48OfSql("md5(t)")} % $dsirBuckets AS INTEGER)),
+       |    list_transform(generate_series(1, len(f) - 1), i ->
+       |      CAST(${bucket48OfSql("md5(f[i] || ' ' || f[i + 1])")}
+       |        % $dsirBuckets AS INTEGER)))""".stripMargin
+
+  /** Shared `q_dsir_model` / `q_dsir_select` CTE chain: featurized
+    * documents (`fb`) and the two bucket count tables (`tc` target =
+    * lang 'en', `rc` raw = everything) — one definition so the model
+    * row and the selection row cannot drift.
+    */
+  private lazy val dsirCountCtes: String =
+    s"""ftab AS (SELECT doc_id, lang,
+       |    list_filter($toksSql, x -> length(x) > 0) AS f
+       |  FROM documents),
+       |fb AS MATERIALIZED (SELECT doc_id, lang, $dsirFeatListSql AS feats
+       |  FROM ftab),
+       |ab AS (SELECT lang, unnest(feats) AS bucket FROM fb),
+       |tc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS target_cnt
+       |  FROM ab WHERE lang = 'en' GROUP BY bucket),
+       |rc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS raw_cnt
+       |  FROM ab GROUP BY bucket)""".stripMargin
 
   /** The `q_nb_eval` / `q_nb_eval_bigram` oracle: a FULL independent
     * re-derivation of the held-out confusion matrix — the 48-bit
@@ -5571,6 +5721,52 @@ object SparkEntry {
          |    AS n_score_match""".stripMargin,
     "q_nb_eval" -> nbEvalOracleSql(None),
     "q_nb_eval_bigram" -> nbEvalOracleSql(Some(nbBigramBuckets)),
+    "q_dsir_model" ->
+      // every integer the DSIR log ratios derive from: re-tokenize,
+      // re-derive every hashed unigram/bigram bucket (md5-48bit
+      // nibbles mod dsirBuckets), re-count both corpora; target
+      // buckets ⊆ raw buckets, so the raw side anchors the join
+      s"""WITH $dsirCountCtes
+         |SELECT rc.bucket, COALESCE(tc.target_cnt, 0) AS target_cnt,
+         |  rc.raw_cnt
+         |FROM rc LEFT JOIN tc ON tc.bucket = rc.bucket
+         |ORDER BY rc.bucket""".stripMargin,
+    "q_dsir_score" ->
+      // parity contract (the q_nb_classify pattern): DuckDB re-derives
+      // the document population; every log weight from the two
+      // independent Spark paths must have matched exactly
+      s"""SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+         |    AS n_docs,
+         |  CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+         |    AS n_score_match""".stripMargin,
+    "q_dsir_select" ->
+      // the full DSIR chain re-derived: counts → Laplace-smoothed ln
+      // ratios (model over the raw buckets — everything scorable has
+      // raw_cnt ≥ 1) → per-doc position-ordered fold → top-k by
+      // (score DESC, doc_id); boundary-margin robustness spec-audited
+      s"""WITH $dsirCountCtes,
+         |tt AS (SELECT CAST(SUM(target_cnt) AS DOUBLE) AS t FROM tc),
+         |rt AS (SELECT CAST(SUM(raw_cnt) AS DOUBLE) AS r FROM rc),
+         |model AS (SELECT rc.bucket,
+         |    ln((COALESCE(tc.target_cnt, 0) + 1.0) /
+         |       ((SELECT t FROM tt) + 1.0 * $dsirBuckets))
+         |  - ln((rc.raw_cnt + 1.0) /
+         |       ((SELECT r FROM rt) + 1.0 * $dsirBuckets)) AS lr
+         |  FROM rc LEFT JOIN tc ON tc.bucket = rc.bucket),
+         |et AS (SELECT doc_id, unnest(feats) AS bucket,
+         |    unnest(generate_series(1, len(feats))) AS pos FROM fb),
+         |terms AS (SELECT e.doc_id, e.pos, m.lr
+         |  FROM et e JOIN model m ON m.bucket = e.bucket),
+         |scores AS (SELECT d.doc_id, d.lang,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      COALESCE(list(t.lr ORDER BY t.pos)
+         |        FILTER (WHERE t.lr IS NOT NULL), [])),
+         |      (a, x) -> a + x) AS s
+         |  FROM fb d LEFT JOIN terms t ON t.doc_id = d.doc_id
+         |  GROUP BY d.doc_id, d.lang),
+         |sel AS (SELECT doc_id, lang FROM scores
+         |  ORDER BY s DESC, doc_id LIMIT $dsirSelectK)
+         |SELECT doc_id, lang FROM sel ORDER BY doc_id""".stripMargin,
     "q_split" -> {
       // every assignment replayed: the 48-bit bucket against the SAME
       // integer cut points (splitCuts), consecutive half-open ranges,

@@ -169,6 +169,39 @@ object Sampling {
       .drop("__pri")
   }
 
+  /** [[weightedReservoir]] in LOG space — exactly-k sampling with
+    * probability ∝ e^{logWeight}, for weights that only exist as logs
+    * (importance weights over long documents, likelihood ratios …):
+    * exponentiating first would overflow/underflow to ±∞/0 and
+    * flatten the order, so the Efraimidis–Spirakis key is transformed
+    * instead: `u^(1/w)` largest-k ⇔ `ln(−ln u) − ln w` SMALLEST-k
+    * (two monotone maps), computed directly from `logWeight`. `u` is
+    * the row's deterministic 48-bit hash fraction, so the same
+    * reproducibility contract as [[weightedReservoir]] holds: same
+    * key, same log weights, same kept set within Spark; cross-engine
+    * bit parity of the transcendental priorities is non-contractual.
+    * Same plan shape too: narrow priority projection +
+    * `TakeOrderedAndProject` (per-partition bottom-k heaps, one k-row
+    * driver merge — never a global sort). A null log weight raises
+    * (an upstream scoring failure must fail the job, not silently
+    * lose the lottery); any finite value is legal — that is the point
+    * of staying in log space.
+    */
+  def logWeightedReservoir(df: DataFrame, key: Column,
+      logWeight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val lw = logWeight.cast("double")
+    val guarded = when(lw.isNull.or(isnan(lw)),
+        raise_error(concat(lit("logWeightedReservoir: null or NaN log "
+          + "weight "), coalesce(lw.cast("string"), lit("null")))))
+      .otherwise(lw)
+    val u = (hashBucket48(key).cast("double") + lit(0.5)) / lit(Two48)
+    df.withColumn("__pri", log(-log(u)) - guarded)
+      .orderBy(col("__pri"), key)
+      .limit(k)
+      .drop("__pri")
+  }
+
   /** Stratified deterministic sample — the training-mix knob: each
     * stratum (source, language, quality band …) keeps its own rate;
     * strata absent from `rates` fall back to `defaultRate`. The rates

@@ -2696,6 +2696,173 @@ class PipelineSpec extends SparkSpec {
       .getMessage.contains("weightedReservoir"))
   }
 
+  test("log-weighted reservoir: matches weightedReservoir where exp " +
+      "is safe, immune to exp overflow, null/NaN raises") {
+    import graft.pipeline.Sampling
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 500L).map(i => (i, 1.0 + (i % 10)))
+      .toDF("id", "w")
+    // the log-space form must pick the same set as the direct A-ES
+    // form on weights where exponentiation is harmless (the two
+    // priorities are monotone transforms of each other)
+    val direct = Sampling.weightedReservoir(rows, col("id"), col("w"), 25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val logged = Sampling.logWeightedReservoir(
+        rows.withColumn("lw", log(col("w"))), col("id"), col("lw"), 25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(logged == direct, "log-space must agree with the A-ES form")
+    // the point of log space: weights e^±1000 overflow/underflow a
+    // double, flattening the direct form's order — the log form keeps
+    // the +1000 doc certain and the -1000 doc impossible at k = 2 of 3
+    val ext = Seq((1L, 1000.0), (2L, -1000.0), (3L, 0.0))
+      .toDF("id", "lw")
+    val kept = Sampling.logWeightedReservoir(ext, col("id"),
+        col("lw"), 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"extreme log weights mis-ranked: $kept")
+    // plan: top-k, never a global sort
+    val plan = Sampling.logWeightedReservoir(
+        rows.withColumn("lw", log(col("w"))), col("id"), col("lw"), 25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"expected TakeOrdered:\n$plan")
+    // a null or NaN log weight raises — an upstream scoring failure
+    // must fail the job, not silently lose the lottery
+    for (bad <- Seq(null.asInstanceOf[java.lang.Double],
+        java.lang.Double.valueOf(Double.NaN))) {
+      val ex = intercept[Exception](Sampling.logWeightedReservoir(
+          Seq((1L, bad)).toDF("id", "lw"), col("id"), col("lw"), 1)
+        .collect())
+      assert(ex.getMessage.contains("logWeightedReservoir"),
+        ex.getMessage)
+    }
+  }
+
+  test("Dsir.featureBuckets: unigram buckets in document order, then " +
+      "adjacent-pair buckets in the SHARED space; degenerate inputs") {
+    import graft.pipeline.Dsir
+    val s = spark
+    import s.implicits._
+    val b = 32
+    // driver-side mirror of the column hash: md5 hex, first 12
+    // nibbles as a long, mod buckets — hashBucket48's definition
+    def bucket(key: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+      val hex = md.map(x => f"$x%02x").mkString.take(12)
+      (java.lang.Long.parseLong(hex, 16) % b).toInt
+    }
+    val got = Seq(
+      (1L, "Alpha  beta\tgamma"), // normalization: lower + ws collapse
+      (2L, "solo"),               // one token -> no bigrams
+      (3L, ""),                   // no tokens -> empty feature stream
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select(col("id"), Dsir.featureBuckets(col("text"), b).as("f"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Int](1))).toMap
+    assert(got(1L).get ==
+      Seq("alpha", "beta", "gamma").map(bucket) ++
+        Seq(bucket("alpha beta"), bucket("beta gamma")),
+      "unigrams in order, then adjacent pairs hashed as '<a> <b>'")
+    assert(got(2L).get == Seq(bucket("solo")))
+    assert(got(3L).get.isEmpty)
+    assert(got(4L).isEmpty, "null text stays null, never throws")
+  }
+
+  test("Dsir.fit pins the Laplace log-ratio formula to the integer " +
+      "count tables; score folds left-to-right; empty corpora raise") {
+    import graft.pipeline.Dsir
+    val b = 32
+    val target = docs.filter(col("lang") === "en")
+    val model = Dsir.fit(target, docs, "text", b)
+    def cm(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      Dsir.bucketCounts(df, "text", b).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val tc = cm(target); val rc = cm(docs)
+    val tTot = tc.values.sum; val rTot = rc.values.sum
+    def lp(c: Long, tot: Long): Double =
+      math.log((c + 1.0) / (tot + 1.0 * b))
+    (0 until b).foreach { i =>
+      assert(model.logRatio(i) ==
+        lp(tc.getOrElse(i, 0L), tTot) - lp(rc.getOrElse(i, 0L), rTot),
+        s"bucket $i log ratio drifted from the pinned op order")
+    }
+    // THE scoring definition: seed 0.0, one add per bucket in order
+    val bs = Seq(3, 1, 3, 0)
+    assert(model.score(bs) ==
+      bs.foldLeft(0.0)((a, x) => a + model.logRatio(x)))
+    assert(model.score(Seq.empty) == 0.0)
+    // a featureless target would make every ratio the smoothing floor
+    // and selection would silently rank on document length — raise
+    intercept[IllegalArgumentException](
+      Dsir.fit(docs.filter(lit(false)), docs, "text", b))
+  }
+
+  test("Dsir.selectTopK: k largest log weights, ties to the lower id, " +
+      "TakeOrdered plan; resample is exactly-k and deterministic") {
+    import graft.pipeline.Dsir
+    val b = 32
+    val model = Dsir.fit(docs.filter(col("lang") === "en"), docs,
+      "text", b)
+    val k = 40
+    val got = Dsir.selectTopK(docs, "doc_id", "text", model, k)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got.length == k && got.distinct.length == k)
+    // driver-side reference: score every doc through the model's own
+    // fold, cut by (score desc, id asc)
+    val ref = docs.select(col("doc_id"),
+        Dsir.featureBuckets(col("text"), b).as("f"))
+      .collect()
+      .map(r => (r.getLong(0), model.score(r.getSeq[Int](1))))
+      .sortBy { case (id, sc) => (-sc, id) }.take(k).map(_._1)
+    assert(got.toSet == ref.toSet, "top-k must match the reference cut")
+    // the selected set leans English — the whole point of the target
+    val langs = Dsir.selectTopK(docs, "doc_id", "text", model, k)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(langs.getOrElse("en", 0L) > k / 2,
+      s"target-like docs must dominate the selection: $langs")
+    val plan = Dsir.selectTopK(docs, "doc_id", "text", model, k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"expected TakeOrdered:\n$plan")
+    // resampling: exactly k, deterministic in the key
+    val r1 = Dsir.resample(docs, col("doc_id"), "text", model, k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val r2 = Dsir.resample(docs.repartition(7), col("doc_id"), "text",
+        model, k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(r1.size == k && r1 == r2,
+      "resample must be deterministic in the key, not the partitioning")
+  }
+
+  test("DSIR selection boundary margin dwarfs cross-engine ln ulp " +
+      "drift (the q_dsir_select float-robustness contract)") {
+    // q_dsir_select's oracle re-derives every score with DuckDB's ln,
+    // which may differ from Math.log in the last ulp. The cut is sound
+    // iff the gap between the k-th and (k+1)-th scores dwarfs the
+    // accumulated drift (~n_features · |term| · 1 ulp ≈ 1e-11 at
+    // fixture scale). Audit BOTH fixture scales the driver gates on,
+    // at the gate row's exact configuration (buckets 32, k 150,
+    // target lang = 'en').
+    import graft.pipeline.Dsir
+    for (dir <- Seq(fixtures, "/root/testdata/sf0.01")) {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val model = Dsir.fit(d.filter(col("lang") === "en"), d, "text", 32)
+      val scores = d.select(col("doc_id"),
+          Dsir.featureBuckets(col("text"), 32).as("f"))
+        .collect()
+        .map(r => (r.getLong(0), model.score(r.getSeq[Int](1))))
+        .sortBy { case (id, sc) => (-sc, id) }
+      val k = 150
+      assert(scores.length > k, s"$dir: fixture too small for the cut")
+      val gap = scores(k - 1)._2 - scores(k)._2
+      info(f"$dir: boundary gap $gap%.3e")
+      assert(gap > 1e-6,
+        s"$dir: boundary gap $gap — cross-engine ln drift could flip " +
+          "the kept set; the q_dsir_select oracle is unsound")
+    }
+  }
+
   test("int8 quantization: bounded error, cosine preserved to ~1e-2") {
     val q = embeddings.select(col("vec_id"), col("embedding"),
         Similarity.int8Scale(col("embedding")).as("scale"))
