@@ -1192,6 +1192,23 @@ object SparkEntry {
       .orderBy("doc_id", "pos")
   }
 
+  /** Per-language tokenizer fertility / compression audit
+    * ([[graft.pipeline.TextOps.tokenizerFertility]] over the real BPE
+    * tokenizer): exact integer masses — docs, UTF-8 bytes, codepoints,
+    * words, BPE tokens — with `fertility` (tokens/word) and
+    * `bytes_per_token` derived LAST from the integer sums (one IEEE
+    * divide each, engine-exact). DuckDB re-derives every mass
+    * independently: `strlen` bytes, codepoint length, the non-empty
+    * whitespace words, and the BPE token counts through the SAME merge
+    * chain as `q_bpe`.
+    */
+  private def qTokFertility(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Bpe
+    TextOps.tokenizerFertility(docs(s, dir), "lang", "text",
+        Bpe.tokenCount(Bpe.demoEnglish)(TextOps.tokens(col("text"))))
+      .orderBy("lang")
+  }
+
   /** Striding token windows ([[graft.pipeline.Packing.tokenWindows]],
     * window 64 / stride 48 over the real BPE id sequence): every
     * (doc, window, position, token id) row is value-oracled — DuckDB
@@ -3189,6 +3206,7 @@ object SparkEntry {
     "q_unigram_encode_parity" -> (qUnigramEncodeParity _),
     "q_unicode_nfc" -> (qUnicodeNfc _),
     "q_bpe_ids" -> (qBpeIds _),
+    "q_tok_fertility" -> (qTokFertility _),
     "q_token_windows" -> (qTokenWindows _),
     "q_pack_bpe" -> (qPackBpe _),
     "q_pack_bins" -> (qPackBins _),
@@ -5983,6 +6001,34 @@ object SparkEntry {
       s"""WITH $bpeSeqCtes
          |SELECT doc_id, CAST(pos AS BIGINT) AS pos, token, token_id
          |FROM seq ORDER BY doc_id, pos""".stripMargin,
+    "q_tok_fertility" ->
+      // every integer mass re-derived: strlen bytes, codepoint length,
+      // non-empty whitespace words, BPE tokens via the shared merge
+      // chain; the two ratio doubles are ONE divide over the exact
+      // integer sums, null on a zero denominator
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok
+         |  FROM documents),
+         |enc AS (SELECT doc_id, tok, $bpeMergedSql AS m FROM toks),
+         |bt AS (SELECT doc_id, CAST(SUM($bpeCountSql) AS BIGINT) AS t,
+         |    CAST(COUNT(*) FILTER (WHERE tok <> '') AS BIGINT) AS w
+         |  FROM enc GROUP BY doc_id),
+         |d AS (SELECT lang, doc_id,
+         |    CAST(strlen(text) AS BIGINT) AS b,
+         |    CAST(length(text) AS BIGINT) AS c FROM documents),
+         |a AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(d.b) AS BIGINT) AS n_bytes,
+         |    CAST(SUM(d.c) AS BIGINT) AS n_chars,
+         |    CAST(SUM(bt.w) AS BIGINT) AS n_words,
+         |    CAST(SUM(bt.t) AS BIGINT) AS n_tokens
+         |  FROM d JOIN bt ON bt.doc_id = d.doc_id GROUP BY d.lang)
+         |SELECT lang, n_docs, n_bytes, n_chars, n_words, n_tokens,
+         |  CASE WHEN n_words = 0 THEN NULL
+         |       ELSE CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |  END AS fertility,
+         |  CASE WHEN n_tokens = 0 THEN NULL
+         |       ELSE CAST(n_bytes AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |  END AS bytes_per_token
+         |FROM a ORDER BY lang""".stripMargin,
     // striding windows re-cut from the same id sequence: window count
     // n = 1 + ceil((len-64)/48) (one window when len <= 64), window j
     // = positions (j*48, j*48 + 64]

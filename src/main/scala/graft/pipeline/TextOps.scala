@@ -974,4 +974,46 @@ object TextOps {
     winnowFingerprints(df, idCol, textCol, k, w)
       .select(col(idCol), explode_outer(col("fingerprints")).as("fp"))
       .filter(col("fp").isNotNull)
+
+  /** Tokenizer FERTILITY / compression audit — the per-group report
+    * every tokenizer-selection write-up rests on (tokens-per-word
+    * "fertility" and bytes-per-token compression, see e.g. the BLOOM
+    * tokenizer analysis, Mielke et al. 2021 §5): for each value of
+    * `groupCol` (language, source, …), the exact integer masses —
+    * documents, UTF-8 bytes, codepoints, non-empty whitespace words,
+    * and the caller's tokenizer count (`tokenCount`, evaluated once
+    * per document — e.g. [[graft.functions.Bpe.tokenCount]]) — plus
+    * `fertility` = tokens/words and `bytes_per_token`, both derived
+    * LAST from the exact integer sums (one IEEE divide, so any engine
+    * reproduces the doubles from the same integers; a zero denominator
+    * yields null rather than a misleading 0 or ∞). A null text counts
+    * as a document of zero mass — an audit that silently drops rows
+    * under-reports the corpus.
+    *
+    * Scale shape: ONE narrow projected scan + a map-side-partial hash
+    * aggregation collapsing the corpus to |groups| rows — no joins, no
+    * second scan, nothing corpus-bounded past the aggregate.
+    */
+  def tokenizerFertility(df: DataFrame, groupCol: String,
+      textCol: String, tokenCount: Column): DataFrame = {
+    val text = col(textCol)
+    df.select(col(groupCol),
+        coalesce(octet_length(text).cast("bigint"), lit(0L)).as("__b"),
+        coalesce(length(text).cast("bigint"), lit(0L)).as("__c"),
+        coalesce(size(filter(tokens(text), t => length(t) > 0))
+          .cast("bigint"), lit(0L)).as("__w"),
+        coalesce(tokenCount.cast("bigint"), lit(0L)).as("__t"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__b").as("n_bytes"), sum("__c").as("n_chars"),
+        sum("__w").as("n_words"), sum("__t").as("n_tokens"))
+      .select(col(groupCol), col("n_docs"), col("n_bytes"),
+        col("n_chars"), col("n_words"), col("n_tokens"),
+        when(col("n_words") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_tokens").cast("double") /
+            col("n_words").cast("double")).as("fertility"),
+        when(col("n_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_bytes").cast("double") /
+            col("n_tokens").cast("double")).as("bytes_per_token"))
+  }
 }

@@ -2863,6 +2863,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("tokenizerFertility: exact integer masses, ratios derived " +
+      "last, null text counts as a zero-mass document") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("en", "ab cd"),                    // 5 bytes, 5 chars, 2 words
+      ("en", "é"),                   // é: 2 bytes, 1 char, 1 word
+      ("en", null.asInstanceOf[String]),  // zero mass, still a doc
+      ("zz", "")                          // empty text: all-zero masses
+    ).toDF("lang", "text")
+    // a trivial stand-in tokenizer: 3 tokens per word
+    val tc = size(filter(TextOps.tokens(col("text")),
+      t => length(t) > 0)) * 3
+    val got = TextOps.tokenizerFertility(df, "lang", "text", tc)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = got("en")
+    assert((en.getLong(1), en.getLong(2), en.getLong(3), en.getLong(4),
+      en.getLong(5)) == ((3L, 7L, 6L, 3L, 9L)),
+      s"en masses: $en")
+    assert(en.getDouble(6) == 3.0, "fertility = tokens/words")
+    assert(en.getDouble(7) == 7.0 / 9.0, "bytes_per_token")
+    val zz = got("zz")
+    assert((zz.getLong(1), zz.getLong(4), zz.getLong(5)) ==
+      ((1L, 0L, 0L)))
+    assert(zz.isNullAt(6) && zz.isNullAt(7),
+      "zero denominators must yield null, not 0 or Infinity")
+    // one narrow scan + aggregate: no join, no second Exchange chain
+    val plan = TextOps.tokenizerFertility(df, "lang", "text", tc)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"fertility audit must not join:\n$plan")
+  }
+
   test("int8 quantization: bounded error, cosine preserved to ~1e-2") {
     val q = embeddings.select(col("vec_id"), col("embedding"),
         Similarity.int8Scale(col("embedding")).as("scale"))
