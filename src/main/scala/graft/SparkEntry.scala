@@ -2358,6 +2358,62 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** `q_cluster_mix`'s per-discovered-domain target fractions: even
+    * cells 0.1, odd cells 0.025 — deliberately uneven so the plan's
+    * saturation and fractional-rate branches both execute at the
+    * gated scales.
+    */
+  private def clusterMixTargets: Map[String, Double] =
+    (0 until 16).map(c =>
+      s"cell_$c" -> (if (c % 2 == 0) 0.1 else 0.025)).toMap
+
+  /** `q_cluster_mix`'s token budget. */
+  private val clusterMixBudget = 20000L
+
+  /** DOMAIN-DISCOVERY mixing — the `q_mix_plan`/`q_mix_domains`
+    * machinery pointed at domains a CLUSTERING discovered instead of a
+    * label column: each document's domain is its embedding's IVF cell
+    * under the SAME deterministic fixed-16 quantizer ANN serving and
+    * SemDeDup build ([[graft.pipeline.Similarity.buildIvfIndex]],
+    * kmeansIters = 0), and the mix retargets the discovered clusters'
+    * token masses to [[clusterMixTargets]] under a
+    * [[clusterMixBudget]]-token budget. Output per domain: the full
+    * [[graft.pipeline.Sampling.domainMixPlan]] row (avail/target/rate/
+    * shortfall) PLUS the realised keep counts from
+    * [[graft.pipeline.Sampling.sampleToMix]] — so the oracle gates the
+    * assignment, the mass aggregation, the rate arithmetic AND every
+    * document's IEEE-exact keep decision in one row. DuckDB re-derives
+    * the quantizer assignment through the shared `q_sim_ivf` CTE
+    * chain, then replays the `q_mix_plan` arithmetic and the 48-bit
+    * keep threshold.
+    */
+  private def qClusterMix(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{Sampling, Similarity}
+    val idx = Similarity.buildIvfIndex(t(s, dir, "embeddings"),
+      "vec_id", "embedding", 16)
+    val assigned = idx.assigned.select(col("vec_id").as("doc_id"),
+      concat(lit("cell_"), col("__cell").cast("string")).as("domain"))
+    val dd = docs(s, dir).join(assigned, "doc_id")
+      .select(col("doc_id"), col("domain"),
+        size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"))
+    val plan = Sampling.domainMixPlan(dd, "domain", col("n_tokens"),
+      clusterMixTargets, clusterMixBudget)
+    val kept = Sampling.sampleToMix(dd, col("doc_id"), "domain",
+        col("n_tokens"), clusterMixTargets, clusterMixBudget)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("kept_docs"),
+        sum("n_tokens").as("kept_tokens"))
+    plan.join(kept, Seq("domain"), "left")
+      .select(col("domain"),
+        col("avail_tokens").cast("bigint").as("avail_tokens"),
+        col("target_tokens"), col("rate"), col("shortfall_tokens"),
+        coalesce(col("kept_docs"), lit(0L)).cast("bigint")
+          .as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).cast("bigint")
+          .as("kept_tokens"))
+      .orderBy("domain")
+  }
+
   /** The FULL Gopher filter ([[graft.pipeline.TextOps
     * .gopherRulesFull]]): the narrow rule table joined with the two
     * repetition caps (top-word share ≤ 0.11, duplicate-bigram fraction
@@ -3184,6 +3240,7 @@ object SparkEntry {
     "q_dsir_model" -> (qDsirModel _),
     "q_dsir_score" -> (qDsirScore _),
     "q_dsir_select" -> (qDsirSelect _),
+    "q_cluster_mix" -> (qClusterMix _),
     "q_mix_plan" -> (qMixPlan _),
     "q_mix_domains" -> (qMixDomains _),
     "q_data_card" -> (qDataCard _),
@@ -5785,6 +5842,48 @@ object SparkEntry {
          |sel AS (SELECT doc_id, lang FROM scores
          |  ORDER BY s DESC, doc_id LIMIT $dsirSelectK)
          |SELECT doc_id, lang FROM sel ORDER BY doc_id""".stripMargin,
+    "q_cluster_mix" -> {
+      // the discovered-domain mix: the shared fixed-16 quantizer
+      // assignment chain (q_sim_ivf/q_semdedup's CTEs), then the
+      // q_mix_plan arithmetic and the q_mix_domains 48-bit keep
+      // threshold over 'cell_<n>' domains
+      val tgt = clusterMixTargets.toSeq.sortBy(_._1)
+        .map { case (d, f) => s"('$d', CAST($f AS DOUBLE))" }
+        .mkString(", ")
+      val b = s"CAST($clusterMixBudget AS DOUBLE)"
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |         embedding AS ce FROM corpus ORDER BY vec_id LIMIT 16),
+         |${semAssignCtes("corpus", "")},
+         |t AS (SELECT d.doc_id,
+         |    'cell_' || CAST(a.cell AS VARCHAR) AS domain,
+         |    CAST(len($toksSql) AS BIGINT) AS n
+         |  FROM documents d JOIN assign a ON a.vec_id = d.doc_id),
+         |avail AS (SELECT domain, SUM(n) AS m FROM t GROUP BY domain),
+         |tgt(domain, frac) AS (VALUES $tgt),
+         |plan AS (SELECT COALESCE(a.domain, g.domain) AS domain,
+         |    CAST(COALESCE(a.m, 0) AS BIGINT) AS avail_tokens,
+         |    COALESCE(g.frac, 0.0) * $b AS target_tokens,
+         |    CASE WHEN COALESCE(a.m, 0) = 0 THEN 0.0
+         |         ELSE least(1.0, (COALESCE(g.frac, 0.0) * $b)
+         |           / CAST(a.m AS DOUBLE)) END AS rate,
+         |    greatest(0.0, COALESCE(g.frac, 0.0) * $b
+         |      - CAST(COALESCE(a.m, 0) AS DOUBLE)) AS shortfall_tokens
+         |  FROM avail a FULL OUTER JOIN tgt g ON a.domain = g.domain),
+         |keep AS (SELECT t.domain, t.n FROM t
+         |  JOIN plan p ON p.domain = t.domain
+         |  WHERE CAST($bucket48Sql AS DOUBLE) <
+         |    (p.rate * 1.0) * 281474976710656.0),
+         |k AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+         |    CAST(SUM(n) AS BIGINT) AS kept_tokens
+         |  FROM keep GROUP BY domain)
+         |SELECT p.domain, p.avail_tokens, p.target_tokens, p.rate,
+         |  p.shortfall_tokens,
+         |  CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+         |  CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+         |FROM plan p LEFT JOIN k ON k.domain = p.domain
+         |ORDER BY p.domain""".stripMargin
+    },
     "q_split" -> {
       // every assignment replayed: the 48-bit bucket against the SAME
       // integer cut points (splitCuts), consecutive half-open ranges,

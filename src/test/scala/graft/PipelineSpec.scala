@@ -2895,6 +2895,43 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"fertility audit must not join:\n$plan")
   }
 
+  test("cluster-discovered domain mixing: saturated cells keep every " +
+      "doc, fractional cells keep a strict deterministic subset") {
+    import graft.pipeline.{Sampling, Similarity}
+    val idx = Similarity.buildIvfIndex(embeddings, "vec_id",
+      "embedding", 16)
+    val assigned = idx.assigned.select(col("vec_id").as("doc_id"),
+      concat(lit("cell_"), col("__cell").cast("string")).as("domain"))
+    val dd = docs.join(assigned, "doc_id")
+      .select(col("doc_id"), col("domain"),
+        size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"))
+    val targets = (0 until 16).map(c =>
+      s"cell_$c" -> (if (c % 2 == 0) 0.1 else 0.025)).toMap
+    val rates = Sampling.domainMixPlan(dd, "domain", col("n_tokens"),
+        targets, 20000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val keptByDom = Sampling.sampleToMix(dd, col("doc_id"), "domain",
+        col("n_tokens"), targets, 20000L)
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val allByDom = dd.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rates.foreach { case (dom, rate) =>
+      val kept = keptByDom.getOrElse(dom, 0L)
+      if (rate == 1.0)
+        assert(kept == allByDom(dom),
+          s"$dom saturated (rate 1) but kept $kept of ${allByDom(dom)}")
+      else
+        assert(kept < allByDom(dom),
+          s"$dom rate $rate must keep a strict subset")
+    }
+    // the fixture must exercise BOTH branches
+    assert(rates.values.exists(_ == 1.0),
+      s"no saturated cell on the fixture: $rates")
+    assert(rates.values.exists(r => r > 0.0 && r < 1.0),
+      s"no fractional cell on the fixture: $rates")
+  }
+
   test("int8 quantization: bounded error, cosine preserved to ~1e-2") {
     val q = embeddings.select(col("vec_id"), col("embedding"),
         Similarity.int8Scale(col("embedding")).as("scale"))
