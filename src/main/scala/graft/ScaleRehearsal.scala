@@ -68,7 +68,14 @@ object ScaleRehearsal {
     "q_nb_model", "q_nb_classify", "q_nb_eval_bigram",
     "q_ivf_recluster", "q_ivf_recluster_2l", "q_winnow",
     "q_decontaminate_bloom",
-    "q_lm_score", "q_gopher_full")
+    "q_lm_score", "q_gopher_full",
+    // round-17 additions: DSIR fit+selection (two bounded count aggs
+    // + a narrow scored top-k), the quality-aware SemDeDup survivor
+    // (cross-table quality join — shared-shift inflation), the
+    // discovered-domain mix (quantizer assignment + two aggregates)
+    // and the fertility audit's BPE-counting scan
+    "q_dsir_select", "q_semdedup_best", "q_cluster_mix",
+    "q_tok_fertility")
 
   /** The reference masking core + relational leaders, rehearsed over an
     * FK-CONSISTENT inflation: facts (lineitem/orders/customer) grow N×

@@ -544,6 +544,24 @@ object StreamMask {
         .as("nb_label")))
   }
 
+  /** [[curateStream]] with the DSIR log importance weight attached
+    * ([[graft.pipeline.Dsir.scoreUdf]] over the same hashed
+    * unigram+bigram feature stream the fit counted): `log_w` rides
+    * next to `quality` — the streaming half of targeted data selection
+    * (threshold or route on the weight downstream; the batch top-k /
+    * resampling cut needs a global view, so on a stream the published
+    * practice is a fixed weight threshold calibrated offline). Narrow
+    * and stateless (the model is `buckets` doubles in a broadcast
+    * closure), so batch equivalence and trigger freedom carry over.
+    */
+  def curateStream(docs: DataFrame, idCol: String, textCol: String,
+      dsir: graft.pipeline.Dsir.DsirModel): DataFrame = {
+    import graft.pipeline.Dsir
+    curateProjection(docs, idCol, textCol,
+      Seq(Dsir.scoreUdf(dsir)(
+        Dsir.featureBuckets(col(textCol), dsir.buckets)).as("log_w")))
+  }
+
   /** The ONE curation projection every [[curateStream]] overload
     * renders (`scoreCols` slots extra score columns after `quality`) —
     * a base-projection edit cannot desynchronize the plain, LM-scored

@@ -132,6 +132,29 @@ class StreamingMaskSpec extends SparkSpec {
     assert(toks.nonEmpty)
     toks.foreach { case (id, tk) =>
       assert(gotLabels(id) == nb.classify(tk), s"doc $id") }
+    // the DSIR-scored overload: stream == batch, and log_w is exactly
+    // the broadcast model's own local fold per document
+    val raw = spark.read.parquet(s"$dir/docs")
+    val dsir = graft.pipeline.Dsir.fit(
+      raw.filter(col("lang") === "en"), raw, "text", buckets = 32)
+    val streamedDsir = runToMemory(
+      StreamMask.curateStream(stream, "doc_id", "text", dsir),
+      "curate_stream_dsir", "append")
+      .collect().map(_.toString).sorted.toSeq
+    val batchDsir = StreamMask.curateStream(raw, "doc_id", "text", dsir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamedDsir == batchDsir)
+    val gotW = StreamMask.curateStream(raw, "doc_id", "text", dsir)
+      .select("doc_id", "log_w").limit(50).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val feats = raw
+      .filter(col("doc_id").isInCollection(gotW.keys.toSeq))
+      .select(col("doc_id"),
+        graft.pipeline.Dsir.featureBuckets(col("text"), 32).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(feats.nonEmpty)
+    feats.foreach { case (id, f) =>
+      assert(gotW(id) == dsir.score(f), s"doc $id") }
   }
 
   test("streaming span decontamination + gopher gate equals the batch " +
