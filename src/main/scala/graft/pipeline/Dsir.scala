@@ -173,6 +173,33 @@ object Dsir {
       .limit(k)
   }
 
+  /** Persist a fitted model as one parquet sidecar (`$path/ratio`) —
+    * the tokenizer/classifier families' persistence pattern: fit once,
+    * serve from the artifact later. The stored doubles ARE the model
+    * (no refit on load), so [[loadModel]] round-trips bit-exactly —
+    * spec-pinned. The artifact is `buckets` rows, bounded by
+    * construction.
+    */
+  def writeModel(spark: SparkSession, model: DsirModel,
+      path: String): Unit =
+    logRatioDf(spark, model).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/ratio")
+
+  /** Load a model written by [[writeModel]]. The sidecar is
+    * buckets-bounded — the collect contract every model load in this
+    * package shares. A gap in the bucket sequence means a truncated
+    * artifact; fail loudly rather than serve a floor of zeros.
+    */
+  def loadModel(spark: SparkSession, path: String): DsirModel = {
+    val rows = spark.read.parquet(s"$path/ratio").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+    require(rows.nonEmpty, s"no model found under $path/ratio")
+    require(rows.map(_._1).toSeq == (0 until rows.length),
+      s"truncated/corrupt DSIR artifact under $path/ratio: bucket ids " +
+        s"are not 0..${rows.length - 1}")
+    DsirModel(rows.length, rows.map(_._2).toIndexedSeq)
+  }
+
   /** Importance RESAMPLING without replacement — the paper's main
     * selection rule: `k` documents drawn with probability ∝ their
     * importance weight, as deterministic Gumbel-top-k in log space via

@@ -2835,6 +2835,27 @@ class PipelineSpec extends SparkSpec {
       "resample must be deterministic in the key, not the partitioning")
   }
 
+  test("Dsir model persistence round-trips bit-exactly; a truncated " +
+      "artifact fails loudly") {
+    import graft.pipeline.Dsir
+    val model = Dsir.fit(docs.filter(col("lang") === "en"), docs,
+      "text", 32)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dsir_model").toString
+    Dsir.writeModel(spark, model, dir)
+    assert(Dsir.loadModel(spark, dir) == model,
+      "the stored doubles ARE the model — load must be bit-exact")
+    // a gap in the bucket sequence = truncated artifact: loud failure,
+    // never a silent floor of zeros
+    val broken = java.nio.file.Files
+      .createTempDirectory("graft_dsir_broken").toString
+    Dsir.logRatioDf(spark, model).filter(col("bucket") =!= 7)
+      .coalesce(1).write.mode("overwrite").parquet(s"$broken/ratio")
+    val ex = intercept[IllegalArgumentException](
+      Dsir.loadModel(spark, broken))
+    assert(ex.getMessage.contains("truncated"), ex.getMessage)
+  }
+
   test("DSIR selection boundary margin dwarfs cross-engine ln ulp " +
       "drift (the q_dsir_select float-robustness contract)") {
     // q_dsir_select's oracle re-derives every score with DuckDB's ln,
