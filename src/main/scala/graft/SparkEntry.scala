@@ -2269,6 +2269,33 @@ object SparkEntry {
       dsirBuckets)
   }
 
+  /** `q_curation_dsir`'s cut — below the quality-kept population at
+    * every gated scale so the selection genuinely discriminates.
+    */
+  private val curationDsirK = 100
+
+  /** Curation composed WITH targeted selection (the `q_curation_sem`
+    * shape for the DSIR stage): the q_quality gate's survivors (the
+    * single bit-pinned formula at ≥ 0.3) restrict BOTH the DSIR fit
+    * corpora (target = surviving English, raw = all survivors) and
+    * the scored corpus, then [[graft.pipeline.Dsir.selectTopK]] keeps
+    * the [[curationDsirK]] survivors most like the target — select
+    * among the rows that matter, not the ones quality already killed.
+    * Both stages' decisions ride one oracle.
+    */
+  private def qCurationDsir(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Dsir
+    val kept = docs(s, dir)
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .filter(col("quality") >= 0.3)
+      .select("doc_id", "lang", "text")
+    val model = Dsir.fit(kept.filter(col("lang") === "en"), kept,
+      "text", dsirBuckets)
+    Dsir.selectTopK(kept, "doc_id", "text", model, curationDsirK)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
   /** DSIR model FIT ([[graft.pipeline.Dsir.bucketCounts]] — the
     * distributed stage [[graft.pipeline.Dsir.fit]] collects): the
     * target and raw hashed-bucket count tables, every integer the log
@@ -3240,6 +3267,7 @@ object SparkEntry {
     "q_dsir_model" -> (qDsirModel _),
     "q_dsir_score" -> (qDsirScore _),
     "q_dsir_select" -> (qDsirSelect _),
+    "q_curation_dsir" -> (qCurationDsir _),
     "q_cluster_mix" -> (qClusterMix _),
     "q_mix_plan" -> (qMixPlan _),
     "q_mix_domains" -> (qMixDomains _),
@@ -3813,15 +3841,16 @@ object SparkEntry {
        |      CAST(${bucket48OfSql("md5(f[i] || ' ' || f[i + 1])")}
        |        % $dsirBuckets AS INTEGER)))""".stripMargin
 
-  /** Shared `q_dsir_model` / `q_dsir_select` CTE chain: featurized
+  /** Shared `q_dsir_model` / `q_dsir_select` / `q_curation_dsir` CTE
+    * chain over any relation carrying (doc_id, lang, text): featurized
     * documents (`fb`) and the two bucket count tables (`tc` target =
-    * lang 'en', `rc` raw = everything) — one definition so the model
-    * row and the selection row cannot drift.
+    * lang 'en', `rc` raw = everything) — one definition so the model,
+    * selection and composed-curation rows cannot drift.
     */
-  private lazy val dsirCountCtes: String =
+  private def dsirCountCtesFrom(rel: String): String =
     s"""ftab AS (SELECT doc_id, lang,
        |    list_filter($toksSql, x -> length(x) > 0) AS f
-       |  FROM documents),
+       |  FROM $rel),
        |fb AS MATERIALIZED (SELECT doc_id, lang, $dsirFeatListSql AS feats
        |  FROM ftab),
        |ab AS (SELECT lang, unnest(feats) AS bucket FROM fb),
@@ -3829,6 +3858,39 @@ object SparkEntry {
        |  FROM ab WHERE lang = 'en' GROUP BY bucket),
        |rc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS raw_cnt
        |  FROM ab GROUP BY bucket)""".stripMargin
+
+  private lazy val dsirCountCtes: String = dsirCountCtesFrom("documents")
+
+  /** The DSIR model + scoring + top-`k` cut over a preceding
+    * [[dsirCountCtesFrom]] chain — counts → Laplace-smoothed ln ratios
+    * (model over the raw buckets: everything scorable has raw_cnt ≥ 1)
+    * → per-doc position-ordered folds → (score DESC, doc_id) LIMIT.
+    * Ends in the final SELECT; shared by `q_dsir_select` and
+    * `q_curation_dsir`.
+    */
+  private def dsirSelectTailSql(k: Int): String =
+    s"""tt AS (SELECT CAST(SUM(target_cnt) AS DOUBLE) AS t FROM tc),
+       |rt AS (SELECT CAST(SUM(raw_cnt) AS DOUBLE) AS r FROM rc),
+       |model AS (SELECT rc.bucket,
+       |    ln((COALESCE(tc.target_cnt, 0) + 1.0) /
+       |       ((SELECT t FROM tt) + 1.0 * $dsirBuckets))
+       |  - ln((rc.raw_cnt + 1.0) /
+       |       ((SELECT r FROM rt) + 1.0 * $dsirBuckets)) AS lr
+       |  FROM rc LEFT JOIN tc ON tc.bucket = rc.bucket),
+       |et AS (SELECT doc_id, unnest(feats) AS bucket,
+       |    unnest(generate_series(1, len(feats))) AS pos FROM fb),
+       |terms AS (SELECT e.doc_id, e.pos, m.lr
+       |  FROM et e JOIN model m ON m.bucket = e.bucket),
+       |scores AS (SELECT d.doc_id, d.lang,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      COALESCE(list(t.lr ORDER BY t.pos)
+       |        FILTER (WHERE t.lr IS NOT NULL), [])),
+       |      (a, x) -> a + x) AS s
+       |  FROM fb d LEFT JOIN terms t ON t.doc_id = d.doc_id
+       |  GROUP BY d.doc_id, d.lang),
+       |sel AS (SELECT doc_id, lang FROM scores
+       |  ORDER BY s DESC, doc_id LIMIT $k)
+       |SELECT doc_id, lang FROM sel ORDER BY doc_id""".stripMargin
 
   /** The `q_nb_eval` / `q_nb_eval_bigram` oracle: a FULL independent
     * re-derivation of the held-out confusion matrix — the 48-bit
@@ -5820,28 +5882,16 @@ object SparkEntry {
       // raw_cnt ≥ 1) → per-doc position-ordered fold → top-k by
       // (score DESC, doc_id); boundary-margin robustness spec-audited
       s"""WITH $dsirCountCtes,
-         |tt AS (SELECT CAST(SUM(target_cnt) AS DOUBLE) AS t FROM tc),
-         |rt AS (SELECT CAST(SUM(raw_cnt) AS DOUBLE) AS r FROM rc),
-         |model AS (SELECT rc.bucket,
-         |    ln((COALESCE(tc.target_cnt, 0) + 1.0) /
-         |       ((SELECT t FROM tt) + 1.0 * $dsirBuckets))
-         |  - ln((rc.raw_cnt + 1.0) /
-         |       ((SELECT r FROM rt) + 1.0 * $dsirBuckets)) AS lr
-         |  FROM rc LEFT JOIN tc ON tc.bucket = rc.bucket),
-         |et AS (SELECT doc_id, unnest(feats) AS bucket,
-         |    unnest(generate_series(1, len(feats))) AS pos FROM fb),
-         |terms AS (SELECT e.doc_id, e.pos, m.lr
-         |  FROM et e JOIN model m ON m.bucket = e.bucket),
-         |scores AS (SELECT d.doc_id, d.lang,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      COALESCE(list(t.lr ORDER BY t.pos)
-         |        FILTER (WHERE t.lr IS NOT NULL), [])),
-         |      (a, x) -> a + x) AS s
-         |  FROM fb d LEFT JOIN terms t ON t.doc_id = d.doc_id
-         |  GROUP BY d.doc_id, d.lang),
-         |sel AS (SELECT doc_id, lang FROM scores
-         |  ORDER BY s DESC, doc_id LIMIT $dsirSelectK)
-         |SELECT doc_id, lang FROM sel ORDER BY doc_id""".stripMargin,
+         |${dsirSelectTailSql(dsirSelectK)}""".stripMargin,
+    "q_curation_dsir" ->
+      // curation ∘ DSIR: the q_quality keep set (the single bit-pinned
+      // formula) restricts BOTH the fit corpora and the scored corpus,
+      // then the shared DSIR chain cuts the top-k among survivors
+      s"""WITH $qualityKeptCtes,
+         |kdocs AS (SELECT d.doc_id, d.lang, d.text
+         |  FROM documents d JOIN qkept USING (doc_id)),
+         |${dsirCountCtesFrom("kdocs")},
+         |${dsirSelectTailSql(curationDsirK)}""".stripMargin,
     "q_cluster_mix" -> {
       // the discovered-domain mix: the shared fixed-16 quantizer
       // assignment chain (q_sim_ivf/q_semdedup's CTEs), then the

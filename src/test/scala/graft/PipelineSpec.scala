@@ -2865,22 +2865,31 @@ class PipelineSpec extends SparkSpec {
     // fixture scale). Audit BOTH fixture scales the driver gates on,
     // at the gate row's exact configuration (buckets 32, k 150,
     // target lang = 'en').
-    import graft.pipeline.Dsir
-    for (dir <- Seq(fixtures, "/root/testdata/sf0.01")) {
-      val d = spark.read.parquet(s"$dir/documents.parquet")
+    import graft.pipeline.{Dsir, TextOps}
+    for {
+      dir <- Seq(fixtures, "/root/testdata/sf0.01")
+      // (corpus restriction, k): the q_dsir_select cut over the full
+      // corpus, and the q_curation_dsir cut over the quality survivors
+      (gate, k) <- Seq((false, 150), (true, 100))
+    } {
+      val raw = spark.read.parquet(s"$dir/documents.parquet")
+      val d = if (gate)
+        raw.withColumn("q", TextOps.qualityScore(col("text")))
+          .filter(col("q") >= 0.3)
+      else raw
       val model = Dsir.fit(d.filter(col("lang") === "en"), d, "text", 32)
       val scores = d.select(col("doc_id"),
           Dsir.featureBuckets(col("text"), 32).as("f"))
         .collect()
         .map(r => (r.getLong(0), model.score(r.getSeq[Int](1))))
         .sortBy { case (id, sc) => (-sc, id) }
-      val k = 150
-      assert(scores.length > k, s"$dir: fixture too small for the cut")
+      assert(scores.length > k,
+        s"$dir gated=$gate: fixture too small for the k=$k cut")
       val gap = scores(k - 1)._2 - scores(k)._2
-      info(f"$dir: boundary gap $gap%.3e")
+      info(f"$dir gated=$gate k=$k: boundary gap $gap%.3e")
       assert(gap > 1e-6,
-        s"$dir: boundary gap $gap — cross-engine ln drift could flip " +
-          "the kept set; the q_dsir_select oracle is unsound")
+        s"$dir gated=$gate: boundary gap $gap — cross-engine ln drift " +
+          "could flip the kept set; the selection oracle is unsound")
     }
   }
 
