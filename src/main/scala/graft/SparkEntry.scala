@@ -659,6 +659,27 @@ object SparkEntry {
     Dedup.exactGroups(withDups, "doc_id", "text").orderBy("content_hash")
   }
 
+  /** Exact dedup under the QUALITY-aware survivor policy
+    * ([[graft.pipeline.Dedup.dropExactDuplicatesKeepBest]] — the
+    * keep-best rule completing the exact/near/semantic family): the
+    * corpus gains a re-keyed `mirror`-source copy of every 50th
+    * document, and source priority (mirror = 2 > original = 1) makes
+    * each duplicated group keep the HIGHER-id mirror — the opposite
+    * end from the min-id rule, so the policies provably diverge under
+    * the oracle. DuckDB re-derives the content hashes, the per-group
+    * max-score cut and the min-id tie-break.
+    */
+  private def qDedupExactBest(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "source", "text")
+    val mirror = d.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        lit("mirror").as("source"), col("text"))
+    Dedup.dropExactDuplicatesKeepBest(d.unionAll(mirror), "doc_id",
+        "text", when(col("source") === "mirror", 2).otherwise(1))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   /** Exact substring dedup (Lee et al.): every 40-char gram duplicated
     * anywhere in the corpus keeps its canonical occurrence only; other
     * occurrences' spans merge and are cut out of the text
@@ -3194,6 +3215,7 @@ object SparkEntry {
     "q_asof_join" -> (qAsofJoin _),
     "q_range_count" -> (qRangeCount _),
     "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_exact_best" -> (qDedupExactBest _),
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_incr" -> (qDedupIncr _),
@@ -4829,6 +4851,24 @@ object SparkEntry {
          |FROM (SELECT * FROM documents
          |      UNION ALL SELECT * FROM documents WHERE doc_id % 50 = 0)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_exact_best" ->
+      // keep-best exact dedup: content hash groups, per-group max
+      // external score (mirror source outranks originals), min-id
+      // tie-break — the survivor set re-derived end to end
+      s"""WITH corpus AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, 'mirror', text FROM documents
+         |  WHERE doc_id % 50 = 0),
+         |h AS (SELECT doc_id, source, md5($normSql) AS ch,
+         |    CASE WHEN source = 'mirror' THEN 2.0 ELSE 1.0 END AS s
+         |  FROM corpus),
+         |top AS (SELECT ch, MAX(s) AS m FROM h GROUP BY ch),
+         |keep AS (SELECT h.ch, MIN(h.doc_id) AS keep_id
+         |  FROM h JOIN top t ON t.ch = h.ch AND h.s = t.m GROUP BY h.ch)
+         |SELECT h.doc_id, h.source FROM h
+         |JOIN keep k ON k.ch = h.ch AND k.keep_id = h.doc_id
+         |ORDER BY doc_id""".stripMargin,
     "q_dedup_near" ->
       s"""WITH $nearDupCtes
          |SELECT i.id_a, i.id_b, i.n_inter,

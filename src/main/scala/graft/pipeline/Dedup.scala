@@ -82,6 +82,38 @@ object Dedup {
       .distinct()
   }
 
+  /** [[dropExactDuplicates]] with the QUALITY-aware survivor policy —
+    * [[dropNearDuplicatesKeepBest]]'s rule for EXACT groups: each
+    * content-hash group keeps its highest-`score` member, ties to the
+    * lower id. Exact copies share identical normalized text, so a
+    * text-DERIVED quality score always ties (degenerating to min-id);
+    * the score that makes this operator meaningful is an EXTERNAL
+    * signal — source priority, crawl recency, license class ("keep
+    * the canonical mirror's copy"). Null scores never win; a group
+    * whose EVERY score is null falls back to the min-id survivor
+    * (vanishing would silently delete unique content on a scoring
+    * outage). Shape: two thin hash-group aggregates + one semi join —
+    * no global window, nothing corpus-bounded on the driver.
+    */
+  def dropExactDuplicatesKeepBest(df: DataFrame, idCol: String,
+      textCol: String, score: Column): DataFrame = {
+    val scored = df.select(col(idCol).as("id"),
+      contentHash(col(textCol)).as("__h"), score.cast("double").as("__s"))
+    val best = scored.groupBy("__h").agg(max("__s").as("__m"))
+    val keepBest = scored.join(best, "__h")
+      .filter(col("__s") === col("__m"))
+      .groupBy("__h").agg(min("id").as("__kb"))
+    val keep = scored.groupBy("__h").agg(min("id").as("__fallback"))
+      .join(keepBest, Seq("__h"), "left")
+      .select(col("__h"),
+        coalesce(col("__kb"), col("__fallback")).as("keep_id"))
+    df.withColumn("__graft_h", contentHash(col(textCol)))
+      .join(keep, col("__graft_h") === keep("__h") &&
+        df(idCol) === keep("keep_id"), "left_semi")
+      .drop("__graft_h")
+      .distinct()
+  }
+
   /** Distinct (id, shingle) pairs — delegates to the shared builder
     * ([[TextOps.explodedShingles]]) so the fingerprint sketch and the
     * dedup pipeline can never drift apart on shingle semantics.

@@ -2738,6 +2738,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dropExactDuplicatesKeepBest: highest external score wins, " +
+      "ties to lower id, all-null groups fall back to min id") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "same text", Some(1.0)),  // group A: 3 loses to...
+      (3L, "same  text", Some(2.0)), // ...the higher score (norm collapses ws)
+      (2L, "same text", Some(2.0)),  // tie with 3 at 2.0 -> min id 2 wins
+      (4L, "other text", Some(0.5)), // singleton passes through
+      (5L, "null group", None),      // all-null group: min id survives,
+      (6L, "null group", None)       // never vanishes
+    ).toDF("doc_id", "text", "score")
+    val kept = Dedup.dropExactDuplicatesKeepBest(df, "doc_id", "text",
+        col("score"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 5L), s"got $kept")
+    // divergence from the blind min-id policy on the same corpus
+    val blind = Dedup.dropExactDuplicates(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(blind == Set(1L, 4L, 5L), s"got $blind")
+    assert(kept != blind, "fixture must distinguish the two policies")
+  }
+
   test("Dsir.featureBuckets: unigram buckets in document order, then " +
       "adjacent-pair buckets in the SHARED space; degenerate inputs") {
     import graft.pipeline.Dsir
