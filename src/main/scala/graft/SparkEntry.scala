@@ -680,6 +680,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Near-dedup under the QUALITY-aware survivor policy
+    * ([[graft.pipeline.Dedup.dropNearDuplicatesKeepBest]]): the same
+    * MinHash→LSH→Jaccard pair graph and connected components as
+    * `q_dedup_clusters`, but each cluster keeps its highest-quality
+    * member (the single bit-pinned q_quality formula — near-dups are
+    * DIFFERENT texts, so a text-derived score genuinely discriminates,
+    * unlike the exact family) with ties to the lower id. DuckDB
+    * re-derives the pair graph, the recursive components, every
+    * member's quality score and the argmax survivor.
+    */
+  private def qDedupNearBest(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("__q", TextOps.qualityScore(col("text")))
+    Dedup.dropNearDuplicatesKeepBest(d, "doc_id", "text", "__q",
+        threshold = 0.8)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
   /** Exact substring dedup (Lee et al.): every 40-char gram duplicated
     * anywhere in the corpus keeps its canonical occurrence only; other
     * occurrences' spans merge and are cut out of the text
@@ -3216,6 +3235,7 @@ object SparkEntry {
     "q_range_count" -> (qRangeCount _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_exact_best" -> (qDedupExactBest _),
+    "q_dedup_near_best" -> (qDedupNearBest _),
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_incr" -> (qDedupIncr _),
@@ -4869,6 +4889,31 @@ object SparkEntry {
          |SELECT h.doc_id, h.source FROM h
          |JOIN keep k ON k.ch = h.ch AND k.keep_id = h.doc_id
          |ORDER BY doc_id""".stripMargin,
+    "q_dedup_near_best" ->
+      // keep-best near dedup: the q_dedup_near pair graph, the shared
+      // recursive component closure, quality scores (the bit-pinned
+      // q_quality formula) and the argmax survivor with min-id ties
+      s"""WITH RECURSIVE $nearDupCtes,
+         |pairs AS MATERIALIZED (SELECT i.id_a, i.id_b
+         |  FROM inter i JOIN sz za ON za.doc_id = i.id_a
+         |  JOIN sz zb ON zb.doc_id = i.id_b
+         |  WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter)
+         |    >= 0.8),
+         |$semComponentCtes,
+         |qf AS (SELECT $qualityFeatSelect FROM documents),
+         |qsc AS (SELECT doc_id, $qualityScoreSql AS q FROM qf),
+         |members AS MATERIALIZED (SELECT comp.id, comp.cluster_id, s.q
+         |  FROM comp JOIN qsc s ON s.doc_id = comp.id),
+         |top AS (SELECT cluster_id, MAX(q) AS m FROM members
+         |  GROUP BY cluster_id),
+         |keep AS (SELECT t.cluster_id, MIN(mm.id) AS id
+         |  FROM members mm JOIN top t ON t.cluster_id = mm.cluster_id
+         |  WHERE mm.q = t.m GROUP BY t.cluster_id),
+         |dropped AS (SELECT id FROM members
+         |  WHERE id NOT IN (SELECT id FROM keep))
+         |SELECT d.doc_id, d.lang FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_near" ->
       s"""WITH $nearDupCtes
          |SELECT i.id_a, i.id_b, i.n_inter,
