@@ -75,7 +75,11 @@ object ScaleRehearsal {
     // discovered-domain mix (quantizer assignment + two aggregates)
     // and the fertility audit's BPE-counting scan
     "q_dsir_select", "q_semdedup_best", "q_cluster_mix",
-    "q_tok_fertility")
+    "q_tok_fertility",
+    // and the late-round-17 rows: curation∘DSIR, the exact/near
+    // keep-best survivor gates (hash-group aggregates / pair graph +
+    // quality-ranked components)
+    "q_curation_dsir", "q_dedup_exact_best", "q_dedup_near_best")
 
   /** The reference masking core + relational leaders, rehearsed over an
     * FK-CONSISTENT inflation: facts (lineitem/orders/customer) grow N×
