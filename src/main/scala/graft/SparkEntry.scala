@@ -2481,6 +2481,52 @@ object SparkEntry {
       .orderBy("domain")
   }
 
+  /** The BM25 gates' query and cut — three mid-frequency fixture
+    * terms (each in ~380–415 of 500 docs) so tf, df and dl all vary
+    * across candidates, and a k well inside the candidate set.
+    */
+  private val bm25Query = "spark window merge"
+  private val bm25K = 20
+
+  /** BM25 retrieval STATISTICS ([[graft.pipeline.Bm25]] — the integers
+    * the ranking function derives from): per query term its document
+    * frequency, plus the corpus row (`n_docs`, `sum_dl`) and
+    * `avgdl` = ONE exact divide — all value-oracled, DuckDB
+    * re-tokenizing and re-counting everything.
+    */
+  private def qBm25Stats(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Bm25
+    val d = docs(s, dir)
+    val tf = Bm25.termFrequencies(d, "doc_id", "text",
+      Bm25.queryTerms(bm25Query))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    dfreq.crossJoin(broadcast(Bm25.corpusStats(d, "text")))
+      .select(col("term"), col("df").cast("bigint").as("df"),
+        col("n_docs").cast("bigint").as("n_docs"),
+        col("sum_dl").cast("bigint").as("sum_dl"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+      .orderBy("term")
+  }
+
+  /** BM25 top-k retrieval ([[graft.pipeline.Bm25.queryTopK]], k1 1.2 /
+    * b 0.75): the [[bm25K]] best-scoring documents for [[bm25Query]],
+    * ties to the lower doc_id. DuckDB replays the ENTIRE chain —
+    * tokenization, tf/df/dl/avgdl, the positive-idf ln, each
+    * candidate's term-ordered contribution fold and the
+    * (score DESC, doc_id) cut; the k-boundary margin is spec-audited
+    * on both gated fixture scales (the q_nb_eval float-robustness
+    * contract).
+    */
+  private def qBm25Topk(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Bm25
+    val d = docs(s, dir)
+    Bm25.queryTopK(d, "doc_id", "text", bm25Query, bm25K)
+      .select("doc_id")
+      .join(d.select("doc_id", "lang"), "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** The FULL Gopher filter ([[graft.pipeline.TextOps
     * .gopherRulesFull]]): the narrow rule table joined with the two
     * repetition caps (top-word share ≤ 0.11, duplicate-bigram fraction
@@ -3311,6 +3357,8 @@ object SparkEntry {
     "q_dsir_select" -> (qDsirSelect _),
     "q_curation_dsir" -> (qCurationDsir _),
     "q_cluster_mix" -> (qClusterMix _),
+    "q_bm25_stats" -> (qBm25Stats _),
+    "q_bm25_topk" -> (qBm25Topk _),
     "q_mix_plan" -> (qMixPlan _),
     "q_mix_domains" -> (qMixDomains _),
     "q_data_card" -> (qDataCard _),
@@ -4567,6 +4615,26 @@ object SparkEntry {
   }
 
   private val nearDupCtes = nearDupCtesFrom("documents")
+
+  /** Shared `q_bm25_stats` / `q_bm25_topk` CTE chain: the non-empty
+    * token stream, the one-row corpus stats, per-(doc, query-term)
+    * term frequencies and per-term document frequencies — one
+    * definition so the stats row and the ranking row cannot drift.
+    */
+  private lazy val bm25Ctes: String = {
+    val terms = graft.pipeline.Bm25.queryTerms(bm25Query)
+    s"""toks AS (SELECT doc_id,
+       |    unnest(list_filter($toksSql, x -> length(x) > 0)) AS term
+       |  FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(list_filter($toksSql, x -> length(x) > 0)))
+       |      AS BIGINT) AS sum_dl FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM toks WHERE term IN (${inList(terms)})
+       |  GROUP BY doc_id, term),
+       |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+       |  GROUP BY term)""".stripMargin
+  }
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
@@ -6018,6 +6086,42 @@ object SparkEntry {
          |  CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
          |FROM plan p LEFT JOIN k ON k.domain = p.domain
          |ORDER BY p.domain""".stripMargin
+    },
+    "q_bm25_stats" -> {
+      s"""WITH $bm25Ctes
+         |SELECT d.term, d.df, s.n_docs, s.sum_dl,
+         |  CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE) AS avgdl
+         |FROM dfq d CROSS JOIN st s ORDER BY d.term""".stripMargin
+    },
+    "q_bm25_topk" -> {
+      // the full ranking chain: positive-idf ln, per-candidate
+      // term-ordered contribution fold (the scorer's pinned 0.0-seeded
+      // sum), (score DESC, doc_id) cut — constants rendered from the
+      // same Scala doubles the Column expression uses
+      val k1 = 1.2; val b = 0.75
+      s"""WITH $bm25Ctes,
+         |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+         |  FROM toks GROUP BY doc_id),
+         |co AS (SELECT t.doc_id, t.term,
+         |    ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)
+         |        + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+         |    * (CAST(t.tf AS DOUBLE) * ${k1 + 1.0}) /
+         |      (CAST(t.tf AS DOUBLE) + $k1 * (${1.0 - b} + $b *
+         |        CAST(l.dl AS DOUBLE) /
+         |        (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+         |      AS c
+         |  FROM tf t JOIN dfq d USING (term)
+         |  JOIN dl l ON l.doc_id = t.doc_id
+         |  CROSS JOIN st s),
+         |sc AS (SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(c ORDER BY term)), (a, x) -> a + x) AS score
+         |  FROM co GROUP BY doc_id),
+         |sel AS (SELECT doc_id FROM sc
+         |  ORDER BY score DESC, doc_id LIMIT $bm25K)
+         |SELECT s2.doc_id, d2.lang
+         |FROM sel s2 JOIN documents d2 USING (doc_id)
+         |ORDER BY s2.doc_id""".stripMargin
     },
     "q_split" -> {
       // every assignment replayed: the 48-bit bucket against the SAME

@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical retrieval (Robertson & Spärck Jones; the Okapi BM25
+  * ranking function, Robertson et al. TREC-3 1994) — the exact-match
+  * retrieval slot of a training-data pipeline: quality mining ("find
+  * corpus documents matching this reference query"), retrieval-based
+  * decontamination, and hard-negative mining next to the ANN serving
+  * tiers. Spark-first shape: nothing model-like ever reaches the
+  * driver — corpus statistics (N, Σdl), per-query-term document
+  * frequencies and per-(doc, term) term frequencies are all computed
+  * IN-PLAN from one tokenized scan and joined back broadcast-small, so
+  * the same code serves a 100 TB corpus; the final cut is a
+  * `TakeOrderedAndProject` top-k (per-partition heaps), never a global
+  * sort.
+  *
+  * Scoring is the standard positive-idf form,
+  * `score(d, q) = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) ·
+  * tf · (k1 + 1) / (tf + k1·(1 − b + b·dl/avgdl))`, every double
+  * derived in-plan from exact integer counts (avgdl = Σdl/N, ONE
+  * divide), and each document's term contributions folded in TERM
+  * order (binary collation) — the same pinned-order discipline as the
+  * NB/DSIR scorers, so the score is a pure function of the counts and
+  * any engine replays it from the same integers. `q_bm25_stats`
+  * value-gates the integers + avgdl; `q_bm25_topk` has DuckDB replay
+  * the whole chain, with the k-boundary margin spec-audited (the
+  * `q_nb_eval` float-robustness contract).
+  */
+object Bm25 {
+
+  /** The query's distinct non-empty terms under the SAME normalization
+    * the corpus tokenizer applies ([[TextOps.normalize]]: lowercase +
+    * whitespace collapse — replicated driver-side for the literal
+    * query string), in binary-collation order.
+    */
+  def queryTerms(query: String): Seq[String] =
+    query.trim.toLowerCase.replaceAll("\\s+", " ")
+      .split(" ").filter(_.nonEmpty).distinct.sorted.toSeq
+
+  /** Per-(doc, query-term) term frequencies plus each matching doc's
+    * length — the tf half of the index, restricted to the query's
+    * terms before the aggregate so the shuffle carries only candidate
+    * rows. Output: (`id`, `term`, `tf`, `dl`).
+    */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val toks = filter(TextOps.tokens(col(textCol)), t => length(t) > 0)
+    val exploded = df.select(col(idCol).as("id"),
+        size(toks).cast("bigint").as("dl"), explode(toks).as("term"))
+      // a handful of query-term literals — never a model-sized isin
+      .filter(col("term").isin(terms: _*))
+    exploded.groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+  }
+
+  /** Corpus-level statistics in ONE aggregate row: `n_docs` and
+    * `sum_dl` (non-empty token mass) — avgdl derives as one divide.
+    */
+  def corpusStats(df: DataFrame, textCol: String): DataFrame = {
+    val toks = filter(TextOps.tokens(col(textCol)), t => length(t) > 0)
+    df.select(size(toks).cast("bigint").as("__dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("__dl").as("sum_dl"))
+  }
+
+  /** Top-`k` BM25 scoring of `query` against the corpus: candidates
+    * are the documents containing ≥ 1 query term; each candidate's
+    * score folds its term contributions in term order from 0.0 (THE
+    * scoring definition — the parity/oracle fold). Output: `id`
+    * (named `idCol`), `score`. Plan: one filtered explode + two thin
+    * aggregates, the one-row stats frame and the |terms|-row df frame
+    * broadcast in, then TakeOrderedAndProject.
+    */
+  def queryTopK(df: DataFrame, idCol: String, textCol: String,
+      query: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1,
+      s"k1 must be >= 0 and b in [0,1], got k1=$k1 b=$b")
+    val terms = queryTerms(query)
+    val tf = termFrequencies(df, idCol, textCol, terms)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = corpusStats(df, textCol)
+    val contrib = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n_docs").cast("double") -
+          col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("__c",
+        col("__idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl").cast("double") / col("__avgdl"))))
+    contrib.groupBy("id")
+      .agg(array_sort(collect_list(struct(col("term"), col("__c"))))
+        .as("__terms"))
+      .select(col("id").as(idCol),
+        aggregate(col("__terms"), lit(0.0),
+          (a, x) => a + x.getField("__c")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -2985,6 +2985,93 @@ class PipelineSpec extends SparkSpec {
       s"no fractional cell on the fixture: $rates")
   }
 
+  test("Bm25.queryTopK: pinned ranking formula on a hand corpus, " +
+      "candidates only, ties to lower id, TakeOrdered plan") {
+    import graft.pipeline.Bm25
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "spark spark merge"),     // tf(spark)=2, dl=3
+      (2L, "spark filter filter"),   // tf(spark)=1, dl=3
+      (3L, "merge"),                 // tf(merge)=1, dl=1
+      (4L, "filter filter filter"),  // no query term -> not a candidate
+      (5L, "SPARK  merge extra pad") // normalization: lower + ws collapse
+    ).toDF("doc_id", "text")
+    val got = Bm25.queryTopK(df, "doc_id", "text", "spark merge", 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L, 5L),
+      "only documents containing >= 1 query term are candidates")
+    // driver-side replication of the exact pinned arithmetic
+    val n = 5.0; val sumDl = 3 + 3 + 1 + 3 + 4
+    val avgdl = sumDl / n
+    def idf(dfreq: Long): Double =
+      math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+    def w(tf: Long, dl: Long, dfreq: Long): Double =
+      idf(dfreq) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    // df(spark)=3 (docs 1,2,5), df(merge)=3 (docs 1,3,5); fold in term
+    // order (merge before spark), seeded 0.0
+    val expect = Map(
+      1L -> (0.0 + w(1, 3, 3) + w(2, 3, 3)),
+      2L -> (0.0 + w(1, 3, 3)),
+      3L -> (0.0 + w(1, 1, 3)),
+      5L -> (0.0 + w(1, 4, 3) + w(1, 4, 3)))
+    got.foreach { case (id, sc) =>
+      assert(sc == expect(id), s"doc $id: $sc != ${expect(id)}") }
+    // ranking + k cut, ties to the lower id
+    val order = got.sortBy { case (id, sc) => (-sc, id) }.map(_._1)
+    val top2 = Bm25.queryTopK(df, "doc_id", "text", "spark merge", 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top2 == order.take(2).toSeq)
+    val plan = Bm25.queryTopK(df, "doc_id", "text", "spark merge", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"expected TakeOrdered:\n$plan")
+    intercept[IllegalArgumentException](
+      Bm25.queryTopK(df, "doc_id", "text", "   ", 2))
+  }
+
+  test("BM25 top-k boundary margin dwarfs cross-engine ln ulp drift " +
+      "(the q_bm25_topk float-robustness contract)") {
+    import graft.pipeline.Bm25
+    for (dir <- Seq(fixtures, "/root/testdata/sf0.01")) {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      // rank EVERY candidate (k = corpus size) and audit the gap at
+      // the gate row's cut (k = 20)
+      val all = Bm25.queryTopK(d, "doc_id", "text",
+          "spark window merge", d.count().toInt)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val k = 20
+      assert(all.length > k, s"$dir: too few candidates")
+      val gap = all(k - 1)._2 - all(k)._2
+      info(f"$dir: boundary gap $gap%.3e")
+      if (gap > 0.0)
+        assert(gap > 1e-9,
+          s"$dir: near-tie boundary gap $gap — cross-engine ln drift " +
+            "could flip the kept set; the q_bm25_topk oracle is unsound")
+      else {
+        // an EXACT tie at the cut is safe iff it is STRUCTURAL: every
+        // doc at the boundary score shares the same (dl, term→tf)
+        // profile, so each engine folds the identical contribution
+        // sequence, sees bit-equal scores, and cuts by doc_id the same
+        // way (the q_nb_eval exact-tie argument). A coincidental
+        // equal-sum of DIFFERENT profiles would not survive ulp drift.
+        val boundary = all.filter(_._2 == all(k - 1)._2).map(_._1).toSet
+        val profiles = Bm25.termFrequencies(d, "doc_id", "text",
+            Bm25.queryTerms("spark window merge"))
+          .filter(col("id").isInCollection(boundary.toSeq))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3)))
+          .groupBy(_._1)
+          .map { case (id, rows) =>
+            id -> rows.map(t => (t._2, t._3, t._4)).toSet }
+        info(s"$dir: exact boundary tie across ${boundary.size} docs")
+        assert(profiles.values.toSet.size == 1,
+          s"$dir: boundary tie spans DIFFERENT (tf, dl) profiles — " +
+            "coincidental equal sums would not survive ulp drift")
+      }
+    }
+  }
+
   test("int8 quantization: bounded error, cosine preserved to ~1e-2") {
     val q = embeddings.select(col("vec_id"), col("embedding"),
         Similarity.int8Scale(col("embedding")).as("scale"))
