@@ -2488,6 +2488,31 @@ object SparkEntry {
   private val bm25Query = "spark window merge"
   private val bm25K = 20
 
+  /** `q_bm25_batch`'s query frame and per-query cut. */
+  private val bm25BatchQueries = Seq(
+    "q1" -> "spark window merge",
+    "q2" -> "customer data",
+    "q3" -> "vector join fast")
+  private val bm25BatchK = 5
+
+  /** BM25 BATCH serving ([[graft.pipeline.Bm25.queryTopKBatch]] —
+    * the `queryIvfBatch` analog): three queries scored against the
+    * corpus in ONE plan (corpus tokenized once for the union of all
+    * terms, per-query cut a row_number window partitioned by query).
+    * DuckDB replays the whole multi-query chain; the spec pins
+    * batch == the single-query loop bit-for-bit and audits each
+    * query's k-boundary.
+    */
+  private def qBm25Batch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.pipeline.Bm25
+    val q = bm25BatchQueries.toDF("qid", "qtext")
+    Bm25.queryTopKBatch(docs(s, dir), "doc_id", "text", q, "qid",
+        "qtext", bm25BatchK)
+      .select(col("qid"), col("doc_id"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** BM25 retrieval STATISTICS ([[graft.pipeline.Bm25]] — the integers
     * the ranking function derives from): per query term its document
     * frequency, plus the corpus row (`n_docs`, `sum_dl`) and
@@ -3359,6 +3384,7 @@ object SparkEntry {
     "q_cluster_mix" -> (qClusterMix _),
     "q_bm25_stats" -> (qBm25Stats _),
     "q_bm25_topk" -> (qBm25Topk _),
+    "q_bm25_batch" -> (qBm25Batch _),
     "q_mix_plan" -> (qMixPlan _),
     "q_mix_domains" -> (qMixDomains _),
     "q_data_card" -> (qDataCard _),
@@ -4621,8 +4647,10 @@ object SparkEntry {
     * term frequencies and per-term document frequencies — one
     * definition so the stats row and the ranking row cannot drift.
     */
-  private lazy val bm25Ctes: String = {
-    val terms = graft.pipeline.Bm25.queryTerms(bm25Query)
+  private lazy val bm25Ctes: String =
+    bm25CtesFor(graft.pipeline.Bm25.queryTerms(bm25Query))
+
+  private def bm25CtesFor(terms: Seq[String]): String = {
     s"""toks AS (SELECT doc_id,
        |    unnest(list_filter($toksSql, x -> length(x) > 0)) AS term
        |  FROM documents),
@@ -6122,6 +6150,43 @@ object SparkEntry {
          |SELECT s2.doc_id, d2.lang
          |FROM sel s2 JOIN documents d2 USING (doc_id)
          |ORDER BY s2.doc_id""".stripMargin
+    },
+    "q_bm25_batch" -> {
+      // the multi-query chain: per-(query, term) VALUES, corpus stats
+      // and tf over the UNION of terms, per-(query, doc) term-ordered
+      // folds, per-query row_number cut
+      val k1 = 1.2; val b = 0.75
+      val allTerms = bm25BatchQueries
+        .flatMap(q => graft.pipeline.Bm25.queryTerms(q._2))
+        .distinct.sorted
+      val qtVals = bm25BatchQueries.flatMap { case (qid, q) =>
+        graft.pipeline.Bm25.queryTerms(q).map(t => s"('$qid', '$t')")
+      }.mkString(", ")
+      s"""WITH ${bm25CtesFor(allTerms)},
+         |qt(qid, term) AS (VALUES $qtVals),
+         |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+         |  FROM toks GROUP BY doc_id),
+         |co AS (SELECT q.qid, t.doc_id, t.term,
+         |    ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)
+         |        + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+         |    * (CAST(t.tf AS DOUBLE) * ${k1 + 1.0}) /
+         |      (CAST(t.tf AS DOUBLE) + $k1 * (${1.0 - b} + $b *
+         |        CAST(l.dl AS DOUBLE) /
+         |        (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+         |      AS c
+         |  FROM tf t JOIN qt q USING (term) JOIN dfq d USING (term)
+         |  JOIN dl l ON l.doc_id = t.doc_id
+         |  CROSS JOIN st s),
+         |sc AS (SELECT qid, doc_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(c ORDER BY term)), (a, x) -> a + x) AS score
+         |  FROM co GROUP BY qid, doc_id),
+         |sel AS (SELECT qid, doc_id, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER)
+         |    AS rank
+         |  FROM sc QUALIFY rank <= $bm25BatchK)
+         |SELECT qid, doc_id, rank FROM sel
+         |ORDER BY qid, rank""".stripMargin
     },
     "q_split" -> {
       // every assignment replayed: the 48-bit bucket against the SAME

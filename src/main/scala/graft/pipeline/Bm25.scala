@@ -77,15 +77,38 @@ object Bm25 {
       query: String, k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val terms = queryTerms(query)
+    docScores(df, idCol, textCol, terms, k1, b)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Every candidate's score for one term set — the per-query scoring
+    * block [[queryTopK]] cuts and [[queryTopKBatch]] replays per
+    * query row. Output: (`idCol`, `score`).
+    */
+  private def docScores(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double, b: Double): DataFrame = {
     require(k1 >= 0 && b >= 0 && b <= 1,
       s"k1 must be >= 0 and b in [0,1], got k1=$k1 b=$b")
-    val terms = queryTerms(query)
     val tf = termFrequencies(df, idCol, textCol, terms)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = corpusStats(df, textCol)
-    val contrib = tf
+    contribFold(tf
       .join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(stats)), Seq("id"), k1, b)
+      .select(col("id").as(idCol), col("score"))
+  }
+
+  /** The shared contribution + fold tail over a frame carrying
+    * (`term`, `tf`, `dl`, `df`, `n_docs`, `sum_dl`) plus any grouping
+    * columns: one BM25 contribution per row, folded per `groupCols`
+    * in term order from 0.0 — THE scoring definition both the single
+    * and the batch form execute.
+    */
+  private def contribFold(rows: DataFrame, groupCols: Seq[String],
+      k1: Double, b: Double): DataFrame =
+    rows
       .withColumn("__avgdl",
         col("sum_dl").cast("double") / col("n_docs").cast("double"))
       .withColumn("__idf",
@@ -96,13 +119,52 @@ object Bm25 {
         col("__idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
           (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
             lit(b) * col("dl").cast("double") / col("__avgdl"))))
-    contrib.groupBy("id")
+      .groupBy(groupCols.map(col): _*)
       .agg(array_sort(collect_list(struct(col("term"), col("__c"))))
         .as("__terms"))
-      .select(col("id").as(idCol),
+      .select(groupCols.map(col) :+
         aggregate(col("__terms"), lit(0.0),
-          (a, x) => a + x.getField("__c")).as("score"))
-      .orderBy(col("score").desc, col(idCol))
-      .limit(k)
+          (a, x) => a + x.getField("__c")).as("score"): _*)
+
+  /** BATCH retrieval — the production serving shape ([[queryTopK]]'s
+    * `queryIvfBatch` analog): a FRAME of queries (`qidCol`,
+    * `queryCol` raw text) each scored against the corpus in ONE plan.
+    * The corpus is tokenized and aggregated ONCE for the union of all
+    * queries' terms; the per-(query, term) pairs ride in as a
+    * broadcast; candidates fold per (query, doc) in term order; the
+    * per-query cut is a `row_number` window over the |queries|·
+    * |candidates| frame — partitioned BY QUERY, so the shuffle is
+    * bounded by the batch's candidate rows, never the corpus. Spec
+    * pins batch == the [[queryTopK]] loop query by query. Output:
+    * (`qidCol`, `idCol`, `score`, `rank`).
+    */
+  def queryTopKBatch(df: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, queryCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    // (qid, term) pairs — queries are a batch-sized frame; collect is
+    // bounded by the batch, the published serving contract of the ANN
+    // batch forms. Normalization = queryTerms', via the shared column
+    // tokenizer on the query text.
+    val qt = queries.select(col(qidCol).as("qid"),
+        explode(array_distinct(filter(TextOps.tokens(col(queryCol)),
+          t => length(t) > 0))).as("term"))
+    val allTerms = qt.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    require(allTerms.nonEmpty, "BM25 batch: no query has any term")
+    val tf = termFrequencies(df, idCol, textCol, allTerms)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = corpusStats(df, textCol)
+    val scored = contribFold(tf
+      .join(broadcast(qt), "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats)), Seq("qid", "id"), k1, b)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as(qidCol), col("id").as(idCol),
+        col("score"), col("rank").cast("int").as("rank"))
   }
 }

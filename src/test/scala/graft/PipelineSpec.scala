@@ -3072,6 +3072,52 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("Bm25.queryTopKBatch == the single-query loop bit-for-bit; " +
+      "per-query boundary margins hold on the gate fixtures") {
+    import graft.pipeline.Bm25
+    val s = spark
+    import s.implicits._
+    val queries = Seq("q1" -> "spark window merge",
+      "q2" -> "customer data", "q3" -> "vector join fast")
+    val k = 5
+    for (dir <- Seq(fixtures, "/root/testdata/sf0.01")) {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val batch = Bm25.queryTopKBatch(d, "doc_id", "text",
+          queries.toDF("qid", "qtext"), "qid", "qtext", k)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3)))
+      queries.foreach { case (qid, text) =>
+        // batch == loop, scores INCLUDED (same fold, same stats)
+        val loop = Bm25.queryTopK(d, "doc_id", "text", text, k)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val b = batch.filter(_._1 == qid).sortBy(_._4)
+          .map(t => (t._2, t._3)).toSeq
+        assert(b == loop, s"$dir $qid: batch != single-query loop")
+        // k-boundary: a real gap, or a STRUCTURAL tie (identical
+        // (dl, tf) profiles fold bit-equal in any engine)
+        val all = Bm25.queryTopK(d, "doc_id", "text", text,
+            d.count().toInt)
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        val gap = all(k - 1)._2 - all(k)._2
+        info(f"$dir $qid: boundary gap $gap%.3e")
+        if (gap > 0.0) assert(gap > 1e-9, s"$dir $qid: near-tie $gap")
+        else {
+          val boundary = all.filter(_._2 == all(k - 1)._2).map(_._1)
+          val prof = Bm25.termFrequencies(d, "doc_id", "text",
+              Bm25.queryTerms(text))
+            .filter(col("id").isInCollection(boundary.toSeq))
+            .collect()
+            .map(r => (r.getLong(0), (r.getString(1), r.getLong(2),
+              r.getLong(3))))
+            .groupBy(_._1).map { case (id, rs) => rs.map(_._2).toSet }
+          assert(prof.toSet.size == 1,
+            s"$dir $qid: non-structural exact tie at the cut")
+        }
+      }
+    }
+  }
+
   test("int8 quantization: bounded error, cosine preserved to ~1e-2") {
     val q = embeddings.select(col("vec_id"), col("embedding"),
         Similarity.int8Scale(col("embedding")).as("scale"))
