@@ -79,7 +79,9 @@ object ScaleRehearsal {
     // and the late-round-17 rows: curation∘DSIR, the exact/near
     // keep-best survivor gates (hash-group aggregates / pair graph +
     // quality-ranked components)
-    "q_curation_dsir", "q_dedup_exact_best", "q_dedup_near_best")
+    "q_curation_dsir", "q_dedup_exact_best", "q_dedup_near_best",
+    // BM25: one filtered explode + bounded aggregates per form
+    "q_bm25_topk", "q_bm25_batch")
 
   /** The reference masking core + relational leaders, rehearsed over an
     * FK-CONSISTENT inflation: facts (lineitem/orders/customer) grow N×
