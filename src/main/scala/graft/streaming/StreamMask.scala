@@ -781,6 +781,60 @@ object StreamMask {
       .start()
   }
 
+  /** Streaming BM25 serving — [[ivfServeStream]]'s analog for the
+    * LEXICAL retrieval tier: a stream of text queries (`qIdCol`,
+    * `qTextCol`) is scored per micro-batch against a STATIC corpus
+    * through the SAME [[graft.pipeline.Bm25.queryTopKBatch]] operator
+    * the batch gate audits (one definition of tf/df/avgdl, the pinned
+    * term-ordered fold and the per-query cut — serving cannot drift
+    * from the audited batch path), landed exactly-once via
+    * [[ExactlyOnceSink.writeBatch]]. Per trigger the corpus scan is
+    * filtered to the BATCH'S query terms before any aggregate, so
+    * per-trigger work is proportional to the batch's candidate rows,
+    * not the corpus; the only driver state is the batch's term set.
+    *
+    * Malformed queries (null or all-whitespace text — zero terms) are
+    * DROPPED per micro-batch by default (`dropMalformed = true`): the
+    * batch operator fails loudly on a termless batch, but inside
+    * `foreachBatch` that throw checkpoint-replay-wedges the stream
+    * (the [[ivfServeStream]] posture). `dropMalformed = false`
+    * restores the batch fail-fast contract. A batch left EMPTY by the
+    * drop still lands its (empty) result, so the batch id is recorded
+    * and a restart never re-serves it.
+    */
+  def bm25ServeStream(queries: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, qIdCol: String, qTextCol: String,
+      k: Int, outPath: String, checkpoint: String,
+      k1: Double = 1.2, b: Double = 0.75,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      dropMalformed: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.pipeline.Bm25
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bdf = if (dropMalformed)
+          batch.filter(col(qTextCol).isNotNull
+            .and(length(trim(col(qTextCol))) > 0))
+        else batch
+        val result =
+          if (bdf.isEmpty)
+            // schema-correct zero-row frame: the batch id must still
+            // land, or a restart would re-serve this batch
+            bdf.select(col(qIdCol))
+              .crossJoin(corpus.limit(0).select(col(idCol)))
+              .withColumn("score", lit(0.0))
+              .withColumn("rank", lit(0).cast("int"))
+          else Bm25.queryTopKBatch(corpus, idCol, textCol, bdf,
+            qIdCol, qTextCol, k, k1, b)
+        ExactlyOnceSink.writeBatch(outPath)(result, batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Streaming incremental semantic dedup — the ingest twin of
     * [[graft.pipeline.Dedup.semDeDupFilterBatch]]: each micro-batch of
     * arriving vectors is scored against a persisted FLOAT

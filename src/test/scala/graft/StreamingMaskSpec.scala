@@ -373,6 +373,47 @@ class StreamingMaskSpec extends SparkSpec {
     }
   }
 
+  test("streaming BM25 serving lands the batch operator's results " +
+      "exactly-once; malformed (termless) queries dropped per batch") {
+    import graft.pipeline.Bm25
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_bm25_serve").toString
+    val corpus = spark.read.parquet(s"$fixtures/documents.parquet")
+    val queries = Seq(
+      ("q1", "spark window merge"), ("q2", "customer data"),
+      ("q3", "vector join fast"), ("q4", "table scan"))
+      .toDF("qid", "qtext")
+    val in = s"$base/in"
+    // two files -> two micro-batches; poison rides in file 2
+    queries.filter(col("qid") < "q3").write.parquet(s"$in/f0")
+    queries.filter(col("qid") >= "q3")
+      .unionAll(Seq(("bad1", null.asInstanceOf[String]),
+        ("bad2", "   ")).toDF("qid", "qtext"))
+      .write.parquet(s"$in/f1")
+    val schema = spark.read.parquet(s"$in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val out = s"$base/out"
+    val q = StreamMask.bm25ServeStream(stream, corpus, "doc_id",
+      "text", "qid", "qtext", k = 5, outPath = out,
+      checkpoint = s"$base/ckpt")
+    q.awaitTermination(120000)
+    val landed = spark.read.parquet(out)
+    assert(landed.select(ExactlyOnceSink.BatchIdCol).distinct().count()
+      > 1, "expected more than one served micro-batch")
+    assert(landed.filter(col("qid").startsWith("bad")).count() == 0,
+      "termless queries must be dropped, not served or wedged")
+    def key(df: DataFrame) = df
+      .select(col("qid"), col("doc_id"), col("rank"))
+      .collect().map(_.toString).sorted.toSeq
+    val batchRef = Bm25.queryTopKBatch(corpus, "doc_id", "text",
+      queries, "qid", "qtext", 5)
+    assert(key(landed) == key(batchRef),
+      "streamed BM25 results diverged from the audited batch operator")
+  }
+
   test("ANN serving stream survives malformed query rows: null/wrong-" +
       "dim vectors dropped per batch, valid queries still served") {
     import graft.pipeline.Similarity
