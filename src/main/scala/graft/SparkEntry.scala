@@ -2552,6 +2552,44 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** `q_hybrid_rrf`'s query documents — ids present in BOTH
+    * `documents` and `embeddings`, so each query has a lexical form
+    * (its text) and a vector form (its embedding).
+    */
+  private val hybridQids = Seq(0L, 7L, 21L)
+  private val hybridK = 10
+
+  /** Hybrid retrieval ([[graft.pipeline.Hybrid.rrfFuse]] — Reciprocal
+    * Rank Fusion, Cormack et al. 2009): three query documents are run
+    * through BOTH tiers — their text through the audited BM25 batch
+    * operator, their embedding through the exact batch cosine top-k
+    * (the recall audit's tie rules) — and the two rank lists fuse as
+    * `Σ 1/(60 + rank)`. The rrf doubles derive from INTEGER ranks
+    * (one divide + one add per side), so DuckDB reproduces the fused
+    * scores bit-for-bit and the gate pins rrf VALUES, not just the
+    * kept set — the fusion level needs no margin argument; the tier
+    * boundary audits live with their own gates.
+    */
+  private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{Bm25, Hybrid}
+    val d = docs(s, dir)
+    val e = t(s, dir, "embeddings")
+    val q = d.filter(col("doc_id").isin(hybridQids: _*))
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val lex = Bm25.queryTopKBatch(d, "doc_id", "text", q, "qid",
+        "qtext", hybridK)
+      .select(col("qid"), col("doc_id").as("id"), col("rank"))
+    val qv = e.filter(col("vec_id").isin(hybridQids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val vec = Hybrid.cosineTopKBatch(e, "vec_id", "embedding", qv,
+        "qid", "qvec", hybridK)
+      .select(col("qid"), col("vec_id").as("id"), col("rank"))
+    Hybrid.rrfFuse(lex, vec, "qid", "id", hybridK)
+      .select(col("qid"), col("id").as("doc_id"), col("rrf"),
+        col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** The FULL Gopher filter ([[graft.pipeline.TextOps
     * .gopherRulesFull]]): the narrow rule table joined with the two
     * repetition caps (top-word share ≤ 0.11, duplicate-bigram fraction
@@ -3385,6 +3423,7 @@ object SparkEntry {
     "q_bm25_stats" -> (qBm25Stats _),
     "q_bm25_topk" -> (qBm25Topk _),
     "q_bm25_batch" -> (qBm25Batch _),
+    "q_hybrid_rrf" -> (qHybridRrf _),
     "q_mix_plan" -> (qMixPlan _),
     "q_mix_domains" -> (qMixDomains _),
     "q_data_card" -> (qDataCard _),
@@ -6186,6 +6225,74 @@ object SparkEntry {
          |    AS rank
          |  FROM sc QUALIFY rank <= $bm25BatchK)
          |SELECT qid, doc_id, rank FROM sel
+         |ORDER BY qid, rank""".stripMargin
+    },
+    "q_hybrid_rrf" -> {
+      val k1 = 1.2; val b = 0.75
+      val ids = hybridQids.mkString(", ")
+      s"""WITH qt AS (SELECT doc_id AS qid,
+         |    unnest(list_distinct(list_filter($toksSql,
+         |      x -> length(x) > 0))) AS term
+         |  FROM documents WHERE doc_id IN ($ids)),
+         |toks AS (SELECT doc_id,
+         |    unnest(list_filter($toksSql, x -> length(x) > 0)) AS term
+         |  FROM documents),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(len(list_filter($toksSql, x -> length(x) > 0)))
+         |      AS BIGINT) AS sum_dl FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM toks WHERE term IN (SELECT DISTINCT term FROM qt)
+         |  GROUP BY doc_id, term),
+         |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+         |  GROUP BY term),
+         |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+         |  FROM toks GROUP BY doc_id),
+         |co AS (SELECT q.qid, t.doc_id, t.term,
+         |    ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)
+         |        + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+         |    * (CAST(t.tf AS DOUBLE) * ${k1 + 1.0}) /
+         |      (CAST(t.tf AS DOUBLE) + $k1 * (${1.0 - b} + $b *
+         |        CAST(l.dl AS DOUBLE) /
+         |        (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+         |      AS c
+         |  FROM tf t JOIN qt q USING (term) JOIN dfq d USING (term)
+         |  JOIN dl l ON l.doc_id = t.doc_id
+         |  CROSS JOIN st s),
+         |lsc AS (SELECT qid, doc_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(c ORDER BY term)), (a, x) -> a + x) AS score
+         |  FROM co GROUP BY qid, doc_id),
+         |lex AS (SELECT qid, doc_id, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER)
+         |    AS rank
+         |  FROM lsc QUALIFY rank <= $hybridK),
+         |qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id IN ($ids)),
+         |vx AS (SELECT q.qid, e.vec_id, unnest(e.embedding) AS v,
+         |    unnest(generate_series(1, len(e.embedding))) AS i,
+         |    q.qe AS qe
+         |  FROM embeddings e CROSS JOIN qs q),
+         |vd AS (SELECT qid, vec_id,
+         |    SUM(CAST(v AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS dp,
+         |    SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS nv,
+         |    SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) ORDER BY i) AS nq
+         |  FROM vx GROUP BY qid, vec_id),
+         |vec AS (SELECT qid, vec_id AS doc_id,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY dp / (sqrt(nv) * sqrt(nq)) DESC, vec_id ASC)
+         |      AS INTEGER) AS rank
+         |  FROM vd QUALIFY rank <= $hybridK),
+         |fused AS (SELECT COALESCE(l.qid, v.qid) AS qid,
+         |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |    COALESCE(1.0 / CAST(60 + l.rank AS DOUBLE), 0.0)
+         |      + COALESCE(1.0 / CAST(60 + v.rank AS DOUBLE), 0.0) AS rrf
+         |  FROM lex l FULL OUTER JOIN vec v
+         |    ON v.qid = l.qid AND v.doc_id = l.doc_id),
+         |sel AS (SELECT qid, doc_id, rrf, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY rrf DESC, doc_id) AS INTEGER)
+         |    AS rank
+         |  FROM fused QUALIFY rank <= $hybridK)
+         |SELECT qid, doc_id, rrf, rank FROM sel
          |ORDER BY qid, rank""".stripMargin
     },
     "q_split" -> {

@@ -3118,6 +3118,57 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("Hybrid.rrfFuse: exact RRF arithmetic, one-list docs score " +
+      "their single term, ties to lower id; cosineTopKBatch == loop") {
+    import graft.pipeline.{Hybrid, Similarity}
+    val s = spark
+    import s.implicits._
+    val lex = Seq(("q", 10L, 1), ("q", 11L, 2), ("q", 12L, 3))
+      .toDF("qid", "id", "rank")
+    val vec = Seq(("q", 11L, 1), ("q", 13L, 2), ("q", 10L, 3))
+      .toDF("qid", "id", "rank")
+    val fused = Hybrid.rrfFuse(lex, vec, "qid", "id", 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._3)
+    def t(r: Int) = 1.0 / (60 + r)
+    val expect = Seq(
+      10L -> (t(1) + t(3)), 11L -> (t(2) + t(1)),
+      12L -> (t(3) + 0.0), 13L -> (t(2) + 0.0))
+      .sortBy { case (id, sc) => (-sc, id) }
+    assert(fused.map(x => (x._1, x._2)).toSeq == expect,
+      s"fused ${fused.toSeq} != $expect")
+    assert(fused.map(_._3).toSeq == (1 to 4),
+      "ranks must be dense per query")
+    // ties (symmetric rank patterns) cut to the lower id: 10 and 11
+    // both score t(1)+t(3) when the lists mirror
+    val mirrorV = Seq(("q", 10L, 3), ("q", 11L, 1))
+      .toDF("qid", "id", "rank")
+    val mirrorL = Seq(("q", 10L, 1), ("q", 11L, 3))
+      .toDF("qid", "id", "rank")
+    val top1 = Hybrid.rrfFuse(mirrorL, mirrorV, "qid", "id", 1)
+      .collect().map(_.getLong(1)).toSeq
+    assert(top1 == Seq(10L), "equal rrf must cut to the lower id")
+    // the batch exact-cosine side equals the single-query loop
+    val e = embeddings
+    val qv = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = Hybrid.cosineTopKBatch(e, "vec_id", "embedding", qv,
+        "qid", "qv", 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val queries = e.filter(col("vec_id") < 3)
+      .select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    queries.foreach { case (qid, v) =>
+      val loop = Similarity.cosineTopK(e, "vec_id", "embedding", v, 5)
+        .select(col("vec_id"), col("cosine"))
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid).sortBy(_._2).toSeq == loop.sortBy(_._2),
+        s"query $qid: batch != loop")
+    }
+  }
+
   test("int8 quantization: bounded error, cosine preserved to ~1e-2") {
     val q = embeddings.select(col("vec_id"), col("embedding"),
         Similarity.int8Scale(col("embedding")).as("scale"))
