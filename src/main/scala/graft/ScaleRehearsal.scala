@@ -80,8 +80,9 @@ object ScaleRehearsal {
     // keep-best survivor gates (hash-group aggregates / pair graph +
     // quality-ranked components)
     "q_curation_dsir", "q_dedup_exact_best", "q_dedup_near_best",
-    // BM25: one filtered explode + bounded aggregates per form
-    "q_bm25_topk", "q_bm25_batch")
+    // BM25: one filtered explode + bounded aggregates per form; the
+    // hybrid row adds the brute-force cosine side + rank fusion
+    "q_bm25_topk", "q_bm25_batch", "q_hybrid_rrf")
 
   /** The reference masking core + relational leaders, rehearsed over an
     * FK-CONSISTENT inflation: facts (lineitem/orders/customer) grow N×
