@@ -2552,6 +2552,28 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** BM25 serving from the PERSISTED inverted index
+    * ([[graft.pipeline.Bm25.writeBm25Index]] /
+    * [[graft.pipeline.Bm25.queryIndexTopK]]): build the term-bucket-
+    * partitioned postings + stats sidecar, load them back, serve
+    * [[bm25Query]] reading ONLY the query terms' bucket partitions
+    * (partition pruning — plan-asserted in the spec), and land the
+    * same top-[[bm25K]]. The result is bit-identical to the direct
+    * corpus scan — same integers, same pinned fold — so the oracle is
+    * `q_bm25_topk`'s, verbatim.
+    */
+  private def qBm25Index(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Bm25
+    val d = docs(s, dir)
+    val path = scratchDir("q-bm25-index")
+    Bm25.writeBm25Index(d, "doc_id", "text", s"$path/idx", buckets = 16)
+    Bm25.queryIndexTopK(Bm25.loadBm25Index(s, s"$path/idx"),
+        bm25Query, bm25K)
+      .select("doc_id")
+      .join(d.select("doc_id", "lang"), "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** `q_hybrid_rrf`'s query documents — ids present in BOTH
     * `documents` and `embeddings`, so each query has a lexical form
     * (its text) and a vector form (its embedding).
@@ -3423,6 +3445,7 @@ object SparkEntry {
     "q_bm25_stats" -> (qBm25Stats _),
     "q_bm25_topk" -> (qBm25Topk _),
     "q_bm25_batch" -> (qBm25Batch _),
+    "q_bm25_index" -> (qBm25Index _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_mix_plan" -> (qMixPlan _),
     "q_mix_domains" -> (qMixDomains _),
@@ -4688,6 +4711,40 @@ object SparkEntry {
     */
   private lazy val bm25Ctes: String =
     bm25CtesFor(graft.pipeline.Bm25.queryTerms(bm25Query))
+
+  /** The `q_bm25_topk` oracle — the full ranking chain: positive-idf
+    * ln, per-candidate term-ordered contribution fold (the scorer's
+    * pinned 0.0-seeded sum), (score DESC, doc_id) cut; constants
+    * rendered from the same Scala doubles the Column expression uses.
+    * Shared verbatim by `q_bm25_index` (the persisted-postings serving
+    * path must land the identical top-k).
+    */
+  private lazy val bm25TopkOracleSql: String = {
+    val k1 = 1.2; val b = 0.75
+    s"""WITH $bm25Ctes,
+       |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+       |  FROM toks GROUP BY doc_id),
+       |co AS (SELECT t.doc_id, t.term,
+       |    ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)
+       |        + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+       |    * (CAST(t.tf AS DOUBLE) * ${k1 + 1.0}) /
+       |      (CAST(t.tf AS DOUBLE) + $k1 * (${1.0 - b} + $b *
+       |        CAST(l.dl AS DOUBLE) /
+       |        (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+       |      AS c
+       |  FROM tf t JOIN dfq d USING (term)
+       |  JOIN dl l ON l.doc_id = t.doc_id
+       |  CROSS JOIN st s),
+       |sc AS (SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(c ORDER BY term)), (a, x) -> a + x) AS score
+       |  FROM co GROUP BY doc_id),
+       |sel AS (SELECT doc_id FROM sc
+       |  ORDER BY score DESC, doc_id LIMIT $bm25K)
+       |SELECT s2.doc_id, d2.lang
+       |FROM sel s2 JOIN documents d2 USING (doc_id)
+       |ORDER BY s2.doc_id""".stripMargin
+  }
 
   private def bm25CtesFor(terms: Seq[String]): String = {
     s"""toks AS (SELECT doc_id,
@@ -6160,36 +6217,10 @@ object SparkEntry {
          |  CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE) AS avgdl
          |FROM dfq d CROSS JOIN st s ORDER BY d.term""".stripMargin
     },
-    "q_bm25_topk" -> {
-      // the full ranking chain: positive-idf ln, per-candidate
-      // term-ordered contribution fold (the scorer's pinned 0.0-seeded
-      // sum), (score DESC, doc_id) cut — constants rendered from the
-      // same Scala doubles the Column expression uses
-      val k1 = 1.2; val b = 0.75
-      s"""WITH $bm25Ctes,
-         |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
-         |  FROM toks GROUP BY doc_id),
-         |co AS (SELECT t.doc_id, t.term,
-         |    ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)
-         |        + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
-         |    * (CAST(t.tf AS DOUBLE) * ${k1 + 1.0}) /
-         |      (CAST(t.tf AS DOUBLE) + $k1 * (${1.0 - b} + $b *
-         |        CAST(l.dl AS DOUBLE) /
-         |        (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
-         |      AS c
-         |  FROM tf t JOIN dfq d USING (term)
-         |  JOIN dl l ON l.doc_id = t.doc_id
-         |  CROSS JOIN st s),
-         |sc AS (SELECT doc_id,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list(c ORDER BY term)), (a, x) -> a + x) AS score
-         |  FROM co GROUP BY doc_id),
-         |sel AS (SELECT doc_id FROM sc
-         |  ORDER BY score DESC, doc_id LIMIT $bm25K)
-         |SELECT s2.doc_id, d2.lang
-         |FROM sel s2 JOIN documents d2 USING (doc_id)
-         |ORDER BY s2.doc_id""".stripMargin
-    },
+    "q_bm25_topk" -> bm25TopkOracleSql,
+    // the persisted-index row serves the SAME query from the pruned
+    // postings layout and must land the identical top-k — one oracle
+    "q_bm25_index" -> bm25TopkOracleSql,
     "q_bm25_batch" -> {
       // the multi-query chain: per-(query, term) VALUES, corpus stats
       // and tf over the UNION of terms, per-(query, doc) term-ordered

@@ -126,6 +126,107 @@ object Bm25 {
         aggregate(col("__terms"), lit(0.0),
           (a, x) => a + x.getField("__c")).as("score"): _*)
 
+  /** A loaded persisted BM25 inverted index: the term-bucket-
+    * partitioned postings as a LAZY frame (never collected) plus the
+    * exact corpus integers serving needs. The scale contract: a query
+    * reads ONLY its terms' bucket partitions — per-query I/O is
+    * bounded by the probed buckets, independent of corpus size (the
+    * `writeIvfIndex` cell-pruning contract for the lexical tier).
+    */
+  final case class Bm25Index(postings: DataFrame, nDocs: Long,
+      sumDl: Long, buckets: Int, idCol: String)
+
+  /** The term's bucket — [[Sampling.hashBucket48]] mod `buckets`, the
+    * same engine-replayable hash every hashed feature space here uses.
+    */
+  def termBucket(term: Column, buckets: Int): Column =
+    (Sampling.hashBucket48(term) % buckets).cast("int")
+
+  /** Driver-side mirror of [[termBucket]] for routing a query's
+    * literal terms to their partitions without touching the cluster.
+    */
+  def termBucketLocal(term: String, buckets: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8"))
+    val hex = md.map("%02x".format(_)).mkString.take(12)
+    (java.lang.Long.parseLong(hex, 16) % buckets).toInt
+  }
+
+  /** The FULL postings table — one row per (doc, term) with the term
+    * frequency, the doc's length and the term's bucket. One explode +
+    * hash aggregation over the corpus; built once at index time so
+    * serving never re-scans the corpus.
+    */
+  def buildPostings(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    val toks = filter(TextOps.tokens(col(textCol)), t => length(t) > 0)
+    df.select(col(idCol).as("id"),
+        size(toks).cast("bigint").as("dl"), explode(toks).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+      .withColumn("__tb", termBucket(col("term"), buckets))
+  }
+
+  /** Persist the inverted index: postings PARTITIONED BY term bucket
+    * (term-sorted within files so row-group stats prune within a
+    * bucket too) + a one-row stats sidecar carrying the exact corpus
+    * integers and the layout parameters.
+    */
+  def writeBm25Index(df: DataFrame, idCol: String, textCol: String,
+      path: String, buckets: Int = 64): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    buildPostings(df, idCol, textCol, buckets)
+      .sortWithinPartitions(col("__tb"), col("term"), col("id"))
+      .write.mode("overwrite").partitionBy("__tb")
+      .parquet(s"$path/postings")
+    val st = corpusStats(df, textCol).collect().head
+    Seq((st.getLong(0), st.getLong(1), buckets, idCol))
+      .toDF("n_docs", "sum_dl", "buckets", "id_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Load an index written by [[writeBm25Index]] — one footer read for
+    * the one-row stats sidecar; postings stay a lazy partitioned scan.
+    */
+  def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String): Bm25Index = {
+    val st = spark.read.parquet(s"$path/stats").collect()
+    require(st.length == 1, s"corrupt stats sidecar under $path/stats")
+    Bm25Index(spark.read.parquet(s"$path/postings"),
+      st.head.getLong(0), st.head.getLong(1), st.head.getInt(2),
+      st.head.getString(3))
+  }
+
+  /** Top-`k` against a PERSISTED index: the query's terms route to
+    * their buckets driver-side ([[termBucketLocal]]) and the postings
+    * scan carries `__tb IN (...)` as a PARTITION filter — only the
+    * probed buckets' files are read (plan-asserted in the spec), then
+    * the term filter, the df aggregate and the same pinned scoring
+    * tail as [[queryTopK]] run over candidate-bounded rows. Result is
+    * bit-identical to the direct corpus scan (same integers, same
+    * fold — spec-pinned).
+    */
+  def queryIndexTopK(idx: Bm25Index, query: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val terms = queryTerms(query)
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val tbs = terms.map(termBucketLocal(_, idx.buckets)).distinct
+    val pruned = idx.postings
+      .filter(col("__tb").isin(tbs: _*))
+      .filter(col("term").isin(terms: _*))
+    val dfreq = pruned.groupBy("term").agg(count(lit(1)).as("df"))
+    contribFold(pruned
+      .join(broadcast(dfreq), "term")
+      .withColumn("n_docs", lit(idx.nDocs))
+      .withColumn("sum_dl", lit(idx.sumDl)), Seq("id"), k1, b)
+      .select(col("id").as(idx.idCol), col("score"))
+      .orderBy(col("score").desc, col(idx.idCol))
+      .limit(k)
+  }
+
   /** BATCH retrieval — the production serving shape ([[queryTopK]]'s
     * `queryIvfBatch` analog): a FRAME of queries (`qidCol`,
     * `queryCol` raw text) each scored against the corpus in ONE plan.

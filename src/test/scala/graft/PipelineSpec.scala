@@ -3118,6 +3118,46 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("persisted BM25 index: pruned serving == the direct corpus " +
+      "scan bit-for-bit; the term buckets reach the scan as a " +
+      "PARTITION filter") {
+    import graft.pipeline.Bm25
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_idx").toString
+    val query = "spark window merge"
+    Bm25.writeBm25Index(docs, "doc_id", "text", dir, buckets = 16)
+    val idx = Bm25.loadBm25Index(spark, dir)
+    assert(idx.buckets == 16 && idx.idCol == "doc_id")
+    val served = Bm25.queryIndexTopK(idx, query, 25)
+    // bucket routing must reach the source as a PARTITION filter: only
+    // the query terms' bucket files are read, regardless of corpus size
+    val plan = served.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*__tb[^\\]]*".r
+    assert(pf.findFirstIn(plan).isDefined,
+      s"no __tb partition filter in the postings scan:\n$plan")
+    // and the driver-side routing mirrors the column hash exactly
+    Bm25.queryTerms(query).foreach { t =>
+      val viaCol = docs.sparkSession.range(1)
+        .select(Bm25.termBucket(lit(t), 16)).head().getInt(0)
+      assert(Bm25.termBucketLocal(t, 16) == viaCol, s"term $t routed " +
+        "differently driver-side vs in-plan")
+    }
+    // same integers, same fold: the served frame equals the direct
+    // corpus scan INCLUDING scores
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows(served) ==
+      rows(Bm25.queryTopK(docs, "doc_id", "text", query, 25)),
+      "index serving diverged from the direct scan")
+    // a truncated stats sidecar is rejected loudly
+    val broken = java.nio.file.Files
+      .createTempDirectory("graft_bm25_broken").toString
+    spark.read.parquet(s"$dir/stats").limit(0)
+      .write.parquet(s"$broken/stats")
+    intercept[IllegalArgumentException](
+      Bm25.loadBm25Index(spark, broken))
+  }
+
   test("Hybrid.rrfFuse: exact RRF arithmetic, one-list docs score " +
       "their single term, ties to lower id; cosineTopKBatch == loop") {
     import graft.pipeline.{Hybrid, Similarity}
