@@ -2574,6 +2574,30 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** BM25 index MAINTENANCE ([[graft.pipeline.Bm25
+    * .appendToBm25Index]]): build the persisted layout from the EVEN
+    * doc_ids, append the odd half (new postings files inside the
+    * existing bucket partitions, stats sidecar summed exactly), serve
+    * [[bm25Query]] from the appended layout — and land the identical
+    * top-[[bm25K]] a full-corpus scan produces, so the oracle is
+    * `q_bm25_topk`'s verbatim (BM25's global statistics absorb the
+    * append exactly).
+    */
+  private def qBm25Append(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Bm25
+    val d = docs(s, dir)
+    val path = scratchDir("q-bm25-append")
+    Bm25.writeBm25Index(d.filter(col("doc_id") % 2 === 0), "doc_id",
+      "text", s"$path/idx", buckets = 16)
+    Bm25.appendToBm25Index(d.filter(col("doc_id") % 2 === 1), "text",
+      s"$path/idx")
+    Bm25.queryIndexTopK(Bm25.loadBm25Index(s, s"$path/idx"),
+        bm25Query, bm25K)
+      .select("doc_id")
+      .join(d.select("doc_id", "lang"), "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** `q_hybrid_rrf`'s query documents — ids present in BOTH
     * `documents` and `embeddings`, so each query has a lexical form
     * (its text) and a vector form (its embedding).
@@ -3446,6 +3470,7 @@ object SparkEntry {
     "q_bm25_topk" -> (qBm25Topk _),
     "q_bm25_batch" -> (qBm25Batch _),
     "q_bm25_index" -> (qBm25Index _),
+    "q_bm25_append" -> (qBm25Append _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_mix_plan" -> (qMixPlan _),
     "q_mix_domains" -> (qMixDomains _),
@@ -6221,6 +6246,7 @@ object SparkEntry {
     // the persisted-index row serves the SAME query from the pruned
     // postings layout and must land the identical top-k — one oracle
     "q_bm25_index" -> bm25TopkOracleSql,
+    "q_bm25_append" -> bm25TopkOracleSql,
     "q_bm25_batch" -> {
       // the multi-query chain: per-(query, term) VALUES, corpus stats
       // and tf over the UNION of terms, per-(query, doc) term-ordered

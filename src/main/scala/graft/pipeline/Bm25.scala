@@ -199,6 +199,56 @@ object Bm25 {
       st.head.getString(3))
   }
 
+  /** INDEX MAINTENANCE — fold a batch of new documents into a
+    * persisted layout without rebuilding it (the `appendToIvfIndex` /
+    * `appendToNearDupIndex` contract for the lexical tier): the
+    * batch's postings land as NEW files inside the existing bucket
+    * partitions (old files never rewritten), and the stats sidecar is
+    * replaced with the exact summed integers. Layout parameters
+    * (buckets, id column) always come from the sidecar — a caller
+    * cannot mix bucket geometries by accident. BM25's global
+    * statistics (N, Σdl, and df — the latter derived from postings at
+    * query time) absorb the append exactly, so post-append serving
+    * equals a fresh rebuild over the union bit-for-bit (spec-pinned).
+    *
+    * `verifyDisjoint` (default on) anti-joins the batch's ids against
+    * the landed postings' ids and REJECTS overlap — an id appended
+    * twice would double-count its term frequencies and silently
+    * corrupt every df. The check scans only the postings' id column
+    * (column-pruned), far cheaper than the rebuild it prevents; jumbo
+    * backfills that guarantee disjointness externally can opt out.
+    * Postings land before the sidecar swap: a reader racing the
+    * append sees consistent OLD stats with some new postings (scores
+    * briefly stale) — never a torn sidecar.
+    */
+  def appendToBm25Index(df: DataFrame, textCol: String,
+      path: String, verifyDisjoint: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idx = loadBm25Index(spark, path)
+    val newPost = buildPostings(df, idx.idCol, textCol, idx.buckets)
+    if (verifyDisjoint) {
+      val overlap = newPost.select("id").distinct()
+        .join(idx.postings.select("id").distinct(), Seq("id"),
+          "left_semi")
+        .limit(1).count()
+      require(overlap == 0L,
+        "appendToBm25Index: batch contains ids already in the index — " +
+          "appending them would double-count term frequencies and " +
+          "corrupt every df; dedup the batch first (or pass " +
+          "verifyDisjoint = false only when disjointness is guaranteed " +
+          "externally)")
+    }
+    newPost.sortWithinPartitions(col("__tb"), col("term"), col("id"))
+      .write.mode("append").partitionBy("__tb")
+      .parquet(s"$path/postings")
+    val bs = corpusStats(df, textCol).collect().head
+    Seq((idx.nDocs + bs.getLong(0), idx.sumDl + bs.getLong(1),
+        idx.buckets, idx.idCol))
+      .toDF("n_docs", "sum_dl", "buckets", "id_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
   /** Top-`k` against a PERSISTED index: the query's terms route to
     * their buckets driver-side ([[termBucketLocal]]) and the postings
     * scan carries `__tb IN (...)` as a PARTITION filter — only the

@@ -3158,6 +3158,40 @@ class PipelineSpec extends SparkSpec {
       Bm25.loadBm25Index(spark, broken))
   }
 
+  test("appendToBm25Index: append == fresh rebuild over the union, " +
+      "stats summed exactly, overlapping ids rejected loudly") {
+    import graft.pipeline.Bm25
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bm25_app").toString
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    Bm25.writeBm25Index(even, "doc_id", "text", s"$base/app",
+      buckets = 16)
+    val before = Bm25.loadBm25Index(spark, s"$base/app")
+    Bm25.appendToBm25Index(odd, "text", s"$base/app")
+    Bm25.writeBm25Index(docs, "doc_id", "text", s"$base/fresh",
+      buckets = 16)
+    val appended = Bm25.loadBm25Index(spark, s"$base/app")
+    val fresh = Bm25.loadBm25Index(spark, s"$base/fresh")
+    // exact integer stats absorbed the batch
+    assert(appended.nDocs == fresh.nDocs &&
+      appended.sumDl == fresh.sumDl &&
+      appended.nDocs == before.nDocs + odd.count())
+    // serving from the appended layout == the fresh rebuild, scores
+    // included (same integers, same fold)
+    def rows(idx: Bm25.Bm25Index) =
+      Bm25.queryIndexTopK(idx, "spark window merge", 25)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows(appended) == rows(fresh),
+      "appended layout diverged from the fresh rebuild")
+    // an overlapping append is rejected before touching the layout
+    val ex = intercept[IllegalArgumentException](
+      Bm25.appendToBm25Index(odd.limit(1), "text", s"$base/app"))
+    assert(ex.getMessage.contains("double-count"), ex.getMessage)
+    assert(rows(Bm25.loadBm25Index(spark, s"$base/app")) == rows(fresh),
+      "a rejected append must leave the index unchanged")
+  }
+
   test("Hybrid.rrfFuse: exact RRF arithmetic, one-list docs score " +
       "their single term, ties to lower id; cosineTopKBatch == loop") {
     import graft.pipeline.{Hybrid, Similarity}
