@@ -82,7 +82,8 @@ object ScaleRehearsal {
     "q_curation_dsir", "q_dedup_exact_best", "q_dedup_near_best",
     // BM25: one filtered explode + bounded aggregates per form; the
     // hybrid row adds the brute-force cosine side + rank fusion
-    "q_bm25_topk", "q_bm25_batch", "q_hybrid_rrf", "q_bm25_index")
+    "q_bm25_topk", "q_bm25_batch", "q_hybrid_rrf", "q_bm25_index",
+    "q_bm25_append")
 
   /** The reference masking core + relational leaders, rehearsed over an
     * FK-CONSISTENT inflation: facts (lineitem/orders/customer) grow N×
