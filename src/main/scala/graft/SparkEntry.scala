@@ -2598,6 +2598,53 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** BM25 index COMPACTION ([[graft.pipeline.Bm25
+    * .compactBm25Index]]): build the persisted layout from the even
+    * doc_ids, append the odd half (small new files inside every
+    * bucket partition), fold the layout back into one (term, id)-
+    * sorted file per bucket, and serve [[bm25Query]] from the
+    * compacted index. The postings are the same rows — every integer
+    * unchanged — so the oracle is `q_bm25_topk`'s verbatim; the spec
+    * additionally pins file consolidation and the crash-heal path.
+    */
+  private def qBm25Compact(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Bm25
+    val d = docs(s, dir)
+    val path = scratchDir("q-bm25-compact")
+    Bm25.writeBm25Index(d.filter(col("doc_id") % 2 === 0), "doc_id",
+      "text", s"$path/idx", buckets = 16)
+    Bm25.appendToBm25Index(d.filter(col("doc_id") % 2 === 1), "text",
+      s"$path/idx")
+    Bm25.compactBm25Index(s, s"$path/idx")
+    Bm25.queryIndexTopK(Bm25.loadBm25Index(s, s"$path/idx"),
+        bm25Query, bm25K)
+      .select("doc_id")
+      .join(d.select("doc_id", "lang"), "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** BM25 BATCH serving from the PERSISTED index
+    * ([[graft.pipeline.Bm25.queryIndexTopKBatch]] — the production
+    * multi-query shape over [[graft.pipeline.Bm25.writeBm25Index]]'s
+    * layout): the three batch queries' term union routes to its
+    * bucket partitions (partition pruning, plan-asserted in the
+    * spec), df re-derives from the pruned postings, and each query
+    * folds per candidate in term order — bit-identical to the
+    * direct-scan batch, so the oracle is `q_bm25_batch`'s verbatim.
+    */
+  private def qBm25IndexBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.pipeline.Bm25
+    val d = docs(s, dir)
+    val path = scratchDir("q-bm25-ixbatch")
+    Bm25.writeBm25Index(d, "doc_id", "text", s"$path/idx", buckets = 16)
+    val q = bm25BatchQueries.toDF("qid", "qtext")
+    Bm25.queryIndexTopKBatch(Bm25.loadBm25Index(s, s"$path/idx"), q,
+        "qid", "qtext", bm25BatchK)
+      .select(col("qid"), col("doc_id"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** `q_hybrid_rrf`'s query documents — ids present in BOTH
     * `documents` and `embeddings`, so each query has a lexical form
     * (its text) and a vector form (its embedding).
@@ -3471,6 +3518,8 @@ object SparkEntry {
     "q_bm25_batch" -> (qBm25Batch _),
     "q_bm25_index" -> (qBm25Index _),
     "q_bm25_append" -> (qBm25Append _),
+    "q_bm25_compact" -> (qBm25Compact _),
+    "q_bm25_index_batch" -> (qBm25IndexBatch _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_mix_plan" -> (qMixPlan _),
     "q_mix_domains" -> (qMixDomains _),
@@ -4769,6 +4818,47 @@ object SparkEntry {
        |SELECT s2.doc_id, d2.lang
        |FROM sel s2 JOIN documents d2 USING (doc_id)
        |ORDER BY s2.doc_id""".stripMargin
+  }
+
+  /** The `q_bm25_batch` oracle — the multi-query chain: per-(query,
+    * term) VALUES, corpus stats and tf over the UNION of terms,
+    * per-(query, doc) term-ordered folds, per-query row_number cut.
+    * Shared verbatim by `q_bm25_index_batch` (the persisted-index
+    * batch serving path must land the identical result).
+    */
+  private lazy val bm25BatchOracleSql: String = {
+    val k1 = 1.2; val b = 0.75
+    val allTerms = bm25BatchQueries
+      .flatMap(q => graft.pipeline.Bm25.queryTerms(q._2))
+      .distinct.sorted
+    val qtVals = bm25BatchQueries.flatMap { case (qid, q) =>
+      graft.pipeline.Bm25.queryTerms(q).map(t => s"('$qid', '$t')")
+    }.mkString(", ")
+    s"""WITH ${bm25CtesFor(allTerms)},
+       |qt(qid, term) AS (VALUES $qtVals),
+       |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+       |  FROM toks GROUP BY doc_id),
+       |co AS (SELECT q.qid, t.doc_id, t.term,
+       |    ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)
+       |        + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+       |    * (CAST(t.tf AS DOUBLE) * ${k1 + 1.0}) /
+       |      (CAST(t.tf AS DOUBLE) + $k1 * (${1.0 - b} + $b *
+       |        CAST(l.dl AS DOUBLE) /
+       |        (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+       |      AS c
+       |  FROM tf t JOIN qt q USING (term) JOIN dfq d USING (term)
+       |  JOIN dl l ON l.doc_id = t.doc_id
+       |  CROSS JOIN st s),
+       |sc AS (SELECT qid, doc_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(c ORDER BY term)), (a, x) -> a + x) AS score
+       |  FROM co GROUP BY qid, doc_id),
+       |sel AS (SELECT qid, doc_id, CAST(row_number() OVER (
+       |    PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER)
+       |    AS rank
+       |  FROM sc QUALIFY rank <= $bm25BatchK)
+       |SELECT qid, doc_id, rank FROM sel
+       |ORDER BY qid, rank""".stripMargin
   }
 
   private def bm25CtesFor(terms: Seq[String]): String = {
@@ -6247,43 +6337,13 @@ object SparkEntry {
     // postings layout and must land the identical top-k — one oracle
     "q_bm25_index" -> bm25TopkOracleSql,
     "q_bm25_append" -> bm25TopkOracleSql,
-    "q_bm25_batch" -> {
-      // the multi-query chain: per-(query, term) VALUES, corpus stats
-      // and tf over the UNION of terms, per-(query, doc) term-ordered
-      // folds, per-query row_number cut
-      val k1 = 1.2; val b = 0.75
-      val allTerms = bm25BatchQueries
-        .flatMap(q => graft.pipeline.Bm25.queryTerms(q._2))
-        .distinct.sorted
-      val qtVals = bm25BatchQueries.flatMap { case (qid, q) =>
-        graft.pipeline.Bm25.queryTerms(q).map(t => s"('$qid', '$t')")
-      }.mkString(", ")
-      s"""WITH ${bm25CtesFor(allTerms)},
-         |qt(qid, term) AS (VALUES $qtVals),
-         |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
-         |  FROM toks GROUP BY doc_id),
-         |co AS (SELECT q.qid, t.doc_id, t.term,
-         |    ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)
-         |        + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
-         |    * (CAST(t.tf AS DOUBLE) * ${k1 + 1.0}) /
-         |      (CAST(t.tf AS DOUBLE) + $k1 * (${1.0 - b} + $b *
-         |        CAST(l.dl AS DOUBLE) /
-         |        (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
-         |      AS c
-         |  FROM tf t JOIN qt q USING (term) JOIN dfq d USING (term)
-         |  JOIN dl l ON l.doc_id = t.doc_id
-         |  CROSS JOIN st s),
-         |sc AS (SELECT qid, doc_id,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list(c ORDER BY term)), (a, x) -> a + x) AS score
-         |  FROM co GROUP BY qid, doc_id),
-         |sel AS (SELECT qid, doc_id, CAST(row_number() OVER (
-         |    PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER)
-         |    AS rank
-         |  FROM sc QUALIFY rank <= $bm25BatchK)
-         |SELECT qid, doc_id, rank FROM sel
-         |ORDER BY qid, rank""".stripMargin
-    },
+    // compaction rewrites the same postings rows — every integer
+    // unchanged, so the serving oracle is the direct-scan chain too
+    "q_bm25_compact" -> bm25TopkOracleSql,
+    "q_bm25_batch" -> bm25BatchOracleSql,
+    // the persisted-index batch must land the identical multi-query
+    // result (same integers, same fold) — one oracle
+    "q_bm25_index_batch" -> bm25BatchOracleSql,
     "q_hybrid_rrf" -> {
       val k1 = 1.2; val b = 0.75
       val ids = hybridQids.mkString(", ")

@@ -249,6 +249,46 @@ object Bm25 {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Fold an append-grown postings layout back into consolidated,
+    * (term, id)-sorted per-bucket files — [[appendToBm25Index]]'s
+    * maintenance-window companion ([[Similarity.compactIvfIndex]]'s
+    * contract for the lexical tier). Appends land as NEW files inside
+    * the bucket partitions, so a hot ingest path accumulates small
+    * files and loses the within-file term sort that lets row-group
+    * stats prune WITHIN a probed bucket; compaction rewrites each
+    * bucket's rows as-is (stats sidecar untouched — the postings are
+    * the same rows, so every integer is unchanged and serving is
+    * bit-identical, spec-pinned). HASH-partitioned on `__tb` (plus a
+    * `filesPerBucket`-way term-hash split when > 1) so every bucket's
+    * rows land wholly inside one task per split — exactly
+    * `filesPerBucket` files per bucket, never a range boundary
+    * straddling two buckets; `filesPerBucket` sizes the output (raise
+    * it when single buckets exceed a few GB). MUST NOT run
+    * concurrently with
+    * readers or appends; crash-safe at any interruption point via
+    * [[IndexMaintenance]] (stage → mark → swap; an interrupted swap
+    * heals on the next call, before anything is read).
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, filesPerBucket: Int = 1): Unit = {
+    require(filesPerBucket >= 1, "filesPerBucket must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(root, "postings")
+    IndexMaintenance.recoverOrSweep(fs, live)
+    val idx = loadBm25Index(spark, path)
+    val parts = idx.buckets * filesPerBucket
+    val grouped =
+      if (filesPerBucket == 1) idx.postings.repartition(parts, col("__tb"))
+      else idx.postings.repartition(parts, col("__tb"),
+        pmod(hash(col("term")), lit(filesPerBucket)))
+    grouped
+      .sortWithinPartitions(col("__tb"), col("term"), col("id"))
+      .write.partitionBy("__tb")
+      .parquet(IndexMaintenance.stagingOf(live).toString)
+    IndexMaintenance.swap(fs, live)
+  }
+
   /** Top-`k` against a PERSISTED index: the query's terms route to
     * their buckets driver-side ([[termBucketLocal]]) and the postings
     * scan carries `__tb IN (...)` as a PARTITION filter — only the
@@ -275,6 +315,50 @@ object Bm25 {
       .select(col("id").as(idx.idCol), col("score"))
       .orderBy(col("score").desc, col(idx.idCol))
       .limit(k)
+  }
+
+  /** BATCH retrieval against a PERSISTED index — [[queryTopKBatch]]'s
+    * serving twin over [[writeBm25Index]]'s layout (`queryIvfBatch`
+    * against `loadIvfIndex`, for the lexical tier): the UNION of all
+    * queries' terms routes to its buckets driver-side, the postings
+    * scan carries `__tb IN (...)` as a PARTITION filter (per-batch
+    * I/O bounded by the probed buckets, independent of corpus size),
+    * df aggregates from the pruned candidate rows, the per-(query,
+    * term) pairs ride in broadcast, and candidates fold per
+    * (query, doc) in term order — the same pinned chain as the
+    * direct-scan batch, so results are bit-identical to it AND to the
+    * [[queryIndexTopK]] loop (both spec-pinned). The term collect is
+    * bounded by the query batch, the published serving contract of
+    * every batch form here. Output: (`qidCol`, `idCol`, `score`,
+    * `rank`).
+    */
+  def queryIndexTopKBatch(idx: Bm25Index, queries: DataFrame,
+      qidCol: String, queryCol: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val qt = queries.select(col(qidCol).as("qid"),
+        explode(array_distinct(filter(TextOps.tokens(col(queryCol)),
+          t => length(t) > 0))).as("term"))
+    val allTerms = qt.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    require(allTerms.nonEmpty, "BM25 batch: no query has any term")
+    val tbs = allTerms.map(termBucketLocal(_, idx.buckets)).distinct
+    val pruned = idx.postings
+      .filter(col("__tb").isin(tbs: _*))
+      .filter(col("term").isin(allTerms: _*))
+    val dfreq = pruned.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = contribFold(pruned
+      .join(broadcast(qt), "term")
+      .join(broadcast(dfreq), "term")
+      .withColumn("n_docs", lit(idx.nDocs))
+      .withColumn("sum_dl", lit(idx.sumDl)), Seq("qid", "id"), k1, b)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as(qidCol), col("id").as(idx.idCol),
+        col("score"), col("rank").cast("int").as("rank"))
   }
 
   /** BATCH retrieval — the production serving shape ([[queryTopK]]'s

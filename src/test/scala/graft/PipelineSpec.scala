@@ -3192,6 +3192,80 @@ class PipelineSpec extends SparkSpec {
       "a rejected append must leave the index unchanged")
   }
 
+  test("compactBm25Index: folds appended bucket files, serving " +
+      "bit-identical, heals an interrupted swap; queryIndexTopKBatch " +
+      "== the direct-scan batch and the single-query index loop") {
+    import graft.pipeline.Bm25
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_cpt").toString + "/idx"
+    Bm25.writeBm25Index(docs.filter(col("doc_id") % 2 === 0), "doc_id",
+      "text", dir, buckets = 16)
+    Bm25.appendToBm25Index(docs.filter(col("doc_id") % 2 === 1),
+      "text", dir)
+    def parquetFiles(d: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      walk(new java.io.File(d)).size
+    }
+    val query = "spark window merge"
+    def served() = Bm25.queryIndexTopK(
+        Bm25.loadBm25Index(spark, dir), query, 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = served()
+    val filesBefore = parquetFiles(s"$dir/postings")
+    Bm25.compactBm25Index(spark, dir)
+    assert(parquetFiles(s"$dir/postings") < filesBefore,
+      s"compaction should consolidate appended bucket files " +
+        s"($filesBefore before)")
+    // stats sidecar untouched, serving bit-identical (same rows)
+    val idx = Bm25.loadBm25Index(spark, dir)
+    assert(idx.nDocs == docs.count() && idx.buckets == 16)
+    assert(served() == before, "compaction changed serving")
+    // crash simulation: marker written, live dir gone, staging
+    // complete (the post-commit window) — the next call must heal
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    assert(fs.rename(live, new org.apache.hadoop.fs.Path(
+      s"$dir/.__graft_idxcompact_postings")))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/.__graft_idxcompact_postings.pending"), true).close()
+    Bm25.compactBm25Index(spark, dir)
+    assert(served() == before, "crashed compaction did not heal")
+    // batch serving from the index: bucket routing reaches the scan
+    // as a PARTITION filter, and the result equals both the
+    // direct-corpus batch and the per-query index loop, scores
+    // included (same integers, same fold)
+    val s2 = spark
+    import s2.implicits._
+    val batchQs = Seq("a" -> "spark window merge",
+      "b" -> "customer data")
+    val qs = batchQs.toDF("qid", "qtext")
+    val viaIdx = Bm25.queryIndexTopKBatch(
+      Bm25.loadBm25Index(spark, dir), qs, "qid", "qtext", 5)
+    val plan = viaIdx.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*__tb[^\\]]*".r
+      .findFirstIn(plan).isDefined,
+      s"no __tb partition filter in the batch postings scan:\n$plan")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "doc_id", "score", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+      .sortBy(x => (x._1, x._4)).toSeq
+    assert(rows(viaIdx) == rows(Bm25.queryTopKBatch(docs, "doc_id",
+      "text", qs, "qid", "qtext", 5)),
+      "index batch diverged from the direct-scan batch")
+    batchQs.foreach { case (qid, text) =>
+      val loop = Bm25.queryIndexTopK(
+          Bm25.loadBm25Index(spark, dir), text, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows(viaIdx).filter(_._1 == qid)
+        .map(x => (x._2, x._3)) == loop,
+        s"batch row set for $qid diverged from the index loop")
+    }
+  }
+
   test("Hybrid.rrfFuse: exact RRF arithmetic, one-list docs score " +
       "their single term, ties to lower id; cosineTopKBatch == loop") {
     import graft.pipeline.{Hybrid, Similarity}
