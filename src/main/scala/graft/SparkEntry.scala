@@ -2798,6 +2798,40 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("n_tokens"))
       .orderBy("doc_id")
 
+  /** `q_mix_temperature` / `q_mix_temp_sample`'s sampling temperature
+    * — 0.75 = 192/256 exercises a two-term sqrt chain
+    * (`sqrt(x)·sqrt(sqrt(x))`), not just one sqrt.
+    */
+  private val mixAlpha = 0.75
+
+  /** TEMPERATURE-derived mixing plan ([[graft.pipeline.Sampling
+    * .temperatureMixPlan]] — the multilingual alpha-sampling rule,
+    * `p_i ∝ n_i^α`): the per-domain share, targets, rates and
+    * shortfalls all DERIVED from the corpus counts at α =
+    * [[mixAlpha]]. Every double is engine-exact — the power is the
+    * dyadic sqrt-chain (IEEE requires sqrt and × correctly rounded),
+    * the share's Σ folds in domain order from 0.0 — so DuckDB
+    * re-derives the full frame bit-for-bit, transcendental-free.
+    */
+  private def qMixTemperature(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.temperatureMixPlan(docs(s, dir), "lang",
+        TextOps.tokenCount(col("text")), mixAlpha, mixBudget)
+      .orderBy("lang")
+
+  /** The deterministic keep set realising the temperature plan
+    * ([[graft.pipeline.Sampling.sampleToTemperatureMix]]): the oracle
+    * recomputes the α-derived per-domain rate AND each doc's 48-bit
+    * hash threshold decision.
+    */
+  private def qMixTempSample(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.sampleToTemperatureMix(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("bigint").as("n_tokens")),
+        key = col("doc_id"), domainCol = "lang", tokens = col("n_tokens"),
+        alpha = mixAlpha, budgetTokens = mixBudget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .orderBy("doc_id")
+
   /** Real tokenizer-based token counting ([[graft.functions.Bpe]]): the
     * greedy BPE merge loop under a rank-ordered merges vocabulary,
     * next to the whitespace count it corrects. The vocabulary's
@@ -3523,6 +3557,8 @@ object SparkEntry {
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_mix_plan" -> (qMixPlan _),
     "q_mix_domains" -> (qMixDomains _),
+    "q_mix_temperature" -> (qMixTemperature _),
+    "q_mix_temp_sample" -> (qMixTempSample _),
     "q_data_card" -> (qDataCard _),
     "q_curation" -> (qCuration _),
     "q_curation_pack" -> (qCurationPack _),
@@ -4877,6 +4913,28 @@ object SparkEntry {
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
+
+  /** The DuckDB mirror of [[graft.pipeline.Sampling.dyadicPow]]'s
+    * sqrt-chain: same binary expansion, same ascending-depth
+    * left-fold multiplication order — sqrt and × are IEEE
+    * correctly-rounded in both engines, so the chain is bit-exact.
+    */
+  private def dyadicPowSql(x: String, alpha: Double): String = {
+    require(alpha > 0.0 && alpha <= 1.0 &&
+      alpha * 256.0 == math.rint(alpha * 256.0), s"non-dyadic $alpha")
+    if (alpha == 1.0) x
+    else {
+      val bits = math.round(alpha * 256.0).toInt
+      var term = x
+      var acc: Option[String] = None
+      for (i <- 1 to 8) {
+        term = s"sqrt($term)"
+        if (((bits >> (8 - i)) & 1) == 1)
+          acc = Some(acc.map(a => s"($a * $term)").getOrElse(term))
+      }
+      acc.get
+    }
+  }
 
   /** DuckDB nibble value of hex char `i` (1-based) of `expr` — the
     * `strpos`-arithmetic mirror of Spark's `conv(hexchar, 16, 10)`.
@@ -6462,6 +6520,53 @@ object SparkEntry {
          |         (COALESCE(g.frac, 0.0) * CAST(30000 AS DOUBLE))
          |           / CAST(a.m AS DOUBLE)) END AS rate
          |  FROM avail a LEFT JOIN tgt g ON a.lang = g.lang)
+         |SELECT t.doc_id, t.lang, t.n_tokens
+         |FROM t JOIN plan p ON p.lang = t.lang
+         |WHERE CAST($bucket48Sql AS DOUBLE) <
+         |  (p.rate * 1.0) * 281474976710656.0
+         |ORDER BY t.doc_id""".stripMargin,
+    // the α-derived plan: dyadic sqrt-chain power, domain-ordered Σ
+    // fold, then the same divide/multiply/min chain as q_mix_plan —
+    // every double engine-exact, no transcendental anywhere
+    "q_mix_temperature" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CAST(len($toksSql) AS BIGINT) AS n FROM documents),
+         |avail AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS m
+         |  FROM t GROUP BY lang),
+         |pw AS (SELECT lang, m,
+         |  ${dyadicPowSql("CAST(m AS DOUBLE)", mixAlpha)} AS pw
+         |  FROM avail),
+         |tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(pw ORDER BY lang)), (a, x) -> a + x) AS total FROM pw)
+         |SELECT w.lang, w.m AS avail_tokens,
+         |  w.pw / t2.total AS p,
+         |  (w.pw / t2.total) * CAST($mixBudget AS DOUBLE)
+         |    AS target_tokens,
+         |  CASE WHEN w.m = 0 THEN 0.0
+         |       ELSE least(1.0,
+         |         ((w.pw / t2.total) * CAST($mixBudget AS DOUBLE))
+         |           / CAST(w.m AS DOUBLE)) END AS rate,
+         |  greatest(0.0, (w.pw / t2.total) * CAST($mixBudget AS DOUBLE)
+         |    - CAST(w.m AS DOUBLE)) AS shortfall_tokens
+         |FROM pw w CROSS JOIN tot t2 ORDER BY w.lang""".stripMargin,
+    // the realised keep set: the α-derived rate joined per doc, then
+    // the 48-bit bucket threshold — q_mix_domains' decision chain
+    "q_mix_temp_sample" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |avail AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS m
+         |  FROM t GROUP BY lang),
+         |pw AS (SELECT lang, m,
+         |  ${dyadicPowSql("CAST(m AS DOUBLE)", mixAlpha)} AS pw
+         |  FROM avail),
+         |tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(pw ORDER BY lang)), (a, x) -> a + x) AS total FROM pw),
+         |plan AS (SELECT w.lang,
+         |  CASE WHEN w.m = 0 THEN 0.0
+         |       ELSE least(1.0,
+         |         ((w.pw / t2.total) * CAST($mixBudget AS DOUBLE))
+         |           / CAST(w.m AS DOUBLE)) END AS rate
+         |  FROM pw w CROSS JOIN tot t2)
          |SELECT t.doc_id, t.lang, t.n_tokens
          |FROM t JOIN plan p ON p.lang = t.lang
          |WHERE CAST($bucket48Sql AS DOUBLE) <

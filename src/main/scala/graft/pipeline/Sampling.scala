@@ -278,4 +278,99 @@ object Sampling {
     weightedHashSample(joined, key, col("__rate"), 1.0)
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** `x^α` for DYADIC `α = k/256 ∈ (0, 1]` as a sqrt-chain product —
+    * the engine-reproducible power. `pow`/`exp`/`ln` are
+    * transcendental (library-specific last-ulp rounding — the
+    * [[weightedReservoir]] caveat), but IEEE-754 REQUIRES `sqrt` and
+    * `*` to be correctly rounded, so the binary expansion
+    * `x^α = Π_{bit i of α set} sqrt^i(x)` (folded left in ascending
+    * `i`) lands the same bits in every conforming engine — DuckDB
+    * replays the chain verbatim. 1/256 granularity covers every
+    * published sampling temperature (0.25, 0.3 ≈ 77/256 is NOT dyadic
+    * — callers quantize; 0.5, 0.7 ≈ 179/256 likewise, 0.75 exact).
+    * Non-dyadic `α` raises rather than silently rounding.
+    */
+  def dyadicPow(x: Column, alpha: Double): Column = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha")
+    val scaled = alpha * 256.0
+    require(scaled == math.rint(scaled),
+      s"alpha must be a multiple of 1/256 (a dyadic rational — the " +
+        s"sqrt-chain power is only engine-exact for those), got $alpha")
+    if (alpha == 1.0) x
+    else {
+      val bits = math.round(scaled).toInt // α = bits/256, 1 ≤ bits ≤ 255
+      var term = x
+      var acc: Option[Column] = None
+      for (i <- 1 to 8) {
+        term = sqrt(term) // term = x^(2^-i)
+        if (((bits >> (8 - i)) & 1) == 1)
+          acc = Some(acc.map(_ * term).getOrElse(term))
+      }
+      acc.get
+    }
+  }
+
+  /** TEMPERATURE-derived mixing plan (the multilingual-pretraining
+    * alpha-sampling rule — Conneau & Lample 2019, Conneau et al.
+    * XLM-R 2020, Raffel et al. mT5: sample domain `i` with
+    * `p_i ∝ n_i^α`, `α < 1` up-weighting low-resource domains):
+    * [[domainMixPlan]]'s twin where the targets are DERIVED from the
+    * corpus itself instead of caller-supplied fractions. Per domain:
+    * `avail_tokens` (= n_i), `p` (= n_i^α / Σ_j n_j^α), `target_tokens`
+    * (= p · budget), `rate` (= min(1, target/avail)) and
+    * `shortfall_tokens`. The power is [[dyadicPow]]'s sqrt-chain,
+    * `Σ_j n_j^α` folds in DOMAIN order from 0.0 (FP addition is not
+    * associative — a partition-order `sum` would wobble in the last
+    * ulp; the pinned-order fold is the NB/DSIR/BM25 discipline), and
+    * every other step is one IEEE divide/multiply/min, so any engine
+    * re-derives the doubles bit-for-bit. Plan shape: one map-side-
+    * partial aggregate to |domains| rows + a one-row Σ broadcast —
+    * nothing scales with the corpus.
+    */
+  def temperatureMixPlan(df: DataFrame, domainCol: String,
+      tokens: Column, alpha: Double, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    val avail = df.groupBy(col(domainCol))
+      .agg(sum(tokens.cast("bigint")).as("avail_tokens"))
+      .withColumn("__pow",
+        dyadicPow(col("avail_tokens").cast("double"), alpha))
+    val total = avail
+      .agg(array_sort(collect_list(
+        struct(col(domainCol).cast("string").as("__d"),
+          col("__pow").as("__p")))).as("__t"))
+      .select(aggregate(col("__t"), lit(0.0),
+        (a, x) => a + x.getField("__p")).as("__total"))
+    avail.crossJoin(broadcast(total))
+      .select(col(domainCol), col("avail_tokens"),
+        (col("__pow") / col("__total")).as("p"))
+      .withColumn("target_tokens",
+        col("p") * lit(budgetTokens.toDouble))
+      .withColumn("rate",
+        when(col("avail_tokens") === 0L, lit(0.0)).otherwise(
+          least(lit(1.0),
+            col("target_tokens") / col("avail_tokens").cast("double"))))
+      .withColumn("shortfall_tokens",
+        greatest(lit(0.0),
+          col("target_tokens") - col("avail_tokens").cast("double")))
+  }
+
+  /** The deterministic keep set realising a [[temperatureMixPlan]] —
+    * [[sampleToMix]]'s twin: each row keeps iff its 48-bit key bucket
+    * clears its domain's derived rate. Same IEEE-exact decision chain,
+    * same narrow scan + broadcast-plan join + filter shape (no corpus
+    * shuffle).
+    */
+  def sampleToTemperatureMix(df: DataFrame, key: Column,
+      domainCol: String, tokens: Column, alpha: Double,
+      budgetTokens: Long): DataFrame = {
+    val plan = temperatureMixPlan(df, domainCol, tokens, alpha,
+        budgetTokens)
+      .select(col(domainCol), col("rate").as("__rate"))
+    val joined = df.join(broadcast(plan), Seq(domainCol), "left")
+      .withColumn("__rate", coalesce(col("__rate"), lit(0.0)))
+    weightedHashSample(joined, key, col("__rate"), 1.0)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

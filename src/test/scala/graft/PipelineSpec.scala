@@ -271,6 +271,63 @@ class PipelineSpec extends SparkSpec {
     assert(!plan2.contains("Cartesian"))
   }
 
+  test("temperature mix: dyadic sqrt-chain power tracks pow, " +
+      "alpha=1 proportional, alpha<1 flattens shares, non-dyadic " +
+      "alpha raises, keep set realises the derived plan broadcast") {
+    import graft.pipeline.Sampling
+    val s = spark
+    import s.implicits._
+    // the sqrt-chain == Math.pow to well under a part in 1e12 on a
+    // grid spanning the small-count and big-count regimes
+    for (a <- Seq(0.25, 0.5, 0.75, 0.875, 3.0 / 256, 1.0);
+        x <- Seq(1.0, 2.0, 10.0, 123.456, 88000.0, 1.0e9)) {
+      val got = spark.range(1)
+        .select(Sampling.dyadicPow(lit(x), a)).head().getDouble(0)
+      assert(math.abs(got - math.pow(x, a)) <= 1e-12 * math.pow(x, a),
+        s"x=$x a=$a got=$got want=${math.pow(x, a)}")
+    }
+    // non-dyadic and out-of-range temperatures raise loudly
+    intercept[IllegalArgumentException](Sampling.dyadicPow(lit(2.0), 0.3))
+    intercept[IllegalArgumentException](Sampling.dyadicPow(lit(2.0), 0.0))
+    intercept[IllegalArgumentException](Sampling.dyadicPow(lit(2.0), 1.5))
+    // web has 10x books' token mass
+    val df = (0L until 1100L).map { i =>
+      (i, if (i < 1000) "web" else "books", 10L)
+    }.toDF("id", "domain", "toks")
+    // alpha=1 is exactly proportional sampling
+    val p1 = Sampling.temperatureMixPlan(df, "domain", col("toks"),
+        1.0, 5000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(p1("web") - 10000.0 / 11000.0) < 1e-15)
+    assert(math.abs(p1("books") - 1000.0 / 11000.0) < 1e-15)
+    // alpha=0.5 flattens: the low-resource share rises, shares sum
+    // to 1, and the value is the closed-form sqrt ratio
+    val p5 = Sampling.temperatureMixPlan(df, "domain", col("toks"),
+        0.5, 5000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(p5("books") > p1("books") && p5("web") < p1("web"))
+    assert(math.abs(p5("books") + p5("web") - 1.0) < 1e-12)
+    val expBooks =
+      math.sqrt(1000.0) / (math.sqrt(1000.0) + math.sqrt(10000.0))
+    assert(math.abs(p5("books") - expBooks) < 1e-12)
+    // the keep set realises the derived rates: books' target
+    // (~1201 tokens) exceeds its 1000 avail -> rate saturates, all
+    // kept; web keeps ~its target mass. Plan stays broadcast-shaped.
+    val kept = Sampling.sampleToTemperatureMix(df, col("id"),
+      "domain", col("toks"), 0.5, 5000L)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("Cartesian"),
+      s"temperature keep set must broadcast the plan:\n$plan")
+    val k = kept.collect()
+    assert(k.count(_.getString(1) == "books") == 100,
+      "saturated low-resource domain must keep everything")
+    val webMass = k.count(_.getString(1) == "web") * 10.0
+    assert(math.abs(webMass - (1.0 - expBooks) * 5000.0) < 600.0,
+      s"web kept mass $webMass should approximate its " +
+        s"${(1.0 - expBooks) * 5000.0} target")
+  }
+
   test("token windows: stride overlap, tail window, short and empty " +
       "docs") {
     import graft.pipeline.Packing
