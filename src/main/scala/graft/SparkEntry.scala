@@ -1351,6 +1351,20 @@ object SparkEntry {
       .orderBy(col("epoch"), col("epoch_key"), col("lang"), col("bin"))
   }
 
+  /** Padding-waste audit for length-bucketed batching
+    * ([[graft.pipeline.Packing.lengthBuckets]]): every document in
+    * its power-of-two token-length bucket; per cap the doc count,
+    * real and padded token mass and the waste fraction. The cap is
+    * EXACT integer arithmetic (bit length via the `bin()` string →
+    * left shift — both engines render bigint binary identically; no
+    * log2/pow), so everything but the one final divide is integers
+    * and DuckDB re-derives the frame bit-for-bit.
+    */
+  private def qLengthBuckets(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Packing.lengthBuckets(docs(s, dir),
+        TextOps.tokenCount(col("text")))
+      .orderBy("cap")
+
   private def qPackBins(s: SparkSession, dir: String): DataFrame =
     assembledBins(s, dir)
       .select(col("lang"), col("bin"), col("n_pieces"), col("bin_tokens"),
@@ -3583,6 +3597,7 @@ object SparkEntry {
     "q_token_windows" -> (qTokenWindows _),
     "q_pack_bpe" -> (qPackBpe _),
     "q_pack_bins" -> (qPackBins _),
+    "q_length_buckets" -> (qLengthBuckets _),
     "q_pack_decode" -> (qPackDecode _),
     "q_epoch_shuffle" -> (qEpochShuffle _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
@@ -6525,6 +6540,23 @@ object SparkEntry {
          |WHERE CAST($bucket48Sql AS DOUBLE) <
          |  (p.rate * 1.0) * 281474976710656.0
          |ORDER BY t.doc_id""".stripMargin,
+    // power-of-two caps by exact integer bit-length arithmetic (the
+    // bin()-string trick both engines share), then pure integer
+    // aggregates + ONE divide
+    "q_length_buckets" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS n FROM documents),
+         |b AS (SELECT CASE WHEN n <= 1 THEN n
+         |    ELSE (CAST(1 AS BIGINT) << length(bin(n - 1))) END AS cap,
+         |    n
+         |  FROM t)
+         |SELECT cap, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+         |  CAST(COUNT(*) * cap AS BIGINT) AS padded_tokens,
+         |  CASE WHEN COUNT(*) * cap = 0 THEN 0.0
+         |       ELSE CAST(COUNT(*) * cap - SUM(n) AS DOUBLE)
+         |         / CAST(COUNT(*) * cap AS DOUBLE) END AS waste_frac
+         |FROM b GROUP BY cap ORDER BY cap""".stripMargin,
     // the α-derived plan: dyadic sqrt-chain power, domain-ordered Σ
     // fold, then the same divide/multiply/min chain as q_mix_plan —
     // every double engine-exact, no transcendental anywhere

@@ -267,4 +267,44 @@ object Packing {
       .select(col(idCol), col("win_no"), (col("__p") + 1).as("pos"),
         col("token_id"))
   }
+
+  /** The next power of two ≥ `n` (`n` ≥ 0; 0 → 0, 1 → 1) by EXACT
+    * integer arithmetic: the bit length of `n − 1` via the `bin()`
+    * string (both Spark and DuckDB render a bigint's binary digits
+    * without leading zeros) drives a left shift — no `log2`/`pow`, so
+    * no library-specific transcendental rounding anywhere.
+    */
+  def pow2Cap(n: Column): Column = {
+    val nl = n.cast("bigint")
+    when(nl <= 1L, nl)
+      .otherwise(call_function("shiftleft", lit(1L),
+        length(bin(nl - 1)).cast("int")))
+  }
+
+  /** PADDING-WASTE audit for length-bucketed batching — the standard
+    * serving/training batch-shaper (bucket sequences by length so a
+    * batch pads to its bucket cap, not the global max): assign every
+    * document to its power-of-two token-length bucket and report, per
+    * bucket cap, the document count, the real token mass, the padded
+    * mass (`n_docs · cap`) and the waste fraction — the number that
+    * decides whether a bucketing (or a packing) stage pays for itself
+    * at the next training run. All integers except the one final
+    * divide. Output: (`cap`, `n_docs`, `sum_tokens`, `padded_tokens`,
+    * `waste_frac`), one row per occupied bucket.
+    *
+    * Scale shape: one narrow projection + ONE map-side-partial hash
+    * aggregate to ~log₂(max dl) rows — nothing scales with the corpus
+    * beyond the scan.
+    */
+  def lengthBuckets(df: DataFrame, tokens: Column): DataFrame = {
+    val t = tokens.cast("bigint")
+    df.select(pow2Cap(t).as("cap"), t.as("__n"))
+      .groupBy("cap")
+      .agg(count(lit(1)).as("n_docs"), sum("__n").as("sum_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("cap"))
+      .withColumn("waste_frac",
+        when(col("padded_tokens") === 0L, lit(0.0)).otherwise(
+          (col("padded_tokens") - col("sum_tokens")).cast("double") /
+            col("padded_tokens").cast("double")))
+  }
 }

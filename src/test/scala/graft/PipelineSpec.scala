@@ -271,6 +271,37 @@ class PipelineSpec extends SparkSpec {
     assert(!plan2.contains("Cartesian"))
   }
 
+  test("length buckets: exact power-of-two caps, integer waste " +
+      "accounting, zero/one-token edges") {
+    import graft.pipeline.Packing
+    val s = spark
+    import s.implicits._
+    // caps: 0->0, 1->1, 2->2, 3->4, 4->4, 5->8, 8->8, 9->16, 1023->1024,
+    // 1024->1024, 1025->2048
+    val caps = Seq(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 4L, 4L -> 4L,
+      5L -> 8L, 8L -> 8L, 9L -> 16L, 1023L -> 1024L, 1024L -> 1024L,
+      1025L -> 2048L)
+    val got = caps.map(_._1).toDF("n")
+      .select(col("n"), Packing.pow2Cap(col("n")).as("cap"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    caps.foreach { case (n, want) =>
+      assert(got(n) == want, s"pow2Cap($n) = ${got(n)}, want $want")
+    }
+    // waste accounting on a hand frame: docs of 3, 4 tokens share
+    // cap 4 (sum 7, padded 8, waste 1/8); one 5-token doc pads to 8
+    val frame = Packing.lengthBuckets(
+        Seq(3L, 4L, 5L).toDF("t"), col("t"))
+      .orderBy("cap")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(frame == Seq((4L, 2L, 7L, 8L, 1.0 / 8.0),
+      (8L, 1L, 5L, 8L, 3.0 / 8.0)), s"got $frame")
+    // empty docs land in cap 0 with zero waste, not a divide error
+    val zero = Packing.lengthBuckets(Seq(0L, 0L).toDF("t"), col("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(zero.toSeq == Seq((0L, 2L, 0.0)))
+  }
+
   test("temperature mix: dyadic sqrt-chain power tracks pow, " +
       "alpha=1 proportional, alpha<1 flattens shares, non-dyadic " +
       "alpha raises, keep set realises the derived plan broadcast") {
