@@ -3407,6 +3407,28 @@ object SparkEntry {
       .orderBy("lang", "doc_id")
   }
 
+  /** `q_curation_temp`'s token budget — sized so the sf0.001 curated
+    * mass saturates the low-resource languages' rates while the big
+    * ones keep fractionally.
+    */
+  private val curTempBudget = 8000L
+
+  /** Curation composed with TEMPERATURE-derived mixing
+    * ([[graft.pipeline.Sampling.sampleToTemperatureMix]] over the
+    * curated survivors — `q_curation_weighted`'s shape with the
+    * alpha-sampling rule in the sampling slot): the per-language
+    * rates derive from the SURVIVORS' token mass at α = [[mixAlpha]],
+    * then each kept doc clears its 48-bit hash threshold. DuckDB
+    * replays curation → α-plan → threshold in one chain.
+    */
+  private def qCurationTemp(s: SparkSession, dir: String): DataFrame = {
+    val kept = curatedDocs(s, dir).select(col("doc_id"), col("lang"),
+      TextOps.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+    graft.pipeline.Sampling.sampleToTemperatureMix(kept, col("doc_id"),
+        "lang", col("n_tokens"), mixAlpha, curTempBudget)
+      .orderBy("doc_id")
+  }
+
   /** Int8 quantization audit over the embedding store
     * ([[Similarity.int8Scale]]/[[Similarity.int8Codes]] — the 4× storage/
     * shuffle-width cut): per vector the symmetric scale, the worst
@@ -3573,6 +3595,7 @@ object SparkEntry {
     "q_mix_domains" -> (qMixDomains _),
     "q_mix_temperature" -> (qMixTemperature _),
     "q_mix_temp_sample" -> (qMixTempSample _),
+    "q_curation_temp" -> (qCurationTemp _),
     "q_data_card" -> (qDataCard _),
     "q_curation" -> (qCuration _),
     "q_curation_pack" -> (qCurationPack _),
@@ -6581,6 +6604,32 @@ object SparkEntry {
          |  greatest(0.0, (w.pw / t2.total) * CAST($mixBudget AS DOUBLE)
          |    - CAST(w.m AS DOUBLE)) AS shortfall_tokens
          |FROM pw w CROSS JOIN tot t2 ORDER BY w.lang""".stripMargin,
+    // curation → α-derived rates over the SURVIVORS' mass → per-doc
+    // 48-bit threshold, one chain
+    "q_curation_temp" ->
+      s"""$curationCtes,
+         |kept AS (SELECT doc_id, lang, text FROM scrub
+         |         WHERE $curationKeepPred),
+         |t AS (SELECT doc_id, lang,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens FROM kept),
+         |avail AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS m
+         |  FROM t GROUP BY lang),
+         |pw AS (SELECT lang, m,
+         |  ${dyadicPowSql("CAST(m AS DOUBLE)", mixAlpha)} AS pw
+         |  FROM avail),
+         |tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(pw ORDER BY lang)), (a, x) -> a + x) AS total FROM pw),
+         |plan AS (SELECT w.lang,
+         |  CASE WHEN w.m = 0 THEN 0.0
+         |       ELSE least(1.0,
+         |         ((w.pw / t2.total) * CAST($curTempBudget AS DOUBLE))
+         |           / CAST(w.m AS DOUBLE)) END AS rate
+         |  FROM pw w CROSS JOIN tot t2)
+         |SELECT t.doc_id, t.lang, t.n_tokens
+         |FROM t JOIN plan p ON p.lang = t.lang
+         |WHERE CAST($bucket48Sql AS DOUBLE) <
+         |  (p.rate * 1.0) * 281474976710656.0
+         |ORDER BY t.doc_id""".stripMargin,
     // the realised keep set: the α-derived rate joined per doc, then
     // the 48-bit bucket threshold — q_mix_domains' decision chain
     "q_mix_temp_sample" ->

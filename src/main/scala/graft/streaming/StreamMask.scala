@@ -544,6 +544,32 @@ object StreamMask {
         .as("nb_label")))
   }
 
+  /** Streaming MIX ENFORCEMENT — the online half of domain mixing
+    * ([[graft.pipeline.Sampling.sampleToMix]] /
+    * [[graft.pipeline.Sampling.sampleToTemperatureMix]]): a document
+    * stream filtered by a FROZEN per-domain rate plan calibrated
+    * offline (`domainMixPlan` / `temperatureMixPlan` output — rates
+    * need a global corpus view, so on a stream the published practice
+    * is offline calibration + online enforcement, the DSIR-threshold
+    * posture). `plan` is the batch plan frame (`domainCol`, `rate`);
+    * it rides as a stream-static broadcast join (|domains| rows), and
+    * each row keeps iff its 48-bit key bucket clears its domain's
+    * rate — the SAME IEEE-exact decision as the batch keep set, so
+    * stream == batch on the same rows (spec-pinned), deterministic
+    * under replays, and domains absent from the plan drop (rate 0).
+    * Narrow and stateless: any trigger/output mode works.
+    */
+  def mixServeStream(docs: DataFrame, key: Column,
+      domainCol: String, plan: DataFrame): DataFrame = {
+    import graft.pipeline.Sampling
+    val rates = broadcast(
+      plan.select(col(domainCol), col("rate").as("__rate")))
+    val joined = docs.join(rates, Seq(domainCol), "left")
+      .withColumn("__rate", coalesce(col("__rate"), lit(0.0)))
+    Sampling.weightedHashSample(joined, key, col("__rate"), 1.0)
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** [[curateStream]] with the DSIR log importance weight attached
     * ([[graft.pipeline.Dsir.scoreUdf]] over the same hashed
     * unigram+bigram feature stream the fit counted): `log_w` rides

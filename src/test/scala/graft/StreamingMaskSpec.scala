@@ -157,6 +157,43 @@ class StreamingMaskSpec extends SparkSpec {
       assert(gotW(id) == dsir.score(f), s"doc $id") }
   }
 
+  test("mixServeStream: frozen-plan enforcement equals the batch " +
+      "keep set bit-for-bit; unplanned domains drop") {
+    import graft.pipeline.{Sampling, TextOps}
+    val dir = Files.createTempDirectory("graft_mixserve").toString
+    spark.read.parquet(s"$fixtures/documents.parquet")
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    def proj(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      col("lang"),
+      TextOps.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+    val batchDocs = proj(spark.read.parquet(s"$dir/docs"))
+    // offline calibration: the alpha plan over the batch corpus —
+    // the same frame the batch keep set derives internally
+    val plan = Sampling.temperatureMixPlan(batchDocs, "lang",
+      col("n_tokens"), 0.5, 20000L)
+    val schema = spark.read.parquet(s"$dir/docs").schema
+    val stream = proj(
+      spark.readStream.schema(schema).parquet(s"$dir/docs"))
+    val streamed = runToMemory(
+      StreamMask.mixServeStream(stream, col("doc_id"), "lang", plan),
+      "mix_serve_stream", "append")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Sampling.sampleToTemperatureMix(batchDocs,
+        col("doc_id"), "lang", col("n_tokens"), 0.5, 20000L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch, "stream diverged from the batch keep set")
+    assert(streamed.nonEmpty)
+    // a domain absent from the plan drops entirely (rate 0), it does
+    // not pass unsampled
+    val noEn = plan.filter(col("lang") =!= "en")
+    val keptNoEn = runToMemory(
+      StreamMask.mixServeStream(stream, col("doc_id"), "lang", noEn),
+      "mix_serve_stream_noen", "append").collect()
+    assert(keptNoEn.nonEmpty)
+    assert(!keptNoEn.exists(_.getAs[String]("lang") == "en"),
+      "a domain missing from the plan must drop")
+  }
+
   test("streaming span decontamination + gopher gate equals the batch " +
       "path and stays shuffle-free") {
     val dir = Files.createTempDirectory("graft_decon").toString
