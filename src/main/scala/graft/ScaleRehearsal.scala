@@ -83,7 +83,8 @@ object ScaleRehearsal {
     // BM25: one filtered explode + bounded aggregates per form; the
     // hybrid row adds the brute-force cosine side + rank fusion
     "q_bm25_topk", "q_bm25_batch", "q_hybrid_rrf", "q_bm25_index",
-    "q_bm25_append", "q_bm25_compact", "q_bm25_index_batch")
+    "q_bm25_append", "q_bm25_compact", "q_bm25_index_batch",
+    "q_hybrid_index")
 
   /** The reference masking core + relational leaders, rehearsed over an
     * FK-CONSISTENT inflation: facts (lineitem/orders/customer) grow N×

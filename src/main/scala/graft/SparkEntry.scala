@@ -2697,6 +2697,50 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** Hybrid retrieval served ENTIRELY from persisted indexes
+    * ([[graft.pipeline.Bm25.queryIndexTopKBatch]] over the
+    * term-bucket postings + [[graft.pipeline.Similarity
+    * .queryIvfBatch]] over the cell-partitioned IVF layout, fused by
+    * [[graft.pipeline.Hybrid.rrfFuse]]) — the production serving
+    * composition: both tiers read only their partition-pruned slices,
+    * the corpus is never re-scanned at query time. The lexical tier
+    * is bit-identical to the direct scan (the `q_bm25_index_batch`
+    * contract), the vector tier is the nProbe=2 IVF cut (the
+    * `q_sim_ivf_batch` chain over the full store), and the rrf
+    * doubles derive from integer ranks — so DuckDB re-derives the
+    * fused frame bit-for-bit, approximation and all.
+    */
+  private def qHybridIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{Bm25, Hybrid}
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val e = t(s, dir, "embeddings")
+    val path = scratchDir("q-hybrid-index")
+    Bm25.writeBm25Index(d, "doc_id", "text", s"$path/bm25", buckets = 16)
+    val q = d.filter(col("doc_id").isin(hybridQids: _*))
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val lex = Bm25.queryIndexTopKBatch(
+        Bm25.loadBm25Index(s, s"$path/bm25"), q, "qid", "qtext",
+        hybridK)
+      .select(col("qid"), col("doc_id").as("id"), col("rank"))
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(e, "vec_id", "embedding", 16),
+      s"$path/ivf")
+    val qv = e.filter(col("vec_id").isin(hybridQids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val vec = Similarity.queryIvfBatch(
+        Similarity.loadIvfIndex(s, s"$path/ivf"), qv, "qid", "qvec",
+        k = hybridK, nProbe = 2)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("qid"), col("vec_id").as("id"), col("rank"))
+    Hybrid.rrfFuse(lex, vec, "qid", "id", hybridK)
+      .select(col("qid"), col("id").as("doc_id"), col("rrf"),
+        col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** The FULL Gopher filter ([[graft.pipeline.TextOps
     * .gopherRulesFull]]): the narrow rule table joined with the two
     * repetition caps (top-word share ≤ 0.11, duplicate-bigram fraction
@@ -3591,6 +3635,7 @@ object SparkEntry {
     "q_bm25_compact" -> (qBm25Compact _),
     "q_bm25_index_batch" -> (qBm25IndexBatch _),
     "q_hybrid_rrf" -> (qHybridRrf _),
+    "q_hybrid_index" -> (qHybridIndex _),
     "q_mix_plan" -> (qMixPlan _),
     "q_mix_domains" -> (qMixDomains _),
     "q_mix_temperature" -> (qMixTemperature _),
@@ -4328,8 +4373,17 @@ object SparkEntry {
     * independently derived brute-force exact top-5.
     */
   private lazy val simIvfBatchCtes: String =
-    s"""qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
-         |corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= 3),
+    simIvfBatchCtesFor("vec_id < 3", "vec_id >= 3")
+
+  /** [[simIvfBatchCtes]] with the query-set and corpus predicates
+    * parameterized — the hybrid persisted-index gate reuses the
+    * IDENTICAL probe chain over the full store with its own query
+    * ids.
+    */
+  private def simIvfBatchCtesFor(qsPred: String,
+      corpusPred: String): String =
+    s"""qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE $qsPred),
+         |corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE $corpusPred),
          |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
          |         embedding AS ce FROM corpus ORDER BY vec_id LIMIT 16),
          |ax AS (SELECT e.vec_id, c.cell, unnest(e.embedding) AS v,
@@ -4344,6 +4398,68 @@ object SparkEntry {
          |  QUALIFY row_number() OVER (PARTITION BY vec_id
          |    ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cell DESC) = 1),
          |${simIvfBatchProbeCtes("corpus")}""".stripMargin
+
+  /** The hybrid-RRF oracle frame: the SHARED lexical BM25 batch chain
+    * (the hybrid queries' own texts as queries) and fusion tail, with
+    * the VECTOR tier's CTEs injected — `vecCtes` must end in
+    * `vec(qid, doc_id, rank)`. `q_hybrid_rrf` injects exact
+    * brute-force cosine; `q_hybrid_index` injects the batch-IVF probe
+    * chain — one definition, so the lexical side and the rrf
+    * arithmetic cannot drift between the two gates.
+    */
+  private def hybridOracleSql(vecCtes: String): String = {
+    val k1 = 1.2; val b = 0.75
+    val ids = hybridQids.mkString(", ")
+    s"""WITH qt AS (SELECT doc_id AS qid,
+       |    unnest(list_distinct(list_filter($toksSql,
+       |      x -> length(x) > 0))) AS term
+       |  FROM documents WHERE doc_id IN ($ids)),
+       |toks AS (SELECT doc_id,
+       |    unnest(list_filter($toksSql, x -> length(x) > 0)) AS term
+       |  FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(list_filter($toksSql, x -> length(x) > 0)))
+       |      AS BIGINT) AS sum_dl FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM toks WHERE term IN (SELECT DISTINCT term FROM qt)
+       |  GROUP BY doc_id, term),
+       |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+       |  GROUP BY term),
+       |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+       |  FROM toks GROUP BY doc_id),
+       |co AS (SELECT q.qid, t.doc_id, t.term,
+       |    ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)
+       |        + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+       |    * (CAST(t.tf AS DOUBLE) * ${k1 + 1.0}) /
+       |      (CAST(t.tf AS DOUBLE) + $k1 * (${1.0 - b} + $b *
+       |        CAST(l.dl AS DOUBLE) /
+       |        (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+       |      AS c
+       |  FROM tf t JOIN qt q USING (term) JOIN dfq d USING (term)
+       |  JOIN dl l ON l.doc_id = t.doc_id
+       |  CROSS JOIN st s),
+       |lsc AS (SELECT qid, doc_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(c ORDER BY term)), (a, x) -> a + x) AS score
+       |  FROM co GROUP BY qid, doc_id),
+       |lex AS (SELECT qid, doc_id, CAST(row_number() OVER (
+       |    PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER)
+       |    AS rank
+       |  FROM lsc QUALIFY rank <= $hybridK),
+       |$vecCtes,
+       |fused AS (SELECT COALESCE(l.qid, v.qid) AS qid,
+       |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       |    COALESCE(1.0 / CAST(60 + l.rank AS DOUBLE), 0.0)
+       |      + COALESCE(1.0 / CAST(60 + v.rank AS DOUBLE), 0.0) AS rrf
+       |  FROM lex l FULL OUTER JOIN vec v
+       |    ON v.qid = l.qid AND v.doc_id = l.doc_id),
+       |sel AS (SELECT qid, doc_id, rrf, CAST(row_number() OVER (
+       |    PARTITION BY qid ORDER BY rrf DESC, doc_id) AS INTEGER)
+       |    AS rank
+       |  FROM fused QUALIFY rank <= $hybridK)
+       |SELECT qid, doc_id, rrf, rank FROM sel
+       |ORDER BY qid, rank""".stripMargin
+  }
 
   /** The per-query probe + scoring chunk of the batch-IVF oracles
     * (nProbe=2 per query, ties to the LOWER cell; candidates = the
@@ -6440,46 +6556,10 @@ object SparkEntry {
     // the persisted-index batch must land the identical multi-query
     // result (same integers, same fold) — one oracle
     "q_bm25_index_batch" -> bm25BatchOracleSql,
-    "q_hybrid_rrf" -> {
-      val k1 = 1.2; val b = 0.75
+    "q_hybrid_rrf" -> hybridOracleSql {
+      // vector tier: exact brute-force cosine over the full store
       val ids = hybridQids.mkString(", ")
-      s"""WITH qt AS (SELECT doc_id AS qid,
-         |    unnest(list_distinct(list_filter($toksSql,
-         |      x -> length(x) > 0))) AS term
-         |  FROM documents WHERE doc_id IN ($ids)),
-         |toks AS (SELECT doc_id,
-         |    unnest(list_filter($toksSql, x -> length(x) > 0)) AS term
-         |  FROM documents),
-         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |    CAST(SUM(len(list_filter($toksSql, x -> length(x) > 0)))
-         |      AS BIGINT) AS sum_dl FROM documents),
-         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-         |  FROM toks WHERE term IN (SELECT DISTINCT term FROM qt)
-         |  GROUP BY doc_id, term),
-         |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
-         |  GROUP BY term),
-         |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
-         |  FROM toks GROUP BY doc_id),
-         |co AS (SELECT q.qid, t.doc_id, t.term,
-         |    ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)
-         |        + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
-         |    * (CAST(t.tf AS DOUBLE) * ${k1 + 1.0}) /
-         |      (CAST(t.tf AS DOUBLE) + $k1 * (${1.0 - b} + $b *
-         |        CAST(l.dl AS DOUBLE) /
-         |        (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
-         |      AS c
-         |  FROM tf t JOIN qt q USING (term) JOIN dfq d USING (term)
-         |  JOIN dl l ON l.doc_id = t.doc_id
-         |  CROSS JOIN st s),
-         |lsc AS (SELECT qid, doc_id,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list(c ORDER BY term)), (a, x) -> a + x) AS score
-         |  FROM co GROUP BY qid, doc_id),
-         |lex AS (SELECT qid, doc_id, CAST(row_number() OVER (
-         |    PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER)
-         |    AS rank
-         |  FROM lsc QUALIFY rank <= $hybridK),
-         |qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      s"""qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
          |  WHERE vec_id IN ($ids)),
          |vx AS (SELECT q.qid, e.vec_id, unnest(e.embedding) AS v,
          |    unnest(generate_series(1, len(e.embedding))) AS i,
@@ -6494,19 +6574,20 @@ object SparkEntry {
          |    CAST(row_number() OVER (PARTITION BY qid
          |      ORDER BY dp / (sqrt(nv) * sqrt(nq)) DESC, vec_id ASC)
          |      AS INTEGER) AS rank
-         |  FROM vd QUALIFY rank <= $hybridK),
-         |fused AS (SELECT COALESCE(l.qid, v.qid) AS qid,
-         |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
-         |    COALESCE(1.0 / CAST(60 + l.rank AS DOUBLE), 0.0)
-         |      + COALESCE(1.0 / CAST(60 + v.rank AS DOUBLE), 0.0) AS rrf
-         |  FROM lex l FULL OUTER JOIN vec v
-         |    ON v.qid = l.qid AND v.doc_id = l.doc_id),
-         |sel AS (SELECT qid, doc_id, rrf, CAST(row_number() OVER (
-         |    PARTITION BY qid ORDER BY rrf DESC, doc_id) AS INTEGER)
-         |    AS rank
-         |  FROM fused QUALIFY rank <= $hybridK)
-         |SELECT qid, doc_id, rrf, rank FROM sel
-         |ORDER BY qid, rank""".stripMargin
+         |  FROM vd QUALIFY rank <= $hybridK)""".stripMargin
+    },
+    "q_hybrid_index" -> hybridOracleSql {
+      // vector tier: the persisted-index IVF probe chain (16 lowest-id
+      // centroids over the FULL store, nProbe=2) — the batch-IVF
+      // oracle's CTEs with the hybrid query set, then the same
+      // (cosine DESC, id) rank cut queryIvfBatch applies
+      val ids = hybridQids.mkString(", ")
+      s"""${simIvfBatchCtesFor(s"vec_id IN ($ids)", "TRUE")},
+         |vec AS (SELECT qid, vec_id AS doc_id,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY dp / (sqrt(nv) * sqrt(nq)) DESC, vec_id ASC)
+         |      AS INTEGER) AS rank
+         |  FROM fd QUALIFY rank <= $hybridK)""".stripMargin
     },
     "q_split" -> {
       // every assignment replayed: the 48-bit bucket against the SAME

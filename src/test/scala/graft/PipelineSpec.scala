@@ -3354,6 +3354,66 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hybrid from persisted indexes: both tiers' scans stay " +
+      "partition-pruned inside the fused plan; fusion matches an " +
+      "independent driver-side rrf of the served ranks") {
+    import graft.pipeline.{Bm25, Hybrid}
+    import org.apache.spark.sql.expressions.Window
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_hybridx").toString
+    Bm25.writeBm25Index(docs, "doc_id", "text", s"$base/bm25",
+      buckets = 16)
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(embeddings, "vec_id", "embedding", 16),
+      s"$base/ivf")
+    val qids = Seq(0L, 7L, 21L)
+    val q = docs.filter(col("doc_id").isInCollection(qids))
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val lex = Bm25.queryIndexTopKBatch(
+        Bm25.loadBm25Index(spark, s"$base/bm25"), q, "qid", "qtext", 10)
+      .select(col("qid"), col("doc_id").as("id"), col("rank"))
+    val qv = embeddings.filter(col("vec_id").isInCollection(qids))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val vec = Similarity.queryIvfBatch(
+        Similarity.loadIvfIndex(spark, s"$base/ivf"), qv, "qid",
+        "qvec", k = 10, nProbe = 2)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("qid"), col("vec_id").as("id"), col("rank"))
+    val fusedDf = Hybrid.rrfFuse(lex, vec, "qid", "id", 10)
+    // the COMPOSED plan must still read only the probed slices of
+    // both persisted layouts — term buckets AND ivf cells
+    val plan = fusedDf.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*__tb[^\\]]*".r
+      .findFirstIn(plan).isDefined,
+      s"no __tb partition filter in the fused plan:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*__cell[^\\]]*IN".r
+      .findFirstIn(plan).isDefined,
+      s"no __cell partition filter in the fused plan:\n$plan")
+    // fused output == an independent driver-side rrf over the two
+    // served rank lists (same c=60, absent-list 0, lower-id ties)
+    val lexR = lex.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val vecR = vec.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    def term(o: Option[Int]) = o.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+    val expect = (lexR.keySet ++ vecR.keySet).toSeq
+      .map { case (qid, id) =>
+        (qid, id, term(lexR.get((qid, id))) + term(vecR.get((qid, id))))
+      }
+      .groupBy(_._1).flatMap { case (qid, rows) =>
+        rows.sortBy(x => (-x._3, x._2)).take(10).zipWithIndex
+          .map { case ((_, id, rrf), i) => (qid, id, rrf, i + 1) }
+      }.toSet
+    val fused = fusedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(fused == expect,
+      s"fused ${fused.size} rows diverged from the driver-side rrf")
+    assert(fused.nonEmpty)
+  }
+
   test("Hybrid.rrfFuse: exact RRF arithmetic, one-list docs score " +
       "their single term, ties to lower id; cosineTopKBatch == loop") {
     import graft.pipeline.{Hybrid, Similarity}
