@@ -2856,6 +2856,22 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("n_tokens"))
       .orderBy("doc_id")
 
+  /** Upsampled (epoch-aware) mix realisation
+    * ([[graft.pipeline.Sampling.upsampleToMix]]): the same targets and
+    * budget as `q_mix_plan`, but shortfall domains (de/en/fr at gate
+    * scale — rate = target/avail > 1) REPEAT: floor(rate) full copies
+    * plus a (key, copy)-salted 48-bit-thresholded fractional copy.
+    * The oracle replays the unclamped rate, the copy explosion and
+    * every salted threshold decision.
+    */
+  private def qMixUpsample(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.upsampleToMix(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("bigint").as("n_tokens")),
+        key = col("doc_id"), domainCol = "lang", tokens = col("n_tokens"),
+        targets = mixTargets, budgetTokens = mixBudget)
+      .orderBy("doc_id", "copy")
+
   /** `q_mix_temperature` / `q_mix_temp_sample`'s sampling temperature
     * — 0.75 = 192/256 exercises a two-term sqrt chain
     * (`sqrt(x)·sqrt(sqrt(x))`), not just one sqrt.
@@ -3640,6 +3656,7 @@ object SparkEntry {
     "q_mix_domains" -> (qMixDomains _),
     "q_mix_temperature" -> (qMixTemperature _),
     "q_mix_temp_sample" -> (qMixTempSample _),
+    "q_mix_upsample" -> (qMixUpsample _),
     "q_curation_temp" -> (qCurationTemp _),
     "q_data_card" -> (qDataCard _),
     "q_curation" -> (qCuration _),
@@ -6685,6 +6702,39 @@ object SparkEntry {
          |  greatest(0.0, (w.pw / t2.total) * CAST($mixBudget AS DOUBLE)
          |    - CAST(w.m AS DOUBLE)) AS shortfall_tokens
          |FROM pw w CROSS JOIN tot t2 ORDER BY w.lang""".stripMargin,
+    // the UNCLAMPED rate realised as copies: floor(rate) full copies
+    // per doc + one (key,copy)-salted fractional threshold decision
+    "q_mix_upsample" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |avail AS (SELECT lang, SUM(n_tokens) AS m FROM t GROUP BY lang),
+         |tgt(lang, frac) AS (VALUES
+         |  ('de', CAST(0.15 AS DOUBLE)), ('en', CAST(0.5 AS DOUBLE)),
+         |  ('es', CAST(0.1 AS DOUBLE)), ('fr', CAST(0.2 AS DOUBLE)),
+         |  ('zh', CAST(0.05 AS DOUBLE))),
+         |plan AS (SELECT a.lang,
+         |  CASE WHEN a.m = 0 THEN 0.0
+         |       ELSE (COALESCE(g.frac, 0.0) * CAST($mixBudget AS DOUBLE))
+         |         / CAST(a.m AS DOUBLE) END AS rate
+         |  FROM avail a LEFT JOIN tgt g ON a.lang = g.lang),
+         |tp AS (SELECT t.doc_id, t.lang, t.n_tokens, p.rate
+         |  FROM t JOIN plan p ON p.lang = t.lang),
+         |ex AS (SELECT doc_id, lang, n_tokens,
+         |    CAST(floor(rate) AS BIGINT) AS fullc,
+         |    rate - floor(rate) AS frac,
+         |    unnest(generate_series(0,
+         |      CAST(floor(rate) AS BIGINT))) AS cp
+         |  FROM tp),
+         |exh AS (SELECT doc_id, lang, n_tokens, fullc, frac, cp,
+         |  md5(CAST(doc_id AS VARCHAR) || '#' || CAST(cp AS VARCHAR))
+         |    AS h
+         |  FROM ex)
+         |SELECT doc_id, lang, n_tokens, CAST(cp AS BIGINT) AS "copy"
+         |FROM exh
+         |WHERE cp < fullc OR
+         |  CAST(${bucket48OfSql("h")} AS DOUBLE)
+         |    < frac * 281474976710656.0
+         |ORDER BY doc_id, cp""".stripMargin,
     // curation → α-derived rates over the SURVIVORS' mass → per-doc
     // 48-bit threshold, one chain
     "q_curation_temp" ->

@@ -279,6 +279,47 @@ object Sampling {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Epoch-aware realisation of a mixing plan WITH upsampling — the
+    * explicit decision [[domainMixPlan]] reports as
+    * `shortfall_tokens` and deliberately does not take on its own:
+    * a domain whose target EXCEEDS its availability is REPEATED
+    * (the published data-mixture recipe shape — "books ×3.2 epochs"),
+    * with the unclamped rate `target/avail` realised as
+    * `floor(rate)` full copies per row (`copy` 0-based) plus ONE
+    * fractional copy kept iff the 48-bit bucket of the
+    * (key, '#', copy)-salted hash clears the fractional part. Domains
+    * at rate ≤ 1 degrade to the same rule (zero full copies, one
+    * thresholded copy), untargeted domains drop, and the copy-salted
+    * hash makes the fractional decisions of different copy indices
+    * mutually independent. Every step is md5 + IEEE
+    * floor/subtract/multiply — engine-replayable bit-for-bit — and
+    * the expected kept token mass per domain is exactly its target.
+    * Plan shape: narrow scan + broadcast plan join + one row-local
+    * explode of ≤ ⌈rate⌉ copies — no corpus shuffle; output rows grow
+    * by the mean rate, which is the point.
+    */
+  def upsampleToMix(df: DataFrame, key: Column, domainCol: String,
+      tokens: Column, targets: Map[String, Double],
+      budgetTokens: Long): DataFrame = {
+    val plan = domainMixPlan(df, domainCol, tokens, targets,
+        budgetTokens)
+      .select(col(domainCol),
+        when(col("avail_tokens") === 0L, lit(0.0))
+          .otherwise(col("target_tokens") /
+            col("avail_tokens").cast("double")).as("__rate"))
+    df.join(broadcast(plan), Seq(domainCol), "left")
+      .withColumn("__rate", coalesce(col("__rate"), lit(0.0)))
+      .withColumn("__full", floor(col("__rate")))
+      .withColumn("__frac",
+        col("__rate") - col("__full").cast("double"))
+      .withColumn("copy", explode(sequence(lit(0L), col("__full"))))
+      .filter(col("copy") < col("__full") ||
+        hashBucket48(concat_ws("#", key.cast("string"),
+          col("copy").cast("string"))).cast("double") <
+          col("__frac") * lit(Two48))
+      .select((df.columns.map(col) :+ col("copy")).toIndexedSeq: _*)
+  }
+
   /** `x^α` for DYADIC `α = k/256 ∈ (0, 1]` as a sqrt-chain product —
     * the engine-reproducible power. `pow`/`exp`/`ln` are
     * transcendental (library-specific last-ulp rounding — the

@@ -271,6 +271,44 @@ class PipelineSpec extends SparkSpec {
     assert(!plan2.contains("Cartesian"))
   }
 
+  test("upsampleToMix: shortfall domains repeat floor(rate) times " +
+      "plus a salted fractional copy, rate<=1 degrades to one " +
+      "thresholded copy, untargeted domains drop, deterministic") {
+    import graft.pipeline.Sampling
+    val s = spark
+    import s.implicits._
+    val df = (0L until 1000L).map { i =>
+      (i, if (i < 100) "books" else if (i < 900) "web" else "junk", 10L)
+    }.toDF("id", "domain", "toks")
+    // books: avail 1000, target 2500 -> rate 2.5 (copies 0,1 always;
+    // copy 2 ~50%); web: avail 8000, target 4000 -> rate 0.5 (one
+    // thresholded copy 0); junk untargeted -> absent
+    val targets = Map("books" -> 0.5, "web" -> 0.8)
+    val out = Sampling.upsampleToMix(df, col("id"), "domain",
+      col("toks"), targets, 5000L).collect()
+    assert(!out.exists(_.getString(1) == "junk"), "junk must drop")
+    val books = out.filter(_.getString(1) == "books")
+    books.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      val cs = rs.map(_.getLong(3)).sorted.toSeq
+      assert(cs.take(2) == Seq(0L, 1L) && cs.size <= 3,
+        s"books doc $id copies $cs")
+    }
+    val booksMass = books.length * 10.0
+    assert(math.abs(booksMass - 2500.0) < 220.0,
+      s"books kept mass $booksMass should approximate its 2500 target")
+    val web = out.filter(_.getString(1) == "web")
+    assert(web.forall(_.getLong(3) == 0L),
+      "rate<=1 must never emit copy > 0")
+    val webMass = web.length * 10.0
+    assert(math.abs(webMass - 4000.0) < 450.0,
+      s"web kept mass $webMass should approximate its 4000 target")
+    // stable under re-evaluation (pure hash decisions, no RNG state)
+    val again = Sampling.upsampleToMix(df, col("id"), "domain",
+      col("toks"), targets, 5000L).collect()
+    assert(out.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+  }
+
   test("length buckets: exact power-of-two caps, integer waste " +
       "accounting, zero/one-token edges") {
     import graft.pipeline.Packing
