@@ -6,7 +6,8 @@ import org.apache.spark.sql.types.{DateType, DecimalType, LongType,
   StringType, TimestampNTZType, TimestampType}
 
 import graft.functions.Gen
-import graft.pipeline.{Dedup, Multimodal, Pq, Similarity, TextOps}
+import graft.pipeline.{Dedup, Linkage, Multimodal, Pq, Privacy, Similarity,
+  TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -3524,6 +3525,46 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- privacy
+  /** The masked release audited by `q_k_anon` / `q_privacy_card`: the
+    * reference's own masking shapes (R1 static under a P2 guard, R2 row
+    * template — Anonymizer.php's replaceWith forms) applied to customer.
+    */
+  private def maskedRelease(s: SparkSession, dir: String): DataFrame =
+    anon(s, dir).table("customer") { b =>
+      b.primary("c_custkey")
+      b.column("c_name").replaceWith("cust_#row#")
+      b.column("c_mktsegment").where("c_acctbal > 0").replaceWith("MASKED")
+    }.plan()("customer")
+
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala 2007)
+    * of a masked release — the "did masking actually anonymize?" gate the
+    * reference never runs. QI = (c_nationkey, masked c_mktsegment),
+    * sensitive = c_acctbal. One hash aggregation; reducer state bounded by
+    * distinct QI combinations.
+    */
+  private def qKAnon(s: SparkSession, dir: String): DataFrame =
+    Privacy.audit(maskedRelease(s, dir), Seq("c_nationkey", "c_mktsegment"),
+        "c_acctbal", k = 10, l = 5)
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  /** One-row release gate over the same masked table: achieved k and l plus
+    * rows in at-risk groups under (k=10, l=5).
+    */
+  private def qPrivacyCard(s: SparkSession, dir: String): DataFrame =
+    Privacy.card(maskedRelease(s, dir), Seq("c_nationkey", "c_mktsegment"),
+      "c_acctbal", k = 10, l = 5)
+
+  /** Edit-distance self-linkage over customer names at Levenshtein <= 1 via
+    * deletion-neighborhood blocking (FastSS, Bocek et al. 2007) — the
+    * linkage attack masked releases defend against, run at corpus scale
+    * with no all-pairs stage. The brute-force O(n^2) DuckDB oracle proves
+    * the blocking has no false negatives.
+    */
+  private def qFuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    Linkage.selfPairs(t(s, dir, "customer"), "c_name", maxDist = 1)
+      .orderBy("name_a", "name_b")
+
   // ---------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mask_static" -> (maskStatic _),
@@ -3686,6 +3727,9 @@ object SparkEntry {
     "q_pack_decode" -> (qPackDecode _),
     "q_epoch_shuffle" -> (qEpochShuffle _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_k_anon" -> (qKAnon _),
+    "q_privacy_card" -> (qPrivacyCard _),
+    "q_fuzzy_join" -> (qFuzzyJoin _),
   )
 
   // ---------------------------------------------------- oracle SQL fragments
@@ -7262,5 +7306,40 @@ object SparkEntry {
          |md5(text) AS payload_md5
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "q_k_anon" ->
+      s"""SELECT c_nationkey, c_mktsegment,
+         |COUNT(*) AS group_size,
+         |COUNT(DISTINCT c_acctbal) AS distinct_sensitive,
+         |COUNT(*) < 10 AS k_at_risk,
+         |COUNT(DISTINCT c_acctbal) < 5 AS l_at_risk
+         |FROM (SELECT c_nationkey,
+         |  CASE WHEN c_acctbal > 0 THEN 'MASKED' ELSE c_mktsegment END
+         |    AS c_mktsegment,
+         |  c_acctbal FROM customer) m
+         |GROUP BY c_nationkey, c_mktsegment
+         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "q_privacy_card" ->
+      s"""WITH g AS (SELECT c_nationkey, c_mktsegment,
+         |    COUNT(*) AS gs, COUNT(DISTINCT c_acctbal) AS ds
+         |  FROM (SELECT c_nationkey,
+         |    CASE WHEN c_acctbal > 0 THEN 'MASKED' ELSE c_mktsegment END
+         |      AS c_mktsegment,
+         |    c_acctbal FROM customer) m
+         |  GROUP BY c_nationkey, c_mktsegment)
+         |SELECT CAST(SUM(gs) AS BIGINT) AS n_rows,
+         |COUNT(*) AS n_groups,
+         |MIN(gs) AS k_achieved,
+         |MIN(ds) AS l_achieved,
+         |CAST(SUM(CASE WHEN gs < 10 THEN gs ELSE 0 END) AS BIGINT)
+         |  AS rows_k_at_risk,
+         |CAST(SUM(CASE WHEN ds < 5 THEN gs ELSE 0 END) AS BIGINT)
+         |  AS rows_l_at_risk
+         |FROM g""".stripMargin,
+    "q_fuzzy_join" ->
+      s"""SELECT a.c_name AS name_a, b.c_name AS name_b,
+         |CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+         |FROM customer a JOIN customer b ON a.c_name < b.c_name
+         |WHERE levenshtein(a.c_name, b.c_name) <= 1
+         |ORDER BY name_a, name_b""".stripMargin,
   )
 }

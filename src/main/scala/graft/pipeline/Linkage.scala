@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edit-distance record linkage via deletion-neighborhood blocking
+  * (FastSS — Bocek, Hunt & Stiller 2007; popularized as SymSpell). The
+  * linkage attack is the threat model the reference's masking defends
+  * against (SURVEY §2 north-star): given a released table, can rows be
+  * re-matched to a second source through *approximately* equal keys? This
+  * operator runs that attack at corpus scale — and doubles as the classic
+  * blocking step of Fellegi–Sunter record linkage for pipeline joins on
+  * dirty keys.
+  *
+  * Blocking invariant (what makes it exact, not approximate): two strings
+  * at Levenshtein distance <= d always share at least one member of their
+  * <=d-deletion neighborhoods (delete the edited positions from each side),
+  * so candidate generation has NO false negatives; `levenshtein()` then
+  * discards the false positives. The oracle gate proves completeness by
+  * comparing against the brute-force O(n^2) join.
+  *
+  * Scale shape: per string, |s| choose <=d variants (linear in |s| for d=1)
+  * — a bounded explode, hashed to 8-byte keys so the one shuffle moves
+  * (hash, string) pairs, never all-pairs. Candidate buckets group only
+  * strings whose neighborhoods collide, i.e. near-duplicates — the output
+  * itself — plus rare 64-bit hash collisions that the verify step removes.
+  * Both sides are reduced to DISTINCT strings before blocking, so a
+  * duplicate-heavy corpus (the adversarial case for any bucket self-join)
+  * costs one pair per distinct pair, not per row pair. Verification is
+  * codegen'd `levenshtein` on the thin candidate set. A long-string corpus
+  * caps the explode via `maxLen` (QI keys are short by nature; a 10 kB
+  * "key" is not a linkage key).
+  */
+object Linkage {
+
+  /** All strings reachable from `s` by deleting at most `maxDist`
+    * characters (including `s` itself), deduplicated.
+    */
+  private[graft] def deletionVariants(s: String, maxDist: Int): Seq[String] = {
+    var frontier = Set(s)
+    var all = Set(s)
+    var step = 0
+    while (step < maxDist && frontier.nonEmpty) {
+      frontier = for {
+        t <- frontier if t.length > 0
+        i <- (0 until t.length).toSet[Int]
+      } yield t.substring(0, i) + t.substring(i + 1)
+      all ++= frontier
+      step += 1
+    }
+    all.toSeq
+  }
+
+  /** Distinct values of `strCol` with their exploded neighborhood hashes:
+    * (`s`, `vh`). The UDF is a closure (not an inline-literal expression
+    * tree) so the fused stage stays JIT-compiled.
+    */
+  private def blocked(df: DataFrame, strCol: String, maxDist: Int,
+      maxLen: Int): DataFrame = {
+    val d = maxDist
+    val variantsUdf = udf((s: String) => deletionVariants(s, d))
+    df.select(col(strCol).cast("string").as("s"))
+      .na.drop("any")
+      .filter(length(col("s")) <= maxLen)
+      .distinct()
+      .select(col("s"), explode(variantsUdf(col("s"))).as("__v"))
+      .select(col("s"), xxhash64(col("__v")).as("vh"))
+      .distinct()
+  }
+
+  /** Self-linkage: all unordered pairs of distinct `strCol` values within
+    * Levenshtein distance `maxDist`. Output columns `(name_a, name_b,
+    * dist)` with `name_a < name_b`.
+    */
+  def selfPairs(df: DataFrame, strCol: String, maxDist: Int,
+      maxLen: Int = 256): DataFrame = {
+    val v = blocked(df, strCol, maxDist, maxLen)
+    val cand = v.as("a")
+      .join(v.as("b"),
+        col("a.vh") === col("b.vh") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("name_a"), col("b.s").as("name_b"))
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Two-source linkage: distinct `(leftCol, rightCol)` value pairs within
+    * `maxDist`. Equal values link at dist 0 — the caller excludes them if
+    * only *approximate* matches are wanted.
+    */
+  def fuzzyJoin(left: DataFrame, leftCol: String, right: DataFrame,
+      rightCol: String, maxDist: Int, maxLen: Int = 256): DataFrame = {
+    val lv = blocked(left, leftCol, maxDist, maxLen)
+    val rv = blocked(right, rightCol, maxDist, maxLen)
+    lv.as("a").join(rv.as("b"), col("a.vh") === col("b.vh"))
+      .select(col("a.s").as("left_value"), col("b.s").as("right_value"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("left_value"), col("right_value")))
+      .filter(col("dist") <= maxDist)
+  }
+}
