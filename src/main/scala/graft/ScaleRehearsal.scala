@@ -91,10 +91,18 @@ object ScaleRehearsal {
     * with re-keyed orderkey/custkey chains, dims (region/nation/
     * supplier/part) stay fixed — how a real warehouse grows. Exercises
     * the distributed `#row#` numbering, the FK value-cascade join and
-    * the multijoin at N× fact volume.
+    * the multijoin at N× fact volume. The round-17 privacy rows ride
+    * the same inflation: q_k_anon/q_privacy_card's QI groups stay FIXED
+    * in count while their sizes grow N× (the bounded-reducer-state
+    * claim), and q_fuzzy_join's distinct-name universe genuinely grows
+    * N× (copy i ≥ 1 suffixes `~i` onto c_name), so the deletion-
+    * neighborhood blocking is measured against 10× more distinct keys —
+    * with each base name's cross-copy variants landing at distance ≤ 2
+    * of each other, i.e. output pairs grow too, by construction.
     */
   private val RelQueries = Seq("mask_blueprint_full", "mask_rownum",
-    "fk_sync", "q1_agg", "q5_multijoin")
+    "fk_sync", "q1_agg", "q5_multijoin",
+    "q_k_anon", "q_privacy_card", "q_fuzzy_join")
 
   private val KnownModes = Set("distinct", "clone", "relational")
 
@@ -232,17 +240,24 @@ object ScaleRehearsal {
       .head().getLong(0) + 1
     val shiftO = rd("orders").agg(max(col("o_orderkey")))
       .head().getLong(0) + 1
-    def blow(t: String, shifts: Map[String, Long]): Unit =
+    def blow(t: String, shifts: Map[String, Long],
+        perCopy: (DataFrame, Int) => DataFrame = (df, _) => df): Unit =
       (0 until factor)
         .map { i =>
-          shifts.foldLeft(rd(t)) { case (df, (c, sh)) =>
+          perCopy(shifts.foldLeft(rd(t)) { case (df, (c, sh)) =>
             df.withColumn(c, col(c) + lit(i * sh))
-          }
+          }, i)
         }
         .reduce(_ union _)
         .repartition(cpus)
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
-    blow("customer", Map("c_custkey" -> shiftC))
+    // copy 0 keeps verbatim names; copy i ≥ 1 gets a `~i` suffix so the
+    // DISTINCT name universe grows with the factor (new customers have
+    // new names) — without it every copy collapses in Linkage's
+    // distinct-first pass and the fuzzy-join rehearsal measures nothing
+    blow("customer", Map("c_custkey" -> shiftC),
+      (df, i) => if (i == 0) df
+        else df.withColumn("c_name", concat(col("c_name"), lit(s"~$i"))))
     blow("orders", Map("o_orderkey" -> shiftO, "o_custkey" -> shiftC))
     blow("lineitem", Map("l_orderkey" -> shiftO))
     Seq("region", "nation", "supplier", "part").foreach { t =>
