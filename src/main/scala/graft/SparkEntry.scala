@@ -3565,6 +3565,51 @@ object SparkEntry {
     Linkage.selfPairs(t(s, dir, "customer"), "c_name", maxDist = 1)
       .orderBy("name_a", "name_b")
 
+  /** k-anonymity ENFORCEMENT by suppression over the same masked
+    * release: only rows whose (nationkey, masked segment) group reaches
+    * k = 10 survive. The group table flows back as a broadcast
+    * semi-join — the release itself is never re-shuffled.
+    */
+  private def qKSuppress(s: SparkSession, dir: String): DataFrame =
+    Privacy.suppress(
+      maskedRelease(s, dir)
+        .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"),
+      Seq("c_nationkey", "c_mktsegment"), k = 10)
+      .orderBy("c_custkey")
+
+  /** The generalization loop in one row: QI = (nationkey, raw acctbal)
+    * is hopeless (k = 1 — acctbal is near-unique), generalizing acctbal
+    * to its [lo,hi) thousand-width range rescues k. Both audits are one
+    * hash aggregation each; the released value is the interval itself.
+    */
+  private def qKGeneralize(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val raw = Privacy.card(cust, Seq("c_nationkey", "c_acctbal"),
+        "c_custkey", k = 10, l = 1)
+      .select(col("k_achieved").as("k_raw"),
+        col("n_groups").as("groups_raw"))
+    val gen = Privacy.card(
+        Privacy.generalizeNumeric(cust, "c_acctbal", 1000, "acct_range"),
+        Seq("c_nationkey", "acct_range"), "c_custkey", k = 10, l = 1)
+      .select(col("k_achieved").as("k_generalized"),
+        col("n_groups").as("groups_generalized"),
+        col("rows_k_at_risk").as("rows_at_risk_generalized"))
+    raw.crossJoin(gen) // 1×1 scalar attach
+  }
+
+  /** t-closeness audit (Li et al. 2007) of the masked release: EMD
+    * between each QI group's acctbal-bin distribution and the global
+    * one, computed in exact integer counts (one double division at the
+    * very end), risk-flagged at t = 1/4 by a pure integer compare.
+    */
+  private def qTCloseness(s: SparkSession, dir: String): DataFrame =
+    Privacy.tCloseness(
+      maskedRelease(s, dir).withColumn("acct_bin",
+        floor(col("c_acctbal") / lit(1000.0)).cast("long")),
+      Seq("c_nationkey", "c_mktsegment"), "acct_bin",
+      tNum = 1, tDen = 4)
+      .orderBy("c_nationkey", "c_mktsegment")
+
   // ---------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mask_static" -> (maskStatic _),
@@ -3730,6 +3775,9 @@ object SparkEntry {
     "q_k_anon" -> (qKAnon _),
     "q_privacy_card" -> (qPrivacyCard _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
+    "q_k_suppress" -> (qKSuppress _),
+    "q_k_generalize" -> (qKGeneralize _),
+    "q_t_closeness" -> (qTCloseness _),
   )
 
   // ---------------------------------------------------- oracle SQL fragments
@@ -7341,5 +7389,64 @@ object SparkEntry {
          |FROM customer a JOIN customer b ON a.c_name < b.c_name
          |WHERE levenshtein(a.c_name, b.c_name) <= 1
          |ORDER BY name_a, name_b""".stripMargin,
+    "q_k_suppress" ->
+      s"""SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal
+         |FROM (SELECT c_custkey, c_nationkey,
+         |  CASE WHEN c_acctbal > 0 THEN 'MASKED' ELSE c_mktsegment END
+         |    AS c_mktsegment,
+         |  c_acctbal,
+         |  COUNT(*) OVER (PARTITION BY c_nationkey,
+         |    CASE WHEN c_acctbal > 0 THEN 'MASKED' ELSE c_mktsegment
+         |    END) AS gs
+         |  FROM customer) m
+         |WHERE gs >= 10 ORDER BY c_custkey""".stripMargin,
+    "q_k_generalize" ->
+      s"""WITH raw AS (SELECT c_nationkey, c_acctbal, COUNT(*) AS gs
+         |  FROM customer GROUP BY 1, 2),
+         |gen AS (SELECT c_nationkey,
+         |    '[' || CAST(CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT)
+         |      AS VARCHAR) || ',' ||
+         |    CAST(CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT) + 1000
+         |      AS VARCHAR) || ')' AS acct_range,
+         |    COUNT(*) AS gs
+         |  FROM customer GROUP BY 1, 2)
+         |SELECT (SELECT MIN(gs) FROM raw) AS k_raw,
+         |(SELECT COUNT(*) FROM raw) AS groups_raw,
+         |(SELECT MIN(gs) FROM gen) AS k_generalized,
+         |(SELECT COUNT(*) FROM gen) AS groups_generalized,
+         |(SELECT CAST(SUM(CASE WHEN gs < 10 THEN gs ELSE 0 END)
+         |  AS BIGINT) FROM gen) AS rows_at_risk_generalized""".stripMargin,
+    "q_t_closeness" ->
+      s"""WITH m AS (SELECT c_nationkey,
+         |    CASE WHEN c_acctbal > 0 THEN 'MASKED' ELSE c_mktsegment END
+         |      AS c_mktsegment,
+         |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bin
+         |  FROM customer),
+         |counts AS (SELECT c_nationkey, c_mktsegment, bin, COUNT(*) AS c
+         |  FROM m GROUP BY 1, 2, 3),
+         |gcum AS (SELECT bin, SUM(gc) OVER (ORDER BY bin) AS cum_gc
+         |  FROM (SELECT bin, SUM(c) AS gc FROM counts GROUP BY 1)),
+         |tot AS (SELECT CAST(MAX(cum_gc) AS BIGINT) AS n_total,
+         |  COUNT(*) AS m_bins FROM gcum),
+         |grp AS (SELECT c_nationkey, c_mktsegment,
+         |    CAST(SUM(c) AS BIGINT) AS n_g
+         |  FROM counts GROUP BY 1, 2),
+         |dense AS (SELECT g.c_nationkey, g.c_mktsegment, g.n_g, b.bin,
+         |    CAST(b.cum_gc AS BIGINT) AS cum_gc, COALESCE(ct.c, 0) AS c
+         |  FROM grp g CROSS JOIN gcum b LEFT JOIN counts ct
+         |    ON ct.c_nationkey = g.c_nationkey
+         |    AND ct.c_mktsegment = g.c_mktsegment AND ct.bin = b.bin),
+         |cums AS (SELECT *, SUM(c) OVER (PARTITION BY c_nationkey,
+         |    c_mktsegment ORDER BY bin) AS cum_c FROM dense),
+         |emd AS (SELECT c_nationkey, c_mktsegment, n_g,
+         |    CAST(SUM(ABS(cum_c * (SELECT n_total FROM tot)
+         |      - cum_gc * n_g)) AS BIGINT) AS emd_num
+         |  FROM cums GROUP BY 1, 2, 3)
+         |SELECT c_nationkey, c_mktsegment, n_g AS group_size, emd_num,
+         |emd_num / ((SELECT n_total FROM tot) * n_g
+         |  * ((SELECT m_bins FROM tot) - 1)) AS t_closeness,
+         |emd_num * 4 > (SELECT n_total FROM tot) * n_g
+         |  * ((SELECT m_bins FROM tot) - 1) AS t_at_risk
+         |FROM emd ORDER BY c_nationkey, c_mktsegment""".stripMargin,
   )
 }

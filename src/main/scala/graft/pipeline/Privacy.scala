@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Re-identification-risk audits for anonymized output (SURVEY §2 north-star:
@@ -57,4 +58,113 @@ object Privacy {
         .as("rows_k_at_risk"),
       sum(when(col("l_at_risk"), col("group_size")).otherwise(lit(0L)))
         .as("rows_l_at_risk"))
+
+  /** k-anonymity ENFORCEMENT by suppression: keep only rows whose QI
+    * group has at least `k` members (the other remedy is
+    * [[generalizeNumeric]]; audit → generalize/suppress → re-audit is
+    * the standard release loop). Scale shape: the group-size table is
+    * ONE hash aggregation (bounded by distinct QI combinations, like
+    * [[audit]]) and flows back as a BROADCAST semi-join — the data
+    * itself is never re-shuffled.
+    */
+  def suppress(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val ok = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__gs"))
+      .filter(col("__gs") >= k)
+      .drop("__gs")
+    df.join(broadcast(ok), qiCols, "left_semi")
+  }
+
+  /** k-anonymity ENFORCEMENT by generalization: replace a numeric QI
+    * with its equal-width range label `"[lo,hi)"` — coarser values mean
+    * bigger groups, trading precision for k. Purely narrow (no
+    * shuffle); the released value is the interval itself, which is what
+    * generalization publishes. Double-exact in any engine: one
+    * division, one floor, integer endpoints.
+    */
+  def generalizeNumeric(df: DataFrame, colName: String, width: Long,
+      as: String): DataFrame = {
+    require(width >= 1, s"width must be >= 1 (got $width)")
+    val lo = (floor(col(colName) / width) * width).cast("long")
+    df.withColumn(as,
+      concat(lit("["), lo, lit(","), (lo + width), lit(")")))
+  }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007): a QI
+    * group leaks even when l-diverse if its sensitive-value
+    * DISTRIBUTION diverges from the table's. For an ORDERED sensitive
+    * attribute the distance is the Earth Mover's Distance between the
+    * group and global distributions = mean absolute difference of
+    * their CDFs over the ordered bins.
+    *
+    * Exactness contract: the EMD is computed in INTEGER counts —
+    * per-bin term `|cumc_g·N − cumC·n_g|` summed over bins, normalized
+    * by `N·n_g·(m−1)` only at the very end (one double division) — so
+    * DuckDB replays every comparison bit-for-bit; the risk flag itself
+    * is a pure integer compare against the rational threshold
+    * `tNum/tDen`. Caller bins a continuous sensitive column first
+    * ([[generalizeNumeric]] or any deterministic bucketing): m must be
+    * small for the statistic to mean anything.
+    *
+    * Scale shape: ONE hash aggregation to the (QI, bin) count table
+    * (map-side partials; bounded by |QI combos|·m); everything after —
+    * the dense group×bin grid, the per-group CDF window, the global
+    * CDF — runs on that bounded table, with the m-row global side
+    * broadcast. Guarded so N²·(m−1) stays inside Long (the worst-case
+    * emd_num) — a loud raise_error, never a silent wraparound; coarsen
+    * the bins or audit per partition past it.
+    */
+  def tCloseness(df: DataFrame, qiCols: Seq[String], binCol: String,
+      tNum: Long, tDen: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(tNum >= 0 && tDen > 0, s"threshold must be >= 0 ($tNum/$tDen)")
+    val counts = df.groupBy((qiCols :+ binCol).map(col): _*)
+      .agg(count(lit(1)).as("c"))
+    // global per-bin CDF: m rows, single-partition window is fine here
+    val globalCum = counts.groupBy(col(binCol))
+      .agg(sum(col("c")).as("gc"))
+      .withColumn("cum_gc", sum(col("gc")).over(
+        Window.orderBy(col(binCol))))
+      .select(col(binCol), col("cum_gc"))
+    val groups = counts.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("c")).as("n_g"))
+    // one-row (N, m) scalar frame, broadcast onto the bounded grid; the
+    // raise_error guard keeps the integer cross products inside Long —
+    // a silent wraparound would fabricate risk verdicts
+    val totals = globalCum.agg(
+      max(col("cum_gc")).as("N"), count(lit(1)).as("m"))
+      .withColumn("N", when(col("N").cast("double") >
+          sqrt(lit(9.2e18) / greatest(col("m") - 1, lit(1))),
+        raise_error(lit("tCloseness: N^2*(m-1) would overflow the " +
+          "exact integer EMD — coarsen the bins or audit per " +
+          "partition")).cast("long"))
+        .otherwise(col("N")))
+    // dense grid (groups × bins) so absent bins contribute c = 0
+    val dense = groups
+      .crossJoin(broadcast(globalCum))
+      .join(counts, qiCols :+ binCol, "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(totals))
+    val g = Window.partitionBy(qiCols.map(col): _*)
+      .orderBy(col(binCol))
+    val stats = dense
+      .withColumn("cum_c", sum(col("c")).over(g))
+      .withColumn("term",
+        abs(col("cum_c") * col("N") - col("cum_gc") * col("n_g")))
+      .groupBy((qiCols.map(col) :+ col("n_g") :+ col("N") :+
+        col("m")): _*)
+      .agg(sum(col("term")).as("emd_num"))
+    stats
+      .withColumn("__den", col("N") * col("n_g") *
+        when(col("m") > 1, col("m") - 1).otherwise(lit(1L)))
+      .select(
+        (qiCols.map(col) :+
+          col("n_g").as("group_size") :+
+          col("emd_num") :+
+          (col("emd_num") / col("__den")).as("t_closeness") :+
+          (col("emd_num") * tDen > col("__den") * tNum)
+            .as("t_at_risk")): _*)
+  }
 }

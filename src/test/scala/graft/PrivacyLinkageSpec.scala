@@ -116,6 +116,64 @@ class PrivacyLinkageSpec extends SparkSpec {
       ("Carol King", "Karol King", 1)))
   }
 
+  test("Privacy.suppress keeps exactly the rows in groups of size >= k") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4), ("c", 5), ("c", 6))
+      .toDF("qi", "v")
+    val out = Privacy.suppress(df, Seq("qi"), k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(out == Set(("a", 1), ("a", 2), ("a", 3), ("c", 5), ("c", 6)))
+    // k = 1 keeps everything; schema unchanged
+    assert(Privacy.suppress(df, Seq("qi"), 1).count() == 6)
+    assert(Privacy.suppress(df, Seq("qi"), 2).columns.toSeq ==
+      Seq("qi", "v"))
+  }
+
+  test("Privacy.generalizeNumeric emits [lo,hi) labels incl. negatives") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(-994.28, 0.0, 999.99, 1000.0, 9997.41).toDF("x")
+    val got = Privacy.generalizeNumeric(df, "x", 1000, "r")
+      .select("r").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("[-1000,0)", "[0,1000)", "[0,1000)", "[1000,2000)",
+      "[9000,10000)"))
+    intercept[IllegalArgumentException] {
+      Privacy.generalizeNumeric(df, "x", 0, "r")
+    }
+  }
+
+  test("Privacy.tCloseness matches a hand-computed integer EMD") {
+    val s = spark
+    import s.implicits._
+    // group A: bins (1,1,2); group B: bin (3). Global: N=4, m=3,
+    // cumG = (2,3,4). A (n=3): cum (2,3,3) -> |8-6|+|12-9|+|12-12| = 5,
+    // den 4*3*2 = 24. B (n=1): cum (0,0,1) -> |0-2|+|0-3|+|4-4| = 5,
+    // den 4*1*2 = 8. At t = 1/4: A 20 > 24 false, B 20 > 8 true.
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 2L), ("B", 3L))
+      .toDF("qi", "bin")
+    val out = Privacy.tCloseness(df, Seq("qi"), "bin", 1, 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("group_size"), r.getAs[Long]("emd_num"),
+          r.getAs[Double]("t_closeness"), r.getAs[Boolean]("t_at_risk"))))
+      .toMap
+    assert(out("A") == ((3L, 5L, 5.0 / 24.0, false)))
+    assert(out("B") == ((1L, 5L, 5.0 / 8.0, true)))
+  }
+
+  test("tCloseness: identical group distribution has EMD 0") {
+    val s = spark
+    import s.implicits._
+    // both groups have the exact global shape -> emd_num 0, never at risk
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 2L))
+      .toDF("qi", "bin")
+    val out = Privacy.tCloseness(df, Seq("qi"), "bin", 0, 1)
+      .collect()
+    assert(out.forall(_.getAs[Long]("emd_num") == 0L))
+    // tNum = 0: any positive EMD would flag; zero EMD must not (strict >)
+    assert(out.forall(!_.getAs[Boolean]("t_at_risk")))
+  }
+
   test("selfPairs plan has no cartesian product and no all-pairs join") {
     val df = spark.read.parquet(s"$fixtures/customer.parquet")
     val plan = Linkage.selfPairs(df, "c_name", 1)
