@@ -3565,6 +3565,20 @@ object SparkEntry {
     Linkage.selfPairs(t(s, dir, "customer"), "c_name", maxDist = 1)
       .orderBy("name_a", "name_b")
 
+  /** Id-keyed fuzzy-key lookup — the serving form of the linkage
+    * operator: every 100th customer's name probed against the full
+    * name reference at Levenshtein <= 1, keeping the probing custkey.
+    * The brute-force DuckDB oracle again proves blocking completeness.
+    */
+  private def qFuzzyServe(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    Linkage.linkQueries(
+      cust.filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").as("q_id"), col("c_name")),
+      "q_id", "c_name", cust, "c_name", maxDist = 1)
+      .orderBy("q_id", "ref_value")
+  }
+
   /** k-anonymity ENFORCEMENT by suppression over the same masked
     * release: only rows whose (nationkey, masked segment) group reaches
     * k = 10 survive. The group table flows back as a broadcast
@@ -3778,6 +3792,7 @@ object SparkEntry {
     "q_k_suppress" -> (qKSuppress _),
     "q_k_generalize" -> (qKGeneralize _),
     "q_t_closeness" -> (qTCloseness _),
+    "q_fuzzy_serve" -> (qFuzzyServe _),
   )
 
   // ---------------------------------------------------- oracle SQL fragments
@@ -7448,5 +7463,13 @@ object SparkEntry {
          |emd_num * 4 > (SELECT n_total FROM tot) * n_g
          |  * ((SELECT m_bins FROM tot) - 1) AS t_at_risk
          |FROM emd ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "q_fuzzy_serve" ->
+      s"""SELECT q.c_custkey AS q_id, q.c_name AS query_value,
+         |r.c_name AS ref_value,
+         |CAST(levenshtein(q.c_name, r.c_name) AS INTEGER) AS dist
+         |FROM customer q JOIN customer r
+         |  ON levenshtein(q.c_name, r.c_name) <= 1
+         |WHERE q.c_custkey % 100 = 0
+         |ORDER BY q_id, ref_value""".stripMargin,
   )
 }

@@ -99,4 +99,53 @@ object Linkage {
       .withColumn("dist", levenshtein(col("left_value"), col("right_value")))
       .filter(col("dist") <= maxDist)
   }
+
+  /** The blocked form of a reference table — distinct `refCol` values
+    * with their exploded neighborhood hashes `(s, vh)`. Build (and
+    * cache) ONCE, probe many times: the serving entry points take it
+    * directly so a long-lived stream pays the reference pass at start,
+    * not per trigger.
+    */
+  def blockReference(reference: DataFrame, refCol: String, maxDist: Int,
+      maxLen: Int = 256): DataFrame =
+    blocked(reference, refCol, maxDist, maxLen)
+
+  /** Id-keyed serving form: every (query row, reference value) match
+    * within `maxDist`, KEEPING the query's id column — the shape a
+    * lookup service returns, where [[fuzzyJoin]]'s distinct value pairs
+    * are the shape a dedup/linkage study wants. Null and over-`maxLen`
+    * query values simply match nothing (dropped by the same `maxLen`
+    * contract as blocking). One shuffle on variant hash; the per-query
+    * candidate set is bounded by its neighborhood's bucket sizes.
+    */
+  def linkQueries(queries: DataFrame, qIdCol: String, qCol: String,
+      reference: DataFrame, refCol: String, maxDist: Int,
+      maxLen: Int = 256): DataFrame =
+    linkQueriesAgainst(queries, qIdCol, qCol,
+      blockReference(reference, refCol, maxDist, maxLen), maxDist, maxLen)
+
+  /** [[linkQueries]] against a pre-blocked (`s`, `vh`) reference from
+    * [[blockReference]] — the streaming serve path, where the reference
+    * is blocked once and probed every micro-batch. `maxDist`/`maxLen`
+    * must match the values the reference was blocked with (a larger
+    * probe distance would silently under-match: completeness needs BOTH
+    * sides' neighborhoods at depth d).
+    */
+  def linkQueriesAgainst(queries: DataFrame, qIdCol: String, qCol: String,
+      blockedRef: DataFrame, maxDist: Int, maxLen: Int = 256): DataFrame = {
+    val d = maxDist
+    val variantsUdf = udf((s: String) => deletionVariants(s, d))
+    val qv = queries
+      .select(col(qIdCol), col(qCol).cast("string").as("__q"))
+      .filter(col("__q").isNotNull && length(col("__q")) <= maxLen)
+      .select(col(qIdCol), col("__q"),
+        explode(variantsUdf(col("__q"))).as("__v"))
+      .select(col(qIdCol), col("__q"), xxhash64(col("__v")).as("vh"))
+    qv.join(blockedRef, "vh")
+      .select(col(qIdCol), col("__q").as("query_value"),
+        col("s").as("ref_value"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("query_value"), col("ref_value")))
+      .filter(col("dist") <= maxDist)
+  }
 }

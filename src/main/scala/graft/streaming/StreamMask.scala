@@ -861,6 +861,48 @@ object StreamMask {
       .start()
   }
 
+  /** Streaming fuzzy-key lookup — the serving twin of
+    * [[graft.pipeline.Linkage.linkQueries]]: a stream of (`qIdCol`,
+    * `qCol`) dirty keys is matched per micro-batch against a STATIC
+    * reference within Levenshtein `maxDist`, through the SAME
+    * deletion-neighborhood blocking + `levenshtein` verify the batch
+    * gate audits (one definition — serving cannot drift), landed
+    * exactly-once via [[ExactlyOnceSink.writeBatch]]. The reference is
+    * blocked ONCE at stream start
+    * ([[graft.pipeline.Linkage.blockReference]]) and cached — each
+    * trigger pays only its batch's bounded variant explode, the hash
+    * join against the cached blocked frame, and the thin codegen'd
+    * verify.
+    *
+    * Stateless per micro-batch (the match is against the static
+    * reference, never across stream batches), so any trigger works and
+    * no state store is involved. Malformed queries — null or
+    * over-`maxLen` values — match nothing by the operator's own
+    * contract; nothing here can throw per-row, so there is no
+    * replay-wedge posture to choose.
+    */
+  def linkServeStream(queries: DataFrame, qIdCol: String, qCol: String,
+      reference: DataFrame, refCol: String, maxDist: Int,
+      outPath: String, checkpoint: String, maxLen: Int = 256,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.pipeline.Linkage
+    val blockedRef = Linkage
+      .blockReference(reference, refCol, maxDist, maxLen)
+      .persist()
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ExactlyOnceSink.writeBatch(outPath)(
+          Linkage.linkQueriesAgainst(batch, qIdCol, qCol, blockedRef,
+            maxDist, maxLen), batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Streaming incremental semantic dedup — the ingest twin of
     * [[graft.pipeline.Dedup.semDeDupFilterBatch]]: each micro-batch of
     * arriving vectors is scored against a persisted FLOAT

@@ -116,6 +116,60 @@ class PrivacyLinkageSpec extends SparkSpec {
       ("Carol King", "Karol King", 1)))
   }
 
+  test("linkQueries keeps query ids and matches brute force") {
+    val s = spark
+    import s.implicits._
+    val ref = Seq("kitten", "sitten", "banana", "xyz").toDF("name")
+    val qs = Seq((1L, "kitten"), (2L, "bananaX"), (3L, "zzzzzz"),
+      (4L, null.asInstanceOf[String]), (1L, "sitten"))
+      .toDF("q_id", "q")
+    val got = Linkage.linkQueries(qs, "q_id", "q", ref, "name", 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .toSet
+    assert(got == Set(
+      (1L, "kitten", "kitten", 0), (1L, "kitten", "sitten", 1),
+      (2L, "bananaX", "banana", 1),
+      (1L, "sitten", "sitten", 0), (1L, "sitten", "kitten", 1)))
+    // over-maxLen queries match nothing instead of exploding
+    assert(Linkage.linkQueries(qs, "q_id", "q", ref, "name", 1,
+      maxLen = 3).count() == 0)
+  }
+
+  test("linkServeStream: batch-equal matches, exactly-once, multi-batch") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.{ExactlyOnceSink, StreamMask}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_link_serve").toString
+    val ref = Seq("kitten", "sitten", "banana", "mitten").toDF("name")
+    val queries = Seq((1L, "kitten"), (2L, "banan"), (3L, "zzz"),
+      (4L, "mittenX")).toDF("q_id", "q")
+    val in = s"$base/in"
+    queries.filter($"q_id" <= 2).write.parquet(s"$in/f0")
+    queries.filter($"q_id" > 2)
+      .unionAll(Seq((9L, null.asInstanceOf[String])).toDF("q_id", "q"))
+      .write.parquet(s"$in/f1")
+    val schema = spark.read.parquet(s"$in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val out = s"$base/out"
+    val q = StreamMask.linkServeStream(stream, "q_id", "q", ref, "name",
+      maxDist = 1, outPath = out, checkpoint = s"$base/ckpt")
+    q.awaitTermination(120000)
+    val landed = spark.read.parquet(out)
+    assert(landed.select(ExactlyOnceSink.BatchIdCol).distinct().count()
+      > 1, "expected more than one served micro-batch")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "query_value", "ref_value", "dist")
+      .collect().map(_.toString).sorted.toSeq
+    val batchRef = Linkage.linkQueries(queries, "q_id", "q", ref,
+      "name", 1)
+    assert(key(landed) == key(batchRef),
+      "streamed fuzzy matches diverged from the audited batch operator")
+  }
+
   test("Privacy.suppress keeps exactly the rows in groups of size >= k") {
     val s = spark
     import s.implicits._
