@@ -3624,6 +3624,35 @@ object SparkEntry {
       tNum = 1, tDen = 4)
       .orderBy("c_nationkey", "c_mktsegment")
 
+  /** Randomized response (Warner 1965) over the segment column: each
+    * customer's value released truthfully with p = 3/4, else replaced
+    * by a deterministic uniform domain draw — per-row plausible
+    * deniability (ε = ln(1 + 5·3) ≈ 2.77 local DP at |D| = 5), replayed
+    * bit-for-bit by DuckDB through the same 48-bit md5 coin and sorted-
+    * domain indexing.
+    */
+  private def qRrRelease(s: SparkSession, dir: String): DataFrame =
+    Privacy.randomizedResponse(
+      t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+      "c_mktsegment", "c_custkey", pNum = 3, pDen = 4, seed = "rr17")
+      .orderBy("c_custkey")
+
+  /** The decode side of randomized response: unbiased per-value
+    * frequency recovery n̂_v = (obs_v − n·(1−p)/|D|)/p from the released
+    * column alone, next to the true counts — utility after local DP,
+    * every arithmetic step replayed exactly by the oracle.
+    */
+  private def qRrEstimate(s: SparkSession, dir: String): DataFrame = {
+    val released = Privacy.randomizedResponse(
+      t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+      "c_mktsegment", "c_custkey", pNum = 3, pDen = 4, seed = "rr17")
+    val truth = t(s, dir, "customer")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_true"))
+    Privacy.rrEstimate(released, "c_mktsegment", pNum = 3, pDen = 4)
+      .join(truth, Seq("c_mktsegment"), "left")
+      .orderBy("c_mktsegment")
+  }
+
   // ---------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mask_static" -> (maskStatic _),
@@ -3793,6 +3822,8 @@ object SparkEntry {
     "q_k_generalize" -> (qKGeneralize _),
     "q_t_closeness" -> (qTCloseness _),
     "q_fuzzy_serve" -> (qFuzzyServe _),
+    "q_rr_release" -> (qRrRelease _),
+    "q_rr_estimate" -> (qRrEstimate _),
   )
 
   // ---------------------------------------------------- oracle SQL fragments
@@ -7471,5 +7502,55 @@ object SparkEntry {
          |  ON levenshtein(q.c_name, r.c_name) <= 1
          |WHERE q.c_custkey % 100 = 0
          |ORDER BY q_id, ref_value""".stripMargin,
+    "q_rr_release" -> {
+      // threshold floor(3/4 * 2^48); coin and draw are the 48-bit md5
+      // fractions of 'rr17#<key>' and 'rr17#v#<key>'
+      val flip = bucket48OfSql("md5('rr17#' || CAST(c_custkey AS VARCHAR))")
+      val draw =
+        bucket48OfSql("md5('rr17#v#' || CAST(c_custkey AS VARCHAR))")
+      s"""WITH dom AS (SELECT c_mktsegment AS dval,
+         |    ROW_NUMBER() OVER (ORDER BY c_mktsegment) - 1 AS idx
+         |  FROM (SELECT DISTINCT c_mktsegment FROM customer)),
+         |sel AS (SELECT c_custkey, c_mktsegment,
+         |    $flip AS flip,
+         |    $draw % (SELECT COUNT(*) FROM dom) AS idx
+         |  FROM customer)
+         |SELECT s.c_custkey,
+         |CASE WHEN s.flip < 211106232532992 THEN s.c_mktsegment
+         |  ELSE d.dval END AS c_mktsegment
+         |FROM sel s JOIN dom d ON d.idx = s.idx
+         |ORDER BY c_custkey""".stripMargin
+    },
+    "q_rr_estimate" -> {
+      val flip = bucket48OfSql("md5('rr17#' || CAST(c_custkey AS VARCHAR))")
+      val draw =
+        bucket48OfSql("md5('rr17#v#' || CAST(c_custkey AS VARCHAR))")
+      // p = T/2^48 exactly (power-of-two division), q = 1 - p: the same
+      // in-engine ops as the Spark side, so n_est is bit-identical
+      val p = "(CAST(211106232532992 AS DOUBLE) / 281474976710656.0)"
+      s"""WITH dom AS (SELECT c_mktsegment AS dval,
+         |    ROW_NUMBER() OVER (ORDER BY c_mktsegment) - 1 AS idx
+         |  FROM (SELECT DISTINCT c_mktsegment FROM customer)),
+         |sel AS (SELECT c_custkey, c_mktsegment,
+         |    $flip AS flip,
+         |    $draw % (SELECT COUNT(*) FROM dom) AS idx
+         |  FROM customer),
+         |rel AS (SELECT s.c_custkey,
+         |    CASE WHEN s.flip < 211106232532992 THEN s.c_mktsegment
+         |      ELSE d.dval END AS c_mktsegment
+         |  FROM sel s JOIN dom d ON d.idx = s.idx),
+         |tot AS (SELECT COUNT(*) AS n,
+         |    COUNT(DISTINCT c_mktsegment) AS d FROM rel),
+         |obs AS (SELECT c_mktsegment, COUNT(*) AS n_obs FROM rel
+         |  GROUP BY 1),
+         |tru AS (SELECT c_mktsegment, COUNT(*) AS n_true FROM customer
+         |  GROUP BY 1)
+         |SELECT o.c_mktsegment, o.n_obs,
+         |(CAST(o.n_obs AS DOUBLE) - (SELECT n FROM tot) * (1.0 - $p)
+         |  / (SELECT d FROM tot)) / $p AS n_est,
+         |t2.n_true
+         |FROM obs o LEFT JOIN tru t2 USING (c_mktsegment)
+         |ORDER BY c_mktsegment""".stripMargin
+    },
   )
 }

@@ -92,6 +92,85 @@ object Privacy {
       concat(lit("["), lo, lit(","), (lo + width), lit(")")))
   }
 
+  /** Randomized response (Warner 1965; the RAPPOR building block —
+    * Erlingsson et al., CCS 2014): release each row's categorical value
+    * TRUTHFULLY with probability p, otherwise replace it with a uniform
+    * draw from the value domain — per-row plausible deniability with a
+    * provable ε = ln(1 + |D|·p/(1−p)) local-DP bound, where masking
+    * ([[graft.blueprint.MaskCompiler]]) gives none. The released column
+    * still supports exact population estimates via [[rrEstimate]].
+    *
+    * Determinism contract (what makes it oracle-able): the "coin" is
+    * the 48-bit md5 hash fraction of (seed, key)
+    * ([[Sampling.hashBucket48]]) compared against the PRECOMPUTED
+    * integer threshold floor(pNum·2^48/pDen) — integer compare, no
+    * float anywhere — and the replacement draw is an independent
+    * (seed, "v", key) hash MOD the domain size, indexing the SORTED
+    * distinct domain. Any engine replays the release bit-for-bit;
+    * retries and repartitions cannot flip a coin.
+    *
+    * Scale shape: the domain is one distinct aggregate (bounded by the
+    * categorical domain — that is what randomized response is FOR; a
+    * near-unique column is not a categorical signal), indexed by a
+    * |D|-row window and broadcast back; the release itself is a narrow
+    * projection plus that broadcast join. The true keep probability is
+    * T/2^48 with T = floor(pNum·2^48/pDen) — off from pNum/pDen by
+    * < 2^-48, and [[rrEstimate]] uses T/2^48 itself so the estimator
+    * stays unbiased for the mechanism actually run.
+    */
+  def randomizedResponse(df: DataFrame, colName: String, keyCol: String,
+      pNum: Long, pDen: Long, seed: String): DataFrame = {
+    val t = rrThreshold(pNum, pDen)
+    val domain = df
+      .select(col(colName).cast("string").as("__dval"))
+      .na.drop("any").distinct()
+      .withColumn("__idx",
+        row_number().over(Window.orderBy(col("__dval"))) - 1)
+    val key = col(keyCol).cast("string")
+    val keep = Sampling.hashBucket48(
+      concat_ws("#", lit(seed), key)) < t
+    val draw = Sampling.hashBucket48(
+      concat_ws("#", lit(seed), lit("v"), key))
+    df.crossJoin(broadcast(domain.agg(count(lit(1)).as("__dn"))))
+      .withColumn("__idx", pmod(draw, col("__dn")))
+      .join(broadcast(domain), Seq("__idx"), "left")
+      .withColumn(colName,
+        when(keep, col(colName).cast("string")).otherwise(col("__dval")))
+      .drop("__idx", "__dn", "__dval")
+  }
+
+  /** floor(pNum·2^48/pDen): the exact integer keep threshold the
+    * mechanism and the estimator share.
+    */
+  def rrThreshold(pNum: Long, pDen: Long): Long = {
+    require(pNum >= 0 && pDen > 0 && pNum <= pDen,
+      s"keep probability must be in [0, 1] (got $pNum/$pDen)")
+    (BigInt(pNum) * (BigInt(1) << 48) / BigInt(pDen)).toLong
+  }
+
+  /** Unbiased frequency recovery from a [[randomizedResponse]] release:
+    * with keep probability p and uniform replacement over |D| values,
+    * E[obs_v] = n_v·p + n·(1−p)/|D|, so n̂_v = (obs_v − n·(1−p)/|D|)/p.
+    * p is the mechanism's TRUE probability T/2^48 (exact in double —
+    * T < 2^48 < 2^53), q = 1−p one subtraction, and the estimate is the
+    * same three-op sequence in any engine — bit-exact cross-engine.
+    * One hash aggregation on the released value; the (n, |D|) scalars
+    * ride a broadcast one-row frame.
+    */
+  def rrEstimate(released: DataFrame, colName: String,
+      pNum: Long, pDen: Long): DataFrame = {
+    val p = rrThreshold(pNum, pDen).toDouble / 281474976710656.0 // 2^48
+    val obs = released.groupBy(col(colName))
+      .agg(count(lit(1)).as("n_obs"))
+    val totals = released.agg(count(lit(1)).as("__n"),
+      countDistinct(col(colName)).as("__d"))
+    obs.crossJoin(broadcast(totals))
+      .withColumn("n_est",
+        (col("n_obs").cast("double") -
+          col("__n") * lit(1.0 - p) / col("__d")) / lit(p))
+      .drop("__n", "__d")
+  }
+
   /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007): a QI
     * group leaks even when l-diverse if its sensitive-value
     * DISTRIBUTION diverges from the table's. For an ORDERED sensitive

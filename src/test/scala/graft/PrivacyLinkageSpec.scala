@@ -228,6 +228,51 @@ class PrivacyLinkageSpec extends SparkSpec {
     assert(out.forall(!_.getAs[Boolean]("t_at_risk")))
   }
 
+  test("randomizedResponse: deterministic, domain-valued, p=1 identity") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 400L).map(i => (i, if (i % 3 == 0) "A"
+      else if (i % 3 == 1) "B" else "C")).toDF("id", "v")
+    val r1 = Privacy.randomizedResponse(df, "v", "id", 3, 4, "s1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // deterministic: a second run is identical
+    val r2 = Privacy.randomizedResponse(df, "v", "id", 3, 4, "s1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r1 == r2)
+    // every released value is in the domain; some rows actually flipped
+    assert(r1.values.toSet.subsetOf(Set("A", "B", "C")))
+    val truth = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val flipped = r1.count { case (k, v) => truth(k) != v }
+    assert(flipped > 0, "p=3/4 over 400 rows should flip some values")
+    // p = 1 releases the truth verbatim; schema/columns unchanged
+    val id = Privacy.randomizedResponse(df, "v", "id", 1, 1, "s1")
+    assert(id.columns.toSeq == Seq("id", "v"))
+    assert(id.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      == truth)
+    intercept[IllegalArgumentException] {
+      Privacy.randomizedResponse(df, "v", "id", 5, 4, "s1")
+    }
+  }
+
+  test("rrEstimate recovers frequencies within sampling noise") {
+    val s = spark
+    import s.implicits._
+    // skewed truth: 600 A, 300 B, 100 C
+    val df = (1L to 1000L).map(i => (i, if (i <= 600) "A"
+      else if (i <= 900) "B" else "C")).toDF("id", "v")
+    val released = Privacy.randomizedResponse(df, "v", "id", 3, 4, "s2")
+    val est = Privacy.rrEstimate(released, "v", 3, 4)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("n_est"))
+      .toMap
+    // unbiased estimator, n = 1000: each estimate within ~5 sigma
+    // (sigma <= ~20 here) of the truth
+    assert(math.abs(est("A") - 600) < 100, est.toString)
+    assert(math.abs(est("B") - 300) < 100, est.toString)
+    assert(math.abs(est("C") - 100) < 100, est.toString)
+    // estimates of a full release sum to ~n
+    assert(math.abs(est.values.sum - 1000.0) < 1e-6)
+  }
+
   test("selfPairs plan has no cartesian product and no all-pairs join") {
     val df = spark.read.parquet(s"$fixtures/customer.parquet")
     val plan = Linkage.selfPairs(df, "c_name", 1)
