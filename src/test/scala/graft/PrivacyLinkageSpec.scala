@@ -273,6 +273,46 @@ class PrivacyLinkageSpec extends SparkSpec {
     assert(math.abs(est.values.sum - 1000.0) < 1e-6)
   }
 
+  test("property: blocking completeness — selfPairs == brute force on " +
+      "random corpora at d = 1 and d = 2") {
+    import org.scalacheck.{Gen => SGen, Prop, Test => SCTest}
+    val s = spark
+    import s.implicits._
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    // tiny alphabet + short strings => dense near-neighborhoods, the
+    // adversarial case for candidate generation
+    val word = SGen.choose(1, 6).flatMap(n =>
+      SGen.listOfN(n, SGen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpus = SGen.choose(2, 12).flatMap(n => SGen.listOfN(n, word))
+    val dist = SGen.oneOf(1, 2)
+    val prop = Prop.forAll(corpus, dist) { (ws, d) =>
+      val names = ws.distinct
+      val got = Linkage.selfPairs(names.toDF("w"), "w", d)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+        .toSet
+      val want = (for {
+        a <- names; b <- names if a < b
+        dd = lev(a, b) if dd <= d
+      } yield (a, b, dd)).toSet
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("selfPairs plan has no cartesian product and no all-pairs join") {
     val df = spark.read.parquet(s"$fixtures/customer.parquet")
     val plan = Linkage.selfPairs(df, "c_name", 1)
