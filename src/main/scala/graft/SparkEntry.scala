@@ -3624,6 +3624,24 @@ object SparkEntry {
       tNum = 1, tDen = 4)
       .orderBy("c_nationkey", "c_mktsegment")
 
+  /** What the q_k_generalize generalization COSTS, in one row: the
+    * discernibility metric (Bayardo–Agrawal 2005) and normalized
+    * average group size (LeFevre 2006) of the raw vs range-generalized
+    * QI — privacy audits say safe, these say still-useful.
+    */
+  private def qPrivacyUtility(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val raw = Privacy.utility(cust, Seq("c_nationkey", "c_acctbal"), 10)
+      .select(col("n_rows"), col("dm").as("dm_raw"),
+        col("c_avg").as("cavg_raw"))
+    val gen = Privacy.utility(
+        Privacy.generalizeNumeric(cust, "c_acctbal", 1000, "acct_range"),
+        Seq("c_nationkey", "acct_range"), 10)
+      .select(col("dm").as("dm_generalized"),
+        col("c_avg").as("cavg_generalized"))
+    raw.crossJoin(gen) // 1×1 scalar attach
+  }
+
   /** Randomized response (Warner 1965) over the segment column: each
     * customer's value released truthfully with p = 3/4, else replaced
     * by a deterministic uniform domain draw — per-row plausible
@@ -3824,6 +3842,7 @@ object SparkEntry {
     "q_fuzzy_serve" -> (qFuzzyServe _),
     "q_rr_release" -> (qRrRelease _),
     "q_rr_estimate" -> (qRrEstimate _),
+    "q_privacy_utility" -> (qPrivacyUtility _),
   )
 
   // ---------------------------------------------------- oracle SQL fragments
@@ -7552,5 +7571,20 @@ object SparkEntry {
          |FROM obs o LEFT JOIN tru t2 USING (c_mktsegment)
          |ORDER BY c_mktsegment""".stripMargin
     },
+    "q_privacy_utility" ->
+      s"""WITH raw AS (SELECT COUNT(*) AS gs FROM customer
+         |  GROUP BY c_nationkey, c_acctbal),
+         |gen AS (SELECT COUNT(*) AS gs FROM customer GROUP BY
+         |  c_nationkey,
+         |  CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT)),
+         |r AS (SELECT CAST(SUM(gs) AS BIGINT) AS n_rows,
+         |  COUNT(*) AS ng, CAST(SUM(gs * gs) AS BIGINT) AS dm FROM raw),
+         |g AS (SELECT CAST(SUM(gs) AS BIGINT) AS n_rows,
+         |  COUNT(*) AS ng, CAST(SUM(gs * gs) AS BIGINT) AS dm FROM gen)
+         |SELECT r.n_rows, r.dm AS dm_raw,
+         |CAST(r.n_rows AS DOUBLE) / r.ng / 10.0 AS cavg_raw,
+         |g.dm AS dm_generalized,
+         |CAST(g.n_rows AS DOUBLE) / g.ng / 10.0 AS cavg_generalized
+         |FROM r, g""".stripMargin,
   )
 }

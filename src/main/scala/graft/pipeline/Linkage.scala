@@ -68,21 +68,84 @@ object Linkage {
       .distinct()
   }
 
+  /** Banded Levenshtein (Ukkonen 1985): the exact distance if it is
+    * <= `maxDist`, else -1 — O(maxDist·len) instead of the full
+    * O(len²) DP, since cells farther than `maxDist` off the diagonal
+    * can never contribute to a distance within the bound.
+    */
+  private[graft] def boundedLev(a: String, b: String, maxDist: Int): Int = {
+    val (n, m) = (a.length, b.length)
+    if (math.abs(n - m) > maxDist) return -1
+    if (n == 0) return m // <= maxDist by the length check
+    if (m == 0) return n // ditto
+    val inf = maxDist + 1
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    java.util.Arrays.fill(prev, inf)
+    var j = 0
+    while (j <= math.min(m, maxDist)) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, inf)
+      val lo = math.max(1, i - maxDist) // lo <= hi: n <= m + maxDist
+      val hi = math.min(m, i + maxDist)
+      if (i <= maxDist) cur(0) = i
+      var best = cur(0) // column 0 is part of the row minimum
+      j = lo
+      while (j <= hi) {
+        val sub = prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1)
+        val del = prev(j) + 1
+        val ins = cur(j - 1) + 1
+        val v = math.min(sub, math.min(del, ins))
+        cur(j) = v
+        if (v < best) best = v
+        j += 1
+      }
+      if (best > maxDist) return -1 // the whole band overflowed
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    if (prev(m) <= maxDist) prev(m) else -1
+  }
+
   /** Self-linkage: all unordered pairs of distinct `strCol` values within
     * Levenshtein distance `maxDist`. Output columns `(name_a, name_b,
     * dist)` with `name_a < name_b`.
+    *
+    * Executed as ONE groupBy on the variant hash with an in-bucket
+    * pair fold (sorted members, banded-Levenshtein verify inline) —
+    * the blocked frame is computed once and never self-joined, and the
+    * verify is O(maxDist·len) per candidate instead of the full DP.
+    * Per-bucket state is the bucket's member list: bounded by the
+    * near-dup clique size (the output itself) because both inputs are
+    * distinct-first — the same contract the former self-join had for
+    * its bucket-collision fan-out.
     */
   def selfPairs(df: DataFrame, strCol: String, maxDist: Int,
       maxLen: Int = 256): DataFrame = {
-    val v = blocked(df, strCol, maxDist, maxLen)
-    val cand = v.as("a")
-      .join(v.as("b"),
-        col("a.vh") === col("b.vh") && col("a.s") < col("b.s"))
-      .select(col("a.s").as("name_a"), col("b.s").as("name_b"))
+    val d = maxDist
+    val pairsUdf = udf((ss: Seq[String]) => {
+      val arr = ss.distinct.sorted.toArray
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Int)]
+      var i = 0
+      while (i < arr.length - 1) {
+        var j = i + 1
+        while (j < arr.length) {
+          val dist = boundedLev(arr(i), arr(j), d)
+          if (dist >= 0) out += ((arr(i), arr(j), dist))
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    })
+    blocked(df, strCol, maxDist, maxLen)
+      .groupBy(col("vh")).agg(collect_list(col("s")).as("ss"))
+      .select(explode(pairsUdf(col("ss"))).as("p"))
+      .select(col("p._1").as("name_a"), col("p._2").as("name_b"),
+        col("p._3").as("dist"))
       .distinct()
-    cand
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxDist)
   }
 
   /** Two-source linkage: distinct `(leftCol, rightCol)` value pairs within

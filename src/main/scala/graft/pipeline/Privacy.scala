@@ -92,6 +92,36 @@ object Privacy {
       concat(lit("["), lo, lit(","), (lo + width), lit(")")))
   }
 
+  /** Release-utility metrics for a QI grouping — the standard measures
+    * of what generalization COSTS (privacy metrics say whether a
+    * release is safe; these say whether it is still useful):
+    *
+    * - `dm` — discernibility metric (Bayardo & Agrawal, ICDE 2005):
+    *   Σ |g|² over QI groups — each row pays the size of the group it
+    *   is indistinguishable within. Exact integer.
+    * - `c_avg` — normalized average equivalence-class size
+    *   (LeFevre et al., ICDE 2006): (n / n_groups) / k — 1.0 is the
+    *   ideal "every group exactly k"; higher means over-generalized.
+    *   Two double divisions, same op order in any engine.
+    *
+    * One hash aggregation (the same bounded group table as [[audit]])
+    * plus a one-row rollup. Longs hold Σ|g|² for n ≤ 3e9 — beyond, the
+    * release audit shards first (the [[tCloseness]] posture).
+    */
+  def utility(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("gs"))
+      .agg(
+        sum(col("gs")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("gs")).as("k_achieved"),
+        sum(col("gs") * col("gs")).as("dm"))
+      .withColumn("c_avg",
+        col("n_rows").cast("double") / col("n_groups") / lit(k.toDouble))
+  }
+
   /** Randomized response (Warner 1965; the RAPPOR building block —
     * Erlingsson et al., CCS 2014): release each row's categorical value
     * TRUTHFULLY with probability p, otherwise replace it with a uniform

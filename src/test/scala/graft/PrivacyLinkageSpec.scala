@@ -228,6 +228,20 @@ class PrivacyLinkageSpec extends SparkSpec {
     assert(out.forall(!_.getAs[Boolean]("t_at_risk")))
   }
 
+  test("Privacy.utility: discernibility and normalized avg group size") {
+    val s = spark
+    import s.implicits._
+    // groups of size 3, 1, 2: dm = 9 + 1 + 4 = 14; c_avg = (6/3)/2 = 1.0
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4), ("c", 5),
+      ("c", 6)).toDF("qi", "v")
+    val r = Privacy.utility(df, Seq("qi"), k = 2).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("k_achieved") == 1L)
+    assert(r.getAs[Long]("dm") == 14L)
+    assert(r.getAs[Double]("c_avg") == 1.0)
+  }
+
   test("randomizedResponse: deterministic, domain-valued, p=1 identity") {
     val s = spark
     import s.implicits._
@@ -271,6 +285,38 @@ class PrivacyLinkageSpec extends SparkSpec {
     assert(math.abs(est("C") - 100) < 100, est.toString)
     // estimates of a full release sum to ~n
     assert(math.abs(est.values.sum - 1000.0) < 1e-6)
+  }
+
+  test("property: boundedLev == full Levenshtein DP capped at maxDist") {
+    import org.scalacheck.{Gen => SGen, Prop, Test => SCTest}
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val word = SGen.choose(0, 10).flatMap(n =>
+      SGen.listOfN(n, SGen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val prop = Prop.forAll(word, word, SGen.choose(1, 4)) { (a, b, d) =>
+      val want = { val l = lev(a, b); if (l <= d) l else -1 }
+      Linkage.boundedLev(a, b, d) == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+    // the empty/length-gap edges explicitly
+    assert(Linkage.boundedLev("", "", 1) == 0)
+    assert(Linkage.boundedLev("ab", "", 2) == 2)
+    assert(Linkage.boundedLev("", "ab", 2) == 2)
+    assert(Linkage.boundedLev("ab", "", 1) == -1)
+    assert(Linkage.boundedLev("aaab", "b", 3) == 3)
   }
 
   test("property: blocking completeness — selfPairs == brute force on " +
