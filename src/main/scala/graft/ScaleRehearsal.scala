@@ -104,7 +104,7 @@ object ScaleRehearsal {
     "fk_sync", "q1_agg", "q5_multijoin",
     "q_k_anon", "q_privacy_card", "q_fuzzy_join",
     "q_k_suppress", "q_k_generalize", "q_t_closeness", "q_fuzzy_serve",
-    "q_rr_release", "q_rr_estimate", "q_privacy_utility")
+    "q_rr_release", "q_rr_estimate", "q_privacy_utility", "q_mondrian")
 
   private val KnownModes = Set("distinct", "clone", "relational")
 

@@ -3624,6 +3624,23 @@ object SparkEntry {
       tNum = 1, tDen = 4)
       .orderBy("c_nationkey", "c_mktsegment")
 
+  /** Mondrian k-anonymization (LeFevre et al. 2006) of the customer QI
+    * plane (nationkey × acctbal) at k = 25: the per-leaf release
+    * summary — adaptive bounding boxes + leaf sizes. The recursion is
+    * data-dependent (not SQL-expressible), so this row is rows-only;
+    * the >= k / unsplittable / containment / determinism invariants are
+    * spec-pinned in PrivacyLinkageSpec.
+    */
+  private def qMondrian(s: SparkSession, dir: String): DataFrame =
+    Privacy.mondrian(
+      t(s, dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal"),
+      Seq("c_nationkey", "c_acctbal"), k = 25)
+      .groupBy("pid", "c_nationkey_lo", "c_nationkey_hi",
+        "c_acctbal_lo", "c_acctbal_hi")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("pid")
+
   /** What the q_k_generalize generalization COSTS, in one row: the
     * discernibility metric (Bayardo–Agrawal 2005) and normalized
     * average group size (LeFevre 2006) of the raw vs range-generalized
@@ -3843,6 +3860,7 @@ object SparkEntry {
     "q_rr_release" -> (qRrRelease _),
     "q_rr_estimate" -> (qRrEstimate _),
     "q_privacy_utility" -> (qPrivacyUtility _),
+    "q_mondrian" -> (qMondrian _),
   )
 
   // ---------------------------------------------------- oracle SQL fragments

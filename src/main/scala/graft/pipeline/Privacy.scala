@@ -92,6 +92,145 @@ object Privacy {
       concat(lit("["), lo, lit(","), (lo + width), lit(")")))
   }
 
+  /** Mondrian multidimensional k-anonymization (LeFevre, DeWitt &
+    * Ramakrishnan, ICDE 2006; strict partitioning): greedily split the
+    * table on the numeric QI dimension with the widest normalized
+    * range, at the dimension's within-partition median, as long as BOTH
+    * sides keep at least `k` rows; rows of a finished leaf are released
+    * with their leaf's bounding box `[<dim>_lo, <dim>_hi]` as the
+    * generalized QI. Unlike [[generalizeNumeric]]'s fixed widths, the
+    * boxes ADAPT to density — tight where the data is dense, wide only
+    * where it must be — which is what makes Mondrian the reference
+    * algorithm for k-anonymous microdata release.
+    *
+    * Deterministic by construction: exact interpolated medians
+    * (`percentile(dim, 0.5)`), dimensions ordered by normalized width
+    * with ties broken by declaration order, and the split test
+    * (left = value <= median) is a pure comparison — reruns, retries
+    * and repartitions reproduce the identical partition tree. Not
+    * SQL-oracle-able (the recursion is data-dependent), so its gate row
+    * is rows-only and the invariants — every leaf >= k, no leaf
+    * splittable further, rows inside their boxes, determinism — are
+    * spec-pinned instead.
+    *
+    * Scale shape: per round ONE stats aggregation over the leaf id
+    * (count / min / max / median per dimension — reducer state bounded
+    * by the leaf count) + ONE counts-below-median aggregation over the
+    * split candidates + a broadcast split-table application; lineage is
+    * truncated per round (`localCheckpoint`, the iterative-DataFrame
+    * contract — see [[Dedup.connectedComponents]]). Rounds are bounded
+    * by `maxRounds` (tree depth; leaf ids use one bit per level).
+    * `exactMedians = true` buffers each leaf's dimension values in
+    * aggregation state (the [[Percentiles]] exact-path caveat — fine to
+    * a few hundred million rows per leaf, and leaves halve every
+    * round); at 100 TB start with `exactMedians = false` (GK sketch,
+    * deterministic splits no longer guaranteed across cluster layouts)
+    * or pre-shard.
+    */
+  def mondrian(df: DataFrame, dims: Seq[String], k: Int,
+      exactMedians: Boolean = true, maxRounds: Int = 40): DataFrame = {
+    require(dims.nonEmpty, "need at least one QI dimension")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(maxRounds >= 1 && maxRounds <= 60,
+      s"maxRounds must be in [1, 60] (got $maxRounds)")
+    val spark = df.sparkSession
+    var work = df.na.drop("any", dims)
+      .withColumn("__pid", lit(0L)).localCheckpoint()
+
+    // global widths normalize the split-dimension choice (round 0 box)
+    val gAggs = dims.flatMap(d => Seq(min(col(d)).cast("double"),
+      max(col(d)).cast("double")))
+    val g = work.agg(gAggs.head, gAggs.tail: _*).head()
+    require(!g.anyNull, "mondrian: empty input (or all-null dimensions)")
+    val gw = dims.indices
+      .map(i => math.max(g.getDouble(2 * i + 1) - g.getDouble(2 * i),
+        java.lang.Double.MIN_NORMAL))
+
+    val statAggs = count(lit(1)).as("__n") +: dims.zipWithIndex.flatMap {
+      case (d, i) =>
+        val med =
+          if (exactMedians) percentile_approx(col(d), lit(0.5),
+            lit(Int.MaxValue)) // exact: accuracy >= n buffers all values
+          else percentile_approx(col(d), lit(0.5), lit(10000))
+        Seq(min(col(d)).cast("double").as(s"__mn$i"),
+          max(col(d)).cast("double").as(s"__mx$i"),
+          med.cast("double").as(s"__md$i"))
+    }
+    var finals = Set.empty[Long] // leaves proven unsplittable
+    var round = 0
+    var splitting = true
+    while (splitting && round < maxRounds) {
+      val stats = work.groupBy(col("__pid")).agg(statAggs.head,
+          statAggs.tail: _*)
+        .collect()
+        .map(r => r.getLong(0) -> r).toMap
+      // candidates: big enough AND not already proven unsplittable
+      val cand = stats.keys.toSeq.sorted
+        .filterNot(finals)
+        .filter(p => stats(p).getAs[Long]("__n") >= 2L * k)
+      stats.keys.filterNot(cand.contains).foreach(p => finals += p)
+      if (cand.isEmpty) splitting = false
+      else {
+        // counts at or below each dimension's median, per candidate
+        import spark.implicits._
+        val medTable = cand.map { p =>
+          val r = stats(p)
+          (p, dims.indices.map(i => r.getAs[Double](s"__md$i")))
+        }.toDF("__pid", "__meds")
+        val lhs = work.join(broadcast(medTable), Seq("__pid"))
+          .groupBy(col("__pid"))
+          .agg(dims.zipWithIndex.map { case (d, i) =>
+            sum(when(col(d) <= element_at(col("__meds"), i + 1), 1L)
+              .otherwise(0L)).as(s"__lc$i")
+          }.head, dims.zipWithIndex.tail.map { case (d, i) =>
+            sum(when(col(d) <= element_at(col("__meds"), i + 1), 1L)
+              .otherwise(0L)).as(s"__lc$i")
+          }: _*)
+          .collect().map(r => r.getLong(0) -> r).toMap
+        val splits = cand.flatMap { p =>
+          val st = stats(p); val lc = lhs(p)
+          val n = st.getAs[Long]("__n")
+          val byWidth = dims.indices
+            .map(i => (i, (st.getAs[Double](s"__mx$i") -
+              st.getAs[Double](s"__mn$i")) / gw(i)))
+            .sortBy { case (i, w) => (-w, i) } // widest first, stable tie
+          byWidth.collectFirst {
+            case (i, w) if w > 0 &&
+                lhs(p).getAs[Long](s"__lc$i") >= k &&
+                n - lhs(p).getAs[Long](s"__lc$i") >= k =>
+              (p, i, st.getAs[Double](s"__md$i"))
+          } match {
+            case Some(s) => Seq(s)
+            case None => finals += p; Nil
+          }
+        }
+        if (splits.isEmpty) splitting = false
+        else {
+          val splitDf = splits.toDF("__pid", "__dim", "__cut")
+          val side = dims.zipWithIndex.tail.foldLeft(
+            when(col("__dim") === 0, col(dims.head) > col("__cut"))) {
+            case (acc, (d, i)) =>
+              acc.when(col("__dim") === i, col(d) > col("__cut"))
+          }
+          work = work.join(broadcast(splitDf), Seq("__pid"), "left")
+            .withColumn("__pid", when(col("__dim").isNull, col("__pid"))
+              .otherwise(col("__pid") * 2 + side.cast("long") + 1))
+            .drop("__dim", "__cut")
+            .localCheckpoint()
+        }
+      }
+      round += 1
+    }
+    // release: each leaf's tight bounding box as the generalized QI
+    val boxAggs = dims.flatMap(d => Seq(
+      min(col(d)).cast("double").as(s"${d}_lo"),
+      max(col(d)).cast("double").as(s"${d}_hi")))
+    val boxes = work.groupBy(col("__pid"))
+      .agg(boxAggs.head, boxAggs.tail: _*)
+    work.join(broadcast(boxes), Seq("__pid"))
+      .withColumnRenamed("__pid", "pid")
+  }
+
   /** Release-utility metrics for a QI grouping — the standard measures
     * of what generalization COSTS (privacy metrics say whether a
     * release is safe; these say whether it is still useful):

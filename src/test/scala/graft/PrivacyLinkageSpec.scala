@@ -242,6 +242,64 @@ class PrivacyLinkageSpec extends SparkSpec {
     assert(r.getAs[Double]("c_avg") == 1.0)
   }
 
+  test("mondrian: every leaf >= k, rows inside boxes, deterministic, " +
+      "and no leaf still strictly splittable") {
+    val s = spark
+    import s.implicits._
+    val fix = spark.read.parquet(s"$fixtures/customer.parquet")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val dims = Seq("c_nationkey", "c_acctbal")
+    val out = Privacy.mondrian(fix, dims, k = 20)
+    val rows = out.collect()
+    assert(rows.length == fix.count(), "row-preserving")
+    // (1) every leaf >= k
+    val leaves = rows.groupBy(_.getAs[Long]("pid"))
+    assert(leaves.nonEmpty && leaves.size > 1, "should actually split")
+    leaves.foreach { case (p, rs) =>
+      assert(rs.length >= 20, s"leaf $p has ${rs.length} < k rows")
+    }
+    // (2) every row inside its leaf's released box
+    rows.foreach { r =>
+      dims.foreach { d =>
+        val v = r.getAs[Any](d) match {
+          case i: Int => i.toDouble; case l: Long => l.toDouble
+          case x: Double => x
+        }
+        assert(v >= r.getAs[Double](s"${d}_lo") &&
+          v <= r.getAs[Double](s"${d}_hi"), s"$d=$v outside box")
+      }
+    }
+    // (3) deterministic: identical partition assignment on a rerun
+    val again = Privacy.mondrian(fix, dims, k = 20)
+      .select("c_custkey", "pid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first = rows.map(r =>
+      r.getAs[Long]("c_custkey") -> r.getAs[Long]("pid")).toMap
+    assert(first == again)
+    // (4) strict Mondrian termination: no leaf has a dimension whose
+    // <=-median split would leave k on both sides (median = an actual
+    // element at the exact middle quantile, as the operator computes)
+    leaves.foreach { case (p, rs) =>
+      dims.foreach { d =>
+        val vs = rs.map(_.getAs[Any](d) match {
+          case i: Int => i.toDouble; case l: Long => l.toDouble
+          case x: Double => x
+        }).sorted
+        val med = vs((0.5 * (vs.length - 1)).toInt)
+        val lhs = vs.count(_ <= med)
+        assert(lhs < 20 || vs.length - lhs < 20,
+          s"leaf $p still splittable on $d (lhs=$lhs of ${vs.length})")
+      }
+    }
+    // (5) the adaptive boxes beat one giant group on discernibility
+    val dmOne = rows.length.toLong * rows.length
+    val dmMondrian = leaves.values.map(rs =>
+      rs.length.toLong * rs.length).sum
+    // 150 fixture rows at k = 20 cap the leaf count at 7, so the best
+    // possible dm is ~n²/7; demand at least a 4× cut
+    assert(dmMondrian < dmOne / 4, s"dm $dmMondrian vs $dmOne")
+  }
+
   test("randomizedResponse: deterministic, domain-valued, p=1 identity") {
     val s = spark
     import s.implicits._
