@@ -84,7 +84,10 @@ object ScaleRehearsal {
     // hybrid row adds the brute-force cosine side + rank fusion
     "q_bm25_topk", "q_bm25_batch", "q_hybrid_rrf", "q_bm25_index",
     "q_bm25_append", "q_bm25_compact", "q_bm25_index_batch",
-    "q_hybrid_index")
+    "q_hybrid_index",
+    // embedding second-moment stats (partition-local Gram folds) and
+    // the PCA fit+project on top of them
+    "q_embed_cov", "q_pca")
 
   /** The reference masking core + relational leaders, rehearsed over an
     * FK-CONSISTENT inflation: facts (lineitem/orders/customer) grow N×

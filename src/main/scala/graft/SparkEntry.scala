@@ -3624,6 +3624,31 @@ object SparkEntry {
       tNum = 1, tDen = 4)
       .orderBy("c_nationkey", "c_mktsegment")
 
+  /** Exact integer second-moment statistics of the embedding matrix —
+    * the input to PCA/whitening: every element quantized once as
+    * floor(x·2^20) (a power-of-two multiply is IEEE-exact, so the
+    * integers are a pure function of the stored float bits) and every
+    * statistic an order-independent decimal-integer sum DuckDB replays
+    * verbatim.
+    */
+  private def qEmbedCov(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Embed.gramStats(
+      s.read.parquet(s"$dir/embeddings.parquet"), "embedding")
+      .orderBy("i", "j")
+
+  /** PCA projection of the embeddings onto the top-8 basis fitted from
+    * the exact quantized covariance (driver-side Jacobi eigensolve —
+    * data-dependent, not SQL-expressible, so rows-only; EmbedSpec pins
+    * orthonormality, variance recovery, whitening and determinism).
+    */
+  private def qPca(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val model = graft.pipeline.Embed.fitPca(emb, "embedding", 8)
+    graft.pipeline.Embed.project(emb, "embedding", model)
+      .select(col("vec_id"), col("pca"))
+      .orderBy("vec_id")
+  }
+
   /** Mondrian k-anonymization (LeFevre et al. 2006) of the customer QI
     * plane (nationkey × acctbal) at k = 25: the per-leaf release
     * summary — adaptive bounding boxes + leaf sizes. The recursion is
@@ -3861,6 +3886,8 @@ object SparkEntry {
     "q_rr_estimate" -> (qRrEstimate _),
     "q_privacy_utility" -> (qPrivacyUtility _),
     "q_mondrian" -> (qMondrian _),
+    "q_embed_cov" -> (qEmbedCov _),
+    "q_pca" -> (qPca _),
   )
 
   // ---------------------------------------------------- oracle SQL fragments
@@ -7604,5 +7631,29 @@ object SparkEntry {
          |g.dm AS dm_generalized,
          |CAST(g.n_rows AS DOUBLE) / g.ng / 10.0 AS cavg_generalized
          |FROM r, g""".stripMargin,
+    "q_embed_cov" ->
+      // floor(x * 2^20): the power-of-two multiply is IEEE-exact, so
+      // the quantized integers (and every sum of them) are identical
+      // in both engines
+      s"""WITH dims AS (SELECT DISTINCT
+         |    unnest(generate_series(1, len(embedding))) AS i
+         |  FROM embeddings),
+         |q AS (SELECT e.vec_id, d.i,
+         |    CAST(FLOOR(CAST(e.embedding[d.i] AS DOUBLE) * 1048576.0)
+         |      AS BIGINT) AS x
+         |  FROM embeddings e CROSS JOIN dims d),
+         |s AS (SELECT i, CAST(SUM(x) AS DECIMAL(38,0)) AS s
+         |  FROM q GROUP BY 1),
+         |m AS (SELECT a.i AS i, b.i AS j,
+         |    CAST(SUM(CAST(a.x AS DECIMAL(38,0)) * b.x)
+         |      AS DECIMAL(38,0)) AS m,
+         |    COUNT(*) AS n
+         |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |  GROUP BY 1, 2)
+         |SELECT CAST(m.i - 1 AS INTEGER) AS i,
+         |CAST(m.j - 1 AS INTEGER) AS j, m.n,
+         |si.s AS s_i, sj.s AS s_j, m.m
+         |FROM m JOIN s si ON si.i = m.i JOIN s sj ON sj.i = m.j
+         |ORDER BY i, j""".stripMargin,
   )
 }

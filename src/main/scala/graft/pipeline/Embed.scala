@@ -1,0 +1,269 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Embedding-matrix statistics and PCA/whitening — the standard
+  * preprocessing in front of embedding dedup and ANN (SemDeDup — Abbas
+  * et al. 2023 — clusters normalized embeddings; whitening decorrelates
+  * dimensions so cosine thresholds mean the same thing in every
+  * direction).
+  *
+  * Exactness contract (what makes the Gram gate oracle-able): every
+  * element is quantized ONCE as `floor(x · 2^20)` — a power-of-two
+  * multiply is EXACT in IEEE doubles, so the quantized value is a pure
+  * function of the stored float bits and any engine reproduces it —
+  * and every downstream statistic is an INTEGER sum of those integers
+  * (decimal-38 aggregation, order-independent, overflow-free). The
+  * covariance the eigensolver sees is the exact rational
+  * (n·m_ij − s_i·s_j)/(n²·Q²) of those integers: deterministic across
+  * runs, clusters and engines; the quantization error it carries is
+  * ≤ ~2⁻²⁰ per element — noise far below any embedding model's own.
+  *
+  * Scale shape: [[gramStats]] folds a per-task d(d+1)/2 Long Gram
+  * accumulator over each partition (`mapPartitions`, flushed every 2¹⁸
+  * rows so partials stay far from Long overflow) and shuffles ONE
+  * partial matrix per flush — O(partitions · d²) rows through the final
+  * aggregate, never O(rows · d²). PCA itself is a driver-side d×d
+  * Jacobi eigensolve (d ≤ ~4k is trivial); projection is a narrow
+  * closure UDF (a model-sized literal expression would de-JIT the fused
+  * stage).
+  */
+object Embed {
+
+  /** Quantization scale: 2^20 (exact power-of-two multiply). */
+  val Q: Double = 1048576.0
+
+  private val FlushEvery = 1 << 18
+
+  /** Integer second-moment statistics of the quantized embedding
+    * matrix: one row per dimension pair `(i, j)`, `0 ≤ i ≤ j < d`, with
+    * `n` (rows), `s_i`, `s_j` (quantized column sums) and `m`
+    * (Σ x_qi·x_qj) — everything an exact consumer needs for the mean,
+    * Gram or covariance matrix. All decimals are exact integer sums.
+    */
+  def gramStats(df: DataFrame, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // (i, j, partial): j >= 0 pair product sums; (i, -1) column sums;
+    // (-1, -1) row count — one tuple stream, chunk-flushed
+    val partials = df.select(col(vecCol)).as[Seq[Float]]
+      .mapPartitions { it =>
+        var d = -1
+        var sums: Array[Long] = null
+        var prods: Array[Long] = null
+        var cnt = 0L
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Int, Long)]
+        def flush(): Unit = if (d >= 0 && cnt > 0) {
+          var i = 0
+          var p = 0
+          while (i < d) {
+            out += ((i, -1, sums(i)))
+            var j = i
+            while (j < d) {
+              out += ((i, j, prods(p)))
+              p += 1; j += 1
+            }
+            i += 1
+          }
+          out += ((-1, -1, cnt))
+          java.util.Arrays.fill(sums, 0L)
+          java.util.Arrays.fill(prods, 0L)
+          cnt = 0L
+        }
+        val x = new Array[Long](0)
+        var xq: Array[Long] = x
+        it.foreach { v =>
+          if (d < 0) {
+            d = v.length
+            sums = new Array[Long](d)
+            prods = new Array[Long](d * (d + 1) / 2)
+            xq = new Array[Long](d)
+          }
+          require(v.length == d,
+            s"gramStats: ragged embedding (${v.length} vs $d)")
+          var i = 0
+          while (i < d) {
+            xq(i) = math.floor(v(i).toDouble * Q).toLong
+            sums(i) += xq(i)
+            i += 1
+          }
+          var p = 0
+          i = 0
+          while (i < d) {
+            var j = i
+            val xi = xq(i)
+            while (j < d) { prods(p) += xi * xq(j); p += 1; j += 1 }
+            i += 1
+          }
+          cnt += 1
+          if (cnt == FlushEvery) flush()
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("i", "j", "v")
+    val agg = partials.groupBy(col("i"), col("j"))
+      .agg(sum(col("v").cast(DecimalType(38, 0))).as("v"))
+    val n = agg.filter(col("i") === -1 && col("j") === -1)
+      .select(col("v").cast("long").as("n"))
+    val colSums = agg.filter(col("i") >= 0 && col("j") === -1)
+      .select(col("i").as("__d"), col("v").as("__s"))
+    agg.filter(col("j") >= 0)
+      .select(col("i"), col("j"), col("v").as("m"))
+      .join(broadcast(colSums.withColumnRenamed("__d", "i")
+        .withColumnRenamed("__s", "s_i")), Seq("i"))
+      .join(broadcast(colSums.withColumnRenamed("__d", "j")
+        .withColumnRenamed("__s", "s_j")), Seq("j"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"), col("n"), col("s_i"), col("s_j"),
+        col("m"))
+  }
+
+  /** A fitted PCA basis: per-dimension means (of the quantized values,
+    * divided back by Q), components as rows (each length d, unit norm,
+    * eigenvalue-descending), and the eigenvalues (covariance variances
+    * along each component).
+    */
+  final case class PcaModel(mean: Array[Double],
+      components: Array[Array[Double]], eigenvalues: Array[Double]) {
+    def k: Int = components.length
+    def d: Int = mean.length
+  }
+
+  /** Fit a PCA basis from [[gramStats]]: exact integer stats → the
+    * quantized covariance → cyclic Jacobi eigensolve on the driver
+    * (deterministic: fixed sweep order, eigenvalue-descending with
+    * index tie-break, sign fixed so each component's
+    * largest-magnitude coordinate is positive).
+    */
+  def fitPca(df: DataFrame, vecCol: String, k: Int): PcaModel = {
+    val rows = gramStats(df, vecCol).collect()
+    require(rows.nonEmpty, "fitPca: empty input")
+    val n = rows.head.getAs[Long]("n")
+    require(n >= 2, s"fitPca: need at least 2 rows (got $n)")
+    val d = rows.map(_.getAs[Int]("j")).max + 1
+    require(k >= 1 && k <= d, s"fitPca: k must be in [1, $d] (got $k)")
+    val s = new Array[BigDecimal](d)
+    val cov = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      s(r.getAs[Int]("i")) = BigDecimal(r.getAs[java.math.BigDecimal]("s_i"))
+    }
+    val nB = BigDecimal(n)
+    val den = (nB * nB * BigDecimal(Q) * BigDecimal(Q)).toDouble
+    rows.foreach { r =>
+      val i = r.getAs[Int]("i"); val j = r.getAs[Int]("j")
+      val m = BigDecimal(r.getAs[java.math.BigDecimal]("m"))
+      val c = ((nB * m - s(i) * s(j)).toDouble) / den
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (vals, vecs) = jacobiEigen(cov)
+    val order = vals.indices.sortBy(i => (-vals(i), i)).take(k)
+    val comps = order.map { c =>
+      val v = Array.tabulate(d)(r => vecs(r)(c))
+      // deterministic sign: largest-|coordinate| made positive
+      val mx = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(mx) < 0) v.map(-_) else v
+    }.toArray
+    PcaModel(s.map(x => x.toDouble / (n * Q)), comps,
+      order.map(vals).toArray)
+  }
+
+  /** Project embeddings onto a fitted basis: center, dot with each
+    * component, optionally divide by √eigenvalue (whitening — unit
+    * variance along every kept direction). Narrow closure UDF.
+    */
+  def project(df: DataFrame, vecCol: String, model: PcaModel,
+      outCol: String = "pca", whiten: Boolean = false): DataFrame = {
+    val mean = model.mean
+    val comps = model.components
+    val scale =
+      if (whiten) model.eigenvalues.map(e => 1.0 / math.sqrt(math.max(e,
+        java.lang.Double.MIN_NORMAL)))
+      else Array.fill(comps.length)(1.0)
+    val u = udf((v: Seq[Float]) => {
+      val a = new Array[Double](comps.length)
+      var c = 0
+      while (c < comps.length) {
+        var acc = 0.0
+        var i = 0
+        val w = comps(c)
+        while (i < w.length) { acc += (v(i) - mean(i)) * w(i); i += 1 }
+        a(c) = acc * scale(c)
+        c += 1
+      }
+      a.toSeq
+    })
+    df.withColumn(outCol, u(col(vecCol)))
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix: returns
+    * (eigenvalues, eigenvector columns). Deterministic: fixed (p, q)
+    * sweep order, fixed convergence threshold, bounded sweeps.
+    */
+  private[graft] def jacobiEigen(aIn: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = aIn.length
+    val a = aIn.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    while (off > 1e-12 && sweep < 100) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                case 0.0 => 1.0 // theta == 0 -> 45° rotation
+                case x => x
+              }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    s
+  }
+}

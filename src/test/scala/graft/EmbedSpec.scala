@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Embed
+
+/** Behavior checks for the embedding Gram statistics and the
+  * driver-side PCA/whitening beyond the q_embed_cov oracle: exact
+  * quantized sums on a hand fixture, eigensolver correctness and
+  * determinism, basis orthonormality, variance recovery and whitening.
+  */
+class EmbedSpec extends SparkSpec {
+
+  test("gramStats: exact quantized sums on a hand fixture") {
+    val s = spark
+    import s.implicits._
+    // quantized at 2^20: 0.5 -> 524288, -0.25 -> -262144, 1.0 -> 2^20
+    val df = Seq(Seq(0.5f, -0.25f), Seq(1.0f, 0.5f))
+      .toDF("embedding")
+    // read by NAME — the join chain reorders the key columns
+    val byName = Embed.gramStats(df, "embedding").collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) -> r).toMap
+    val q = 1048576L
+    val x = Array(Array(q / 2, -q / 4), Array(q, q / 2))
+    def m(i: Int, j: Int) = BigDecimal(x(0)(i)) * x(0)(j) +
+      BigDecimal(x(1)(i)) * x(1)(j)
+    Seq((0, 0), (0, 1), (1, 1)).foreach { case (i, j) =>
+      val r = byName((i, j))
+      assert(r.getAs[Long]("n") == 2L)
+      assert(BigDecimal(r.getAs[java.math.BigDecimal]("m")) == m(i, j),
+        s"m($i,$j)")
+      assert(BigDecimal(r.getAs[java.math.BigDecimal]("s_i")) ==
+        BigDecimal(x(0)(i)) + x(1)(i))
+    }
+    assert(byName.size == 3)
+  }
+
+  test("jacobiEigen: known spectrum, orthonormal, deterministic") {
+    val a = Array(Array(2.0, 1.0), Array(1.0, 2.0))
+    val (vals, vecs) = Embed.jacobiEigen(a)
+    assert(vals.sorted.zip(Seq(1.0, 3.0)).forall {
+      case (g, w) => math.abs(g - w) < 1e-12 })
+    // columns orthonormal
+    val dot = (0 until 2).map(i =>
+      vecs(i)(0) * vecs(i)(1)).sum
+    assert(math.abs(dot) < 1e-12)
+    // A v = lambda v for each column
+    for (c <- 0 until 2) {
+      for (r <- 0 until 2) {
+        val av = (0 until 2).map(k => a(r)(k) * vecs(k)(c)).sum
+        assert(math.abs(av - vals(c) * vecs(r)(c)) < 1e-10)
+      }
+    }
+    val (vals2, vecs2) = Embed.jacobiEigen(a)
+    assert(vals.sameElements(vals2) &&
+      vecs.flatMap(_.toSeq).sameElements(vecs2.flatMap(_.toSeq)), "deterministic")
+  }
+
+  test("fitPca finds the correlated direction; projection variance " +
+      "matches eigenvalues; whitening normalizes") {
+    val s = spark
+    import s.implicits._
+    // strongly correlated 2-d cloud along (1, 1): deterministic points
+    val pts = (0 until 400).map { i =>
+      val t = (i % 100) / 50.0 - 1.0           // main direction
+      val w = ((i * 7919) % 11 - 5) / 100.0    // small orthogonal noise
+      Seq((t + w).toFloat, (t - w).toFloat)
+    }
+    val df = pts.toDF("embedding")
+    val model = Embed.fitPca(df, "embedding", 2)
+    assert(model.eigenvalues(0) > 10 * model.eigenvalues(1),
+      model.eigenvalues.mkString(","))
+    // first component ~ (1,1)/sqrt(2), sign-fixed positive
+    val c0 = model.components(0)
+    assert(math.abs(math.abs(c0(0)) - math.sqrt(0.5)) < 0.05 &&
+      c0(0) > 0 && c0(1) > 0, c0.mkString(","))
+    // population variance of each projected coordinate == eigenvalue
+    val proj = Embed.project(df, "embedding", model).collect()
+      .map(_.getSeq[Double](1))
+    def variance(xs: Seq[Double]): Double = {
+      val mu = xs.sum / xs.length
+      xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+    }
+    for (c <- 0 until 2) {
+      val v = variance(proj.map(_(c)).toSeq)
+      assert(math.abs(v - model.eigenvalues(c)) <
+        1e-6 + 0.01 * model.eigenvalues(c), s"component $c: $v")
+    }
+    // whitening: every kept direction has ~unit variance
+    val white = Embed.project(df, "embedding", model, whiten = true)
+      .collect().map(_.getSeq[Double](1))
+    for (c <- 0 until 2) {
+      val v = variance(white.map(_(c)).toSeq)
+      assert(math.abs(v - 1.0) < 0.05, s"whitened component $c: $v")
+    }
+    // determinism across refits
+    val model2 = Embed.fitPca(df, "embedding", 2)
+    assert(model.components.flatMap(_.toSeq)
+      .sameElements(model2.components.flatMap(_.toSeq)))
+  }
+
+  test("fitPca on the embeddings fixture: orthonormal basis, " +
+      "descending eigenvalues") {
+    val df = spark.read.parquet(s"$fixtures/embeddings.parquet")
+    val model = Embed.fitPca(df, "embedding", 8)
+    assert(model.d == 64 && model.k == 8)
+    assert(model.eigenvalues.sliding(2).forall(p => p(0) >= p(1)),
+      "eigenvalues must be descending")
+    for (a <- 0 until 8; b <- a until 8) {
+      val dot = (0 until 64)
+        .map(i => model.components(a)(i) * model.components(b)(i)).sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"<$a,$b> = $dot")
+    }
+  }
+}
