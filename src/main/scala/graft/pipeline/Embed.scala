@@ -122,6 +122,22 @@ object Embed {
         col("m"))
   }
 
+  /** Merge two [[gramStats]] frames — the statistics are pure integer
+    * sums, so incremental maintenance is EXACT addition: keep the
+    * corpus stats landed, fold each ingest batch's stats in, refit PCA
+    * from the merged frame without rescanning the corpus (the same
+    * append-don't-rebuild contract the IVF/BM25 index families have).
+    */
+  def mergeGramStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("n")).as("n"), sum(col("s_i")).as("s_i"),
+        sum(col("s_j")).as("s_j"), sum(col("m")).as("m"))
+      .select(col("i"), col("j"), col("n").cast("long").as("n"),
+        col("s_i").cast(DecimalType(38, 0)).as("s_i"),
+        col("s_j").cast(DecimalType(38, 0)).as("s_j"),
+        col("m").cast(DecimalType(38, 0)).as("m"))
+
   /** A fitted PCA basis: per-dimension means (of the quantized values,
     * divided back by Q), components as rows (each length d, unit norm,
     * eigenvalue-descending), and the eigenvalues (covariance variances

@@ -99,6 +99,24 @@ class EmbedSpec extends SparkSpec {
       .sameElements(model2.components.flatMap(_.toSeq)))
   }
 
+  test("mergeGramStats: incremental stats equal the full-corpus stats " +
+      "exactly") {
+    val df = spark.read.parquet(s"$fixtures/embeddings.parquet")
+    val a = df.filter(col("vec_id") % 2 === 0)
+    val b = df.filter(col("vec_id") % 2 =!= 0)
+    def key(x: org.apache.spark.sql.DataFrame) = x.collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+        ((r.getAs[Long]("n"),
+          BigDecimal(r.getAs[java.math.BigDecimal]("s_i")),
+          BigDecimal(r.getAs[java.math.BigDecimal]("s_j")),
+          BigDecimal(r.getAs[java.math.BigDecimal]("m")))))
+      .toMap
+    val merged = key(Embed.mergeGramStats(
+      Embed.gramStats(a, "embedding"), Embed.gramStats(b, "embedding")))
+    val full = key(Embed.gramStats(df, "embedding"))
+    assert(merged == full, "integer sums must merge exactly")
+  }
+
   test("fitPca on the embeddings fixture: orthonormal basis, " +
       "descending eigenvalues") {
     val df = spark.read.parquet(s"$fixtures/embeddings.parquet")
