@@ -861,6 +861,22 @@ object StreamMask {
       .start()
   }
 
+  /** Streaming PCA projection — the serving twin of
+    * [[graft.pipeline.Embed.project]]: each arriving embedding is
+    * centered and projected (optionally whitened) under a FROZEN
+    * [[graft.pipeline.Embed.PcaModel]] fitted offline from the exact
+    * integer Gram stats — the same frozen-model-rides-the-stream
+    * contract as `mixServeStream`'s rate plan and `curateStream`'s LM.
+    * Purely narrow and stateless (the model is a closure over driver
+    * arrays — a model-sized literal expression would de-JIT the fused
+    * stage), so any trigger/output mode works and stream == batch by
+    * construction (one definition; spec-pinned).
+    */
+  def pcaStream(vectors: DataFrame, vecCol: String,
+      model: graft.pipeline.Embed.PcaModel, outCol: String = "pca",
+      whiten: Boolean = false): DataFrame =
+    graft.pipeline.Embed.project(vectors, vecCol, model, outCol, whiten)
+
   /** Streaming fuzzy-key lookup — the serving twin of
     * [[graft.pipeline.Linkage.linkQueries]]: a stream of (`qIdCol`,
     * `qCol`) dirty keys is matched per micro-batch against a STATIC

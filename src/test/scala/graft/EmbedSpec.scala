@@ -99,6 +99,48 @@ class EmbedSpec extends SparkSpec {
       .sameElements(model2.components.flatMap(_.toSeq)))
   }
 
+  test("pcaStream: streamed projections equal the batch operator") {
+    import graft.streaming.StreamMask
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_pca_stream").toString
+    val emb = spark.read.parquet(s"$fixtures/embeddings.parquet")
+    val model = Embed.fitPca(emb, "embedding", 4)
+    emb.write.parquet(s"$base/in")
+    val schema = emb.schema
+    val stream = spark.readStream.schema(schema).parquet(s"$base/in")
+    val q = StreamMask.pcaStream(stream, "embedding", model,
+        whiten = true)
+      .select("vec_id", "pca")
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val streamed = key(spark.read.parquet(s"$base/out"))
+    val batch = key(Embed.project(emb, "embedding", model,
+      whiten = true).select("vec_id", "pca"))
+    assert(streamed.nonEmpty && streamed == batch,
+      "streamed PCA projections diverged from the batch operator")
+  }
+
+  test("whitened embeddings compose with SemDeDup end-to-end") {
+    import graft.pipeline.Dedup
+    val emb = spark.read.parquet(s"$fixtures/embeddings.parquet")
+    val model = Embed.fitPca(emb, "embedding", 8)
+    val white = Embed.project(emb, "embedding", model, outCol = "w",
+        whiten = true)
+      .select(col("vec_id"), col("w").cast("array<float>").as("w"))
+    val kept = Dedup.semDeDup(white, "vec_id", "w",
+      threshold = 0.999, nCells = 4)
+    val n = kept.count()
+    assert(n > 0 && n <= emb.count(),
+      s"whitened SemDeDup should keep a sane survivor set (got $n)")
+    assert(kept.columns.contains("vec_id"))
+  }
+
   test("mergeGramStats: incremental stats equal the full-corpus stats " +
       "exactly") {
     val df = spark.read.parquet(s"$fixtures/embeddings.parquet")
