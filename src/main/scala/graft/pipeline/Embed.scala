@@ -129,7 +129,16 @@ object Embed {
     * append-don't-rebuild contract the IVF/BM25 index families have).
     */
   def mergeGramStats(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b)
+    foldGramStats(a.unionByName(b))
+
+  /** Fold any number of [[gramStats]] partials (e.g. the exactly-once
+    * landed per-micro-batch stats of a streaming ingest — extra columns
+    * like the sink's `__batch_id` are ignored) back into one exact
+    * stats frame: the statistics are integer sums, so the fold is
+    * bit-exact regardless of how the corpus was sliced.
+    */
+  def foldGramStats(parts: DataFrame): DataFrame =
+    parts
       .groupBy(col("i"), col("j"))
       .agg(sum(col("n")).as("n"), sum(col("s_i")).as("s_i"),
         sum(col("s_j")).as("s_j"), sum(col("m")).as("m"))

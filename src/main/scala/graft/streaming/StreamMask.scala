@@ -877,6 +877,31 @@ object StreamMask {
       whiten: Boolean = false): DataFrame =
     graft.pipeline.Embed.project(vectors, vecCol, model, outCol, whiten)
 
+  /** Streaming embedding-statistics maintenance — the ingest twin of
+    * [[graft.pipeline.Embed.gramStats]]: each micro-batch's exact
+    * integer Gram statistics land exactly-once (gaining the sink's
+    * `__batch_id`), and because the statistics are pure integer sums,
+    * [[graft.pipeline.Embed.foldGramStats]] over the landed frame
+    * equals the full-corpus statistics bit-for-bit (spec-pinned) —
+    * PCA refits from a fold of tiny per-batch matrices instead of a
+    * corpus rescan, the append-don't-rebuild contract again. Stateless
+    * per micro-batch; per-trigger output is one d(d+1)/2-row matrix.
+    */
+  def gramStatsStream(vectors: DataFrame, vecCol: String,
+      outPath: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ExactlyOnceSink.writeBatch(outPath)(
+          graft.pipeline.Embed.gramStats(batch, vecCol), batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** Streaming fuzzy-key lookup — the serving twin of
     * [[graft.pipeline.Linkage.linkQueries]]: a stream of (`qIdCol`,
     * `qCol`) dirty keys is matched per micro-batch against a STATIC

@@ -126,6 +126,36 @@ class EmbedSpec extends SparkSpec {
       "streamed PCA projections diverged from the batch operator")
   }
 
+  test("gramStatsStream: folded landed per-batch stats equal the " +
+      "full-corpus stats bit-for-bit") {
+    import graft.streaming.{ExactlyOnceSink, StreamMask}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_gram_stream").toString
+    val emb = spark.read.parquet(s"$fixtures/embeddings.parquet")
+    // two files -> two micro-batches
+    emb.filter(col("vec_id") % 2 === 0).write.parquet(s"$base/in/f0")
+    emb.filter(col("vec_id") % 2 =!= 0).write.parquet(s"$base/in/f1")
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(s"$base/in")
+    val q = StreamMask.gramStatsStream(stream, "embedding",
+      s"$base/out", s"$base/ckpt")
+    q.awaitTermination(120000)
+    val landed = spark.read.parquet(s"$base/out")
+    assert(landed.select(ExactlyOnceSink.BatchIdCol).distinct().count()
+      > 1, "expected more than one landed micro-batch")
+    def key(x: org.apache.spark.sql.DataFrame) = x.collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+        ((r.getAs[Long]("n"),
+          BigDecimal(r.getAs[java.math.BigDecimal]("s_i")),
+          BigDecimal(r.getAs[java.math.BigDecimal]("s_j")),
+          BigDecimal(r.getAs[java.math.BigDecimal]("m")))))
+      .toMap
+    assert(key(Embed.foldGramStats(landed)) ==
+      key(Embed.gramStats(emb, "embedding")),
+      "folded streaming stats diverged from the full-corpus stats")
+  }
+
   test("whitened embeddings compose with SemDeDup end-to-end") {
     import graft.pipeline.Dedup
     val emb = spark.read.parquet(s"$fixtures/embeddings.parquet")
