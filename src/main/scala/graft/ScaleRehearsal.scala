@@ -107,7 +107,8 @@ object ScaleRehearsal {
     "fk_sync", "q1_agg", "q5_multijoin",
     "q_k_anon", "q_privacy_card", "q_fuzzy_join",
     "q_k_suppress", "q_k_generalize", "q_t_closeness", "q_fuzzy_serve",
-    "q_rr_release", "q_rr_estimate", "q_privacy_utility", "q_mondrian")
+    "q_rr_release", "q_rr_estimate", "q_privacy_utility", "q_mondrian",
+    "q_fuzzy_join2", "q_fuzzy_two")
 
   private val KnownModes = Set("distinct", "clone", "relational")
 

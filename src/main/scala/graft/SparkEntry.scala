@@ -3565,6 +3565,27 @@ object SparkEntry {
     Linkage.selfPairs(t(s, dir, "customer"), "c_name", maxDist = 1)
       .orderBy("name_a", "name_b")
 
+  /** The depth-2 neighborhood path (deletion recursion at maxDist = 2)
+    * against real data: the completeness property is spec-tested on
+    * random corpora, this gates it against the brute-force O(n²)
+    * Levenshtein-<=2 oracle at fixture scale.
+    */
+  private def qFuzzyJoin2(s: SparkSession, dir: String): DataFrame =
+    Linkage.selfPairs(t(s, dir, "customer"), "c_name", maxDist = 2)
+      .orderBy("name_a", "name_b")
+
+  /** Two-source linkage (the distinct-value-pairs shape): odd-custkey
+    * names fuzzy-joined against even-custkey names at Levenshtein <= 1
+    * — the cross-dataset linkage attack, brute-force oracled.
+    */
+  private def qFuzzyTwo(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    Linkage.fuzzyJoin(
+      cust.filter(col("c_custkey") % 2 === 1), "c_name",
+      cust.filter(col("c_custkey") % 2 === 0), "c_name", maxDist = 1)
+      .orderBy("left_value", "right_value")
+  }
+
   /** Id-keyed fuzzy-key lookup — the serving form of the linkage
     * operator: every 100th customer's name probed against the full
     * name reference at Levenshtein <= 1, keeping the probing custkey.
@@ -3888,6 +3909,8 @@ object SparkEntry {
     "q_mondrian" -> (qMondrian _),
     "q_embed_cov" -> (qEmbedCov _),
     "q_pca" -> (qPca _),
+    "q_fuzzy_join2" -> (qFuzzyJoin2 _),
+    "q_fuzzy_two" -> (qFuzzyTwo _),
   )
 
   // ---------------------------------------------------- oracle SQL fragments
@@ -7558,6 +7581,19 @@ object SparkEntry {
          |emd_num * 4 > (SELECT n_total FROM tot) * n_g
          |  * ((SELECT m_bins FROM tot) - 1) AS t_at_risk
          |FROM emd ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "q_fuzzy_join2" ->
+      s"""SELECT a.c_name AS name_a, b.c_name AS name_b,
+         |CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+         |FROM customer a JOIN customer b ON a.c_name < b.c_name
+         |WHERE levenshtein(a.c_name, b.c_name) <= 2
+         |ORDER BY name_a, name_b""".stripMargin,
+    "q_fuzzy_two" ->
+      s"""SELECT DISTINCT a.c_name AS left_value, b.c_name AS right_value,
+         |CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+         |FROM customer a JOIN customer b
+         |  ON levenshtein(a.c_name, b.c_name) <= 1
+         |WHERE a.c_custkey % 2 = 1 AND b.c_custkey % 2 = 0
+         |ORDER BY left_value, right_value""".stripMargin,
     "q_fuzzy_serve" ->
       s"""SELECT q.c_custkey AS q_id, q.c_name AS query_value,
          |r.c_name AS ref_value,
