@@ -3653,8 +3653,17 @@ object SparkEntry {
     * verbatim.
     */
   private def qEmbedCov(s: SparkSession, dir: String): DataFrame =
+    // gate row casts the decimal-38 stats to BIGINT: exact at any gate
+    // SF (|m| < 2^63 until ~10^18 quantized-unit products) and, unlike
+    // decimals, read back identically by every parquet reader — pandas
+    // renders decimal(38,0) as java-Decimal objects while DuckDB's
+    // oracle side renders float64, which hash-compares unequal.
     graft.pipeline.Embed.gramStats(
       s.read.parquet(s"$dir/embeddings.parquet"), "embedding")
+      .select(col("i"), col("j"), col("n"),
+        col("s_i").cast("long").as("s_i"),
+        col("s_j").cast("long").as("s_j"),
+        col("m").cast("long").as("m"))
       .orderBy("i", "j")
 
   /** PCA projection of the embeddings onto the top-8 basis fitted from
@@ -3665,17 +3674,21 @@ object SparkEntry {
   private def qPca(s: SparkSession, dir: String): DataFrame = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
     val model = graft.pipeline.Embed.fitPca(emb, "embedding", 8)
+    // scalar-exploded (vec_id, k, v): the driver's compare sorts rows
+    // by every column, which an array column cannot survive
     graft.pipeline.Embed.project(emb, "embedding", model)
-      .select(col("vec_id"), col("pca"))
-      .orderBy("vec_id")
+      .select(col("vec_id"), posexplode(col("pca")).as(Seq("k", "v")))
+      .orderBy("vec_id", "k")
   }
 
   /** Mondrian k-anonymization (LeFevre et al. 2006) of the customer QI
     * plane (nationkey × acctbal) at k = 25: the per-leaf release
     * summary — adaptive bounding boxes + leaf sizes. The recursion is
-    * data-dependent (not SQL-expressible), so this row is rows-only;
-    * the >= k / unsplittable / containment / determinism invariants are
-    * spec-pinned in PrivacyLinkageSpec.
+    * data-dependent but DETERMINISTIC (exact lower medians, globally
+    * normalized widest-dimension-first with index tie-break), so the
+    * oracle replays it verbatim as a DuckDB recursive CTE; the >= k /
+    * unsplittable / containment / determinism invariants are
+    * additionally spec-pinned in PrivacyLinkageSpec.
     */
   private def qMondrian(s: SparkSession, dir: String): DataFrame =
     Privacy.mondrian(
@@ -3724,12 +3737,17 @@ object SparkEntry {
     * every arithmetic step replayed exactly by the oracle.
     */
   private def qRrEstimate(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
     val released = Privacy.randomizedResponse(
-      t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
-      "c_mktsegment", "c_custkey", pNum = 3, pDen = 4, seed = "rr17")
+      cust, "c_mktsegment", "c_custkey", pNum = 3, pDen = 4,
+      seed = "rr17")
     val truth = t(s, dir, "customer")
       .groupBy("c_mktsegment").agg(count(lit(1)).as("n_true"))
-    Privacy.rrEstimate(released, "c_mktsegment", pNum = 3, pDen = 4)
+    // |D| is the INPUT column's domain — the mechanism's own parameter,
+    // not the released-distinct approximation
+    val dSize = cust.select("c_mktsegment").distinct().count()
+    Privacy.rrEstimate(released, "c_mktsegment", pNum = 3, pDen = 4,
+        domainSize = Some(dSize))
       .join(truth, Seq("c_mktsegment"), "left")
       .orderBy("c_mktsegment")
   }
@@ -7640,7 +7658,7 @@ object SparkEntry {
          |      ELSE d.dval END AS c_mktsegment
          |  FROM sel s JOIN dom d ON d.idx = s.idx),
          |tot AS (SELECT COUNT(*) AS n,
-         |    COUNT(DISTINCT c_mktsegment) AS d FROM rel),
+         |    (SELECT COUNT(*) FROM dom) AS d FROM rel),
          |obs AS (SELECT c_mktsegment, COUNT(*) AS n_obs FROM rel
          |  GROUP BY 1),
          |tru AS (SELECT c_mktsegment, COUNT(*) AS n_true FROM customer
@@ -7667,6 +7685,76 @@ object SparkEntry {
          |g.dm AS dm_generalized,
          |CAST(g.n_rows AS DOUBLE) / g.ng / 10.0 AS cavg_generalized
          |FROM r, g""".stripMargin,
+    "q_mondrian" ->
+      // DuckDB replays the WHOLE Mondrian recursion (LeFevre 2006) in
+      // one recursive CTE: every round computes each live partition's
+      // box, lower medians (quantile_disc == Spark's exact
+      // percentile_approx: the rank-ceil(n/2) element, verified on
+      // n ∈ {1,2,3,4,5,6,7} with ties) and at-or-below-median counts
+      // via window aggregates, picks the widest (globally normalized,
+      // index tie-break) dimension whose cut leaves >= k on both
+      // sides, and reassigns pid*2+side+1 — finalized rows leave the
+      // recursion, so it terminates exactly when Spark's loop does.
+      // All compares are on identical IEEE doubles; 2.225e-308 is
+      // Double.MIN_NORMAL, Spark's zero-width guard.
+      s"""WITH RECURSIVE
+         |base AS (
+         |  SELECT c_custkey, CAST(c_nationkey AS DOUBLE) AS nk,
+         |         CAST(c_acctbal AS DOUBLE) AS ab
+         |  FROM customer
+         |  WHERE c_nationkey IS NOT NULL AND c_acctbal IS NOT NULL),
+         |gw AS (
+         |  SELECT GREATEST(MAX(nk) - MIN(nk),
+         |           2.2250738585072014e-308) AS g0,
+         |         GREATEST(MAX(ab) - MIN(ab),
+         |           2.2250738585072014e-308) AS g1
+         |  FROM base),
+         |t AS (
+         |  SELECT c_custkey, nk, ab, CAST(0 AS BIGINT) AS pid,
+         |         FALSE AS done, 0 AS rnd, g0, g1
+         |  FROM base, gw
+         |  UNION ALL
+         |  SELECT c_custkey, nk, ab,
+         |    CASE WHEN sdim = 0 THEN pid*2 + CAST(nk > med0 AS BIGINT) + 1
+         |         WHEN sdim = 1 THEN pid*2 + CAST(ab > med1 AS BIGINT) + 1
+         |         ELSE pid END AS pid,
+         |    sdim IS NULL AS done,
+         |    rnd + 1 AS rnd, g0, g1
+         |  FROM (
+         |    SELECT *,
+         |      CASE WHEN rnd >= 40 OR n < 2*25 THEN NULL
+         |           WHEN w0 >= w1 THEN
+         |             (CASE WHEN v0 THEN 0 WHEN v1 THEN 1 END)
+         |           ELSE (CASE WHEN v1 THEN 1 WHEN v0 THEN 0 END)
+         |      END AS sdim
+         |    FROM (
+         |      SELECT *,
+         |        w0 > 0 AND lc0 >= 25 AND n - lc0 >= 25 AS v0,
+         |        w1 > 0 AND lc1 >= 25 AND n - lc1 >= 25 AS v1
+         |      FROM (
+         |        SELECT *,
+         |          (mx0 - mn0) / g0 AS w0, (mx1 - mn1) / g1 AS w1,
+         |          SUM(CASE WHEN nk <= med0 THEN 1 ELSE 0 END)
+         |            OVER (PARTITION BY pid) AS lc0,
+         |          SUM(CASE WHEN ab <= med1 THEN 1 ELSE 0 END)
+         |            OVER (PARTITION BY pid) AS lc1
+         |        FROM (
+         |          SELECT *,
+         |            COUNT(*) OVER wp AS n,
+         |            MIN(nk) OVER wp AS mn0, MAX(nk) OVER wp AS mx0,
+         |            CAST(quantile_disc(nk, 0.5) OVER wp AS DOUBLE)
+         |              AS med0,
+         |            MIN(ab) OVER wp AS mn1, MAX(ab) OVER wp AS mx1,
+         |            CAST(quantile_disc(ab, 0.5) OVER wp AS DOUBLE)
+         |              AS med1
+         |          FROM t WHERE NOT done
+         |          WINDOW wp AS (PARTITION BY pid))))))
+         |SELECT pid,
+         |  MIN(nk) AS c_nationkey_lo, MAX(nk) AS c_nationkey_hi,
+         |  MIN(ab) AS c_acctbal_lo, MAX(ab) AS c_acctbal_hi,
+         |  COUNT(*) AS n_rows
+         |FROM t WHERE done
+         |GROUP BY pid ORDER BY pid""".stripMargin,
     "q_embed_cov" ->
       // floor(x * 2^20): the power-of-two multiply is IEEE-exact, so
       // the quantized integers (and every sum of them) are identical
@@ -7688,7 +7776,8 @@ object SparkEntry {
          |  GROUP BY 1, 2)
          |SELECT CAST(m.i - 1 AS INTEGER) AS i,
          |CAST(m.j - 1 AS INTEGER) AS j, m.n,
-         |si.s AS s_i, sj.s AS s_j, m.m
+         |CAST(si.s AS BIGINT) AS s_i, CAST(sj.s AS BIGINT) AS s_j,
+         |CAST(m.m AS BIGINT) AS m
          |FROM m JOIN s si ON si.i = m.i JOIN s sj ON sj.i = m.j
          |ORDER BY i, j""".stripMargin,
   )

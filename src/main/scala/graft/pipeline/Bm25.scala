@@ -36,7 +36,11 @@ object Bm25 {
     * query string), in binary-collation order.
     */
   def queryTerms(query: String): Seq[String] =
-    query.trim.toLowerCase.replaceAll("\\s+", " ")
+    // Locale.ROOT pins the driver-side mirror to the engine's
+    // locale-free lowering — a Turkish-default JVM would otherwise
+    // send 'I' to dotless ı and silently match no corpus term
+    query.trim.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ")
       .split(" ").filter(_.nonEmpty).distinct.sorted.toSeq
 
   /** Per-(doc, query-term) term frequencies plus each matching doc's

@@ -23,7 +23,9 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Scale shape: [[gramStats]] folds a per-task d(d+1)/2 Long Gram
   * accumulator over each partition (`mapPartitions`, flushed every 2¹⁸
-  * rows so partials stay far from Long overflow) and shuffles ONE
+  * rows — or earlier, whenever the observed max |x_q| means one more
+  * row could overflow a Long partial, so exactness holds for any
+  * input inside the loudly-enforced |x| ≤ [[MaxAbs]] bound) and shuffles ONE
   * partial matrix per flush — O(partitions · d²) rows through the final
   * aggregate, never O(rows · d²). PCA itself is a driver-side d×d
   * Jacobi eigensolve (d ≤ ~4k is trivial); projection is a narrow
@@ -34,6 +36,14 @@ object Embed {
 
   /** Quantization scale: 2^20 (exact power-of-two multiply). */
   val Q: Double = 1048576.0
+
+  /** Per-element magnitude bound: |x| ≤ 2^11 keeps every single
+    * quantized product at (MaxAbs·Q)² = 2^62 < Long.Max — together
+    * with the chunk-flush guard below, NO in-range input can overflow
+    * a partial. Real embedding models emit |x| ≪ this; anything
+    * larger (or NaN/Inf) is a data bug and fails loudly.
+    */
+  val MaxAbs: Double = 2048.0
 
   private val FlushEvery = 1 << 18
 
@@ -75,6 +85,13 @@ object Embed {
         }
         val x = new Array[Long](0)
         var xq: Array[Long] = x
+        // largest |quantized element| in the open chunk: a partial sum
+        // of cnt products each bounded by maxq² stays overflow-free
+        // while cnt < Long.Max / maxq², so we flush before that line —
+        // the "exact, overflow-free" contract holds for ANY in-range
+        // input, not just unit-scale embeddings
+        var maxq = 0L
+        def flushAndReset(): Unit = { flush(); maxq = 0L }
         it.foreach { v =>
           if (d < 0) {
             d = v.length
@@ -85,11 +102,34 @@ object Embed {
           require(v.length == d,
             s"gramStats: ragged embedding (${v.length} vs $d)")
           var i = 0
+          var rowMax = 0L
           while (i < d) {
-            xq(i) = math.floor(v(i).toDouble * Q).toLong
-            sums(i) += xq(i)
+            val e = v(i).toDouble
+            // NaN would quantize silently to 0 and Infinity would
+            // saturate; MaxAbs keeps every single product (MaxAbs·Q)²
+            // inside a Long — fail loudly instead of corrupting stats
+            require(java.lang.Double.isFinite(e) && math.abs(e) <= MaxAbs,
+              s"gramStats: non-finite or out-of-range element $e " +
+                s"(require finite, |x| <= $MaxAbs — normalize or clip " +
+                "embeddings first)")
+            xq(i) = math.floor(e * Q).toLong
+            val a = math.abs(xq(i))
+            if (a > rowMax) rowMax = a
             i += 1
           }
+          // flush BEFORE accumulating if, with this row's magnitudes
+          // included, any partial could pass Long.Max — checked against
+          // the post-accumulate count, so (cnt+1)·maxq² < Long.Max is a
+          // hard invariant (a fresh chunk always fits one row: a single
+          // product is at most (MaxAbs·Q)² < Long.Max/2)
+          if (rowMax > maxq) maxq = rowMax
+          if (cnt > 0 && maxq > 1L &&
+              cnt + 1 >= Long.MaxValue / (maxq * maxq)) {
+            flushAndReset()
+            maxq = rowMax
+          }
+          i = 0
+          while (i < d) { sums(i) += xq(i); i += 1 }
           var p = 0
           i = 0
           while (i < d) {
@@ -99,9 +139,9 @@ object Embed {
             i += 1
           }
           cnt += 1
-          if (cnt == FlushEvery) flush()
+          if (cnt >= FlushEvery) flushAndReset()
         }
-        flush()
+        flushAndReset()
         out.iterator
       }
       .toDF("i", "j", "v")
@@ -242,11 +282,16 @@ object Embed {
         while (q < d) {
           if (math.abs(a(p)(q)) > 1e-300) {
             val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
-            val t = math.signum(theta) /
-              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
-                case 0.0 => 1.0 // theta == 0 -> 45° rotation
-                case x => x
-              }
+            // tan φ by case (NR §11.1): θ = 0 → 45°; |θ| huge (θ² or θ
+            // itself overflows) → t = 1/(2θ), computed as a_pq/Δdiag so
+            // θ = ±Inf still yields the tiny annihilating rotation
+            // instead of falling into the 45° arm via ±0.0
+            val t =
+              if (theta == 0.0) 1.0
+              else if (math.abs(theta) > 1e150)
+                a(p)(q) / (a(q)(q) - a(p)(p))
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
             val c = 1.0 / math.sqrt(t * t + 1.0)
             val s = t * c
             var i = 0

@@ -325,14 +325,26 @@ object Privacy {
     * same three-op sequence in any engine — bit-exact cross-engine.
     * One hash aggregation on the released value; the (n, |D|) scalars
     * ride a broadcast one-row frame.
+    *
+    * `domainSize`: the |D| of the mechanism actually run — the INPUT
+    * column's domain, which the caller of [[randomizedResponse]] has
+    * and this function cannot see. When omitted it falls back to the
+    * released column's distinct count, which equals |D| only when
+    * every domain value appears in the release (large n, mild skew) —
+    * an APPROXIMATION that biases every estimate when a rare value is
+    * never kept or drawn. Pass the real size for the unbiased form.
     */
   def rrEstimate(released: DataFrame, colName: String,
-      pNum: Long, pDen: Long): DataFrame = {
+      pNum: Long, pDen: Long, domainSize: Option[Long] = None)
+      : DataFrame = {
     val p = rrThreshold(pNum, pDen).toDouble / 281474976710656.0 // 2^48
+    domainSize.foreach(d => require(d >= 1,
+      s"rrEstimate: domainSize must be >= 1 (got $d)"))
     val obs = released.groupBy(col(colName))
       .agg(count(lit(1)).as("n_obs"))
     val totals = released.agg(count(lit(1)).as("__n"),
-      countDistinct(col(colName)).as("__d"))
+      domainSize.map(d => lit(d).cast("long"))
+        .getOrElse(countDistinct(col(colName))).as("__d"))
     obs.crossJoin(broadcast(totals))
       .withColumn("n_est",
         (col("n_obs").cast("double") -

@@ -839,9 +839,14 @@ object StreamMask {
     import graft.pipeline.Bm25
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // "malformed" must mean what the tokenizer means: trim() strips
+        // only ASCII spaces, so an all-tabs/newlines query would pass a
+        // trim-based filter yet tokenize to zero terms and throw inside
+        // foreachBatch — the exact wedge this drop exists to prevent
         val bdf = if (dropMalformed)
-          batch.filter(col(qTextCol).isNotNull
-            .and(length(trim(col(qTextCol))) > 0))
+          batch.filter(col(qTextCol).isNotNull.and(
+            size(filter(graft.pipeline.TextOps.tokens(col(qTextCol)),
+              t => length(t) > 0)) > 0))
         else batch
         val result =
           if (bdf.isEmpty)

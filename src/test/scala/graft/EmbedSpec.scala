@@ -203,4 +203,56 @@ class EmbedSpec extends SparkSpec {
       assert(math.abs(dot - want) < 1e-9, s"<$a,$b> = $dot")
     }
   }
+
+  test("gramStats fails loudly on NaN/Inf/out-of-range elements") {
+    val s = spark
+    import s.implicits._
+    for (bad <- Seq(Float.NaN, Float.PositiveInfinity,
+        Float.NegativeInfinity, 5000.0f)) {
+      val df = Seq(Seq(0.5f, bad)).toDF("embedding")
+      val e = intercept[org.apache.spark.SparkException] {
+        Embed.gramStats(df, "embedding").collect()
+      }
+      assert(e.getMessage.contains("gramStats"), s"bad=$bad")
+    }
+  }
+
+  test("gramStats stays exact for large-magnitude elements (the " +
+      "adaptive flush: one more row at max |x_q| would overflow a Long)") {
+    val s = spark
+    import s.implicits._
+    // |x| near MaxAbs: maxq ~ 2^31, so Long partials overflow after
+    // just 2 rows — only the magnitude-aware early flush keeps the
+    // sums exact. 9 rows through one partition exercises it hard.
+    val rows = (1 to 9).map(r =>
+      Seq(2000.0f + r, -1999.5f - r, 0.25f))
+    val df = rows.toDF("embedding").coalesce(1)
+    val got = Embed.gramStats(df, "embedding").collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) -> r).toMap
+    val xq = rows.map(_.map(x =>
+      BigInt(math.floor(x.toDouble * Embed.Q).toLong)))
+    for (i <- 0 until 3; j <- i until 3) {
+      val wantM = xq.map(v => v(i) * v(j)).sum
+      val r = got((i, j))
+      assert(BigInt(r.getAs[java.math.BigDecimal]("m")
+        .toBigInteger) == wantM, s"m($i,$j)")
+      assert(BigInt(r.getAs[java.math.BigDecimal]("s_i")
+        .toBigInteger) == xq.map(_(i)).sum, s"s_i($i,$j)")
+      assert(r.getAs[Long]("n") == 9L)
+    }
+  }
+
+  test("jacobiEigen: infinite theta (huge diagonal gap over a tiny " +
+      "pivot) still annihilates instead of rotating 45 degrees") {
+    // theta = (a11 - a00) / (2 a01) = -1e310 -> -Infinity
+    val a = Array(Array(1e300, 1e-10), Array(1e-10, -1e300))
+    val (vals, vecs) = Embed.jacobiEigen(a)
+    assert(vals.sorted.zip(Seq(-1e300, 1e300)).forall {
+      case (g, w) => math.abs(g - w) <= math.abs(w) * 1e-12 },
+      vals.mkString(","))
+    // eigenvectors stay ~axis-aligned: a 45-degree rotation would put
+    // ~0.707 everywhere
+    assert(vecs.flatten.forall(v =>
+      math.abs(v) > 0.999 || math.abs(v) < 1e-3), vecs.flatten.mkString(","))
+  }
 }

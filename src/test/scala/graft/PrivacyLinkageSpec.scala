@@ -345,6 +345,35 @@ class PrivacyLinkageSpec extends SparkSpec {
     assert(math.abs(est.values.sum - 1000.0) < 1e-6)
   }
 
+  test("rrEstimate with the mechanism's true domain size: a domain " +
+      "value absent from the release no longer shrinks |D|") {
+    val s = spark
+    import s.implicits._
+    // a release where domain value "C" happens never to appear:
+    // released-distinct sees |D| = 2, but the mechanism ran with
+    // |D| = 3 — the estimator must use the mechanism's |D|
+    val released = (1L to 10L).map(i => (i, if (i <= 6) "A" else "B"))
+      .toDF("id", "v")
+    // p = 3/4 is exact at the 2^48 threshold, so the estimates are
+    // pure closed-form arithmetic: (obs - n(1-p)/|D|) / p
+    val withTrue = Privacy.rrEstimate(released, "v", 3, 4,
+        domainSize = Some(3L))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("n_est"))
+      .toMap
+    assert(withTrue("A") == (6.0 - 10.0 * 0.25 / 3.0) / 0.75,
+      withTrue.toString)
+    // the released-distinct fallback (documented approximation) uses
+    // |D| = 2 and lands on a different, more-biased value
+    val fallback = Privacy.rrEstimate(released, "v", 3, 4)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("n_est"))
+      .toMap
+    assert(fallback("A") == (6.0 - 10.0 * 0.25 / 2.0) / 0.75,
+      fallback.toString)
+    intercept[IllegalArgumentException] {
+      Privacy.rrEstimate(released, "v", 3, 4, domainSize = Some(0L))
+    }
+  }
+
   test("property: boundedLev == full Levenshtein DP capped at maxDist") {
     import org.scalacheck.{Gen => SGen, Prop, Test => SCTest}
     def lev(a: String, b: String): Int = {

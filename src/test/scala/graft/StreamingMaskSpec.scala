@@ -426,7 +426,12 @@ class StreamingMaskSpec extends SparkSpec {
     queries.filter(col("qid") < "q3").write.parquet(s"$in/f0")
     queries.filter(col("qid") >= "q3")
       .unionAll(Seq(("bad1", null.asInstanceOf[String]),
-        ("bad2", "   ")).toDF("qid", "qtext"))
+        ("bad2", "   "),
+        // tabs/newlines: Spark's trim() strips only ASCII spaces, so a
+        // trim-based malformed filter would pass this row, tokenize it
+        // to zero terms and checkpoint-wedge the stream — the filter
+        // must use the tokenizer's own definition of "termless"
+        ("bad3", "\t\n\t ")).toDF("qid", "qtext"))
       .write.parquet(s"$in/f1")
     val schema = spark.read.parquet(s"$in/f0").schema
     val stream = spark.readStream.schema(schema)
