@@ -3681,6 +3681,26 @@ object SparkEntry {
       .orderBy("vec_id", "k")
   }
 
+  /** Bit-exact cross-engine PCA parity on a 2-D sub-embedding: at
+    * d = 2 the whole fit is ONE closed-form Jacobi rotation, so DuckDB
+    * replays every double op of [[graft.pipeline.Embed.fitPca]] —
+    * exact integer Gram stats → covariance (decimal-exact numerators,
+    * one correctly-rounded cast, one division) → θ/t/c/s → the
+    * two-sided rotation → eigenvalue ordering, sign fix, mean and
+    * projection — and the projected values hash-match bit-for-bit.
+    * The full-width `q_pca` (d = 64, driver-side iterative Jacobi) is
+    * rows-only; this row pins the identical arithmetic path end to
+    * end, the `q_percentile_gk_parity` pattern.
+    */
+  private def qPca2Parity(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("e2", slice(col("embedding"), 1, 2))
+    val model = graft.pipeline.Embed.fitPca(emb, "e2", 2)
+    graft.pipeline.Embed.project(emb, "e2", model)
+      .select(col("vec_id"), posexplode(col("pca")).as(Seq("k", "v")))
+      .orderBy("vec_id", "k")
+  }
+
   /** Mondrian k-anonymization (LeFevre et al. 2006) of the customer QI
     * plane (nationkey × acctbal) at k = 25: the per-leaf release
     * summary — adaptive bounding boxes + leaf sizes. The recursion is
@@ -3927,6 +3947,7 @@ object SparkEntry {
     "q_mondrian" -> (qMondrian _),
     "q_embed_cov" -> (qEmbedCov _),
     "q_pca" -> (qPca _),
+    "q_pca2_parity" -> (qPca2Parity _),
     "q_fuzzy_join2" -> (qFuzzyJoin2 _),
     "q_fuzzy_two" -> (qFuzzyTwo _),
   )
@@ -7755,6 +7776,100 @@ object SparkEntry {
          |  COUNT(*) AS n_rows
          |FROM t WHERE done
          |GROUP BY pid ORDER BY pid""".stripMargin,
+    "q_pca2_parity" ->
+      // replays fitPca's d=2 arithmetic verbatim: exact integer Gram
+      // stats; covariance numerator/denominator exact in DECIMAL(38,0)
+      // then ONE correctly-rounded cast each (DuckDB's decimal→double
+      // is round-half-even like BigDecimal.toDouble — verified on
+      // 2^53-straddling values); the single Jacobi rotation's
+      // θ → t → c → s chain and two-sided update in the exact op order
+      // of Embed.jacobiEigen; eigenvalue-descending order with index
+      // tie-break; largest-|coordinate|-positive sign fix; projection
+      // as 0.0 + (x0−μ0)·w0 + (x1−μ1)·w1 (the UDF's fold order).
+      // All doubles, every op IEEE-identical — the hash matches
+      // bit-for-bit.
+      s"""WITH q AS (SELECT vec_id,
+         |    CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1048576.0)
+         |      AS BIGINT) AS x0,
+         |    CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1048576.0)
+         |      AS BIGINT) AS x1
+         |  FROM embeddings),
+         |st AS (SELECT COUNT(*) AS n,
+         |    CAST(SUM(x0) AS DECIMAL(38,0)) AS s0,
+         |    CAST(SUM(x1) AS DECIMAL(38,0)) AS s1,
+         |    CAST(SUM(CAST(x0 AS DECIMAL(38,0)) * x0)
+         |      AS DECIMAL(38,0)) AS m00,
+         |    CAST(SUM(CAST(x0 AS DECIMAL(38,0)) * x1)
+         |      AS DECIMAL(38,0)) AS m01,
+         |    CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * x1)
+         |      AS DECIMAL(38,0)) AS m11
+         |  FROM q),
+         |cv AS (SELECT n,
+         |    CAST(s0 AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) AS mu0,
+         |    CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) AS mu1,
+         |    CAST(CAST(n AS DECIMAL(38,0)) * m00 - s0 * s0 AS DOUBLE)
+         |      / CAST(CAST(n AS DECIMAL(38,0)) * n * 1099511627776
+         |        AS DOUBLE) AS c00,
+         |    CAST(CAST(n AS DECIMAL(38,0)) * m01 - s0 * s1 AS DOUBLE)
+         |      / CAST(CAST(n AS DECIMAL(38,0)) * n * 1099511627776
+         |        AS DOUBLE) AS c01,
+         |    CAST(CAST(n AS DECIMAL(38,0)) * m11 - s1 * s1 AS DOUBLE)
+         |      / CAST(CAST(n AS DECIMAL(38,0)) * n * 1099511627776
+         |        AS DOUBLE) AS c11
+         |  FROM st),
+         |rot0 AS (SELECT *, (c11 - c00) / (2.0 * c01) AS theta,
+         |    c01 * c01 > 1e-12 AND ABS(c01) > 1e-300 AS dorot FROM cv),
+         |rot1 AS (SELECT *,
+         |    CASE WHEN NOT dorot THEN 0.0
+         |         WHEN theta = 0.0 THEN 1.0
+         |         WHEN ABS(theta) > 1e150 THEN c01 / (c11 - c00)
+         |         ELSE CAST(SIGN(theta) AS DOUBLE)
+         |           / (ABS(theta) + SQRT(theta * theta + 1.0)) END AS t
+         |  FROM rot0),
+         |rot2 AS (SELECT *,
+         |    CASE WHEN dorot THEN 1.0 / SQRT(t * t + 1.0)
+         |         ELSE 1.0 END AS cr,
+         |    CASE WHEN dorot THEN t * (1.0 / SQRT(t * t + 1.0))
+         |         ELSE 0.0 END AS sr
+         |  FROM rot1),
+         |upd AS (SELECT *,
+         |    cr * c00 - sr * c01 AS a00_1, sr * c00 + cr * c01 AS a01_1,
+         |    cr * c01 - sr * c11 AS a10_1, sr * c01 + cr * c11 AS a11_1
+         |  FROM rot2),
+         |eig AS (SELECT *,
+         |    cr * a00_1 - sr * a10_1 AS l0,
+         |    sr * a01_1 + cr * a11_1 AS l1,
+         |    cr AS v00, sr AS v01, -sr AS v10, cr AS v11
+         |  FROM upd),
+         |ordv AS (SELECT *,
+         |    CASE WHEN l1 > l0 THEN v01 ELSE v00 END AS p00r,
+         |    CASE WHEN l1 > l0 THEN v11 ELSE v10 END AS p01r,
+         |    CASE WHEN l1 > l0 THEN v00 ELSE v01 END AS p10r,
+         |    CASE WHEN l1 > l0 THEN v10 ELSE v11 END AS p11r
+         |  FROM eig),
+         |mdl AS (SELECT mu0, mu1,
+         |    CASE WHEN (CASE WHEN ABS(p01r) > ABS(p00r) THEN p01r
+         |      ELSE p00r END) < 0 THEN -p00r ELSE p00r END AS w00,
+         |    CASE WHEN (CASE WHEN ABS(p01r) > ABS(p00r) THEN p01r
+         |      ELSE p00r END) < 0 THEN -p01r ELSE p01r END AS w01,
+         |    CASE WHEN (CASE WHEN ABS(p11r) > ABS(p10r) THEN p11r
+         |      ELSE p10r END) < 0 THEN -p10r ELSE p10r END AS w10,
+         |    CASE WHEN (CASE WHEN ABS(p11r) > ABS(p10r) THEN p11r
+         |      ELSE p10r END) < 0 THEN -p11r ELSE p11r END AS w11
+         |  FROM ordv),
+         |pts AS (SELECT vec_id,
+         |    CAST(embedding[1] AS DOUBLE) AS x0,
+         |    CAST(embedding[2] AS DOUBLE) AS x1
+         |  FROM embeddings)
+         |SELECT vec_id, k, v FROM (
+         |  SELECT p.vec_id, 0 AS k,
+         |    0.0 + (p.x0 - m.mu0) * m.w00 + (p.x1 - m.mu1) * m.w01 AS v
+         |  FROM pts p, mdl m
+         |  UNION ALL
+         |  SELECT p.vec_id, 1 AS k,
+         |    0.0 + (p.x0 - m.mu0) * m.w10 + (p.x1 - m.mu1) * m.w11 AS v
+         |  FROM pts p, mdl m)
+         |ORDER BY vec_id, k""".stripMargin,
     "q_embed_cov" ->
       // floor(x * 2^20): the power-of-two multiply is IEEE-exact, so
       // the quantized integers (and every sum of them) are identical
