@@ -73,20 +73,40 @@ object Linkage {
     * O(len²) DP, since cells farther than `maxDist` off the diagonal
     * can never contribute to a distance within the bound.
     */
-  private[graft] def boundedLev(a: String, b: String, maxDist: Int): Int = {
+  private[graft] def boundedLev(a: String, b: String, maxDist: Int): Int =
+    boundedLevInto(a, b, maxDist, new Scratch)
+
+  /** Per-thread DP scratch: a hot caller (the in-bucket pair fold runs
+    * tens of millions of verifies per task at corpus scale) reuses the
+    * two band rows instead of allocating them per call — the per-call
+    * arrays were the dominant garbage source and made the operator's
+    * wall time GC-topology-sensitive rather than compute-bound.
+    */
+  private[graft] final class Scratch {
+    var prev: Array[Int] = new Array[Int](64)
+    var cur: Array[Int] = new Array[Int](64)
+    def ensure(m: Int): Unit = if (prev.length < m + 1) {
+      prev = new Array[Int](m + 1)
+      cur = new Array[Int](m + 1)
+    }
+  }
+
+  private[graft] def boundedLevInto(a: String, b: String, maxDist: Int,
+      scratch: Scratch): Int = {
     val (n, m) = (a.length, b.length)
     if (math.abs(n - m) > maxDist) return -1
     if (n == 0) return m // <= maxDist by the length check
     if (m == 0) return n // ditto
     val inf = maxDist + 1
-    var prev = new Array[Int](m + 1)
-    var cur = new Array[Int](m + 1)
-    java.util.Arrays.fill(prev, inf)
+    scratch.ensure(m)
+    var prev = scratch.prev
+    var cur = scratch.cur
+    java.util.Arrays.fill(prev, 0, m + 1, inf)
     var j = 0
     while (j <= math.min(m, maxDist)) { prev(j) = j; j += 1 }
     var i = 1
     while (i <= n) {
-      java.util.Arrays.fill(cur, inf)
+      java.util.Arrays.fill(cur, 0, m + 1, inf)
       val lo = math.max(1, i - maxDist) // lo <= hi: n <= m + maxDist
       val hi = math.min(m, i + maxDist)
       if (i <= maxDist) cur(0) = i
@@ -128,11 +148,12 @@ object Linkage {
       val arr = ss.distinct.sorted.toArray
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(String, String, Int)]
+      val scratch = new Scratch
       var i = 0
       while (i < arr.length - 1) {
         var j = i + 1
         while (j < arr.length) {
-          val dist = boundedLev(arr(i), arr(j), d)
+          val dist = boundedLevInto(arr(i), arr(j), d, scratch)
           if (dist >= 0) out += ((arr(i), arr(j), dist))
           j += 1
         }
@@ -142,6 +163,9 @@ object Linkage {
     })
     blocked(df, strCol, maxDist, maxLen)
       .groupBy(col("vh")).agg(collect_list(col("s")).as("ss"))
+      // singleton buckets (the vast majority in a sane corpus) have no
+      // pairs — drop them before the per-bucket fold even runs
+      .filter(size(col("ss")) >= 2)
       .select(explode(pairsUdf(col("ss"))).as("p"))
       .select(col("p._1").as("name_a"), col("p._2").as("name_b"),
         col("p._3").as("dist"))
