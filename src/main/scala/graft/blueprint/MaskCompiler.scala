@@ -64,11 +64,16 @@ object MaskCompiler {
         case ColumnRule(_, _, Rule.Template(v)) => v.contains(RowToken)
         case _ => false
       }
-    val have = df.columns.map(_.toLowerCase).toSet
+    // Locale.ROOT: Spark's own resolver is locale-free, and a
+    // Turkish-default JVM would fold "ID" to dotless "ıd" and reject a
+    // perfectly valid blueprint
+    val have = df.columns
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val declared = bp.columns.map(_.name) ++ bp.sync.keys ++
       (if (pkUsed) bp.primary ++ bp.rowNumberOrder.getOrElse(Seq.empty)
        else Seq.empty)
-    val missing = declared.filterNot(c => have.contains(c.toLowerCase))
+    val missing = declared.filterNot(c =>
+      have.contains(c.toLowerCase(java.util.Locale.ROOT)))
     require(missing.isEmpty,
       s"blueprint for table '${bp.table}' references missing column(s) " +
         s"${missing.distinct.mkString(", ")}; table has: " +

@@ -239,27 +239,39 @@ object Embed {
   /** Project embeddings onto a fitted basis: center, dot with each
     * component, optionally divide by √eigenvalue (whitening — unit
     * variance along every kept direction). Narrow closure UDF.
+    *
+    * A null vector projects to null (standard column semantics); a
+    * WRONG-DIMENSION vector fails loudly — the batch fail-fast
+    * contract (a silent truncated dot product would be a wrong answer;
+    * [[graft.streaming.StreamMask.pcaStream]] adds the drop-malformed
+    * posture a checkpointed stream needs instead).
     */
   def project(df: DataFrame, vecCol: String, model: PcaModel,
       outCol: String = "pca", whiten: Boolean = false): DataFrame = {
     val mean = model.mean
     val comps = model.components
+    val d = model.d
     val scale =
       if (whiten) model.eigenvalues.map(e => 1.0 / math.sqrt(math.max(e,
         java.lang.Double.MIN_NORMAL)))
       else Array.fill(comps.length)(1.0)
     val u = udf((v: Seq[Float]) => {
-      val a = new Array[Double](comps.length)
-      var c = 0
-      while (c < comps.length) {
-        var acc = 0.0
-        var i = 0
-        val w = comps(c)
-        while (i < w.length) { acc += (v(i) - mean(i)) * w(i); i += 1 }
-        a(c) = acc * scale(c)
-        c += 1
+      if (v == null) null.asInstanceOf[Seq[Double]]
+      else {
+        require(v.length == d,
+          s"project: embedding dimension ${v.length} != model d $d")
+        val a = new Array[Double](comps.length)
+        var c = 0
+        while (c < comps.length) {
+          var acc = 0.0
+          var i = 0
+          val w = comps(c)
+          while (i < w.length) { acc += (v(i) - mean(i)) * w(i); i += 1 }
+          a(c) = acc * scale(c)
+          c += 1
+        }
+        a.toSeq
       }
-      a.toSeq
     })
     df.withColumn(outCol, u(col(vecCol)))
   }

@@ -876,11 +876,25 @@ object StreamMask {
     * arrays — a model-sized literal expression would de-JIT the fused
     * stage), so any trigger/output mode works and stream == batch by
     * construction (one definition; spec-pinned).
+    *
+    * Malformed vectors — null or wrong-dimension — are DROPPED by
+    * default (`dropMalformed = true`): the batch operator fails loudly
+    * on a dim mismatch (the right call for a batch job), but in a
+    * checkpointed stream that throw replays the same poison forever
+    * (the [[ivfServeStream]] posture). `dropMalformed = false`
+    * restores fail-fast.
     */
   def pcaStream(vectors: DataFrame, vecCol: String,
       model: graft.pipeline.Embed.PcaModel, outCol: String = "pca",
-      whiten: Boolean = false): DataFrame =
-    graft.pipeline.Embed.project(vectors, vecCol, model, outCol, whiten)
+      whiten: Boolean = false, dropMalformed: Boolean = true)
+      : DataFrame = {
+    val in =
+      if (dropMalformed)
+        vectors.filter(col(vecCol).isNotNull &&
+          size(col(vecCol)) === model.d)
+      else vectors
+    graft.pipeline.Embed.project(in, vecCol, model, outCol, whiten)
+  }
 
   /** Streaming embedding-statistics maintenance — the ingest twin of
     * [[graft.pipeline.Embed.gramStats]]: each micro-batch's exact
@@ -891,16 +905,40 @@ object StreamMask {
     * PCA refits from a fold of tiny per-batch matrices instead of a
     * corpus rescan, the append-don't-rebuild contract again. Stateless
     * per micro-batch; per-trigger output is one d(d+1)/2-row matrix.
+    *
+    * Malformed vectors — null, non-finite or out-of-range elements
+    * (gramStats' |x| ≤ MaxAbs contract), and, when `expectDim` is
+    * given, the wrong dimension — are DROPPED per micro-batch by
+    * default (`dropMalformed = true`): the batch operator fails loudly
+    * on them, but inside `foreachBatch` that throw checkpoint-replay-
+    * wedges the stream (the [[ivfServeStream]] posture), and a wedged
+    * ingest cannot be repaired from inside. Pass `expectDim` in
+    * production — without it a RAGGED batch still fail-fasts, since a
+    * mixed-dimension fold would silently corrupt the landed statistics.
+    * `dropMalformed = false` restores fail-fast throughout. An
+    * all-dropped batch still lands its (empty) stats so the batch id
+    * is recorded and never re-served.
     */
   def gramStatsStream(vectors: DataFrame, vecCol: String,
       outPath: String, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      dropMalformed: Boolean = true, expectDim: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val in =
+          if (dropMalformed)
+            batch.filter(col(vecCol).isNotNull &&
+              expectDim.map(d => size(col(vecCol)) === d)
+                .getOrElse(lit(true)) &&
+              !exists(col(vecCol), x => isnan(x) ||
+                abs(x) > lit(graft.pipeline.Embed.MaxAbs)))
+          else batch
+        // an all-dropped batch yields empty stats (gramStats is
+        // empty-safe) — they still land, so the batch id is recorded
         ExactlyOnceSink.writeBatch(outPath)(
-          graft.pipeline.Embed.gramStats(batch, vecCol), batchId)
+          graft.pipeline.Embed.gramStats(in, vecCol), batchId)
         ()
       }
       .option("checkpointLocation", checkpoint)

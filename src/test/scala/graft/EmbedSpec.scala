@@ -156,6 +156,84 @@ class EmbedSpec extends SparkSpec {
       "folded streaming stats diverged from the full-corpus stats")
   }
 
+  test("gramStatsStream survives poison vectors: null/NaN/wrong-dim " +
+      "dropped per batch, folded stats equal the clean subset") {
+    import graft.streaming.{ExactlyOnceSink, StreamMask}
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_gram_poison").toString
+    val emb = spark.read.parquet(s"$fixtures/embeddings.parquet")
+      .select("vec_id", "embedding").filter(col("vec_id") < 40)
+    val d = emb.head().getAs[Seq[Float]]("embedding").length
+    // clean file + a poison file: a null vector, a NaN element, a
+    // wrong-dimension vector — each would throw in batch gramStats
+    // and, inside foreachBatch, checkpoint-replay-wedge the stream
+    emb.write.parquet(s"$base/in/f0")
+    Seq(
+      (90001L, null.asInstanceOf[Seq[Float]]),
+      (90002L, Seq.fill(d)(Float.NaN)),
+      (90003L, Seq(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+      .unionByName(emb.limit(3))
+      .write.parquet(s"$base/in/f1")
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(s"$base/in")
+    val q = StreamMask.gramStatsStream(stream, "embedding",
+      s"$base/out", s"$base/ckpt", expectDim = Some(d))
+    q.awaitTermination(120000)
+    val landed = spark.read.parquet(s"$base/out")
+    assert(landed.select(ExactlyOnceSink.BatchIdCol).distinct().count()
+      > 1, "expected both micro-batches to land (no wedge)")
+    def key(x: org.apache.spark.sql.DataFrame) = x.collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+        ((r.getAs[Long]("n"),
+          BigDecimal(r.getAs[java.math.BigDecimal]("m")))))
+      .toMap
+    // clean subset = f0's 40 vectors + the 3 clean riders in f1
+    val clean = emb.unionByName(emb.limit(3))
+    assert(key(Embed.foldGramStats(landed)) ==
+      key(Embed.gramStats(clean, "embedding")),
+      "stats with poison dropped diverged from the clean subset's")
+  }
+
+  test("pcaStream drops null/wrong-dim vectors; project is null-safe " +
+      "in batch but loud on dimension mismatch") {
+    import graft.streaming.StreamMask
+    val s = spark
+    import s.implicits._
+    val emb = spark.read.parquet(s"$fixtures/embeddings.parquet")
+      .select("vec_id", "embedding").filter(col("vec_id") < 10)
+    val model = Embed.fitPca(
+      spark.read.parquet(s"$fixtures/embeddings.parquet"),
+      "embedding", 2)
+    val poisoned = Seq(
+      (90001L, null.asInstanceOf[Seq[Float]]),
+      (90002L, Seq(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding").unionByName(emb)
+    // the streaming posture: malformed rows dropped, survivors equal
+    // the batch operator on the clean subset (pcaStream is the shared
+    // definition, so a plain batch call exercises the same filter)
+    val served = StreamMask.pcaStream(poisoned, "embedding", model)
+      .select("vec_id", "pca").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val batch = Embed.project(emb, "embedding", model)
+      .select("vec_id", "pca").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(served == batch, "survivors diverged from batch projection")
+    // batch contract: null in, null out; wrong dim fails loudly
+    val nullOut = Embed.project(
+      Seq((1L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"),
+      "embedding", model).select("pca").head()
+    assert(nullOut.isNullAt(0), "null vector must project to null")
+    val e = intercept[org.apache.spark.SparkException] {
+      Embed.project(Seq((1L, Seq(1.0f))).toDF("vec_id", "embedding"),
+        "embedding", model).collect()
+    }
+    assert(e.getMessage.contains("dimension"), e.getMessage)
+  }
+
   test("whitened embeddings compose with SemDeDup end-to-end") {
     import graft.pipeline.Dedup
     val emb = spark.read.parquet(s"$fixtures/embeddings.parquet")
