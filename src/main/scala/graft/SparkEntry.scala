@@ -3701,6 +3701,27 @@ object SparkEntry {
       .orderBy("vec_id", "k")
   }
 
+  /** Corpus drift between the English and French document slices:
+    * per-token Jensen–Shannon divergence terms over the union
+    * vocabulary (Laplace-1 smoothed) — the mixture-shift monitor a
+    * continuously-ingested pipeline runs source-vs-source or
+    * snapshot-vs-snapshot. The gate pins the EXACT columns — integer
+    * counts, the smoothed probabilities (one long add, one cast, one
+    * division each) and the total-variation term (one subtraction) —
+    * hash-exact and order-free; `js_term` itself carries cross-engine
+    * ln ULP drift (measured 1 ulp on 1 of 31 tokens) and is
+    * spec-pinned instead (exact zero / bit-exact symmetry /
+    * positivity / Σ < ln 2 in PipelineSpec).
+    */
+  private def qVocabDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.pipeline.TextOps.vocabDivergence(
+      docs.filter(col("lang") === "en"),
+      docs.filter(col("lang") === "fr"), "text")
+      .select("token", "c_a", "c_b", "p_a", "p_b", "tv_term")
+      .orderBy("token")
+  }
+
   /** Mondrian k-anonymization (LeFevre et al. 2006) of the customer QI
     * plane (nationkey × acctbal) at k = 25: the per-leaf release
     * summary — adaptive bounding boxes + leaf sizes. The recursion is
@@ -3948,6 +3969,7 @@ object SparkEntry {
     "q_embed_cov" -> (qEmbedCov _),
     "q_pca" -> (qPca _),
     "q_pca2_parity" -> (qPca2Parity _),
+    "q_vocab_drift" -> (qVocabDrift _),
     "q_fuzzy_join2" -> (qFuzzyJoin2 _),
     "q_fuzzy_two" -> (qFuzzyTwo _),
   )
@@ -7706,6 +7728,36 @@ object SparkEntry {
          |g.dm AS dm_generalized,
          |CAST(g.n_rows AS DOUBLE) / g.ng / 10.0 AS cavg_generalized
          |FROM r, g""".stripMargin,
+    "q_vocab_drift" ->
+      // exact integer counts; p = (c+1)/(n+V) with the long add before
+      // one cast and one division; tv_term one subtraction — all
+      // bit-replayable. js_term (ln-based) is deliberately NOT in the
+      // gate row: DuckDB's ln drifts from Math.log by 1 ulp on some
+      // inputs (measured), so its semantics are spec-pinned instead.
+      s"""WITH ta AS (SELECT token FROM (SELECT unnest($toksSql)
+         |    AS token FROM documents WHERE lang = 'en')
+         |  WHERE token <> ''),
+         |tb AS (SELECT token FROM (SELECT unnest($toksSql)
+         |    AS token FROM documents WHERE lang = 'fr')
+         |  WHERE token <> ''),
+         |ca AS (SELECT token, COUNT(*) AS c_a FROM ta GROUP BY 1),
+         |cb AS (SELECT token, COUNT(*) AS c_b FROM tb GROUP BY 1),
+         |j AS (SELECT token, COALESCE(c_a, 0) AS c_a,
+         |    COALESCE(c_b, 0) AS c_b
+         |  FROM ca FULL OUTER JOIN cb USING (token)),
+         |tot AS (SELECT CAST(SUM(c_a) AS BIGINT) AS na,
+         |    CAST(SUM(c_b) AS BIGINT) AS nb, COUNT(*) AS v FROM j),
+         |p AS (SELECT token, c_a, c_b,
+         |    CAST(c_a + 1 AS DOUBLE)
+         |      / CAST((SELECT na FROM tot) + (SELECT v FROM tot)
+         |        AS DOUBLE) AS p_a,
+         |    CAST(c_b + 1 AS DOUBLE)
+         |      / CAST((SELECT nb FROM tot) + (SELECT v FROM tot)
+         |        AS DOUBLE) AS p_b
+         |  FROM j)
+         |SELECT token, c_a, c_b, p_a, p_b,
+         |  0.5 * abs(p_a - p_b) AS tv_term
+         |FROM p ORDER BY token""".stripMargin,
     "q_mondrian" ->
       // DuckDB replays the WHOLE Mondrian recursion (LeFevre 2006) in
       // one recursive CTE: every round computes each live partition's

@@ -4024,4 +4024,45 @@ class PipelineSpec extends SparkSpec {
       assert(Seq("en", "de", "es", "und").contains(r.getString(1)))
     }
   }
+
+  test("vocabDivergence: zero on identical corpora, symmetric, " +
+      "positive under drift, exact hand-fixture probabilities") {
+    val s = spark
+    import s.implicits._
+    val a = Seq("the cat sat", "the dog ran").toDF("text")
+    val b = Seq("the cat sat", "a bird flew away").toDF("text")
+    // identical corpora: p_a == p_b exactly, ln(1) = 0, js_term = 0.0
+    val same = TextOps.vocabDivergence(a, a, "text").collect()
+    assert(same.nonEmpty &&
+      same.forall(_.getAs[Double]("js_term") == 0.0) &&
+      same.forall(_.getAs[Double]("tv_term") == 0.0),
+      "identical corpora must have exactly zero terms")
+    // drift: every term >= 0, disjoint-support tokens strictly > 0
+    val drift = TextOps.vocabDivergence(a, b, "text").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(drift.values.forall(_.getAs[Double]("js_term") >= 0.0))
+    assert(drift("bird").getAs[Double]("js_term") > 0.0)
+    // hand-check one row: union vocab V = 9 (the cat sat dog ran a
+    // bird flew away), n_a = 6, n_b = 7; token "the": c_a = 2, c_b = 1
+    val the = drift("the")
+    assert(the.getAs[Long]("c_a") == 2L && the.getAs[Long]("c_b") == 1L)
+    assert(the.getAs[Double]("p_a") == 3.0 / 15.0 &&
+      the.getAs[Double]("p_b") == 2.0 / 16.0,
+      s"${the.getAs[Double]("p_a")}, ${the.getAs[Double]("p_b")}")
+    // symmetry: swapping the corpora swaps the count columns and
+    // leaves each token's js_term identical (JS is symmetric)
+    val swapped = TextOps.vocabDivergence(b, a, "text").collect()
+      .map(r => r.getString(0) -> r).toMap
+    drift.foreach { case (tok, r) =>
+      val o = swapped(tok)
+      assert(o.getAs[Long]("c_a") == r.getAs[Long]("c_b") &&
+        o.getAs[Long]("c_b") == r.getAs[Long]("c_a"))
+      assert(o.getAs[Double]("js_term") == r.getAs[Double]("js_term"),
+        s"asymmetric term for $tok")
+      assert(o.getAs[Double]("tv_term") == r.getAs[Double]("tv_term"))
+    }
+    // the scalar divergence (sum of terms) stays below ln 2
+    assert(drift.values.map(_.getAs[Double]("js_term")).sum <
+      math.log(2.0))
+  }
 }

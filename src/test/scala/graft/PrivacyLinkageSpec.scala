@@ -300,6 +300,56 @@ class PrivacyLinkageSpec extends SparkSpec {
     assert(dmMondrian < dmOne / 4, s"dm $dmMondrian vs $dmOne")
   }
 
+  test("mondrian scale knobs: GK-sketch medians and a round cap both " +
+      "preserve the k/containment/row-preservation invariants") {
+    val fix = spark.read.parquet(s"$fixtures/customer.parquet")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val dims = Seq("c_nationkey", "c_acctbal")
+    def checkInvariants(out: org.apache.spark.sql.DataFrame,
+        k: Int): Map[Long, Int] = {
+      val rows = out.collect()
+      assert(rows.length == fix.count(), "row-preserving")
+      val leaves = rows.groupBy(_.getAs[Long]("pid"))
+      leaves.foreach { case (p, rs) =>
+        assert(rs.length >= k, s"leaf $p has ${rs.length} < k rows")
+      }
+      rows.foreach { r =>
+        dims.foreach { d =>
+          val v = r.getAs[Any](d) match {
+            case i: Int => i.toDouble; case l: Long => l.toDouble
+            case x: Double => x
+          }
+          assert(v >= r.getAs[Double](s"${d}_lo") &&
+            v <= r.getAs[Double](s"${d}_hi"), s"$d=$v outside box")
+        }
+      }
+      leaves.map { case (p, rs) => p -> rs.length }
+    }
+    // the 100 TB path: GK-sketch medians instead of exact buffering —
+    // cuts may differ from exact mode, but every release invariant
+    // (and determinism) must hold identically
+    val sketch = Privacy.mondrian(fix, dims, k = 20,
+      exactMedians = false)
+    val leaves1 = checkInvariants(sketch, 20)
+    assert(leaves1.size > 1, "sketch medians should still split")
+    val again = checkInvariants(
+      Privacy.mondrian(fix, dims, k = 20, exactMedians = false), 20)
+    assert(leaves1 == again, "sketch-median recursion must be " +
+      "deterministic (fixed accuracy, same data)")
+    // a round cap stops the recursion early but releases a VALID
+    // shallower partition: one round = at most one split level
+    val capped = Privacy.mondrian(fix, dims, k = 20, maxRounds = 1)
+    val leaves2 = checkInvariants(capped, 20)
+    assert(leaves2.size <= 2, s"one round allows at most one split " +
+      s"(got pids ${leaves2.keys.toSeq.sorted})")
+    intercept[IllegalArgumentException] {
+      Privacy.mondrian(fix, dims, k = 20, maxRounds = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.mondrian(fix, dims, k = 20, maxRounds = 61)
+    }
+  }
+
   test("randomizedResponse: deterministic, domain-valued, p=1 identity") {
     val s = spark
     import s.implicits._
