@@ -87,7 +87,11 @@ object ScaleRehearsal {
     "q_hybrid_index",
     // embedding second-moment stats (partition-local Gram folds) and
     // the PCA fit+project on top of them
-    "q_embed_cov", "q_pca")
+    "q_embed_cov", "q_pca",
+    // corpus drift monitor: two vocabulary-bounded aggregations + one
+    // bounded full-outer join — the count tables must stay the only
+    // non-narrow stage regardless of corpus size
+    "q_vocab_drift")
 
   /** The reference masking core + relational leaders, rehearsed over an
     * FK-CONSISTENT inflation: facts (lineitem/orders/customer) grow N×
