@@ -818,13 +818,40 @@ object TextOps {
     * crosses a shuffle after the aggregates.
     */
   def vocabDivergence(a: DataFrame, b: DataFrame, textCol: String)
+      : DataFrame =
+    vocabDivergenceFromCounts(
+      tokenTypeCounts(a, textCol), tokenTypeCounts(b, textCol))
+
+  /** One corpus's token-type count table `(token, cnt)` — the drift
+    * monitor's sufficient statistic. Pure integer sums, so snapshots
+    * maintain INCREMENTALLY by exact addition: land per-batch counts
+    * ([[graft.streaming.StreamMask.vocabCountsStream]]), fold with
+    * [[foldTokenCounts]], compare with [[vocabDivergenceFromCounts]] —
+    * no corpus rescan (the gramStats append-don't-rebuild contract).
+    */
+  def tokenTypeCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(filter(tokens(col(textCol)),
+        t => length(t) > 0)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+
+  /** Fold any number of [[tokenTypeCounts]] partials (extra columns
+    * like an exactly-once sink's `__batch_id` are ignored) back into
+    * one exact count table — integer sums, bit-exact regardless of how
+    * the corpus was sliced.
+    */
+  def foldTokenCounts(parts: DataFrame): DataFrame =
+    parts.groupBy(col("token"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+
+  /** [[vocabDivergence]] over two pre-computed [[tokenTypeCounts]]
+    * tables — the incremental form: either side may be a fold of
+    * landed streaming snapshots instead of a corpus scan.
+    */
+  def vocabDivergenceFromCounts(countsA: DataFrame, countsB: DataFrame)
       : DataFrame = {
-    def tokenCounts(df: DataFrame, name: String): DataFrame =
-      df.select(explode(filter(tokens(col(textCol)),
-          t => length(t) > 0)).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as(name))
-    val joined = tokenCounts(a, "c_a")
-      .join(tokenCounts(b, "c_b"), Seq("token"), "full_outer")
+    val joined = countsA.select(col("token"), col("cnt").as("c_a"))
+      .join(countsB.select(col("token"), col("cnt").as("c_b")),
+        Seq("token"), "full_outer")
       .select(col("token"),
         coalesce(col("c_a"), lit(0L)).as("c_a"),
         coalesce(col("c_b"), lit(0L)).as("c_b"))

@@ -945,6 +945,34 @@ object StreamMask {
       .trigger(trigger)
       .start()
 
+  /** Streaming corpus-snapshot maintenance for the drift monitor — the
+    * ingest twin of [[graft.pipeline.TextOps.tokenTypeCounts]]: each
+    * micro-batch's token-type counts land exactly-once (gaining the
+    * sink's `__batch_id`), and because counts are pure integer sums,
+    * [[graft.pipeline.TextOps.foldTokenCounts]] over the landed frame
+    * equals the full-corpus table bit-for-bit (spec-pinned) — so
+    * [[graft.pipeline.TextOps.vocabDivergenceFromCounts]] compares a
+    * LIVE ingest against a frozen reference snapshot without ever
+    * rescanning either corpus. Null text tokenizes to nothing
+    * (explode drops it), so no malformed posture is needed — nothing
+    * here can throw per-row.
+    */
+  def vocabCountsStream(docs: DataFrame, textCol: String,
+      outPath: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ExactlyOnceSink.writeBatch(outPath)(
+          graft.pipeline.TextOps.tokenTypeCounts(batch, textCol),
+          batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** Streaming fuzzy-key lookup — the serving twin of
     * [[graft.pipeline.Linkage.linkQueries]]: a stream of (`qIdCol`,
     * `qCol`) dirty keys is matched per micro-batch against a STATIC

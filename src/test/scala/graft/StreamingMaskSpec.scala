@@ -1700,4 +1700,41 @@ class StreamingMaskSpec extends SparkSpec {
     // batch 4's rows were folded without preservation: provenance null
     assert(!p3.contains(40L))
   }
+
+  test("vocabCountsStream: folded landed per-batch token counts equal " +
+      "the batch table; incremental divergence equals the direct one") {
+    import graft.pipeline.TextOps
+    val base = Files.createTempDirectory("graft_vocab_stream").toString
+    val docs = spark.read.parquet(s"$fixtures/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val live = docs.filter(col("lang") === "en")
+    // two files -> two micro-batches
+    live.filter(col("doc_id") % 2 === 0).write.parquet(s"$base/in/f0")
+    live.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$base/in/f1")
+    val stream = spark.readStream.schema(live.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(s"$base/in")
+    val q = StreamMask.vocabCountsStream(stream, "text",
+      s"$base/out", s"$base/ckpt")
+    q.awaitTermination(120000)
+    val landed = spark.read.parquet(s"$base/out")
+    assert(landed.select(ExactlyOnceSink.BatchIdCol).distinct().count()
+      > 1, "expected more than one landed micro-batch")
+    def key(df: DataFrame) = df.collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("cnt")).toMap
+    val folded = TextOps.foldTokenCounts(landed)
+    assert(key(folded) == key(TextOps.tokenTypeCounts(live, "text")),
+      "folded streaming counts diverged from the batch table")
+    // the live fold against a frozen reference == the direct operator
+    val ref = docs.filter(col("lang") === "fr")
+    def dkey(df: DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    val incr = dkey(TextOps.vocabDivergenceFromCounts(folded,
+      TextOps.tokenTypeCounts(ref, "text")))
+    val direct = dkey(TextOps.vocabDivergence(live, ref, "text"))
+    assert(incr.nonEmpty && incr == direct,
+      "incremental divergence diverged from the direct operator")
+  }
 }
