@@ -175,7 +175,7 @@ class EmbedSpec extends SparkSpec {
       (90002L, Seq.fill(d)(Float.NaN)),
       (90003L, Seq(1.0f, 2.0f)))
       .toDF("vec_id", "embedding")
-      .unionByName(emb.limit(3))
+      .unionByName(emb.filter(col("vec_id") < 3))
       .write.parquet(s"$base/in/f1")
     val stream = spark.readStream.schema(emb.schema)
       .option("maxFilesPerTrigger", "1")
@@ -192,7 +192,8 @@ class EmbedSpec extends SparkSpec {
           BigDecimal(r.getAs[java.math.BigDecimal]("m")))))
       .toMap
     // clean subset = f0's 40 vectors + the 3 clean riders in f1
-    val clean = emb.unionByName(emb.limit(3))
+    // (keyed riders, not limit(3): limit picks plan-dependent rows)
+    val clean = emb.unionByName(emb.filter(col("vec_id") < 3))
     assert(key(Embed.foldGramStats(landed)) ==
       key(Embed.gramStats(clean, "embedding")),
       "stats with poison dropped diverged from the clean subset's")
