@@ -628,6 +628,22 @@ object SparkEntry {
       b.column("c_name").replaceWithGenerator("portableFirstName")
     }.plan()("customer").orderBy("c_custkey")
 
+  /** Format-preserving pseudonymization of the customer name: digits
+    * stay digits, letters keep their case class, separators pass
+    * through — "Customer#000000012" masks to the same shape, and equal
+    * inputs mask equal (value-keyed seed), so joins on the masked key
+    * keep joining. Every character re-derived by DuckDB: the row seed
+    * is md5('fp18|' || value) and each position's shift the first
+    * hex-nibble pair of md5(seed || '#' || i).
+    */
+  private def maskFormatPreserving(s: SparkSession, dir: String)
+      : DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        Gen.portableFormatPreserving(col("c_name"), "fp18")
+          .as("c_name_masked"))
+      .orderBy("c_custkey")
+
   // ------------------------------------------------- LLM-pipeline extensions
   private def docs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -3807,6 +3823,7 @@ object SparkEntry {
     "mask_blueprint_full" -> (maskBlueprintFull _),
     "mask_generators" -> (maskGenerators _),
     "mask_generator_oracle" -> (maskGeneratorOracle _),
+    "mask_format_preserving" -> (maskFormatPreserving _),
     "fk_sync" -> (fkSync _),
     "q1_agg" -> (q1Agg _),
     "q_join_broadcast" -> (qJoinBroadcast _),
@@ -5686,6 +5703,39 @@ object SparkEntry {
       s"""SELECT c_custkey, list_extract([$pool], $idx) AS c_name,
          |c_nationkey, c_acctbal, c_mktsegment
          |FROM customer ORDER BY c_custkey""".stripMargin
+    },
+    "mask_format_preserving" -> {
+      // per character: shift = first hex-nibble pair of
+      // md5(seed || '#' || i); digits rotate mod 10, letters mod 26
+      // within their case, everything else passes through — exactly
+      // Gen.portableFormatPreserving's closure, re-derived per char
+      val h = s"md5(sd || '#' || CAST(i AS VARCHAR))"
+      val shift = s"(${nibSql(h, 1)} * 16 + ${nibSql(h, 2)})"
+      s"""WITH src AS (SELECT c_custkey, c_name,
+         |    md5('fp18|' || c_name) AS sd FROM customer),
+         |pos AS (SELECT c_custkey, c_name, sd,
+         |    unnest(generate_series(1, length(c_name))) AS i
+         |  FROM src),
+         |mc AS (SELECT c_custkey, i,
+         |    CASE
+         |      WHEN substr(c_name, i, 1) BETWEEN '0' AND '9'
+         |        THEN chr(48 + CAST((ascii(substr(c_name, i, 1)) - 48
+         |          + $shift) % 10 AS INT))
+         |      WHEN substr(c_name, i, 1) BETWEEN 'a' AND 'z'
+         |        THEN chr(97 + CAST((ascii(substr(c_name, i, 1)) - 97
+         |          + $shift) % 26 AS INT))
+         |      WHEN substr(c_name, i, 1) BETWEEN 'A' AND 'Z'
+         |        THEN chr(65 + CAST((ascii(substr(c_name, i, 1)) - 65
+         |          + $shift) % 26 AS INT))
+         |      ELSE substr(c_name, i, 1) END AS ch
+         |  FROM pos),
+         |agg AS (SELECT c_custkey,
+         |    string_agg(ch, '' ORDER BY i) AS masked
+         |  FROM mc GROUP BY c_custkey)
+         |SELECT s.c_custkey, s.c_name,
+         |COALESCE(a.masked, s.c_name) AS c_name_masked
+         |FROM src s LEFT JOIN agg a USING (c_custkey)
+         |ORDER BY c_custkey""".stripMargin
     },
     "q_dedup_exact" ->
       s"""SELECT md5($normSql) AS content_hash, COUNT(*) AS n_copies,

@@ -305,6 +305,61 @@ object Gen {
     "portableName" -> portableName _,
     "portableEmail" -> portableEmail _)
 
+  /** Format-preserving pseudonymization (portable): every digit maps
+    * to a digit, every ASCII letter to a letter of the same case, and
+    * every other character passes through — the masked value keeps the
+    * original's length, separators and character classes (a phone
+    * still parses as a phone, a plate as a plate), the classic
+    * anonymizer ask the plain pool formatters cannot serve.
+    *
+    * Deterministic and VALUE-KEYED: the row seed is
+    * `md5(secret || '|' || value)`, so equal source values mask to
+    * equal outputs across rows and tables (join keys keep joining —
+    * the `synchronizeColumn` property, for free); the per-position
+    * shift is the first hex-nibble PAIR of `md5(seed || '#' || i)`
+    * (1-based i), so an external SQL oracle re-derives every character
+    * (the [[pickPortable]] discipline, per position). One linear
+    * closure pass — per-position `substr` would be O(len²) in Spark's
+    * codepoint substr, and an inline-literal per-char expression tree
+    * would de-JIT the stage. Values longer than `maxLen` fail loudly:
+    * format-preserving masking is for KEYS; per-char md5 over a blob
+    * is a cost cliff that should be a deliberate choice.
+    */
+  def portableFormatPreserving(value: Column, secret: String,
+      maxLen: Int = 256): Column = {
+    val u = udf((v: String, s: String) => {
+      if (v == null) null
+      else {
+        require(v.length <= maxLen,
+          s"portableFormatPreserving: value length ${v.length} > " +
+            s"maxLen $maxLen — masking is for keys, not blobs")
+        val sb = new java.lang.StringBuilder(v.length)
+        var i = 0
+        while (i < v.length) {
+          val c = v.charAt(i)
+          val isDigit = c >= '0' && c <= '9'
+          val isLower = c >= 'a' && c <= 'z'
+          val isUpper = c >= 'A' && c <= 'Z'
+          if (isDigit || isLower || isUpper) {
+            val h = java.security.MessageDigest.getInstance("MD5")
+              .digest((s + "#" + (i + 1))
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val shift = h(0) & 0xFF // == nibble(1)*16 + nibble(2)
+            val out =
+              if (isDigit) ('0' + (c - '0' + shift) % 10).toChar
+              else if (isLower) ('a' + (c - 'a' + shift) % 26).toChar
+              else ('A' + (c - 'A' + shift) % 26).toChar
+            sb.append(out)
+          } else sb.append(c)
+          i += 1
+        }
+        sb.toString
+      }
+    })
+    u(value.cast("string"),
+      md5(concat(lit(secret), lit("|"), value.cast("string"))))
+  }
+
   def register(formatterName: String, f: Column => Column): Unit =
     synchronized { registry += formatterName -> f }
   def formatter(formatterName: String): Column => Column =

@@ -157,4 +157,56 @@ class GenSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       GraftConfig(user = "u", database = "d", generatorLocale = "xx"))
   }
+
+  test("portableFormatPreserving: class-preserving, value-keyed, " +
+      "deterministic, null-safe, loud on oversize") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "Customer#000000012"),
+      (2L, "Customer#000000012"), // equal input on another row
+      (3L, "abcXYZ-409 8"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "v")
+    val out = df.select(col("id"), col("v"),
+        graft.functions.Gen.portableFormatPreserving(col("v"), "sec")
+          .as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    val orig = df.collect().map(r =>
+      r.getLong(0) -> Option(r.getString(1))).toMap
+    // null in, null out
+    assert(out(4L).isEmpty)
+    // value-keyed: equal inputs mask equal across rows
+    assert(out(1L) == out(2L) && out(1L).nonEmpty)
+    // masked != original, same length, every char keeps its class
+    for (id <- Seq(1L, 3L)) {
+      val v = orig(id).get; val m = out(id).get
+      assert(m != v, s"row $id unmasked")
+      assert(m.length == v.length)
+      v.zip(m).foreach { case (c, d) =>
+        if (c.isDigit) assert(d.isDigit, s"$c -> $d")
+        else if (c >= 'a' && c <= 'z') assert(d >= 'a' && d <= 'z')
+        else if (c >= 'A' && c <= 'Z') assert(d >= 'A' && d <= 'Z')
+        else assert(d == c, s"separator $c changed to $d")
+      }
+    }
+    // deterministic across evaluations
+    val again = df.select(col("id"),
+        graft.functions.Gen.portableFormatPreserving(col("v"), "sec")
+          .as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(again == out)
+    // a different secret gives a different masking
+    val other = df.filter(col("id") === 1)
+      .select(graft.functions.Gen.portableFormatPreserving(col("v"),
+        "sec2")).head().getString(0)
+    assert(Option(other) != out(1L))
+    // oversize values fail loudly (keys, not blobs)
+    val e = intercept[org.apache.spark.SparkException] {
+      Seq("x" * 300).toDF("v")
+        .select(graft.functions.Gen.portableFormatPreserving(col("v"),
+          "sec")).collect()
+    }
+    assert(e.getMessage.contains("maxLen"))
+  }
 }
