@@ -112,7 +112,10 @@ object ScaleRehearsal {
     "q_k_anon", "q_privacy_card", "q_fuzzy_join",
     "q_k_suppress", "q_k_generalize", "q_t_closeness", "q_fuzzy_serve",
     "q_rr_release", "q_rr_estimate", "q_privacy_utility", "q_mondrian",
-    "q_fuzzy_join2", "q_fuzzy_two")
+    "q_fuzzy_join2", "q_fuzzy_two",
+    // format-preserving pseudonymization: a narrow per-char closure
+    // scan — must stay linear in the 10x distinct-name universe
+    "mask_format_preserving")
 
   private val KnownModes = Set("distinct", "clone", "relational")
 
