@@ -801,10 +801,13 @@ object TextOps {
     * bit-for-bit in any engine. The JS term
     * `js_term = 0.5·(p_a·ln(p_a/m)) + 0.5·(p_b·ln(p_b/m))`,
     * `m = 0.5·(p_a + p_b)`, carries cross-engine ln ULP drift
-    * (measured: 1 token in 31 differs by 1 ulp vs DuckDB at sf0.01),
+    * (measured: 1 token in 31 differs by 1 ulp vs DuckDB at sf0.01 —
+    * Spark's `log` is StrictMath-backed; other engines' ln need not
+    * round identically),
     * so the gate row pins the exact columns and the spec pins JS's
     * semantics (exact zero on identical corpora, bit-exact symmetry,
-    * positivity, Σ < ln 2). The rows are per-token so the gate is
+    * positivity, Σ < ln 2, and a bit-exact parity fold against the
+    * documented StrictMath op sequence). The rows are per-token so the gate is
     * ORDER-FREE; the scalar divergence is Σ over rows, left to the
     * consumer (a sum of doubles needs a pinned fold order — the
     * `q_nb_classify` discipline — and monitoring usually wants the

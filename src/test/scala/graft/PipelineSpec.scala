@@ -4064,5 +4064,22 @@ class PipelineSpec extends SparkSpec {
     // the scalar divergence (sum of terms) stays below ln 2
     assert(drift.values.map(_.getAs[Double]("js_term")).sum <
       math.log(2.0))
+    // parity: the in-plan js_term bit-equals an independent driver
+    // fold over the SAME p_a/p_b doubles in the documented op order —
+    // the q_nb_classify one-definition discipline (the cross-engine
+    // gate pins p_a/p_b/tv_term; this pins js_term to the formula)
+    drift.values.foreach { r =>
+      val pa = r.getAs[Double]("p_a"); val pb = r.getAs[Double]("p_b")
+      val m = 0.5 * (pa + pb)
+      // StrictMath.log: Spark's Log expression is StrictMath-backed
+      // (Math.log may use platform intrinsics that differ by ulps —
+      // the same reason DuckDB's ln cannot be hash-gated)
+      val want = 0.5 * (pa * StrictMath.log(pa / m)) +
+        0.5 * (pb * StrictMath.log(pb / m))
+      assert(java.lang.Double.doubleToRawLongBits(
+          r.getAs[Double]("js_term")) ==
+        java.lang.Double.doubleToRawLongBits(want),
+        s"js_term drifted from the documented fold for ${r.getString(0)}")
+    }
   }
 }
