@@ -644,6 +644,20 @@ object SparkEntry {
           .as("c_name_masked"))
       .orderBy("c_custkey")
 
+  /** Consistent date shifting over orders: every order of the same
+    * customer moves by the same whole-day offset in [−90, +90]
+    * (48-bit md5 coin of 'ds18|custkey'), so each customer's order
+    * cadence is preserved exactly while absolute dates anonymize —
+    * HIPAA-style longitudinal masking. Every offset and shifted
+    * timestamp re-derived by DuckDB.
+    */
+  private def maskDateShift(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        Gen.portableDateShift(col("o_orderdate"), col("o_custkey"),
+          "ds18", maxDays = 90).as("o_orderdate_shifted"))
+      .orderBy("o_orderkey")
+
   // ------------------------------------------------- LLM-pipeline extensions
   private def docs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -3824,6 +3838,7 @@ object SparkEntry {
     "mask_generators" -> (maskGenerators _),
     "mask_generator_oracle" -> (maskGeneratorOracle _),
     "mask_format_preserving" -> (maskFormatPreserving _),
+    "mask_date_shift" -> (maskDateShift _),
     "fk_sync" -> (fkSync _),
     "q1_agg" -> (q1Agg _),
     "q_join_broadcast" -> (qJoinBroadcast _),
@@ -5736,6 +5751,15 @@ object SparkEntry {
          |COALESCE(a.masked, s.c_name) AS c_name_masked
          |FROM src s LEFT JOIN agg a USING (c_custkey)
          |ORDER BY c_custkey""".stripMargin
+    },
+    "mask_date_shift" -> {
+      // the same 48-bit md5 coin as q_rr_release, keyed per customer;
+      // the offset and the day-granular shift replay exactly
+      val b = bucket48OfSql("md5('ds18|' || CAST(o_custkey AS VARCHAR))")
+      s"""SELECT o_orderkey, o_custkey, o_orderdate,
+         |o_orderdate + (CAST($b % 181 AS INT) - 90)
+         |  * INTERVAL 1 DAY AS o_orderdate_shifted
+         |FROM orders ORDER BY o_orderkey""".stripMargin
     },
     "q_dedup_exact" ->
       s"""SELECT md5($normSql) AS content_hash, COUNT(*) AS n_copies,

@@ -360,6 +360,31 @@ object Gen {
       md5(concat(lit(secret), lit("|"), value.cast("string"))))
   }
 
+  /** Consistent date shifting (portable): every timestamp of the same
+    * `key` entity moves by the SAME whole-day offset, drawn uniformly
+    * from [−maxDays, +maxDays] by the 48-bit md5 coin of
+    * `secret || '|' || key` — so within-entity intervals (order
+    * cadence, ship latencies, session gaps) are preserved EXACTLY
+    * while absolute dates are anonymized; different entities shift
+    * independently, so cross-entity timelines decorrelate. The classic
+    * longitudinal-data anonymizer rule (HIPAA-style date shifting),
+    * and the temporal analog of [[portableFormatPreserving]]'s
+    * value-keyed consistency. Deterministic, retry-safe, and every
+    * offset re-derivable by an external SQL oracle through the same
+    * nibble arithmetic as the randomized-response coin.
+    */
+  def portableDateShift(ts: Column, key: Column, secret: String,
+      maxDays: Int): Column = {
+    require(maxDays >= 1, s"maxDays must be >= 1 (got $maxDays)")
+    val b = graft.pipeline.Sampling.hashBucket48(
+      concat_ws("|", lit(secret), key.cast("string")))
+    val off = (pmod(b, lit(2L * maxDays + 1)) - lit(maxDays.toLong))
+      .cast("int")
+    // day-time interval addition (UTC session: exact 24h days, no DST
+    // fold — the same day arithmetic the SQL oracle's INTERVAL does)
+    ts + call_function("make_dt_interval", off)
+  }
+
   def register(formatterName: String, f: Column => Column): Unit =
     synchronized { registry += formatterName -> f }
   def formatter(formatterName: String): Column => Column =

@@ -209,4 +209,49 @@ class GenSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxLen"))
   }
+
+  test("portableDateShift: per-key constant offset preserves " +
+      "intervals, bounded, deterministic, null-safe") {
+    val s = spark
+    import s.implicits._
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val df = Seq(
+      (10L, ts("2020-01-01 00:00:00")),
+      (10L, ts("2020-01-31 12:34:56")), // same key, 30.524d later
+      (20L, ts("2020-01-01 00:00:00")),
+      (30L, null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("k", "t")
+    val out = df.select(col("k"), col("t"),
+        graft.functions.Gen.portableDateShift(col("t"), col("k"),
+          "sec", maxDays = 30).as("m"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(1)),
+        Option(r.getTimestamp(2))))
+    // null in, null out
+    assert(out.find(_._1 == 30L).get._3.isEmpty)
+    // per-key constant offset: the two key-10 rows shift by the SAME
+    // whole-day delta, so their interval is preserved exactly
+    val k10 = out.filter(_._1 == 10L)
+      .map(r => r._3.get.getTime - r._2.get.getTime)
+    assert(k10.distinct.length == 1, k10.mkString(","))
+    val dayMs = 86400000L
+    assert(k10.head % dayMs == 0, "offset must be whole days")
+    assert(math.abs(k10.head / dayMs) <= 30, "offset out of bounds")
+    // different keys shift independently (these two happen to differ)
+    val k20 = out.filter(_._1 == 20L)
+      .map(r => r._3.get.getTime - r._2.get.getTime).head
+    assert(k20 % dayMs == 0 && math.abs(k20 / dayMs) <= 30)
+    // deterministic across evaluations
+    val again = df.select(
+        graft.functions.Gen.portableDateShift(col("t"), col("k"),
+          "sec", maxDays = 30)).collect().map(r =>
+      Option(r.getTimestamp(0)))
+    assert(again.toSeq == out.toSeq.map(_._3))
+    intercept[IllegalArgumentException] {
+      graft.functions.Gen.portableDateShift(col("t"), col("k"),
+        "sec", maxDays = 0)
+    }
+  }
 }
