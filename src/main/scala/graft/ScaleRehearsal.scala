@@ -115,7 +115,9 @@ object ScaleRehearsal {
     "q_fuzzy_join2", "q_fuzzy_two",
     // format-preserving pseudonymization: a narrow per-char closure
     // scan — must stay linear in the 10x distinct-name universe
-    "mask_format_preserving")
+    "mask_format_preserving",
+    // consistent date shifting: one md5 coin + interval add per row
+    "mask_date_shift")
 
   private val KnownModes = Set("distinct", "clone", "relational")
 

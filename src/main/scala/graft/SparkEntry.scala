@@ -3630,6 +3630,22 @@ object SparkEntry {
       .orderBy("q_id", "ref_value")
   }
 
+  /** l-diversity ENFORCEMENT by suppression over the same masked
+    * release: only rows whose (nationkey, masked segment) group carries
+    * at least l = 10 DISTINCT sensitive bins survive — the leak k
+    * alone cannot close (a large group with one sensitive value is
+    * k-anonymous and still tells the attacker everything). Completes
+    * the audit→enforce→re-audit loop for the l half of `q_k_anon`.
+    */
+  private def qLSuppress(s: SparkSession, dir: String): DataFrame =
+    Privacy.suppressLowDiversity(
+      maskedRelease(s, dir)
+        .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+        .withColumn("acct_bin",
+          floor(col("c_acctbal") / lit(1000.0)).cast("long")),
+      Seq("c_nationkey", "c_mktsegment"), "acct_bin", l = 10)
+      .orderBy("c_custkey")
+
   /** k-anonymity ENFORCEMENT by suppression over the same masked
     * release: only rows whose (nationkey, masked segment) group reaches
     * k = 10 survive. The group table flows back as a broadcast
@@ -3991,6 +4007,7 @@ object SparkEntry {
     "q_privacy_card" -> (qPrivacyCard _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_k_suppress" -> (qKSuppress _),
+    "q_l_suppress" -> (qLSuppress _),
     "q_k_generalize" -> (qKGeneralize _),
     "q_t_closeness" -> (qTCloseness _),
     "q_fuzzy_serve" -> (qFuzzyServe _),
@@ -7657,6 +7674,19 @@ object SparkEntry {
          |FROM customer a JOIN customer b ON a.c_name < b.c_name
          |WHERE levenshtein(a.c_name, b.c_name) <= 1
          |ORDER BY name_a, name_b""".stripMargin,
+    "q_l_suppress" ->
+      s"""WITH m AS (SELECT c_custkey, c_nationkey,
+         |  CASE WHEN c_acctbal > 0 THEN 'MASKED' ELSE c_mktsegment END
+         |    AS c_mktsegment,
+         |  c_acctbal,
+         |  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS acct_bin
+         |  FROM customer),
+         |ok AS (SELECT c_nationkey, c_mktsegment FROM m
+         |  GROUP BY 1, 2 HAVING COUNT(DISTINCT acct_bin) >= 10)
+         |SELECT m.c_custkey, m.c_nationkey, m.c_mktsegment,
+         |m.c_acctbal, m.acct_bin
+         |FROM m JOIN ok USING (c_nationkey, c_mktsegment)
+         |ORDER BY c_custkey""".stripMargin,
     "q_k_suppress" ->
       s"""SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal
          |FROM (SELECT c_custkey, c_nationkey,

@@ -77,6 +77,29 @@ object Privacy {
     df.join(broadcast(ok), qiCols, "left_semi")
   }
 
+  /** l-diversity ENFORCEMENT by suppression (Machanavajjhala et al.,
+    * ICDE 2007): only rows whose QI group carries at least `l` DISTINCT
+    * sensitive values survive — the missing half of the
+    * audit→enforce→re-audit loop ([[suppress]]/[[generalizeNumeric]]
+    * enforce k; this enforces l, the property k alone cannot give: a
+    * 50-row group whose members all share one diagnosis is k-anonymous
+    * and still leaks it). Same scale shape as [[suppress]]: one hash
+    * aggregation to the bounded QI group table (`countDistinct` is
+    * Spark's two-phase distinct aggregate — no all-values-to-one-
+    * reducer stage) flowing back as a broadcast semi-join, so the
+    * release itself is never re-shuffled.
+    */
+  def suppressLowDiversity(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 1, s"l must be >= 1 (got $l)")
+    val ok = df.groupBy(qiCols.map(col): _*)
+      .agg(countDistinct(col(sensitiveCol)).as("__ld"))
+      .filter(col("__ld") >= l)
+      .drop("__ld")
+    df.join(broadcast(ok), qiCols, "left_semi")
+  }
+
   /** k-anonymity ENFORCEMENT by generalization: replace a numeric QI
     * with its equal-width range label `"[lo,hi)"` — coarser values mean
     * bigger groups, trading precision for k. Purely narrow (no

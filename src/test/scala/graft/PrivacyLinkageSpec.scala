@@ -184,6 +184,34 @@ class PrivacyLinkageSpec extends SparkSpec {
       Seq("qi", "v"))
   }
 
+  test("Privacy.suppressLowDiversity keeps exactly the groups with " +
+      ">= l distinct sensitive values — the leak k alone misses") {
+    val s = spark
+    import s.implicits._
+    // group a: 3 rows but ONE sensitive value (k-anonymous, l-leaky);
+    // group b: 2 rows, 2 values; group c: 3 rows, 2 values
+    val df = Seq(("a", "flu"), ("a", "flu"), ("a", "flu"),
+      ("b", "flu"), ("b", "hiv"), ("c", "flu"), ("c", "hiv"),
+      ("c", "flu")).toDF("qi", "dx")
+    val out = Privacy.suppressLowDiversity(df, Seq("qi"), "dx", l = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.map(_._1).toSet == Set("b", "c") && out.length == 5)
+    // contrast: plain k-suppression at k = 3 KEEPS the leaky group a
+    assert(Privacy.suppress(df, Seq("qi"), 3).collect()
+      .exists(_.getString(0) == "a"))
+    // l = 1 keeps everything; schema unchanged
+    assert(Privacy.suppressLowDiversity(df, Seq("qi"), "dx", 1)
+      .count() == 8)
+    assert(Privacy.suppressLowDiversity(df, Seq("qi"), "dx", 2)
+      .columns.toSeq == Seq("qi", "dx"))
+    intercept[IllegalArgumentException] {
+      Privacy.suppressLowDiversity(df, Seq.empty, "dx", 2)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.suppressLowDiversity(df, Seq("qi"), "dx", 0)
+    }
+  }
+
   test("Privacy.generalizeNumeric emits [lo,hi) labels incl. negatives") {
     val s = spark
     import s.implicits._
