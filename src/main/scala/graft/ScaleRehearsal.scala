@@ -117,7 +117,9 @@ object ScaleRehearsal {
     // scan — must stay linear in the 10x distinct-name universe
     "mask_format_preserving",
     // consistent date shifting: one md5 coin + interval add per row
-    "mask_date_shift")
+    "mask_date_shift",
+    // l-diversity enforcement: bounded distinct-agg + broadcast semi
+    "q_l_suppress")
 
   private val KnownModes = Set("distinct", "clone", "relational")
 

@@ -1737,4 +1737,33 @@ class StreamingMaskSpec extends SparkSpec {
     assert(incr.nonEmpty && incr == direct,
       "incremental divergence diverged from the direct operator")
   }
+
+  test("format-preserving and date-shift masking are stateless columns: " +
+      "streamed output equals the batch operator row for row") {
+    import graft.functions.Gen
+    val base = Files.createTempDirectory("graft_mask_stream").toString
+    val cust = spark.read.parquet(s"$fixtures/customer.parquet")
+      .select("c_custkey", "c_name")
+    cust.write.parquet(s"$base/in")
+    val stream = spark.readStream.schema(cust.schema)
+      .parquet(s"$base/in")
+    def masked(df: DataFrame) = df.select(col("c_custkey"),
+      Gen.portableFormatPreserving(col("c_name"), "sec").as("m"),
+      Gen.portableDateShift(
+        to_timestamp(lit("2020-06-01 00:00:00")), col("c_custkey"),
+        "sec", maxDays = 30).as("d"))
+    val q = masked(stream)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def key(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getTimestamp(2))))
+      .toMap
+    val streamed = key(spark.read.parquet(s"$base/out"))
+    assert(streamed.nonEmpty && streamed == key(masked(cust)),
+      "streamed masking diverged from the batch operator")
+  }
 }
