@@ -3646,6 +3646,23 @@ object SparkEntry {
       Seq("c_nationkey", "c_mktsegment"), "acct_bin", l = 10)
       .orderBy("c_custkey")
 
+  /** Differentially private per-nation customer counts — central DP
+    * next to `q_rr_release`'s local DP: the geometric mechanism
+    * (Ghosh et al. 2009) at α = 1/2 (ε = ln 2), bound 40, every noise
+    * draw the 48-bit md5 coin inverted through the EXACT integer CDF
+    * thresholds — DuckDB re-derives the thresholds natively in
+    * HUGEINT (the weights at denominator 2^40 are bit shifts) and
+    * replays every release. True counts ride alongside for the
+    * utility read (a test gate, not a production release).
+    */
+  private def qDpCounts(s: SparkSession, dir: String): DataFrame =
+    Privacy.geometricNoisyCounts(
+      t(s, dir, "customer"), Seq("c_nationkey"),
+      aNum = 1, aDen = 2, seed = "dp18")
+      .join(t(s, dir, "customer").groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_true")), Seq("c_nationkey"))
+      .orderBy("c_nationkey")
+
   /** k-anonymity ENFORCEMENT by suppression over the same masked
     * release: only rows whose (nationkey, masked segment) group reaches
     * k = 10 survive. The group table flows back as a broadcast
@@ -4008,6 +4025,7 @@ object SparkEntry {
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_k_suppress" -> (qKSuppress _),
     "q_l_suppress" -> (qLSuppress _),
+    "q_dp_counts" -> (qDpCounts _),
     "q_k_generalize" -> (qKGeneralize _),
     "q_t_closeness" -> (qTCloseness _),
     "q_fuzzy_serve" -> (qFuzzyServe _),
@@ -7674,6 +7692,31 @@ object SparkEntry {
          |FROM customer a JOIN customer b ON a.c_name < b.c_name
          |WHERE levenshtein(a.c_name, b.c_name) <= 1
          |ORDER BY name_a, name_b""".stripMargin,
+    "q_dp_counts" -> {
+      // the truncated-geometric CDF thresholds derived NATIVELY in
+      // exact integer arithmetic: weights at denominator 2^40 are bit
+      // shifts, floor(cum·2^48/S) in HUGEINT; the per-group 48-bit
+      // coin is the shared md5-nibble arithmetic
+      val u = bucket48OfSql(
+        "md5('dp18|' || CAST(c_nationkey AS VARCHAR))")
+      s"""WITH z AS (SELECT unnest(generate_series(-40, 40)) AS k),
+         |w AS (SELECT k, CAST(1 AS BIGINT) << (40 - abs(k)) AS wt
+         |  FROM z),
+         |s AS (SELECT SUM(wt) AS tot FROM w),
+         |th AS (SELECT k,
+         |    CAST(SUM(wt) OVER (ORDER BY k) AS HUGEINT)
+         |      * 281474976710656 / (SELECT tot FROM s) AS t
+         |  FROM w),
+         |g AS (SELECT c_nationkey, COUNT(*) AS n_true,
+         |    $u AS u
+         |  FROM customer GROUP BY 1),
+         |nz AS (SELECT g.c_nationkey, MIN(th.k) AS zz FROM g
+         |  JOIN th ON CAST(g.u AS HUGEINT) < th.t GROUP BY 1)
+         |SELECT g.c_nationkey,
+         |GREATEST(g.n_true + nz.zz, 0) AS n_noisy, g.n_true
+         |FROM g JOIN nz USING (c_nationkey)
+         |ORDER BY c_nationkey""".stripMargin
+    },
     "q_l_suppress" ->
       s"""WITH m AS (SELECT c_custkey, c_nationkey,
          |  CASE WHEN c_acctbal > 0 THEN 'MASKED' ELSE c_mktsegment END

@@ -130,11 +130,12 @@ object Privacy {
     * (`percentile(dim, 0.5)`), dimensions ordered by normalized width
     * with ties broken by declaration order, and the split test
     * (left = value <= median) is a pure comparison — reruns, retries
-    * and repartitions reproduce the identical partition tree. Not
-    * SQL-oracle-able (the recursion is data-dependent), so its gate row
-    * is rows-only and the invariants — every leaf >= k, no leaf
-    * splittable further, rows inside their boxes, determinism — are
-    * spec-pinned instead.
+    * and repartitions reproduce the identical partition tree. The
+    * recursion is data-dependent but DETERMINISTIC, so the gate row's
+    * oracle replays it verbatim as a DuckDB recursive CTE (hash-exact),
+    * and the invariants — every leaf >= k, no leaf splittable further,
+    * rows inside their boxes, determinism — are additionally
+    * spec-pinned.
     *
     * Scale shape: per round ONE stats aggregation over the leaf id
     * (count / min / max / median per dimension — reducer state bounded
@@ -329,6 +330,71 @@ object Privacy {
       .withColumn(colName,
         when(keep, col(colName).cast("string")).otherwise(col("__dval")))
       .drop("__idx", "__dn", "__dval")
+  }
+
+  /** Inverse-CDF thresholds of the TRUNCATED two-sided geometric
+    * distribution (the discrete Laplace) over z ∈ [−bound, bound] with
+    * decay α = aNum/aDen, as exact integers: `t(i) = floor(2^48 ·
+    * CDF(i − bound))`, computed entirely in BigInt rationals (weights
+    * at the common denominator aDen^bound are integers — no float, no
+    * exp/ln), so ANY engine re-derives the identical thresholds and
+    * the mechanism replays bit-for-bit. `t.last = 2^48` exactly.
+    */
+  def geometricThresholds(aNum: Long, aDen: Long,
+      bound: Int): Array[Long] = {
+    require(aNum >= 1 && aDen > aNum,
+      s"alpha must be a rational in (0, 1): got $aNum/$aDen")
+    require(bound >= 1 && bound <= 128,
+      s"bound must be in [1, 128] (got $bound)")
+    val num = BigInt(aNum)
+    val den = BigInt(aDen)
+    val w = (-bound to bound).map(z =>
+      num.pow(math.abs(z)) * den.pow(bound - math.abs(z)))
+    val s = w.sum
+    w.scanLeft(BigInt(0))(_ + _).tail
+      .map(c => ((c << 48) / s).toLong).toArray
+  }
+
+  /** Differentially private group counts — the CENTRAL-DP complement
+    * of [[randomizedResponse]]'s local DP: each group's true count is
+    * released plus one draw of truncated two-sided geometric noise
+    * (the geometric mechanism — Ghosh, Roughgarden & Sundararajan,
+    * STOC 2009: the discrete analog of Laplace, UNIVERSALLY optimal
+    * for counting queries), giving ε-DP with ε = ln(aDen/aNum) at
+    * sensitivity 1 (up to the standard ±bound truncation, mass
+    * ≤ α^bound — pick bound ≫ 1/ε). Negative releases clamp to 0
+    * (post-processing, DP-safe).
+    *
+    * Exact-replay contract: the noise draw is the same 48-bit
+    * md5 coin as [[randomizedResponse]] — keyed by `seed | group key values` inverted through
+    * [[geometricThresholds]]' exact integer CDF — deterministic,
+    * retry-safe, and a SQL oracle replays every release (the
+    * quantization deficit per outcome is < 2^−48, the rr contract).
+    * The thresholds ride the closure as a (2·bound+2)-long array —
+    * never an inline-literal expression tree (the JIT-cliff shape).
+    *
+    * Scale shape: ONE hash aggregation to the bounded group table
+    * (map-side partials), then a narrow per-group coin + threshold
+    * scan. Nothing corpus-sized past the aggregate.
+    */
+  def geometricNoisyCounts(df: DataFrame, groupCols: Seq[String],
+      aNum: Long, aDen: Long, seed: String,
+      bound: Int = 40): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    val t = geometricThresholds(aNum, aDen, bound)
+    val b = bound
+    val noise = udf((u: Long) => {
+      var i = 0
+      while (t(i) <= u) i += 1 // t.last = 2^48 > any 48-bit coin
+      i - b
+    })
+    val u = Sampling.hashBucket48(concat_ws("|",
+      (lit(seed) +: groupCols.map(c => col(c).cast("string"))): _*))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("n_noisy",
+        greatest(col("__n") + noise(u).cast("long"), lit(0L)))
+      .drop("__n")
   }
 
   /** floor(pNum·2^48/pDen): the exact integer keep threshold the

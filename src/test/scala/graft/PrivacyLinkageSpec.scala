@@ -212,6 +212,49 @@ class PrivacyLinkageSpec extends SparkSpec {
     }
   }
 
+  test("geometricNoisyCounts: exact thresholds, bounded symmetric " +
+      "noise, deterministic, clamped at zero, ~geometric mass") {
+    val s = spark
+    import s.implicits._
+    // threshold invariants: strictly monotone CDF, t.last = 2^48,
+    // symmetry of the two-sided weights around z = 0
+    val t = Privacy.geometricThresholds(1, 2, bound = 40)
+    assert(t.length == 81 && t.last == (1L << 48))
+    assert(t.sliding(2).forall(p => p(0) < p(1)), "CDF must be strict")
+    val probs = t.head +: t.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(probs.zip(probs.reverse).forall { case (a, b) =>
+      math.abs(a - b) <= 1 }, "two-sided symmetry (ulp of quantization)")
+    // mechanism over 1000 single-row groups
+    val df = (1L to 1000L).map(i => (i, "x")).toDF("g", "v")
+    val out = Privacy.geometricNoisyCounts(df, Seq("g"), 1, 2, "sp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // releases are clamped at zero and within truth ± bound
+    assert(out.values.forall(n => n >= 0L && n <= 1L + 40L))
+    // noise mass: P(z = 0) = (1-a)/(1+a) = 1/3 at a = 1/2; with the
+    // 0-clamp a single-row group shows n = 1 iff z = 0 OR z <= -1
+    // collapsed... n == 1 exactly when z == 0, n == 0 when z <= -1
+    val zeroNoise = out.values.count(_ == 1L)
+    assert(zeroNoise > 250 && zeroNoise < 420,
+      s"P(z=0) should be ~1/3, got $zeroNoise/1000")
+    val clamped = out.values.count(_ == 0L)
+    assert(clamped > 250 && clamped < 420,
+      s"P(z<=-1) should be ~1/3, got $clamped/1000")
+    // deterministic
+    val again = Privacy.geometricNoisyCounts(df, Seq("g"), 1, 2, "sp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out)
+    // a different seed draws different noise
+    val other = Privacy.geometricNoisyCounts(df, Seq("g"), 1, 2, "sq")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(other != out)
+    intercept[IllegalArgumentException] {
+      Privacy.geometricThresholds(2, 2, 40) // alpha must be < 1
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.geometricNoisyCounts(df, Seq.empty, 1, 2, "sp")
+    }
+  }
+
   test("Privacy.generalizeNumeric emits [lo,hi) labels incl. negatives") {
     val s = spark
     import s.implicits._
