@@ -119,7 +119,9 @@ object ScaleRehearsal {
     // consistent date shifting: one md5 coin + interval add per row
     "mask_date_shift",
     // l-diversity enforcement: bounded distinct-agg + broadcast semi
-    "q_l_suppress")
+    "q_l_suppress",
+    // central-DP noisy counts: one bounded aggregate + a narrow coin
+    "q_dp_counts")
 
   private val KnownModes = Set("distinct", "clone", "relational")
 
