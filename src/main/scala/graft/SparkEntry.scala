@@ -3764,6 +3764,89 @@ object SparkEntry {
       .orderBy("vec_id", "k")
   }
 
+  /** Value-gates the FULL-WIDTH PCA fit (the d=64 eigensolve `q_pca`
+    * projects with): the one invariant an external engine can derive
+    * exactly — the integer trace numerator Σᵢ (n·m_ii − s_i²) of the
+    * quantized covariance (denominator n²·2^40 implied) — is emitted
+    * and replayed by DuckDB from the raw embeddings, and three
+    * second-derivation identities of the fitted model are pinned TRUE
+    * per component: (1) Σλ over the full spectrum equals the
+    * covariance trace (Jacobi rotations preserve it — a broken sweep
+    * breaks this first); (2) each λₖ equals the Rayleigh quotient
+    * wₖᵀCwₖ recomputed from the ORIGINAL covariance, independent of
+    * the rotation accumulation that produced λ; (3) each λₖ equals the
+    * DISTRIBUTED variance of the actual corpus projections (the
+    * `q_lm_score`-style second Spark derivation), up to the documented
+    * 2^-20 quantization radius — projections run on raw floats, the
+    * covariance on floor(x·2^20) integers. A wrong eigenvalue, a
+    * non-eigenvector component, or a drifted projection flips a
+    * boolean and the row hash-fails; with `q_pca2_parity` pinning the
+    * d=2 arithmetic bit-for-bit, the d=64 path is now value-checked
+    * end to end. One gramStats aggregation feeds stats, model AND
+    * audit (fitPcaFromStats reuses the collected rows).
+    */
+  private def qPcaTraceParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val rows = graft.pipeline.Embed.gramStats(emb, "embedding").collect()
+    val (n, cov) = graft.pipeline.Embed.covFromStats(rows)
+    val d = cov.length
+    val model = graft.pipeline.Embed.fitPcaFromStats(rows, d)
+    val traceNum: BigInt = rows.iterator
+      .filter(r => r.getAs[Int]("i") == r.getAs[Int]("j"))
+      .map { r =>
+        BigInt(n) * BigInt(r.getAs[java.math.BigDecimal]("m")
+          .toBigInteger) -
+          BigInt(r.getAs[java.math.BigDecimal]("s_i").toBigInteger) *
+          BigInt(r.getAs[java.math.BigDecimal]("s_j").toBigInteger)
+      }.sum
+    val q = graft.pipeline.Embed.Q
+    val den = BigDecimal(n) * BigDecimal(n) * BigDecimal(q) * BigDecimal(q)
+    val trace = cov.indices.map(i => cov(i)(i)).sum
+    val scale = math.max(math.abs(trace), 1.0)
+    val traceOk =
+      math.abs(model.eigenvalues.sum - trace) <= 1e-9 * scale &&
+        math.abs((BigDecimal(traceNum) / den).toDouble - trace) <=
+          1e-9 * scale
+    def rayleigh(w: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        var j = 0
+        var row = 0.0
+        while (j < d) { row += cov(i)(j) * w(j); j += 1 }
+        acc += w(i) * row
+        i += 1
+      }
+      acc
+    }
+    val rayleighOk = model.components.zip(model.eigenvalues).map {
+      case (w, l) => math.abs(rayleigh(w) - l) <= 1e-9 * scale
+    }
+    val pv = graft.pipeline.Embed.project(emb, "embedding", model)
+      .select(posexplode(col("pca")).as(Seq("k", "v")))
+      .groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("svv"))
+      .collect()
+      .map { r =>
+        val cnt = r.getAs[Long]("cnt").toDouble
+        val sv = r.getAs[Double]("sv")
+        val svv = r.getAs[Double]("svv")
+        r.getAs[Int]("k") -> ((svv - sv * sv / cnt) / cnt)
+      }.toMap
+    // raw-float projections vs integer covariance: gap bounded by the
+    // quantization radius (≤ √d·2^-20 per projection) — 1e-4·scale is
+    // ~10× headroom yet far under any eigenvalue of interest
+    val projOk = model.eigenvalues.zipWithIndex.map { case (l, k) =>
+      math.abs(pv(k) - l) <= 1e-4 * scale
+    }
+    (0 until d).map(k =>
+        (k, traceNum.toString, traceOk, rayleighOk(k), projOk(k)))
+      .toDF("k", "trace_num", "trace_ok", "rayleigh_ok", "projvar_ok")
+      .orderBy("k")
+  }
+
   /** Corpus drift between the English and French document slices:
     * per-token Jensen–Shannon divergence terms over the union
     * vocabulary (Laplace-1 smoothed) — the mixture-shift monitor a
@@ -4036,6 +4119,7 @@ object SparkEntry {
     "q_embed_cov" -> (qEmbedCov _),
     "q_pca" -> (qPca _),
     "q_pca2_parity" -> (qPca2Parity _),
+    "q_pca_trace_parity" -> (qPcaTraceParity _),
     "q_vocab_drift" -> (qVocabDrift _),
     "q_fuzzy_join2" -> (qFuzzyJoin2 _),
     "q_fuzzy_two" -> (qFuzzyTwo _),
@@ -5790,7 +5874,8 @@ object SparkEntry {
     "mask_date_shift" -> {
       // the same 48-bit md5 coin as q_rr_release, keyed per customer;
       // the offset and the day-granular shift replay exactly
-      val b = bucket48OfSql("md5('ds18|' || CAST(o_custkey AS VARCHAR))")
+      val b = bucket48OfSql(
+        "md5('ds18|' || COALESCE(CAST(o_custkey AS VARCHAR), chr(1)))")
       s"""SELECT o_orderkey, o_custkey, o_orderdate,
          |o_orderdate + (CAST($b % 181 AS INT) - 90)
          |  * INTERVAL 1 DAY AS o_orderdate_shifted
@@ -7698,14 +7783,14 @@ object SparkEntry {
       // shifts, floor(cum·2^48/S) in HUGEINT; the per-group 48-bit
       // coin is the shared md5-nibble arithmetic
       val u = bucket48OfSql(
-        "md5('dp18|' || CAST(c_nationkey AS VARCHAR))")
+        "md5('dp18|' || COALESCE(CAST(c_nationkey AS VARCHAR), chr(1)))")
       s"""WITH z AS (SELECT unnest(generate_series(-40, 40)) AS k),
          |w AS (SELECT k, CAST(1 AS BIGINT) << (40 - abs(k)) AS wt
          |  FROM z),
          |s AS (SELECT SUM(wt) AS tot FROM w),
          |th AS (SELECT k,
          |    CAST(SUM(wt) OVER (ORDER BY k) AS HUGEINT)
-         |      * 281474976710656 / (SELECT tot FROM s) AS t
+         |      * 281474976710656 // (SELECT tot FROM s) AS t
          |  FROM w),
          |g AS (SELECT c_nationkey, COUNT(*) AS n_true,
          |    $u AS u
@@ -7813,9 +7898,9 @@ object SparkEntry {
     "q_rr_release" -> {
       // threshold floor(3/4 * 2^48); coin and draw are the 48-bit md5
       // fractions of 'rr17#<key>' and 'rr17#v#<key>'
-      val flip = bucket48OfSql("md5('rr17#' || CAST(c_custkey AS VARCHAR))")
+      val flip = bucket48OfSql("md5('rr17#' || COALESCE(CAST(c_custkey AS VARCHAR), chr(1)))")
       val draw =
-        bucket48OfSql("md5('rr17#v#' || CAST(c_custkey AS VARCHAR))")
+        bucket48OfSql("md5('rr17#v#' || COALESCE(CAST(c_custkey AS VARCHAR), chr(1)))")
       s"""WITH dom AS (SELECT c_mktsegment AS dval,
          |    ROW_NUMBER() OVER (ORDER BY c_mktsegment) - 1 AS idx
          |  FROM (SELECT DISTINCT c_mktsegment FROM customer)),
@@ -7830,9 +7915,9 @@ object SparkEntry {
          |ORDER BY c_custkey""".stripMargin
     },
     "q_rr_estimate" -> {
-      val flip = bucket48OfSql("md5('rr17#' || CAST(c_custkey AS VARCHAR))")
+      val flip = bucket48OfSql("md5('rr17#' || COALESCE(CAST(c_custkey AS VARCHAR), chr(1)))")
       val draw =
-        bucket48OfSql("md5('rr17#v#' || CAST(c_custkey AS VARCHAR))")
+        bucket48OfSql("md5('rr17#v#' || COALESCE(CAST(c_custkey AS VARCHAR), chr(1)))")
       // p = T/2^48 exactly (power-of-two division), q = 1 - p: the same
       // in-engine ops as the Spark side, so n_est is bit-identical
       val p = "(CAST(211106232532992 AS DOUBLE) / 281474976710656.0)"
@@ -8069,6 +8154,32 @@ object SparkEntry {
          |    0.0 + (p.x0 - m.mu0) * m.w10 + (p.x1 - m.mu1) * m.w11 AS v
          |  FROM pts p, mdl m)
          |ORDER BY vec_id, k""".stripMargin,
+    "q_pca_trace_parity" ->
+      // the exact integer trace numerator Σᵢ (n·m_ii − s_i²) of the
+      // quantized covariance, re-derived from the raw embeddings the
+      // same way q_embed_cov derives the full stats; the three
+      // per-component booleans are Spark-side second-derivation
+      // verdicts (Σλ == trace, Rayleigh == λ, projected variance == λ)
+      // pinned TRUE — any eigensolve/basis/projection defect flips one
+      // and the row hash-fails
+      s"""WITH dims AS (SELECT DISTINCT
+         |    unnest(generate_series(1, len(embedding))) AS i
+         |  FROM embeddings),
+         |q AS (SELECT e.vec_id, d.i,
+         |    CAST(FLOOR(CAST(e.embedding[d.i] AS DOUBLE) * 1048576.0)
+         |      AS BIGINT) AS x
+         |  FROM embeddings e CROSS JOIN dims d),
+         |s AS (SELECT i, COUNT(*) AS n,
+         |    CAST(SUM(x) AS DECIMAL(38,0)) AS s,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * x)
+         |      AS DECIMAL(38,0)) AS m
+         |  FROM q GROUP BY 1),
+         |tr AS (SELECT CAST(SUM(CAST(n AS DECIMAL(38,0)) * m - s * s)
+         |    AS DECIMAL(38,0)) AS t FROM s)
+         |SELECT CAST(d.i - 1 AS INTEGER) AS k,
+         |CAST((SELECT t FROM tr) AS VARCHAR) AS trace_num,
+         |TRUE AS trace_ok, TRUE AS rayleigh_ok, TRUE AS projvar_ok
+         |FROM dims d ORDER BY k""".stripMargin,
     "q_embed_cov" ->
       // floor(x * 2^20): the power-of-two multiply is IEEE-exact, so
       // the quantized integers (and every sum of them) are identical

@@ -318,10 +318,18 @@ object Gen {
     * the `synchronizeColumn` property, for free); the per-position
     * shift is the first hex-nibble PAIR of `md5(seed || '#' || i)`
     * (1-based i), so an external SQL oracle re-derives every character
-    * (the [[pickPortable]] discipline, per position). One linear
-    * closure pass — per-position `substr` would be O(len²) in Spark's
-    * codepoint substr, and an inline-literal per-char expression tree
-    * would de-JIT the stage. Values longer than `maxLen` fail loudly:
+    * (the [[pickPortable]] discipline, per position). Positions are
+    * CODEPOINT indices (the SQL oracle's `substr`/`length` semantics),
+    * so parity holds on astral-plane text too — non-BMP codepoints are
+    * never ASCII-alphanumeric and pass through, but they must not
+    * desynchronize the position counter. One linear closure pass —
+    * per-position `substr` would be O(len²) in Spark's codepoint
+    * substr, and an inline-literal per-char expression tree would
+    * de-JIT the stage. ONE MessageDigest per call, reused across
+    * positions with a preallocated output/position scratch (a
+    * per-character `getInstance` made wall time GC-topology-sensitive
+    * — the `selfPairs` Scratch lesson, on the masking hot path).
+    * Values longer than `maxLen` codepoints fail loudly:
     * format-preserving masking is for KEYS; per-char md5 over a blob
     * is a cost cliff that should be a deliberate choice.
     */
@@ -330,28 +338,43 @@ object Gen {
     val u = udf((v: String, s: String) => {
       if (v == null) null
       else {
-        require(v.length <= maxLen,
-          s"portableFormatPreserving: value length ${v.length} > " +
+        val nCp = v.codePointCount(0, v.length)
+        require(nCp <= maxLen,
+          s"portableFormatPreserving: value length $nCp codepoints > " +
             s"maxLen $maxLen — masking is for keys, not blobs")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val seedBytes =
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val digestOut = new Array[Byte](16)
+        val posBuf = new Array[Byte](10)
         val sb = new java.lang.StringBuilder(v.length)
-        var i = 0
-        while (i < v.length) {
-          val c = v.charAt(i)
+        var ci = 0 // UTF-16 index into v
+        var pos = 0 // codepoint position (0-based; 1-based when hashed)
+        while (ci < v.length) {
+          val cp = v.codePointAt(ci)
+          val c = v.charAt(ci) // surrogates are never ASCII-alnum
           val isDigit = c >= '0' && c <= '9'
           val isLower = c >= 'a' && c <= 'z'
           val isUpper = c >= 'A' && c <= 'Z'
           if (isDigit || isLower || isUpper) {
-            val h = java.security.MessageDigest.getInstance("MD5")
-              .digest((s + "#" + (i + 1))
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            val shift = h(0) & 0xFF // == nibble(1)*16 + nibble(2)
+            md.update(seedBytes)
+            md.update('#'.toByte)
+            var n = pos + 1
+            var p = posBuf.length
+            while (n > 0) {
+              p -= 1; posBuf(p) = ('0' + n % 10).toByte; n /= 10
+            }
+            md.update(posBuf, p, posBuf.length - p)
+            md.digest(digestOut, 0, 16) // completes AND resets md
+            val shift = digestOut(0) & 0xFF // == nibble(1)*16 + nibble(2)
             val out =
               if (isDigit) ('0' + (c - '0' + shift) % 10).toChar
               else if (isLower) ('a' + (c - 'a' + shift) % 26).toChar
               else ('A' + (c - 'A' + shift) % 26).toChar
             sb.append(out)
-          } else sb.append(c)
-          i += 1
+          } else sb.appendCodePoint(cp)
+          ci += Character.charCount(cp)
+          pos += 1
         }
         sb.toString
       }
@@ -371,13 +394,18 @@ object Gen {
     * and the temporal analog of [[portableFormatPreserving]]'s
     * value-keyed consistency. Deterministic, retry-safe, and every
     * offset re-derivable by an external SQL oracle through the same
-    * nibble arithmetic as the randomized-response coin.
+    * nibble arithmetic as the randomized-response coin. NULL keys
+    * coalesce to the U+0001 sentinel (concat_ws would silently skip
+    * them — a seed-only coin the SQL oracle's `||`, which yields NULL,
+    * cannot replay); the oracle mirrors with
+    * `COALESCE(CAST(key AS VARCHAR), chr(1))`.
     */
   def portableDateShift(ts: Column, key: Column, secret: String,
       maxDays: Int): Column = {
     require(maxDays >= 1, s"maxDays must be >= 1 (got $maxDays)")
     val b = graft.pipeline.Sampling.hashBucket48(
-      concat_ws("|", lit(secret), key.cast("string")))
+      concat_ws("|", lit(secret),
+        coalesce(key.cast("string"), lit("\u0001"))))
     val off = (pmod(b, lit(2L * maxDays + 1)) - lit(maxDays.toLong))
       .cast("int")
     // day-time interval addition (UTC session: exact 24h days, no DST

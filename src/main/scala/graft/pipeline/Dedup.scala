@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Per-thread MD5 instance for hot per-row closures: MessageDigest
+    * is not thread-safe and `getInstance` per row is the scratch-
+    * allocation pattern that makes wall time GC-topology-sensitive
+    * (the `Linkage.Scratch` lesson); `digest()` resets the instance,
+    * so each row starts clean. Lives on the object, so each executor
+    * JVM materializes it lazily — nothing is serialized.
+    */
+  private val md5Holder: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** What an against-index probe does when a probed cell's LANDED
@@ -1453,7 +1464,7 @@ object Dedup {
       if (text == null) null
       else {
         val grams = bc.value
-        val md = java.security.MessageDigest.getInstance("MD5")
+        val md = md5Holder.get()
         // char offset of each codepoint start (off(nCp) = text.length),
         // so gram slicing and span cutting both count CODEPOINTS —
         // byte-identical to the relational path on astral text

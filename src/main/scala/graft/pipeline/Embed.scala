@@ -204,13 +204,23 @@ object Embed {
     * index tie-break, sign fixed so each component's
     * largest-magnitude coordinate is positive).
     */
-  def fitPca(df: DataFrame, vecCol: String, k: Int): PcaModel = {
-    val rows = gramStats(df, vecCol).collect()
+  def fitPca(df: DataFrame, vecCol: String, k: Int): PcaModel =
+    fitPcaFromStats(gramStats(df, vecCol).collect(), k)
+
+  /** The quantized covariance (and n) a collected [[gramStats]] frame
+    * encodes — the exact-integer → one-rounded-double arithmetic
+    * [[fitPca]] eigensolves. Exposed package-private so an auditor
+    * (`q_pca_trace_parity`) can derive the covariance INDEPENDENTLY of
+    * the Jacobi output and check trace/Rayleigh identities against the
+    * fitted model. Fresh arrays per call — [[jacobiEigen]] copies, but
+    * callers may mutate.
+    */
+  private[graft] def covFromStats(rows: Array[org.apache.spark.sql.Row])
+      : (Long, Array[Array[Double]]) = {
     require(rows.nonEmpty, "fitPca: empty input")
     val n = rows.head.getAs[Long]("n")
     require(n >= 2, s"fitPca: need at least 2 rows (got $n)")
     val d = rows.map(_.getAs[Int]("j")).max + 1
-    require(k >= 1 && k <= d, s"fitPca: k must be in [1, $d] (got $k)")
     val s = new Array[BigDecimal](d)
     val cov = Array.ofDim[Double](d, d)
     rows.foreach { r =>
@@ -223,6 +233,22 @@ object Embed {
       val m = BigDecimal(r.getAs[java.math.BigDecimal]("m"))
       val c = ((nB * m - s(i) * s(j)).toDouble) / den
       cov(i)(j) = c; cov(j)(i) = c
+    }
+    (n, cov)
+  }
+
+  /** [[fitPca]] from an already-collected [[gramStats]] frame — lets a
+    * caller that needs BOTH the stats and the model pay the stats
+    * aggregation once.
+    */
+  private[graft] def fitPcaFromStats(rows: Array[org.apache.spark.sql.Row],
+      k: Int): PcaModel = {
+    val (n, cov) = covFromStats(rows)
+    val d = cov.length
+    require(k >= 1 && k <= d, s"fitPca: k must be in [1, $d] (got $k)")
+    val s = new Array[BigDecimal](d)
+    rows.foreach { r =>
+      s(r.getAs[Int]("i")) = BigDecimal(r.getAs[java.math.BigDecimal]("s_i"))
     }
     val (vals, vecs) = jacobiEigen(cov)
     val order = vals.indices.sortBy(i => (-vals(i), i)).take(k)

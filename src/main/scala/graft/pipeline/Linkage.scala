@@ -29,9 +29,33 @@ import org.apache.spark.sql.functions._
   * costs one pair per distinct pair, not per row pair. Verification is
   * codegen'd `levenshtein` on the thin candidate set. A long-string corpus
   * caps the explode via `maxLen` (QI keys are short by nature; a 10 kB
-  * "key" is not a linkage key).
+  * "key" is not a linkage key) — and the cap is DEPTH-AWARE by default
+  * ([[defaultMaxLen]]: 256 at d=1, 64 at d>=2), because the d>=2
+  * neighborhood is C(len, d)-sized and the d=1 default would otherwise
+  * smuggle a ~32,640-variants-per-string cliff into d=2 runs.
   */
 object Linkage {
+
+  /** Depth-aware blocking cap: the <=d-deletion neighborhood is
+    * Θ(C(len, d))-sized — linear at d=1, but a SINGLE 256-char string
+    * at d=2 already emits ~32,640 variants (C(256,2)), so the shared
+    * 256 default would hand a long-dirty-key corpus a silent explode
+    * cliff before the verify step ever runs. d=1 keeps 256; d>=2
+    * defaults to 64 (<= 2,081 variants per string at d=2). Passing
+    * `maxLen` explicitly is the knowing opt-in past the cap — the
+    * cost is C(maxLen, d) variant rows per distinct over-length
+    * string, priced into the one blocking shuffle.
+    */
+  def defaultMaxLen(maxDist: Int): Int = if (maxDist <= 1) 256 else 64
+
+  /** Resolve the `maxLen = -1` sentinel to [[defaultMaxLen]]. */
+  private def resolveMaxLen(maxDist: Int, maxLen: Int): Int = {
+    require(maxDist >= 1, s"maxDist must be >= 1 (got $maxDist)")
+    val cap = if (maxLen == -1) defaultMaxLen(maxDist) else maxLen
+    require(cap >= 1,
+      s"maxLen must be >= 1 or the -1 depth-aware default (got $maxLen)")
+    cap
+  }
 
   /** All strings reachable from `s` by deleting at most `maxDist`
     * characters (including `s` itself), deduplicated.
@@ -142,7 +166,8 @@ object Linkage {
     * its bucket-collision fan-out.
     */
   def selfPairs(df: DataFrame, strCol: String, maxDist: Int,
-      maxLen: Int = 256): DataFrame = {
+      maxLen: Int = -1): DataFrame = {
+    val cap = resolveMaxLen(maxDist, maxLen)
     val d = maxDist
     val pairsUdf = udf((ss: Seq[String]) => {
       val arr = ss.distinct.sorted.toArray
@@ -161,7 +186,7 @@ object Linkage {
       }
       out.toSeq
     })
-    blocked(df, strCol, maxDist, maxLen)
+    blocked(df, strCol, maxDist, cap)
       .groupBy(col("vh")).agg(collect_list(col("s")).as("ss"))
       // singleton buckets (the vast majority in a sane corpus) have no
       // pairs — drop them before the per-bucket fold even runs
@@ -177,9 +202,10 @@ object Linkage {
     * only *approximate* matches are wanted.
     */
   def fuzzyJoin(left: DataFrame, leftCol: String, right: DataFrame,
-      rightCol: String, maxDist: Int, maxLen: Int = 256): DataFrame = {
-    val lv = blocked(left, leftCol, maxDist, maxLen)
-    val rv = blocked(right, rightCol, maxDist, maxLen)
+      rightCol: String, maxDist: Int, maxLen: Int = -1): DataFrame = {
+    val cap = resolveMaxLen(maxDist, maxLen)
+    val lv = blocked(left, leftCol, maxDist, cap)
+    val rv = blocked(right, rightCol, maxDist, cap)
     lv.as("a").join(rv.as("b"), col("a.vh") === col("b.vh"))
       .select(col("a.s").as("left_value"), col("b.s").as("right_value"))
       .distinct()
@@ -194,8 +220,8 @@ object Linkage {
     * not per trigger.
     */
   def blockReference(reference: DataFrame, refCol: String, maxDist: Int,
-      maxLen: Int = 256): DataFrame =
-    blocked(reference, refCol, maxDist, maxLen)
+      maxLen: Int = -1): DataFrame =
+    blocked(reference, refCol, maxDist, resolveMaxLen(maxDist, maxLen))
 
   /** Id-keyed serving form: every (query row, reference value) match
     * within `maxDist`, KEEPING the query's id column — the shape a
@@ -207,7 +233,7 @@ object Linkage {
     */
   def linkQueries(queries: DataFrame, qIdCol: String, qCol: String,
       reference: DataFrame, refCol: String, maxDist: Int,
-      maxLen: Int = 256): DataFrame =
+      maxLen: Int = -1): DataFrame =
     linkQueriesAgainst(queries, qIdCol, qCol,
       blockReference(reference, refCol, maxDist, maxLen), maxDist, maxLen)
 
@@ -219,12 +245,13 @@ object Linkage {
     * sides' neighborhoods at depth d).
     */
   def linkQueriesAgainst(queries: DataFrame, qIdCol: String, qCol: String,
-      blockedRef: DataFrame, maxDist: Int, maxLen: Int = 256): DataFrame = {
+      blockedRef: DataFrame, maxDist: Int, maxLen: Int = -1): DataFrame = {
+    val cap = resolveMaxLen(maxDist, maxLen)
     val d = maxDist
     val variantsUdf = udf((s: String) => deletionVariants(s, d))
     val qv = queries
       .select(col(qIdCol), col(qCol).cast("string").as("__q"))
-      .filter(col("__q").isNotNull && length(col("__q")) <= maxLen)
+      .filter(col("__q").isNotNull && length(col("__q")) <= cap)
       .select(col(qIdCol), col("__q"),
         explode(variantsUdf(col("__q"))).as("__v"))
       .select(col(qIdCol), col("__q"), xxhash64(col("__v")).as("vh"))

@@ -319,7 +319,10 @@ object Privacy {
       .na.drop("any").distinct()
       .withColumn("__idx",
         row_number().over(Window.orderBy(col("__dval"))) - 1)
-    val key = col(keyCol).cast("string")
+    // NULL keys coalesce to the U+0001 sentinel: concat_ws would skip
+    // them (seed-only coin), which a SQL oracle's NULL-propagating `||`
+    // cannot replay — mirror with COALESCE(CAST(key AS VARCHAR), chr(1))
+    val key = coalesce(col(keyCol).cast("string"), lit("\u0001"))
     val keep = Sampling.hashBucket48(
       concat_ws("#", lit(seed), key)) < t
     val draw = Sampling.hashBucket48(
@@ -370,8 +373,12 @@ object Privacy {
     * [[geometricThresholds]]' exact integer CDF — deterministic,
     * retry-safe, and a SQL oracle replays every release (the
     * quantization deficit per outcome is < 2^−48, the rr contract).
-    * The thresholds ride the closure as a (2·bound+2)-long array —
+    * The thresholds ride the closure as a (2·bound+1)-long array —
     * never an inline-literal expression tree (the JIT-cliff shape).
+    * NULL group values coalesce to the U+0001 sentinel before the
+    * coin (concat_ws would silently SKIP them, giving a NULL-keyed
+    * group the seed-only coin while a SQL oracle's `||` yields NULL) —
+    * the oracle mirrors with `COALESCE(CAST(c AS VARCHAR), chr(1))`.
     *
     * Scale shape: ONE hash aggregation to the bounded group table
     * (map-side partials), then a narrow per-group coin + threshold
@@ -389,7 +396,8 @@ object Privacy {
       i - b
     })
     val u = Sampling.hashBucket48(concat_ws("|",
-      (lit(seed) +: groupCols.map(c => col(c).cast("string"))): _*))
+      (lit(seed) +: groupCols.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0001")))): _*))
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
       .withColumn("n_noisy",

@@ -995,7 +995,7 @@ object StreamMask {
     */
   def linkServeStream(queries: DataFrame, qIdCol: String, qCol: String,
       reference: DataFrame, refCol: String, maxDist: Int,
-      outPath: String, checkpoint: String, maxLen: Int = 256,
+      outPath: String, checkpoint: String, maxLen: Int = -1,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {

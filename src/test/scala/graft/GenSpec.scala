@@ -210,6 +210,35 @@ class GenSpec extends SparkSpec {
     assert(e.getMessage.contains("maxLen"))
   }
 
+  test("portableFormatPreserving: positions are CODEPOINT indices " +
+      "(astral passthrough does not desync the shift stream)") {
+    val s = spark
+    import s.implicits._
+    // U+1D11E (musical G clef) is non-BMP: two UTF-16 units, ONE
+    // codepoint — under UTF-16 indexing 'b' would hash as position 4
+    // and '9' as 5; the SQL oracle's substr counts codepoints (3, 4)
+    val v = "a𝄞b9"
+    val got = Seq(v).toDF("v")
+      .select(graft.functions.Gen.portableFormatPreserving(col("v"),
+        "sec").as("m")).head().getString(0)
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seed = md5hex("sec|" + v)
+    def shift(pos: Int): Int =
+      Integer.parseInt(md5hex(seed + "#" + pos).substring(0, 2), 16)
+    val want = new StringBuilder()
+      .append(('a' + ('a' - 'a' + shift(1)) % 26).toChar)
+      .append("𝄞")
+      .append(('a' + ('b' - 'a' + shift(3)) % 26).toChar)
+      .append(('0' + ('9' - '0' + shift(4)) % 10).toChar)
+      .toString
+    assert(got == want,
+      s"codepoint-position mirror mismatch: got $got want $want")
+    // the astral codepoint itself passes through intact
+    assert(got.codePointAt(1) == 0x1D11E)
+  }
+
   test("portableDateShift: per-key constant offset preserves " +
       "intervals, bounded, deterministic, null-safe") {
     val s = spark

@@ -101,6 +101,29 @@ class PrivacyLinkageSpec extends SparkSpec {
       ("abce", "abef"), ("abcd", "abcdxy")))
   }
 
+  test("deletion-neighborhood cap is depth-aware: d>=2 defaults to " +
+      "maxLen 64 (C(len,2) cliff), explicit maxLen opts past it") {
+    val s = spark
+    import s.implicits._
+    assert(Linkage.defaultMaxLen(1) == 256)
+    assert(Linkage.defaultMaxLen(2) == 64)
+    // two 70-char strings at distance 1: silently dropped under the
+    // depth-2 default (blocking never sees them), linked when the
+    // caller knowingly raises the cap
+    val a = "x" * 69 + "a"
+    val b = "x" * 69 + "b"
+    val df = Seq(a, b).toDF("n")
+    assert(Linkage.selfPairs(df, "n", maxDist = 2).count() == 0)
+    val wide = Linkage.selfPairs(df, "n", maxDist = 2, maxLen = 128)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(wide.toSeq == Seq((a, b, 1)))
+    // d=1 keeps the 256 default: same pair links with no opt-in
+    assert(Linkage.selfPairs(df, "n", maxDist = 1).count() == 1)
+    // the -1 sentinel is the only negative accepted
+    intercept[IllegalArgumentException](
+      Linkage.selfPairs(df, "n", maxDist = 2, maxLen = 0).count())
+  }
+
   test("fuzzyJoin links across sources and dedups duplicate rows") {
     val s = spark
     import s.implicits._
