@@ -658,6 +658,40 @@ object SparkEntry {
           "ds18", maxDays = 90).as("o_orderdate_shifted"))
       .orderBy("o_orderkey")
 
+  /** The cross-TABLE consistency claim of format-preserving masking,
+    * gated end to end (Gen.portableFormatPreserving promises equal
+    * source values mask equal "across rows and tables (join keys keep
+    * joining — the synchronizeColumn property, for free)"): the
+    * custkey is masked INDEPENDENTLY in customer and in orders with
+    * the same secret, the tables join on the raw FK, and per customer
+    * the row carries (a) the masked key derived from the ORDERS side —
+    * every character re-derived by the DuckDB oracle from the customer
+    * table, so a cross-table drift in either invocation hash-fails —
+    * (b) the raw-join order count (identical pair cardinality: the
+    * oracle counts the same FK join), and (c) `sync_ok`, pinned TRUE
+    * only when BOTH independent maskings agree on every matched pair
+    * and are constant within the group. The fk_sync pattern, for the
+    * masker family that gets synchronization by value-determinism
+    * instead of by cascade.
+    */
+  private def maskFpSync(s: SparkSession, dir: String): DataFrame = {
+    val mc = t(s, dir, "customer").select(col("c_custkey"),
+      Gen.portableFormatPreserving(col("c_custkey").cast("string"),
+        "fps19").as("ck_m_cust"))
+    val mo = t(s, dir, "orders").select(col("o_custkey"),
+      Gen.portableFormatPreserving(col("o_custkey").cast("string"),
+        "fps19").as("ck_m_ord"))
+    mc.join(mo, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey"))
+      .agg(
+        min(col("ck_m_ord")).as("custkey_masked"),
+        count(lit(1)).as("n_orders"),
+        (max(col("ck_m_ord")) === min(col("ck_m_ord")) &&
+          sum(when(col("ck_m_cust") === col("ck_m_ord"), lit(0))
+            .otherwise(lit(1))) === 0).as("sync_ok"))
+      .orderBy("c_custkey")
+  }
+
   // ------------------------------------------------- LLM-pipeline extensions
   private def docs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -3954,6 +3988,7 @@ object SparkEntry {
     "mask_generators" -> (maskGenerators _),
     "mask_generator_oracle" -> (maskGeneratorOracle _),
     "mask_format_preserving" -> (maskFormatPreserving _),
+    "mask_fp_sync" -> (maskFpSync _),
     "mask_date_shift" -> (maskDateShift _),
     "fk_sync" -> (fkSync _),
     "q1_agg" -> (q1Agg _),
@@ -5869,6 +5904,32 @@ object SparkEntry {
          |SELECT s.c_custkey, s.c_name,
          |COALESCE(a.masked, s.c_name) AS c_name_masked
          |FROM src s LEFT JOIN agg a USING (c_custkey)
+         |ORDER BY c_custkey""".stripMargin
+    },
+    "mask_fp_sync" -> {
+      // the masked custkey re-derived from the CUSTOMER table (digit
+      // strings: only the mod-10 branch fires), joined to the raw FK
+      // order counts — if either table's independent masking drifted,
+      // the Spark side's orders-derived masked value (or its pinned
+      // sync_ok) hash-fails against this
+      val h = s"md5(sd || '#' || CAST(i AS VARCHAR))"
+      val shift = s"(${nibSql(h, 1)} * 16 + ${nibSql(h, 2)})"
+      s"""WITH src AS (SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS v,
+         |    md5('fps19|' || CAST(c_custkey AS VARCHAR)) AS sd
+         |  FROM customer),
+         |pos AS (SELECT c_custkey, v, sd,
+         |    unnest(generate_series(1, length(v))) AS i FROM src),
+         |mc AS (SELECT c_custkey, i,
+         |    chr(48 + CAST((ascii(substr(v, i, 1)) - 48 + $shift) % 10
+         |      AS INT)) AS ch
+         |  FROM pos),
+         |mk AS (SELECT c_custkey, string_agg(ch, '' ORDER BY i) AS m
+         |  FROM mc GROUP BY 1),
+         |j AS (SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders
+         |  FROM orders GROUP BY 1)
+         |SELECT j.c_custkey, mk.m AS custkey_masked, j.n_orders,
+         |TRUE AS sync_ok
+         |FROM j JOIN mk USING (c_custkey)
          |ORDER BY c_custkey""".stripMargin
     },
     "mask_date_shift" -> {
