@@ -88,6 +88,12 @@ object Privacy {
     * Spark's two-phase distinct aggregate — no all-values-to-one-
     * reducer stage) flowing back as a broadcast semi-join, so the
     * release itself is never re-shuffled.
+    *
+    * Like [[suppress]] and [[geometricNoisyCounts]], batch-only BY
+    * DESIGN: the keep/drop verdict depends on the GLOBAL QI group —
+    * a row that arrives early can only be judged against groups not
+    * yet seen, so a streaming twin would emit rows it must later
+    * retract. Enforce on landed data.
     */
   def suppressLowDiversity(df: DataFrame, qiCols: Seq[String],
       sensitiveCol: String, l: Int): DataFrame = {
@@ -312,10 +318,28 @@ object Privacy {
     * stays unbiased for the mechanism actually run.
     */
   def randomizedResponse(df: DataFrame, colName: String, keyCol: String,
-      pNum: Long, pDen: Long, seed: String): DataFrame = {
+      pNum: Long, pDen: Long, seed: String): DataFrame =
+    randomizedResponseWithDomain(df, colName, keyCol, pNum, pDen, seed,
+      df.select(col(colName)))
+
+  /** [[randomizedResponse]] against an EXPLICIT domain frame (first
+    * column of `domainValues`; duplicates and nulls dropped) — the
+    * form a STREAM needs: a micro-batch cannot take the corpus-wide
+    * distinct, and a per-trigger domain would decohere the mechanism
+    * across batches (the same row could draw different replacements
+    * depending on which batch it landed in). With a fixed domain the
+    * release is a pure per-row function, so stream == batch
+    * bit-for-bit ([[graft.streaming.StreamMask.rrReleaseStream]]).
+    * Rows whose value lies OUTSIDE the given domain still release by
+    * the same rule (kept truthfully or replaced by a domain draw) —
+    * the domain only governs replacement draws.
+    */
+  def randomizedResponseWithDomain(df: DataFrame, colName: String,
+      keyCol: String, pNum: Long, pDen: Long, seed: String,
+      domainValues: DataFrame): DataFrame = {
     val t = rrThreshold(pNum, pDen)
-    val domain = df
-      .select(col(colName).cast("string").as("__dval"))
+    val domain = domainValues
+      .select(col(domainValues.columns.head).cast("string").as("__dval"))
       .na.drop("any").distinct()
       .withColumn("__idx",
         row_number().over(Window.orderBy(col("__dval"))) - 1)
@@ -383,6 +407,15 @@ object Privacy {
     * Scale shape: ONE hash aggregation to the bounded group table
     * (map-side partials), then a narrow per-group coin + threshold
     * scan. Nothing corpus-sized past the aggregate.
+    *
+    * BATCH-ONLY BY DESIGN (no streaming twin, deliberately): the
+    * release is a function of the GLOBAL group counts — a per-trigger
+    * release would either publish a fresh noisy count for the same
+    * group every micro-batch (spending ε per trigger against the same
+    * statistic) or require the entire count history in state. Land the
+    * stream first, release from the landed table. The LOCAL-DP
+    * complement is per-row stateless and does stream:
+    * [[graft.streaming.StreamMask.rrReleaseStream]].
     */
   def geometricNoisyCounts(df: DataFrame, groupCols: Seq[String],
       aNum: Long, aDen: Long, seed: String,

@@ -1015,6 +1015,53 @@ object StreamMask {
       .start()
   }
 
+  /** Streaming randomized response — the LOCAL-DP release twin of
+    * [[graft.pipeline.Privacy.randomizedResponse]]: each micro-batch's
+    * categorical column is released truthfully with p = pNum/pDen or
+    * replaced by a deterministic uniform domain draw, per the SAME
+    * 48-bit md5 coin as the batch mechanism, landed exactly-once via
+    * [[ExactlyOnceSink.writeBatch]]. The value domain comes from the
+    * STATIC `domain` frame (first column; computed once, cached for
+    * the stream's lifetime): a stream cannot take the corpus-wide
+    * distinct, and a per-trigger domain would decohere replacement
+    * draws across batches. With the domain fixed, the release is a
+    * pure per-row hash function — stream == batch BIT-FOR-BIT
+    * regardless of how rows split into micro-batches (spec-pinned),
+    * and retries/replays cannot flip a coin.
+    *
+    * Stateless per micro-batch (the local-DP coin never looks across
+    * rows, let alone batches), so any trigger works and no state store
+    * is involved. Nothing here can throw per-row — null values release
+    * as null under the keep branch or draw from the domain under
+    * replace, null KEYS coalesce to the batch mechanism's U+0001
+    * sentinel — so there is no replay-wedge posture to choose. The
+    * CENTRAL-DP complement ([[graft.pipeline.Privacy
+    * .geometricNoisyCounts]]) and the k/l suppression enforcers are
+    * batch-only BY DESIGN (global aggregates; see their docs) — this
+    * per-row mechanism is the one privacy release that streams.
+    */
+  def rrReleaseStream(stream: DataFrame, colName: String,
+      keyCol: String, pNum: Long, pDen: Long, seed: String,
+      domain: DataFrame, outPath: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.pipeline.Privacy
+    // materialize the bounded domain once; every trigger reuses it
+    val dom = domain.select(col(domain.columns.head)).persist()
+    dom.count()
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ExactlyOnceSink.writeBatch(outPath)(
+          Privacy.randomizedResponseWithDomain(batch, colName, keyCol,
+            pNum, pDen, seed, dom), batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Streaming incremental semantic dedup — the ingest twin of
     * [[graft.pipeline.Dedup.semDeDupFilterBatch]]: each micro-batch of
     * arriving vectors is scored against a persisted FLOAT
