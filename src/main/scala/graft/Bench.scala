@@ -147,6 +147,24 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    // The driver lifts only the last ~2000 stdout bytes, so the full
+    // line above always overflows it (BENCH_r11..r18 all landed with
+    // "parsed": null and only a byte-tail of the samples blob). A
+    // compact SELF-CONTAINED summary therefore goes LAST — headline
+    // totals plus the slowest per-query medians that fit the tail —
+    // while the complete per-query detail rides bench_latest.json,
+    // committed with the round.
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val minTotal =
+      names.map(n => samples.map(s => math.abs(s(n))).min).sum
+    val top = results.toSeq.sortBy { case (_, v) => -math.abs(v) }
+      .take(25)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(math.abs(v)) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""repeats":$repeats,"wall_sec":${r3(wallSec)},""" +
+      s""""queries_n":${names.size},"min_total":${r3(minTotal)},""" +
+      s""""top_median":$top,"full":"$out","sf":"$sfDir"}""")
     spark.stop()
   }
 }
