@@ -3881,6 +3881,37 @@ object SparkEntry {
       .orderBy("k")
   }
 
+  /** PCA whitening composed INTO SemDeDup, value-gated end to end —
+    * the advertised "PCA in front of SemDeDup" pipeline as one oracle
+    * row (the `q_curation_sem` pattern for operator composition): fit
+    * the d=2 basis (the closed-form rotation `q_pca2_parity` pins
+    * bit-for-bit), project with whitening (÷√λ per component, the
+    * exact `Embed.project` op order), narrow the whitened doubles to
+    * float (IEEE round-to-nearest in both engines), and run the FULL
+    * SemDeDup chain — raw-seed quantizer, within-cell pairs at 0.3,
+    * components, least-prototypical survivor — over the whitened
+    * vectors. DuckDB replays every stage: the shared d=2 model CTEs,
+    * the whitening arithmetic, the float cast, and the shared
+    * assignment/pair/survivor CTEs, so one ulp of drift anywhere in
+    * the composition reds the row.
+    */
+  private def qPcaSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("e2", slice(col("embedding"), 1, 2))
+    val model = graft.pipeline.Embed.fitPca(emb, "e2", 2)
+    val white = graft.pipeline.Embed
+      .project(emb, "e2", model, whiten = true)
+      .select(col("vec_id"), col("label"),
+        col("pca").cast("array<float>").as("wemb"))
+    // 0.9999, not the d=64 rows' 0.3: whitened 2-d directions are
+    // near-collinear within a cell (median pair cosine > 0.9999 on the
+    // fixture), so 0.3 would drop all but one member per cell — this
+    // threshold keeps ~1/3 and exercises keep AND drop on real cliques
+    Dedup.semDeDup(white, "vec_id", "wemb", threshold = 0.9999)
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+  }
+
   /** Corpus drift between the English and French document slices:
     * per-token Jensen–Shannon divergence terms over the union
     * vocabulary (Laplace-1 smoothed) — the mixture-shift monitor a
@@ -4155,6 +4186,7 @@ object SparkEntry {
     "q_pca" -> (qPca _),
     "q_pca2_parity" -> (qPca2Parity _),
     "q_pca_trace_parity" -> (qPcaTraceParity _),
+    "q_pca_semdedup" -> (qPcaSemdedup _),
     "q_vocab_drift" -> (qVocabDrift _),
     "q_fuzzy_join2" -> (qFuzzyJoin2 _),
     "q_fuzzy_two" -> (qFuzzyTwo _),
@@ -5051,7 +5083,7 @@ object SparkEntry {
     * disjoint).
     */
   private def semPairCtes(aAssign: String, aSrc: String, bAssign: String,
-      bSrc: String, pred: String): String =
+      bSrc: String, pred: String, threshold: String = "0.3"): String =
     s"""px AS (SELECT a.cell, ea.vec_id AS id_a, eb.vec_id AS id_b,
        |         unnest(ea.embedding) AS va, unnest(eb.embedding) AS vb,
        |         unnest(generate_series(1, len(ea.embedding))) AS i
@@ -5065,21 +5097,23 @@ object SparkEntry {
        |  FROM px GROUP BY cell, id_a, id_b),
        |pairs AS MATERIALIZED (SELECT cell, id_a, id_b,
        |    dp / (sqrt(na) * sqrt(nb)) AS cosine
-       |  FROM dots WHERE dp / (sqrt(na) * sqrt(nb)) >= 0.3)""".stripMargin
+       |  FROM dots WHERE dp / (sqrt(na) * sqrt(nb)) >= $threshold)""".stripMargin
 
   /** [[semDedupCtes]] with the quantizer SIZE pluggable — `centLimit`
     * lands in the seed cut's LIMIT, so the `q_semdedup_auto` oracle can
     * re-derive the production sizing rule (⌈count/target⌉ as a scalar
     * subquery) while `q_semdedup` keeps the fixed 16.
     */
-  private def semDedupCtesWith(centLimit: String): String =
-    s"""corpus AS (SELECT vec_id, embedding FROM embeddings),
+  private def semDedupCtesWith(centLimit: String,
+      corpusSql: String = "SELECT vec_id, embedding FROM embeddings",
+      threshold: String = "0.3"): String =
+    s"""corpus AS ($corpusSql),
        |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
        |         embedding AS ce FROM corpus ORDER BY vec_id
        |         LIMIT $centLimit),
        |${semAssignCtes("corpus", "")},
        |${semPairCtes("assign", "corpus", "assign", "corpus",
-          "b.vec_id > a.vec_id")}""".stripMargin
+          "b.vec_id > a.vec_id", threshold)}""".stripMargin
 
   private val semDedupCtes = semDedupCtesWith("16")
 
@@ -5153,6 +5187,93 @@ object SparkEntry {
     * (which ranks members by an external quality score instead of the
     * own-centroid cosine).
     */
+  /** The d=2 PCA model CTE chain shared by `q_pca2_parity` and
+    * `q_pca_semdedup`: exact integer Gram stats over the first two
+    * embedding dims -> covariance (decimal-exact numerators, one
+    * correctly-rounded cast each) -> the single closed-form Jacobi
+    * rotation in Embed.jacobiEigen's exact op order -> descending
+    * eigenpairs (lam0 >= lam1, index tie-break), the
+    * largest-|coordinate|-positive sign fix, the means, and the raw
+    * points (`pts`). Every op IEEE-identical to Embed.fitPca at d=2 -
+    * see q_pca2_parity for the parity argument.
+    */
+  private val pca2ModelCtes: String =
+    s"""q AS (SELECT vec_id,
+         |    CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1048576.0)
+         |      AS BIGINT) AS x0,
+         |    CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1048576.0)
+         |      AS BIGINT) AS x1
+         |  FROM embeddings),
+         |st AS (SELECT COUNT(*) AS n,
+         |    CAST(SUM(x0) AS DECIMAL(38,0)) AS s0,
+         |    CAST(SUM(x1) AS DECIMAL(38,0)) AS s1,
+         |    CAST(SUM(CAST(x0 AS DECIMAL(38,0)) * x0)
+         |      AS DECIMAL(38,0)) AS m00,
+         |    CAST(SUM(CAST(x0 AS DECIMAL(38,0)) * x1)
+         |      AS DECIMAL(38,0)) AS m01,
+         |    CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * x1)
+         |      AS DECIMAL(38,0)) AS m11
+         |  FROM q),
+         |cv AS (SELECT n,
+         |    CAST(s0 AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) AS mu0,
+         |    CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) AS mu1,
+         |    CAST(CAST(n AS DECIMAL(38,0)) * m00 - s0 * s0 AS DOUBLE)
+         |      / CAST(CAST(n AS DECIMAL(38,0)) * n * 1099511627776
+         |        AS DOUBLE) AS c00,
+         |    CAST(CAST(n AS DECIMAL(38,0)) * m01 - s0 * s1 AS DOUBLE)
+         |      / CAST(CAST(n AS DECIMAL(38,0)) * n * 1099511627776
+         |        AS DOUBLE) AS c01,
+         |    CAST(CAST(n AS DECIMAL(38,0)) * m11 - s1 * s1 AS DOUBLE)
+         |      / CAST(CAST(n AS DECIMAL(38,0)) * n * 1099511627776
+         |        AS DOUBLE) AS c11
+         |  FROM st),
+         |rot0 AS (SELECT *, (c11 - c00) / (2.0 * c01) AS theta,
+         |    c01 * c01 > 1e-12 AND ABS(c01) > 1e-300 AS dorot FROM cv),
+         |rot1 AS (SELECT *,
+         |    CASE WHEN NOT dorot THEN 0.0
+         |         WHEN theta = 0.0 THEN 1.0
+         |         WHEN ABS(theta) > 1e150 THEN c01 / (c11 - c00)
+         |         ELSE CAST(SIGN(theta) AS DOUBLE)
+         |           / (ABS(theta) + SQRT(theta * theta + 1.0)) END AS t
+         |  FROM rot0),
+         |rot2 AS (SELECT *,
+         |    CASE WHEN dorot THEN 1.0 / SQRT(t * t + 1.0)
+         |         ELSE 1.0 END AS cr,
+         |    CASE WHEN dorot THEN t * (1.0 / SQRT(t * t + 1.0))
+         |         ELSE 0.0 END AS sr
+         |  FROM rot1),
+         |upd AS (SELECT *,
+         |    cr * c00 - sr * c01 AS a00_1, sr * c00 + cr * c01 AS a01_1,
+         |    cr * c01 - sr * c11 AS a10_1, sr * c01 + cr * c11 AS a11_1
+         |  FROM rot2),
+         |eig AS (SELECT *,
+         |    cr * a00_1 - sr * a10_1 AS l0,
+         |    sr * a01_1 + cr * a11_1 AS l1,
+         |    cr AS v00, sr AS v01, -sr AS v10, cr AS v11
+         |  FROM upd),
+         |ordv AS (SELECT *,
+         |    CASE WHEN l1 > l0 THEN v01 ELSE v00 END AS p00r,
+         |    CASE WHEN l1 > l0 THEN v11 ELSE v10 END AS p01r,
+         |    CASE WHEN l1 > l0 THEN v00 ELSE v01 END AS p10r,
+         |    CASE WHEN l1 > l0 THEN v10 ELSE v11 END AS p11r
+         |  FROM eig),
+         |mdl AS (SELECT mu0, mu1,
+         |    CASE WHEN l1 > l0 THEN l1 ELSE l0 END AS lam0,
+         |    CASE WHEN l1 > l0 THEN l0 ELSE l1 END AS lam1,
+         |    CASE WHEN (CASE WHEN ABS(p01r) > ABS(p00r) THEN p01r
+         |      ELSE p00r END) < 0 THEN -p00r ELSE p00r END AS w00,
+         |    CASE WHEN (CASE WHEN ABS(p01r) > ABS(p00r) THEN p01r
+         |      ELSE p00r END) < 0 THEN -p01r ELSE p01r END AS w01,
+         |    CASE WHEN (CASE WHEN ABS(p11r) > ABS(p10r) THEN p11r
+         |      ELSE p10r END) < 0 THEN -p10r ELSE p10r END AS w10,
+         |    CASE WHEN (CASE WHEN ABS(p11r) > ABS(p10r) THEN p11r
+         |      ELSE p10r END) < 0 THEN -p11r ELSE p11r END AS w11
+         |  FROM ordv),
+         |pts AS (SELECT vec_id,
+         |    CAST(embedding[1] AS DOUBLE) AS x0,
+         |    CAST(embedding[2] AS DOUBLE) AS x1
+         |  FROM embeddings)""".stripMargin
+
   private val semComponentCtes =
     s"""edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
        |          UNION SELECT id_b, id_a FROM pairs),
@@ -8133,79 +8254,7 @@ object SparkEntry {
       // as 0.0 + (x0−μ0)·w0 + (x1−μ1)·w1 (the UDF's fold order).
       // All doubles, every op IEEE-identical — the hash matches
       // bit-for-bit.
-      s"""WITH q AS (SELECT vec_id,
-         |    CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1048576.0)
-         |      AS BIGINT) AS x0,
-         |    CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1048576.0)
-         |      AS BIGINT) AS x1
-         |  FROM embeddings),
-         |st AS (SELECT COUNT(*) AS n,
-         |    CAST(SUM(x0) AS DECIMAL(38,0)) AS s0,
-         |    CAST(SUM(x1) AS DECIMAL(38,0)) AS s1,
-         |    CAST(SUM(CAST(x0 AS DECIMAL(38,0)) * x0)
-         |      AS DECIMAL(38,0)) AS m00,
-         |    CAST(SUM(CAST(x0 AS DECIMAL(38,0)) * x1)
-         |      AS DECIMAL(38,0)) AS m01,
-         |    CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * x1)
-         |      AS DECIMAL(38,0)) AS m11
-         |  FROM q),
-         |cv AS (SELECT n,
-         |    CAST(s0 AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) AS mu0,
-         |    CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) AS mu1,
-         |    CAST(CAST(n AS DECIMAL(38,0)) * m00 - s0 * s0 AS DOUBLE)
-         |      / CAST(CAST(n AS DECIMAL(38,0)) * n * 1099511627776
-         |        AS DOUBLE) AS c00,
-         |    CAST(CAST(n AS DECIMAL(38,0)) * m01 - s0 * s1 AS DOUBLE)
-         |      / CAST(CAST(n AS DECIMAL(38,0)) * n * 1099511627776
-         |        AS DOUBLE) AS c01,
-         |    CAST(CAST(n AS DECIMAL(38,0)) * m11 - s1 * s1 AS DOUBLE)
-         |      / CAST(CAST(n AS DECIMAL(38,0)) * n * 1099511627776
-         |        AS DOUBLE) AS c11
-         |  FROM st),
-         |rot0 AS (SELECT *, (c11 - c00) / (2.0 * c01) AS theta,
-         |    c01 * c01 > 1e-12 AND ABS(c01) > 1e-300 AS dorot FROM cv),
-         |rot1 AS (SELECT *,
-         |    CASE WHEN NOT dorot THEN 0.0
-         |         WHEN theta = 0.0 THEN 1.0
-         |         WHEN ABS(theta) > 1e150 THEN c01 / (c11 - c00)
-         |         ELSE CAST(SIGN(theta) AS DOUBLE)
-         |           / (ABS(theta) + SQRT(theta * theta + 1.0)) END AS t
-         |  FROM rot0),
-         |rot2 AS (SELECT *,
-         |    CASE WHEN dorot THEN 1.0 / SQRT(t * t + 1.0)
-         |         ELSE 1.0 END AS cr,
-         |    CASE WHEN dorot THEN t * (1.0 / SQRT(t * t + 1.0))
-         |         ELSE 0.0 END AS sr
-         |  FROM rot1),
-         |upd AS (SELECT *,
-         |    cr * c00 - sr * c01 AS a00_1, sr * c00 + cr * c01 AS a01_1,
-         |    cr * c01 - sr * c11 AS a10_1, sr * c01 + cr * c11 AS a11_1
-         |  FROM rot2),
-         |eig AS (SELECT *,
-         |    cr * a00_1 - sr * a10_1 AS l0,
-         |    sr * a01_1 + cr * a11_1 AS l1,
-         |    cr AS v00, sr AS v01, -sr AS v10, cr AS v11
-         |  FROM upd),
-         |ordv AS (SELECT *,
-         |    CASE WHEN l1 > l0 THEN v01 ELSE v00 END AS p00r,
-         |    CASE WHEN l1 > l0 THEN v11 ELSE v10 END AS p01r,
-         |    CASE WHEN l1 > l0 THEN v00 ELSE v01 END AS p10r,
-         |    CASE WHEN l1 > l0 THEN v10 ELSE v11 END AS p11r
-         |  FROM eig),
-         |mdl AS (SELECT mu0, mu1,
-         |    CASE WHEN (CASE WHEN ABS(p01r) > ABS(p00r) THEN p01r
-         |      ELSE p00r END) < 0 THEN -p00r ELSE p00r END AS w00,
-         |    CASE WHEN (CASE WHEN ABS(p01r) > ABS(p00r) THEN p01r
-         |      ELSE p00r END) < 0 THEN -p01r ELSE p01r END AS w01,
-         |    CASE WHEN (CASE WHEN ABS(p11r) > ABS(p10r) THEN p11r
-         |      ELSE p10r END) < 0 THEN -p10r ELSE p10r END AS w10,
-         |    CASE WHEN (CASE WHEN ABS(p11r) > ABS(p10r) THEN p11r
-         |      ELSE p10r END) < 0 THEN -p11r ELSE p11r END AS w11
-         |  FROM ordv),
-         |pts AS (SELECT vec_id,
-         |    CAST(embedding[1] AS DOUBLE) AS x0,
-         |    CAST(embedding[2] AS DOUBLE) AS x1
-         |  FROM embeddings)
+      s"""WITH $pca2ModelCtes
          |SELECT vec_id, k, v FROM (
          |  SELECT p.vec_id, 0 AS k,
          |    0.0 + (p.x0 - m.mu0) * m.w00 + (p.x1 - m.mu1) * m.w01 AS v
@@ -8215,6 +8264,28 @@ object SparkEntry {
          |    0.0 + (p.x0 - m.mu0) * m.w10 + (p.x1 - m.mu1) * m.w11 AS v
          |  FROM pts p, mdl m)
          |ORDER BY vec_id, k""".stripMargin,
+    "q_pca_semdedup" ->
+      // the d=2 model CTEs (shared with q_pca2_parity) -> whitening in
+      // Embed.project's exact op order ((0.0 + Σ(x−μ)w) · (1.0/√max(λ,
+      // MIN_NORMAL))) -> REAL narrowing -> the UNCHANGED SemDeDup
+      // assignment/pair/survivor chain over the whitened corpus
+      s"""WITH RECURSIVE $pca2ModelCtes,
+         |wcorp AS (SELECT p.vec_id,
+         |    [CAST((0.0 + (p.x0 - m.mu0) * m.w00
+         |        + (p.x1 - m.mu1) * m.w01)
+         |      * (1.0 / SQRT(GREATEST(m.lam0, 2.2250738585072014e-308)))
+         |      AS REAL),
+         |     CAST((0.0 + (p.x0 - m.mu0) * m.w10
+         |        + (p.x1 - m.mu1) * m.w11)
+         |      * (1.0 / SQRT(GREATEST(m.lam1, 2.2250738585072014e-308)))
+         |      AS REAL)] AS embedding
+         |  FROM pts p, mdl m),
+         |${semDedupCtesWith("16", "SELECT vec_id, embedding FROM wcorp",
+            "0.9999")},
+         |$semSurvivorCtes
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY e.vec_id""".stripMargin,
     "q_pca_trace_parity" ->
       // the exact integer trace numerator Σᵢ (n·m_ii − s_i²) of the
       // quantized covariance, re-derived from the raw embeddings the
