@@ -91,7 +91,11 @@ object ScaleRehearsal {
     // corpus drift monitor: two vocabulary-bounded aggregations + one
     // bounded full-outer join — the count tables must stay the only
     // non-narrow stage regardless of corpus size
-    "q_vocab_drift")
+    "q_vocab_drift",
+    // round-19 additions: the full-width PCA audit (gramStats + one
+    // driver eigensolve + a distributed projected-variance fold) and
+    // PCA whitening composed into the SemDeDup chain
+    "q_pca_trace_parity", "q_pca_semdedup")
 
   /** The reference masking core + relational leaders, rehearsed over an
     * FK-CONSISTENT inflation: facts (lineitem/orders/customer) grow N×
@@ -121,7 +125,10 @@ object ScaleRehearsal {
     // l-diversity enforcement: bounded distinct-agg + broadcast semi
     "q_l_suppress",
     // central-DP noisy counts: one bounded aggregate + a narrow coin
-    "q_dp_counts")
+    "q_dp_counts",
+    // round 19: the cross-table FP-mask consistency gate — two narrow
+    // masking scans + the raw-FK join and a bounded per-key aggregate
+    "mask_fp_sync")
 
   private val KnownModes = Set("distinct", "clone", "relational")
 
