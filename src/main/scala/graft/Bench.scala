@@ -120,7 +120,16 @@ object Bench {
       val median = times.map(math.abs).sorted.apply(times.length / 2)
       name -> (if (times.exists(_ < 0)) -median else median)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // JSON string escaping for interpolated keys and paths: a query
+    // name or sf path containing a quote/backslash/control char would
+    // otherwise emit invalid JSON into the tail the driver parses
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     // contention self-diagnosis: all N raw samples and the per-query min
     // ride along, so a reader can spot `min << median` (transient stall
@@ -128,13 +137,13 @@ object Bench {
     // (sustained host contention) from the artifact alone, without a
     // manual quiet re-run.
     val mins = names.map { name =>
-      s"\"" + name + "\":" + samples.map(s => math.abs(s(name))).min
+      jstr(name) + ":" + samples.map(s => math.abs(s(name))).min
     }.mkString("{", ",", "}")
     val raw = names.map { name =>
-      s"\"" + name + "\":" + samples.map(_(name)).mkString("[", ",", "]")
+      jstr(name) + ":" + samples.map(_(name)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.values.map(math.abs).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"samples":$raw,"repeats":$repeats,"wall_sec":$wallSec,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"samples":$raw,"repeats":$repeats,"wall_sec":$wallSec,"sf":${jstr(sfDir)}}"""
     println(line)
     // the driver captures only a truncated stdout tail (BENCH_r11/r12
     // both landed with "parsed": null), so the full line ALSO lands in
@@ -146,6 +155,28 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
+    // bench_latest.json is overwritten every run, so per-round detail
+    // was being lost (r18's is gone — VERDICT r19). Full, unfiltered
+    // runs ALSO land in a round-stamped copy (SPARK_GRAFT_ROUND when
+    // the driver exports it, else a monotone history file) that the
+    // round commit tracks, so round-over-round comparison covers every
+    // query, not the ~38 the driver's tail capture keeps.
+    if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty) {
+      val stamped = sys.env.get("SPARK_GRAFT_ROUND") match {
+        case Some(r) => s"bench_r${r}_full.json"
+        case None => "bench_full_history.jsonl"
+      }
+      try java.nio.file.Files.write(java.nio.file.Paths.get(stamped),
+        (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        if (stamped.endsWith(".jsonl"))
+          java.nio.file.StandardOpenOption.APPEND
+        else java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      catch { case e: Throwable =>
+        System.err.println(
+          s"[bench] could not write $stamped: ${e.getMessage}")
+      }
     }
     // The driver lifts only the last ~2000 stdout bytes, so the full
     // line above always overflows it (BENCH_r11..r18 all landed with
@@ -159,12 +190,12 @@ object Bench {
       names.map(n => samples.map(s => math.abs(s(n))).min).sum
     val top = results.toSeq.sortBy { case (_, v) => -math.abs(v) }
       .take(25)
-      .map { case (k, v) => s"\"" + k + "\":" + r3(math.abs(v)) }
+      .map { case (k, v) => jstr(k) + ":" + r3(math.abs(v)) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""repeats":$repeats,"wall_sec":${r3(wallSec)},""" +
       s""""queries_n":${names.size},"min_total":${r3(minTotal)},""" +
-      s""""top_median":$top,"full":"$out","sf":"$sfDir"}""")
+      s""""top_median":$top,"full":${jstr(out)},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -3589,6 +3589,115 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** A REAL 16×16 24-bit BMP whose 256 grayscale pixels are an md5
+    * stream keyed by `id` (pixel p reads byte p%16 of
+    * md5("img:" + id + ":" + p/16)) — decodable by the JDK's ImageIO,
+    * deterministic across executors/retries, and visually uncorrelated
+    * across ids (so average-hashes of different ids are ~uniform
+    * 64-bit values). `variant = 1` XORs pixel (0, 0)'s value with 1 —
+    * a DIFFERENT image one luminance unit away, the minimal perceptual
+    * near-duplicate. Row order is BMP bottom-up; rows are 48 bytes
+    * (16·3), already 4-aligned, so no padding.
+    */
+  private def syntheticBmp16(id: Long, variant: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val px = new Array[Int](256)
+    var blk = 0
+    while (blk < 16) {
+      val h = md.digest(s"img:$id:$blk".getBytes("UTF-8"))
+      var b = 0
+      while (b < 16) { px(blk * 16 + b) = h(b) & 0xff; b += 1 }
+      blk += 1
+    }
+    if (variant == 1) px(0) ^= 1
+    val out = new Array[Byte](14 + 40 + 768)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, out.length); le32(10, 54)
+    le32(14, 40); le32(18, 16); le32(22, 16)
+    out(26) = 1; out(28) = 24 // planes, bpp (compression 0, default)
+    le32(34, 768)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        // bottom-up storage: file row 0 is image row 15
+        val v = px((15 - y) * 16 + x).toByte
+        val o = 54 + (y * 16 + x) * 3
+        out(o) = v; out(o + 1) = v; out(o + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Image perceptual-hash near-dup — the dedup family extended to the
+    * image modality ([[graft.pipeline.Multimodal.averageHash]]: REAL
+    * ImageIO decode → g×g integer luminance grid → aHash), gated in
+    * the composed-parity style. Per document TWO real BMPs are
+    * synthesized ([[syntheticBmp16]]): the base image and a
+    * one-luminance-unit twin — different bytes, near-identical
+    * pixels. The gate pins, against DuckDB-re-derived populations:
+    * (1) every payload decodes as a real 16×16 image (metadata path);
+    * (2) every aHash equals an INDEPENDENT in-query integer fold over
+    * the emitted luminance grid (same `Σ div 64` mean, same
+    * strict-greater bit rule — one differing bit reds the row);
+    * (3) [[graft.pipeline.Dedup.simHashNearPairs]] Hamming banding at
+    * k = 8 finds EVERY base↔twin pair (perceptual robustness: a
+    * one-unit pixel edit moves one grid cell by at most one level) and
+    * (4) NO cross-document pair (md5-stream images are visually
+    * uncorrelated, so inter-doc Hamming concentrates at ~32 — verified
+    * deterministic at every fixture SF). No all-pairs stage anywhere:
+    * the pairing is the same pigeonhole band join the text SimHash
+    * path scales on.
+    */
+  private def qImagePhash(s: SparkSession, dir: String): DataFrame = {
+    val bmp = udf((id: Long, v: Int) => syntheticBmp16(id, v))
+    val imgs = docs(s, dir).select(col("doc_id"))
+      .select(col("doc_id"), explode(array(lit(0), lit(1))).as("variant"))
+      .withColumn("img", bmp(col("doc_id"), col("variant")))
+    val metaOk = udf((b: Array[Byte]) => {
+      val m = graft.pipeline.Multimodal.ImageCodec.meta(b)
+      m._1 == "image/bmp" && m._2 == 16 && m._3 == 16
+    })
+    val hashed = graft.pipeline.Multimodal.averageHash(imgs, "img")
+      .withColumn("__mean",
+        expr("aggregate(lum_grid, CAST(0 AS BIGINT), (a, x) -> a + x)" +
+          " div 64"))
+      .withColumn("__hsql",
+        expr("aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->" +
+          " acc + IF(element_at(lum_grid, i + 1) > __mean," +
+          " shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"))
+      .withColumn("__img_ok", metaOk(col("img")))
+    val stats = hashed.agg(
+      count(lit(1)).as("n_images"),
+      sum(when(col("__img_ok"), 1L).otherwise(0L)).as("n_decoded"),
+      sum(when(col("ahash") === col("__hsql"), 1L).otherwise(0L))
+        .as("n_hash_parity"))
+    val pairs = graft.pipeline.Dedup.simHashNearPairs(
+      hashed.select((col("doc_id") * 2 + col("variant")).as("img_id"),
+        col("ahash")),
+      "img_id", "ahash", k = 8)
+    val pairStats = pairs.agg(
+      coalesce(sum(when(shiftright(col("id_a"), 1) ===
+        shiftright(col("id_b"), 1), 1L).otherwise(0L)), lit(0L))
+        .as("n_twin_pairs"),
+      coalesce(sum(when(shiftright(col("id_a"), 1) =!=
+        shiftright(col("id_b"), 1), 1L).otherwise(0L)), lit(0L))
+        .as("n_cross_pairs"))
+    val nDocs = docs(s, dir).select(col("doc_id")).count()
+    stats.crossJoin(pairStats) // 1×1 scalar attach
+      .select(lit(nDocs).as("n_docs"), col("n_images"),
+        col("n_decoded"), col("n_hash_parity"),
+        col("n_twin_pairs"), col("n_cross_pairs"))
+  }
+
   // --------------------------------------------------------------- privacy
   /** The masked release audited by `q_k_anon` / `q_privacy_card`: the
     * reference's own masking shapes (R1 static under a P2 guard, R2 row
@@ -3763,19 +3872,46 @@ object SparkEntry {
         col("m").cast("long").as("m"))
       .orderBy("i", "j")
 
-  /** PCA projection of the embeddings onto the top-8 basis fitted from
-    * the exact quantized covariance (driver-side Jacobi eigensolve —
-    * data-dependent, not SQL-expressible, so rows-only; EmbedSpec pins
-    * orthonormality, variance recovery, whitening and determinism).
+  /** The d=64 PCA PROJECTION value-gated as a parity row (the
+    * `q_lm_score` pattern): [[graft.pipeline.Embed.project]]'s closure
+    * UDF runs against an INDEPENDENT in-query left fold over the
+    * fitted model's stored doubles — a tiny (k, w, m) model frame is
+    * broadcast onto the corpus and SQL `aggregate(sequence(0, d-1))`
+    * replays the UDF's exact op sequence `acc += (v(i) − mean(i)) ·
+    * w(i)` in i order, so the two doubles must be BIT-EQUAL per
+    * (vector, component). The row emits per-component populations and
+    * exact-match counts; DuckDB re-derives the populations and pins
+    * n_match == n_vecs, so one differing bit anywhere in 2000×8
+    * projections reds the row. The fit itself is value-gated by
+    * `q_pca_trace_parity` (trace / Rayleigh / projected variance) and
+    * the arithmetic path bit-pinned at d=2 by `q_pca2_parity`;
+    * EmbedSpec pins orthonormality, variance recovery, whitening and
+    * determinism.
     */
   private def qPca(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
     val model = graft.pipeline.Embed.fitPca(emb, "embedding", 8)
-    // scalar-exploded (vec_id, k, v): the driver's compare sorts rows
-    // by every column, which an array column cannot survive
+    val d = model.d
+    // model as DATA, not inline literals: a d=64 literal expression
+    // tree would blow past the JIT bytecode ceiling of the fused stage
+    val modelDf = model.components.zipWithIndex.toSeq
+      .map { case (w, k) => (k.toLong, w.toSeq, model.mean.toSeq) }
+      .toDF("k", "w", "m")
     graft.pipeline.Embed.project(emb, "embedding", model)
-      .select(col("vec_id"), posexplode(col("pca")).as(Seq("k", "v")))
-      .orderBy("vec_id", "k")
+      .crossJoin(broadcast(modelDf))
+      .withColumn("p_fold", expr(
+        s"""aggregate(sequence(0, ${d - 1}), cast(0.0 as double),
+           |(acc, i) -> acc + (element_at(embedding, i + 1)
+           |  - element_at(m, i + 1)) * element_at(w, i + 1))"""
+          .stripMargin.replace('\n', ' ')))
+      .withColumn("p_udf",
+        expr("element_at(pca, cast(k + 1 as int))"))
+      .groupBy("k")
+      .agg(count(col("embedding")).as("n_vecs"),
+        count(when(col("p_udf") === col("p_fold"), 1)).as("n_match"),
+        (count(lit(1)) - count(col("embedding"))).as("n_null"))
+      .orderBy("k")
   }
 
   /** Bit-exact cross-engine PCA parity on a 2-D sub-embedding: at
@@ -3823,7 +3959,7 @@ object SparkEntry {
     import s.implicits._
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
     val rows = graft.pipeline.Embed.gramStats(emb, "embedding").collect()
-    val (n, cov) = graft.pipeline.Embed.covFromStats(rows)
+    val (n, cov, _) = graft.pipeline.Embed.covFromStats(rows)
     val d = cov.length
     val model = graft.pipeline.Embed.fitPcaFromStats(rows, d)
     val traceNum: BigInt = rows.iterator
@@ -3869,11 +4005,18 @@ object SparkEntry {
         val svv = r.getAs[Double]("svv")
         r.getAs[Int]("k") -> ((svv - sv * sv / cnt) / cnt)
       }.toMap
-    // raw-float projections vs integer covariance: gap bounded by the
-    // quantization radius (≤ √d·2^-20 per projection) — 1e-4·scale is
-    // ~10× headroom yet far under any eigenvalue of interest
+    // raw-float projections vs integer covariance: the gap is the
+    // quadratic form w'·(C − C̃)·w of the quantization error, per-entry
+    // O(|x|·2^-20), so the informative tolerance is PER COMPONENT —
+    // 1e-4·λₖ — floored at the quantization level d·(4·rms + 2^-20)/Q
+    // below which agreement is vacuous either way. A trace-global
+    // tolerance would let minor eigenvalues under 1e-4·trace pass
+    // unchecked.
+    val rms = math.sqrt(cov.indices.map(i =>
+      cov(i)(i) + model.mean(i) * model.mean(i)).max)
+    val qFloor = d * (4.0 * rms + 1.0 / q) / q
     val projOk = model.eigenvalues.zipWithIndex.map { case (l, k) =>
-      math.abs(pv(k) - l) <= 1e-4 * scale
+      math.abs(pv(k) - l) <= math.max(1e-4 * l, qFloor)
     }
     (0 until d).map(k =>
         (k, traceNum.toString, traceOk, rayleighOk(k), projOk(k)))
@@ -3951,6 +4094,42 @@ object SparkEntry {
         "c_acctbal_lo", "c_acctbal_hi")
       .agg(count(lit(1)).as("n_rows"))
       .orderBy("pid")
+
+  /** Mondrian's GK-sketch path (`exactMedians = false` — the posture
+    * the operator itself recommends at 100 TB leaf sizes) oracle-gated
+    * in the `q_percentile_gk_parity` pattern: the split tree is
+    * sketch-dependent, so no external engine can replay it value-for-
+    * value — what CAN be pinned is the CONTRACT. Per split, the chosen
+    * approximate median's exact rank interval [lt+1, le] (counted in
+    * the same per-round aggregation the split test pays —
+    * [[graft.pipeline.Privacy.mondrianAudited]]) must sit within
+    * n/2 ± (n/accuracy + 1); per leaf, the k-anonymity promise |leaf|
+    * ≥ k must hold REGARDLESS of median accuracy; and the release must
+    * be a partition of the input (row-count preserving). DuckDB
+    * re-derives the population and pins every boolean TRUE — a sketch
+    * drifting outside its rank bound, an under-k leaf, or a dropped
+    * row reds the single-row gate.
+    */
+  private def qMondrianGk(s: SparkSession, dir: String): DataFrame = {
+    val dims = Seq("c_nationkey", "c_acctbal")
+    val input = t(s, dir, "customer")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val (released, splits) = Privacy.mondrianAudited(input, dims,
+      k = 25, exactMedians = false)
+    val acc = Privacy.MondrianGkAccuracy
+    val gkOk = splits.forall { sp =>
+      val slack = sp.n.toDouble / acc + 1.0
+      sp.lt + 1 <= sp.n * 0.5 + slack && sp.le >= sp.n * 0.5 - slack
+    }
+    val nIn = input.na.drop("any", dims).count()
+    released.groupBy("pid").agg(count(lit(1)).as("__ls"))
+      .agg(coalesce(sum(col("__ls")), lit(0L)).as("n_released"),
+        coalesce(min(col("__ls")), lit(0L)).as("__min_leaf"))
+      .select(lit(nIn).as("n_rows"), col("n_released"),
+        (col("__min_leaf") >= 25).as("all_leaves_ge_k"),
+        lit(splits.nonEmpty).as("did_split"),
+        lit(gkOk).as("gk_within_bound"))
+  }
 
   /** What the q_k_generalize generalization COSTS, in one row: the
     * discernibility metric (Bayardo–Agrawal 2005) and normalized
@@ -4169,6 +4348,7 @@ object SparkEntry {
     "q_pack_decode" -> (qPackDecode _),
     "q_epoch_shuffle" -> (qEpochShuffle _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_image_phash" -> (qImagePhash _),
     "q_k_anon" -> (qKAnon _),
     "q_privacy_card" -> (qPrivacyCard _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
@@ -4182,6 +4362,7 @@ object SparkEntry {
     "q_rr_estimate" -> (qRrEstimate _),
     "q_privacy_utility" -> (qPrivacyUtility _),
     "q_mondrian" -> (qMondrian _),
+    "q_mondrian_gk" -> (qMondrianGk _),
     "q_embed_cov" -> (qEmbedCov _),
     "q_pca" -> (qPca _),
     "q_pca2_parity" -> (qPca2Parity _),
@@ -7924,6 +8105,20 @@ object SparkEntry {
          |md5(text) AS payload_md5
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "q_image_phash" ->
+      // composed-parity contract: DuckDB re-derives the populations;
+      // on the Spark side every synthesized BMP must have really
+      // decoded (ImageIO metadata), every aHash must equal the
+      // independent integer fold over its emitted luminance grid, the
+      // banded Hamming join must find every base<->twin pair at k=8,
+      // and no cross-document pair may appear
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(2 * COUNT(*) AS BIGINT) AS n_images,
+         |  CAST(2 * COUNT(*) AS BIGINT) AS n_decoded,
+         |  CAST(2 * COUNT(*) AS BIGINT) AS n_hash_parity,
+         |  CAST(COUNT(*) AS BIGINT) AS n_twin_pairs,
+         |  CAST(0 AS BIGINT) AS n_cross_pairs
+         |FROM documents""".stripMargin,
     "q_k_anon" ->
       s"""SELECT c_nationkey, c_mktsegment,
          |COUNT(*) AS group_size,
@@ -8242,6 +8437,19 @@ object SparkEntry {
          |  COUNT(*) AS n_rows
          |FROM t WHERE done
          |GROUP BY pid ORDER BY pid""".stripMargin,
+    "q_mondrian_gk" ->
+      // contract gate (the q_percentile_gk_parity pattern): the GK
+      // split tree is sketch-dependent, so DuckDB pins the population
+      // and the booleans — every split's rank interval inside the
+      // accuracy bound, every leaf >= k, release row-preserving
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_released,
+         |  TRUE AS all_leaves_ge_k,
+         |  TRUE AS did_split,
+         |  TRUE AS gk_within_bound
+         |FROM customer
+         |WHERE c_nationkey IS NOT NULL
+         |  AND c_acctbal IS NOT NULL""".stripMargin,
     "q_pca2_parity" ->
       // replays fitPca's d=2 arithmetic verbatim: exact integer Gram
       // stats; covariance numerator/denominator exact in DECIMAL(38,0)
@@ -8337,5 +8545,17 @@ object SparkEntry {
          |CAST(m.m AS BIGINT) AS m
          |FROM m JOIN s si ON si.i = m.i JOIN s sj ON sj.i = m.j
          |ORDER BY i, j""".stripMargin,
+    "q_pca" ->
+      // parity contract (the q_lm_score pattern): DuckDB re-derives
+      // the per-component populations; every (vector, component)
+      // projection from the UDF and the independent in-query fold
+      // must have matched BIT-FOR-BIT on the Spark side
+      s"""SELECT CAST(k AS BIGINT) AS k,
+         |  (SELECT COUNT(embedding) FROM embeddings) AS n_vecs,
+         |  (SELECT COUNT(embedding) FROM embeddings) AS n_match,
+         |  (SELECT COUNT(*) - COUNT(embedding) FROM embeddings)
+         |    AS n_null
+         |FROM generate_series(0, 7) AS t(k)
+         |ORDER BY k""".stripMargin,
   )
 }

@@ -207,19 +207,21 @@ object Embed {
   def fitPca(df: DataFrame, vecCol: String, k: Int): PcaModel =
     fitPcaFromStats(gramStats(df, vecCol).collect(), k)
 
-  /** The quantized covariance (and n) a collected [[gramStats]] frame
-    * encodes — the exact-integer → one-rounded-double arithmetic
-    * [[fitPca]] eigensolves. Exposed package-private so an auditor
-    * (`q_pca_trace_parity`) can derive the covariance INDEPENDENTLY of
-    * the Jacobi output and check trace/Rayleigh identities against the
-    * fitted model. Fresh arrays per call — [[jacobiEigen]] copies, but
-    * callers may mutate.
+  /** The quantized covariance (with n and the per-dimension integer
+    * sums) a collected [[gramStats]] frame encodes — the exact-integer
+    * → one-rounded-double arithmetic [[fitPca]] eigensolves. Exposed
+    * package-private so an auditor (`q_pca_trace_parity`) can derive
+    * the covariance INDEPENDENTLY of the Jacobi output and check
+    * trace/Rayleigh identities against the fitted model. The sums ride
+    * along so [[fitPcaFromStats]] (which needs them for the mean) does
+    * not rebuild them from the rows. Fresh arrays per call —
+    * [[jacobiEigen]] copies, but callers may mutate.
     */
   private[graft] def covFromStats(rows: Array[org.apache.spark.sql.Row])
-      : (Long, Array[Array[Double]]) = {
-    require(rows.nonEmpty, "fitPca: empty input")
+      : (Long, Array[Array[Double]], Array[BigDecimal]) = {
+    require(rows.nonEmpty, "covFromStats: empty input")
     val n = rows.head.getAs[Long]("n")
-    require(n >= 2, s"fitPca: need at least 2 rows (got $n)")
+    require(n >= 2, s"covFromStats: need at least 2 rows (got $n)")
     val d = rows.map(_.getAs[Int]("j")).max + 1
     val s = new Array[BigDecimal](d)
     val cov = Array.ofDim[Double](d, d)
@@ -234,7 +236,7 @@ object Embed {
       val c = ((nB * m - s(i) * s(j)).toDouble) / den
       cov(i)(j) = c; cov(j)(i) = c
     }
-    (n, cov)
+    (n, cov, s)
   }
 
   /** [[fitPca]] from an already-collected [[gramStats]] frame — lets a
@@ -243,13 +245,9 @@ object Embed {
     */
   private[graft] def fitPcaFromStats(rows: Array[org.apache.spark.sql.Row],
       k: Int): PcaModel = {
-    val (n, cov) = covFromStats(rows)
+    val (n, cov, s) = covFromStats(rows)
     val d = cov.length
     require(k >= 1 && k <= d, s"fitPca: k must be in [1, $d] (got $k)")
-    val s = new Array[BigDecimal](d)
-    rows.foreach { r =>
-      s(r.getAs[Int]("i")) = BigDecimal(r.getAs[java.math.BigDecimal]("s_i"))
-    }
     val (vals, vecs) = jacobiEigen(cov)
     val order = vals.indices.sortBy(i => (-vals(i), i)).take(k)
     val comps = order.map { c =>

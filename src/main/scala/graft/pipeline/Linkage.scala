@@ -75,6 +75,57 @@ object Linkage {
     all.toSeq
   }
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Unique suffix per [[blocked]] call — Spark rejects two `observe`
+    * nodes with the same name inside one query, and a two-source
+    * linkage calls [[blocked]] twice in the same plan.
+    */
+  private val capObsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Sessions that already carry the cap-observability listener (the
+    * listener is registered once per session, matched by metric-name
+    * prefix so every [[blocked]] observation reports through it).
+    */
+  private val capListenerSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[
+        org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  /** Make the depth-aware length cap OBSERVABLE: rows the `maxLen`
+    * filter silently drops from blocking would otherwise vanish from
+    * linkage results with no signal (a completeness regression when
+    * the d>=2 default tightened 256 -> 64). `observe` rides the
+    * existing scan — zero extra jobs at any scale — and the
+    * per-session listener logs a warning with the excluded count the
+    * first action after which it is non-zero.
+    */
+  private def ensureCapListener(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    if (capListenerSessions.add(spark)) {
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("graft_linkage_cap_")) {
+                val excluded = row.getAs[Long]("excluded_over_maxlen")
+                if (excluded > 0L)
+                  log.warn(s"linkage blocking: $excluded distinct " +
+                    "string(s) exceeded maxLen and were EXCLUDED from " +
+                    "candidate pairs (longest seen: " +
+                    s"${row.getAs[Any]("max_len_seen")} chars) — pass " +
+                    "maxLen explicitly to include them (cost is " +
+                    "C(maxLen, maxDist) variants per over-length string)")
+              }
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+    }
+
   /** Distinct values of `strCol` with their exploded neighborhood hashes:
     * (`s`, `vh`). The UDF is a closure (not an inline-literal expression
     * tree) so the fused stage stays JIT-compiled.
@@ -83,8 +134,13 @@ object Linkage {
       maxLen: Int): DataFrame = {
     val d = maxDist
     val variantsUdf = udf((s: String) => deletionVariants(s, d))
+    ensureCapListener(df.sparkSession)
     df.select(col(strCol).cast("string").as("s"))
       .na.drop("any")
+      .observe(s"graft_linkage_cap_${capObsSeq.incrementAndGet()}",
+        coalesce(sum(when(length(col("s")) > maxLen, 1L).otherwise(0L)),
+          lit(0L)).as("excluded_over_maxlen"),
+        max(length(col("s"))).as("max_len_seen"))
       .filter(length(col("s")) <= maxLen)
       .distinct()
       .select(col("s"), explode(variantsUdf(col("s"))).as("__v"))

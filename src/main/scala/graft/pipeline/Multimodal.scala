@@ -59,6 +59,14 @@ object Multimodal {
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
       catch { case _: Exception => None }
 
+    /** Sniff-gated decode for sibling operators ([[luminanceGrid]]):
+      * Some(pixels) only for a payload that both sniffs as and decodes
+      * as an image; None sends callers to their opaque-bytes fallback.
+      */
+    private[pipeline] def decodeImage(b: Array[Byte])
+        : Option[java.awt.image.BufferedImage] =
+      if (sniff(b).isDefined) decode(b) else None
+
     def meta(bytes: Array[Byte]): (String, Int, Int, Int) =
       sniff(bytes).flatMap(m => decode(bytes).map(img =>
         (m, img.getWidth, img.getHeight, 1)))
@@ -362,6 +370,103 @@ object Multimodal {
     */
   def resizeFeatures(df: DataFrame, payloadCol: String,
       newDim: Int): DataFrame = decodePartitioned(df, payloadCol, newDim)
+
+  /** g×g integer average-luminance grid of a decoded image — the
+    * perceptual fingerprint [[averageHashOf]] derives from. Cell value =
+    * floor(Σ luminance / pixel count) over the pixels mapping to the
+    * cell (pixel (x, y) → cell (y·g/h, x·g/w), the same integer bucket
+    * rule as [[ImageCodec.features]]); luminance is the BT.601 integer
+    * form (299r + 587g + 114b)/1000. INTEGER-ONLY end to end, so a
+    * second engine (or an in-query SQL fold — the `q_image_phash`
+    * parity) re-derives the downstream hash from the emitted grid
+    * exactly. Non-image payloads fall back deterministically to a
+    * g²-bucket byte-histogram "grid" (counts), total and stable across
+    * retries like every [[MediaCodec]] path; a null payload is the
+    * caller's null (standard column semantics via the UDF wrapper).
+    */
+  def luminanceGrid(bytes: Array[Byte], g: Int): Array[Long] = {
+    require(g >= 1 && g * g <= 64,
+      s"grid must satisfy 1 <= g*g <= 64 for a 64-bit hash (got g=$g)")
+    val cells = g * g
+    val sums = new Array[Long](cells)
+    val counts = new Array[Long](cells)
+    ImageCodec.decodeImage(bytes) match {
+      case Some(img) =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        var y = 0
+        while (y < h) {
+          val row = y * g / h * g
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (299 * ((rgb >> 16) & 0xff) +
+              587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+            val c = row + x * g / w
+            sums(c) += lum
+            counts(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var j = 0
+        while (j < cells) {
+          sums(j) = if (counts(j) > 0) sums(j) / counts(j) else 0L
+          j += 1
+        }
+        sums
+      case None =>
+        var i = 0
+        while (i < bytes.length) {
+          sums((bytes(i) & 0xff) % cells) += 1L
+          i += 1
+        }
+        sums
+    }
+  }
+
+  /** Average-hash (aHash) of a [[luminanceGrid]]: bit i set iff
+    * grid(i) is strictly above the integer mean Σ/len. The classic
+    * perceptual near-dup fingerprint: robust to re-encoding and small
+    * pixel edits (the grid averages them out), so Hamming distance on
+    * the hash ranks visual similarity — paired at corpus scale by the
+    * SAME pigeonhole banding as text SimHash
+    * ([[Dedup.simHashNearPairs]]). Integer-only, so any engine
+    * re-derives it from the grid bit-for-bit.
+    */
+  def averageHashOf(grid: Array[Long]): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < grid.length) { sum += grid(i); i += 1 }
+    val mean = sum / grid.length
+    var h = 0L
+    i = 0
+    while (i < grid.length) {
+      if (grid(i) > mean) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** Column form: adds `lum_grid` (array<bigint>, the g×g integer
+    * luminance grid) and `ahash` (bigint, its average-hash) next to the
+    * payload. Two closure UDFs (no inline-literal expression trees —
+    * the fused stage stays JIT-compiled), narrow — no shuffle; feed
+    * `ahash` to [[Dedup.simHashNearPairs]] for banded visual near-dup
+    * pairs with NO all-pairs stage. Null payloads yield null grid/hash
+    * (standard column semantics).
+    */
+  def averageHash(df: DataFrame, payloadCol: String, g: Int = 8)
+      : DataFrame = {
+    require(g >= 1 && g * g <= 64,
+      s"grid must satisfy 1 <= g*g <= 64 for a 64-bit hash (got g=$g)")
+    val gridUdf = udf((b: Array[Byte]) =>
+      if (b == null) null else luminanceGrid(b, g))
+    val hashUdf = udf((grid: Seq[Long]) =>
+      if (grid == null) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(averageHashOf(grid.toArray)))
+    df.withColumn("lum_grid", gridUdf(col(payloadCol)))
+      .withColumn("ahash", hashUdf(col("lum_grid")))
+  }
 
   /** Partition-batched decode: the executor-side loop that amortises codec
     * init across a whole partition (the `mapPartitions` analog of a

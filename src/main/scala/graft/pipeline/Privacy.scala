@@ -158,7 +158,37 @@ object Privacy {
     * or pre-shard.
     */
   def mondrian(df: DataFrame, dims: Seq[String], k: Int,
-      exactMedians: Boolean = true, maxRounds: Int = 40): DataFrame = {
+      exactMedians: Boolean = true, maxRounds: Int = 40): DataFrame =
+    mondrianAudited(df, dims, k, exactMedians, maxRounds)._1
+
+  /** One split decision of [[mondrian]], with the EXACT rank evidence
+    * of its cut inside the partition it split: `n` rows, `lt` strictly
+    * below the cut, `le` at-or-below (the split send `value <= cut`
+    * left, so `le` is also the left-child size). For the GK path
+    * (`exactMedians = false`) these are what the sketch's rank
+    * contract (|rank − n/2| ≤ n/accuracy) is audited against — the
+    * counts ride the SAME per-round aggregation the split test already
+    * pays, so the audit adds no distributed work beyond one extra sum
+    * per dimension.
+    */
+  final case class MondrianSplit(round: Int, pid: Long, dim: Int,
+      cut: Double, n: Long, lt: Long, le: Long)
+
+  /** GK sketch accuracy of [[mondrian]]'s `exactMedians = false` path:
+    * the returned split value's rank is within n/accuracy of n/2
+    * (Greenwald–Khanna via `percentile_approx`) — the contract the
+    * `q_mondrian_gk` gate audits every split against.
+    */
+  private[graft] val MondrianGkAccuracy: Int = 10000
+
+  /** [[mondrian]] plus its split trace — package-private so the
+    * `q_mondrian_gk` gate can audit every GK-path split's rank
+    * interval against the sketch accuracy contract without changing
+    * the public release shape.
+    */
+  private[graft] def mondrianAudited(df: DataFrame, dims: Seq[String],
+      k: Int, exactMedians: Boolean = true, maxRounds: Int = 40)
+      : (DataFrame, Seq[MondrianSplit]) = {
     require(dims.nonEmpty, "need at least one QI dimension")
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(maxRounds >= 1 && maxRounds <= 60,
@@ -181,12 +211,13 @@ object Privacy {
         val med =
           if (exactMedians) percentile_approx(col(d), lit(0.5),
             lit(Int.MaxValue)) // exact: accuracy >= n buffers all values
-          else percentile_approx(col(d), lit(0.5), lit(10000))
+          else percentile_approx(col(d), lit(0.5), lit(MondrianGkAccuracy))
         Seq(min(col(d)).cast("double").as(s"__mn$i"),
           max(col(d)).cast("double").as(s"__mx$i"),
           med.cast("double").as(s"__md$i"))
     }
     var finals = Set.empty[Long] // leaves proven unsplittable
+    val audit = Seq.newBuilder[MondrianSplit]
     var round = 0
     var splitting = true
     while (splitting && round < maxRounds) {
@@ -207,15 +238,16 @@ object Privacy {
           val r = stats(p)
           (p, dims.indices.map(i => r.getAs[Double](s"__md$i")))
         }.toDF("__pid", "__meds")
+        val lhsAggs = dims.zipWithIndex.flatMap { case (d, i) =>
+          Seq(
+            sum(when(col(d) <= element_at(col("__meds"), i + 1), 1L)
+              .otherwise(0L)).as(s"__lc$i"),
+            sum(when(col(d) < element_at(col("__meds"), i + 1), 1L)
+              .otherwise(0L)).as(s"__ls$i"))
+        }
         val lhs = work.join(broadcast(medTable), Seq("__pid"))
           .groupBy(col("__pid"))
-          .agg(dims.zipWithIndex.map { case (d, i) =>
-            sum(when(col(d) <= element_at(col("__meds"), i + 1), 1L)
-              .otherwise(0L)).as(s"__lc$i")
-          }.head, dims.zipWithIndex.tail.map { case (d, i) =>
-            sum(when(col(d) <= element_at(col("__meds"), i + 1), 1L)
-              .otherwise(0L)).as(s"__lc$i")
-          }: _*)
+          .agg(lhsAggs.head, lhsAggs.tail: _*)
           .collect().map(r => r.getLong(0) -> r).toMap
         val splits = cand.flatMap { p =>
           val st = stats(p); val lc = lhs(p)
@@ -230,7 +262,10 @@ object Privacy {
                 n - lhs(p).getAs[Long](s"__lc$i") >= k =>
               (p, i, st.getAs[Double](s"__md$i"))
           } match {
-            case Some(s) => Seq(s)
+            case Some(s @ (_, i, cut)) =>
+              audit += MondrianSplit(round, p, i, cut, n,
+                lc.getAs[Long](s"__ls$i"), lc.getAs[Long](s"__lc$i"))
+              Seq(s)
             case None => finals += p; Nil
           }
         }
@@ -257,8 +292,8 @@ object Privacy {
       max(col(d)).cast("double").as(s"${d}_hi")))
     val boxes = work.groupBy(col("__pid"))
       .agg(boxAggs.head, boxAggs.tail: _*)
-    work.join(broadcast(boxes), Seq("__pid"))
-      .withColumnRenamed("__pid", "pid")
+    (work.join(broadcast(boxes), Seq("__pid"))
+      .withColumnRenamed("__pid", "pid"), audit.result())
   }
 
   /** Release-utility metrics for a QI grouping — the standard measures

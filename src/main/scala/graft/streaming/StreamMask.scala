@@ -1003,7 +1003,7 @@ object StreamMask {
     val blockedRef = Linkage
       .blockReference(reference, refCol, maxDist, maxLen)
       .persist()
-    queries.writeStream
+    val query = queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ExactlyOnceSink.writeBatch(outPath)(
           Linkage.linkQueriesAgainst(batch, qIdCol, qCol, blockedRef,
@@ -1013,6 +1013,46 @@ object StreamMask {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+    unpersistOnTermination(query, blockedRef)
+  }
+
+  /** Release a stream-lifetime cache when its query terminates: the
+    * blocked-reference (and any other serve-stream) cache is
+    * intentional across triggers, but nothing would unpersist it after
+    * the query ends — under `Trigger.AvailableNow` the query finishes
+    * in seconds and the cached blocks would otherwise leak for the JVM
+    * lifetime. A terminated-event race (AvailableNow can finish before
+    * the listener registers; bus delivery to later-added listeners is
+    * not guaranteed) is closed by the post-registration `isActive`
+    * check; `unpersist` is idempotent, so both paths firing is
+    * harmless.
+    */
+  private def unpersistOnTermination(
+      query: org.apache.spark.sql.streaming.StreamingQuery,
+      cached: DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = cached.sparkSession
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    lazy val listener: org.apache.spark.sql.streaming
+        .StreamingQueryListener =
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == query.id && done.compareAndSet(false, true)) {
+            cached.unpersist(blocking = false)
+            spark.streams.removeListener(listener)
+          }
+      }
+    spark.streams.addListener(listener)
+    if (!query.isActive && done.compareAndSet(false, true)) {
+      cached.unpersist(blocking = false)
+      spark.streams.removeListener(listener)
+    }
+    query
   }
 
   /** Streaming randomized response — the LOCAL-DP release twin of
@@ -1021,8 +1061,10 @@ object StreamMask {
     * replaced by a deterministic uniform domain draw, per the SAME
     * 48-bit md5 coin as the batch mechanism, landed exactly-once via
     * [[ExactlyOnceSink.writeBatch]]. The value domain comes from the
-    * STATIC `domain` frame (first column; computed once, cached for
-    * the stream's lifetime): a stream cannot take the corpus-wide
+    * STATIC `domain` frame (first column; collected once to the
+    * driver and rebuilt as a LocalRelation per trigger — no executor
+    * cache to leak past termination): a stream cannot take the
+    * corpus-wide
     * distinct, and a per-trigger domain would decohere replacement
     * draws across batches. With the domain fixed, the release is a
     * pure per-row hash function — stream == batch BIT-FOR-BIT
@@ -1047,11 +1089,19 @@ object StreamMask {
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.pipeline.Privacy
-    // materialize the bounded domain once; every trigger reuses it
-    val dom = domain.select(col(domain.columns.head)).persist()
-    dom.count()
+    // materialize the bounded domain ONCE, to the driver: the domain
+    // is a distinct-categorical list (small by the mechanism's
+    // contract), and a per-batch LocalRelation rebuilt from it costs
+    // nothing — unlike `.persist()`, which would outlive the stream
+    // (nothing unpersists after AvailableNow terminates) and leak the
+    // cached blocks for the JVM lifetime
+    val domSchema = domain.select(col(domain.columns.head)).schema
+    val domRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    domain.select(col(domain.columns.head)).collect()
+      .foreach(domRows.add)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dom = batch.sparkSession.createDataFrame(domRows, domSchema)
         ExactlyOnceSink.writeBatch(outPath)(
           Privacy.randomizedResponseWithDomain(batch, colName, keyCol,
             pNum, pDen, seed, dom), batchId)

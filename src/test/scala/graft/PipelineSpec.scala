@@ -2099,6 +2099,59 @@ class PipelineSpec extends SparkSpec {
     assert(m4.getString(0) == "application/octet-stream" && m4.getInt(1) == 0)
   }
 
+  test("image aHash: luminance grid is integer-exact on a known " +
+      "pattern, robust to a one-unit pixel edit, banded-pairable") {
+    val s = spark
+    import s.implicits._
+    def halfPng(bump: Boolean): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        im.setRGB(x, y, if (x < 8) 0x000000 else 0xffffff)
+      if (bump) im.setRGB(0, 0, 0x010101) // one luminance unit
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, "png", bos))
+      bos.toByteArray
+    }
+    // left-half black, right-half white: cells are exactly 0 / 255,
+    // integer mean 127, hash = the right-half bit mask
+    val grid = Multimodal.luminanceGrid(halfPng(bump = false), 8)
+    assert(grid.length == 64)
+    for (r <- 0 until 8; c <- 0 until 8)
+      assert(grid(r * 8 + c) == (if (c < 4) 0L else 255L),
+        s"cell ($r,$c) = ${grid(r * 8 + c)}")
+    val h0 = Multimodal.averageHashOf(grid)
+    val expected = (0 until 8).map(r =>
+      0xF0L << (r * 8)).reduce(_ | _)
+    assert(h0 == expected, f"hash $h0%016x != $expected%016x")
+    // a one-unit pixel edit is a DIFFERENT image whose hash moves by
+    // at most the one touched cell (and any cells sitting exactly on
+    // the shifted mean — none in this pattern)
+    val h1 = Multimodal.averageHashOf(
+      Multimodal.luminanceGrid(halfPng(bump = true), 8))
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 1)
+    // non-image payloads: deterministic byte-histogram fallback
+    val bytes = "not an image at all".getBytes("UTF-8")
+    val fb = Multimodal.luminanceGrid(bytes, 8)
+    assert(fb.sum == bytes.length &&
+      fb.toSeq == Multimodal.luminanceGrid(bytes, 8).toSeq)
+    // column form: null payload -> null grid/hash; the banded Hamming
+    // join (k=8) pairs the twin images with no all-pairs stage
+    val df = Seq((1L, halfPng(bump = false)),
+      (2L, halfPng(bump = true)),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val hashed = Multimodal.averageHash(df, "payload")
+    val rows = hashed.collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Any]("ahash"))).toMap
+    assert(rows(3L).isEmpty, "null payload must hash to null")
+    assert(rows(1L).contains(h0) && rows(2L).contains(h1))
+    val pairs = Dedup.simHashNearPairs(
+      hashed.filter(col("ahash").isNotNull).select(col("id"),
+        col("ahash")), "id", "ahash", k = 8).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L)))
+  }
+
   test("end-to-end curation: quality gate, scrub, dedup, mix compose") {
     import graft.pipeline.Curation
     val out = Curation.curate(docs, "doc_id", "text", "lang",

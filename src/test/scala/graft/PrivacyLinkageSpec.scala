@@ -488,6 +488,39 @@ class PrivacyLinkageSpec extends SparkSpec {
     }
   }
 
+  test("mondrianAudited: the split trace is internally consistent and " +
+      "every GK-path cut honours the sketch rank contract") {
+    val fix = spark.read.parquet(s"$fixtures/customer.parquet")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val dims = Seq("c_nationkey", "c_acctbal")
+    val (out, splits) = Privacy.mondrianAudited(fix, dims, k = 20,
+      exactMedians = false)
+    assert(splits.nonEmpty, "fixture should split at least once")
+    splits.foreach { sp =>
+      // rank interval is well-formed and both children kept >= k
+      assert(sp.lt <= sp.le && sp.le <= sp.n, s"bad interval: $sp")
+      assert(sp.le >= 20 && sp.n - sp.le >= 20,
+        s"split left a child under k: $sp")
+      // the GK contract the q_mondrian_gk gate pins: the cut's exact
+      // rank interval straddles n/2 within n/accuracy (+1 slack)
+      val slack = sp.n.toDouble / Privacy.MondrianGkAccuracy + 1.0
+      assert(sp.lt + 1 <= sp.n * 0.5 + slack &&
+        sp.le >= sp.n * 0.5 - slack,
+        s"sketch median outside its rank bound: $sp")
+    }
+    // root split's n covers the whole input; release is row-preserving
+    assert(splits.head.n == fix.count())
+    assert(out.count() == fix.count())
+    // the audit does not change the release: same leaves as mondrian()
+    val plain = Privacy.mondrian(fix, dims, k = 20,
+      exactMedians = false)
+      .groupBy("pid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val audited = out.groupBy("pid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain == audited)
+  }
+
   test("randomizedResponse: deterministic, domain-valued, p=1 identity") {
     val s = spark
     import s.implicits._
