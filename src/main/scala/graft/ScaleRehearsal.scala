@@ -95,7 +95,12 @@ object ScaleRehearsal {
     // round-19 additions: the full-width PCA audit (gramStats + one
     // driver eigensolve + a distributed projected-variance fold) and
     // PCA whitening composed into the SemDeDup chain
-    "q_pca_trace_parity", "q_pca_semdedup")
+    "q_pca_trace_parity", "q_pca_semdedup",
+    // round-20 additions: image aHash near-dup (two synthesized BMPs
+    // per doc through the real ImageIO decode + the banded Hamming
+    // pair join) and curation composed with the drift monitor (the
+    // curation chain + two vocabulary-bounded count tables)
+    "q_image_phash", "q_curation_drift")
 
   /** The reference masking core + relational leaders, rehearsed over an
     * FK-CONSISTENT inflation: facts (lineitem/orders/customer) grow N×
@@ -128,7 +133,11 @@ object ScaleRehearsal {
     "q_dp_counts",
     // round 19: the cross-table FP-mask consistency gate — two narrow
     // masking scans + the raw-FK join and a bounded per-key aggregate
-    "mask_fp_sync")
+    "mask_fp_sync",
+    // round 20: the Mondrian GK-path contract gate — the same
+    // per-round bounded aggregates as q_mondrian (plus the rank-audit
+    // sums riding the split aggregation) under sketch medians
+    "q_mondrian_gk")
 
   private val KnownModes = Set("distinct", "clone", "relational")
 

@@ -3554,6 +3554,29 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Curation composed with the DRIFT MONITOR — the QA read a pipeline
+    * runs after changing a filter: curate
+    * ([[curatedDocs]]: quality gate → PII scrub → near-dedup →
+    * stratified mix), then measure what the surviving corpus's token
+    * distribution drifted FROM the raw corpus
+    * ([[graft.pipeline.TextOps.vocabDivergence]], survivors as side A,
+    * raw documents as side B). DuckDB replays the whole chain — the
+    * shared curation CTEs into the shared divergence CTEs — and the
+    * gate pins the exact columns (integer counts, Laplace-1 smoothed
+    * probabilities, total-variation term); `js_term` stays out of the
+    * gate for the documented cross-engine ln-ULP reason
+    * (`q_vocab_drift`). Scale shape is both components': curation's
+    * banded dedup plus two vocabulary-bounded count tables — nothing
+    * corpus-sized past the aggregates.
+    */
+  private def qCurationDrift(s: SparkSession, dir: String): DataFrame = {
+    val raw = docs(s, dir).select("doc_id", "lang", "text")
+    val kept = curatedDocs(s, dir).select("doc_id", "lang", "text")
+    TextOps.vocabDivergence(kept, raw, "text")
+      .select("token", "c_a", "c_b", "p_a", "p_b", "tv_term")
+      .orderBy("token")
+  }
+
   /** Int8 quantization audit over the embedding store
     * ([[Similarity.int8Scale]]/[[Similarity.int8Codes]] — the 4× storage/
     * shuffle-width cut): per vector the symmetric scale, the worst
@@ -4320,6 +4343,7 @@ object SparkEntry {
     "q_mix_temp_sample" -> (qMixTempSample _),
     "q_mix_upsample" -> (qMixUpsample _),
     "q_curation_temp" -> (qCurationTemp _),
+    "q_curation_drift" -> (qCurationDrift _),
     "q_data_card" -> (qDataCard _),
     "q_curation" -> (qCuration _),
     "q_curation_pack" -> (qCurationPack _),
@@ -7578,6 +7602,38 @@ object SparkEntry {
          |  CAST(${bucket48OfSql("h")} AS DOUBLE)
          |    < frac * 281474976710656.0
          |ORDER BY doc_id, cp""".stripMargin,
+    // curation → drift monitor: survivors (side A) vs the raw corpus
+    // (side B), the shared curation CTEs feeding the shared divergence
+    // arithmetic — same exact columns as q_vocab_drift, js_term
+    // excluded for the same documented ln-ULP reason
+    "q_curation_drift" ->
+      s"""$curationCtes,
+         |kept AS (SELECT doc_id, lang, text FROM scrub
+         |         WHERE $curationKeepPred),
+         |ta AS (SELECT token FROM (SELECT unnest($toksSql)
+         |    AS token FROM kept)
+         |  WHERE token <> ''),
+         |tb AS (SELECT token FROM (SELECT unnest($toksSql)
+         |    AS token FROM documents)
+         |  WHERE token <> ''),
+         |ca AS (SELECT token, COUNT(*) AS c_a FROM ta GROUP BY 1),
+         |cb AS (SELECT token, COUNT(*) AS c_b FROM tb GROUP BY 1),
+         |j AS (SELECT token, COALESCE(c_a, 0) AS c_a,
+         |    COALESCE(c_b, 0) AS c_b
+         |  FROM ca FULL OUTER JOIN cb USING (token)),
+         |tot AS (SELECT CAST(SUM(c_a) AS BIGINT) AS na,
+         |    CAST(SUM(c_b) AS BIGINT) AS nb, COUNT(*) AS v FROM j),
+         |p AS (SELECT token, c_a, c_b,
+         |    CAST(c_a + 1 AS DOUBLE)
+         |      / CAST((SELECT na FROM tot) + (SELECT v FROM tot)
+         |        AS DOUBLE) AS p_a,
+         |    CAST(c_b + 1 AS DOUBLE)
+         |      / CAST((SELECT nb FROM tot) + (SELECT v FROM tot)
+         |        AS DOUBLE) AS p_b
+         |  FROM j)
+         |SELECT token, c_a, c_b, p_a, p_b,
+         |  0.5 * abs(p_a - p_b) AS tv_term
+         |FROM p ORDER BY token""".stripMargin,
     // curation → α-derived rates over the SURVIVORS' mass → per-doc
     // 48-bit threshold, one chain
     "q_curation_temp" ->

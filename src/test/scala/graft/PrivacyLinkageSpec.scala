@@ -124,6 +124,42 @@ class PrivacyLinkageSpec extends SparkSpec {
       Linkage.selfPairs(df, "n", maxDist = 2, maxLen = 0).count())
   }
 
+  test("blocking cap exclusions are observable: the observe() metric " +
+      "reports how many distinct strings the maxLen filter dropped") {
+    val s = spark
+    import s.implicits._
+    val seen =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Any)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft_linkage_cap_"))
+            seen.add((row.getAs[Long]("excluded_over_maxlen"),
+              row.getAs[Any]("max_len_seen")))
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    s.listenerManager.register(listener)
+    try {
+      // two over-cap strings (70 chars > the d>=2 default of 64) and
+      // two short ones: the metric must report exactly 2 excluded,
+      // riding the blocking scan with no extra job
+      val df = Seq("x" * 69 + "a", "x" * 69 + "b", "ab", "ac").toDF("n")
+      Linkage.selfPairs(df, "n", maxDist = 2).count()
+      // listener delivery is async on the shared bus — poll
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (seen.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val ms = seen.toArray(Array.empty[(Long, Any)])
+      assert(ms.exists { case (ex, mx) => ex == 2L && mx == 70 },
+        s"expected an (excluded=2, max=70) metric, got ${ms.toSeq}")
+    } finally s.listenerManager.unregister(listener)
+  }
+
   test("fuzzyJoin links across sources and dedups duplicate rows") {
     val s = spark
     import s.implicits._
