@@ -100,7 +100,11 @@ object ScaleRehearsal {
     // per doc through the real ImageIO decode + the banded Hamming
     // pair join) and curation composed with the drift monitor (the
     // curation chain + two vocabulary-bounded count tables)
-    "q_image_phash", "q_curation_drift")
+    "q_image_phash", "q_curation_drift",
+    // round 20: audio-fingerprint near-dup — two synthesized WAVs per
+    // doc through the real javax.sound decode + the banded Hamming
+    // pair join (the image row's shape, audio modality)
+    "q_audio_fingerprint")
 
   /** The reference masking core + relational leaders, rehearsed over an
     * FK-CONSISTENT inflation: facts (lineitem/orders/customer) grow N×
@@ -137,7 +141,17 @@ object ScaleRehearsal {
     // round 20: the Mondrian GK-path contract gate — the same
     // per-round bounded aggregates as q_mondrian (plus the rank-audit
     // sums riding the split aggregation) under sketch medians
-    "q_mondrian_gk")
+    "q_mondrian_gk",
+    // round 20: the salted skew join/agg (salt-spread shuffle lanes
+    // must price like the plain join), the HLL distinct gate (sketch
+    // bytes per group, exact distinct only as the gate's witness) and
+    // the bucketed co-located join (bucketed write + shuffle-free read
+    // at 10x fact volume)
+    "q_skew_join", "q_skew_agg", "q_hll_distinct", "q_bucketed_join",
+    // round 20: sketch mergeability — 8 per-shard sketches + one
+    // register union vs the one-pass sketch; O(2^lgK) bytes per shard
+    // regardless of fact volume
+    "q_hll_merge")
 
   private val KnownModes = Set("distinct", "clone", "relational")
 

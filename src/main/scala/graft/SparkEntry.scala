@@ -199,6 +199,138 @@ object SparkEntry {
       .orderBy("n_name")
   }
 
+  /** Salted skew join ([[graft.pipeline.Skew.saltedJoin]]) value gate:
+    * the orders⋈customer equi-join run through the salt-spread path
+    * (every left row salted into 8 reducer lanes, the right side
+    * replicated 8×, join key (key, salt)) must produce EXACTLY the
+    * plain join — DuckDB replays the unsalted join, so any salt-lane
+    * mismatch (a row joined in the wrong lane, a replica double-count,
+    * a dropped salt) diverges per row. Salting is the pre-spread
+    * answer to a hot key that AQE's skew-join can't reach
+    * (broadcast-ineligible stream-static joins, aggregation state):
+    * correctness must be INDEPENDENT of salt placement, which is
+    * precisely what this row pins. The reducer-spread property itself
+    * is spec-asserted (MiscOpsSpec's salted-join tests).
+    */
+  private def qSkewJoin(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Skew.saltedJoin(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        t(s, dir, "customer").select("c_custkey", "c_name"),
+        "o_custkey", "c_custkey", salts = 8)
+      .select("o_orderkey", "o_custkey", "c_name")
+      .orderBy("o_orderkey")
+
+  /** Two-phase salted aggregation ([[graft.pipeline.Skew.saltedCount]])
+    * value gate: per-supplier lineitem counts computed as
+    * (key, salt)-partials merged per key must equal the plain GROUP BY
+    * — the explicit partial→final split that bounds any one reducer's
+    * state when a key is pathologically hot and the per-key state is
+    * too large for map-side combine alone. DuckDB replays the plain
+    * aggregate; a lost or double-merged partial diverges on that key.
+    */
+  private def qSkewAgg(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Skew.saltedCount(
+        t(s, dir, "lineitem").select("l_suppkey"), "l_suppkey", salts = 8)
+      .orderBy("l_suppkey")
+
+  /** HLL distinct-count gate (`approx_count_distinct`, Spark's
+    * HyperLogLog++ — the sketch that replaces an exact
+    * shuffle-the-world COUNT(DISTINCT) at 100 TB with O(2^p) bytes per
+    * group): per order priority, the EXACT distinct customer count
+    * (DuckDB-re-derived) plus a pinned `hll_ok` — the sketch estimate
+    * must sit within 3·rsd of the exact count (rsd = 0.02, so ±6%;
+    * HLL++'s standard-error bound, deterministic here because the
+    * sketch hash is fixed). The estimate itself is NOT emitted (no
+    * second engine derives it bit-for-bit BY DESIGN — only the
+    * documented accuracy contract is portable, the
+    * `q_percentile_gk_parity` pattern). Exact distinct rides the same
+    * row only as the gate's witness.
+    */
+  private def qHllDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_exact"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("__hll"))
+      .select(col("o_orderpriority"), col("n_exact"),
+        (abs(col("__hll") - col("n_exact")).cast("double") <=
+          col("n_exact").cast("double") * 0.06).as("hll_ok"))
+      .orderBy("o_orderpriority")
+
+  /** HLL sketch MERGEABILITY gate (`hll_sketch_agg` /
+    * `hll_union_agg` — Spark's Apache DataSketches HLL): the algebraic
+    * property the whole 100 TB sketch story rests on is that per-shard
+    * sketches union into the global answer WITHOUT revisiting rows —
+    * count-distinct becomes an O(2^lgK)-bytes-per-shard commutative
+    * monoid, so 1000 executors each sketch locally and a tree-reduce
+    * merges registers. The gate builds 8 per-shard sketches of
+    * o_custkey (shard = o_orderkey % 8 — every shard sees an arbitrary
+    * slice of the key space, so every distinct custkey lands in MANY
+    * shards) AND 16 per-shard sketches under a completely different
+    * partitioning (shard = o_custkey % 16 — every distinct custkey in
+    * exactly ONE shard), and pins: the two unions' estimates are
+    * EXACTLY equal (max-of-registers is partition-invariant — any
+    * drift means a union lost register state; the raw one-pass
+    * estimate is deliberately NOT pinned equal: a directly-built
+    * sketch reports the order-dependent HIP estimator, a real
+    * multi-sketch union the composite estimator, and past sparse mode
+    * they legitimately differ — measured at sf0.1) — and that both the
+    * merged and the direct HIP estimate sit within the documented
+    * accuracy of the DuckDB-re-derived exact distinct (lgConfigK = 12
+    * → rsd ≈ 1.63%, 3·rsd ≈ 5%). One exact COUNT(DISTINCT) rides along
+    * as the gate's witness only.
+    */
+  private def qHllMerge(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def shardedUnion(shard: Column, name: String) =
+      o.groupBy(shard.as("__shard"))
+        .agg(expr("hll_sketch_agg(o_custkey, 12)").as("__sk"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(__sk))").as(name))
+    val byOrder = shardedUnion(pmod(col("o_orderkey"), lit(8)), "__m8")
+    val byCust = shardedUnion(pmod(col("o_custkey"), lit(16)), "__m16")
+    val global = o.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(o_custkey, 12))")
+        .as("__global"),
+      countDistinct(col("o_custkey")).as("n_exact"))
+    global.crossJoin(byOrder).crossJoin(byCust) // 1×1×1 scalar attach
+      .select(col("n_exact"),
+        (col("__m8") === col("__m16")).as("merge_exact_ok"),
+        (abs(col("__m8") - col("n_exact")).cast("double") <=
+          col("n_exact").cast("double") * 0.05).as("merged_bound_ok"),
+        (abs(col("__global") - col("n_exact")).cast("double") <=
+          col("n_exact").cast("double") * 0.05).as("global_bound_ok"))
+  }
+
+  /** Bucketed co-located join value gate: both sides written as
+    * 8-bucket tables on the join key (`bucketBy` + `saveAsTable` — the
+    * pre-partitioning a 100 TB deployment gives its recurring
+    * fact⋈fact joins so NEITHER side ever shuffles again), then joined
+    * and aggregated per market segment. DuckDB replays the plain
+    * parquet join, so the bucketed write→catalog→bucket-aware-scan
+    * round trip must be value-identical to the unbucketed path; the
+    * shuffle-free plan property itself (no Exchange on either side
+    * under sort-merge) is spec-asserted (BucketedJoinSpec). Build is
+    * eager (the bucketed layout lands in a scratch warehouse before
+    * the gate frame is returned); repeats overwrite.
+    */
+  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratchDir("q-bucketed-join")
+    t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/orders_b").mode("overwrite")
+      .saveAsTable("graft_q_orders_b")
+    t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/customer_b").mode("overwrite")
+      .saveAsTable("graft_q_customer_b")
+    s.table("graft_q_orders_b")
+      .join(s.table("graft_q_customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
   /** TPC-H Q5-shaped 6-way join (region→nation→customer→orders→lineitem→
     * supplier with the local-supplier condition), dims broadcast.
     */
@@ -3721,6 +3853,120 @@ object SparkEntry {
         col("n_twin_pairs"), col("n_cross_pairs"))
   }
 
+  /** A REAL RIFF/WAVE file (PCM16 mono, 8 kHz, 512 frames) whose samples
+    * are an md5 stream keyed by `id` (frame p reads little-endian short
+    * 2·(p%8) of md5("aud:" + id + ":" + p/8)) — decodable by the JDK's
+    * `javax.sound.sampled`, deterministic across executors/retries, and
+    * acoustically uncorrelated across ids (so energy-window hashes of
+    * different ids are ~uniform 64-bit values). `variant = 1` XORs
+    * frame 0's sample with 1 — a DIFFERENT clip one sample-LSB away,
+    * the minimal audible near-duplicate.
+    */
+  private def syntheticWav(id: Long, variant: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sm = new Array[Int](512)
+    var blk = 0
+    while (blk < 64) {
+      val h = md.digest(s"aud:$id:$blk".getBytes("UTF-8"))
+      var p = 0
+      while (p < 8) {
+        sm(blk * 8 + p) =
+          (((h(2 * p + 1) & 0xff) << 8) | (h(2 * p) & 0xff)).toShort.toInt
+        p += 1
+      }
+      blk += 1
+    }
+    if (variant == 1) sm(0) ^= 1
+    val out = new Array[Byte](44 + 1024)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def tag(off: Int, t: String): Unit = {
+      var i = 0
+      while (i < 4) { out(off + i) = t.charAt(i).toByte; i += 1 }
+    }
+    tag(0, "RIFF"); le32(4, 36 + 1024); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16)
+    out(20) = 1 // PCM
+    out(22) = 1 // mono
+    le32(24, 8000); le32(28, 16000) // rate, byte rate
+    out(32) = 2; out(34) = 16 // block align, bits
+    tag(36, "data"); le32(40, 1024)
+    var i = 0
+    while (i < 512) {
+      out(44 + 2 * i) = (sm(i) & 0xff).toByte
+      out(44 + 2 * i + 1) = ((sm(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Audio-fingerprint near-dup — the dedup family's THIRD modality
+    * (text SimHash, image aHash, now audio:
+    * [[graft.pipeline.Multimodal.audioFingerprint]] — REAL
+    * `javax.sound` PCM decode → 64 integer span energies → aHash over
+    * the loudness envelope), gated in the `q_image_phash`
+    * composed-parity style. Per document TWO real WAVs are synthesized
+    * ([[syntheticWav]]): the base clip and a one-LSB twin — different
+    * bytes, near-identical waveform. The gate pins, against
+    * DuckDB-re-derived populations: (1) every payload decodes as real
+    * 8 kHz mono 512-frame audio (metadata path); (2) every fingerprint
+    * equals an INDEPENDENT in-query integer fold over the emitted
+    * energy windows (same `Σ div 64` mean, same strict-greater bit rule
+    * — one differing bit reds the row); (3)
+    * [[graft.pipeline.Dedup.simHashNearPairs]] Hamming banding at k = 4
+    * finds EVERY base↔twin pair (envelope robustness: a one-LSB sample
+    * edit moves one window's energy by ≤ 2·|s|+1 ≪ the inter-window
+    * spread) and (4) NO cross-document pair (md5-stream clips are
+    * acoustically uncorrelated — inter-doc Hamming concentrates at
+    * ~32; verified deterministic at every fixture SF). No all-pairs
+    * stage anywhere — the same pigeonhole band join the text and image
+    * paths scale on.
+    */
+  private def qAudioFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val wav = udf((id: Long, v: Int) => syntheticWav(id, v))
+    val clips = docs(s, dir).select(col("doc_id"))
+      .select(col("doc_id"), explode(array(lit(0), lit(1))).as("variant"))
+      .withColumn("clip", wav(col("doc_id"), col("variant")))
+    val metaOk = udf((b: Array[Byte]) => {
+      val m = graft.pipeline.Multimodal.AudioCodec.meta(b)
+      m._1 == "audio/wav" && m._2 == 8000 && m._3 == 1 && m._4 == 512
+    })
+    val hashed = graft.pipeline.Multimodal.audioFingerprint(clips, "clip")
+      .withColumn("__mean",
+        expr("aggregate(energy_windows, CAST(0 AS BIGINT), (a, x) -> a + x)" +
+          " div 64"))
+      .withColumn("__hsql",
+        expr("aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->" +
+          " acc + IF(element_at(energy_windows, i + 1) > __mean," +
+          " shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"))
+      .withColumn("__clip_ok", metaOk(col("clip")))
+    val stats = hashed.agg(
+      count(lit(1)).as("n_audio"),
+      sum(when(col("__clip_ok"), 1L).otherwise(0L)).as("n_decoded"),
+      sum(when(col("afp") === col("__hsql"), 1L).otherwise(0L))
+        .as("n_fp_parity"))
+    val pairs = graft.pipeline.Dedup.simHashNearPairs(
+      hashed.select((col("doc_id") * 2 + col("variant")).as("clip_id"),
+        col("afp")),
+      "clip_id", "afp", k = 4)
+    val pairStats = pairs.agg(
+      coalesce(sum(when(shiftright(col("id_a"), 1) ===
+        shiftright(col("id_b"), 1), 1L).otherwise(0L)), lit(0L))
+        .as("n_twin_pairs"),
+      coalesce(sum(when(shiftright(col("id_a"), 1) =!=
+        shiftright(col("id_b"), 1), 1L).otherwise(0L)), lit(0L))
+        .as("n_cross_pairs"))
+    val nDocs = docs(s, dir).select(col("doc_id")).count()
+    stats.crossJoin(pairStats) // 1×1 scalar attach
+      .select(lit(nDocs).as("n_docs"), col("n_audio"),
+        col("n_decoded"), col("n_fp_parity"),
+        col("n_twin_pairs"), col("n_cross_pairs"))
+  }
+
   // --------------------------------------------------------------- privacy
   /** The masked release audited by `q_k_anon` / `q_privacy_card`: the
     * reference's own masking shapes (R1 static under a P2 guard, R2 row
@@ -4226,6 +4472,11 @@ object SparkEntry {
     "fk_sync" -> (fkSync _),
     "q1_agg" -> (q1Agg _),
     "q_join_broadcast" -> (qJoinBroadcast _),
+    "q_skew_join" -> (qSkewJoin _),
+    "q_skew_agg" -> (qSkewAgg _),
+    "q_hll_distinct" -> (qHllDistinct _),
+    "q_hll_merge" -> (qHllMerge _),
+    "q_bucketed_join" -> (qBucketedJoin _),
     "q5_multijoin" -> (q5MultiJoin _),
     "q_window_topk" -> (qWindowTopk _),
     "q_window_running" -> (qWindowRunning _),
@@ -4373,6 +4624,7 @@ object SparkEntry {
     "q_epoch_shuffle" -> (qEpochShuffle _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_image_phash" -> (qImagePhash _),
+    "q_audio_fingerprint" -> (qAudioFingerprint _),
     "q_k_anon" -> (qKAnon _),
     "q_privacy_card" -> (qPrivacyCard _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
@@ -5998,6 +6250,40 @@ object SparkEntry {
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_skew_join" ->
+      // the UNSALTED join: salting must be invisible in the result
+      s"""SELECT o_orderkey, o_custkey, c_name
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_orderkey""".stripMargin,
+    "q_skew_agg" ->
+      // the plain GROUP BY the partial->final split must reproduce
+      s"""SELECT l_suppkey, COUNT(*) AS n
+         |FROM lineitem GROUP BY l_suppkey
+         |ORDER BY l_suppkey""".stripMargin,
+    "q_hll_distinct" ->
+      // exact distinct re-derived; hll_ok pinned TRUE — the sketch
+      // estimate must sit inside its documented 3·rsd accuracy band
+      s"""SELECT o_orderpriority,
+         |COUNT(DISTINCT o_custkey) AS n_exact,
+         |TRUE AS hll_ok
+         |FROM orders GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+    "q_hll_merge" ->
+      // exact distinct re-derived; the three booleans pinned TRUE —
+      // shard-sketch union must equal the one-pass global sketch
+      // exactly, and both must sit inside the lgK=12 accuracy band
+      s"""SELECT COUNT(DISTINCT o_custkey) AS n_exact,
+         |TRUE AS merge_exact_ok,
+         |TRUE AS merged_bound_ok,
+         |TRUE AS global_bound_ok
+         |FROM orders""".stripMargin,
+    "q_bucketed_join" ->
+      // the plain parquet join: the bucketed write->catalog->scan
+      // round trip must be value-identical
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q5_multijoin" ->
       s"""SELECT n_name,
          |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
@@ -8172,6 +8458,20 @@ object SparkEntry {
          |  CAST(2 * COUNT(*) AS BIGINT) AS n_images,
          |  CAST(2 * COUNT(*) AS BIGINT) AS n_decoded,
          |  CAST(2 * COUNT(*) AS BIGINT) AS n_hash_parity,
+         |  CAST(COUNT(*) AS BIGINT) AS n_twin_pairs,
+         |  CAST(0 AS BIGINT) AS n_cross_pairs
+         |FROM documents""".stripMargin,
+    "q_audio_fingerprint" ->
+      // composed-parity contract, audio modality: DuckDB re-derives the
+      // populations; on the Spark side every synthesized WAV must have
+      // really decoded (javax.sound metadata), every fingerprint must
+      // equal the independent integer fold over its emitted energy
+      // windows, the banded Hamming join must find every base<->twin
+      // pair at k=4, and no cross-document pair may appear
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(2 * COUNT(*) AS BIGINT) AS n_audio,
+         |  CAST(2 * COUNT(*) AS BIGINT) AS n_decoded,
+         |  CAST(2 * COUNT(*) AS BIGINT) AS n_fp_parity,
          |  CAST(COUNT(*) AS BIGINT) AS n_twin_pairs,
          |  CAST(0 AS BIGINT) AS n_cross_pairs
          |FROM documents""".stripMargin,

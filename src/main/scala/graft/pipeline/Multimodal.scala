@@ -164,6 +164,47 @@ object Multimodal {
         Some(out)
       } catch { case _: Exception => None }
 
+    /** Raw 16-bit PCM frames as INTEGERS (per frame, the SUM of channel
+      * samples — integer-exact for any channel count, unlike a /ch
+      * average): the exact-arithmetic twin of [[samples]] for paths that
+      * must be re-derivable bit-for-bit by a second engine
+      * ([[Multimodal.energyWindows]] / `q_audio_fingerprint`). Same
+      * decode mechanics: container → 16-bit signed little-endian PCM via
+      * `javax.sound.sampled`, so WAV/AIFF/AU all land here.
+      */
+    private[pipeline] def pcm16(b: Array[Byte]): Option[Array[Int]] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(b))
+        val f = in.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
+          f.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(target, in)
+        val bytes = pcm.readAllBytes()
+        val ch = f.getChannels
+        val n = bytes.length / (2 * ch)
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          var sum = 0
+          var c = 0
+          while (c < ch) {
+            val off = 2 * (i * ch + c)
+            sum += ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+            c += 1
+          }
+          out(i) = sum
+          i += 1
+        }
+        Some(out)
+      } catch { case _: Exception => None }
+
+    private[pipeline] def isAudioContainer(b: Array[Byte]): Boolean =
+      sniff(b).isDefined
+
     def meta(bytes: Array[Byte]): (String, Int, Int, Int) =
       sniff(bytes).flatMap { m =>
         try {
@@ -466,6 +507,75 @@ object Multimodal {
       else java.lang.Long.valueOf(averageHashOf(grid.toArray)))
     df.withColumn("lum_grid", gridUdf(col(payloadCol)))
       .withColumn("ahash", hashUdf(col("lum_grid")))
+  }
+
+  /** Integer per-window PCM energies over a REAL `javax.sound` decode —
+    * the audio analog of [[luminanceGrid]]: the payload's 16-bit frames
+    * ([[AudioCodec.pcm16]]: per frame the integer SUM of channel
+    * samples) are cut into `w` equal spans and each span contributes
+    * Σ sample² as a BIGINT. Exact integer arithmetic end to end, so a
+    * second engine (or an in-query SQL fold — the `q_audio_fingerprint`
+    * parity) re-derives the downstream hash from the emitted energies
+    * bit-for-bit. Loudness-envelope energies are the classic robust
+    * audio fingerprint primitive (Haitsma & Kalker 2002's energy-band
+    * hashing, collapsed to the time axis — no FFT needed for
+    * near-duplicate detection of re-encoded/retouched clips).
+    * Non-audio payloads fall back to a w-bucket byte histogram exactly
+    * like [[luminanceGrid]]'s non-image path — total, deterministic,
+    * never throws.
+    */
+  def energyWindows(bytes: Array[Byte], w: Int): Array[Long] = {
+    require(w >= 1 && w <= 64,
+      s"window count must satisfy 1 <= w <= 64 for a 64-bit hash (got $w)")
+    val out = new Array[Long](w)
+    (if (AudioCodec.isAudioContainer(bytes)) AudioCodec.pcm16(bytes)
+     else None) match {
+      case Some(s) if s.nonEmpty =>
+        var j = 0
+        while (j < w) {
+          val lo = (s.length.toLong * j / w).toInt
+          val hi = math.max((s.length.toLong * (j + 1) / w).toInt, lo + 1)
+          var acc = 0L
+          var i = lo
+          while (i < math.min(hi, s.length)) {
+            acc += s(i).toLong * s(i); i += 1
+          }
+          out(j) = acc
+          j += 1
+        }
+        out
+      case _ =>
+        var i = 0
+        while (i < bytes.length) {
+          out((bytes(i) & 0xff) % w) += 1L
+          i += 1
+        }
+        out
+    }
+  }
+
+  /** Column form of the audio fingerprint: adds `energy_windows`
+    * (array<bigint>, the `w` integer span energies) and `afp` (bigint,
+    * their [[averageHashOf]] — bit i set iff window i's energy is
+    * strictly above the integer mean). Narrow, no shuffle, two closure
+    * UDFs (no inline-literal expression trees); feed `afp` to
+    * [[Dedup.simHashNearPairs]] for banded audio near-dup pairs with NO
+    * all-pairs stage — the same pigeonhole machinery as text SimHash
+    * and image aHash, closing the third modality of the dedup family.
+    * Null payloads yield null energies/hash (standard column
+    * semantics).
+    */
+  def audioFingerprint(df: DataFrame, payloadCol: String, w: Int = 64)
+      : DataFrame = {
+    require(w >= 1 && w <= 64,
+      s"window count must satisfy 1 <= w <= 64 for a 64-bit hash (got $w)")
+    val winUdf = udf((b: Array[Byte]) =>
+      if (b == null) null else energyWindows(b, w))
+    val hashUdf = udf((ws: Seq[Long]) =>
+      if (ws == null) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(averageHashOf(ws.toArray)))
+    df.withColumn("energy_windows", winUdf(col(payloadCol)))
+      .withColumn("afp", hashUdf(col("energy_windows")))
   }
 
   /** Partition-batched decode: the executor-side loop that amortises codec

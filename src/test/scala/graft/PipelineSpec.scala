@@ -2152,6 +2152,73 @@ class PipelineSpec extends SparkSpec {
       Set((1L, 2L)))
   }
 
+  test("audio fingerprint: energy windows are integer-exact on a known " +
+      "waveform, robust to a one-LSB sample edit, banded-pairable") {
+    val s = spark
+    import s.implicits._
+    // PCM16 mono 8 kHz WAV: 512 frames, first half silence, second
+    // half constant amplitude A — window energies exactly 0 / 8·A²
+    def wav(samples: Array[Int]): Array[Byte] = {
+      val out = new Array[Byte](44 + 2 * samples.length)
+      def le32(off: Int, v: Int): Unit = {
+        out(off) = (v & 0xff).toByte
+        out(off + 1) = ((v >> 8) & 0xff).toByte
+        out(off + 2) = ((v >> 16) & 0xff).toByte
+        out(off + 3) = ((v >> 24) & 0xff).toByte
+      }
+      def tag(off: Int, t: String): Unit =
+        (0 until 4).foreach(i => out(off + i) = t.charAt(i).toByte)
+      tag(0, "RIFF"); le32(4, 36 + 2 * samples.length); tag(8, "WAVE")
+      tag(12, "fmt "); le32(16, 16); out(20) = 1; out(22) = 1
+      le32(24, 8000); le32(28, 16000); out(32) = 2; out(34) = 16
+      tag(36, "data"); le32(40, 2 * samples.length)
+      samples.indices.foreach { i =>
+        out(44 + 2 * i) = (samples(i) & 0xff).toByte
+        out(44 + 2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      out
+    }
+    val a = 1000
+    def halfLoud(bump: Boolean): Array[Byte] = {
+      val sm = Array.tabulate(512)(i => if (i < 256) 0 else a)
+      if (bump) sm(0) = 1 // one sample LSB
+      wav(sm)
+    }
+    val e0 = Multimodal.energyWindows(halfLoud(bump = false), 64)
+    assert(e0.length == 64)
+    e0.zipWithIndex.foreach { case (e, i) =>
+      assert(e == (if (i < 32) 0L else 8L * a * a), s"window $i = $e")
+    }
+    // silence mean = 4·A²: exactly the loud half's bits set
+    val h0 = Multimodal.averageHashOf(e0)
+    assert(h0 == 0xFFFFFFFF00000000L, f"hash $h0%016x")
+    // a one-LSB sample edit is a DIFFERENT clip whose fingerprint
+    // moves by at most the one touched window
+    val h1 = Multimodal.averageHashOf(
+      Multimodal.energyWindows(halfLoud(bump = true), 64))
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 1)
+    // non-audio payloads: deterministic byte-histogram fallback
+    val bytes = "definitely not audio".getBytes("UTF-8")
+    val fb = Multimodal.energyWindows(bytes, 64)
+    assert(fb.sum == bytes.length &&
+      fb.toSeq == Multimodal.energyWindows(bytes, 64).toSeq)
+    // column form: null payload -> null energies/hash; the banded
+    // Hamming join (k=4) pairs the twin clips, no all-pairs stage
+    val df = Seq((1L, halfLoud(bump = false)),
+      (2L, halfLoud(bump = true)),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val fp = Multimodal.audioFingerprint(df, "payload")
+    val rows = fp.collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Any]("afp"))).toMap
+    assert(rows(3L).isEmpty, "null payload must fingerprint to null")
+    assert(rows(1L).contains(h0) && rows(2L).contains(h1))
+    val pairs = Dedup.simHashNearPairs(
+      fp.filter(col("afp").isNotNull).select(col("id"), col("afp")),
+      "id", "afp", k = 4).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L)))
+  }
+
   test("end-to-end curation: quality gate, scrub, dedup, mix compose") {
     import graft.pipeline.Curation
     val out = Curation.curate(docs, "doc_id", "text", "lang",
