@@ -103,8 +103,9 @@ object ScaleRehearsal {
     "q_image_phash", "q_curation_drift",
     // round 20: audio-fingerprint near-dup — two synthesized WAVs per
     // doc through the real javax.sound decode + the banded Hamming
-    // pair join (the image row's shape, audio modality)
-    "q_audio_fingerprint")
+    // pair join (the image row's shape, audio modality) — and its
+    // incremental serving form (persisted hash index, batch probe)
+    "q_audio_fingerprint", "q_audio_fingerprint_incr")
 
   /** The reference masking core + relational leaders, rehearsed over an
     * FK-CONSISTENT inflation: facts (lineitem/orders/customer) grow N×

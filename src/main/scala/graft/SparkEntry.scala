@@ -3821,6 +3821,12 @@ object SparkEntry {
       val m = graft.pipeline.Multimodal.ImageCodec.meta(b)
       m._1 == "image/bmp" && m._2 == 16 && m._3 == 16
     })
+    // decode once: the stats aggregate and BOTH sides of the pair join
+    // branch from this frame, so without the checkpoint each branch
+    // would re-synthesize and re-decode every image (measured ~3× the
+    // decode wall at 10×sf0.1) — persisting the THIN post-decode frame
+    // (ids + two longs + two flags, never the pixels) is exactly the
+    // decode-once posture a corpus-scale media pipeline runs
     val hashed = graft.pipeline.Multimodal.averageHash(imgs, "img")
       .withColumn("__mean",
         expr("aggregate(lum_grid, CAST(0 AS BIGINT), (a, x) -> a + x)" +
@@ -3830,6 +3836,9 @@ object SparkEntry {
           " acc + IF(element_at(lum_grid, i + 1) > __mean," +
           " shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"))
       .withColumn("__img_ok", metaOk(col("img")))
+      .select(col("doc_id"), col("variant"), col("ahash"), col("__hsql"),
+        col("__img_ok"))
+      .localCheckpoint()
     val stats = hashed.agg(
       count(lit(1)).as("n_images"),
       sum(when(col("__img_ok"), 1L).otherwise(0L)).as("n_decoded"),
@@ -3935,6 +3944,10 @@ object SparkEntry {
       val m = graft.pipeline.Multimodal.AudioCodec.meta(b)
       m._1 == "audio/wav" && m._2 == 8000 && m._3 == 1 && m._4 == 512
     })
+    // decode once (the image row's posture): stats and both pair-join
+    // sides branch from the THIN checkpointed frame — without it each
+    // branch re-synthesizes and re-decodes every clip, and the
+    // javax.sound SPI lookup is the measured cost leader at 10×sf0.1
     val hashed = graft.pipeline.Multimodal.audioFingerprint(clips, "clip")
       .withColumn("__mean",
         expr("aggregate(energy_windows, CAST(0 AS BIGINT), (a, x) -> a + x)" +
@@ -3944,15 +3957,22 @@ object SparkEntry {
           " acc + IF(element_at(energy_windows, i + 1) > __mean," +
           " shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"))
       .withColumn("__clip_ok", metaOk(col("clip")))
+      .select(col("doc_id"), col("variant"), col("afp"), col("__hsql"),
+        col("__clip_ok"))
+      .localCheckpoint()
     val stats = hashed.agg(
       count(lit(1)).as("n_audio"),
       sum(when(col("__clip_ok"), 1L).otherwise(0L)).as("n_decoded"),
       sum(when(col("afp") === col("__hsql"), 1L).otherwise(0L))
         .as("n_fp_parity"))
+    // blocks = 6 (Manku multi-block banding): ~21-bit combination keys
+    // instead of ~13-bit single chunks — at 10× the corpus the k = 4
+    // candidate volume otherwise outgrows the decode scan (measured;
+    // see Dedup.simHashNearPairs)
     val pairs = graft.pipeline.Dedup.simHashNearPairs(
       hashed.select((col("doc_id") * 2 + col("variant")).as("clip_id"),
         col("afp")),
-      "clip_id", "afp", k = 4)
+      "clip_id", "afp", k = 4, blocks = 6)
     val pairStats = pairs.agg(
       coalesce(sum(when(shiftright(col("id_a"), 1) ===
         shiftright(col("id_b"), 1), 1L).otherwise(0L)), lit(0L))
@@ -3965,6 +3985,47 @@ object SparkEntry {
       .select(lit(nDocs).as("n_docs"), col("n_audio"),
         col("n_decoded"), col("n_fp_parity"),
         col("n_twin_pairs"), col("n_cross_pairs"))
+  }
+
+  /** INCREMENTAL media near-dup — the serving form
+    * ([[graft.pipeline.Dedup.hammingPairsAgainstIndex]], the
+    * fingerprint analog of `q_dedup_incr`'s MinHash index probe): the
+    * base clips' fingerprints are landed as a PERSISTED thin (id, afp)
+    * parquet index — 8 bytes of hash per item, decoded exactly once,
+    * never rescanned — and the ingest batch (every document's one-LSB
+    * twin clip) probes it through the same Manku blocks = 6 banding.
+    * The gate pins, against DuckDB-re-derived populations: every probe
+    * finds EXACTLY its base twin (n_twin_matches == n_docs), no probe
+    * matches a foreign document (n_cross_matches == 0), and the landed
+    * index row count. Per-batch work scales with the batch and the
+    * matched buckets — the landed corpus contributes only the
+    * band-join shuffle of its thin hash rows, the q_dedup_incr /
+    * q_ivf_*_append posture applied to the media modality.
+    */
+  private def qAudioFingerprintIncr(s: SparkSession, dir: String)
+      : DataFrame = {
+    val wav = udf((id: Long, v: Int) => syntheticWav(id, v))
+    def clipFrame(variant: Int) = graft.pipeline.Multimodal
+      .audioFingerprint(
+        docs(s, dir).select(col("doc_id"))
+          .withColumn("clip", wav(col("doc_id"), lit(variant))), "clip")
+      .select((col("doc_id") * 2 + variant).as("clip_id"), col("afp"))
+    val path = scratchDir("q-audio-fp-incr")
+    clipFrame(0).write.mode("overwrite").parquet(s"$path/idx")
+    val idx = s.read.parquet(s"$path/idx")
+    val matches = graft.pipeline.Dedup.hammingPairsAgainstIndex(
+      idx, clipFrame(1), "clip_id", "afp", k = 4, blocks = 6)
+    val nDocs = docs(s, dir).select(col("doc_id")).count()
+    matches.agg(
+        coalesce(sum(when(shiftright(col("id_index"), 1) ===
+          shiftright(col("id_probe"), 1), 1L).otherwise(0L)), lit(0L))
+          .as("n_twin_matches"),
+        coalesce(sum(when(shiftright(col("id_index"), 1) =!=
+          shiftright(col("id_probe"), 1), 1L).otherwise(0L)), lit(0L))
+          .as("n_cross_matches"))
+      .crossJoin(idx.agg(count(lit(1)).as("n_indexed"))) // 1×1 attach
+      .select(lit(nDocs).as("n_docs"), col("n_indexed"),
+        col("n_twin_matches"), col("n_cross_matches"))
   }
 
   // --------------------------------------------------------------- privacy
@@ -4625,6 +4686,7 @@ object SparkEntry {
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_image_phash" -> (qImagePhash _),
     "q_audio_fingerprint" -> (qAudioFingerprint _),
+    "q_audio_fingerprint_incr" -> (qAudioFingerprintIncr _),
     "q_k_anon" -> (qKAnon _),
     "q_privacy_card" -> (qPrivacyCard _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
@@ -8474,6 +8536,14 @@ object SparkEntry {
          |  CAST(2 * COUNT(*) AS BIGINT) AS n_fp_parity,
          |  CAST(COUNT(*) AS BIGINT) AS n_twin_pairs,
          |  CAST(0 AS BIGINT) AS n_cross_pairs
+         |FROM documents""".stripMargin,
+    "q_audio_fingerprint_incr" ->
+      // the serving form's contract: every probe twin matches exactly
+      // its landed base, nothing else
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_indexed,
+         |  CAST(COUNT(*) AS BIGINT) AS n_twin_matches,
+         |  CAST(0 AS BIGINT) AS n_cross_matches
          |FROM documents""".stripMargin,
     "q_k_anon" ->
       s"""SELECT c_nationkey, c_mktsegment,

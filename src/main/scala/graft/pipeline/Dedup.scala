@@ -885,35 +885,35 @@ object Dedup {
 
   /** Hamming-distance-≤k SimHash pairs over a precomputed hash frame
     * (`[[TextOps.simHash64]]` output, or the 16-bit portable
-    * `[[TextOps.simHash16]]`): band the `bits`-bit hash into k+1 chunks —
-    * by pigeonhole, two hashes within distance k agree EXACTLY on at least
-    * one chunk — bucket-join per chunk, then verify
-    * `bit_count(a XOR b) <= k`. The banding is a complete filter, so the
-    * result is exactly the distance-≤k pair set, through the same
-    * banded-bucket-join shape as MinHash LSH (never all-pairs; chunk
-    * width bits/(k+1) sets the bucket count, e.g. 64-bit k=3 → 16-bit
-    * chunks → 65 536 buckets per chunk).
+    * `[[TextOps.simHash16]]`): band the `bits`-bit hash into `blocks`
+    * blocks and bucket-join on every (blocks−k)-block combination — by
+    * pigeonhole, ≤ k differing bits touch ≤ k blocks, so two hashes
+    * within distance k agree EXACTLY on at least one such combination —
+    * then verify `bit_count(a XOR b) <= k`. The banding is a complete
+    * filter, so the result is exactly the distance-≤k pair set, through
+    * the same banded-bucket-join shape as MinHash LSH (never
+    * all-pairs).
+    *
+    * `blocks` defaults to k+1 — single-block keys of width
+    * bits/(k+1), e.g. 64-bit k=3 → 16-bit chunks → 65 536 buckets per
+    * chunk. That saturates at corpus scale: expected collision
+    * candidates are C(n,2)·(k+1)/2^(bits/(k+1)), quadratic in n once
+    * n ≫ bucket count (measured: the k=4 audio-fingerprint corpus at
+    * 10×sf0.1 — 10⁵ uniform hashes into 2^12.8 buckets — spends more
+    * wall in candidate verification than in decode). Raising `blocks`
+    * is Manku/Jain/Das Sarma's multi-block scheme (WWW 2007, §3): keys
+    * widen to (blocks−k)·bits/blocks bits — exponentially fewer
+    * collisions — at the cost of C(blocks, blocks−k) probe rows per
+    * hash, the classic LSH rows-per-band trade. k=4, blocks=6 turns
+    * ~13-bit keys into ~21-bit keys for 15 probe rows instead of 5;
+    * the result set is bit-identical (spec-pinned property).
     *
     * Output: (id_a, id_b, hamming), id_a < id_b, hamming ≤ k.
     */
   def simHashNearPairs(hashes: DataFrame, idCol: String,
-      hashCol: String = "simhash", k: Int = 3, bits: Int = 64): DataFrame = {
-    require(k >= 0 && k < bits, s"need 0 <= k < bits, got k=$k bits=$bits")
-    val nChunks = k + 1
-    // spread the bits as evenly as possible over the k+1 chunks
-    val sizes = (0 until nChunks).map(c =>
-      bits / nChunks + (if (c < bits % nChunks) 1 else 0))
-    val offsets = sizes.scanLeft(0)(_ + _)
-    val chunkCols = (0 until nChunks).map { c =>
-      val w = sizes(c)
-      val mask = if (w >= 64) -1L else (1L << w) - 1
-      struct(lit(c).as("chunk"),
-        shiftright(col(hashCol), offsets(c)).bitwiseAND(lit(mask)).as("sig"))
-    }
-    val chunks = hashes.select(col(idCol), col(hashCol),
-        explode(array(chunkCols: _*)).as("cs"))
-      .select(col(idCol), col(hashCol),
-        col("cs.chunk").as("chunk"), col("cs.sig").as("sig"))
+      hashCol: String = "simhash", k: Int = 3, bits: Int = 64,
+      blocks: Int = 0): DataFrame = {
+    val chunks = hammingBandChunks(hashes, idCol, hashCol, k, bits, blocks)
     val a = chunks.select(col(idCol).as("id_a"), col(hashCol).as("__ha"),
       col("chunk"), col("sig"))
     val b = chunks.select(col(idCol).as("id_b"), col(hashCol).as("__hb"),
@@ -921,6 +921,72 @@ object Dedup {
     a.join(b, Seq("chunk", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("bigint")
+          .as("hamming"))
+      .filter(col("hamming") <= k)
+      .distinct()
+  }
+
+  /** The banding pass shared by [[simHashNearPairs]] and
+    * [[hammingPairsAgainstIndex]]: one row per (hash,
+    * (blocks−k)-block-combination), the combination's bits concatenated
+    * into `sig` (a subset of the blocks, whose widths sum to
+    * bits ≤ 64 — always one Long exactly). `blocks == k+1` degenerates
+    * to single-block chunking.
+    */
+  private def hammingBandChunks(hashes: DataFrame, idCol: String,
+      hashCol: String, k: Int, bits: Int, blocks: Int): DataFrame = {
+    require(k >= 0 && k < bits, s"need 0 <= k < bits, got k=$k bits=$bits")
+    val nBlocks = if (blocks == 0) k + 1 else blocks
+    require(nBlocks > k && nBlocks <= bits,
+      s"need k < blocks <= bits, got blocks=$nBlocks k=$k bits=$bits")
+    // spread the bits as evenly as possible over the blocks
+    val sizes = (0 until nBlocks).map(c =>
+      bits / nBlocks + (if (c < bits % nBlocks) 1 else 0))
+    val offsets = sizes.scanLeft(0)(_ + _)
+    def blockCol(b: Int): Column = {
+      val w = sizes(b)
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      shiftright(col(hashCol), offsets(b)).bitwiseAND(lit(mask))
+    }
+    val combos = (0 until nBlocks).combinations(nBlocks - k).toSeq
+    val chunkCols = combos.zipWithIndex.map { case (combo, ci) =>
+      val sig = combo.tail.foldLeft(blockCol(combo.head)) { (acc, b) =>
+        shiftleft(acc, sizes(b)).bitwiseOR(blockCol(b))
+      }
+      struct(lit(ci).as("chunk"), sig.as("sig"))
+    }
+    hashes.select(col(idCol), col(hashCol),
+        explode(array(chunkCols: _*)).as("cs"))
+      .select(col(idCol), col(hashCol),
+        col("cs.chunk").as("chunk"), col("cs.sig").as("sig"))
+  }
+
+  /** Hamming-distance-≤k pairs of a PROBE batch against an INDEXED
+    * hash frame — the incremental/serving form of [[simHashNearPairs]]
+    * (the media-fingerprint analog of [[nearDupPairsAgainstIndex]]):
+    * both sides band identically (same k/bits/blocks — REQUIRED for
+    * the pigeonhole completeness argument to span the two frames), the
+    * bucket join is index×probe ONLY (index never self-pairs, probe
+    * never self-pairs), so per-batch work scales with the BATCH and
+    * the matched buckets, never with the landed corpus. The index side
+    * is typically a persisted thin (id, hash) parquet — hashes are 8
+    * bytes per item, so even a 10¹⁰-item corpus indexes in ~80 GB,
+    * partition-pruned by the band join's shuffle.
+    *
+    * Output: (id_index, id_probe, hamming), hamming ≤ k.
+    */
+  def hammingPairsAgainstIndex(index: DataFrame, probe: DataFrame,
+      idCol: String, hashCol: String = "simhash", k: Int = 3,
+      bits: Int = 64, blocks: Int = 0): DataFrame = {
+    val a = hammingBandChunks(index, idCol, hashCol, k, bits, blocks)
+      .select(col(idCol).as("id_index"), col(hashCol).as("__ha"),
+        col("chunk"), col("sig"))
+    val b = hammingBandChunks(probe, idCol, hashCol, k, bits, blocks)
+      .select(col(idCol).as("id_probe"), col(hashCol).as("__hb"),
+        col("chunk"), col("sig"))
+    a.join(b, Seq("chunk", "sig"))
+      .select(col("id_index"), col("id_probe"),
         bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("bigint")
           .as("hamming"))
       .filter(col("hamming") <= k)

@@ -666,6 +666,57 @@ class PipelineSpec extends SparkSpec {
     assert(zero.length == 1 && zero.head.getLong(2) == 0L)
   }
 
+  test("simHashNearPairs multi-block banding (Manku) is bit-identical " +
+      "to single-chunk banding, incl. planted distance-k twins") {
+    val s = spark
+    import s.implicits._
+    // adversarial hash frame: uniform xxhash64 values plus planted
+    // twins at EXACTLY the threshold distance (k=4 bits flipped,
+    // spread so several blocks are touched) and just past it (k+1)
+    val base = spark.range(500).select(col("id"),
+      xxhash64(col("id")).as("h"))
+    val twins = base.limit(50).select((col("id") + 10000).as("id"),
+      col("h").bitwiseXOR(lit((1L << 0) | (1L << 17) | (1L << 33) |
+        (1L << 52))).as("h"))
+    val far = base.limit(20).select((col("id") + 20000).as("id"),
+      col("h").bitwiseXOR(lit((1L << 1) | (1L << 13) | (1L << 29) |
+        (1L << 44) | (1L << 60))).as("h"))
+    val hs = base.unionAll(twins).unionAll(far)
+    def pairs(blocks: Int) = Dedup.simHashNearPairs(
+        hs, "id", "h", k = 4, blocks = blocks)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val single = pairs(0) // default: k+1 single-block chunks
+    val multi6 = pairs(6)
+    val multi8 = pairs(8)
+    assert(single == multi6 && single == multi8,
+      s"single ${single.size} vs blocks=6 ${multi6.size} vs " +
+        s"blocks=8 ${multi8.size}")
+    // every planted k-distance twin found, no k+1 impostor
+    (0 until 50).foreach(i => assert(single.contains((i.toLong,
+      i + 10000L, 4L)), s"planted twin $i missing"))
+    assert(!single.exists { case (a, b, _) => b >= 20000L && a == b - 20000L },
+      "distance-5 impostor leaked past k=4")
+    // blocks <= k is an error, not a silent fallback
+    intercept[IllegalArgumentException](
+      Dedup.simHashNearPairs(hs, "id", "h", k = 4, blocks = 3))
+    // the index-probe serving form: cross-frame pairs ONLY, equal to
+    // the brute-force cross filter, for both banding schemes
+    val idx = base.unionAll(far)
+    val bruteCross = (for {
+      (ia, ha) <- idx.collect().map(r => (r.getLong(0), r.getLong(1)))
+      (ib, hb) <- twins.collect().map(r => (r.getLong(0), r.getLong(1)))
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 4
+    } yield (ia, ib, d.toLong)).toSet
+    Seq(0, 6).foreach { bl =>
+      val got = Dedup.hammingPairsAgainstIndex(idx, twins, "id", "h",
+          k = 4, blocks = bl)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == bruteCross,
+        s"blocks=$bl: ${got.size} cross pairs vs brute ${bruteCross.size}")
+    }
+  }
+
   test("incremental dedup against a persisted index equals the " +
       "cross-split slice of the full self-join") {
     val even = docs.filter(col("doc_id") % 2 === 0)
