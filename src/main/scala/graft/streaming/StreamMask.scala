@@ -1016,6 +1016,46 @@ object StreamMask {
     unpersistOnTermination(query, blockedRef)
   }
 
+  /** Streaming media-fingerprint near-dup serving — the streaming twin
+    * of [[graft.pipeline.Dedup.hammingPairsAgainstIndex]] over a landed
+    * thin (id, hash) fingerprint index: each micro-batch's binary
+    * payloads are decoded ONCE per row
+    * ([[graft.pipeline.Multimodal.audioFingerprint]] — real
+    * `javax.sound` decode to integer energy windows, aHashed;
+    * non-audio payloads take the deterministic histogram fallback) and
+    * probed through the SAME Manku banding as the batch form, matched
+    * (id_index, id_probe, hamming) rows landed exactly-once
+    * ([[ExactlyOnceSink]] — replays overwrite their own batch
+    * directory). The index is read and cached once for the stream's
+    * lifetime (8 bytes of hash per landed item) and unpersisted on
+    * termination; per-trigger work scales with the batch and its
+    * matched buckets, never with the landed corpus.
+    */
+  def fingerprintServeStream(clips: DataFrame, idCol: String,
+      payloadCol: String, indexPath: String, outPath: String,
+      checkpoint: String, k: Int = 4, blocks: Int = 6,
+      windows: Int = 64, hashCol: String = "afp",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val session = clips.sparkSession
+    val index = session.read.parquet(indexPath).persist()
+    val query = clips.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val probe = graft.pipeline.Multimodal
+          .audioFingerprint(batch, payloadCol, windows)
+          .select(col(idCol), col("afp").as(hashCol))
+        ExactlyOnceSink.writeBatch(outPath)(
+          graft.pipeline.Dedup.hammingPairsAgainstIndex(index, probe,
+            idCol, hashCol, k = k, blocks = blocks), batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+    unpersistOnTermination(query, index)
+  }
+
   /** Release a stream-lifetime cache when its query terminates: the
     * blocked-reference (and any other serve-stream) cache is
     * intentional across triggers, but nothing would unpersist it after

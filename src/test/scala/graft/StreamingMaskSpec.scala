@@ -1492,6 +1492,58 @@ class StreamingMaskSpec extends SparkSpec {
       "guaranteed heavy hitters missing from the streaming sketch")
   }
 
+  test("fingerprintServeStream: batch-equal matches against the landed " +
+      "index, exactly-once, multi-batch") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.{Dedup, Multimodal}
+    val base = Files.createTempDirectory("graft_fp_serve").toString
+    // opaque binary payloads (the deterministic histogram fallback —
+    // the REAL javax.sound decode path is pinned in PipelineSpec and
+    // the q_audio_fingerprint* gates; this spec pins the streaming
+    // mechanics): probes 11/12 are byte-identical to landed items,
+    // probe 13 shares no fingerprint neighborhood
+    def pay(tag: String): Array[Byte] =
+      (tag * 40).getBytes("UTF-8")
+    val indexed = Seq((1L, pay("alpha")), (2L, pay("beta")),
+      (3L, pay("gamma")), (4L, pay("delta"))).toDF("clip_id", "payload")
+    val idxPath = s"$base/idx"
+    Multimodal.audioFingerprint(indexed, "payload")
+      .select(col("clip_id"), col("afp")).write.parquet(idxPath)
+    val probes = Seq((11L, pay("alpha")), (12L, pay("delta")),
+      (13L, pay("omega~zz"))).toDF("clip_id", "payload")
+    val in = s"$base/in"
+    probes.filter($"clip_id" <= 11).coalesce(1).write.parquet(s"$in/f0")
+    probes.filter($"clip_id" > 11).coalesce(1).write.parquet(s"$in/f1")
+    val schema = s.read.parquet(s"$in/f0").schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val out = s"$base/out"
+    val q = StreamMask.fingerprintServeStream(stream, "clip_id",
+      "payload", idxPath, out, s"$base/ckpt")
+    q.awaitTermination(120000)
+    val landed = s.read.parquet(out)
+    assert(landed.select(ExactlyOnceSink.BatchIdCol).distinct().count()
+      > 1, "expected more than one served micro-batch")
+    def key(df: DataFrame) = df
+      .select("id_index", "id_probe", "hamming")
+      .collect().map(_.toString).sorted.toSeq
+    val batchRef = Dedup.hammingPairsAgainstIndex(
+      s.read.parquet(idxPath),
+      Multimodal.audioFingerprint(probes, "payload")
+        .select(col("clip_id"), col("afp")),
+      "clip_id", "afp", k = 4, blocks = 6)
+    assert(key(landed) == key(batchRef),
+      "streamed fingerprint matches diverged from the batch operator")
+    // the identical-payload probes matched their landed twins at 0
+    val zeros = landed.filter(col("hamming") === 0)
+      .select("id_index", "id_probe").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(zeros.contains((1L, 11L)) && zeros.contains((4L, 12L)),
+      s"identical-payload probes missing from $zeros")
+  }
+
   test("keyed sink replaces re-sent keys and is idempotent under replay") {
     import SparkSpec.spark.implicits._
     val base = Files.createTempDirectory("graft_keyed").toString
