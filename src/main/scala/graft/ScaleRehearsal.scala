@@ -105,7 +105,10 @@ object ScaleRehearsal {
     // doc through the real javax.sound decode + the banded Hamming
     // pair join (the image row's shape, audio modality) — and its
     // incremental serving form (persisted hash index, batch probe)
-    "q_audio_fingerprint", "q_audio_fingerprint_incr")
+    "q_audio_fingerprint", "q_audio_fingerprint_incr",
+    // round 20: URL-canonicalization dedup — two synthesized raw URLs
+    // per doc through the codegen normalizer chain + one hash agg
+    "q_url_dedup")
 
   /** The reference masking core + relational leaders, rehearsed over an
     * FK-CONSISTENT inflation: facts (lineitem/orders/customer) grow N×
@@ -149,6 +152,9 @@ object ScaleRehearsal {
     // the bucketed co-located join (bucketed write + shuffle-free read
     // at 10x fact volume)
     "q_skew_join", "q_skew_agg", "q_hll_distinct", "q_bucketed_join",
+    // round 20: the full C1 loop over an ORC store — I/O-priced like
+    // the other staged rewrites, at 10x fact volume
+    "q_orc_roundtrip",
     // round 20: sketch mergeability — 8 per-shard sketches + one
     // register union vs the one-pass sketch; O(2^lgK) bytes per shard
     // regardless of fact volume

@@ -846,6 +846,77 @@ object SparkEntry {
           pmod(col("l_suppkey"), lit(1024))).as("zval"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Full C1 anonymizer loop over an ORC-backed store
+    * ([[graft.FormatIO]] — the "any path-based format behind the same
+    * staged-swap contract" claim, value-gated): the customer table is
+    * landed INTO an ORC store (stage + staged-directory swap), the
+    * reference-shaped blueprint (R2 `#row#` template + P2-guarded R1
+    * static — `maskedRelease`'s rules) runs `Anonymizer.run()` against
+    * that store (read ORC → mask → stage ORC → commit swap), and the
+    * published table is read back. DuckDB replays the masking from the
+    * PARQUET originals, so the gate pins the whole
+    * parquet→ORC→mask→ORC→read chain value-identical — a lossy type
+    * mapping, a staged-swap slip, or any format-dependence in the
+    * compiled masking reds the row. (Avro's Spark connector is an
+    * external module not present in the zero-egress jar set — csv/json/orc
+    * round-trips are spec-covered in AnonymizerSpec; ORC is the
+    * one built-in columnar alternative and the one a warehouse
+    * actually swaps in.)
+    */
+  private def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratchDir("q-orc-roundtrip")
+    val io = new FormatIO(s, wh, "orc")
+    io.stage("customer", t(s, dir, "customer"))
+    io.commit("customer")
+    new Anonymizer(s, io).table("customer") { b =>
+      b.primary("c_custkey")
+      b.column("c_name").replaceWith("cust_#row#")
+      b.column("c_mktsegment").where("c_acctbal > 0").replaceWith("MASKED")
+    }.run()
+    io.read("customer").orderBy("c_custkey")
+  }
+
+  /** URL-canonicalization dedup ([[graft.pipeline.TextOps
+    * .canonicalizeUrl]] — the C4/CCNet "dedup the crawl by normalized
+    * URL" pass, RFC 3986 §6): per document TWO deterministically
+    * synthesized raw URLs that exercise every normalization rule at
+    * once — variant 0 is maximally messy (uppercase scheme and host,
+    * explicit `:443`, doubled path slashes, trailing slash, `utm_*` +
+    * `fbclid` tracking params, a fragment), variant 1 is the clean
+    * twin — and both must canonicalize to the identical URL, so the
+    * hash-groupBy dedup lands exactly one group of 2 per document.
+    * The normalizer is a pure codegen expression chain (no UDF) and
+    * every step is ANSI-replayable: DuckDB re-synthesizes the raw
+    * URLs, re-runs the whole normalization and the grouping, and the
+    * row hash pins each canonical form BYTE-FOR-BYTE — a wrong
+    * lowercase span, an unstripped port, a surviving tracking param or
+    * a missed slash collapse reds every row. `n_raw_distinct = 2` pins
+    * that the variants really differed before normalization. One hash
+    * aggregate, scan-speed narrow before it — the 100 TB shape of a
+    * crawl-snapshot URL dedup.
+    */
+  private def qUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val h8 = substring(md5(concat(lit("url:"),
+      col("doc_id").cast("string"))), 1, 8)
+    val pid = substring(md5(concat(lit("url:"),
+      col("doc_id").cast("string"))), 9, 6)
+    val messy = concat(lit("HTTPS://WWW."), h8,
+      lit(".Example.COM:443//docs//"), pid, lit("/?id="), pid,
+      lit("&utm_source=feed&fbclid=abc123#frag"))
+    val clean = concat(lit("https://www."), h8, lit(".example.com/docs/"),
+      pid, lit("?id="), pid)
+    val urls = docs(s, dir).select(col("doc_id"),
+        explode(array(messy, clean)).as("raw_url"))
+      .select(col("doc_id"), col("raw_url"),
+        graft.pipeline.TextOps.canonicalizeUrl(col("raw_url"))
+          .as("canonical_url"))
+    urls.groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_variants"),
+        countDistinct(col("raw_url")).as("n_raw_distinct"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy("canonical_url")
+  }
+
   /** Exact dedup: content-hash groupBy over the corpus with a deterministic
     * duplicate injection (every 50th doc repeated) so the grouping is
     * actually exercised. One hash-partitioned aggregate — the 100 TB shape.
@@ -4687,6 +4758,8 @@ object SparkEntry {
     "q_image_phash" -> (qImagePhash _),
     "q_audio_fingerprint" -> (qAudioFingerprint _),
     "q_audio_fingerprint_incr" -> (qAudioFingerprintIncr _),
+    "q_url_dedup" -> (qUrlDedup _),
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_k_anon" -> (qKAnon _),
     "q_privacy_card" -> (qPrivacyCard _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
@@ -8537,6 +8610,73 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_twin_pairs,
          |  CAST(0 AS BIGINT) AS n_cross_pairs
          |FROM documents""".stripMargin,
+    "q_orc_roundtrip" ->
+      // the masking replayed from the PARQUET originals — the ORC
+      // store roundtrip must be value-invisible
+      s"""SELECT c_custkey,
+         |concat('cust_', CAST(row_number() OVER (ORDER BY c_custkey) - 1
+         |  AS VARCHAR)) AS c_name,
+         |c_nationkey, c_acctbal,
+         |CASE WHEN c_acctbal > 0 THEN 'MASKED' ELSE c_mktsegment END
+         |  AS c_mktsegment
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_url_dedup" ->
+      // DuckDB re-synthesizes both raw URL variants per document,
+      // replays the ENTIRE canonicalization (lowercase scheme/host,
+      // default-port strip, fragment drop, tracking-param removal
+      // with separator repair, slash collapse, trailing-slash strip,
+      // empty-query drop) and the grouping — the row hash pins every
+      // canonical form byte-for-byte
+      s"""WITH ids AS (SELECT doc_id,
+         |    substr(md5('url:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h8,
+         |    substr(md5('url:' || CAST(doc_id AS VARCHAR)), 9, 6) AS pid
+         |  FROM documents),
+         |raw AS (SELECT doc_id, unnest([
+         |    'HTTPS://WWW.' || h8 || '.Example.COM:443//docs//' || pid ||
+         |      '/?id=' || pid || '&utm_source=feed&fbclid=abc123#frag',
+         |    'https://www.' || h8 || '.example.com/docs/' || pid ||
+         |      '?id=' || pid]) AS raw_url
+         |  FROM ids),
+         |c0 AS (SELECT doc_id, raw_url,
+         |    lower(regexp_extract(raw_url,
+         |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    regexp_replace(raw_url,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+         |  FROM raw),
+         |c1 AS (SELECT *,
+         |    lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,
+         |    regexp_replace(rest, '^[^/?#]*', '') AS pathqf
+         |  FROM c0),
+         |c2 AS (SELECT *,
+         |    CASE WHEN scheme = 'http'
+         |        THEN regexp_replace(hostport, ':80$$', '')
+         |      WHEN scheme = 'https'
+         |        THEN regexp_replace(hostport, ':443$$', '')
+         |      ELSE hostport END AS host,
+         |    regexp_extract(pathqf, '^([^?#]*)', 1) AS rawpath,
+         |    regexp_extract(pathqf, '\\?([^#]*)', 1) AS rawquery
+         |  FROM c1),
+         |c3 AS (SELECT *,
+         |    regexp_replace(regexp_replace(rawpath, '/{2,}', '/', 'g'),
+         |      '/+$$', '') AS path,
+         |    regexp_replace(rawquery,
+         |      '(^|&)(utm_[^=&]*|fbclid|gclid)=[^&]*', '\\1', 'g') AS q1
+         |  FROM c2),
+         |c4 AS (SELECT *,
+         |    regexp_replace(regexp_replace(q1, '&{2,}', '&', 'g'),
+         |      '^&+|&+$$', '', 'g') AS q2
+         |  FROM c3),
+         |canon AS (SELECT doc_id, raw_url,
+         |    CASE WHEN scheme = '' THEN raw_url
+         |      ELSE scheme || '://' || host || path ||
+         |        CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END
+         |    END AS canonical_url
+         |  FROM c4)
+         |SELECT canonical_url, COUNT(*) AS n_variants,
+         |  COUNT(DISTINCT raw_url) AS n_raw_distinct,
+         |  MIN(doc_id) AS min_doc
+         |FROM canon GROUP BY canonical_url
+         |ORDER BY canonical_url""".stripMargin,
     "q_audio_fingerprint_incr" ->
       // the serving form's contract: every probe twin matches exactly
       // its landed base, nothing else

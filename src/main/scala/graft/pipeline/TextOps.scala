@@ -41,6 +41,54 @@ object TextOps {
       f(text)
     }
 
+  /** URL canonicalization — the key function behind web-corpus URL
+    * dedup (C4 and CCNet both dedup crawl snapshots BY NORMALIZED URL
+    * before any content pass; RFC 3986 §6 "normalization and
+    * comparison"). A pure `Column` expression chain — regexp/lower/
+    * concat only, whole-stage codegen, no UDF — and every step is
+    * ANSI-SQL-replayable, so the DuckDB oracle re-derives canonical
+    * forms byte-for-byte (`q_url_dedup`). Steps, in order:
+    *
+    *  1. scheme and host(:port) lowercased (RFC 3986 §6.2.2.1); path,
+    *     query VALUES keep their case (they are case-sensitive);
+    *  2. default port stripped (`:80` for http, `:443` for https);
+    *  3. fragment dropped (never sent to the server);
+    *  4. tracking parameters removed (`utm_*`, `fbclid`, `gclid` — the
+    *     CCNet-style crawl-dedup hygiene), remaining parameter ORDER
+    *     preserved (reordering is NOT semantics-preserving in general);
+    *  5. duplicate slashes in the path collapsed, trailing slashes
+    *     stripped (root `/` canonicalizes to the bare authority);
+    *  6. an empty residual query drops its `?`.
+    *
+    * Non-URL input degrades safely: a string without `scheme://` is
+    * returned unchanged (null in, null out). No percent-decoding is
+    * attempted — decoding unreserved characters is safe per RFC 3986
+    * §6.2.2.2 but needs a byte-level pass the SQL twin could not
+    * replay exactly, so equality stays conservative (never merges two
+    * genuinely different URLs).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    val host = when(scheme === "http",
+        regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val pathQF = regexp_replace(rest, "^[^/?#]*", "")
+    val rawPath = regexp_extract(pathQF, "^([^?#]*)", 1)
+    val path = regexp_replace(
+      regexp_replace(rawPath, "/{2,}", "/"), "/+$", "")
+    val rawQuery = regexp_extract(pathQF, "\\?([^#]*)", 1)
+    val noTrack = regexp_replace(rawQuery,
+      "(^|&)(utm_[^=&]*|fbclid|gclid)=[^&]*", "$1")
+    val query = regexp_replace(
+      regexp_replace(noTrack, "&{2,}", "&"), "^&+|&+$", "")
+    when(scheme === "", url) // not a URL: unchanged (null stays null)
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(query === "", lit("")).otherwise(concat(lit("?"), query))))
+  }
+
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalize(text), " ")
 

@@ -2203,6 +2203,45 @@ class PipelineSpec extends SparkSpec {
       Set((1L, 2L)))
   }
 
+  test("canonicalizeUrl: RFC 3986 normalization rules, edge cases, " +
+      "non-URL passthrough") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // scheme+host lowercase, default port, fragment, tracking, slashes
+      ("HTTP://WWW.Ex.COM:80//a//b/?x=1&utm_source=t&gclid=g#f",
+        "http://www.ex.com/a/b?x=1"),
+      // https default port; param ORDER preserved; path case preserved
+      ("HTTPS://Ex.Com:443/A/B?b=2&a=1", "https://ex.com/A/B?b=2&a=1"),
+      // NON-default port kept; root path strips to bare authority
+      ("https://ex.com:8443/", "https://ex.com:8443"),
+      // tracking-only query drops its '?'; leading tracking repaired
+      ("https://ex.com/p?utm_a=1&utm_b=2", "https://ex.com/p"),
+      ("https://ex.com/p?utm_a=1&id=7", "https://ex.com/p?id=7"),
+      // value containing 'utm_' inside a NAME only is removed; a param
+      // merely ending in clid survives
+      ("https://ex.com/p?xfbclid=1&id=2", "https://ex.com/p?xfbclid=1&id=2"),
+      // not a URL: unchanged
+      ("no scheme here", "no scheme here"),
+      ("", ""))
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), TextOps.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"canonicalizeUrl($in) = ${got(in)}")
+    }
+    // null in, null out
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("id", "u")
+      .select(TextOps.canonicalizeUrl(col("u"))).head()
+    assert(n.isNullAt(0))
+    // idempotence: canonical forms are fixed points
+    val canon = cases.map(_._2).toDF("u")
+      .select(col("u"), TextOps.canonicalizeUrl(col("u")).as("c"))
+      .collect()
+    canon.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"not idempotent on ${r.getString(0)}: ${r.getString(1)}"))
+  }
+
   test("audio fingerprint: energy windows are integer-exact on a known " +
       "waveform, robust to a one-LSB sample edit, banded-pairable") {
     val s = spark
