@@ -106,6 +106,7 @@ object ScaleRehearsal {
     // pair join (the image row's shape, audio modality) — and its
     // incremental serving form (persisted hash index, batch probe)
     "q_audio_fingerprint", "q_audio_fingerprint_incr",
+    "q_image_phash_incr",
     // round 20: URL-canonicalization dedup — two synthesized raw URLs
     // per doc through the codegen normalizer chain + one hash agg
     "q_url_dedup")

@@ -4058,6 +4058,40 @@ object SparkEntry {
         col("n_twin_pairs"), col("n_cross_pairs"))
   }
 
+  /** The image serving form — [[qAudioFingerprintIncr]]'s posture on
+    * the image modality (family symmetry: batch + incremental for both
+    * media types): base BMPs' aHashes landed as the persisted thin
+    * (id, ahash) index, every document's one-luminance-unit twin
+    * probed against it via [[graft.pipeline.Dedup
+    * .hammingPairsAgainstIndex]] at the batch row's k = 8. Same gate
+    * contract: every probe matches exactly its base, zero cross
+    * matches, landed index count — DuckDB-re-derived populations.
+    */
+  private def qImagePhashIncr(s: SparkSession, dir: String): DataFrame = {
+    val bmp = udf((id: Long, v: Int) => syntheticBmp16(id, v))
+    def hashFrame(variant: Int) = graft.pipeline.Multimodal
+      .averageHash(
+        docs(s, dir).select(col("doc_id"))
+          .withColumn("img", bmp(col("doc_id"), lit(variant))), "img")
+      .select((col("doc_id") * 2 + variant).as("img_id"), col("ahash"))
+    val path = scratchDir("q-image-phash-incr")
+    hashFrame(0).write.mode("overwrite").parquet(s"$path/idx")
+    val idx = s.read.parquet(s"$path/idx")
+    val matches = graft.pipeline.Dedup.hammingPairsAgainstIndex(
+      idx, hashFrame(1), "img_id", "ahash", k = 8)
+    val nDocs = docs(s, dir).select(col("doc_id")).count()
+    matches.agg(
+        coalesce(sum(when(shiftright(col("id_index"), 1) ===
+          shiftright(col("id_probe"), 1), 1L).otherwise(0L)), lit(0L))
+          .as("n_twin_matches"),
+        coalesce(sum(when(shiftright(col("id_index"), 1) =!=
+          shiftright(col("id_probe"), 1), 1L).otherwise(0L)), lit(0L))
+          .as("n_cross_matches"))
+      .crossJoin(idx.agg(count(lit(1)).as("n_indexed"))) // 1×1 attach
+      .select(lit(nDocs).as("n_docs"), col("n_indexed"),
+        col("n_twin_matches"), col("n_cross_matches"))
+  }
+
   /** INCREMENTAL media near-dup — the serving form
     * ([[graft.pipeline.Dedup.hammingPairsAgainstIndex]], the
     * fingerprint analog of `q_dedup_incr`'s MinHash index probe): the
@@ -4758,6 +4792,7 @@ object SparkEntry {
     "q_image_phash" -> (qImagePhash _),
     "q_audio_fingerprint" -> (qAudioFingerprint _),
     "q_audio_fingerprint_incr" -> (qAudioFingerprintIncr _),
+    "q_image_phash_incr" -> (qImagePhashIncr _),
     "q_url_dedup" -> (qUrlDedup _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_k_anon" -> (qKAnon _),
@@ -8680,6 +8715,13 @@ object SparkEntry {
     "q_audio_fingerprint_incr" ->
       // the serving form's contract: every probe twin matches exactly
       // its landed base, nothing else
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_indexed,
+         |  CAST(COUNT(*) AS BIGINT) AS n_twin_matches,
+         |  CAST(0 AS BIGINT) AS n_cross_matches
+         |FROM documents""".stripMargin,
+    "q_image_phash_incr" ->
+      // the image serving form: identical contract on the aHash index
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(COUNT(*) AS BIGINT) AS n_indexed,
          |  CAST(COUNT(*) AS BIGINT) AS n_twin_matches,
