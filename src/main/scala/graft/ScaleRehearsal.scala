@@ -107,6 +107,17 @@ object ScaleRehearsal {
     // incremental serving form (persisted hash index, batch probe)
     "q_audio_fingerprint", "q_audio_fingerprint_incr",
     "q_image_phash_incr",
+    // round 20: video-fingerprint near-dup — two synthesized ISO-BMFF
+    // containers per doc through the real box walker (stsz bitrate
+    // envelope; no JDK frame decoder exists, so the fingerprint is
+    // honestly bitstream-level) + the banded Hamming pair join, and
+    // its incremental serving form
+    "q_video_fingerprint", "q_video_fingerprint_incr",
+    // round 20: the mixed-modality lake capstone — one interleaved
+    // binary column (BMP/WAV/MP4 by doc_id % 3), per-row container
+    // sniff + dispatch to that modality's envelope, one banded pair
+    // join across the unified hashes
+    "q_media_dedup_mixed",
     // round 20: URL-canonicalization dedup — two synthesized raw URLs
     // per doc through the codegen normalizer chain + one hash agg
     "q_url_dedup")

@@ -281,21 +281,47 @@ object SparkEntry {
     */
   private def qHllMerge(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
-    def shardedUnion(shard: Column, name: String) =
-      o.groupBy(shard.as("__shard"))
-        .agg(expr("hll_sketch_agg(o_custkey, 12)").as("__sk"))
-        .agg(expr("hll_sketch_estimate(hll_union_agg(__sk))").as(name))
-    val byOrder = shardedUnion(pmod(col("o_orderkey"), lit(8)), "__m8")
-    val byCust = shardedUnion(pmod(col("o_custkey"), lit(16)), "__m16")
+    // the 8 per-shard sketches, computed ONCE (localCheckpoint) and
+    // reused by both union plans — the equality under test must compare
+    // two union TOPOLOGIES over the identical sketch set, not two
+    // rebuilds
+    val shards = o
+      .groupBy(pmod(col("o_orderkey"), lit(8)).as("__shard"))
+      .agg(expr("hll_sketch_agg(o_custkey, 12)").as("__sk"))
+      .localCheckpoint()
+    // flat union vs the tree union a 1000-executor merge actually runs
+    // (partial unions per pair of shards, then a union of partials):
+    // ASSOCIATIVITY is the mergeability property distributed aggregation
+    // rests on, and it must hold to the BIT. (Cross-GRANULARITY shard
+    // unions are NOT bit-comparable — measured: with 1,500 distinct
+    // keys a 16-way custkey sharding keeps every shard AND the union in
+    // exact sparse/coupon mode, estimate exactly n, while the 8-way
+    // orderkey sharding's ~900-distinct shards cross into dense HLL
+    // registers, composite estimate n±ε — the sparse/dense sibling of
+    // the HIP-vs-composite finding on one-pass sketches. Both must
+    // still land inside the accuracy band, pinned below.)
+    val flat = shards
+      .agg(expr("hll_sketch_estimate(hll_union_agg(__sk))").as("__flat"))
+    val staged = shards
+      .groupBy(pmod(col("__shard"), lit(2)).as("__g"))
+      .agg(expr("hll_union_agg(__sk)").as("__psk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(__psk))")
+        .as("__staged"))
+    val byCust = o
+      .groupBy(pmod(col("o_custkey"), lit(16)).as("__shard"))
+      .agg(expr("hll_sketch_agg(o_custkey, 12)").as("__sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(__sk))").as("__m16"))
     val global = o.agg(
       expr("hll_sketch_estimate(hll_sketch_agg(o_custkey, 12))")
         .as("__global"),
       countDistinct(col("o_custkey")).as("n_exact"))
-    global.crossJoin(byOrder).crossJoin(byCust) // 1×1×1 scalar attach
+    global.crossJoin(flat).crossJoin(staged).crossJoin(byCust) // 1×1 attach
       .select(col("n_exact"),
-        (col("__m8") === col("__m16")).as("merge_exact_ok"),
-        (abs(col("__m8") - col("n_exact")).cast("double") <=
-          col("n_exact").cast("double") * 0.05).as("merged_bound_ok"),
+        (col("__flat") === col("__staged")).as("merge_exact_ok"),
+        (abs(col("__flat") - col("n_exact")).cast("double") <=
+          col("n_exact").cast("double") * 0.05 &&
+          abs(col("__m16") - col("n_exact")).cast("double") <=
+            col("n_exact").cast("double") * 0.05).as("merged_bound_ok"),
         (abs(col("__global") - col("n_exact")).cast("double") <=
           col("n_exact").cast("double") * 0.05).as("global_bound_ok"))
   }
@@ -4133,6 +4159,250 @@ object SparkEntry {
         col("n_twin_matches"), col("n_cross_matches"))
   }
 
+  /** A REAL ISO-BMFF (MP4) container — `ftyp(isom)` + `moov(mvhd v0,
+    * trak(tkhd v0 320×240, mdia/minf/stbl/stsz))` + an empty `mdat` —
+    * whose 256-entry sample-size table is an md5 stream keyed by `id`
+    * (entry p reads big-endian u16 2·(p%8) of md5("vid:" + id + ":" +
+    * p/8), mapped to 64 + u16 % 1024): parseable by the repo's own box
+    * walker AND any ISO/IEC 14496-12 reader, deterministic across
+    * executors/retries, and size-uncorrelated across ids (so
+    * bitrate-envelope hashes of different ids are ~uniform 64-bit
+    * values). mvhd carries timescale 1000 / duration 10240 → 10 240 ms;
+    * sample payloads are declared but not embedded — the CMAF/DASH
+    * init-segment posture, where `moov` metadata travels separately
+    * from media segments (the fingerprint is a pure function of the
+    * size table, which IS present). `variant = 1` grows sample 0 by
+    * one byte — a DIFFERENT bitstream one byte away, the minimal
+    * container-level near-duplicate.
+    */
+  private def syntheticMp4(id: Long, variant: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sz = new Array[Int](256)
+    var blk = 0
+    while (blk < 32) {
+      val h = md.digest(s"vid:$id:$blk".getBytes("UTF-8"))
+      var p = 0
+      while (p < 8) {
+        val u16 = ((h(2 * p) & 0xff) << 8) | (h(2 * p + 1) & 0xff)
+        sz(blk * 8 + p) = 64 + (u16 % 1024)
+        p += 1
+      }
+      blk += 1
+    }
+    if (variant == 1) sz(0) += 1
+    // box sizes bottom-up: stsz 8+12+4*256, stbl/minf/mdia each +8,
+    // tkhd 8+84, trak 8+92+1068, mvhd 8+100, moov 8+108+1168
+    val out = new Array[Byte](16 + 1284 + 8)
+    var o = 0
+    def be32(v: Int): Unit = {
+      out(o) = ((v >> 24) & 0xff).toByte; out(o + 1) = ((v >> 16) & 0xff).toByte
+      out(o + 2) = ((v >> 8) & 0xff).toByte; out(o + 3) = (v & 0xff).toByte
+      o += 4
+    }
+    def tag(t: String): Unit = { var i = 0; while (i < 4) { out(o) = t.charAt(i).toByte; o += 1; i += 1 } }
+    def zeros(n: Int): Unit = o += n // array is zero-initialised
+    be32(16); tag("ftyp"); tag("isom"); be32(0)
+    be32(1284); tag("moov")
+    be32(108); tag("mvhd"); zeros(4) // version 0 + flags
+    zeros(8) // creation, modification
+    be32(1000); be32(10240) // timescale, duration
+    zeros(100 - 20) // rate..next_track_id
+    be32(1168); tag("trak")
+    be32(92); tag("tkhd"); zeros(4)
+    zeros(72) // creation..matrix (4+4+4+4+4+8+2+2+2+2+36 after vf)
+    be32(320 << 16); be32(240 << 16) // 16.16 width, height
+    be32(1068); tag("mdia")
+    be32(1060); tag("minf")
+    be32(1052); tag("stbl")
+    be32(1044); tag("stsz"); zeros(4)
+    be32(0); be32(256) // per-entry sizes follow
+    var i = 0
+    while (i < 256) { be32(sz(i)); i += 1 }
+    be32(8); tag("mdat")
+    out
+  }
+
+  /** Video-fingerprint near-dup — the dedup family's FOURTH modality
+    * (text SimHash, image aHash, audio energy hashing, now video:
+    * [[graft.pipeline.Multimodal.videoFingerprint]] — REAL ISO-BMFF
+    * box-walk → `stsz` sample-size table → 64 integer bitrate-envelope
+    * sums → aHash), gated in the `q_audio_fingerprint` composed-parity
+    * style. The JDK ships no video frame decoder, so the fingerprint
+    * is the honest decode-free one: the ENCODED BITSTREAM's size
+    * envelope, invariant under re-muxing and disturbed by any
+    * re-encode. Per document TWO real MP4 containers are synthesized
+    * ([[syntheticMp4]]): the base clip and a twin whose first sample
+    * is one byte larger. The gate pins, against DuckDB-re-derived
+    * populations: (1) every payload's container really parses
+    * (video/mp4, 320×240, 10 240 ms — the mvhd/tkhd walk); (2) every
+    * fingerprint equals an INDEPENDENT in-query integer fold over the
+    * emitted size windows (same `Σ div 64` mean, same strict-greater
+    * bit rule — one differing bit reds the row); (3)
+    * [[graft.pipeline.Dedup.simHashNearPairs]] Hamming banding at
+    * k = 4 under Manku blocks = 6 finds EVERY base↔twin pair (envelope
+    * robustness: a one-byte sample edit moves one window's sum by 1 ≪
+    * the inter-window spread) and (4) NO cross-document pair
+    * (md5-stream size tables are uncorrelated — inter-doc Hamming
+    * concentrates at ~32; verified deterministic at every fixture SF).
+    * No all-pairs stage anywhere — the same pigeonhole band join the
+    * text, image and audio paths scale on.
+    */
+  private def qVideoFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val mp4 = udf((id: Long, v: Int) => syntheticMp4(id, v))
+    val clips = docs(s, dir).select(col("doc_id"))
+      .select(col("doc_id"), explode(array(lit(0), lit(1))).as("variant"))
+      .withColumn("clip", mp4(col("doc_id"), col("variant")))
+    val metaOk = udf((b: Array[Byte]) => {
+      val m = graft.pipeline.Multimodal.VideoCodec.meta(b)
+      m._1 == "video/mp4" && m._2 == 320 && m._3 == 240 && m._4 == 10240
+    })
+    // decode once (the image/audio rows' posture): stats and both
+    // pair-join sides branch from the THIN checkpointed frame
+    val hashed = graft.pipeline.Multimodal.videoFingerprint(clips, "clip")
+      .withColumn("__mean",
+        expr("aggregate(size_windows, CAST(0 AS BIGINT), (a, x) -> a + x)" +
+          " div 64"))
+      .withColumn("__hsql",
+        expr("aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->" +
+          " acc + IF(element_at(size_windows, i + 1) > __mean," +
+          " shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"))
+      .withColumn("__clip_ok", metaOk(col("clip")))
+      .select(col("doc_id"), col("variant"), col("vfp"), col("__hsql"),
+        col("__clip_ok"))
+      .localCheckpoint()
+    val stats = hashed.agg(
+      count(lit(1)).as("n_videos"),
+      sum(when(col("__clip_ok"), 1L).otherwise(0L)).as("n_parsed"),
+      sum(when(col("vfp") === col("__hsql"), 1L).otherwise(0L))
+        .as("n_fp_parity"))
+    val pairs = graft.pipeline.Dedup.simHashNearPairs(
+      hashed.select((col("doc_id") * 2 + col("variant")).as("clip_id"),
+        col("vfp")),
+      "clip_id", "vfp", k = 4, blocks = 6)
+    val pairStats = pairs.agg(
+      coalesce(sum(when(shiftright(col("id_a"), 1) ===
+        shiftright(col("id_b"), 1), 1L).otherwise(0L)), lit(0L))
+        .as("n_twin_pairs"),
+      coalesce(sum(when(shiftright(col("id_a"), 1) =!=
+        shiftright(col("id_b"), 1), 1L).otherwise(0L)), lit(0L))
+        .as("n_cross_pairs"))
+    val nDocs = docs(s, dir).select(col("doc_id")).count()
+    stats.crossJoin(pairStats) // 1×1 scalar attach
+      .select(lit(nDocs).as("n_docs"), col("n_videos"),
+        col("n_parsed"), col("n_fp_parity"),
+        col("n_twin_pairs"), col("n_cross_pairs"))
+  }
+
+  /** The video serving form — [[qAudioFingerprintIncr]]'s posture on
+    * the video modality (family symmetry: batch + incremental for ALL
+    * media types): base containers' bitrate-envelope hashes landed as
+    * the persisted thin (id, vfp) parquet index, every document's
+    * one-byte-larger twin probed against it via
+    * [[graft.pipeline.Dedup.hammingPairsAgainstIndex]] at the batch
+    * row's k = 4 / blocks = 6. Same gate contract: every probe matches
+    * exactly its base, zero cross matches, landed index count —
+    * DuckDB-re-derived populations.
+    */
+  private def qVideoFingerprintIncr(s: SparkSession, dir: String)
+      : DataFrame = {
+    val mp4 = udf((id: Long, v: Int) => syntheticMp4(id, v))
+    def clipFrame(variant: Int) = graft.pipeline.Multimodal
+      .videoFingerprint(
+        docs(s, dir).select(col("doc_id"))
+          .withColumn("clip", mp4(col("doc_id"), lit(variant))), "clip")
+      .select((col("doc_id") * 2 + variant).as("clip_id"), col("vfp"))
+    val path = scratchDir("q-video-fp-incr")
+    clipFrame(0).write.mode("overwrite").parquet(s"$path/idx")
+    val idx = s.read.parquet(s"$path/idx")
+    val matches = graft.pipeline.Dedup.hammingPairsAgainstIndex(
+      idx, clipFrame(1), "clip_id", "vfp", k = 4, blocks = 6)
+    val nDocs = docs(s, dir).select(col("doc_id")).count()
+    matches.agg(
+        coalesce(sum(when(shiftright(col("id_index"), 1) ===
+          shiftright(col("id_probe"), 1), 1L).otherwise(0L)), lit(0L))
+          .as("n_twin_matches"),
+        coalesce(sum(when(shiftright(col("id_index"), 1) =!=
+          shiftright(col("id_probe"), 1), 1L).otherwise(0L)), lit(0L))
+          .as("n_cross_matches"))
+      .crossJoin(idx.agg(count(lit(1)).as("n_indexed"))) // 1×1 attach
+      .select(lit(nDocs).as("n_docs"), col("n_indexed"),
+        col("n_twin_matches"), col("n_cross_matches"))
+  }
+
+  /** MIXED-MODALITY media dedup — the capstone the four single-modality
+    * rows build to, because it is the shape a real lake has: ONE binary
+    * column interleaving images, audio and video, with nothing upstream
+    * knowing each row's modality.
+    * [[graft.pipeline.Multimodal.mediaFingerprint]] sniffs the
+    * container per row (the CompositeCodec dispatch rule) and routes to
+    * that modality's 64-slot integer envelope (luminance grid / energy
+    * windows / stsz bitrate envelope), hashed by the ONE shared
+    * integer aHash rule — so a SINGLE in-query SQL fold re-derives
+    * every row's hash from its emitted windows regardless of modality.
+    * Per document the modality is `doc_id % 3` (image BMP / audio WAV /
+    * video MP4, the exact synthesizers of the single-modality gates)
+    * with the base clip and its minimal twin. The gate pins, against
+    * DuckDB-re-derived populations: (1) every payload is dispatched to
+    * its EXPECTED modality; (2) every fingerprint equals the uniform
+    * independent fold; (3) Hamming banding at the image row's k = 8
+    * finds EVERY base↔twin pair; (4) NO cross-document pair and —
+    * the mixed-specific claim — (5) NO pair crosses modalities (a
+    * luminance grid and a loudness envelope share no geometry; the
+    * equal-`modality` rule the operator documents must hold in the
+    * data). Same pigeonhole band join; no all-pairs stage.
+    */
+  private def qMediaDedupMixed(s: SparkSession, dir: String): DataFrame = {
+    val payload = udf((id: Long, v: Int) => (id % 3) match {
+      case 0 => syntheticBmp16(id, v)
+      case 1 => syntheticWav(id, v)
+      case _ => syntheticMp4(id, v)
+    })
+    val clips = docs(s, dir).select(col("doc_id"))
+      .select(col("doc_id"), explode(array(lit(0), lit(1))).as("variant"))
+      .withColumn("clip", payload(col("doc_id"), col("variant")))
+    val hashed = graft.pipeline.Multimodal.mediaFingerprint(clips, "clip")
+      .withColumn("__mean",
+        expr("aggregate(media_windows, CAST(0 AS BIGINT), (a, x) -> a + x)" +
+          " div 64"))
+      .withColumn("__hsql",
+        expr("aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->" +
+          " acc + IF(element_at(media_windows, i + 1) > __mean," +
+          " shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"))
+      .withColumn("__mod_ok",
+        col("modality") === when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio").otherwise("video"))
+      .select(col("doc_id"), col("variant"), col("mfp"), col("__hsql"),
+        col("__mod_ok"))
+      .localCheckpoint()
+    val stats = hashed.agg(
+      count(lit(1)).as("n_media"),
+      sum(when(col("__mod_ok"), 1L).otherwise(0L)).as("n_modality_ok"),
+      sum(when(col("mfp") === col("__hsql"), 1L).otherwise(0L))
+        .as("n_fp_parity"))
+    val pairs = graft.pipeline.Dedup.simHashNearPairs(
+      hashed.select((col("doc_id") * 2 + col("variant")).as("clip_id"),
+        col("mfp")),
+      "clip_id", "mfp", k = 8)
+    // clip_id div 2 = doc_id, so a pair's modalities are arithmetic:
+    // (doc_id % 3) on each side — no join back needed
+    val pairStats = pairs
+      .withColumn("__doc_a", shiftright(col("id_a"), 1))
+      .withColumn("__doc_b", shiftright(col("id_b"), 1))
+      .agg(
+        coalesce(sum(when(col("__doc_a") === col("__doc_b"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_twin_pairs"),
+        coalesce(sum(when(col("__doc_a") =!= col("__doc_b"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_cross_pairs"),
+        coalesce(sum(when(col("__doc_a") % 3 =!= col("__doc_b") % 3, 1L)
+          .otherwise(0L)), lit(0L)).as("n_cross_modality"))
+    val nDocs = docs(s, dir).select(col("doc_id")).count()
+    stats.crossJoin(pairStats) // 1×1 scalar attach
+      .select(lit(nDocs).as("n_docs"), col("n_media"),
+        col("n_modality_ok"), col("n_fp_parity"),
+        col("n_twin_pairs"), col("n_cross_pairs"),
+        col("n_cross_modality"))
+  }
+
   // --------------------------------------------------------------- privacy
   /** The masked release audited by `q_k_anon` / `q_privacy_card`: the
     * reference's own masking shapes (R1 static under a P2 guard, R2 row
@@ -4792,6 +5062,9 @@ object SparkEntry {
     "q_image_phash" -> (qImagePhash _),
     "q_audio_fingerprint" -> (qAudioFingerprint _),
     "q_audio_fingerprint_incr" -> (qAudioFingerprintIncr _),
+    "q_video_fingerprint" -> (qVideoFingerprint _),
+    "q_video_fingerprint_incr" -> (qVideoFingerprintIncr _),
+    "q_media_dedup_mixed" -> (qMediaDedupMixed _),
     "q_image_phash_incr" -> (qImagePhashIncr _),
     "q_url_dedup" -> (qUrlDedup _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
@@ -6440,8 +6713,9 @@ object SparkEntry {
          |ORDER BY o_orderpriority""".stripMargin,
     "q_hll_merge" ->
       // exact distinct re-derived; the three booleans pinned TRUE —
-      // shard-sketch union must equal the one-pass global sketch
-      // exactly, and both must sit inside the lgK=12 accuracy band
+      // flat union == tree union over the SAME shard sketches
+      // (associativity, the distributed-merge contract), and every
+      // union estimate inside the lgK=12 accuracy band
       s"""SELECT COUNT(DISTINCT o_custkey) AS n_exact,
          |TRUE AS merge_exact_ok,
          |TRUE AS merged_bound_ok,
@@ -8726,6 +9000,40 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_indexed,
          |  CAST(COUNT(*) AS BIGINT) AS n_twin_matches,
          |  CAST(0 AS BIGINT) AS n_cross_matches
+         |FROM documents""".stripMargin,
+    "q_video_fingerprint" ->
+      // composed-parity contract, video modality: every synthesized
+      // MP4 container must really parse (mvhd/tkhd box walk), every
+      // bitrate-envelope fingerprint must equal the independent
+      // integer fold over its emitted stsz size windows, the banded
+      // Hamming join must find every base<->twin pair at k=4, and no
+      // cross-document pair may appear
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(2 * COUNT(*) AS BIGINT) AS n_videos,
+         |  CAST(2 * COUNT(*) AS BIGINT) AS n_parsed,
+         |  CAST(2 * COUNT(*) AS BIGINT) AS n_fp_parity,
+         |  CAST(COUNT(*) AS BIGINT) AS n_twin_pairs,
+         |  CAST(0 AS BIGINT) AS n_cross_pairs
+         |FROM documents""".stripMargin,
+    "q_video_fingerprint_incr" ->
+      // the video serving form: identical contract on the vfp index
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_indexed,
+         |  CAST(COUNT(*) AS BIGINT) AS n_twin_matches,
+         |  CAST(0 AS BIGINT) AS n_cross_matches
+         |FROM documents""".stripMargin,
+    "q_media_dedup_mixed" ->
+      // the mixed-lake contract: every interleaved payload dispatched
+      // to its expected modality, every hash re-derived by the ONE
+      // uniform fold, every twin paired, zero cross-document and zero
+      // cross-modality pairs
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(2 * COUNT(*) AS BIGINT) AS n_media,
+         |  CAST(2 * COUNT(*) AS BIGINT) AS n_modality_ok,
+         |  CAST(2 * COUNT(*) AS BIGINT) AS n_fp_parity,
+         |  CAST(COUNT(*) AS BIGINT) AS n_twin_pairs,
+         |  CAST(0 AS BIGINT) AS n_cross_pairs,
+         |  CAST(0 AS BIGINT) AS n_cross_modality
          |FROM documents""".stripMargin,
     "q_k_anon" ->
       s"""SELECT c_nationkey, c_mktsegment,

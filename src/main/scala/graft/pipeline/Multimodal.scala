@@ -14,8 +14,11 @@ import org.apache.spark.sql.types._
   * opaque-bytes profile (octet-stream mime, 0×0 dims, byte histogram) — the
   * decode is total, never throws, and is stable across executors/retries,
   * which a distributed codec must be (a task retry that decodes differently
-  * corrupts downstream joins). Audio/video codecs are not in the JDK; their
-  * payloads take the opaque-bytes path with the same plumbing.
+  * corrupts downstream joins). Audio decode is REAL too (`javax.sound`:
+  * WAV/AIFF/AU); video has no JDK frame decoder, so [[VideoCodec]] walks the
+  * REAL ISO-BMFF container (metadata + the `stsz` sample-size table, the
+  * decode-free bitstream fingerprint) and only frame PIXELS fall back to the
+  * opaque-bytes profile.
   */
 object Multimodal {
 
@@ -343,6 +346,58 @@ object Multimodal {
         } catch { case _: Exception => None }
       }.getOrElse(("application/octet-stream", 0, 0, 0))
 
+    /** The container's sample-size table (`stsz`, ISO/IEC 14496-12
+      * §8.7.3): one entry per media sample (frame/chunk), in decode
+      * order — walked from the FIRST trak whose
+      * `mdia/minf/stbl/stsz` parses (uniform-size and per-entry
+      * layouts both handled). This is the honest decode-free handle on
+      * the ENCODED BITSTREAM: re-muxing rewrites every metadata box
+      * but carries the sample payloads (and so their sizes) verbatim,
+      * while any re-encode perturbs nearly every size — which is why
+      * size sequences are the standard container-level near-duplicate
+      * fingerprint when no frame decoder is available. None on
+      * non-ISO-BMFF payloads or any malformed/truncated/implausible
+      * table (sizes stay what the file declares; nothing is invented).
+      */
+    def sampleSizes(bytes: Array[Byte]): Option[Array[Long]] =
+      sniff(bytes).flatMap { _ =>
+        try {
+          findBox(bytes, 0, bytes.length, "moov").flatMap {
+            case (moovS, moovE) =>
+              findBoxes(bytes, moovS, moovE, "trak").iterator.flatMap {
+                case (tS, tE) =>
+                  for {
+                    (mdS, mdE) <- findBox(bytes, tS, tE, "mdia")
+                    (mnS, mnE) <- findBox(bytes, mdS, mdE, "minf")
+                    (sbS, sbE) <- findBox(bytes, mnS, mnE, "stbl")
+                    (szS, szE) <- findBox(bytes, sbS, sbE, "stsz")
+                    sizes <- parseStsz(bytes, szS, szE)
+                  } yield sizes
+              }.nextOption()
+          }
+        } catch { case _: Exception => None }
+      }
+
+    /** `stsz` payload: version/flags(4), uniform sample_size(4),
+      * sample_count(4), then per-entry u32 sizes iff uniform == 0. Any
+      * count the box can't physically hold aborts (None) — a truncated
+      * table must not silently fingerprint as a shorter clip.
+      */
+    private def parseStsz(b: Array[Byte], from: Int, to: Int)
+        : Option[Array[Long]] = {
+      if (from + 12 > to) return None
+      val uniform = u32(b, from + 4)
+      val count = u32(b, from + 8)
+      // the uniform layout carries no entries, so the count cannot be
+      // checked against the box size — cap it instead (2^24 samples
+      // ≈ 78 h at 60 fps): a corrupt 20-byte box declaring 2^31
+      // samples must not materialize a 16 GiB array on an executor
+      if (count < 1 || count > (1 << 24)) return None
+      if (uniform != 0) Some(Array.fill(count.toInt)(uniform))
+      else if (from + 12 + 4 * count > to) None
+      else Some(Array.tabulate(count.toInt)(i => u32(b, from + 12 + 4 * i)))
+    }
+
     /** No JDK frame decoder exists — the deterministic opaque-bytes
       * histogram, the same fallback every codec shares.
       */
@@ -576,6 +631,142 @@ object Multimodal {
       else java.lang.Long.valueOf(averageHashOf(ws.toArray)))
     df.withColumn("energy_windows", winUdf(col(payloadCol)))
       .withColumn("afp", hashUdf(col("energy_windows")))
+  }
+
+  /** Integer per-window sums over an ISO-BMFF container's sample-size
+    * table ([[VideoCodec.sampleSizes]]) — the video analog of
+    * [[energyWindows]]: the `stsz` size sequence (one integer per
+    * encoded frame/chunk, in decode order) is cut into `w` equal spans
+    * and each span contributes Σ sizes as a BIGINT — the clip's
+    * BITRATE ENVELOPE. Exact integer arithmetic end to end, so a
+    * second engine (or an in-query SQL fold — the
+    * `q_video_fingerprint` parity) re-derives the downstream hash from
+    * the emitted windows bit-for-bit. The JDK ships no video frame
+    * decoder, so this fingerprints the encoded bitstream itself: the
+    * envelope is invariant under re-muxing (sample payloads travel
+    * verbatim; every metadata box may change) and disturbed by any
+    * re-encode — the honest container-level near-dup primitive.
+    * Non-ISO-BMFF payloads (and malformed tables) fall back to a
+    * w-bucket byte histogram exactly like [[energyWindows]]'s
+    * non-audio path — total, deterministic, never throws.
+    */
+  def sizeWindows(bytes: Array[Byte], w: Int): Array[Long] = {
+    require(w >= 1 && w <= 64,
+      s"window count must satisfy 1 <= w <= 64 for a 64-bit hash (got $w)")
+    val out = new Array[Long](w)
+    VideoCodec.sampleSizes(bytes) match {
+      case Some(s) if s.nonEmpty =>
+        var j = 0
+        while (j < w) {
+          val lo = (s.length.toLong * j / w).toInt
+          val hi = math.max((s.length.toLong * (j + 1) / w).toInt, lo + 1)
+          var acc = 0L
+          var i = lo
+          while (i < math.min(hi, s.length)) { acc += s(i); i += 1 }
+          out(j) = acc
+          j += 1
+        }
+        out
+      case _ =>
+        var i = 0
+        while (i < bytes.length) {
+          out((bytes(i) & 0xff) % w) += 1L
+          i += 1
+        }
+        out
+    }
+  }
+
+  /** Column form of the video fingerprint: adds `size_windows`
+    * (array<bigint>, the `w` integer bitrate-envelope sums) and `vfp`
+    * (bigint, their [[averageHashOf]] — bit i set iff window i's sum
+    * is strictly above the integer mean). Narrow, no shuffle, two
+    * closure UDFs; feed `vfp` to [[Dedup.simHashNearPairs]] /
+    * [[Dedup.hammingPairsAgainstIndex]] for banded video near-dup with
+    * NO all-pairs stage — the same pigeonhole machinery as text
+    * SimHash, image aHash and audio energy hashing, closing the FOURTH
+    * modality of the dedup family. Null payloads yield null
+    * windows/hash (standard column semantics).
+    */
+  def videoFingerprint(df: DataFrame, payloadCol: String, w: Int = 64)
+      : DataFrame = {
+    require(w >= 1 && w <= 64,
+      s"window count must satisfy 1 <= w <= 64 for a 64-bit hash (got $w)")
+    val winUdf = udf((b: Array[Byte]) =>
+      if (b == null) null else sizeWindows(b, w))
+    val hashUdf = udf((ws: Seq[Long]) =>
+      if (ws == null) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(averageHashOf(ws.toArray)))
+    df.withColumn("size_windows", winUdf(col(payloadCol)))
+      .withColumn("vfp", hashUdf(col("size_windows")))
+  }
+
+  /** The per-row modality of a payload, by container sniff — the
+    * dispatch rule [[CompositeCodec]] uses, exposed for fingerprinting:
+    * `audio` (RIFF/AIFF/AU container), else `video` (ISO-BMFF `ftyp`),
+    * else `image` (decodable by `javax.imageio`), else `opaque`.
+    * Deterministic and total like every codec path.
+    */
+  def modalityOf(bytes: Array[Byte]): String =
+    if (AudioCodec.meta(bytes)._1 != "application/octet-stream") "audio"
+    // either walkable movie metadata (mvhd) or a parseable sample
+    // table (stsz) makes it a video container — a media-segment
+    // sidecar may carry one without the other
+    else if (VideoCodec.meta(bytes)._1 != "application/octet-stream" ||
+        VideoCodec.sampleSizes(bytes).nonEmpty) "video"
+    else if (ImageCodec.decodeImage(bytes).isDefined) "image"
+    else "opaque"
+
+  /** The MIXED-MODALITY fingerprint — what a real media lake needs: a
+    * 100 TB corpus directory interleaves images, audio and video in one
+    * binary column, and nothing upstream knows each row's modality. One
+    * narrow pass sniffs the container per row ([[modalityOf]] — the
+    * [[CompositeCodec]] dispatch rule) and routes to that modality's
+    * 64-slot integer envelope — [[energyWindows]] (audio loudness),
+    * [[sizeWindows]] (video bitrate), [[luminanceGrid]] at g = √w
+    * (image luminance; `w` must be a square) — then [[averageHashOf]],
+    * the SAME integer hash rule for all three, so ONE in-query SQL
+    * fold re-derives every row's hash from its emitted windows
+    * regardless of modality (the `q_media_dedup_mixed` parity).
+    * Opaque payloads take the shared byte-histogram fallback. Hashes
+    * are only COMPARABLE within a modality (a luminance grid and a
+    * loudness envelope share no geometry), so near-dup pairing keeps
+    * only equal-`modality` pairs out of the banding — the
+    * `q_media_dedup_mixed` gate pins that rule. Adds `modality`
+    * (string), `media_windows`
+    * (array<bigint>) and `mfp` (bigint); null payloads yield null
+    * windows/hash with modality `opaque`-less null. Narrow, no
+    * shuffle, closure UDFs.
+    */
+  def mediaFingerprint(df: DataFrame, payloadCol: String, w: Int = 64)
+      : DataFrame = {
+    val g = math.sqrt(w.toDouble).toInt
+    require(g * g == w && w >= 1 && w <= 64,
+      s"window count must be a square in [1, 64] for the unified " +
+        s"image-grid path (got $w)")
+    val modUdf = udf((b: Array[Byte]) =>
+      if (b == null) null else modalityOf(b))
+    val winUdf = udf((b: Array[Byte], m: String) =>
+      if (b == null) null
+      else m match {
+        case "audio" => energyWindows(b, w)
+        case "video" => sizeWindows(b, w)
+        case "image" => luminanceGrid(b, g)
+        case _ =>
+          // the shared fallback, computed once here (energyWindows
+          // would re-sniff the container to reject it first)
+          val out = new Array[Long](w)
+          var i = 0
+          while (i < b.length) { out((b(i) & 0xff) % w) += 1L; i += 1 }
+          out
+      })
+    val hashUdf = udf((ws: Seq[Long]) =>
+      if (ws == null) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(averageHashOf(ws.toArray)))
+    df.withColumn("modality", modUdf(col(payloadCol)))
+      .withColumn("media_windows",
+        winUdf(col(payloadCol), col("modality")))
+      .withColumn("mfp", hashUdf(col("media_windows")))
   }
 
   /** Partition-batched decode: the executor-side loop that amortises codec

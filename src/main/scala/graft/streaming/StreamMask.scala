@@ -1018,36 +1018,58 @@ object StreamMask {
 
   /** Streaming media-fingerprint near-dup serving — the streaming twin
     * of [[graft.pipeline.Dedup.hammingPairsAgainstIndex]] over a landed
-    * thin (id, hash) fingerprint index: each micro-batch's binary
-    * payloads are decoded ONCE per row
-    * ([[graft.pipeline.Multimodal.audioFingerprint]] — real
-    * `javax.sound` decode to integer energy windows, aHashed;
-    * non-audio payloads take the deterministic histogram fallback) and
-    * probed through the SAME Manku banding as the batch form, matched
-    * (id_index, id_probe, hamming) rows landed exactly-once
-    * ([[ExactlyOnceSink]] — replays overwrite their own batch
-    * directory). The index is read and cached once for the stream's
-    * lifetime (8 bytes of hash per landed item) and unpersisted on
-    * termination; per-trigger work scales with the batch and its
-    * matched buckets, never with the landed corpus.
+    * thin (id, hash) fingerprint index, for ANY media modality: each
+    * micro-batch's binary payloads are fingerprinted ONCE per row —
+    * `modality = "audio"` through
+    * [[graft.pipeline.Multimodal.audioFingerprint]] (real `javax.sound`
+    * decode to integer energy windows, aHashed), `"video"` through
+    * [[graft.pipeline.Multimodal.videoFingerprint]] (ISO-BMFF `stsz`
+    * bitrate envelope — decode-free), `"image"` through
+    * [[graft.pipeline.Multimodal.averageHash]] (real `javax.imageio`
+    * decode to a √windows×√windows luminance grid); every path's
+    * non-decodable payloads take the shared deterministic histogram
+    * fallback — and probed through the SAME Manku banding as the batch
+    * form, matched (id_index, id_probe, hamming) rows landed
+    * exactly-once ([[ExactlyOnceSink]] — replays overwrite their own
+    * batch directory). The index is read and cached once for the
+    * stream's lifetime (8 bytes of hash per landed item) and
+    * unpersisted on termination; per-trigger work scales with the
+    * batch and its matched buckets, never with the landed corpus.
     */
   def fingerprintServeStream(clips: DataFrame, idCol: String,
       payloadCol: String, indexPath: String, outPath: String,
       checkpoint: String, k: Int = 4, blocks: Int = 6,
       windows: Int = 64, hashCol: String = "afp",
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      modality: String = "audio")
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.pipeline.Multimodal
+    // resolve the per-modality fingerprint ONCE, loudly: an unknown
+    // modality (or an image windows count that is not a square grid)
+    // must fail at stream construction, not per micro-batch
+    val fingerprint: DataFrame => DataFrame = modality match {
+      case "audio" => b => Multimodal.audioFingerprint(b, payloadCol,
+        windows).select(col(idCol), col("afp").as(hashCol))
+      case "video" => b => Multimodal.videoFingerprint(b, payloadCol,
+        windows).select(col(idCol), col("vfp").as(hashCol))
+      case "image" =>
+        val g = math.sqrt(windows.toDouble).toInt
+        require(g * g == windows,
+          s"image modality needs a square windows count (got $windows)")
+        b => Multimodal.averageHash(b, payloadCol, g)
+          .select(col(idCol), col("ahash").as(hashCol))
+      case other => throw new IllegalArgumentException(
+        s"unknown media modality '$other' (audio, video, image)")
+    }
     val session = clips.sparkSession
     val index = session.read.parquet(indexPath).persist()
     val query = clips.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val probe = graft.pipeline.Multimodal
-          .audioFingerprint(batch, payloadCol, windows)
-          .select(col(idCol), col("afp").as(hashCol))
         ExactlyOnceSink.writeBatch(outPath)(
-          graft.pipeline.Dedup.hammingPairsAgainstIndex(index, probe,
-            idCol, hashCol, k = k, blocks = blocks), batchId)
+          graft.pipeline.Dedup.hammingPairsAgainstIndex(index,
+            fingerprint(batch), idCol, hashCol, k = k, blocks = blocks),
+          batchId)
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -3801,6 +3801,157 @@ class PipelineSpec extends SparkSpec {
     assert(got.getSeq[Float](3).length == 4)
   }
 
+  test("video fingerprint: stsz sample sizes, bitrate envelope, banded twins") {
+    import java.nio.ByteBuffer
+    val s = spark
+    import s.implicits._
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      ByteBuffer.allocate(8 + payload.length).putInt(8 + payload.length)
+        .put(typ.getBytes("ISO-8859-1")).put(payload).array()
+    def stsz(sizes: Array[Int], uniform: Int = 0): Array[Byte] = {
+      val bb = ByteBuffer.allocate(12 + (if (uniform == 0) 4 * sizes.length else 0))
+        .putInt(0).putInt(uniform)
+        .putInt(if (uniform == 0) sizes.length else sizes.headOption.getOrElse(0))
+      if (uniform == 0) sizes.foreach(bb.putInt)
+      bb.array()
+    }
+    val tk = ByteBuffer.allocate(84)
+    tk.position(76); tk.putInt(640 << 16).putInt(360 << 16)
+    def mp4Of(stszPayload: Array[Byte]): Array[Byte] =
+      box("ftyp", "isomiso2".getBytes("ISO-8859-1") ++ new Array[Byte](4)) ++
+        box("moov", box("trak", box("tkhd", tk.array()) ++
+          box("mdia", box("minf", box("stbl", box("stsz", stszPayload))))))
+    // 128 samples, first half 10 bytes / second half 20 -> 64 windows of
+    // 2 samples each: sums exactly 20 then 40, integer mean 30, hash =
+    // exactly the fat half's bits (strictly-greater rule)
+    def sizes(bump: Boolean): Array[Int] = {
+      val z = Array.tabulate(128)(i => if (i < 64) 10 else 20)
+      if (bump) z(0) += 1
+      z
+    }
+    val base = mp4Of(stsz(sizes(bump = false)))
+    assert(Multimodal.VideoCodec.sampleSizes(base).get.toSeq ==
+      sizes(bump = false).map(_.toLong).toSeq)
+    val w0 = Multimodal.sizeWindows(base, 64)
+    w0.zipWithIndex.foreach { case (v, i) =>
+      assert(v == (if (i < 32) 20L else 40L), s"window $i = $v")
+    }
+    val h0 = Multimodal.averageHashOf(w0)
+    assert(h0 == 0xFFFFFFFF00000000L, f"hash $h0%016x")
+    // a one-byte sample-size edit is a DIFFERENT bitstream whose
+    // fingerprint moves by at most the one touched window's bit
+    val twin = mp4Of(stsz(sizes(bump = true)))
+    val h1 = Multimodal.averageHashOf(Multimodal.sizeWindows(twin, 64))
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 1)
+    // uniform-size stsz layout: sample_size != 0, entries implicit
+    val uni = mp4Of(ByteBuffer.allocate(12).putInt(0).putInt(12).putInt(128)
+      .array())
+    assert(Multimodal.VideoCodec.sampleSizes(uni).get.toSeq ==
+      Seq.fill(128)(12L))
+    // a count the box cannot hold must abort, not misfingerprint: the
+    // payload then takes the deterministic byte-histogram fallback
+    val trunc = mp4Of(ByteBuffer.allocate(20).putInt(0).putInt(0)
+      .putInt(1000).putInt(10).putInt(10).array())
+    assert(Multimodal.VideoCodec.sampleSizes(trunc).isEmpty)
+    assert(Multimodal.sizeWindows(trunc, 64).sum == trunc.length)
+    // a corrupt uniform-size box declaring 2^31 samples must abort,
+    // not materialize a 16 GiB array on an executor
+    val bomb = mp4Of(ByteBuffer.allocate(12).putInt(0).putInt(1)
+      .putInt(Int.MaxValue).array())
+    assert(Multimodal.VideoCodec.sampleSizes(bomb).isEmpty)
+    // non-video payloads: deterministic byte-histogram fallback
+    val bytes = "definitely not video".getBytes("UTF-8")
+    val fb = Multimodal.sizeWindows(bytes, 64)
+    assert(fb.sum == bytes.length &&
+      fb.toSeq == Multimodal.sizeWindows(bytes, 64).toSeq)
+    // column form: null payload -> null windows/hash; the banded
+    // Hamming join (k=4) pairs the twin containers, no all-pairs stage
+    val df = Seq((1L, base), (2L, twin),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val fp = Multimodal.videoFingerprint(df, "payload")
+    val rows = fp.collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Any]("vfp"))).toMap
+    assert(rows(3L).isEmpty, "null payload must fingerprint to null")
+    assert(rows(1L).contains(h0) && rows(2L).contains(h1))
+    val pairs = Dedup.simHashNearPairs(
+      fp.filter(col("vfp").isNotNull).select(col("id"), col("vfp")),
+      "id", "vfp", k = 4, blocks = 6).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L)))
+  }
+
+  test("mixed-modality fingerprint: per-row dispatch, unified hash rule") {
+    import java.nio.ByteBuffer
+    val s = spark
+    import s.implicits._
+    // one payload per modality, built like the single-modality specs
+    def png(): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        im.setRGB(x, y, if (x < 8) 0x000000 else 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, "png", bos))
+      bos.toByteArray
+    }
+    def wav(): Array[Byte] = {
+      val n = 512
+      val out = new Array[Byte](44 + 2 * n)
+      def le32(off: Int, v: Int): Unit = (0 until 4).foreach(i =>
+        out(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+      def tag(off: Int, t: String): Unit =
+        (0 until 4).foreach(i => out(off + i) = t.charAt(i).toByte)
+      tag(0, "RIFF"); le32(4, 36 + 2 * n); tag(8, "WAVE")
+      tag(12, "fmt "); le32(16, 16); out(20) = 1; out(22) = 1
+      le32(24, 8000); le32(28, 16000); out(32) = 2; out(34) = 16
+      tag(36, "data"); le32(40, 2 * n)
+      (n / 2 until n).foreach { i => out(44 + 2 * i) = 100 }
+      out
+    }
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      ByteBuffer.allocate(8 + payload.length).putInt(8 + payload.length)
+        .put(typ.getBytes("ISO-8859-1")).put(payload).array()
+    def mp4(): Array[Byte] = {
+      val stsz = ByteBuffer.allocate(12 + 4 * 128).putInt(0).putInt(0)
+        .putInt(128)
+      (0 until 128).foreach(i => stsz.putInt(if (i < 64) 10 else 20))
+      box("ftyp", "isomiso2".getBytes("ISO-8859-1") ++
+        new Array[Byte](4)) ++
+        box("moov", box("trak", box("mdia", box("minf",
+          box("stbl", box("stsz", stsz.array()))))))
+    }
+    val opaque = "neither image nor sound".getBytes("UTF-8")
+    assert(Multimodal.modalityOf(png()) == "image")
+    assert(Multimodal.modalityOf(wav()) == "audio")
+    assert(Multimodal.modalityOf(mp4()) == "video")
+    assert(Multimodal.modalityOf(opaque) == "opaque")
+    val df = Seq((1L, png()), (2L, wav()), (3L, mp4()), (4L, opaque),
+      (5L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val got = Multimodal.mediaFingerprint(df, "payload").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(5L).isNullAt(2) && got(5L).isNullAt(3) &&
+      got(5L).isNullAt(4), "null payload must stay null throughout")
+    // each modality's windows equal its dedicated operator's, and the
+    // hash is the ONE shared rule over them
+    val expect = Map(
+      1L -> ("image", Multimodal.luminanceGrid(png(), 8)),
+      2L -> ("audio", Multimodal.energyWindows(wav(), 64)),
+      3L -> ("video", Multimodal.sizeWindows(mp4(), 64)))
+    expect.foreach { case (id, (m, ws)) =>
+      val r = got(id)
+      assert(r.getString(2) == m, s"id $id modality ${r.getString(2)}")
+      assert(r.getSeq[Long](3).toSeq == ws.toSeq, s"id $id windows")
+      assert(r.getLong(4) == Multimodal.averageHashOf(ws),
+        s"id $id hash diverged from the shared rule")
+    }
+    // opaque fallback: the shared byte histogram
+    assert(got(4L).getSeq[Long](3).sum == opaque.length)
+    // a non-square window count must fail loudly (image grid path)
+    intercept[IllegalArgumentException] {
+      Multimodal.mediaFingerprint(df, "payload", w = 48)
+    }
+  }
+
   test("audio decode: real WAV sample rate, channels, frames, RMS envelope") {
     val s = spark
     import s.implicits._

@@ -1544,6 +1544,50 @@ class StreamingMaskSpec extends SparkSpec {
       s"identical-payload probes missing from $zeros")
   }
 
+  test("fingerprintServeStream: video modality dispatches to the stsz " +
+      "bitrate-envelope fingerprint, batch-equal") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.{Dedup, Multimodal}
+    val base = Files.createTempDirectory("graft_fp_serve_vid").toString
+    // opaque payloads take videoFingerprint's deterministic histogram
+    // fallback (the REAL stsz walk is pinned in PipelineSpec and the
+    // q_video_fingerprint* gates; this pins the streaming dispatch):
+    // probe 11 is byte-identical to landed item 1
+    def pay(tag: String): Array[Byte] = (tag * 40).getBytes("UTF-8")
+    val indexed = Seq((1L, pay("alpha")), (2L, pay("beta")))
+      .toDF("clip_id", "payload")
+    val idxPath = s"$base/idx"
+    Multimodal.videoFingerprint(indexed, "payload")
+      .select(col("clip_id"), col("vfp")).write.parquet(idxPath)
+    val probes = Seq((11L, pay("alpha")), (12L, pay("omega~zz")))
+      .toDF("clip_id", "payload")
+    val in = s"$base/in"
+    probes.coalesce(1).write.parquet(in)
+    val stream = s.readStream.schema(probes.schema).parquet(in)
+    val out = s"$base/out"
+    val q = StreamMask.fingerprintServeStream(stream, "clip_id",
+      "payload", idxPath, out, s"$base/ckpt", hashCol = "vfp",
+      modality = "video")
+    q.awaitTermination(120000)
+    def key(df: DataFrame) = df
+      .select("id_index", "id_probe", "hamming")
+      .collect().map(_.toString).sorted.toSeq
+    val batchRef = Dedup.hammingPairsAgainstIndex(
+      s.read.parquet(idxPath),
+      Multimodal.videoFingerprint(probes, "payload")
+        .select(col("clip_id"), col("vfp")),
+      "clip_id", "vfp", k = 4, blocks = 6)
+    assert(key(s.read.parquet(out)) == key(batchRef),
+      "streamed video matches diverged from the batch operator")
+    // an unknown modality must fail loudly at construction
+    val thrown = intercept[IllegalArgumentException] {
+      StreamMask.fingerprintServeStream(stream, "clip_id", "payload",
+        idxPath, s"$base/out2", s"$base/ckpt2", modality = "holograms")
+    }
+    assert(thrown.getMessage.contains("holograms"))
+  }
+
   test("keyed sink replaces re-sent keys and is idempotent under replay") {
     import SparkSpec.spark.implicits._
     val base = Files.createTempDirectory("graft_keyed").toString
