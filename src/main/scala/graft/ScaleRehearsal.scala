@@ -118,6 +118,9 @@ object ScaleRehearsal {
     // sniff + dispatch to that modality's envelope, one banded pair
     // join across the unified hashes
     "q_media_dedup_mixed",
+    // round 20: media keep-best — the video pair graph through
+    // connectedComponents + the per-clique bitrate argmax
+    "q_media_dedup_best",
     // round 20: URL-canonicalization dedup — two synthesized raw URLs
     // per doc through the codegen normalizer chain + one hash agg
     "q_url_dedup")

@@ -4293,6 +4293,60 @@ object SparkEntry {
         col("n_twin_pairs"), col("n_cross_pairs"))
   }
 
+  /** Media KEEP-BEST — the survivor policy the text family already has
+    * (`q_dedup_near_best` / `q_semdedup_best`), completed for media:
+    * among near-duplicate clips a real pipeline keeps the
+    * HIGHEST-BITRATE copy (resolution/bitrate is the media quality
+    * signal the way the q_quality formula is for text). The video
+    * fingerprint pair graph (the `q_video_fingerprint` machinery)
+    * feeds [[graft.pipeline.Dedup.connectedComponents]]; each clique
+    * keeps its max-total-sample-size member, ties to the lower id. The
+    * synthesized twin is exactly ONE BYTE bigger than its base, so the
+    * bitrate rule must pick the twin in EVERY clique — a sharp value
+    * claim, not just counts: the gate pins n_components == n_docs
+    * (every base↔twin clique found), n_survivors == n_docs, and
+    * n_survivors_twin == n_docs (every survivor is the odd clip — the
+    * policy provably selected on quality, not id order), all against
+    * DuckDB-re-derived populations.
+    */
+  private def qMediaDedupBest(s: SparkSession, dir: String): DataFrame = {
+    val mp4 = udf((id: Long, v: Int) => syntheticMp4(id, v))
+    val clips = docs(s, dir).select(col("doc_id"))
+      .select(col("doc_id"), explode(array(lit(0), lit(1))).as("variant"))
+      .withColumn("clip", mp4(col("doc_id"), col("variant")))
+    // thin post-walk frame: the pair join and the quality rank both
+    // branch from it (decode-once posture)
+    val hashed = graft.pipeline.Multimodal.videoFingerprint(clips, "clip")
+      .select((col("doc_id") * 2 + col("variant")).as("clip_id"),
+        col("vfp"),
+        expr("aggregate(size_windows, CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("__bitrate"))
+      .localCheckpoint()
+    val pairs = graft.pipeline.Dedup.simHashNearPairs(
+      hashed.select("clip_id", "vfp"), "clip_id", "vfp",
+      k = 4, blocks = 6)
+    val comps = graft.pipeline.Dedup.connectedComponents(pairs)
+    // per clique: keep max (__bitrate, -clip_id) — quality first, ties
+    // to the lower id (a total order, the text family's rule)
+    val survivors = comps.join(hashed, col("id") === col("clip_id"))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("__bitrate"), (-col("clip_id")).as("__nid")))
+        .as("__best"))
+      .select((-col("__best.__nid")).as("survivor_id"))
+    val nDocs = docs(s, dir).select(col("doc_id")).count()
+    val compStats = comps.agg(
+      count(lit(1)).as("n_clustered"),
+      countDistinct(col("cluster_id")).as("n_components"))
+    val survStats = survivors.agg(
+      count(lit(1)).as("n_survivors"),
+      sum(when(col("survivor_id") % 2 === 1, 1L).otherwise(0L))
+        .as("n_survivors_twin"))
+    compStats.crossJoin(survStats) // 1×1 scalar attach
+      .select(lit(nDocs).as("n_docs"), col("n_clustered"),
+        col("n_components"), col("n_survivors"),
+        col("n_survivors_twin"))
+  }
+
   /** The video serving form — [[qAudioFingerprintIncr]]'s posture on
     * the video modality (family symmetry: batch + incremental for ALL
     * media types): base containers' bitrate-envelope hashes landed as
@@ -5065,6 +5119,7 @@ object SparkEntry {
     "q_video_fingerprint" -> (qVideoFingerprint _),
     "q_video_fingerprint_incr" -> (qVideoFingerprintIncr _),
     "q_media_dedup_mixed" -> (qMediaDedupMixed _),
+    "q_media_dedup_best" -> (qMediaDedupBest _),
     "q_image_phash_incr" -> (qImagePhashIncr _),
     "q_url_dedup" -> (qUrlDedup _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
@@ -9034,6 +9089,17 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_twin_pairs,
          |  CAST(0 AS BIGINT) AS n_cross_pairs,
          |  CAST(0 AS BIGINT) AS n_cross_modality
+         |FROM documents""".stripMargin,
+    "q_media_dedup_best" ->
+      // the media keep-best contract: every base<->twin clique found
+      // (n_components == n_docs, 2n clips clustered), one survivor per
+      // clique, and EVERY survivor is the one-byte-bigger twin — the
+      // bitrate rule provably selected on quality, not id order
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(2 * COUNT(*) AS BIGINT) AS n_clustered,
+         |  CAST(COUNT(*) AS BIGINT) AS n_components,
+         |  CAST(COUNT(*) AS BIGINT) AS n_survivors,
+         |  CAST(COUNT(*) AS BIGINT) AS n_survivors_twin
          |FROM documents""".stripMargin,
     "q_k_anon" ->
       s"""SELECT c_nationkey, c_mktsegment,
