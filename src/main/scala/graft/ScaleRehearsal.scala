@@ -121,6 +121,9 @@ object ScaleRehearsal {
     // round 20: media keep-best — the video pair graph through
     // connectedComponents + the per-clique bitrate argmax
     "q_media_dedup_best",
+    // round 20: Misra-Gries heavy hitters under the accuracy contract
+    // — the O(k)-state sketch + the exact witness aggregate
+    "q_heavy_hitters",
     // round 20: URL-canonicalization dedup — two synthesized raw URLs
     // per doc through the codegen normalizer chain + one hash agg
     "q_url_dedup")

@@ -1319,6 +1319,65 @@ object SparkEntry {
       .orderBy(col("n_docs").desc, col("token"))
       .limit(20)
 
+  /** Misra-Gries heavy hitters under the accuracy contract
+    * ([[graft.pipeline.TextOps.heavyHitters]] — the bounded-state
+    * answer to "which tokens dominate", O(k) state and shuffle per
+    * partition regardless of Zipfian skew; the exact `q_vocab`
+    * aggregate keys the shuffle by token, so a head token concentrates
+    * one reducer at 100 TB), gated in the `q_hll_distinct` /
+    * `q_percentile_gk_parity` style: the reported ITEM SET may vary
+    * with partitioning near the error floor (any mergeable sketch), so
+    * the row emits only PARTITION-INVARIANT facts — the exact corpus
+    * totals (DuckDB-re-derived) and the three Misra-Gries guarantees
+    * pinned TRUE over every reported item: ≤ k reported, every
+    * estimate UNDERcounts its exact frequency, the undercount never
+    * exceeds n/(k+1), and every token with exact count > n/(k+1) is
+    * guaranteed reported (n_guaranteed of them, exactly re-derived).
+    */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val k = 20
+    // the fixtures' 31-token vocabulary is near-uniform (no token
+    // crosses the n/(k+1) floor), which would leave the guarantee
+    // clause vacuous — amplify with a deterministic Zipf head: every
+    // doc appends 10 + doc_id % 7 copies of a hot token, pushing it
+    // far past the floor (and nothing else over it), DuckDB-replayed
+    val amplified = docs(s, dir).select(col("doc_id"),
+      concat(col("text"), lit(" "),
+        array_join(array_repeat(lit("zzhot"),
+          (col("doc_id") % 7 + 10).cast("int")), " ")).as("text"))
+    val hh = TextOps.heavyHitters(amplified, "text", k)
+    // exact per-token counts: computed once (localCheckpoint), read by
+    // the totals, the reported-item join and the guaranteed-set scan
+    val exact = amplified
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val totals = exact.agg(sum(col("cnt")).cast("long").as("n_tokens"),
+      count(lit(1)).as("n_vocab"))
+    val floor = col("n_tokens").cast("double") / (k + 1)
+    val repStats = hh.join(exact, Seq("token"))
+      .crossJoin(broadcast(totals))
+      .agg(count(lit(1)).as("__n_rep"),
+        sum(when(col("est") <= col("cnt"), 1L).otherwise(0L))
+          .as("__n_under"),
+        sum(when((col("cnt") - col("est")).cast("double") <= floor, 1L)
+          .otherwise(0L)).as("__n_bound"))
+    val guarStats = exact.crossJoin(broadcast(totals))
+      .filter(col("cnt").cast("double") > floor)
+      .join(hh, Seq("token"), "left")
+      .agg(count(lit(1)).as("n_guaranteed"),
+        coalesce(sum(when(col("est").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("__n_found"))
+    totals.crossJoin(repStats).crossJoin(guarStats) // 1×1 scalar attach
+      .select(col("n_tokens"), col("n_vocab"), col("n_guaranteed"),
+        (col("__n_rep") <= k).as("reported_le_k"),
+        (col("__n_under") === col("__n_rep")).as("all_underestimate"),
+        (col("__n_bound") === col("__n_rep")).as("all_within_bound"),
+        (col("__n_found") === col("n_guaranteed"))
+          .as("guaranteed_present"))
+  }
+
   /** Per-document top tf·idf keyword (linear idf — engine-exact doubles). */
   private def qTfidf(s: SparkSession, dir: String): DataFrame =
     TextOps.topKeywords(docs(s, dir), "doc_id", "text").orderBy("doc_id")
@@ -5016,6 +5075,7 @@ object SparkEntry {
     "q_decontaminate_spans" -> (qDecontaminateSpans _),
     "q_zorder" -> (qZorder _),
     "q_vocab" -> (qVocab _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_tfidf" -> (qTfidf _),
     "q_fingerprint" -> (qFingerprint _),
     "q_winnow" -> (qWinnow _),
@@ -7612,6 +7672,31 @@ object SparkEntry {
       s"""SELECT token, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
          |FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
          |GROUP BY token ORDER BY n_docs DESC, token LIMIT 20""".stripMargin,
+    "q_heavy_hitters" ->
+      // exact corpus totals + the guaranteed-set size re-derived; the
+      // four Misra-Gries contract booleans pinned TRUE (the sketch's
+      // reported item set is partition-dependent near the error floor,
+      // so only invariant facts ride the row)
+      s"""WITH amp AS (SELECT doc_id,
+         |    text || ' ' || repeat('zzhot ', CAST(doc_id % 7 + 10 AS INT))
+         |      AS text
+         |  FROM documents),
+         |t AS (
+         |  SELECT token, COUNT(*) AS cnt
+         |  FROM (SELECT unnest($toksSql) AS token FROM amp)
+         |  WHERE token <> '' GROUP BY token),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_vocab FROM t)
+         |SELECT n_tokens, n_vocab,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM t
+         |   WHERE CAST(cnt AS DOUBLE) >
+         |     CAST((SELECT n_tokens FROM tot) AS DOUBLE) / 21)
+         |    AS n_guaranteed,
+         |  TRUE AS reported_le_k,
+         |  TRUE AS all_underestimate,
+         |  TRUE AS all_within_bound,
+         |  TRUE AS guaranteed_present
+         |FROM tot""".stripMargin,
     "q_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
          |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
