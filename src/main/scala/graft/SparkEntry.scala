@@ -1345,7 +1345,9 @@ object SparkEntry {
       concat(col("text"), lit(" "),
         array_join(array_repeat(lit("zzhot"),
           (col("doc_id") % 7 + 10).cast("int")), " ")).as("text"))
-    val hh = TextOps.heavyHitters(amplified, "text", k)
+    // the sketch result is <= k rows but its lineage is a full corpus
+    // scan, and TWO branches below join against it — materialize once
+    val hh = TextOps.heavyHitters(amplified, "text", k).localCheckpoint()
     // exact per-token counts: computed once (localCheckpoint), read by
     // the totals, the reported-item join and the guaranteed-set scan
     val exact = amplified
