@@ -1059,8 +1059,18 @@ object StreamMask {
           s"image modality needs a square windows count (got $windows)")
         b => Multimodal.averageHash(b, payloadCol, g)
           .select(col(idCol), col("ahash").as(hashCol))
+      case "mixed" =>
+        // the interleaved-lake form (the q_media_dedup_mixed posture):
+        // per-row container sniff routes each payload to its
+        // modality's envelope; hashes are only comparable within a
+        // modality, so the caller's landed index should carry
+        // single-modality items or tolerate cross-modality misses —
+        // chance band collisions are rejected by the Hamming verify
+        // like any far pair
+        b => Multimodal.mediaFingerprint(b, payloadCol, windows)
+          .select(col(idCol), col("mfp").as(hashCol))
       case other => throw new IllegalArgumentException(
-        s"unknown media modality '$other' (audio, video, image)")
+        s"unknown media modality '$other' (audio, video, image, mixed)")
     }
     val session = clips.sparkSession
     val index = session.read.parquet(indexPath).persist()

@@ -1586,6 +1586,23 @@ class StreamingMaskSpec extends SparkSpec {
         idxPath, s"$base/out2", s"$base/ckpt2", modality = "holograms")
     }
     assert(thrown.getMessage.contains("holograms"))
+    // the mixed (interleaved-lake) form: per-row sniff-dispatch via
+    // mediaFingerprint, batch-equal against the mixed batch operator
+    val idxMixed = s"$base/idx_mixed"
+    Multimodal.mediaFingerprint(indexed, "payload")
+      .select(col("clip_id"), col("mfp")).write.parquet(idxMixed)
+    val outMixed = s"$base/out_mixed"
+    val qm = StreamMask.fingerprintServeStream(stream, "clip_id",
+      "payload", idxMixed, outMixed, s"$base/ckpt_mixed",
+      hashCol = "mfp", modality = "mixed")
+    qm.awaitTermination(120000)
+    val mixedRef = Dedup.hammingPairsAgainstIndex(
+      s.read.parquet(idxMixed),
+      Multimodal.mediaFingerprint(probes, "payload")
+        .select(col("clip_id"), col("mfp")),
+      "clip_id", "mfp", k = 4, blocks = 6)
+    assert(key(s.read.parquet(outMixed)) == key(mixedRef),
+      "streamed mixed-modality matches diverged from the batch operator")
   }
 
   test("keyed sink replaces re-sent keys and is idempotent under replay") {
