@@ -851,8 +851,25 @@ object SparkEntry {
   }
 
   // ------------------------------------------------- LLM-pipeline extensions
+  /** Fan out an UNDER-PARALLEL base-table scan (guide §2.5's input-skew
+    * remedy — "one huge unsplittable file … repartition immediately
+    * after the read"): when the source yields fewer splits than the
+    * cluster's parallelism (one small parquet file = one row group = one
+    * task on the fixtures), every CPU-heavy narrow chain downstream —
+    * tokenize + explode, media decode, per-row winnowing — serializes on
+    * those few tasks while the rest of the cluster idles. Round-robin
+    * repartition to the default parallelism; the guard keys on the
+    * SCAN's split count, so at real corpus scale (files ≥ cores) this is
+    * a no-op and no payload shuffle is ever added. Call it on
+    * freshly-scanned frames only — `inputFiles` is the scan's file list.
+    */
+  private def fanOutScan(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length < p) df.repartition(p) else df
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    fanOutScan(t(s, dir, "documents"))
 
   /** Z-order (Morton) key over two lineitem dimensions
     * ([[graft.pipeline.Layout.zorder]]) — the clustering key behind

@@ -172,21 +172,60 @@ object Bm25 {
       .withColumn("__tb", termBucket(col("term"), buckets))
   }
 
+  /** [[buildPostings]] with the corpus statistics riding the SAME scan
+    * as `observe` metrics (`n_docs`, `sum_dl` — the exact
+    * [[corpusStats]] expressions, collected on the per-doc frame BEFORE
+    * the explode so every document counts): the index writers used to
+    * pay a second full tokenize scan just for the two stats integers —
+    * at corpus scale that is a whole extra pass over the lake. The
+    * Observation resolves once the postings action has run.
+    */
+  private def buildPostingsObserved(df: DataFrame, idCol: String,
+      textCol: String, buckets: Int)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    val toks = filter(TextOps.tokens(col(textCol)), t => length(t) > 0)
+    val obs = org.apache.spark.sql.Observation()
+    val perDoc = df.select(col(idCol).as("id"),
+        size(toks).cast("bigint").as("dl"), toks.as("__toks"))
+      .observe(obs, count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val posts = perDoc
+      .select(col("id"), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+      .withColumn("__tb", termBucket(col("term"), buckets))
+    (posts, obs)
+  }
+
+  /** The two stats integers out of a resolved Observation (an empty
+    * corpus sums to null → 0, the value an empty index's avgdl divide
+    * would see either way).
+    */
+  private def observedStats(
+      obs: org.apache.spark.sql.Observation): (Long, Long) = {
+    val m = obs.get
+    (m("n_docs").asInstanceOf[Long],
+      Option(m("sum_dl")).fold(0L)(_.asInstanceOf[Long]))
+  }
+
   /** Persist the inverted index: postings PARTITIONED BY term bucket
     * (term-sorted within files so row-group stats prune within a
     * bucket too) + a one-row stats sidecar carrying the exact corpus
-    * integers and the layout parameters.
+    * integers and the layout parameters. ONE corpus scan: the stats
+    * integers ride the postings pass as observe metrics instead of a
+    * second tokenize scan ([[buildPostingsObserved]]).
     */
   def writeBm25Index(df: DataFrame, idCol: String, textCol: String,
       path: String, buckets: Int = 64): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    buildPostings(df, idCol, textCol, buckets)
+    val (posts, obs) = buildPostingsObserved(df, idCol, textCol, buckets)
+    posts
       .sortWithinPartitions(col("__tb"), col("term"), col("id"))
       .write.mode("overwrite").partitionBy("__tb")
       .parquet(s"$path/postings")
-    val st = corpusStats(df, textCol).collect().head
-    Seq((st.getLong(0), st.getLong(1), buckets, idCol))
+    val (nDocs, sumDl) = observedStats(obs)
+    Seq((nDocs, sumDl, buckets, idCol))
       .toDF("n_docs", "sum_dl", "buckets", "id_col")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
@@ -230,9 +269,12 @@ object Bm25 {
     val spark = df.sparkSession
     import spark.implicits._
     val idx = loadBm25Index(spark, path)
-    val newPost = buildPostings(df, idx.idCol, textCol, idx.buckets)
     if (verifyDisjoint) {
-      val overlap = newPost.select("id").distinct()
+      // the batch's RAW ids, not the tokenized postings' ids: skips a
+      // full tokenize pass over the batch, and is the tighter check —
+      // a zero-token doc appended twice has no postings row but DOES
+      // double-count n_docs in the stats sidecar
+      val overlap = df.select(col(idx.idCol).as("id")).distinct()
         .join(idx.postings.select("id").distinct(), Seq("id"),
           "left_semi")
         .limit(1).count()
@@ -243,11 +285,15 @@ object Bm25 {
           "verifyDisjoint = false only when disjointness is guaranteed " +
           "externally)")
     }
+    // one tokenize scan for postings AND stats (observe metrics); the
+    // second corpus pass the old corpusStats collect paid is gone
+    val (newPost, obs) =
+      buildPostingsObserved(df, idx.idCol, textCol, idx.buckets)
     newPost.sortWithinPartitions(col("__tb"), col("term"), col("id"))
       .write.mode("append").partitionBy("__tb")
       .parquet(s"$path/postings")
-    val bs = corpusStats(df, textCol).collect().head
-    Seq((idx.nDocs + bs.getLong(0), idx.sumDl + bs.getLong(1),
+    val (bDocs, bSumDl) = observedStats(obs)
+    Seq((idx.nDocs + bDocs, idx.sumDl + bSumDl,
         idx.buckets, idx.idCol))
       .toDF("n_docs", "sum_dl", "buckets", "id_col")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")

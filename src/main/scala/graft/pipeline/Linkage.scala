@@ -135,6 +135,19 @@ object Linkage {
     val d = maxDist
     val variantsUdf = udf((s: String) => deletionVariants(s, d))
     ensureCapListener(df.sparkSession)
+    // the explode below fans each distinct string into Θ(C(len, d))
+    // variant rows, so the stage AFTER the distinct's exchange does
+    // ~C(len, d)× more work per input byte than the exchange carries.
+    // AQE coalesces post-shuffle partitions on shuffle BYTES alone and
+    // would fold a small distinct-strings exchange into ONE partition
+    // (measured: the whole variant explode of q_fuzzy_join2 on a single
+    // task, 8.5 s of a 16 s query), serializing the CPU-heavy stage.
+    // An explicitly-sized repartition pins the width (user-specified
+    // partition counts are exempt from AQE coalescing); it keys on `s`,
+    // costs one pass over the DISTINCT STRINGS only — ~1/C(len, d) of
+    // the variant shuffle that follows — and keeps the blocking stage
+    // wide at every scale.
+    val width = blockWidth(df.sparkSession)
     df.select(col(strCol).cast("string").as("s"))
       .na.drop("any")
       .observe(s"graft_linkage_cap_${capObsSeq.incrementAndGet()}",
@@ -143,10 +156,27 @@ object Linkage {
         max(length(col("s"))).as("max_len_seen"))
       .filter(length(col("s")) <= maxLen)
       .distinct()
+      // keyed on xxhash64(s), not s: a repartition on `s` itself is
+      // elided as redundant (the distinct's exchange already hash-
+      // partitions on `s`), which hands the exchange back to AQE and
+      // re-serializes the explode; the derived key keeps the shuffle —
+      // and the pinned width — in the plan
+      .repartition(width, xxhash64(col("s")))
       .select(col("s"), explode(variantsUdf(col("s"))).as("__v"))
       .select(col("s"), xxhash64(col("__v")).as("vh"))
-      .distinct()
+    // no trailing distinct: deletionVariants dedupes within a string, so
+    // (s, vh) rows are already unique (up to 64-bit hash collisions,
+    // which every consumer dedupes after its own join/fold anyway) —
+    // dropping it removes a full exchange of the C(len, d)×-sized
+    // variant table from every linkage plan.
   }
+
+  /** The pinned stage width for the CPU-heavy linkage stages — the
+    * session's shuffle partitions, floored at the cluster parallelism.
+    */
+  private def blockWidth(spark: org.apache.spark.sql.SparkSession): Int =
+    math.max(spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
 
   /** Banded Levenshtein (Ukkonen 1985): the exact distance if it is
     * <= `maxDist`, else -1 — O(maxDist·len) instead of the full
@@ -243,6 +273,13 @@ object Linkage {
       out.toSeq
     })
     blocked(df, strCol, maxDist, cap)
+      // pinned-width bucket shuffle: the fold below emits O(bucket²)
+      // verified pairs per bucket — another stage whose work per input
+      // byte AQE's bytes-only coalescing underestimates (measured: 16
+      // of 32 slots, the pair fold the query's residual bottleneck).
+      // The repartition on `vh` replaces (not adds to) the aggregate's
+      // own exchange, so the plan's shuffle count is unchanged.
+      .repartition(blockWidth(df.sparkSession), col("vh"))
       .groupBy(col("vh")).agg(collect_list(col("s")).as("ss"))
       // singleton buckets (the vast majority in a sane corpus) have no
       // pairs — drop them before the per-bucket fold even runs
