@@ -1375,13 +1375,17 @@ object SparkEntry {
     val totals = exact.agg(sum(col("cnt")).cast("long").as("n_tokens"),
       count(lit(1)).as("n_vocab"))
     val floor = col("n_tokens").cast("double") / (k + 1)
+    // sums coalesced to 0 (the guarStats discipline): if the sketch
+    // ever reported zero items the agg over the empty join would yield
+    // NULL __n_under/__n_bound and the TRUE==TRUE gates below would
+    // red as NULL instead of holding vacuously
     val repStats = hh.join(exact, Seq("token"))
       .crossJoin(broadcast(totals))
       .agg(count(lit(1)).as("__n_rep"),
-        sum(when(col("est") <= col("cnt"), 1L).otherwise(0L))
-          .as("__n_under"),
-        sum(when((col("cnt") - col("est")).cast("double") <= floor, 1L)
-          .otherwise(0L)).as("__n_bound"))
+        coalesce(sum(when(col("est") <= col("cnt"), 1L).otherwise(0L)),
+          lit(0L)).as("__n_under"),
+        coalesce(sum(when((col("cnt") - col("est")).cast("double")
+            <= floor, 1L).otherwise(0L)), lit(0L)).as("__n_bound"))
     val guarStats = exact.crossJoin(broadcast(totals))
       .filter(col("cnt").cast("double") > floor)
       .join(hh, Seq("token"), "left")
@@ -4030,9 +4034,11 @@ object SparkEntry {
       coalesce(sum(when(shiftright(col("id_a"), 1) =!=
         shiftright(col("id_b"), 1), 1L).otherwise(0L)), lit(0L))
         .as("n_cross_pairs"))
-    val nDocs = docs(s, dir).select(col("doc_id")).count()
+    // n_docs = n_images / 2 (two variants per doc) — from the
+    // checkpointed stats frame, not a separate corpus count job
     stats.crossJoin(pairStats) // 1×1 scalar attach
-      .select(lit(nDocs).as("n_docs"), col("n_images"),
+      .select((col("n_images") / 2).cast("long").as("n_docs"),
+        col("n_images"),
         col("n_decoded"), col("n_hash_parity"),
         col("n_twin_pairs"), col("n_cross_pairs"))
   }
@@ -4155,9 +4161,11 @@ object SparkEntry {
       coalesce(sum(when(shiftright(col("id_a"), 1) =!=
         shiftright(col("id_b"), 1), 1L).otherwise(0L)), lit(0L))
         .as("n_cross_pairs"))
-    val nDocs = docs(s, dir).select(col("doc_id")).count()
+    // n_docs = n_audio / 2 (two variants per doc) — from the
+    // checkpointed stats frame, not a separate corpus count job
     stats.crossJoin(pairStats) // 1×1 scalar attach
-      .select(lit(nDocs).as("n_docs"), col("n_audio"),
+      .select((col("n_audio") / 2).cast("long").as("n_docs"),
+        col("n_audio"),
         col("n_decoded"), col("n_fp_parity"),
         col("n_twin_pairs"), col("n_cross_pairs"))
   }
@@ -4183,7 +4191,6 @@ object SparkEntry {
     val idx = s.read.parquet(s"$path/idx")
     val matches = graft.pipeline.Dedup.hammingPairsAgainstIndex(
       idx, hashFrame(1), "img_id", "ahash", k = 8)
-    val nDocs = docs(s, dir).select(col("doc_id")).count()
     matches.agg(
         coalesce(sum(when(shiftright(col("id_index"), 1) ===
           shiftright(col("id_probe"), 1), 1L).otherwise(0L)), lit(0L))
@@ -4192,7 +4199,9 @@ object SparkEntry {
           shiftright(col("id_probe"), 1), 1L).otherwise(0L)), lit(0L))
           .as("n_cross_matches"))
       .crossJoin(idx.agg(count(lit(1)).as("n_indexed"))) // 1×1 attach
-      .select(lit(nDocs).as("n_docs"), col("n_indexed"),
+      // n_docs == n_indexed (exactly one base row lands per doc) —
+      // derived in-plan, not a separate corpus count job
+      .select(col("n_indexed").as("n_docs"), col("n_indexed"),
         col("n_twin_matches"), col("n_cross_matches"))
   }
 
@@ -4224,7 +4233,6 @@ object SparkEntry {
     val idx = s.read.parquet(s"$path/idx")
     val matches = graft.pipeline.Dedup.hammingPairsAgainstIndex(
       idx, clipFrame(1), "clip_id", "afp", k = 4, blocks = 6)
-    val nDocs = docs(s, dir).select(col("doc_id")).count()
     matches.agg(
         coalesce(sum(when(shiftright(col("id_index"), 1) ===
           shiftright(col("id_probe"), 1), 1L).otherwise(0L)), lit(0L))
@@ -4233,7 +4241,9 @@ object SparkEntry {
           shiftright(col("id_probe"), 1), 1L).otherwise(0L)), lit(0L))
           .as("n_cross_matches"))
       .crossJoin(idx.agg(count(lit(1)).as("n_indexed"))) // 1×1 attach
-      .select(lit(nDocs).as("n_docs"), col("n_indexed"),
+      // n_docs == n_indexed (exactly one base row lands per doc) —
+      // derived in-plan, not a separate corpus count job
+      .select(col("n_indexed").as("n_docs"), col("n_indexed"),
         col("n_twin_matches"), col("n_cross_matches"))
   }
 
@@ -4364,9 +4374,11 @@ object SparkEntry {
       coalesce(sum(when(shiftright(col("id_a"), 1) =!=
         shiftright(col("id_b"), 1), 1L).otherwise(0L)), lit(0L))
         .as("n_cross_pairs"))
-    val nDocs = docs(s, dir).select(col("doc_id")).count()
+    // n_docs = n_videos / 2 (two variants per doc) — from the
+    // checkpointed stats frame, not a separate corpus count job
     stats.crossJoin(pairStats) // 1×1 scalar attach
-      .select(lit(nDocs).as("n_docs"), col("n_videos"),
+      .select((col("n_videos") / 2).cast("long").as("n_docs"),
+        col("n_videos"),
         col("n_parsed"), col("n_fp_parity"),
         col("n_twin_pairs"), col("n_cross_pairs"))
   }
@@ -4411,7 +4423,10 @@ object SparkEntry {
       .agg(max(struct(col("__bitrate"), (-col("clip_id")).as("__nid")))
         .as("__best"))
       .select((-col("__best.__nid")).as("survivor_id"))
-    val nDocs = docs(s, dir).select(col("doc_id")).count()
+    // n_docs = half the checkpointed clip frame — rides the same plan
+    // as the other stats branches instead of a separate corpus count
+    val mediaStats = hashed.agg(
+      (count(lit(1)) / 2).cast("long").as("n_docs"))
     val compStats = comps.agg(
       count(lit(1)).as("n_clustered"),
       countDistinct(col("cluster_id")).as("n_components"))
@@ -4419,8 +4434,8 @@ object SparkEntry {
       count(lit(1)).as("n_survivors"),
       sum(when(col("survivor_id") % 2 === 1, 1L).otherwise(0L))
         .as("n_survivors_twin"))
-    compStats.crossJoin(survStats) // 1×1 scalar attach
-      .select(lit(nDocs).as("n_docs"), col("n_clustered"),
+    mediaStats.crossJoin(compStats).crossJoin(survStats) // 1×1 attach
+      .select(col("n_docs"), col("n_clustered"),
         col("n_components"), col("n_survivors"),
         col("n_survivors_twin"))
   }
@@ -4448,7 +4463,6 @@ object SparkEntry {
     val idx = s.read.parquet(s"$path/idx")
     val matches = graft.pipeline.Dedup.hammingPairsAgainstIndex(
       idx, clipFrame(1), "clip_id", "vfp", k = 4, blocks = 6)
-    val nDocs = docs(s, dir).select(col("doc_id")).count()
     matches.agg(
         coalesce(sum(when(shiftright(col("id_index"), 1) ===
           shiftright(col("id_probe"), 1), 1L).otherwise(0L)), lit(0L))
@@ -4457,7 +4471,9 @@ object SparkEntry {
           shiftright(col("id_probe"), 1), 1L).otherwise(0L)), lit(0L))
           .as("n_cross_matches"))
       .crossJoin(idx.agg(count(lit(1)).as("n_indexed"))) // 1×1 attach
-      .select(lit(nDocs).as("n_docs"), col("n_indexed"),
+      // n_docs == n_indexed (exactly one base row lands per doc) —
+      // derived in-plan, not a separate corpus count job
+      .select(col("n_indexed").as("n_docs"), col("n_indexed"),
         col("n_twin_matches"), col("n_cross_matches"))
   }
 
@@ -4527,9 +4543,12 @@ object SparkEntry {
           .otherwise(0L)), lit(0L)).as("n_cross_pairs"),
         coalesce(sum(when(col("__doc_a") % 3 =!= col("__doc_b") % 3, 1L)
           .otherwise(0L)), lit(0L)).as("n_cross_modality"))
-    val nDocs = docs(s, dir).select(col("doc_id")).count()
+    // n_docs = n_media / 2 (exactly two variants per doc) — derived
+    // from the already-checkpointed stats frame instead of a separate
+    // corpus count job
     stats.crossJoin(pairStats) // 1×1 scalar attach
-      .select(lit(nDocs).as("n_docs"), col("n_media"),
+      .select((col("n_media") / 2).cast("long").as("n_docs"),
+        col("n_media"),
         col("n_modality_ok"), col("n_fp_parity"),
         col("n_twin_pairs"), col("n_cross_pairs"),
         col("n_cross_modality"))

@@ -58,9 +58,19 @@ object Multimodal {
       else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') Some("image/bmp")
       else None
 
-    private def decode(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    /** Full-decode counter (per-JVM, test observability only): the
+      * decode-once contract of [[mediaFingerprint]] is asserted against
+      * it — one atomic add per real `ImageIO` decode is noise next to
+      * the decode itself.
+      */
+    private[graft] val decodeCount =
+      new java.util.concurrent.atomic.AtomicLong(0L)
+
+    private def decode(b: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      decodeCount.incrementAndGet()
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
       catch { case _: Exception => None }
+    }
 
     /** Sniff-gated decode for sibling operators ([[luminanceGrid]]):
       * Some(pixels) only for a payload that both sniffs as and decodes
@@ -483,41 +493,53 @@ object Multimodal {
   def luminanceGrid(bytes: Array[Byte], g: Int): Array[Long] = {
     require(g >= 1 && g * g <= 64,
       s"grid must satisfy 1 <= g*g <= 64 for a 64-bit hash (got g=$g)")
+    ImageCodec.decodeImage(bytes) match {
+      case Some(img) => luminanceGridOf(img, g)
+      case None => byteHistogram(bytes, g * g)
+    }
+  }
+
+  /** The decoded-image half of [[luminanceGrid]] — split out so callers
+    * that already hold the decoded pixels ([[mediaFingerprint]]'s
+    * decode-once dispatch) never pay a second `ImageIO` decode.
+    */
+  private def luminanceGridOf(img: java.awt.image.BufferedImage,
+      g: Int): Array[Long] = {
     val cells = g * g
     val sums = new Array[Long](cells)
     val counts = new Array[Long](cells)
-    ImageCodec.decodeImage(bytes) match {
-      case Some(img) =>
-        val (w, h) = (img.getWidth, img.getHeight)
-        var y = 0
-        while (y < h) {
-          val row = y * g / h * g
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val lum = (299 * ((rgb >> 16) & 0xff) +
-              587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
-            val c = row + x * g / w
-            sums(c) += lum
-            counts(c) += 1
-            x += 1
-          }
-          y += 1
-        }
-        var j = 0
-        while (j < cells) {
-          sums(j) = if (counts(j) > 0) sums(j) / counts(j) else 0L
-          j += 1
-        }
-        sums
-      case None =>
-        var i = 0
-        while (i < bytes.length) {
-          sums((bytes(i) & 0xff) % cells) += 1L
-          i += 1
-        }
-        sums
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      val row = y * g / h * g
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (299 * ((rgb >> 16) & 0xff) +
+          587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+        val c = row + x * g / w
+        sums(c) += lum
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
     }
+    var j = 0
+    while (j < cells) {
+      sums(j) = if (counts(j) > 0) sums(j) / counts(j) else 0L
+      j += 1
+    }
+    sums
+  }
+
+  /** The shared opaque-payload fallback every envelope uses: an
+    * `n`-bucket byte histogram — total, deterministic, never throws.
+    */
+  private def byteHistogram(bytes: Array[Byte], n: Int): Array[Long] = {
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < bytes.length) { out((bytes(i) & 0xff) % n) += 1L; i += 1 }
+    out
   }
 
   /** Average-hash (aHash) of a [[luminanceGrid]]: bit i set iff
@@ -653,28 +675,29 @@ object Multimodal {
   def sizeWindows(bytes: Array[Byte], w: Int): Array[Long] = {
     require(w >= 1 && w <= 64,
       s"window count must satisfy 1 <= w <= 64 for a 64-bit hash (got $w)")
-    val out = new Array[Long](w)
     VideoCodec.sampleSizes(bytes) match {
-      case Some(s) if s.nonEmpty =>
-        var j = 0
-        while (j < w) {
-          val lo = (s.length.toLong * j / w).toInt
-          val hi = math.max((s.length.toLong * (j + 1) / w).toInt, lo + 1)
-          var acc = 0L
-          var i = lo
-          while (i < math.min(hi, s.length)) { acc += s(i); i += 1 }
-          out(j) = acc
-          j += 1
-        }
-        out
-      case _ =>
-        var i = 0
-        while (i < bytes.length) {
-          out((bytes(i) & 0xff) % w) += 1L
-          i += 1
-        }
-        out
+      case Some(s) if s.nonEmpty => windowSums(s, w)
+      case _ => byteHistogram(bytes, w)
     }
+  }
+
+  /** The parsed-table half of [[sizeWindows]] — split out so callers
+    * that already walked the `stsz` table ([[mediaFingerprint]]'s
+    * decode-once dispatch) never pay a second box walk.
+    */
+  private def windowSums(s: Array[Long], w: Int): Array[Long] = {
+    val out = new Array[Long](w)
+    var j = 0
+    while (j < w) {
+      val lo = (s.length.toLong * j / w).toInt
+      val hi = math.max((s.length.toLong * (j + 1) / w).toInt, lo + 1)
+      var acc = 0L
+      var i = lo
+      while (i < math.min(hi, s.length)) { acc += s(i); i += 1 }
+      out(j) = acc
+      j += 1
+    }
+    out
   }
 
   /** Column form of the video fingerprint: adds `size_windows`
@@ -701,11 +724,13 @@ object Multimodal {
       .withColumn("vfp", hashUdf(col("size_windows")))
   }
 
-  /** The per-row modality of a payload, by container sniff — the
-    * dispatch rule [[CompositeCodec]] uses, exposed for fingerprinting:
-    * `audio` (RIFF/AIFF/AU container), else `video` (ISO-BMFF `ftyp`),
-    * else `image` (decodable by `javax.imageio`), else `opaque`.
-    * Deterministic and total like every codec path.
+  /** The per-row modality of a payload — a REFINEMENT of (not identical
+    * to) the [[CompositeCodec]] dispatch rule, exposed for
+    * fingerprinting: `audio` (parseable RIFF/AIFF/AU header), else
+    * `video` (walkable ISO-BMFF metadata OR a parseable `stsz` sample
+    * table — two arms CompositeCodec does not have), else `image`
+    * (actually decodable by `javax.imageio`, not just sniffable), else
+    * `opaque`. Deterministic and total like every codec path.
     */
   def modalityOf(bytes: Array[Byte]): String =
     if (AudioCodec.meta(bytes)._1 != "application/octet-stream") "audio"
@@ -733,40 +758,64 @@ object Multimodal {
     * loudness envelope share no geometry), so near-dup pairing keeps
     * only equal-`modality` pairs out of the banding — the
     * `q_media_dedup_mixed` gate pins that rule. Adds `modality`
-    * (string), `media_windows`
-    * (array<bigint>) and `mfp` (bigint); null payloads yield null
-    * windows/hash with modality `opaque`-less null. Narrow, no
-    * shuffle, closure UDFs.
+    * (string), `media_windows` (array<bigint>) and `mfp` (bigint); a
+    * null payload yields null for all three (standard column
+    * semantics). Narrow, no shuffle, closure UDFs — classification and
+    * envelope come from ONE decode per row
+    * ([[mediaModalityWindows]]; decode-once is spec-asserted against
+    * the real ImageIO decode counter).
     */
+  /** [[modalityOf]] and the modality's 64-slot envelope in ONE decode —
+    * the fused per-row body behind [[mediaFingerprint]]. The split
+    * modality-then-windows UDF pair decoded image payloads TWICE
+    * (classification decode + grid decode) and walked every MP4 box
+    * tree twice (`sampleSizes` for dispatch, again for the envelope) —
+    * the dominant per-row cost on an image/video-heavy lake. Identical
+    * dispatch rule and identical windows to the split form on every
+    * payload (spec-pinned).
+    */
+  private[graft] def mediaModalityWindows(b: Array[Byte], w: Int,
+      g: Int): (String, Array[Long]) =
+    if (AudioCodec.meta(b)._1 != "application/octet-stream")
+      // header-only classification; the one PCM decode is in the
+      // envelope (energyWindows re-sniffs the 12 magic bytes only)
+      ("audio", energyWindows(b, w))
+    else {
+      // walk the stsz table ONCE for dispatch + envelope alike
+      val ss = VideoCodec.sampleSizes(b)
+      if (VideoCodec.meta(b)._1 != "application/octet-stream" ||
+          ss.nonEmpty)
+        ("video", ss match {
+          case Some(s) if s.nonEmpty => windowSums(s, w)
+          case _ => byteHistogram(b, w)
+        })
+      else ImageCodec.decodeImage(b) match {
+        // decode ONCE, grid straight off the pixels
+        case Some(img) => ("image", luminanceGridOf(img, g))
+        case None => ("opaque", byteHistogram(b, w))
+      }
+    }
+
   def mediaFingerprint(df: DataFrame, payloadCol: String, w: Int = 64)
       : DataFrame = {
     val g = math.sqrt(w.toDouble).toInt
     require(g * g == w && w >= 1 && w <= 64,
       s"window count must be a square in [1, 64] for the unified " +
         s"image-grid path (got $w)")
-    val modUdf = udf((b: Array[Byte]) =>
-      if (b == null) null else modalityOf(b))
-    val winUdf = udf((b: Array[Byte], m: String) =>
-      if (b == null) null
-      else m match {
-        case "audio" => energyWindows(b, w)
-        case "video" => sizeWindows(b, w)
-        case "image" => luminanceGrid(b, g)
-        case _ =>
-          // the shared fallback, computed once here (energyWindows
-          // would re-sniff the container to reject it first)
-          val out = new Array[Long](w)
-          var i = 0
-          while (i < b.length) { out((b(i) & 0xff) % w) += 1L; i += 1 }
-          out
-      })
+    // ONE UDF computes (modality, windows) from ONE decode; the field
+    // extractions below collapse into the same projection, where
+    // whole-stage codegen's subexpression elimination evaluates the
+    // UDF once per row (plan- and count-asserted in the spec)
+    val mwUdf = udf((b: Array[Byte]) =>
+      if (b == null) null else mediaModalityWindows(b, w, g))
     val hashUdf = udf((ws: Seq[Long]) =>
       if (ws == null) null.asInstanceOf[java.lang.Long]
       else java.lang.Long.valueOf(averageHashOf(ws.toArray)))
-    df.withColumn("modality", modUdf(col(payloadCol)))
-      .withColumn("media_windows",
-        winUdf(col(payloadCol), col("modality")))
+    df.withColumn("__mw", mwUdf(col(payloadCol)))
+      .withColumn("modality", col("__mw._1"))
+      .withColumn("media_windows", col("__mw._2"))
       .withColumn("mfp", hashUdf(col("media_windows")))
+      .drop("__mw")
   }
 
   /** Partition-batched decode: the executor-side loop that amortises codec

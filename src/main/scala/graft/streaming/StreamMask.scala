@@ -1066,7 +1066,14 @@ object StreamMask {
         // modality, so the caller's landed index should carry
         // single-modality items or tolerate cross-modality misses —
         // chance band collisions are rejected by the Hamming verify
-        // like any far pair
+        // like any far pair. The square-grid constraint is validated
+        // HERE (mirroring the image arm) so a bad windows count fails
+        // at stream construction, not on the first trigger inside
+        // foreachBatch
+        val g = math.sqrt(windows.toDouble).toInt
+        require(g * g == windows,
+          s"mixed modality routes images through the g×g grid and " +
+            s"needs a square windows count (got $windows)")
         b => Multimodal.mediaFingerprint(b, payloadCol, windows)
           .select(col(idCol), col("mfp").as(hashCol))
       case other => throw new IllegalArgumentException(

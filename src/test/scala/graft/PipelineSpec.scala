@@ -3952,6 +3952,82 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("mediaFingerprint decode-once: fused dispatch == the split " +
+      "modality/envelope operators, and each image decodes exactly once") {
+    val s = spark
+    import s.implicits._
+    def png(shade: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        im.setRGB(x, y, if (((x + y + shade) % 3) == 0) 0x000000
+          else 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, "png", bos))
+      bos.toByteArray
+    }
+    def wav(): Array[Byte] = {
+      val n = 64
+      val out = new Array[Byte](44 + 2 * n)
+      def le32(off: Int, v: Int): Unit = (0 until 4).foreach(i =>
+        out(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+      def tag(off: Int, t: String): Unit =
+        (0 until 4).foreach(i => out(off + i) = t.charAt(i).toByte)
+      tag(0, "RIFF"); le32(4, 36 + 2 * n); tag(8, "WAVE")
+      tag(12, "fmt "); le32(16, 16); out(20) = 1; out(22) = 1
+      le32(24, 8000); le32(28, 16000); out(32) = 2; out(34) = 16
+      tag(36, "data"); le32(40, 2 * n)
+      (0 until n).foreach(i => out(44 + 2 * i) = (i * 3).toByte)
+      out
+    }
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8 + payload.length)
+        .putInt(8 + payload.length)
+        .put(typ.getBytes("ISO-8859-1")).put(payload).array()
+    def mp4(): Array[Byte] = {
+      val stsz = java.nio.ByteBuffer.allocate(12 + 4 * 16)
+        .putInt(0).putInt(0).putInt(16)
+      (0 until 16).foreach(i => stsz.putInt(10 + i))
+      box("ftyp", "isomiso2".getBytes("ISO-8859-1") ++
+        new Array[Byte](4)) ++
+        box("moov", box("trak", box("mdia", box("minf",
+          box("stbl", box("stsz", stsz.array()))))))
+    }
+    // edge shapes where fused dispatch could diverge from the split
+    // operators: a payload that SNIFFS as an image but cannot decode,
+    // and a RIFF header whose audio stream fails to parse
+    val pngCorrupt = png(0).take(24)
+    val riffCorrupt = "RIFF....WAVEgarbage".getBytes("ISO-8859-1")
+    val opaque = "neither image nor sound".getBytes("UTF-8")
+    val shapes = Seq(png(1), wav(), mp4(), pngCorrupt, riffCorrupt,
+      opaque)
+    shapes.foreach { b =>
+      val (m, ws) = Multimodal.mediaModalityWindows(b, 64, 8)
+      assert(m == Multimodal.modalityOf(b), s"dispatch drifted for $m")
+      val expect = m match {
+        case "audio" => Multimodal.energyWindows(b, 64)
+        case "video" => Multimodal.sizeWindows(b, 64)
+        case "image" => Multimodal.luminanceGrid(b, 8)
+        case _ => Multimodal.sizeWindows(b, 64) // shared byte histogram
+      }
+      assert(ws.toSeq == expect.toSeq, s"windows drifted for $m")
+    }
+    // decode-once: the three consumers of the fused struct (modality,
+    // windows, hash) must share ONE evaluation per row — whole-stage
+    // codegen subexpression elimination, asserted against the REAL
+    // ImageIO decode counter, not the plan text
+    val n = 64
+    val df = (1 to n).map(i => (i.toLong, png(i))).toDF("id", "payload")
+    val before = Multimodal.ImageCodec.decodeCount.get()
+    val got = Multimodal.mediaFingerprint(df, "payload")
+      .select("id", "modality", "media_windows", "mfp").collect()
+    val decodes = Multimodal.ImageCodec.decodeCount.get() - before
+    assert(got.length == n && got.forall(_.getString(1) == "image"))
+    assert(decodes == n,
+      s"expected $n image decodes (one per row), saw $decodes - the " +
+        "fused fingerprint UDF is being re-evaluated per consumer")
+  }
+
   test("audio decode: real WAV sample rate, channels, frames, RMS envelope") {
     val s = spark
     import s.implicits._
