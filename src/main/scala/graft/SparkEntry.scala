@@ -871,6 +871,25 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     fanOutScan(t(s, dir, "documents"))
 
+  /** The documents scan WITHOUT the fan-out — for the advertised
+    * scan-speed narrow paths (q_sample/q_quantize/q_subword/q_lang_id/
+    * q_quality/q_multimodal_meta, plan-pinned to at most the
+    * presentation sort's one shuffle in MiscOpsSpec): their per-row
+    * work is codegen-cheap, so a fan-out shuffle would be pure cost at
+    * every scale.
+    */
+  private def docsNarrow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+
+  /** Embeddings scan, deliberately NOT fanned out: the vector family's
+    * operators run many small actions (k-means rounds, centroid and
+    * recluster collects) over this frame, and an added exchange ahead
+    * of each action cost more than the widened scan bought (measured:
+    * q_ivf_recluster_2l 4.8 s -> 11.6 s with the fan-out, reverted).
+    */
+  private def embeds(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+
   /** Z-order (Morton) key over two lineitem dimensions
     * ([[graft.pipeline.Layout.zorder]]) — the clustering key behind
     * multi-dimensional data layout. Pure codegen bit arithmetic, and
@@ -1231,14 +1250,14 @@ object SparkEntry {
     * Both are pure regex Column expressions: scan-speed, no shuffle.
     */
   private def qSubword(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
+    docsNarrow(s, dir).select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
         TextOps.subwordCount(col("text")).as("n_subwords"))
       .orderBy("doc_id")
 
   /** Stop-word-profile language ID (n-gram heuristic). */
   private def qLangId(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
+    docsNarrow(s, dir).select(col("doc_id"),
         TextOps.langHits(col("text"), TextOps.langProfiles("de")).as("de_hits"),
         TextOps.langHits(col("text"), TextOps.langProfiles("en")).as("en_hits"),
         TextOps.langHits(col("text"), TextOps.langProfiles("es")).as("es_hits"),
@@ -1247,7 +1266,7 @@ object SparkEntry {
 
   /** Document quality features + composite score. */
   private def qQuality(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
+    docsNarrow(s, dir).select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
         TextOps.stopwordHits(col("text")).as("stop_hits"),
         TextOps.punctCount(col("text")).as("n_punct"),
@@ -1865,14 +1884,14 @@ object SparkEntry {
   }
 
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
-    t(s, dir, "embeddings").filter(col("vec_id") === 0)
+    embeds(s, dir).filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0)
 
   /** Brute-force cosine top-10 against the vec_id=0 query vector — narrow
     * scan + TakeOrdered, the ANN correctness baseline.
     */
   private def qSimTopk(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val e = embeds(s, dir).filter(col("vec_id") =!= 0)
     Similarity.cosineTopK(e, "vec_id", "embedding", queryVec(s, dir), 10)
       .select("vec_id", "label", "cosine")
   }
@@ -1881,7 +1900,7 @@ object SparkEntry {
     * 4-coordinate sign bands with the query are scored.
     */
   private def qSimLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val e = embeds(s, dir).filter(col("vec_id") =!= 0)
     Similarity.signBandTopK(e, "vec_id", "embedding", queryVec(s, dir), 10)
       .select("vec_id", "label", "cosine")
   }
@@ -1891,7 +1910,7 @@ object SparkEntry {
     * probed cells — see [[graft.pipeline.Similarity.ivfTopK]].
     */
   private def qSimIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val e = embeds(s, dir).filter(col("vec_id") =!= 0)
     Similarity.ivfTopK(e, "vec_id", "embedding", queryVec(s, dir), 10)
       .select("vec_id", "label", "cosine")
   }
@@ -1907,7 +1926,7 @@ object SparkEntry {
     * gate, not just the specs.
     */
   private def qSimIvfAppend(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val e = embeds(s, dir).filter(col("vec_id") =!= 0)
     val path = scratchDir("q-sim-ivf-append")
     Similarity.writeIvfIndex(
       Similarity.buildIvfIndex(e.filter(col("vec_id") % 2 === 0),
@@ -1934,7 +1953,7 @@ object SparkEntry {
     * default is > 0, since a re-cluster run exists to fix balance).
     */
   private def qIvfRecluster(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val e = embeds(s, dir).filter(col("vec_id") =!= 0)
     val path = scratchDir("q-ivf-recluster")
     Similarity.writeIvfIndex(
       Similarity.buildIvfIndex(e, "vec_id", "embedding"), path)
@@ -1961,7 +1980,7 @@ object SparkEntry {
     * dropped the grouping, or drifted one assignment reds the row.
     */
   private def qIvfRecluster2l(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val e = embeds(s, dir).filter(col("vec_id") =!= 0)
     val path = scratchDir("q-ivf-recluster-2l")
     Similarity.writeIvfIndex(
       Similarity.buildIvfIndex(e, "vec_id", "embedding"), path)
@@ -1981,7 +2000,7 @@ object SparkEntry {
     * probe stage and [[qSimTopk]] the exact baseline.
     */
   private def qPq(s: SparkSession, dir: String): DataFrame = {
-    val corpus = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val corpus = embeds(s, dir).filter(col("vec_id") =!= 0)
     val cb = Pq.train(corpus, "vec_id", "embedding", m = 8, k = 16,
       iters = 0)
     val coded = corpus.withColumn("codes",
@@ -2001,7 +2020,7 @@ object SparkEntry {
     * the composed recall path, not just the [[qSimIvf]] equality case.
     */
   private def qIvfPq(s: SparkSession, dir: String): DataFrame = {
-    val corpus = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val corpus = embeds(s, dir).filter(col("vec_id") =!= 0)
     val idx = Similarity.buildIvfIndex(corpus, "vec_id", "embedding", 16)
     val cb = Pq.train(corpus, "vec_id", "embedding", m = 8, k = 16,
       iters = 0)
@@ -2024,7 +2043,7 @@ object SparkEntry {
     * odd row is value-checked too.
     */
   private def qIvfPqAppend(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val e = embeds(s, dir).filter(col("vec_id") =!= 0)
     val even = e.filter(col("vec_id") % 2 === 0)
     val path = scratchDir("q-ivf-pq-append")
     Similarity.writeIvfPqIndex(
@@ -2045,7 +2064,7 @@ object SparkEntry {
     * equi-join, per-query top-5 via a query-id window.
     */
   private def qSimIvfBatch(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
+    val e = embeds(s, dir)
     val corpus = e.filter(col("vec_id") >= 3)
     val queries = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding"))
@@ -2064,7 +2083,7 @@ object SparkEntry {
     * themselves — not just the result sets — are pinned cross-engine.
     */
   private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
+    val e = embeds(s, dir)
     val corpus = e.filter(col("vec_id") >= 3)
     val queries = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding"))
@@ -2090,7 +2109,7 @@ object SparkEntry {
     * cross-engine.
     */
   private def qAnnRecall2l(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
+    val e = embeds(s, dir)
     val corpus = e.filter(col("vec_id") >= 3)
     val queries = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding"))
@@ -2130,7 +2149,7 @@ object SparkEntry {
     * q_sim_ivf_batch).
     */
   private def qIvfPqBatch(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
+    val e = embeds(s, dir)
     val corpus = e.filter(col("vec_id") >= 3)
     val queries = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding"))
@@ -2156,7 +2175,7 @@ object SparkEntry {
     * quantization.
     */
   private def qIvfInt8(s: SparkSession, dir: String): DataFrame = {
-    val corpus = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val corpus = embeds(s, dir).filter(col("vec_id") =!= 0)
     val idx = Similarity.buildIvfIndex(corpus, "vec_id", "embedding", 16)
     Similarity.queryIvfInt8(Similarity.int8Index(idx), queryVec(s, dir),
         k = 10, nProbe = 2)
@@ -2173,7 +2192,7 @@ object SparkEntry {
     * transform sit under the value gate.
     */
   private def qIvfInt8Append(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val e = embeds(s, dir).filter(col("vec_id") =!= 0)
     val path = scratchDir("q-ivf-int8-append")
     Similarity.writeIvfInt8Index(
       Similarity.buildIvfIndex(e.filter(col("vec_id") % 2 === 0),
@@ -2193,7 +2212,7 @@ object SparkEntry {
     * split and tie rules as q_sim_ivf_batch.
     */
   private def qIvfInt8Batch(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
+    val e = embeds(s, dir)
     val corpus = e.filter(col("vec_id") >= 3)
     val queries = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding"))
@@ -2208,7 +2227,7 @@ object SparkEntry {
     * cosine ≥ 0.45 — the bucketed (never n²) self-join shape.
     */
   private def qEmbedDedup(s: SparkSession, dir: String): DataFrame =
-    Similarity.nearDuplicateVectors(t(s, dir, "embeddings"), "vec_id",
+    Similarity.nearDuplicateVectors(embeds(s, dir), "vec_id",
         "embedding", 0.45)
       .orderBy("id_a", "id_b")
 
@@ -2219,7 +2238,7 @@ object SparkEntry {
     * a pair crossing cells, or one ulp of cosine drift reds a row.
     */
   private def qSemdedupPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.semDeDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+    Dedup.semDeDupPairs(embeds(s, dir), "vec_id", "embedding",
         threshold = 0.3)
       .select(col("cell").cast("bigint").as("cell"), col("id_a"),
         col("id_b"), col("cosine"))
@@ -2236,7 +2255,7 @@ object SparkEntry {
     * paths execute.
     */
   private def qSemdedup(s: SparkSession, dir: String): DataFrame =
-    Dedup.semDeDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+    Dedup.semDeDup(embeds(s, dir), "vec_id", "embedding",
         threshold = 0.3)
       .select("vec_id", "label")
       .orderBy("vec_id")
@@ -2253,7 +2272,7 @@ object SparkEntry {
     * cell balance outranks seed reproducibility).
     */
   private def qSemdedupAuto(s: SparkSession, dir: String): DataFrame =
-    Dedup.semDeDupAuto(t(s, dir, "embeddings"), "vec_id", "embedding",
+    Dedup.semDeDupAuto(embeds(s, dir), "vec_id", "embedding",
         threshold = 0.3, targetCell = 24, kmeansIters = 0)
       .select("vec_id", "label")
       .orderBy("vec_id")
@@ -2274,7 +2293,7 @@ object SparkEntry {
     * the row.
     */
   private def qSemdedup2l(s: SparkSession, dir: String): DataFrame =
-    Dedup.semDeDupTwoLevel(t(s, dir, "embeddings"), "vec_id",
+    Dedup.semDeDupTwoLevel(embeds(s, dir), "vec_id",
         "embedding", threshold = 0.3, targetCell = 24)
       .select("vec_id", "label")
       .orderBy("vec_id")
@@ -2297,7 +2316,7 @@ object SparkEntry {
     * cosine drift reds the row.
     */
   private def qSemdedup2lIncr(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
+    val e = embeds(s, dir)
     val even = e.filter(col("vec_id") % 2 === 0)
       .select("vec_id", "embedding")
     val path = scratchDir("q-semdedup-2l-incr")
@@ -2326,7 +2345,7 @@ object SparkEntry {
   private def qSemdedupBest(s: SparkSession, dir: String): DataFrame = {
     val q = docs(s, dir).select(col("doc_id").as("vec_id"),
       TextOps.qualityScore(col("text")).as("quality"))
-    Dedup.semDeDupKeepBest(t(s, dir, "embeddings").join(q, "vec_id"),
+    Dedup.semDeDupKeepBest(embeds(s, dir).join(q, "vec_id"),
         "vec_id", "embedding", "quality", threshold = 0.3)
       .select("vec_id", "label")
       .orderBy("vec_id")
@@ -2341,7 +2360,7 @@ object SparkEntry {
     * a cosine ulp reds a row. The q_dedup_incr story for embeddings.
     */
   private def qSemdedupIncr(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
+    val e = embeds(s, dir)
     val idx = Similarity.buildIvfIndex(
       e.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding"),
       "vec_id", "embedding", 16)
@@ -2367,7 +2386,7 @@ object SparkEntry {
     val kept = d
       .withColumn("quality", TextOps.qualityScore(col("text")))
       .filter(col("quality") >= 0.3)
-    val emb = t(s, dir, "embeddings")
+    val emb = embeds(s, dir)
       .join(kept.select(col("doc_id").as("vec_id")), "vec_id")
     Dedup.semDeDup(emb, "vec_id", "embedding", threshold = 0.3)
       .select(col("vec_id").as("doc_id"))
@@ -2383,7 +2402,7 @@ object SparkEntry {
     */
   private def qSample(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Sampling.stratifiedHashSample(
-        docs(s, dir).select("doc_id", "lang"),
+        docsNarrow(s, dir).select("doc_id", "lang"),
         key = col("doc_id"), stratum = col("lang"),
         rates = Map("en" -> 0.5, "es" -> 1.0, "de" -> 0.25),
         defaultRate = 0.1)
@@ -2846,7 +2865,7 @@ object SparkEntry {
     */
   private def qClusterMix(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.{Sampling, Similarity}
-    val idx = Similarity.buildIvfIndex(t(s, dir, "embeddings"),
+    val idx = Similarity.buildIvfIndex(embeds(s, dir),
       "vec_id", "embedding", 16)
     val assigned = idx.assigned.select(col("vec_id").as("doc_id"),
       concat(lit("cell_"), col("__cell").cast("string")).as("domain"))
@@ -3056,7 +3075,7 @@ object SparkEntry {
   private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.{Bm25, Hybrid}
     val d = docs(s, dir)
-    val e = t(s, dir, "embeddings")
+    val e = embeds(s, dir)
     val q = d.filter(col("doc_id").isin(hybridQids: _*))
       .select(col("doc_id").as("qid"), col("text").as("qtext"))
     val lex = Bm25.queryTopKBatch(d, "doc_id", "text", q, "qid",
@@ -3090,7 +3109,7 @@ object SparkEntry {
     import graft.pipeline.{Bm25, Hybrid}
     import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
-    val e = t(s, dir, "embeddings")
+    val e = embeds(s, dir)
     val path = scratchDir("q-hybrid-index")
     Bm25.writeBm25Index(d, "doc_id", "text", s"$path/bm25", buckets = 16)
     val q = d.filter(col("doc_id").isin(hybridQids: _*))
@@ -3896,7 +3915,7 @@ object SparkEntry {
     * shuffle; scalar outputs so the driver can hash them.
     */
   private def qQuantize(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings")
+    embeds(s, dir)
       .select(col("vec_id"), col("embedding"),
         Similarity.int8Scale(col("embedding")).as("scale"))
       .select(col("vec_id"), col("scale"),
@@ -3917,7 +3936,7 @@ object SparkEntry {
     */
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
     val payload = Multimodal.payloadOf(col("text"))
-    docs(s, dir).select(
+    docsNarrow(s, dir).select(
         col("doc_id") +: Multimodal.metaColumns(payload)
           :+ md5(payload).as("payload_md5"): _*)
       .orderBy("doc_id")
