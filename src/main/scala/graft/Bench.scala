@@ -163,19 +163,25 @@ object Bench {
     // round commit tracks, so round-over-round comparison covers every
     // query, not the ~38 the driver's tail capture keeps.
     if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty) {
-      val stamped = sys.env.get("SPARK_GRAFT_ROUND") match {
-        case Some(r) => s"bench_r${r}_full.json"
-        case None => "bench_full_history.jsonl"
-      }
-      try java.nio.file.Files.write(java.nio.file.Paths.get(stamped),
-        (line + "\n").getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE,
-        if (stamped.endsWith(".jsonl"))
-          java.nio.file.StandardOpenOption.APPEND
-        else java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
-      catch { case e: Throwable =>
-        System.err.println(
-          s"[bench] could not write $stamped: ${e.getMessage}")
+      // every full run appends to the history file (round-over-round
+      // per-query comparison must not depend on which env vars a given
+      // run had — VERDICT r20 found exactly one history line after two
+      // rounds), and a round-stamped copy additionally lands when the
+      // driver exports SPARK_GRAFT_ROUND
+      val targets = "bench_full_history.jsonl" ::
+        sys.env.get("SPARK_GRAFT_ROUND")
+          .map(r => s"bench_r${r}_full.json").toList
+      targets.foreach { stamped =>
+        try java.nio.file.Files.write(java.nio.file.Paths.get(stamped),
+          (line + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          if (stamped.endsWith(".jsonl"))
+            java.nio.file.StandardOpenOption.APPEND
+          else java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+        catch { case e: Throwable =>
+          System.err.println(
+            s"[bench] could not write $stamped: ${e.getMessage}")
+        }
       }
     }
     // The driver lifts only the last ~2000 stdout bytes, so the full
