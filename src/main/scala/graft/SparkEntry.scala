@@ -3111,16 +3111,32 @@ object SparkEntry {
     val d = docs(s, dir)
     val e = embeds(s, dir)
     val path = scratchDir("q-hybrid-index")
-    Bm25.writeBm25Index(d, "doc_id", "text", s"$path/bm25", buckets = 16)
+    // the two tier builds are INDEPENDENT (different source tables,
+    // different output dirs) — submit them from two driver threads so
+    // the second build's tasks back-fill executors freed by the first
+    // build's tail (guide §2.6: actions are only sequential because
+    // the driver calls them sequentially); results are unchanged, the
+    // serving plans below read both finished layouts
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val bm25Build = Future {
+      Bm25.writeBm25Index(d, "doc_id", "text", s"$path/bm25",
+        buckets = 16)
+    }
+    val ivfBuild = Future {
+      Similarity.writeIvfIndex(
+        Similarity.buildIvfIndex(e, "vec_id", "embedding", 16),
+        s"$path/ivf")
+    }
+    Await.result(bm25Build, Duration.Inf)
+    Await.result(ivfBuild, Duration.Inf)
     val q = d.filter(col("doc_id").isin(hybridQids: _*))
       .select(col("doc_id").as("qid"), col("text").as("qtext"))
     val lex = Bm25.queryIndexTopKBatch(
         Bm25.loadBm25Index(s, s"$path/bm25"), q, "qid", "qtext",
         hybridK)
       .select(col("qid"), col("doc_id").as("id"), col("rank"))
-    Similarity.writeIvfIndex(
-      Similarity.buildIvfIndex(e, "vec_id", "embedding", 16),
-      s"$path/ivf")
     val qv = e.filter(col("vec_id").isin(hybridQids: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val w = Window.partitionBy("qid")

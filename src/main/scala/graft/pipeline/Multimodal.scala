@@ -607,20 +607,7 @@ object Multimodal {
     val out = new Array[Long](w)
     (if (AudioCodec.isAudioContainer(bytes)) AudioCodec.pcm16(bytes)
      else None) match {
-      case Some(s) if s.nonEmpty =>
-        var j = 0
-        while (j < w) {
-          val lo = (s.length.toLong * j / w).toInt
-          val hi = math.max((s.length.toLong * (j + 1) / w).toInt, lo + 1)
-          var acc = 0L
-          var i = lo
-          while (i < math.min(hi, s.length)) {
-            acc += s(i).toLong * s(i); i += 1
-          }
-          out(j) = acc
-          j += 1
-        }
-        out
+      case Some(s) if s.nonEmpty => energiesOf(s, w)
       case _ =>
         var i = 0
         while (i < bytes.length) {
@@ -629,6 +616,29 @@ object Multimodal {
         }
         out
     }
+  }
+
+  /** The decoded-PCM half of [[energyWindows]] — split out so callers
+    * that already hold the samples ([[mediaFingerprint]]'s decode-once
+    * dispatch) never pay a second `javax.sound` stream-open (the
+    * per-call `AudioSystem` SPI lookup is the measured cost leader of
+    * every audio row).
+    */
+  private def energiesOf(s: Array[Int], w: Int): Array[Long] = {
+    val out = new Array[Long](w)
+    var j = 0
+    while (j < w) {
+      val lo = (s.length.toLong * j / w).toInt
+      val hi = math.max((s.length.toLong * (j + 1) / w).toInt, lo + 1)
+      var acc = 0L
+      var i = lo
+      while (i < math.min(hi, s.length)) {
+        acc += s(i).toLong * s(i); i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    out
   }
 
   /** Column form of the audio fingerprint: adds `energy_windows`
@@ -775,26 +785,41 @@ object Multimodal {
     * payload (spec-pinned).
     */
   private[graft] def mediaModalityWindows(b: Array[Byte], w: Int,
-      g: Int): (String, Array[Long]) =
-    if (AudioCodec.meta(b)._1 != "application/octet-stream")
-      // header-only classification; the one PCM decode is in the
-      // envelope (energyWindows re-sniffs the 12 magic bytes only)
-      ("audio", energyWindows(b, w))
-    else {
-      // walk the stsz table ONCE for dispatch + envelope alike
-      val ss = VideoCodec.sampleSizes(b)
-      if (VideoCodec.meta(b)._1 != "application/octet-stream" ||
-          ss.nonEmpty)
-        ("video", ss match {
-          case Some(s) if s.nonEmpty => windowSums(s, w)
-          case _ => byteHistogram(b, w)
-        })
-      else ImageCodec.decodeImage(b) match {
-        // decode ONCE, grid straight off the pixels
-        case Some(img) => ("image", luminanceGridOf(img, g))
-        case None => ("opaque", byteHistogram(b, w))
-      }
+      g: Int): (String, Array[Long]) = {
+    // audio: ONE javax.sound stream-open — decode the PCM first and
+    // classify from its success (a successful decode implies the header
+    // parse modalityOf tests); only the rare opens-but-unreadable
+    // payload falls back to the header-only classification. The split
+    // form paid TWO SPI stream-opens per audio row (classify + decode),
+    // and the AudioSystem SPI lookup is the measured cost leader of
+    // every audio-bearing corpus.
+    val audioDecoded =
+      if (AudioCodec.isAudioContainer(b)) AudioCodec.pcm16(b) else None
+    audioDecoded match {
+      case Some(s) =>
+        ("audio", if (s.nonEmpty) energiesOf(s, w) else byteHistogram(b, w))
+      case None if AudioCodec.isAudioContainer(b) &&
+          AudioCodec.meta(b)._1 != "application/octet-stream" =>
+        // stream opens (header parses) but the PCM read fails — the
+        // split form's exact dispatch/envelope for this edge
+        ("audio", byteHistogram(b, w))
+      case _ =>
+        // walk the stsz table ONCE for dispatch + envelope alike; the
+        // cheap walk result short-circuits ahead of the metadata walk
+        val ss = VideoCodec.sampleSizes(b)
+        if (ss.nonEmpty ||
+            VideoCodec.meta(b)._1 != "application/octet-stream")
+          ("video", ss match {
+            case Some(s) if s.nonEmpty => windowSums(s, w)
+            case _ => byteHistogram(b, w)
+          })
+        else ImageCodec.decodeImage(b) match {
+          // decode ONCE, grid straight off the pixels
+          case Some(img) => ("image", luminanceGridOf(img, g))
+          case None => ("opaque", byteHistogram(b, w))
+        }
     }
+  }
 
   def mediaFingerprint(df: DataFrame, payloadCol: String, w: Int = 64)
       : DataFrame = {
