@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout must pass through UNPREFIXED: sbt's default
+// LoggedOutput strategy tags every line "[info] ", so no stdout line
+// starts with '{' and the driver's JSON-line lift of the bench output
+// parsed null for 21 straight rounds (BENCH_r21.json "tail" shows the
+// compact summary line arriving as `[info] {"metric":...}`).
+run / outputStrategy := Some(StdoutOutput)
+// ... and the bench JSON must stay the LAST stdout line: suppress the
+// trailing "[success] Total time: ..." banner.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

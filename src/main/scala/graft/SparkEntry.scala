@@ -865,18 +865,29 @@ object SparkEntry {
     */
   private def fanOutScan(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length < p) df.repartition(p) else df
+    // guard on the scan's REAL split count, not its file count: parquet
+    // files split by row group / maxPartitionBytes, so one 100 GB file
+    // already scans as ~800 tasks — file count would see "1 < cores"
+    // and inject a full payload shuffle on exactly the input that needs
+    // none (VERDICT r21 "What's wrong" §1). getNumPartitions plans the
+    // scan RDD (driver-side only, no job) and returns the true split
+    // count; at real corpus scale (splits >= cores) this is a no-op.
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     fanOutScan(t(s, dir, "documents"))
 
-  /** The documents scan WITHOUT the fan-out — for the advertised
+  /** The documents scan WITHOUT the fan-out — for (a) the advertised
     * scan-speed narrow paths (q_sample/q_quantize/q_subword/q_lang_id/
     * q_quality/q_multimodal_meta, plan-pinned to at most the
-    * presentation sort's one shuffle in MiscOpsSpec): their per-row
-    * work is codegen-cheap, so a fan-out shuffle would be pure cost at
-    * every scale.
+    * presentation sort's one shuffle in MiscOpsSpec), and (b) the
+    * consumers where the r21 fan-out was a MEASURED net loss (the ~25
+    * queries that regressed >1.25x vs the same-host r21 baseline —
+    * bench_full_history.jsonl lines 1 vs 2): their per-row work is
+    * codegen-cheap (split/NFC/tokenize-count/bloom-probe/exact-hash),
+    * so the added exchange of the document payload cost more than the
+    * widened stage bought at every benchable SF.
     */
   private def docsNarrow(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -984,7 +995,7 @@ object SparkEntry {
     * actually exercised. One hash-partitioned aggregate — the 100 TB shape.
     */
   private def qDedupExact(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+    val d = docsNarrow(s, dir)
     val withDups = d.unionAll(d.filter(col("doc_id") % 50 === 0))
     Dedup.exactGroups(withDups, "doc_id", "text").orderBy("content_hash")
   }
@@ -1000,7 +1011,7 @@ object SparkEntry {
     * max-score cut and the min-id tie-break.
     */
   private def qDedupExactBest(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select("doc_id", "source", "text")
+    val d = docsNarrow(s, dir).select("doc_id", "source", "text")
     val mirror = d.filter(col("doc_id") % 50 === 0)
       .select((col("doc_id") + lit(10000000L)).as("doc_id"),
         lit("mirror").as("source"), col("text"))
@@ -1053,7 +1064,7 @@ object SparkEntry {
     * the pages and the dedup and compares cleaned text byte-for-byte.
     */
   private def qLineDedup(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+    val d = docsNarrow(s, dir)
     val members = d
       .select((col("doc_id") % 25).as("page_id"), col("doc_id"),
         col("text"))
@@ -1156,7 +1167,7 @@ object SparkEntry {
       .orderBy("doc_id")
 
   private def qC4Rules(s: SparkSession, dir: String): DataFrame = {
-    val pages = docs(s, dir)
+    val pages = docsNarrow(s, dir)
       .select((col("doc_id") % 25).as("page_id"), col("doc_id"),
         c4FixtureLine.as("line"))
       .groupBy("page_id")
@@ -1187,10 +1198,10 @@ object SparkEntry {
     * byte-for-byte.
     */
   private def qC4Ccnet(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir)
+    val base = docsNarrow(s, dir)
       .select((col("doc_id") % 25).as("page_id"), col("doc_id"),
         c4FixtureLine.as("line"))
-    val guests = docs(s, dir).filter(col("doc_id") % 10 === 3)
+    val guests = docsNarrow(s, dir).filter(col("doc_id") % 10 === 3)
       .select(((col("doc_id") + 1) % 25).as("page_id"), col("doc_id"),
         c4FixtureLine.as("line"))
     val pages = base.unionAll(guests)
@@ -1217,7 +1228,7 @@ object SparkEntry {
     * verify ≥ 0.8. No cartesian stage (see [[graft.pipeline.Dedup]]).
     */
   private def qDedupNear(s: SparkSession, dir: String): DataFrame =
-    Dedup.nearDuplicatePairs(docs(s, dir), "doc_id", "text", 0.8)
+    Dedup.nearDuplicatePairs(docsNarrow(s, dir), "doc_id", "text", 0.8)
       .orderBy("id_a", "id_b")
 
   /** Near-dup clusters: the verified pair graph collapsed to connected
@@ -1300,7 +1311,7 @@ object SparkEntry {
     * see [[graft.pipeline.Dedup.crossCorpusOverlap]].
     */
   private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+    val d = docsNarrow(s, dir)
     Dedup.crossCorpusOverlap(
         d.filter(col("doc_id") % 10 =!= 0),
         d.filter(col("doc_id") % 10 === 0),
@@ -1320,7 +1331,7 @@ object SparkEntry {
     * rows from being copies of one another.
     */
   private def qDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+    val d = docsNarrow(s, dir)
     Dedup.bloomDecontaminate(
         d.filter(col("doc_id") % 10 =!= 0),
         d.filter(col("doc_id") % 10 === 0),
@@ -1351,7 +1362,7 @@ object SparkEntry {
 
   /** Corpus vocabulary table: occurrences + document frequency per token. */
   private def qVocab(s: SparkSession, dir: String): DataFrame =
-    TextOps.termFrequencies(docs(s, dir), "doc_id", "text")
+    TextOps.termFrequencies(docsNarrow(s, dir), "doc_id", "text")
       .orderBy(col("n_docs").desc, col("token"))
       .limit(20)
 
@@ -1422,7 +1433,7 @@ object SparkEntry {
 
   /** Per-document top tf·idf keyword (linear idf — engine-exact doubles). */
   private def qTfidf(s: SparkSession, dir: String): DataFrame =
-    TextOps.topKeywords(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    TextOps.topKeywords(docsNarrow(s, dir), "doc_id", "text").orderBy("doc_id")
 
   /** Bottom-k sketch fingerprint per document. */
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -1565,7 +1576,7 @@ object SparkEntry {
   private def qPackChunks(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Packing.chunkSpans(
         graft.pipeline.Packing.packByOffset(
-          docs(s, dir).select("doc_id", "lang", "text"),
+          docsNarrow(s, dir).select("doc_id", "lang", "text"),
           "lang", "doc_id", TextOps.tokenCount(col("text")), 256),
         256)
       .select("doc_id", "lang", "piece_bin", "doc_from", "piece_tokens")
@@ -1583,7 +1594,7 @@ object SparkEntry {
     graft.pipeline.Packing.binBoundaries(
         graft.pipeline.Packing.chunkSpans(
           graft.pipeline.Packing.packByOffset(
-            docs(s, dir).select("doc_id", "lang", "text"),
+            docsNarrow(s, dir).select("doc_id", "lang", "text"),
             "lang", "doc_id", TextOps.tokenCount(col("text")), 256),
           256),
         "lang", "doc_id")
@@ -1677,7 +1688,7 @@ object SparkEntry {
     // combining acute; composed = U+00E9
     val decorated = concat(col("text"), lit(" caf"), lit("e\u0301"),
       lit(" caf\u00e9"))
-    docs(s, dir).select(col("doc_id"),
+    docsNarrow(s, dir).select(col("doc_id"),
       length(decorated).cast("bigint").as("len_raw"),
       TextOps.nfcNormalize(decorated).as("nfc"),
       length(TextOps.nfcNormalize(decorated)).cast("bigint").as("len_nfc"))
@@ -1756,7 +1767,7 @@ object SparkEntry {
     * and DuckDB re-derives the frame bit-for-bit.
     */
   private def qLengthBuckets(s: SparkSession, dir: String): DataFrame =
-    graft.pipeline.Packing.lengthBuckets(docs(s, dir),
+    graft.pipeline.Packing.lengthBuckets(docsNarrow(s, dir),
         TextOps.tokenCount(col("text")))
       .orderBy("cap")
 
@@ -2441,7 +2452,7 @@ object SparkEntry {
     */
   private def qSplit(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Sampling.splitAssign(
-        docs(s, dir).select("doc_id", "lang"), col("doc_id"), splitSpec)
+        docsNarrow(s, dir).select("doc_id", "lang"), col("doc_id"), splitSpec)
       .orderBy("doc_id")
 
   /** `q_lm_model`'s cap — below the fixture corpus's trigram-type
@@ -2930,7 +2941,7 @@ object SparkEntry {
     */
   private def qBm25Stats(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.Bm25
-    val d = docs(s, dir)
+    val d = docsNarrow(s, dir)
     val tf = Bm25.termFrequencies(d, "doc_id", "text",
       Bm25.queryTerms(bm25Query))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -3129,7 +3140,11 @@ object SparkEntry {
         Similarity.buildIvfIndex(e, "vec_id", "embedding", 16),
         s"$path/ivf")
     }
-    Await.result(bm25Build, Duration.Inf)
+    // join BOTH builds even when one throws: awaiting sequentially
+    // would propagate the first failure while the sibling keeps
+    // running detached (orphaned jobs, scratch writes racing a retry)
+    try Await.result(bm25Build, Duration.Inf)
+    finally Await.ready(ivfBuild, Duration.Inf)
     Await.result(ivfBuild, Duration.Inf)
     val q = d.filter(col("doc_id").isin(hybridQids: _*))
       .select(col("doc_id").as("qid"), col("text").as("qtext"))
@@ -3260,7 +3275,7 @@ object SparkEntry {
     */
   private def qMixDomains(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Sampling.sampleToMix(
-        docs(s, dir).select(col("doc_id"), col("lang"),
+        docsNarrow(s, dir).select(col("doc_id"), col("lang"),
           TextOps.tokenCount(col("text")).cast("bigint").as("n_tokens")),
         key = col("doc_id"), domainCol = "lang", tokens = col("n_tokens"),
         targets = mixTargets, budgetTokens = mixBudget)
@@ -3337,7 +3352,7 @@ object SparkEntry {
   private def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{Bpe, BpeTrainer}
     val pieces = Bpe.preTokenize(TextOps.normalize(col("text")))
-    val learned = BpeTrainer.train(docs(s, dir), pieces, bpeTrainMerges)
+    val learned = BpeTrainer.train(docsNarrow(s, dir), pieces, bpeTrainMerges)
     import s.implicits._
     learned.map(m => (m.rank.toLong, m.left, m.right, m.pairCount))
       .toDF("merge_rank", "lhs", "rhs", "pair_count")
@@ -3384,7 +3399,7 @@ object SparkEntry {
     import graft.functions.{Bpe, WordPieceTrainer}
     val pieces = Bpe.preTokenize(TextOps.normalize(col("text")))
     val learned =
-      WordPieceTrainer.train(docs(s, dir), pieces, wpTrainJoins)
+      WordPieceTrainer.train(docsNarrow(s, dir), pieces, wpTrainJoins)
     import s.implicits._
     learned.map(j => (j.rank.toLong, j.left, j.right, j.pairCount,
         j.leftCount, j.rightCount))
@@ -3628,7 +3643,7 @@ object SparkEntry {
   private def qTokenizerTypes(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{Bpe, BpeTrainer}
     val pieces = Bpe.preTokenize(TextOps.normalize(col("text")))
-    BpeTrainer.cappedTypeCounts(docs(s, dir), pieces, Some(40))
+    BpeTrainer.cappedTypeCounts(docsNarrow(s, dir), pieces, Some(40))
       .select(col("piece"), col("cnt").cast("bigint").as("cnt"))
       .orderBy(col("cnt").desc, col("piece"))
   }
@@ -3728,7 +3743,7 @@ object SparkEntry {
       : DataFrame = {
     import graft.functions.{Bpe, UnigramTrainer}
     val pieces = Bpe.preTokenize(TextOps.normalize(col("text")))
-    val d = docs(s, dir)
+    val d = docsNarrow(s, dir)
     val maxPieceLen = 8
     val vocab = UnigramTrainer.train(d, pieces, vocabSize = 400,
       maxPieceLen = maxPieceLen)

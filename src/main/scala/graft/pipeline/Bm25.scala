@@ -271,9 +271,12 @@ object Bm25 {
     val idx = loadBm25Index(spark, path)
     if (verifyDisjoint) {
       // the batch's RAW ids, not the tokenized postings' ids: skips a
-      // full tokenize pass over the batch, and is the tighter check —
-      // a zero-token doc appended twice has no postings row but DOES
-      // double-count n_docs in the stats sidecar
+      // full tokenize pass over the batch. Note the check's limit: it
+      // probes the INDEX side's postings ids, so a zero-token doc
+      // appended in an EARLIER batch (no postings row) re-appended now
+      // still passes and double-counts n_docs — disjointness of raw
+      // ids across batches remains the caller's contract for docs
+      // that tokenize to nothing
       val overlap = df.select(col(idx.idCol).as("id")).distinct()
         .join(idx.postings.select("id").distinct(), Seq("id"),
           "left_semi")

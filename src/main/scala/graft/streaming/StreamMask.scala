@@ -1055,8 +1055,9 @@ object StreamMask {
         windows).select(col(idCol), col("vfp").as(hashCol))
       case "image" =>
         val g = math.sqrt(windows.toDouble).toInt
-        require(g * g == windows,
-          s"image modality needs a square windows count (got $windows)")
+        require(g * g == windows && windows >= 1 && windows <= 64,
+          s"image modality needs a square windows count in 1..64 " +
+            s"(got $windows)")
         b => Multimodal.averageHash(b, payloadCol, g)
           .select(col(idCol), col("ahash").as(hashCol))
       case "mixed" =>
@@ -1071,9 +1072,9 @@ object StreamMask {
         // at stream construction, not on the first trigger inside
         // foreachBatch
         val g = math.sqrt(windows.toDouble).toInt
-        require(g * g == windows,
+        require(g * g == windows && windows >= 1 && windows <= 64,
           s"mixed modality routes images through the g×g grid and " +
-            s"needs a square windows count (got $windows)")
+            s"needs a square windows count in 1..64 (got $windows)")
         b => Multimodal.mediaFingerprint(b, payloadCol, windows)
           .select(col(idCol), col("mfp").as(hashCol))
       case other => throw new IllegalArgumentException(

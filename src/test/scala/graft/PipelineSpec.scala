@@ -4023,9 +4023,14 @@ class PipelineSpec extends SparkSpec {
       .select("id", "modality", "media_windows", "mfp").collect()
     val decodes = Multimodal.ImageCodec.decodeCount.get() - before
     assert(got.length == n && got.forall(_.getString(1) == "image"))
-    assert(decodes == n,
-      s"expected $n image decodes (one per row), saw $decodes - the " +
-        "fused fingerprint UDF is being re-evaluated per consumer")
+    // a per-consumer re-evaluation would show ~3n decodes (three
+    // consumers of the fused struct); the bound is <= 2n rather than
+    // == n because the exact count also rides subexpression
+    // elimination staying enabled and the absence of task retries —
+    // incidental conditions this test must not turn into failures
+    assert(decodes <= 2L * n,
+      s"expected <= ${2 * n} image decodes for $n rows, saw $decodes " +
+        "- the fused fingerprint UDF is being re-evaluated per consumer")
   }
 
   test("audio decode: real WAV sample rate, channels, frames, RMS envelope") {
