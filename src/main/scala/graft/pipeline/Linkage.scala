@@ -255,38 +255,70 @@ object Linkage {
       maxLen: Int = -1): DataFrame = {
     val cap = resolveMaxLen(maxDist, maxLen)
     val d = maxDist
-    val pairsUdf = udf((ss: Seq[String]) => {
-      val arr = ss.distinct.sorted.toArray
-      val out = scala.collection.mutable.ArrayBuffer
-        .empty[(String, String, Int)]
+    // verified pairs leave the bucket fold as 16-BYTE HASH PAIRS, not
+    // string pairs: a true pair shares one bucket per common deletion
+    // variant — Θ(C(len, d)) buckets at d = 2 — so the fold re-emits
+    // every verified pair hundreds of times, and shuffling the
+    // duplicated STRING rows into the dedup exchange was the operator's
+    // residual bottleneck (measured at sf0.1: 153 MB in-bucket shuffle
+    // for a 47 MB distinct pair set; guide §2.3 "shuffle keys and
+    // metadata instead of payloads"). Strings re-attach AFTER the
+    // 16-byte distinct via two joins on xxhash64(s) against the thin
+    // distinct-strings frame; a 64-bit collision can only ADD candidate
+    // attachments, never lose one, and the trailing `levenshtein`
+    // verify discards them — so the result stays exact.
+    val pairsUdf = udf((hs: Seq[Long], ss: Seq[String]) => {
+      val arr = hs.zip(ss).distinct.sortBy(_._2).toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       val scratch = new Scratch
       var i = 0
       while (i < arr.length - 1) {
         var j = i + 1
         while (j < arr.length) {
-          val dist = boundedLevInto(arr(i), arr(j), d, scratch)
-          if (dist >= 0) out += ((arr(i), arr(j), dist))
+          if (boundedLevInto(arr(i)._2, arr(j)._2, d, scratch) >= 0) {
+            val (ha, hb) = (arr(i)._1, arr(j)._1)
+            out += (if (ha <= hb) (ha, hb) else (hb, ha))
+          }
           j += 1
         }
         i += 1
       }
       out.toSeq
     })
-    blocked(df, strCol, maxDist, cap)
-      // pinned-width bucket shuffle: the fold below emits O(bucket²)
-      // verified pairs per bucket — another stage whose work per input
-      // byte AQE's bytes-only coalescing underestimates (measured: 16
-      // of 32 slots, the pair fold the query's residual bottleneck).
-      // The repartition on `vh` replaces (not adds to) the aggregate's
-      // own exchange, so the plan's shuffle count is unchanged.
+    val candHashes = blocked(df, strCol, maxDist, cap)
+      .withColumn("h", xxhash64(col("s")))
+      // pinned-width bucket shuffle: the fold below does O(bucket²)
+      // verifies per bucket — a stage whose work per input byte AQE's
+      // bytes-only coalescing underestimates (measured: 16 of 32
+      // slots). The repartition on `vh` replaces (not adds to) the
+      // aggregate's own exchange, so the plan's shuffle count is
+      // unchanged.
       .repartition(blockWidth(df.sparkSession), col("vh"))
-      .groupBy(col("vh")).agg(collect_list(col("s")).as("ss"))
+      .groupBy(col("vh"))
+      .agg(collect_list(struct(col("h"), col("s"))).as("ms"))
       // singleton buckets (the vast majority in a sane corpus) have no
       // pairs — drop them before the per-bucket fold even runs
-      .filter(size(col("ss")) >= 2)
-      .select(explode(pairsUdf(col("ss"))).as("p"))
-      .select(col("p._1").as("name_a"), col("p._2").as("name_b"),
-        col("p._3").as("dist"))
+      .filter(size(col("ms")) >= 2)
+      // aligned field extraction (GetArrayStructFields preserves
+      // element order), so the UDF zips hashes back to their strings
+      .select(explode(pairsUdf(col("ms.h"), col("ms.s"))).as("p"))
+      .select(col("p._1").as("ha"), col("p._2").as("hb"))
+      .distinct()
+    // thin distinct-strings frame for the re-attach (same distinct the
+    // blocking pass starts from; recomputed rather than cached — the
+    // 100 TB posture prefers a second pruned scan over persisting)
+    val strs = df.select(col(strCol).cast("string").as("s"))
+      .na.drop("any")
+      .filter(length(col("s")) <= cap)
+      .distinct()
+      .withColumn("h", xxhash64(col("s")))
+    candHashes
+      .join(strs.select(col("h").as("ha"), col("s").as("__sa")), "ha")
+      .join(strs.select(col("h").as("hb"), col("s").as("__sb")), "hb")
+      .select(least(col("__sa"), col("__sb")).as("name_a"),
+        greatest(col("__sa"), col("__sb")).as("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
       .distinct()
   }
 

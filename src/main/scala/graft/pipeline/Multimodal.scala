@@ -132,6 +132,83 @@ object Multimodal {
     * deterministic, as [[MediaCodec]] requires.
     */
   object AudioCodec extends MediaCodec {
+    /** Cached `javax.sound` SPI providers. Every
+      * `AudioSystem.getAudioInputStream` call routes its provider
+      * lookup through `JDK13Services.getProviders`, a GLOBALLY
+      * SYNCHRONIZED accessor — a 32-thread decode stage serializes on
+      * that one lock and runs SLOWER than the serial scan it replaced
+      * (measured on q_audio_fingerprint: ~5 ms/decode under contention
+      * vs ~0.15 ms uncontended). The provider set is immutable for the
+      * life of the JVM, so list it once and run the same
+      * try-each-reader / find-converter loops AudioSystem runs,
+      * lock-free.
+      */
+    private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      val b = List.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+      while (it.hasNext) b += it.next()
+      // the JDK's SoftMidiAudioFileReader PROBES via
+      // MidiSystem.getMidiFileReaders -> JDK13Services.getProviders
+      // (globally synchronized) on every rejected payload — a
+      // 32-thread decode stage self-dumped with 31 threads BLOCKED on
+      // that lock. The container readers (WAV/AIFF/AU) and the MIDI
+      // reader accept disjoint formats, so trying MIDI last changes
+      // no result and takes the lock off every real audio decode.
+      val (midi, rest) = b.result()
+        .partition(_.getClass.getName.toLowerCase.contains("midi"))
+      rest ::: midi
+    }
+
+    private lazy val audioConverters: List[javax.sound.sampled.spi.FormatConversionProvider] = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.FormatConversionProvider])
+        .iterator()
+      val b = List.newBuilder[javax.sound.sampled.spi.FormatConversionProvider]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+
+    /** [[javax.sound.sampled.AudioSystem.getAudioInputStream]] over the
+      * cached readers: first provider that accepts the payload wins
+      * (each attempt gets a fresh zero-copy ByteArrayInputStream, so no
+      * mark/reset coupling between providers).
+      */
+    private def openStream(b: Array[Byte])
+        : javax.sound.sampled.AudioInputStream = {
+      var rs = audioReaders
+      while (rs.nonEmpty) {
+        try return rs.head.getAudioInputStream(
+          new java.io.ByteArrayInputStream(b))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        }
+        rs = rs.tail
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "no installed audio file reader accepts the payload")
+    }
+
+    /** `AudioSystem.getAudioInputStream(target, in)` over the cached
+      * converters — same contract: the source stream passes through
+      * untouched when it already matches, else the first supporting
+      * conversion provider wraps it, else IllegalArgumentException.
+      */
+    private def convertStream(
+        target: javax.sound.sampled.AudioFormat,
+        in: javax.sound.sampled.AudioInputStream)
+        : javax.sound.sampled.AudioInputStream = {
+      if (in.getFormat.matches(target)) return in
+      var cs = audioConverters
+      while (cs.nonEmpty) {
+        if (cs.head.isConversionSupported(target, in.getFormat))
+          return cs.head.getAudioInputStream(target, in)
+        cs = cs.tail
+      }
+      throw new IllegalArgumentException(
+        s"unsupported audio conversion: ${in.getFormat} -> $target")
+    }
+
     private def sniff(b: Array[Byte]): Option[String] =
       if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
@@ -148,15 +225,13 @@ object Multimodal {
       */
     private def samples(b: Array[Byte]): Option[Array[Double]] =
       try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(b))
+        val in = openStream(b)
         val f = in.getFormat
         val target = new javax.sound.sampled.AudioFormat(
           javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
           f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
           f.getSampleRate, false)
-        val pcm = javax.sound.sampled.AudioSystem
-          .getAudioInputStream(target, in)
+        val pcm = convertStream(target, in)
         val bytes = pcm.readAllBytes()
         val ch = f.getChannels
         val n = bytes.length / (2 * ch)
@@ -187,15 +262,13 @@ object Multimodal {
       */
     private[pipeline] def pcm16(b: Array[Byte]): Option[Array[Int]] =
       try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(b))
+        val in = openStream(b)
         val f = in.getFormat
         val target = new javax.sound.sampled.AudioFormat(
           javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
           f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
           f.getSampleRate, false)
-        val pcm = javax.sound.sampled.AudioSystem
-          .getAudioInputStream(target, in)
+        val pcm = convertStream(target, in)
         val bytes = pcm.readAllBytes()
         val ch = f.getChannels
         val n = bytes.length / (2 * ch)
@@ -221,8 +294,7 @@ object Multimodal {
     def meta(bytes: Array[Byte]): (String, Int, Int, Int) =
       sniff(bytes).flatMap { m =>
         try {
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
+          val in = openStream(bytes)
           val f = in.getFormat
           Some((m, f.getSampleRate.toInt, f.getChannels,
             in.getFrameLength.toInt))
