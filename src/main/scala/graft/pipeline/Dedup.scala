@@ -166,14 +166,11 @@ object Dedup {
     */
   def nearDuplicatePairs64(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numHashes: Int = 8, rowsPerBand: Int = 2,
-      shingleK: Int = 3, maxBucket: Option[Int] = None): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleK)
-    val sigs = minHashSignatures64(sh, idCol, numHashes)
-    val cands = lshCandidates(sigs, idCol, numHashes, rowsPerBand, maxBucket)
-    jaccardVerify(cands, sh, idCol)
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "n_inter", "jaccard")
-  }
+      shingleK: Int = 3, maxBucket: Option[Int] = None): DataFrame =
+    nearPairsFromSets(
+      shingleSetsWithSigs(df, idCol, textCol, shingleK, numHashes,
+        hash64 = true),
+      idCol, threshold, numHashes, rowsPerBand, maxBucket)
 
   /** Banded LSH candidate pairs from signatures: concatenate `rowsPerBand`
     * consecutive hashes into a band signature, explode to (band, sig), and
@@ -247,27 +244,69 @@ object Dedup {
         (col("sz_a") + col("sz_b") - col("n_inter")))
   }
 
-  /** End-to-end near-duplicate pairs: shingle → MinHash → banded LSH →
-    * exact-Jaccard verify ≥ `threshold`. The returned plan contains no
-    * cartesian product at any stage.
+  /** Per-doc shingle SET + MinHash signature in ONE aggregate — the
+    * shared frame behind [[nearDuplicatePairs]]/[[nearDuplicatePairs64]].
+    * The former pipeline consumed the exploded (id, shingle) table FOUR
+    * times (signature aggregate, both sides of the intersection join,
+    * the size aggregate), which meant four full-table exchanges and —
+    * where exchange reuse missed — four executions of the upstream
+    * scan/quality/PII/tokenize subtree. Collecting each doc's distinct
+    * shingles alongside the h0..h{n-1} mins folds all of it into one
+    * exchange: signatures and |set| are columns of this frame, and the
+    * Jaccard verify is `size(array_intersect(...))` over two thin
+    * id-keyed joins. Values are unchanged — min is associative (the
+    * map-side partial min over raw multiplicity rows equals the min
+    * over the distinct set) and `collect_set` IS the distinct shingle
+    * set. Per-row state is bounded by the doc's own shingle count, so
+    * the shape holds at 100 TB.
     */
-  def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, numHashes: Int = 8, rowsPerBand: Int = 2,
-      shingleK: Int = 3, maxBucket: Option[Int] = None): DataFrame = {
-    // the shingle table feeds the signature aggregate, both sides of the
-    // intersection join, and the size aggregate. It is deliberately NOT
-    // persisted: the explode+distinct recomputes through whole-stage
-    // codegen faster than a cache materializes (measured 2× at sf0.1), and
-    // a 100 TB run would rather re-scan pruned parquet than spill a
-    // shingle table bigger than the corpus — callers with expensive cold
-    // sources can persist the input df upstream
-    val sh = shingles(df, idCol, textCol, shingleK)
-    val sigs = minHashSignatures(sh, idCol, numHashes)
-    val cands = lshCandidates(sigs, idCol, numHashes, rowsPerBand, maxBucket)
-    jaccardVerify(cands, sh, idCol)
+  private def shingleSetsWithSigs(df: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, numHashes: Int,
+      hash64: Boolean): DataFrame = {
+    def h(i: Int): Column =
+      if (hash64) xxhash64(lit(i), col("shingle"))
+      else md5(concat(lit(s"$i|"), col("shingle")))
+    TextOps.explodedShinglesRaw(df, idCol, textCol, shingleK)
+      .groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("__shs"),
+        (0 until numHashes).map(i => min(h(i)).as(s"h$i")): _*)
+  }
+
+  /** The banded-LSH candidate → exact-Jaccard tail shared by the two
+    * near-dup entry points, over a [[shingleSetsWithSigs]] frame.
+    */
+  private def nearPairsFromSets(sets: DataFrame, idCol: String,
+      threshold: Double, numHashes: Int, rowsPerBand: Int,
+      maxBucket: Option[Int]): DataFrame = {
+    val sigs = sets.select(col(idCol) +:
+      (0 until numHashes).map(i => col(s"h$i")): _*)
+    val cands = lshCandidates(sigs, idCol, numHashes, rowsPerBand,
+      maxBucket)
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("__shs").as("__sa"),
+        size(col("__shs")).cast("long").as("sz_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__shs").as("__sb"),
+        size(col("__shs")).cast("long").as("sz_b")), "id_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_inter", "jaccard")
   }
+
+  /** End-to-end near-duplicate pairs: shingle → MinHash → banded LSH →
+    * exact-Jaccard verify ≥ `threshold`. The returned plan contains no
+    * cartesian product at any stage, and the corpus-sized shingle data
+    * crosses exactly ONE exchange ([[shingleSetsWithSigs]]).
+    */
+  def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, numHashes: Int = 8, rowsPerBand: Int = 2,
+      shingleK: Int = 3, maxBucket: Option[Int] = None): DataFrame =
+    nearPairsFromSets(
+      shingleSetsWithSigs(df, idCol, textCol, shingleK, numHashes,
+        hash64 = false),
+      idCol, threshold, numHashes, rowsPerBand, maxBucket)
 
   /** The near-deduplicated corpus in one call: near-dup pairs →
     * connected components → keep each cluster's min-id row, drop every
@@ -1112,10 +1151,18 @@ object Dedup {
     * configuration.
     */
   def writeNearDupIndex(idx: NearDupIndex, path: String): Unit = {
-    idx.bands.sortWithinPartitions("band", "sig")
-      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
-    idx.shingles.write.mode("overwrite").parquet(s"$path/shingles")
-    idx.sizes.write.mode("overwrite").parquet(s"$path/sizes")
+    // the three table writes are INDEPENDENT actions over the shared
+    // (persisted) shingle frame — submit them from driver threads so
+    // each write's tasks back-fill executors freed by the others' stage
+    // tails (guide §2.6); the block manager's per-block loading locks
+    // keep the first cache materialisation computed once
+    awaitAll(Seq(
+      () => idx.bands.sortWithinPartitions("band", "sig")
+        .write.mode("overwrite").partitionBy("band")
+        .parquet(s"$path/bands"),
+      () => idx.shingles.write.mode("overwrite")
+        .parquet(s"$path/shingles"),
+      () => idx.sizes.write.mode("overwrite").parquet(s"$path/sizes")))
     val spark = idx.bands.sparkSession
     import spark.implicits._
     Seq((idx.idCol, idx.numHashes, idx.rowsPerBand, idx.shingleK,
@@ -1123,6 +1170,18 @@ object Dedup {
       .toDF("id_col", "num_hashes", "rows_per_band", "shingle_k",
         "production64")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Run independent driver actions concurrently and join ALL of them
+    * before propagating the first failure (no orphaned sibling jobs).
+    */
+  private def awaitAll(actions: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = actions.map(a => Future(a()))
+    fs.foreach(f => Await.ready(f, Duration.Inf))
+    fs.foreach(f => Await.result(f, Duration.Inf))
   }
 
   /** Load an index written by [[writeNearDupIndex]]. */
@@ -1178,12 +1237,16 @@ object Dedup {
     }
     val batch = buildNearDupIndex(renamed, idx.idCol, textCol,
       idx.numHashes, idx.rowsPerBand, idx.shingleK, idx.production64)
-    try {
-      batch.bands.sortWithinPartitions("band", "sig")
-        .write.mode("append").partitionBy("band").parquet(s"$path/bands")
-      batch.shingles.write.mode("append").parquet(s"$path/shingles")
-      batch.sizes.write.mode("append").parquet(s"$path/sizes")
-    } finally batch.unpersistShingles()
+    // same concurrent-submit shape as writeNearDupIndex: the appends
+    // are independent per-table actions (the group was never atomic —
+    // see the crash note above)
+    try awaitAll(Seq(
+      () => batch.bands.sortWithinPartitions("band", "sig")
+        .write.mode("append").partitionBy("band").parquet(s"$path/bands"),
+      () => batch.shingles.write.mode("append")
+        .parquet(s"$path/shingles"),
+      () => batch.sizes.write.mode("append").parquet(s"$path/sizes")))
+    finally batch.unpersistShingles()
   }
 
   /** Fold the small files an append-heavy lifecycle accumulates back
