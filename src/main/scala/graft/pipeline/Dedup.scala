@@ -890,35 +890,52 @@ object Dedup {
     // label-space edge view, always RE-DERIVED from the original edges
     // through the current labeling (never remapped incrementally — a
     // label id's own label can move away from its members' mapping, so
-    // incremental remapping silently drops live edges)
+    // incremental remapping silently drops live edges). NOT checkpointed:
+    // its plan is two joins over the checkpointed edges/lab frames, so
+    // depth stays bounded without a per-round materialisation — the
+    // former per-round le checkpoint (with its distinct exchange) was
+    // one third of the loop's jobs for frames this derivation rebuilds
+    // inside the shrink aggregate anyway.
     def labelEdges(l: DataFrame): DataFrame = edges
       .join(l.select(col("id").as("u"), col("lbl").as("la")), Seq("u"))
       .join(l.select(col("id").as("v"), col("lbl").as("lb")), Seq("v"))
       .select("la", "lb")
       .filter(col("la") =!= col("lb")).distinct()
-    var le = labelEdges(lab).localCheckpoint()
     var iter = 0
-    while (iter < maxIter && !le.isEmpty) {
-      // (1) min adjacent label, only where it actually shrinks (progress
-      // is guaranteed: a symmetric non-empty le always has some la > lb)
-      val m = le.groupBy(col("la")).agg(min(col("lb")).as("mn"))
+    var converged = false
+    while (!converged) {
+      // (1) min adjacent label, only where it actually shrinks. The
+      // CONVERGENCE PROBE rides this tiny frame: a symmetric non-empty
+      // label-edge set always has some la > lb (the larger endpoint of
+      // any cross-label edge shrinks), so m.isEmpty <=> le.isEmpty —
+      // probing m instead of a materialised le drops a full edge-view
+      // checkpoint per round, and the probe reads the just-checkpointed
+      // one-row-per-shrinking-label blocks.
+      val m = labelEdges(lab)
+        .groupBy(col("la")).agg(min(col("lb")).as("mn"))
         .filter(col("mn") < col("la"))
-      val labA = lab.join(m, lab("lbl") === m("la"), "left")
-        .select(lab("id"), coalesce(m("mn"), lab("lbl")).as("lbl"))
-      // (2) one-hop path compression (pointer jumping): every label value
-      // is itself a node id of the pair graph, so the self-join is total;
-      // labels are monotone non-increasing, so composing two hops still
-      // lands inside the component, and chains contract geometrically
-      val parent = labA.select(col("id").as("pid"), col("lbl").as("plbl"))
-      val lab2 = labA.join(parent, labA("lbl") === parent("pid"))
-        .select(labA("id"), col("plbl").as("lbl"))
         .localCheckpoint()
-      lab = lab2
-      le = labelEdges(lab).localCheckpoint()
-      iter += 1
+      if (m.isEmpty) converged = true
+      else {
+        require(iter < maxIter,
+          s"connectedComponents did not converge in $maxIter rounds")
+        val labA = lab.join(m, lab("lbl") === m("la"), "left")
+          .select(lab("id"), coalesce(m("mn"), lab("lbl")).as("lbl"))
+        // (2) TWO-hop path compression (pointer jumping): every label
+        // value is itself a node id of the pair graph, so the self-join
+        // is total; labels are monotone non-increasing, so composing
+        // hops still lands inside the component, chains contract
+        // geometrically, and the second hop rides the same job for one
+        // more thin self-join — fewer rounds, each round fewer jobs.
+        def jump(l: DataFrame): DataFrame = {
+          val parent = l.select(col("id").as("pid"), col("lbl").as("plbl"))
+          l.join(parent, l("lbl") === parent("pid"))
+            .select(l("id"), col("plbl").as("lbl"))
+        }
+        lab = jump(jump(labA)).localCheckpoint()
+        iter += 1
+      }
     }
-    require(le.isEmpty,
-      s"connectedComponents did not converge in $maxIter rounds")
     lab.select(col("id"), col("lbl").as("cluster_id"))
   }
 
