@@ -914,6 +914,25 @@ object SparkEntry {
   private def embeds(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
 
+  /** Embeddings scan WITH the fan-out — for q_semdedup_auto ONLY:
+    * its auto-sized quantizer (⌈n/24⌉ ≈ 625 cells at sf0.1) makes the
+    * O(n · nCells · dim) flat cell assignment genuinely CPU-heavy, and
+    * that assignment re-executes per consumer action on the scan's ONE
+    * split (profiled: four ~0.5–1 s single-task jobs; fan-out measured
+    * 1.21×). Assignment is row-local and the seeds are an
+    * orderBy-limit, so the repartition changes no value (kmeansIters
+    * is pinned 0 on every declared row). The REST of the vector family
+    * — including the other semdedup rows at hand-sized cell counts —
+    * measured a net LOSS with the fan-out (subset A/B 0.92×:
+    * q_semdedup 0.81×, q_semdedup_2l 0.82×, q_curation_sem 0.90× —
+    * the exchange ahead of each small action costs more than the
+    * widened assignment buys at 16–24 cells), so they stay on the
+    * narrow [[embeds]], as does the maintenance family
+    * (q_ivf_recluster_2l measured 4.8 → 11.6 s with fan-out in r21).
+    */
+  private def embedsFan(s: SparkSession, dir: String): DataFrame =
+    fanOutScanKeyed(t(s, dir, "embeddings"), s"$dir/embeddings")
+
   /** Z-order (Morton) key over two lineitem dimensions
     * ([[graft.pipeline.Layout.zorder]]) — the clustering key behind
     * multi-dimensional data layout. Pure codegen bit arithmetic, and
@@ -2296,7 +2315,7 @@ object SparkEntry {
     * cell balance outranks seed reproducibility).
     */
   private def qSemdedupAuto(s: SparkSession, dir: String): DataFrame =
-    Dedup.semDeDupAuto(embeds(s, dir), "vec_id", "embedding",
+    Dedup.semDeDupAuto(embedsFan(s, dir), "vec_id", "embedding",
         threshold = 0.3, targetCell = 24, kmeansIters = 0)
       .select("vec_id", "label")
       .orderBy("vec_id")
